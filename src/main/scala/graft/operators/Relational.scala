@@ -1,0 +1,399 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.{QuerySpec, Tables}
+
+/** Relational operator surface: scans, filters/projections, joins
+  * (shuffle/broadcast/semi/anti), aggregations (hash, distinct, rollup),
+  * window functions, top-k, set ops, scalar functions, JSON extraction and
+  * event-time windows.
+  *
+  * The reference (see SURVEY.md §2.2) contains none of these beyond a
+  * tokenizer filter — this breadth comes from Spark built-ins so Catalyst
+  * gets full visibility (pushdown, pruning, join selection, AQE).
+  *
+  * Cross-engine determinism notes (DuckDB oracle):
+  *  - all test-data doubles carry ≤2 decimals, so `CAST(x AS DECIMAL(p,2))`
+  *    is exact; SUMs are computed in decimal (associative, order-independent)
+  *    and only the final value is cast back to DOUBLE. Summing raw doubles
+  *    would be partial-aggregation-order dependent and hash-unstable.
+  *  - window orderings always include a unique tiebreak column.
+  *  - timestamps: parquet `timestamp[ms] (isAdjustedToUTC=false)` reads as
+  *    TIMESTAMP_NTZ in Spark 4 and naive TIMESTAMP in DuckDB — same wall
+  *    clock, no zone math on either side.
+  */
+object Relational {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+  private val oneD  = lit(1).cast(DecimalType(3, 2))
+  /** decimal-exact SUM of a ≤2-decimal double, surfaced as DOUBLE */
+  private def dsum(c: Column): Column = sum(dec(c, 18, 2)).cast(DoubleType)
+
+  // ---------------------------------------------------------------------
+  // q01 — pricing summary (hash aggregation, partial+final, filter pushdown)
+  // ---------------------------------------------------------------------
+  private def q01(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("2000-09-02").cast(TimestampNTZType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"), 18, 2)).cast(DoubleType).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice"), 18, 2) *
+            (oneD - dec(col("l_discount"), 4, 2))).cast(DoubleType).as("sum_disc_price"),
+        sum(dec(col("l_extendedprice"), 18, 2) *
+            (oneD - dec(col("l_discount"), 4, 2)) *
+            (oneD + dec(col("l_tax"), 4, 2))).cast(DoubleType).as("sum_charge"),
+        (sum(dec(col("l_quantity"), 18, 2)).cast(DoubleType) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+  }
+
+  private val q01Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q02 — selective scan: filter + projection pushdown into parquet
+  // ---------------------------------------------------------------------
+  private def q02(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampNTZType) &&
+              col("l_shipdate") <  lit("1998-01-01").cast(TimestampNTZType) &&
+              col("l_discount") >= 0.05 && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice"), col("l_discount"),
+              // single IEEE multiply: bit-identical across engines
+              (col("l_extendedprice") * col("l_discount")).as("disc_amount"))
+
+  private val q02Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+      |  l_extendedprice * l_discount AS disc_amount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_quantity < 24""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q03 — 3-way shuffle join + aggregation (customer ⋈ orders ⋈ lineitem)
+  // ---------------------------------------------------------------------
+  private def q03(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampNTZType))
+    val l = Tables.lineitem(spark, dir)
+    // customer is the small side — broadcast it; orders⋈lineitem shuffles
+    // on the shared orderkey (one exchange each, co-partitioned join).
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(
+        sum(dec(col("l_extendedprice"), 18, 2) *
+            (oneD - dec(col("l_discount"), 4, 2))).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q03Sql =
+    """SELECT c_mktsegment, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |GROUP BY c_mktsegment, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q04 — star-schema broadcast joins (region ⋈ nation ⋈ customer)
+  // ---------------------------------------------------------------------
+  private def q04(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        countDistinct(col("c_custkey")).as("n_cust"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+  }
+
+  private val q04Sql =
+    """SELECT r_name, n_name,
+      |  COUNT(DISTINCT c_custkey) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q05 — left-semi join (EXISTS)
+  // ---------------------------------------------------------------------
+  private def q05(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  private val q05Sql =
+    """SELECT c_nationkey, COUNT(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+      |GROUP BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q06 — left-anti join (NOT EXISTS)
+  // ---------------------------------------------------------------------
+  private def q06(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    // restrict to 'P' orders so the anti-join set is non-trivial
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  private val q06Sql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q07 — ranking window functions (top-3 orders per customer)
+  // ---------------------------------------------------------------------
+  private def q07(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    // unique (totalprice desc, orderkey) ordering → deterministic ranks
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w))
+      .withColumn("drk", dense_rank().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  private val q07Sql =
+    """SELECT * FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+      |    RANK()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+      |    DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS drk
+      |  FROM orders) t
+      |WHERE rn <= 3""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q08 — analytic window functions (running sum, lag) with frames
+  // ---------------------------------------------------------------------
+  private def q08(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    o.select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(dec(col("o_totalprice"), 18, 2))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast(DoubleType).as("running_spend"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+      lead(col("o_orderkey"), 1).over(w).as("next_order"))
+  }
+
+  private val q08Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+      |  LAG(o_orderkey, 1)  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order,
+      |  LEAD(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_order
+      |FROM orders""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q09 — global top-k (TakeOrderedAndProject: per-partition top-k, no
+  //        full sort — the plan that survives 100 TB)
+  // ---------------------------------------------------------------------
+  private def q09(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  private val q09Sql =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q10 — set operations (INTERSECT / EXCEPT / UNION ALL)
+  // ---------------------------------------------------------------------
+  private def q10(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val open   = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    val filled = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val both   = open.intersect(filled).withColumn("tag", lit("both"))
+    val onlyO  = open.except(filled).withColumn("tag", lit("open_only"))
+    both.unionAll(onlyO).select(col("tag"), col("custkey"))
+  }
+
+  private val q10Sql =
+    """SELECT 'both' AS tag, custkey FROM (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F') a
+      |UNION ALL
+      |SELECT 'open_only' AS tag, custkey FROM (
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+      |  EXCEPT
+      |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F') b""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q11 — ROLLUP (grouping sets) + COUNT(DISTINCT)
+  // ---------------------------------------------------------------------
+  private def q11(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .rollup(col("c_mktsegment"), col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("c_custkey")).as("n_cust"),
+        dsum(col("c_acctbal")).as("bal"))
+
+  private val q11Sql =
+    """SELECT c_mktsegment, c_nationkey, COUNT(*) AS n,
+      |  COUNT(DISTINCT c_custkey) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM customer GROUP BY ROLLUP (c_mktsegment, c_nationkey)""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q12 — JSON extraction on events.props
+  // ---------------------------------------------------------------------
+  private def q12(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        (get_json_object(col("props"), "$.k").cast(LongType) % 10).as("k_mod"),
+        col("value"))
+      .groupBy(col("event_type"), col("k_mod"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+
+  private val q12Sql =
+    """SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q13 — event-time tumbling window aggregation (batch form of the
+  //        Structured Streaming `window()` operator)
+  // ---------------------------------------------------------------------
+  private def q13(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+
+  private val q13Sql =
+    """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q14 — word count over documents: the reference's flagship semantics
+  //        (split on \W+, drop empties, count per word —
+  //        StatefulWordCount.java:104-132,134-180) as one declarative plan.
+  // ---------------------------------------------------------------------
+  private def q14(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(col("text"), "\\W+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val q14Sql =
+    """SELECT word, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(text, '\W+')) AS word FROM documents) t
+      |WHERE length(word) > 0
+      |GROUP BY word""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q15 — scalar string/math function breadth
+  // ---------------------------------------------------------------------
+  private def q15(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      upper(col("p_type")).as("type_u"),
+      lower(col("p_brand")).as("brand_l"),
+      substring(col("p_name"), 1, 8).as("name8"),
+      concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+      length(col("p_name")).as("name_len"),
+      abs(col("p_retailprice") - 1000.0).as("abs_diff"),
+      floor(col("p_size") / 3.0).cast(LongType).as("size_bucket"),
+      sqrt(col("p_size").cast(DoubleType)).as("size_sqrt"),
+      (col("p_size") % 7).as("size_mod"))
+
+  private val q15Sql =
+    """SELECT p_partkey,
+      |  upper(p_type) AS type_u,
+      |  lower(p_brand) AS brand_l,
+      |  substring(p_name, 1, 8) AS name8,
+      |  concat(p_brand, ':', p_type) AS brand_type,
+      |  length(p_name) AS name_len,
+      |  abs(p_retailprice - 1000.0) AS abs_diff,
+      |  CAST(floor(p_size / 3.0) AS BIGINT) AS size_bucket,
+      |  sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+      |  p_size % 7 AS size_mod
+      |FROM part""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q16 — date/time function breadth
+  // ---------------------------------------------------------------------
+  private def q16(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      quarter(col("o_orderdate")).as("qtr"),
+      datediff(col("o_orderdate").cast(DateType), lit("1995-01-01").cast(DateType)).as("days_since"),
+      date_add(col("o_orderdate").cast(DateType), 30).as("due_date"),
+      date_trunc("month", col("o_orderdate")).as("month_start"))
+  }
+
+  private val q16Sql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INT) AS yr,
+      |  CAST(month(o_orderdate) AS INT) AS mo,
+      |  CAST(day(o_orderdate) AS INT) AS dom,
+      |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+      |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+      |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+      |FROM orders""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
+    QuerySpec("q02_filter_project", q02, Some(q02Sql)),
+    QuerySpec("q03_join_agg", q03, Some(q03Sql)),
+    QuerySpec("q04_broadcast_star_join", q04, Some(q04Sql)),
+    QuerySpec("q05_semi_join", q05, Some(q05Sql)),
+    QuerySpec("q06_anti_join", q06, Some(q06Sql)),
+    QuerySpec("q07_window_rank", q07, Some(q07Sql)),
+    QuerySpec("q08_window_running", q08, Some(q08Sql)),
+    QuerySpec("q09_topk", q09, Some(q09Sql)),
+    QuerySpec("q10_set_ops", q10, Some(q10Sql)),
+    QuerySpec("q11_rollup_distinct", q11, Some(q11Sql)),
+    QuerySpec("q12_json_extract", q12, Some(q12Sql)),
+    QuerySpec("q13_time_window", q13, Some(q13Sql)),
+    QuerySpec("q14_wordcount", q14, Some(q14Sql)),
+    QuerySpec("q15_scalar_funcs", q15, Some(q15Sql)),
+    QuerySpec("q16_date_funcs", q16, Some(q16Sql)))
+}
