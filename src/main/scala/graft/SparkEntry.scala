@@ -12,7 +12,8 @@ object SparkEntry {
 
   /** Full operator registry (SURVEY.md §2 inventory + pipeline extensions). */
   def allSpecs: Seq[QuerySpec] =
-    operators.Relational.specs
+    operators.Relational.specs ++
+    operators.TextAnalysis.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QuerySpec, Tables}
+import graft.functions.TextFunctions._
+
+/** Text-analysis operator surface over the `documents` table: token
+  * statistics, quality scoring, language identification and document
+  * fingerprinting (SURVEY.md §2.2 north-star extensions).
+  *
+  * All per-document — embarrassingly parallel, no shuffles; at 100 TB
+  * these run as a single WholeStageCodegen pass over the scan.
+  */
+object TextAnalysis {
+
+  // t01 — token counting (whitespace + BPE-ish regex + distinct)
+  private def t01(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      tokenCount(col("text")).as("ws_tokens"),
+      bpeTokenCount(col("text")).as("bpe_tokens"),
+      uniqTokenCount(col("text")).as("uniq_tokens"),
+      length(col("text")).as("text_chars"),
+      col("n_chars"))
+
+  private val t01Sql =
+    """SELECT doc_id,
+      |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+      |  len(list_distinct(string_split_regex(text, '\s+'))) AS uniq_tokens,
+      |  length(text) AS text_chars,
+      |  n_chars
+      |FROM documents""".stripMargin
+
+  // t02 — quality scoring (diversity, stopword, token-length signals)
+  private def t02(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"),
+      tokenCount(col("text")).as("n_tok"),
+      uniqRatio(col("text")).as("uniq_ratio"),
+      stopwordRatio(col("text")).as("stop_ratio"),
+      avgTokenLen(col("text")).as("avg_tok_len"),
+      punctCount(col("text")).as("punct_cnt"),
+      qualityScore(col("text")).as("quality"))
+
+  private val t02Sql =
+    """SELECT doc_id, source,
+      |  len(string_split_regex(text, '\s+')) AS n_tok,
+      |  round(CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE) / len(string_split_regex(text, '\s+')), 4) AS uniq_ratio,
+      |  round(CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split_regex(text, '\s+')), 4) AS stop_ratio,
+      |  round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(string_split_regex(text, '\s+')), 4) AS avg_tok_len,
+      |  length(regexp_replace(text, '[\w\s]', '', 'g')) AS punct_cnt,
+      |  round(
+      |    (CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE) / len(string_split_regex(text, '\s+'))) * 0.4 +
+      |    (1.0 - CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split_regex(text, '\s+'))) * 0.3 +
+      |    least(1.0, (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(string_split_regex(text, '\s+'))) / 8.0) * 0.3, 4) AS quality
+      |FROM documents""".stripMargin
+
+  // t03 — language-ID confusion matrix: labeled lang × n-gram-marker guess
+  private def t03(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), langGuess(col("text")).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+
+  private val t03Sql = {
+    def score(words: String) =
+      s"len(list_filter(string_split_regex(text, '\\s+'), t -> t IN ($words)))"
+    val de = score("'der','die','und','ist','nicht'")
+    val en = score("'the','a','of','and','to'")
+    val es = score("'el','la','de','que','y'")
+    val fr = score("'le','les','et','est','une'")
+    val cjk = "length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))"
+    s"""SELECT lang, lang_guess, COUNT(*) AS n FROM (
+       |  SELECT lang,
+       |    CASE WHEN $cjk > 0 THEN 'zh'
+       |         WHEN $de >= $en AND $de >= $es AND $de >= $fr THEN 'de'
+       |         WHEN $en >= $es AND $en >= $fr THEN 'en'
+       |         WHEN $es >= $fr THEN 'es'
+       |         ELSE 'fr' END AS lang_guess
+       |  FROM documents) t
+       |GROUP BY lang, lang_guess""".stripMargin
+  }
+
+  // t04 — document fingerprinting (exact + normalization-robust)
+  private def t04(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      normFingerprint(col("text")).as("fp_norm"))
+
+  private val t04Sql =
+    """SELECT doc_id,
+      |  md5(text) AS fp,
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm
+      |FROM documents""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("t01_token_stats", t01, Some(t01Sql)),
+    QuerySpec("t02_quality_score", t02, Some(t02Sql)),
+    QuerySpec("t03_lang_id", t03, Some(t03Sql)),
+    QuerySpec("t04_fingerprint", t04, Some(t04Sql)))
+}
