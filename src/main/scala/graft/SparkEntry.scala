@@ -13,7 +13,8 @@ object SparkEntry {
   /** Full operator registry (SURVEY.md §2 inventory + pipeline extensions). */
   def allSpecs: Seq[QuerySpec] =
     operators.Relational.specs ++
-    operators.TextAnalysis.specs
+    operators.TextAnalysis.specs ++
+    operators.Dedup.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
