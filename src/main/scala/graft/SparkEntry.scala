@@ -14,7 +14,8 @@ object SparkEntry {
   def allSpecs: Seq[QuerySpec] =
     operators.Relational.specs ++
     operators.TextAnalysis.specs ++
-    operators.Dedup.specs
+    operators.Dedup.specs ++
+    operators.Similarity.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{QuerySpec, Tables}
+import graft.functions.VectorFunctions.cosine
+
+/** Similarity search over the `embeddings` table (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a random-
+  * hyperplane LSH-bucketed variant as the scale path.
+  *
+  * Scale posture: the brute-force scorer broadcasts the (small) query
+  * set and scores in a single codegen'd pass over the corpus — no
+  * shuffle of raw vectors; only (query_id, score) pairs move. The LSH
+  * variant additionally prunes the corpus to the query's signature
+  * bucket, turning the scan into a bucket-local probe (the IVF/LSH
+  * pattern used by ANN systems); recall is traded via the plane count.
+  *
+  * Determinism: dot products fold left-to-right in double precision
+  * (see VectorFunctions), so scores — and therefore rankings, bucket
+  * signs, and the DuckDB oracle — are bit-stable. The LSH hyperplanes
+  * are fixed seeded constants rounded to 6 decimals, embedded
+  * identically in the Scala plan and the generated oracle SQL.
+  */
+object Similarity {
+
+  private val DIM = 64
+  private val TOP_K = 5
+  private val N_QUERIES = 10 // vec_id < 10 are the query vectors
+
+  /** DuckDB double-precision cosine between embedding columns, matching
+    * VectorFunctions.cosine's fold order. */
+  private def sqlCos(x: String, y: String): String = {
+    def d(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, $DIM), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    s"(${d(x, y)} / (sqrt(${d(x, x)}) * sqrt(${d(y, y)})))"
+  }
+
+  // ---------------------------------------------------------------------
+  // s01 — brute-force cosine top-k (exact k-NN baseline)
+  // ---------------------------------------------------------------------
+  private def s01(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.where(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = broadcast(q)
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+            col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TOP_K)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+              round(col("cos"), 4).as("cos_sim"))
+  }
+
+  private val s01Sql =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |  WHERE vec_id < $N_QUERIES),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ${sqlCos("qv", "e.embedding")} AS cos
+       |  FROM q JOIN embeddings e ON e.vec_id <> query_id)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 4) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $TOP_K""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // s02 — LSH-bucketed approximate top-k (random hyperplane signatures)
+  // ---------------------------------------------------------------------
+  private val N_PLANES = 6 // 64 buckets
+  /** fixed seeded gaussian hyperplanes, rounded to 6 decimals so the
+    * identical constants embed in both the Scala plan and the oracle SQL */
+  private val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(N_PLANES, DIM)(math.rint(rnd.nextGaussian() * 1e6) / 1e6)
+  }
+
+  /** plane-side dot product: embedding (float) × plane literal (double) */
+  private def planeDot(v: Column, p: Array[Double]): Column =
+    aggregate(
+      zip_with(v, array(p.map(lit(_)).toIndexedSeq: _*),
+        (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def bucketOf(v: Column): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(planeDot(v, p) >= 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  private def s02(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("bucket", bucketOf(col("embedding")))
+    val q = e.where(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+              col("bucket"))
+    // probe only the query's bucket: candidate set shrinks ~64×
+    val scored = broadcast(q)
+      .join(e.select(col("vec_id").as("neighbor_id"),
+                     col("embedding").as("nv"), col("bucket")),
+            Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TOP_K)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+              round(col("cos"), 4).as("cos_sim"))
+  }
+
+  private val s02Sql = {
+    def planeLit(p: Array[Double]): String =
+      p.map(x => if (x == math.rint(x)) f"$x%.1f" else x.toString)
+        .mkString("[", ", ", "]")
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      s"""CASE WHEN list_sum(list_transform(generate_series(1, $DIM),
+         |  i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(p)})[i])) >= 0
+         |  THEN ${1 << i} ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, bucket FROM b
+       |  WHERE vec_id < $N_QUERIES),
+       |scored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ${sqlCos("qv", "e.embedding")} AS cos
+       |  FROM q JOIN b e USING (bucket) WHERE e.vec_id <> query_id)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 4) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $TOP_K""".stripMargin
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("s01_knn_bruteforce", s01, Some(s01Sql)),
+    QuerySpec("s02_knn_lsh", s02, Some(s02Sql)))
+}
