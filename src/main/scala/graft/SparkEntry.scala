@@ -15,7 +15,8 @@ object SparkEntry {
     operators.Relational.specs ++
     operators.TextAnalysis.specs ++
     operators.Dedup.specs ++
-    operators.Similarity.specs
+    operators.Similarity.specs ++
+    operators.StreamingOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

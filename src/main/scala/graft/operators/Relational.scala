@@ -299,7 +299,7 @@ object Relational {
                col("event_type"))
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
 
-  private val q13Sql =
+  private[operators] val q13Sql =
     """SELECT date_trunc('hour', ts) AS hour_start, event_type,
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
@@ -317,7 +317,7 @@ object Relational {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("cnt"))
 
-  private val q14Sql =
+  private[operators] val q14Sql =
     """SELECT word, COUNT(*) AS cnt FROM (
       |  SELECT unnest(string_split_regex(text, '\W+')) AS word FROM documents) t
       |WHERE length(word) > 0

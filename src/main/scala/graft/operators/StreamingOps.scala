@@ -1,0 +1,82 @@
+package graft.operators
+
+import java.time.LocalDateTime
+import java.util.UUID
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{QuerySpec, Tables}
+import graft.streaming.{Sentence, WordCountPipeline}
+
+/** Structured-Streaming operators surfaced through the driver gate.
+  *
+  * Each op replays a test table through a MemoryStream in multiple
+  * micro-batches and runs a *streaming* stateful computation whose final
+  * state must equal the equivalent batch SQL — i.e. the DuckDB oracle
+  * checks that Spark's incremental state-store execution converges to
+  * the relational answer. (The MemoryStream feed is driver-side test
+  * plumbing; the engine's production source is
+  * sources.RateSentenceSource + any readStream format.)
+  */
+object StreamingOps {
+
+  /** w01 — the reference's stateful word count (SURVEY §2.1 #4-6) run as
+    * a streaming query over the documents corpus, fed in two
+    * micro-batches to exercise StateStore save/restore between batches.
+    * Final counts ≡ batch q14. */
+  private def w01(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val texts = Tables.documents(spark, dir)
+      .select(col("text")).as[String].collect().toSeq
+    val ms = MemoryStream[String]
+    val sentences = ms.toDS()
+      .select(lit(-1L).as("ts"), col("value").as("sentence"),
+              lit(0).as("sourceId")).as[Sentence]
+    val counts = WordCountPipeline.runningCounts(
+      WordCountPipeline.tokenize(sentences))
+    val qname = "w01_" + UUID.randomUUID().toString.replace("-", "")
+    val query = counts.writeStream
+      .outputMode("complete").format("memory").queryName(qname).start()
+    try {
+      val (h1, h2) = texts.splitAt(texts.length / 2)
+      ms.addData(h1); query.processAllAvailable()
+      ms.addData(h2); query.processAllAvailable()
+    } finally query.stop()
+    spark.table(qname).select(col("word"), col("count").as("cnt"))
+  }
+
+  /** w02 — streaming event-time tumbling-window aggregation over the
+    * events stream (three replayed micro-batches). Final windows ≡ batch
+    * q13. */
+  private def w02(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .as[(LocalDateTime, String, Double)].collect().toSeq
+    val ms = MemoryStream[(LocalDateTime, String, Double)]
+    val agg = ms.toDS().toDF("ts", "event_type", "value")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_v"))
+    val qname = "w02_" + UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete").format("memory").queryName(qname).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+    } finally query.stop()
+    spark.table(qname)
+      .select(col("hour_start"), col("event_type"), col("n"), col("sum_v"))
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+    QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
+    QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)))
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import scala.util.Random
+
+/** Deterministic dictionary-backed random sentence generator — the engine
+  * analog of the reference's RandomSentenceGenerator.java:33-53 (uniform
+  * word draws from a large dictionary, optional skew knob that emits the
+  * literal word "skew" with probability skewPercent%).
+  *
+  * Differences from the reference, on purpose:
+  *  - the dictionary is synthesized (seeded) rather than shipped as a
+  *    355k-line resource; only its cardinality matters for benchmark
+  *    parity (reference words.txt has 354,986 entries).
+  *  - generation is seeded per call-site (the reference uses an unseeded
+  *    Random — RandomSentenceGenerator.java:15), because the oracle
+  *    checks need reproducible streams (SURVEY.md §7.4).
+  */
+object SentenceGen {
+
+  val DefaultDictSize = 354986
+
+  /** Deterministic pseudo-word dictionary: lowercase words of length 3-9,
+    * seeded; ~dictSize distinct entries (duplicates allowed, as in any
+    * natural dictionary file). */
+  def dictionary(dictSize: Int = DefaultDictSize, seed: Long = 42L): Array[String] = {
+    val rnd = new Random(seed)
+    Array.fill(dictSize) {
+      val len = 3 + rnd.nextInt(7)
+      val sb = new StringBuilder(len)
+      var i = 0
+      while (i < len) { sb.append(('a' + rnd.nextInt(26)).toChar); i += 1 }
+      sb.toString
+    }
+  }
+
+  /** One sentence of `size` words drawn uniformly from `dict` by a caller-
+    * owned Random; with probability skewPercent% the sentence is the hot
+    * word "skew" repeated (reference RandomSentenceGenerator.java:47-53
+    * emits the literal "skew " sentence under the skew knob). */
+  def nextSentence(rnd: Random, dict: Array[String], size: Int,
+                   skewPercent: Int = 0): String = {
+    if (skewPercent > 0 && rnd.nextInt(100) < skewPercent) {
+      // hot-key path: single literal word (same token stream shape the
+      // reference produces for its skew experiments)
+      val sb = new StringBuilder(5 * size)
+      var i = 0
+      while (i < size) { if (i > 0) sb.append(' '); sb.append("skew"); i += 1 }
+      sb.toString
+    } else {
+      val sb = new StringBuilder(8 * size)
+      var i = 0
+      while (i < size) {
+        if (i > 0) sb.append(' ')
+        sb.append(dict(rnd.nextInt(dict.length)))
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** Sentence for a global record index — deterministic regardless of
+    * which executor/partition generates it, so a replayed micro-batch
+    * regenerates identical data (exactly-once across recovery). */
+  def sentenceAt(index: Long, dict: Array[String], size: Int,
+                 skewPercent: Int = 0): String =
+    nextSentence(new Random(index * 0x9E3779B97F4A7C15L), dict, size, skewPercent)
+}
