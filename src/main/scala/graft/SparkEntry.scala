@@ -16,7 +16,8 @@ object SparkEntry {
     operators.TextAnalysis.specs ++
     operators.Dedup.specs ++
     operators.Similarity.specs ++
-    operators.StreamingOps.specs
+    operators.StreamingOps.specs ++
+    operators.Multimodal.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
