@@ -1,24 +1,90 @@
 package graft
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+import graft.sources.RateSentenceSource
+import graft.streaming.WordCountPipeline
+
+/** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
+  * measures streaming word-count throughput at the reference operating
+  * point (12,500 sentences/s × 100 words — BASELINE.md), printing one
+  * JSON line. */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // untimed warmup: JVM/codegen/file-listing costs land here, not on
+    // whichever query happens to run first
+    SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val streamWps = streamWordsPerSec(spark)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""stream_words_per_sec":$streamWps,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Streaming throughput at the reference shape: rate-controlled
+    * sentence source → tokenize → stateful running count → blackhole.
+    * Steady-state measurement: rows and wall time are taken between the
+    * first and last progress events, excluding the first (warmup) batch;
+    * words/s = tokenized words / elapsed (BASELINE.md target: ≥1.25M
+    * words/s single-node). Batches of 50k sentences ≙ 4 scheduled
+    * seconds, large enough to amortize per-micro-batch overhead. */
+  def streamWordsPerSec(spark: SparkSession, measureSec: Int = 25): Double = {
+    val sentenceSize = 100
+    val rowsPerBatch = 50000
+    val steadyRows = new AtomicLong()
+    val firstNanos = new AtomicLong(0L)
+    val lastNanos = new AtomicLong(0L)
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val now = System.nanoTime()
+        // first event closes the warmup batch: start the clock, drop its rows
+        if (!firstNanos.compareAndSet(0L, now)) {
+          steadyRows.addAndGet(e.progress.numInputRows)
+          lastNanos.set(now)
+        }
+      }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    val sentences = RateSentenceSource.stream(
+      spark, rate = rowsPerBatch, sentenceSize = sentenceSize,
+      samplePeriod = 1000,
+      numPartitions = spark.sparkContext.defaultParallelism)
+    val counts = WordCountPipeline.runningCounts(
+      WordCountPipeline.tokenize(sentences))
+    val q = counts.writeStream
+      .outputMode("update").format("noop")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-bench-ckpt").toString)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try Thread.sleep(measureSec * 1000L) finally q.stop()
+    spark.streams.removeListener(listener)
+    val elapsed = (lastNanos.get() - firstNanos.get()) / 1e9
+    if (elapsed <= 0) 0.0 else steadyRows.get() * sentenceSize / elapsed
   }
 }

@@ -2,26 +2,29 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only schema/behavior probe; not part of the engine surface. */
+/** Dev-only plan dump: verifies pushdown/broadcast/codegen expectations
+  * (run manually; not part of the engine surface). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println("ansi=" + spark.conf.get("spark.sql.ansi.enabled"))
-    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
-    li.printSchema()
-    try {
-      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      ev.printSchema()
-      ev.show(2, false)
-    } catch { case e: Throwable => println("EVENTS FAIL: " + e.getMessage.take(300)) }
-    import org.apache.spark.sql.functions._
-    try {
-      li.filter(col("l_shipdate") <= lit("1995-01-01")).show(2)
-    } catch { case e: Throwable => println("TS FILTER FAIL: " + e.getMessage.take(300)) }
+    val dir = "/root/testdata/sf0.01"
+    args.headOption match {
+      case Some(name) =>
+        println(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      case None =>
+        Seq("q02_filter_project", "q03_join_agg", "q04_broadcast_star_join",
+            "q09_topk").foreach { n =>
+          println(s"===== $n =====")
+          println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
+            org.apache.spark.sql.execution.SimpleMode))
+        }
+    }
     spark.stop()
   }
 }

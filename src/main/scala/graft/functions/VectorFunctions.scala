@@ -13,18 +13,34 @@ import org.apache.spark.sql.types._
   */
 object VectorFunctions {
 
-  /** elementwise dot product in double precision */
+  import org.apache.spark.sql.graftglue.ColumnBridge.{column => toColumn, expression => toExpr}
+
+  import graft.functions.expressions.DotProductD
+
+  private def asDouble(v: Column): Column = v.cast(ArrayType(DoubleType))
+
+  /** elementwise dot product in double precision — codegen'd tight loop
+    * (expressions.DotProductD), same left-to-right fold as the HOF
+    * formulation so values are unchanged */
   def dot(a: Column, b: Column): Column =
+    toColumn(DotProductD(toExpr(asDouble(a)), toExpr(asDouble(b))))
+
+  /** HOF reference implementation of dot (kept for tests: must equal
+    * the codegen'd expression bit-for-bit) */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
-  /** squared L2 norm in double precision */
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+  /** L2 norm in double precision */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cosine similarity in double precision */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** cosine from a precomputed-norm pair — at all-pairs scale the norms
+    * are computed once per vector, not once per pair */
+  def cosinePrenormed(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
 }

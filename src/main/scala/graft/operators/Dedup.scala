@@ -36,19 +36,68 @@ object Dedup {
   private val JACC_T = 0.8
   private val P31 = 2147483647L // 2^31 - 1, prime
 
-  /** distinct word n-gram shingles of `text` */
-  private def shingleArr(text: Column): Column = {
-    val tk = split(text, "\\s+")
-    array_distinct(transform(
-      sequence(lit(0), size(tk) - SHINGLE),
-      i => concat_ws(" ", slice(tk, i + 1, lit(SHINGLE)))))
+  /** Shingle/MinHash kernels shared by d02/d03, evaluated in typed
+    * mapPartitions (tight loops; the interpreted HOF formulation was the
+    * bench hotspot). Token split replicates Spark's split(text, "\\s+")
+    * with limit -1 — and therefore DuckDB's string_split_regex — so the
+    * Scala path produces byte-identical shingles to the SQL oracle. */
+  private[operators] object ShingleUtil extends Serializable {
+    private val ws = java.util.regex.Pattern.compile("\\s+")
+    def tokens(text: String): Array[String] = ws.split(text, -1)
+
+    /** distinct n-gram shingles, first-occurrence order (≡ array_distinct) */
+    def shingles(toks: Array[String], n: Int): Array[String] =
+      toks.sliding(n).map(_.mkString(" ")).toArray.distinct
+
+    /** base hash into [0, P31); any stable hash works — the oracle checks
+      * outputs, not internals (candidate recall is what matters) */
+    def baseHash(s: String): Long =
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s).toLong, P31)
+
+    /** minhash signature under h_i(x) = (a_i·x + b_i) mod P31 */
+    def signature(hs: Array[Long], a: Array[Long], b: Array[Long]): Array[Long] = {
+      val sig = new Array[Long](a.length)
+      var i = 0
+      while (i < a.length) {
+        var m = Long.MaxValue
+        var j = 0
+        while (j < hs.length) {
+          val v = (a(i) * hs(j) + b(i)) % P31
+          if (v < m) m = v
+          j += 1
+        }
+        sig(i) = m
+        i += 1
+      }
+      sig
+    }
+
+    /** per-band bucket keys: polynomial combine of the band's rows */
+    def bandKeys(sig: Array[Long], bands: Int, rows: Int): Array[Long] = {
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var k = 1125899906842597L
+        var r = 0
+        while (r < rows) { k = k * 31 + sig(b * rows + r); r += 1 }
+        out(b) = k
+        b += 1
+      }
+      out
+    }
   }
 
   /** (doc_id, sh) exploded distinct shingles, docs with >= SHINGLE tokens */
-  private def shingles(spark: SparkSession, dir: String): DataFrame =
+  private def shingles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     Tables.documents(spark, dir)
-      .where(size(split(col("text"), "\\s+")) >= SHINGLE)
-      .select(col("doc_id"), explode(shingleArr(col("text"))).as("sh"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = ShingleUtil.tokens(text)
+        if (toks.length < SHINGLE) Iterator.empty
+        else ShingleUtil.shingles(toks, SHINGLE).iterator.map(s => (id, s))
+      }.toDF("doc_id", "sh")
+  }
 
   // ---------------------------------------------------------------------
   // d01 — exact dedup: one shuffle on the normalized md5 fingerprint
@@ -119,27 +168,24 @@ object Dedup {
   }
 
   private def d03(spark: SparkSession, dir: String): DataFrame = {
-    val aLit = array(permA.map(lit(_)).toIndexedSeq: _*)
-    val bLit = array(permB.map(lit(_)).toIndexedSeq: _*)
-    // per-doc distinct shingle set, base-hashed into [0, 2^31-1)
-    val docs = Tables.documents(spark, dir)
-      .where(size(split(col("text"), "\\s+")) >= SHINGLE)
-      .select(col("doc_id"), shingleArr(col("text")).as("shs"))
-      .withColumn("hs", transform(col("shs"), s => pmod(xxhash64(s), lit(P31))))
-    // 64-wide MinHash signature; a*h+b stays < 2^62 (no ANSI overflow)
-    val sigs = docs.withColumn("sig",
-      transform(sequence(lit(0), lit(NUM_HASH - 1)), i =>
-        array_min(transform(col("hs"), h =>
-          pmod(element_at(aLit, i + 1) * h + element_at(bLit, i + 1), lit(P31))))))
-    // LSH: 16 bands of 4 rows; bucket key = hash of the band slice
-    val buckets = sigs.select(col("doc_id"), col("shs"),
-      explode(transform(sequence(lit(0), lit(BANDS - 1)), b => struct(
-        b.as("band"),
-        xxhash64(concat_ws(":",
-          transform(slice(col("sig"), b * ROWS + 1, lit(ROWS)),
-            x => x.cast(StringType)))).as("bkey")))).as("bb"))
-      .select(col("doc_id"), col("shs"),
-              col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    import spark.implicits._
+    val pA = permA; val pB = permB // capture plain arrays in the closure
+    // shingle → 64-wide signature → 16 band keys, one tight pass per doc
+    val sigDf = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = ShingleUtil.tokens(text)
+          if (toks.length < SHINGLE) Iterator.empty
+          else {
+            val shs = ShingleUtil.shingles(toks, SHINGLE)
+            val sig = ShingleUtil.signature(shs.map(ShingleUtil.baseHash), pA, pB)
+            Iterator.single((id, shs, ShingleUtil.bandKeys(sig, BANDS, ROWS)))
+          }
+        }
+      }.toDF("doc_id", "shs", "bands")
+    val buckets = sigDf.selectExpr(
+      "doc_id", "shs", "posexplode(bands) AS (band, bkey)")
     val l = buckets.select(col("band"), col("bkey"),
       col("doc_id").as("id1"), col("shs").as("shs1"))
     val r = buckets.select(col("band"), col("bkey"),
@@ -170,18 +216,13 @@ object Dedup {
   private val CHUNK_BITS = 32 / CHUNKS // 8
 
   /** 32-bit simhash from the doc's distinct tokens, using the first 32
-    * bits of md5 as the token hash (portable to the SQL oracle). */
+    * bits of md5 as the token hash (portable to the SQL oracle).
+    * One imperative eval per row (expressions.SimHash32) instead of the
+    * 32-lambda interpreted HOF chain it replaced — same values. */
   private def simhash32(text: Column): Column = {
-    val hs = transform(array_distinct(split(text, "\\s+")),
-      t => conv(substring(md5(t), 1, 8), 16, 10).cast(LongType))
-    // bit b of token hash h: floor(h / 2^b) % 2  (h < 2^32 is double-exact)
-    def bitOf(h: Column, b: Column): Column =
-      (h.cast(DoubleType) / pow(lit(2.0), b)).cast(LongType) % 2
-    aggregate(
-      transform(sequence(lit(0), lit(31)), b =>
-        when(aggregate(hs, lit(0L), (acc, h) => acc + (bitOf(h, b) * 2 - 1)) > 0,
-          pow(lit(2.0), b).cast(LongType)).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
+    import org.apache.spark.sql.graftglue.{ColumnBridge => ExpressionUtils}
+    ExpressionUtils.column(graft.functions.expressions.SimHash32(
+      ExpressionUtils.expression(array_distinct(split(text, "\\s+")))))
   }
 
   private def d04(spark: SparkSession, dir: String): DataFrame = {
@@ -227,10 +268,16 @@ object Dedup {
   private val COS_T = 0.45
 
   private def d05(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("id1"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id2"), col("embedding").as("vb"))
-    val cos = cosine(col("va"), col("vb"))
+    // norms computed once per vector (2N sqrt's), not once per pair (N²)
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"),
+      graft.functions.VectorFunctions.norm(col("embedding")).as("nrm"))
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("va"),
+                     col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("vb"),
+                     col("nrm").as("nb"))
+    val cos = graft.functions.VectorFunctions.cosinePrenormed(
+      col("va"), col("vb"), col("na"), col("nb"))
     a.crossJoin(b).where(col("id1") < col("id2"))
       .withColumn("cos", cos)
       .where(col("cos") >= COS_T)

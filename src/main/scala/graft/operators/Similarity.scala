@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.{QuerySpec, Tables}
-import graft.functions.VectorFunctions.cosine
+import graft.functions.VectorFunctions.{cosinePrenormed, norm}
 
 /** Similarity search over the `embeddings` table (`array<float>`):
   * brute-force cosine top-k as the exact baseline, and a random-
@@ -42,13 +42,18 @@ object Similarity {
   // s01 — brute-force cosine top-k (exact k-NN baseline)
   // ---------------------------------------------------------------------
   private def s01(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    // norms once per vector; the scoring pass then does one dot per pair
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val q = e.where(col("vec_id") < N_QUERIES)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+              col("nrm").as("qn"))
     val scored = broadcast(q)
-      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")),
+      .join(e.select(col("vec_id").as("neighbor_id"),
+                     col("embedding").as("nv"), col("nrm").as("nn")),
             col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos",
+        cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))
@@ -84,10 +89,8 @@ object Similarity {
 
   /** plane-side dot product: embedding (float) × plane literal (double) */
   private def planeDot(v: Column, p: Array[Double]): Column =
-    aggregate(
-      zip_with(v, array(p.map(lit(_)).toIndexedSeq: _*),
-        (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dot(
+      v, array(p.map(lit(_)).toIndexedSeq: _*))
 
   private def bucketOf(v: Column): Column =
     planes.zipWithIndex.map { case (p, i) =>
@@ -97,16 +100,19 @@ object Similarity {
   private def s02(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", bucketOf(col("embedding")))
+      .withColumn("nrm", norm(col("embedding")))
     val q = e.where(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-              col("bucket"))
+              col("bucket"), col("nrm").as("qn"))
     // probe only the query's bucket: candidate set shrinks ~64×
     val scored = broadcast(q)
       .join(e.select(col("vec_id").as("neighbor_id"),
-                     col("embedding").as("nv"), col("bucket")),
+                     col("embedding").as("nv"), col("bucket"),
+                     col("nrm").as("nn")),
             Seq("bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("qv"), col("nv")))
+      .withColumn("cos",
+        cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w))

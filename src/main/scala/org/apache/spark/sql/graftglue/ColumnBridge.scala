@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftglue
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge for custom Catalyst expressions.
+  *
+  * Spark 4 moved the classic Column↔Expression converters behind
+  * `private[sql]` (org.apache.spark.sql.classic.ExpressionUtils, see
+  * sql/core columnNodeSupport.scala); third-party engines that inject
+  * native expressions re-export them from an sql subpackage — the same
+  * access route SparkSessionExtensions-based libraries use. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
