@@ -17,7 +17,8 @@ object SparkEntry {
     operators.Dedup.specs ++
     operators.Similarity.specs ++
     operators.StreamingOps.specs ++
-    operators.Multimodal.specs
+    operators.Multimodal.specs ++
+    operators.ScaleOps.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

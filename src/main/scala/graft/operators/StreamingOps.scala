@@ -76,7 +76,69 @@ object StreamingOps {
       .select(col("hour_start"), col("event_type"), col("n"), col("sum_v"))
   }
 
+  /** w03 — streaming gap-based session windows (session_window operator).
+    * Three replayed batches; session merging runs in the state store.
+    * session_window.end == last event + gap, so the oracle is the batch
+    * sessionization CTE (x02) with `session_end + gap`. */
+  private def w03(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, dir)
+      .select(col("ts"), col("user_id"))
+      .as[(LocalDateTime, Long)].collect().toSeq
+    val ms = MemoryStream[(LocalDateTime, Long)]
+    val agg = ms.toDS().toDF("ts", "user_id")
+      .groupBy(session_window(col("ts"), s"${ScaleOps.gapMinutes} minutes"),
+               col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end_gap"),
+              col("n_events"))
+    val qname = "w03_" + UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete").format("memory").queryName(qname).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+    } finally query.stop()
+    spark.table(qname)
+  }
+
+  private val w03Sql =
+    s"""${ScaleOps.sessionCte}
+       |SELECT user_id, session_start,
+       |  session_end + INTERVAL ${ScaleOps.gapMinutes} MINUTE AS session_end_gap,
+       |  n_events
+       |FROM agg""".stripMargin
+
+  /** w04 — the rate-controlled sentence source itself, profiled through
+    * one deterministic micro-batch (Trigger.Once, epoch-0 schedule).
+    * Sentence content is seeded generator output — not SQL-expressible,
+    * so this op has no oracle (driver records a rows-only check). */
+  private def w04(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.RateSentenceSource
+    val sentences = RateSentenceSource.stream(
+      spark, rate = 1000, sentenceSize = 10, samplePeriod = 100,
+      numPartitions = 4, dictSize = 10000, startTimestampMs = 0L)
+    val profile = sentences
+      .groupBy(col("sourceId"))
+      .agg(count(lit(1)).as("n_sentences"),
+           sum(size(split(col("sentence"), "\\s+"))).as("n_words"),
+           sum(when(col("ts") =!= -1L, 1L).otherwise(0L)).as("n_stamped"))
+    val qname = "w04_" + UUID.randomUUID().toString.replace("-", "")
+    val query = profile.writeStream
+      .outputMode("complete").format("memory").queryName(qname)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .start()
+    query.awaitTermination()
+    spark.table(qname)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
-    QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)))
+    QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
+    QuerySpec("w03_stream_session_window", w03, Some(w03Sql)),
+    QuerySpec("w04_rate_source_profile", w04, None))
 }
