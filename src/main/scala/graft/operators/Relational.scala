@@ -379,6 +379,40 @@ object Relational {
       |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
       |FROM orders""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q17 — exact percentiles (sort-based aggregate)
+  // ---------------------------------------------------------------------
+  private def q17(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5D)"), 4).as("med_qty"),
+        round(expr("percentile(l_extendedprice, 0.9D)"), 4).as("p90_price"),
+        count(lit(1)).as("n"))
+
+  private val q17Sql =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+      |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q18 — CUBE grouping sets with grouping_id
+  // ---------------------------------------------------------------------
+  private def q18(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("o_totalprice")).as("total"),
+           grouping_id().as("gid"))
+
+  private val q18Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_filter_project", q02, Some(q02Sql)),
@@ -395,5 +429,7 @@ object Relational {
     QuerySpec("q13_time_window", q13, Some(q13Sql)),
     QuerySpec("q14_wordcount", q14, Some(q14Sql)),
     QuerySpec("q15_scalar_funcs", q15, Some(q15Sql)),
-    QuerySpec("q16_date_funcs", q16, Some(q16Sql)))
+    QuerySpec("q16_date_funcs", q16, Some(q16Sql)),
+    QuerySpec("q17_percentiles", q17, Some(q17Sql)),
+    QuerySpec("q18_cube_grouping", q18, Some(q18Sql)))
 }

@@ -62,7 +62,7 @@ object Similarity {
               round(col("cos"), 4).as("cos_sim"))
   }
 
-  private val s01Sql =
+  private[operators] val s01Sql =
     s"""WITH q AS (
        |  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
        |  WHERE vec_id < $N_QUERIES),
@@ -146,7 +146,39 @@ object Similarity {
        |WHERE rnk <= $TOP_K""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // s03 — top-k via custom typed Aggregator (map-side partial top-k):
+  //       the exchange carries O(queries·k) rows instead of every scored
+  //       row as in the window formulation; output ≡ s01 (same oracle)
+  // ---------------------------------------------------------------------
+  private def s03(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val q = e.where(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+              col("nrm").as("qn"))
+    val scored = broadcast(q)
+      .join(e.select(col("vec_id").as("neighbor_id"),
+                     col("embedding").as("nv"), col("nrm").as("nn")),
+            col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"),
+              col("neighbor_id"),
+              cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
+      .as[(Long, Long, Double)]
+    val agg = new graft.functions.TopKAggregator(TOP_K)
+    scored.groupByKey(_._1)
+      .agg(agg.toColumn.name("topk"))
+      .flatMap { case (qid, topk) =>
+        topk.zipWithIndex.map { case ((nid, cos), i) => (qid, nid, i + 1, cos) }
+      }
+      .toDF("query_id", "neighbor_id", "rnk", "cos")
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+              round(col("cos"), 4).as("cos_sim"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("s01_knn_bruteforce", s01, Some(s01Sql)),
-    QuerySpec("s02_knn_lsh", s02, Some(s02Sql)))
+    QuerySpec("s02_knn_lsh", s02, Some(s02Sql)),
+    QuerySpec("s03_knn_topk_aggregator", s03, Some(s01Sql)))
 }
