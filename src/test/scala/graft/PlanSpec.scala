@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.execution.{CodegenMode, FormattedMode}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the properties that make these
+  * operators survive a 100× scale-up are plan shapes, not just values —
+  * pin them. */
+class PlanSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q02 pushes filters into the parquet scan and prunes columns") {
+    val p = formatted("q02_filter_project")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    // projection pruning: untouched wide columns never reach the scan
+    assert(!p.contains("l_returnflag") && !p.contains("l_tax"))
+  }
+
+  test("q04 star joins broadcast the dimension tables") {
+    assert(formatted("q04_broadcast_star_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q09 global top-k plans as TakeOrderedAndProject (no full sort)") {
+    assert(formatted("q09_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("s01 broadcasts the query side of the kNN scoring join") {
+    val p = formatted("s01_knn_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q01 aggregation is whole-stage codegen'd") {
+    val p = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+      .queryExecution.explainString(CodegenMode)
+    assert(p.contains("WholeStageCodegen"))
+  }
+}
