@@ -36,12 +36,45 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val streamWps = streamWordsPerSec(spark)
+    val (p50, p95) = latencyPercentiles(spark)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""stream_words_per_sec":$streamWps,"sf":"$sfDir"}""")
+      s""""stream_words_per_sec":$streamWps,""" +
+      s""""latency_ms_p50":$p50,"latency_ms_p95":$p95,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Sampled record latency through the full reference pipeline (source
+    * stamp → tokenize → stateful count → sink), reference cadence: 12,500
+    * sentences/s paced at one micro-batch per second. Mirrors the
+    * DummyLatencyCountingSink measurement (sink arrival − scheduled emit);
+    * the micro-batch trigger interval is the latency floor (SURVEY §6). */
+  def latencyPercentiles(spark: SparkSession, runSec: Int = 15): (Double, Double) = {
+    import scala.jdk.CollectionConverters._
+    val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val sentences = RateSentenceSource.stream(
+      spark, rate = 12500, sentenceSize = 100, samplePeriod = 1000,
+      numPartitions = spark.sparkContext.defaultParallelism)
+    val counts = WordCountPipeline.statefulCounts(
+      WordCountPipeline.tokenize(sentences))
+    val q = counts.writeStream
+      .outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.streaming.WordCount], _: Long) =>
+          val now = System.currentTimeMillis()
+          batch.filter(_.ts != -1L).collect().foreach(wc => lat.add(now - wc.ts))
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-bench-lat").toString)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .start()
+    try Thread.sleep(runSec * 1000L) finally q.stop()
+    val arr = lat.asScala.toArray.sorted
+    if (arr.isEmpty) (-1.0, -1.0)
+    else (arr(math.min(arr.length - 1, (arr.length * 0.50).toInt)).toDouble,
+          arr(math.min(arr.length - 1, (arr.length * 0.95).toInt)).toDouble)
   }
 
   /** Streaming throughput at the reference shape: rate-controlled

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.graftglue.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+import graft.functions.expressions.{DotProductD, SimHash32}
+
+/** SQL surface for the engine's custom Catalyst expressions.
+  *
+  * Two registration routes:
+  *  - `spark.sql.extensions=graft.GraftExtensions` at session build
+  *    (the standard library-injection path), or
+  *  - `GraftFunctions.register(spark)` on a live session.
+  *
+  * Registered functions:
+  *  - `graft_dot(array, array) -> double` — codegen'd dot product
+  *  - `graft_simhash32(array<string>) -> bigint` — 32-bit SimHash
+  */
+object GraftFunctions {
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_dot" -> ((es: Seq[Expression]) =>
+      DotProductD(Cast(es(0), ArrayType(DoubleType)),
+                  Cast(es(1), ArrayType(DoubleType)))),
+    "graft_simhash32" -> ((es: Seq[Expression]) => SimHash32(es.head)))
+
+  /** runtime registration on an existing session */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, b) =>
+      ColumnBridge.registerTempFunction(spark, name, b)
+    }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach { case (name, b) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProductD].getName, name),
+        b))
+    }
+}

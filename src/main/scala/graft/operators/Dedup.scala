@@ -240,10 +240,13 @@ object Dedup {
       col("doc_id").as("id1"), col("sim").as("sim1"))
     val r = chunks.select(col("ci"), col("chunk"),
       col("doc_id").as("id2"), col("sim").as("sim2"))
+    // evaluate the cheap hamming predicate BEFORE the pair dedup: the
+    // weakly-discriminating corpus makes chunk buckets fat, so candidates
+    // vastly outnumber survivors — dedup only what passes
     l.join(r, Seq("ci", "chunk")).where(col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
       .withColumn("hamming", bit_count(col("sim1").bitwiseXOR(col("sim2"))))
       .where(col("hamming") <= HAM_T)
+      .dropDuplicates("id1", "id2")
       .select(col("id1"), col("id2"), col("sim1"), col("sim2"), col("hamming"))
   }
 
