@@ -138,9 +138,79 @@ object ScaleOps {
     ordersAgg(back)
   }
 
+  // ---------------------------------------------------------------------
+  // x05 — as-of join (nearest preceding event): an operator Spark lacks,
+  //       composed per the preference order (a) from built-ins — union +
+  //       running last_value inside one window pass. One shuffle on the
+  //       join key, no range-condition BNLJ. Oracle: DuckDB native ASOF.
+  // ---------------------------------------------------------------------
+  private def x05(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val tagged = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(1).as("is_p"),
+              col("event_id").as("src_id"))
+      .unionByName(ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts"), lit(0).as("is_p"),
+                col("event_id").as("src_id")))
+    // at equal ts a purchase sorts before the error → `>=` asof semantics
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_p").desc, col("src_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("purchase_ts",
+        last(when(col("is_p") === 1, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("purchase_id",
+        last(when(col("is_p") === 1, col("src_id")), ignoreNulls = true).over(w))
+      .where(col("is_p") === 0 && col("purchase_id").isNotNull)
+      .select(col("src_id").as("event_id"), col("user_id"), col("ts"),
+              col("purchase_id"), col("purchase_ts"))
+  }
+
+  private val x05Sql =
+    """SELECT e.event_id, e.user_id, e.ts,
+      |  p.event_id AS purchase_id, p.ts AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x06 — range join via interval bucketing: the pure range predicate
+  //       (no equi key) would plan as a nested-loop join; bucketing the
+  //       time axis to 7-day cells (ranges span ≤2 cells, exploded on
+  //       the narrow side) turns it into a hash join + residual filter.
+  // ---------------------------------------------------------------------
+  private def x06(spark: SparkSession, dir: String): DataFrame = {
+    val epoch = lit("1995-01-01").cast(DateType)
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderkey") % 50 === 0)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate").cast(DateType), epoch).as("start_day"))
+      .withColumn("bucket", explode(array_distinct(array(
+        expr("start_day div 7"), expr("(start_day + 6) div 7")))))
+    val l = Tables.lineitem(spark, dir)
+      .select(datediff(col("l_shipdate").cast(DateType), epoch).as("ship_day"))
+      .withColumn("bucket", expr("ship_day div 7"))
+    o.join(l, Seq("bucket"))
+      .where(col("ship_day") >= col("start_day") &&
+             col("ship_day") < col("start_day") + 7)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped"))
+  }
+
+  private val x06Sql =
+    """SELECT o_orderkey, COUNT(*) AS n_shipped
+      |FROM orders JOIN lineitem
+      |  ON l_shipdate >= o_orderdate
+      | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+      |WHERE o_orderkey % 50 = 0
+      |GROUP BY o_orderkey""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
     QuerySpec("x03_csv_roundtrip", x03, Some(roundtripSql)),
-    QuerySpec("x04_json_roundtrip", x04, Some(roundtripSql)))
+    QuerySpec("x04_json_roundtrip", x04, Some(roundtripSql)),
+    QuerySpec("x05_asof_join", x05, Some(x05Sql)),
+    QuerySpec("x06_range_join_bucketed", x06, Some(x06Sql)))
 }
