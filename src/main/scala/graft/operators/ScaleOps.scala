@@ -206,11 +206,30 @@ object ScaleOps {
       |WHERE o_orderkey % 50 = 0
       |GROUP BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x07 — hive-style partitioned write + partition-pruned read: at lake
+  //       scale, the lang predicate prunes directories before any IO
+  // ---------------------------------------------------------------------
+  private def x07(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-part").toString
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    spark.read.parquet(tmp)
+      .where(col("lang").isin("en", "de")) // → PartitionFilters, not IO
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+  }
+
+  private val x07Sql =
+    """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+      |FROM documents WHERE lang IN ('en', 'de') GROUP BY lang""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
     QuerySpec("x03_csv_roundtrip", x03, Some(roundtripSql)),
     QuerySpec("x04_json_roundtrip", x04, Some(roundtripSql)),
     QuerySpec("x05_asof_join", x05, Some(x05Sql)),
-    QuerySpec("x06_range_join_bucketed", x06, Some(x06Sql)))
+    QuerySpec("x06_range_join_bucketed", x06, Some(x06Sql)),
+    QuerySpec("x07_partitioned_write", x07, Some(x07Sql)))
 }

@@ -97,9 +97,61 @@ object TextAnalysis {
       |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm
       |FROM documents""".stripMargin
 
+  // t05 — TF-IDF term statistics (corpus-level df via one extra shuffle;
+  // tf/df/n are exact ints, tfidf is a rounded derived double)
+  private def t05(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count() // corpus size: one scalar, computed distributively
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
+      .where(length(col("word")) > 0)
+    val tf = terms.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(df, "word")
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("tf") * log(lit(n.toDouble) / col("df")), 4).as("tfidf"))
+  }
+
+  private val t05Sql =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS word
+      |  FROM documents),
+      |t AS (SELECT doc_id, word FROM terms WHERE length(word) > 0),
+      |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM t) GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+      |SELECT doc_id, word, tf, df,
+      |  round(tf * ln(n / df), 4) AS tfidf
+      |FROM tf JOIN df USING (word), n""".stripMargin
+
+  // t06 — bigram frequencies (n-gram language modeling stats)
+  private def t06(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (_, text) =>
+        Dedup.ShingleUtil.tokens(text).iterator.sliding(2).withPartial(false)
+          .map(_.mkString(" "))
+      }
+      .toDF("bigram")
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 5)
+  }
+
+  private val t06Sql =
+    """SELECT bigram, COUNT(*) AS cnt FROM (
+      |  SELECT array_to_string(tk[i:i+1], ' ') AS bigram
+      |  FROM (SELECT string_split_regex(text, '\s+') AS tk FROM documents) t,
+      |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) s) b
+      |GROUP BY bigram HAVING COUNT(*) >= 5""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
     QuerySpec("t03_lang_id", t03, Some(t03Sql)),
-    QuerySpec("t04_fingerprint", t04, Some(t04Sql)))
+    QuerySpec("t04_fingerprint", t04, Some(t04Sql)),
+    QuerySpec("t05_tfidf", t05, Some(t05Sql)),
+    QuerySpec("t06_bigrams", t06, Some(t06Sql)))
 }

@@ -36,6 +36,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("x07 read is partition-pruned on the lang predicate") {
+    val p = formatted("x07_partitioned_write")
+    assert(p.contains("PartitionFilters") && p.contains("lang"))
+  }
+
   test("q01 aggregation is whole-stage codegen'd") {
     val p = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
       .queryExecution.explainString(CodegenMode)
