@@ -136,9 +136,39 @@ object StreamingOps {
     spark.table(qname)
   }
 
+  /** w05 — streaming exact dedup: `dropDuplicates` over the normalized
+    * fingerprint with the seen-set in the state store. The corpus is
+    * replayed WITH duplicates (second batch repeats half the docs);
+    * exactly the distinct fingerprints must come out. */
+  private def w05(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val texts = Tables.documents(spark, dir)
+      .select(col("text")).as[String].collect().toSeq
+    val ms = MemoryStream[String]
+    val deduped = ms.toDS()
+      .select(graft.functions.TextFunctions.normFingerprint(col("value"))
+        .as("fp_norm"))
+      .dropDuplicates("fp_norm")
+    val qname = "w05_" + UUID.randomUUID().toString.replace("-", "")
+    val query = deduped.writeStream
+      .outputMode("append").format("memory").queryName(qname).start()
+    try {
+      ms.addData(texts); query.processAllAvailable()
+      ms.addData(texts.take(texts.length / 2)) // replayed dupes → dropped
+      query.processAllAvailable()
+    } finally query.stop()
+    spark.table(qname)
+  }
+
+  private val w05Sql =
+    """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm
+      |FROM documents""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
     QuerySpec("w03_stream_session_window", w03, Some(w03Sql)),
-    QuerySpec("w04_rate_source_profile", w04, None))
+    QuerySpec("w04_rate_source_profile", w04, None),
+    QuerySpec("w05_stream_dedup", w05, Some(w05Sql)))
 }
