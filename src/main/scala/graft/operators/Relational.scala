@@ -413,6 +413,57 @@ object Relational {
       |  GROUPING(o_orderstatus, o_orderpriority) AS gid
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q19 — array functions + array aggregation (sorted collect per group)
+  // ---------------------------------------------------------------------
+  private def q19(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      // sort_array makes the nondeterministic collect_list order canonical
+      .agg(sort_array(collect_list(col("n_name"))).as("nations"),
+           count(lit(1)).as("n_nations"))
+      .select(col("r_name"), col("nations"),
+              size(col("nations")).as("n_nations"),
+              element_at(col("nations"), 1).as("first_nation"),
+              array_contains(col("nations"), "CHINA").as("has_china"),
+              slice(col("nations"), 1, 3).as("top3"))
+  }
+
+  private val q19Sql =
+    """SELECT r_name, list_sort(list(n_name)) AS nations,
+      |  len(list_sort(list(n_name))) AS n_nations,
+      |  list_sort(list(n_name))[1] AS first_nation,
+      |  list_contains(list(n_name), 'CHINA') AS has_china,
+      |  list_sort(list(n_name))[1:3] AS top3
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q20 — sliding event-time windows (1h window, 30min slide: each event
+  //        lands in two windows)
+  // ---------------------------------------------------------------------
+  private def q20(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes")
+                 .getField("start").as("win_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+
+  private val q20Sql =
+    """WITH cand AS (
+      |  SELECT event_type, value,
+      |    unnest([s0, s0 - 1800000000]) AS win_us, ts
+      |  FROM (SELECT *, epoch_us(ts) - epoch_us(ts) % 1800000000 AS s0
+      |        FROM events) t)
+      |SELECT make_timestamp(win_us) AS win_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |FROM cand
+      |WHERE epoch_us(ts) < win_us + 3600000000
+      |GROUP BY 1, 2""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_filter_project", q02, Some(q02Sql)),
@@ -431,5 +482,7 @@ object Relational {
     QuerySpec("q15_scalar_funcs", q15, Some(q15Sql)),
     QuerySpec("q16_date_funcs", q16, Some(q16Sql)),
     QuerySpec("q17_percentiles", q17, Some(q17Sql)),
-    QuerySpec("q18_cube_grouping", q18, Some(q18Sql)))
+    QuerySpec("q18_cube_grouping", q18, Some(q18Sql)),
+    QuerySpec("q19_array_agg_funcs", q19, Some(q19Sql)),
+    QuerySpec("q20_sliding_window", q20, Some(q20Sql)))
 }

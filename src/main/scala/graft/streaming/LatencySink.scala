@@ -18,7 +18,8 @@ import org.slf4j.LoggerFactory
   * per-batch collect() is tiny by construction — the data plane is
   * dropped distributively (blackhole), matching the reference sink.
   */
-final class LatencySink(sinkId: Int, samplePeriod: Int) extends Serializable {
+final class LatencySink(sinkId: Int, samplePeriod: Int,
+                        csvPath: Option[String] = None) extends Serializable {
 
   @transient private lazy val log = LoggerFactory.getLogger("graft.LatencySink")
   @volatile private var lastBatchNanos: Long = System.nanoTime()
@@ -29,6 +30,17 @@ final class LatencySink(sinkId: Int, samplePeriod: Int) extends Serializable {
     val now = System.currentTimeMillis()
     stamped.foreach { wc =>
       log.warn(s"LATENCY $sinkId ${wc.ts} $now ${now - wc.ts}")
+    }
+    // CSV shape of the reference harness (collect_latencies.sh:9,16):
+    // sink_id,timestamp,cur_time,latency
+    csvPath.foreach { path =>
+      val lines = stamped.map(wc => s"$sinkId,${wc.ts},$now,${now - wc.ts}\n")
+      if (lines.nonEmpty) synchronized {
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(path), lines.mkString,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      }
     }
     val nowN = System.nanoTime()
     val elapsedSec = (nowN - lastBatchNanos) / 1e9
