@@ -60,4 +60,38 @@ object RateSentenceSource {
         }
       }
   }
+
+  /** Wall-clock-paced variant on the `rate` source: records are stamped
+    * with their actual generation time and the source cannot run ahead of
+    * real time — the reference's sleep-to-schedule pacing semantics
+    * (RateControlledSourceFunction.java:75-86). Use for latency
+    * measurement; the deterministic `stream` above is for throughput and
+    * exactly-once tests. */
+  def wallClockStream(
+      spark: SparkSession,
+      rate: Int,
+      sentenceSize: Int = 100,
+      samplePeriod: Int = 1000,
+      numPartitions: Int = 4,
+      skewPercent: Int = 0,
+      dictSize: Int = SentenceGen.DefaultDictSize): Dataset[Sentence] = {
+    import spark.implicits._
+    val dictBc = spark.sparkContext.broadcast(SentenceGen.dictionary(dictSize))
+    val nPart = numPartitions
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rate.toLong)
+      .option("numPartitions", numPartitions)
+      .load()
+      .as[(java.sql.Timestamp, Long)]
+      .mapPartitions { it =>
+        val dict = dictBc.value
+        it.map { case (emitted, idx) =>
+          Sentence(
+            ts = if (idx % samplePeriod == 0) emitted.getTime else -1L,
+            sentence = SentenceGen.sentenceAt(idx, dict, sentenceSize, skewPercent),
+            sourceId = (idx % nPart).toInt)
+        }
+      }
+  }
 }
