@@ -165,10 +165,47 @@ object StreamingOps {
     """SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm
       |FROM documents""".stripMargin
 
+  /** w06 — stream-static enrichment join: the replayed events stream
+    * joins the static customer dimension (broadcast per micro-batch —
+    * the standard streaming-enrichment shape) and aggregates per
+    * segment. Final state ≡ the batch join. */
+  private def w06(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, dir)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)].collect().toSeq
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ms = MemoryStream[(Long, Double)]
+    val agg = ms.toDS().toDF("user_id", "value")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2)))
+             .cast(DoubleType).as("sum_value"))
+    val qname = "w06_" + UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete").format("memory").queryName(qname).start()
+    try {
+      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+    } finally query.stop()
+    spark.table(qname)
+  }
+
+  private val w06Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
     QuerySpec("w03_stream_session_window", w03, Some(w03Sql)),
     QuerySpec("w04_rate_source_profile", w04, None),
-    QuerySpec("w05_stream_dedup", w05, Some(w05Sql)))
+    QuerySpec("w05_stream_dedup", w05, Some(w05Sql)),
+    QuerySpec("w06_stream_static_join", w06, Some(w06Sql)))
 }
