@@ -201,11 +201,41 @@ object StreamingOps {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** w07 — file-based streaming source: events replayed through
+    * `readStream.parquet` on a staged directory (the lake-tailing
+    * ingestion shape), aggregated in complete mode. ≡ batch counts. */
+  private def w07(spark: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft-w07").toString
+    // stage the events table as a streamable directory (2 files = 2 batches
+    // with maxFilesPerTrigger=1)
+    val ev = Tables.events(spark, dir)
+    ev.repartition(2).write.mode("overwrite").parquet(staged)
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(staged)
+    val agg = stream.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2)))
+             .cast(DoubleType).as("sum_value"))
+    val qname = "w07_" + UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete").format("memory").queryName(qname).start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table(qname)
+  }
+
+  private val w07Sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
     QuerySpec("w03_stream_session_window", w03, Some(w03Sql)),
     QuerySpec("w04_rate_source_profile", w04, None),
     QuerySpec("w05_stream_dedup", w05, Some(w05Sql)),
-    QuerySpec("w06_stream_static_join", w06, Some(w06Sql)))
+    QuerySpec("w06_stream_static_join", w06, Some(w06Sql)),
+    QuerySpec("w07_stream_file_source", w07, Some(w07Sql)))
 }
