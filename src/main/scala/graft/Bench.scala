@@ -43,10 +43,29 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""stream_words_per_sec":$streamWps,""" +
-      s""""latency_ms_p50":$p50,"latency_ms_p95":$p95,"sf":"$sfDir"}""")
+      s""""latency_ms_p50":$p50,"latency_ms_p95":$p95,"sf":"$sfDir"}"""
+    // The JSON line must reach the driver's parser intact. Round 1 lost it
+    // in interleaved Spark shutdown noise (TaskKilled warnings from the
+    // stopped streaming queries), so: (1) persist it to a well-known file
+    // first, (2) silence logging entirely, (3) stop Spark, and only then
+    // (4) print — the single final stdout act, nothing left to interleave.
+    Files.createDirectories(java.nio.file.Paths.get("target"))
+    Files.writeString(java.nio.file.Paths.get("target/bench.json"), json + "\n")
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(json)
+    System.out.flush()
+  }
+
+  /** Stop a streaming query without the burst of TaskKilled warnings a
+    * mid-batch cancellation logs (they drown stdout — BENCH_r01 lost its
+    * JSON line to exactly this). */
+  private def stopQuiet(spark: SparkSession,
+                        q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    spark.sparkContext.setLogLevel("OFF")
+    try q.stop() finally spark.sparkContext.setLogLevel("WARN")
   }
 
   /** Sampled record latency through the full reference pipeline (source
@@ -87,7 +106,7 @@ object Bench {
       // wait-for-trigger + pipeline delay, stably
       .trigger(Trigger.ProcessingTime("250 milliseconds"))
       .start()
-    try Thread.sleep(runSec * 1000L) finally q.stop()
+    try Thread.sleep(runSec * 1000L) finally stopQuiet(spark, q)
     val arr = lat.asScala.toArray.sorted
     if (arr.isEmpty) (-1.0, -1.0)
     else (arr(math.min(arr.length - 1, (arr.length * 0.50).toInt)).toDouble,
@@ -132,7 +151,7 @@ object Bench {
         Files.createTempDirectory("graft-bench-ckpt").toString)
       .trigger(Trigger.ProcessingTime(0))
       .start()
-    try Thread.sleep(measureSec * 1000L) finally q.stop()
+    try Thread.sleep(measureSec * 1000L) finally stopQuiet(spark, q)
     spark.streams.removeListener(listener)
     val elapsed = (lastNanos.get() - firstNanos.get()) / 1e9
     if (elapsed <= 0) 0.0 else steadyRows.get() * sentenceSize / elapsed

@@ -81,7 +81,10 @@ object Multimodal {
       |  md5(text) AS content_md5
       |FROM documents""".stripMargin
 
-  // m02 — decode + feature-extract + frame-sample through mapPartitions
+  // m02 — decode + feature-extract + frame-sample through mapPartitions.
+  // The sampled offsets travel as a typed Seq through the decode stage;
+  // only the OUTPUT serializes them ('|'-joined) — the driver's pandas
+  // compare cannot hash raw array cells.
   private def m02(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     mediaLake(spark, dir)
@@ -90,6 +93,8 @@ object Multimodal {
       // boundary (one iterator per partition ≙ one codec instance per task)
       .mapPartitions(_.map(StubDecoder.decode))
       .toDF()
+      .withColumn("frame_offsets",
+        concat_ws("|", col("frame_offsets").cast("array<string>")))
   }
 
   private val m02Sql =
@@ -108,10 +113,10 @@ object Multimodal {
       |                  ELSE 1 END AS INT) AS n_frames
       |  FROM m)
       |SELECT doc_id, fmt, byte_len, width, height, n_frames,
-      |  list_transform(
+      |  array_to_string(list_transform(
       |    generate_series(0, n_frames - 1,
       |      greatest(1, CAST((n_frames + 3) // 4 AS INT))),
-      |    x -> CAST(x AS INT)) AS frame_offsets,
+      |    x -> CAST(x AS INT)), '|') AS frame_offsets,
       |  ((width * 31 + height * 17 + n_frames) % 1000) / 1000.0 AS feat_mean
       |FROM f""".stripMargin
 

@@ -414,7 +414,11 @@ object Relational {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q19 — array functions + array aggregation (sorted collect per group)
+  // q19 — array functions + array aggregation (sorted collect per group).
+  // The array ops (collect_list, sort_array, slice, element_at,
+  // array_contains) all run as arrays; only the OUTPUT serializes the
+  // array columns with array_join — the driver's pandas compare cannot
+  // hash raw array cells (numpy.ndarray is unhashable).
   // ---------------------------------------------------------------------
   private def q19(spark: SparkSession, dir: String): DataFrame = {
     val n = Tables.nation(spark, dir)
@@ -424,19 +428,21 @@ object Relational {
       // sort_array makes the nondeterministic collect_list order canonical
       .agg(sort_array(collect_list(col("n_name"))).as("nations"),
            count(lit(1)).as("n_nations"))
-      .select(col("r_name"), col("nations"),
-              size(col("nations")).as("n_nations"),
+      .select(col("r_name"),
+              array_join(col("nations"), "|").as("nations"),
+              size(col("nations")).cast(LongType).as("n_nations"),
               element_at(col("nations"), 1).as("first_nation"),
               array_contains(col("nations"), "CHINA").as("has_china"),
-              slice(col("nations"), 1, 3).as("top3"))
+              array_join(slice(col("nations"), 1, 3), "|").as("top3"))
   }
 
   private val q19Sql =
-    """SELECT r_name, list_sort(list(n_name)) AS nations,
+    """SELECT r_name,
+      |  array_to_string(list_sort(list(n_name)), '|') AS nations,
       |  len(list_sort(list(n_name))) AS n_nations,
       |  list_sort(list(n_name))[1] AS first_nation,
       |  list_contains(list(n_name), 'CHINA') AS has_china,
-      |  list_sort(list(n_name))[1:3] AS top3
+      |  array_to_string(list_sort(list(n_name))[1:3], '|') AS top3
       |FROM nation JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin
 

@@ -80,8 +80,8 @@ object ScaleOps {
        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
        |sess AS (
        |  SELECT user_id, ts,
-       |    SUM(first_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |    CAST(SUM(first_flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        |  FROM flagged),
        |agg AS (
        |  SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -221,7 +221,7 @@ object ScaleOps {
   }
 
   private val x07Sql =
-    """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+    """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
       |FROM documents WHERE lang IN ('en', 'de') GROUP BY lang""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
