@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionIn
 import org.apache.spark.sql.graftglue.ColumnBridge
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
-import graft.functions.expressions.{DotProductD, SimHash32}
+import graft.functions.expressions.{DotProductD, SimHash32, SimHash64}
 
 /** SQL surface for the engine's custom Catalyst expressions.
   *
@@ -18,6 +18,7 @@ import graft.functions.expressions.{DotProductD, SimHash32}
   * Registered functions:
   *  - `graft_dot(array, array) -> double` — codegen'd dot product
   *  - `graft_simhash32(array<string>) -> bigint` — 32-bit SimHash
+  *  - `graft_simhash64(array<string>) -> bigint` — 64-bit SimHash
   */
 object GraftFunctions {
 
@@ -25,7 +26,8 @@ object GraftFunctions {
     "graft_dot" -> ((es: Seq[Expression]) =>
       DotProductD(Cast(es(0), ArrayType(DoubleType)),
                   Cast(es(1), ArrayType(DoubleType)))),
-    "graft_simhash32" -> ((es: Seq[Expression]) => SimHash32(es.head)))
+    "graft_simhash32" -> ((es: Seq[Expression]) => SimHash32(es.head)),
+    "graft_simhash64" -> ((es: Seq[Expression]) => SimHash64(es.head)))
 
   /** runtime registration on an existing session */
   def register(spark: SparkSession): Unit =

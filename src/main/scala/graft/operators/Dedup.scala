@@ -219,83 +219,129 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------------
-  // d04 — SimHash-32 near-dup: pigeonhole chunk candidates (EXACT for
-  //        hamming <= 3 with 4 chunks), verify with bit_count(xor)
+  // d04 — SimHash-64 near-dup: pigeonhole chunk candidates (EXACT for
+  //        hamming <= 3 with 4 chunks), verify with bit_count(xor).
+  //        64-bit signatures with 16-bit chunks give 65,536 buckets per
+  //        chunk index (vs 256 with the 32-bit/8-bit round-1 variant):
+  //        at 10^9 docs a bucket holds ~15k docs instead of ~4M, so the
+  //        candidate join stays linear-ish instead of exploding — the
+  //        same pigeonhole exactness at 100 TB shape.
   // ---------------------------------------------------------------------
   private val HAM_T = 3
   private val CHUNKS = HAM_T + 1 // pigeonhole: <=3 diff bits => equal chunk
-  private val CHUNK_BITS = 32 / CHUNKS // 8
+  private val CHUNK_BITS = 64 / CHUNKS // 16
 
-  /** 32-bit simhash from the doc's distinct tokens, using the first 32
+  /** 64-bit simhash from the doc's distinct tokens, using the first 64
     * bits of md5 as the token hash (portable to the SQL oracle).
-    * One imperative eval per row (expressions.SimHash32) instead of the
-    * 32-lambda interpreted HOF chain it replaced — same values. */
-  private def simhash32(text: Column): Column = {
+    * One imperative eval per row (expressions.SimHash64). */
+  private def simhash64(text: Column): Column = {
     import org.apache.spark.sql.graftglue.{ColumnBridge => ExpressionUtils}
-    ExpressionUtils.column(graft.functions.expressions.SimHash32(
+    ExpressionUtils.column(graft.functions.expressions.SimHash64(
       ExpressionUtils.expression(array_distinct(split(text, "\\s+")))))
   }
 
   private def d04(spark: SparkSession, dir: String): DataFrame = {
     val sims = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash32(col("text")).as("sim"))
-    // candidates: docs sharing any 8-bit chunk of the signature
-    val chunks = sims.select(col("doc_id"), col("sim"),
-      explode(transform(sequence(lit(0), lit(CHUNKS - 1)), i => struct(
-        i.as("ci"),
-        (shiftright(col("sim"), 0).cast(DoubleType) / pow(lit(2.0), i * CHUNK_BITS))
-          .cast(LongType).%(1L << CHUNK_BITS).as("chunk")))).as("cc"))
+      .select(col("doc_id"), simhash64(col("text")).as("sim"))
+    // candidates: docs sharing any 16-bit chunk of the signature
+    // (literal shift amounts keep the extraction codegen'd integer ops)
+    val chunkCols = (0 until CHUNKS).map { ci =>
+      struct(lit(ci).as("ci"),
+        shiftrightunsigned(col("sim"), ci * CHUNK_BITS)
+          .bitwiseAND(lit((1L << CHUNK_BITS) - 1)).as("chunk"))
+    }
+    val chunks = sims
+      .select(col("doc_id"), col("sim"), explode(array(chunkCols: _*)).as("cc"))
       .select(col("doc_id"), col("sim"),
               col("cc.ci").as("ci"), col("cc.chunk").as("chunk"))
     val l = chunks.select(col("ci"), col("chunk"),
       col("doc_id").as("id1"), col("sim").as("sim1"))
     val r = chunks.select(col("ci"), col("chunk"),
       col("doc_id").as("id2"), col("sim").as("sim2"))
-    // evaluate the cheap hamming predicate BEFORE the pair dedup: the
-    // weakly-discriminating corpus makes chunk buckets fat, so candidates
-    // vastly outnumber survivors — dedup only what passes
+    // evaluate the cheap hamming predicate BEFORE the pair dedup so only
+    // survivors pay the dropDuplicates exchange
     l.join(r, Seq("ci", "chunk")).where(col("id1") < col("id2"))
       .withColumn("hamming", bit_count(col("sim1").bitwiseXOR(col("sim2"))))
       .where(col("hamming") <= HAM_T)
       .dropDuplicates("id1", "id2")
-      .select(col("id1"), col("id2"), col("sim1"), col("sim2"), col("hamming"))
+      .select(col("id1"), col("id2"), col("hamming"))
   }
 
+  /** Oracle never materializes the signature as a 64-bit scalar (DuckDB
+    * BIGINT can't hold bit 63 unsigned and `<<` range-checks); it keeps
+    * the signature as a 64-element 0/1 list and compares bitwise. Token
+    * hashes parse the first 16 md5 hex chars as UBIGINT, matching
+    * SimHash64's big-endian first-8-bytes exactly. */
   private val d04Sql = {
     val hs = """list_transform(list_distinct(string_split_regex(text, '\s+')),
-               | t -> CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT))""".stripMargin
-    val simExpr =
-      s"""CAST(list_sum(list_transform(generate_series(0, 31), b ->
+               | t -> CAST(concat('0x', substring(md5(t), 1, 16)) AS UBIGINT))""".stripMargin
+    val sigExpr =
+      s"""list_transform(generate_series(0, 63), b ->
          |  CASE WHEN list_sum(list_transform($hs,
-         |    h -> 2 * (CAST(floor(h / power(2, b)) AS BIGINT) % 2) - 1)) > 0
-         |  THEN CAST(power(2, b) AS BIGINT) ELSE 0 END)) AS BIGINT)""".stripMargin
-    s"""WITH sims AS (SELECT doc_id, $simExpr AS sim FROM documents)
-       |SELECT a.doc_id AS id1, b.doc_id AS id2, a.sim AS sim1, b.sim AS sim2,
-       |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-       |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.sim, b.sim)) <= $HAM_T""".stripMargin
+         |    h -> 2 * CAST((h >> b) & 1 AS BIGINT) - 1)) > 0
+         |  THEN 1 ELSE 0 END)""".stripMargin
+    s"""WITH sims AS (SELECT doc_id, $sigExpr AS sig FROM documents),
+       |pairs AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(list_sum(list_transform(generate_series(1, 64),
+       |      i -> CASE WHEN a.sig[i] <> b.sig[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
+       |  FROM sims a JOIN sims b ON a.doc_id < b.doc_id)
+       |SELECT id1, id2, hamming FROM pairs WHERE hamming <= $HAM_T""".stripMargin
   }
 
   // ---------------------------------------------------------------------
-  // d05 — embedding-cosine near-dup pairs (exhaustive double-precision)
+  // d05 — embedding-cosine near-dup pairs (exhaustive double-precision),
+  //        executed as a TILED self-join, not a crossJoin.
+  //
+  //        Why exhaustive at all: this corpus has no similarity gap at
+  //        the 0.45 threshold (true pairs at 0.449 sit next to background
+  //        at 0.446), so any sublinear candidate scheme is provably lossy
+  //        — and angular LSH at θ≈63° prunes ~nothing (the (2p)^-r cost
+  //        curve). The production-regime bucketed path (thresholds ≥0.9,
+  //        where LSH prunes ~100×) is d06 below.
+  //
+  //        Why tiled: a crossJoin plans as BroadcastNestedLoopJoin or
+  //        CartesianProduct — at 10^9 vectors the broadcast side blows
+  //        past executor memory and the cartesian makes P² unbounded
+  //        partition-pair tasks. The tile formulation is the distributed-
+  //        GEMM shape: vectors hash into B blocks; block-pair tile (i,j),
+  //        i<=j, receives copies of blocks i and j via a plain shuffle on
+  //        the tile key; every unordered pair meets in EXACTLY one tile.
+  //        Replication factor (B+1)/2 per side, task working set 2N/B
+  //        vectors — tunable to executor memory; the join is a bounded
+  //        equi-join, never a nested loop over the whole corpus.
   // ---------------------------------------------------------------------
   private val COS_T = 0.45
+  private val TILE_B = 8 // vector blocks; B(B+1)/2 = 36 tiles
 
   private def d05(spark: SparkSession, dir: String): DataFrame = {
     // norms computed once per vector (2N sqrt's), not once per pair (N²)
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("embedding"),
-      graft.functions.VectorFunctions.norm(col("embedding")).as("nrm"))
-    val a = e.select(col("vec_id").as("id1"), col("embedding").as("va"),
-                     col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id2"), col("embedding").as("vb"),
-                     col("nrm").as("nb"))
+      graft.functions.VectorFunctions.norm(col("embedding")).as("nrm"),
+      pmod(col("vec_id"), lit(TILE_B)).cast(IntegerType).as("blk"))
+    // left role: a vector of block b serves tiles (b, j) for j >= b
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
+                     col("nrm").as("na"), col("blk").as("b1"))
+      .withColumn("tile", explode(transform(
+        sequence(col("b1"), lit(TILE_B - 1)), j => col("b1") * TILE_B + j)))
+    // right role: a vector of block b serves tiles (i, b) for i <= b
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+                     col("nrm").as("nb"), col("blk").as("b2"))
+      .withColumn("tile", explode(transform(
+        sequence(lit(0), col("b2")), i => i * TILE_B + col("b2"))))
     val cos = graft.functions.VectorFunctions.cosinePrenormed(
       col("va"), col("vb"), col("na"), col("nb"))
-    a.crossJoin(b).where(col("id1") < col("id2"))
+    a.join(b, Seq("tile"))
+      // cross-block pairs meet once with b1 < b2; same-block pairs meet
+      // in tile (b,b) both ways — canonicalize by id there
+      .where(col("b1") < col("b2") ||
+             (col("b1") === col("b2") && col("ida") < col("idb")))
       .withColumn("cos", cos)
       .where(col("cos") >= COS_T)
-      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos_sim"))
+      .select(least(col("ida"), col("idb")).as("id1"),
+              greatest(col("ida"), col("idb")).as("id2"),
+              round(col("cos"), 4).as("cos_sim"))
   }
 
   private val d05Sql = {
@@ -313,10 +359,124 @@ object Dedup {
        |     sqrt(${dotE("b.embedding", "b.embedding")})) >= $COS_T""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // d06 — embedding near-dup at the PRODUCTION threshold (0.9) via banded
+  //        random-hyperplane LSH: the regime where angular LSH genuinely
+  //        prunes (per-plane collision p = 1 - θ/π ≈ 0.95 for the ~0.99
+  //        planted pairs; 16 bands × 10 planes ⇒ per-pair miss ~1e-6 and
+  //        candidate volume ~16/1024 = 1.6% of all pairs — ~64× pruning,
+  //        growing with corpus size since bucket fan-out is fixed).
+  //
+  //        The raw corpus has no pairs above 0.52 (its near-dups live at
+  //        0.45 — see d05), so the operator runs on an AUGMENTED corpus:
+  //        each vector also appears as a deterministically perturbed
+  //        variant (id + 1e6, elementwise +0.02·k with k = (31·id+7·i)%5
+  //        − 2 ∈ [−2,2]) at cos ≈ 0.99 to its source — integer-derived
+  //        double arithmetic, reproduced exactly by the DuckDB oracle,
+  //        which stays EXHAUSTIVE: the LSH path must reproduce the exact
+  //        all-pairs answer, pinning recall at 1 on this corpus.
+  // ---------------------------------------------------------------------
+  private val COS_T6 = 0.9
+  private val VARIANT_OFFSET = 1000000L
+  private val BANDS6 = 16
+  private val PLANES6 = 10 // 2^10 = 1024 buckets per band
+  private val DIM6 = 64
+  /** fixed seeded gaussian hyperplanes (internal to candidate generation
+    * — the exhaustive oracle never sees them, so no SQL embedding) */
+  private val d06Planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(13)
+    Array.fill(BANDS6 * PLANES6, DIM6)(rnd.nextGaussian())
+  }
+
+  /** base ∪ perturbed-variant corpus, embeddings promoted to double —
+    * the elementwise expression mirrors the oracle's list_transform
+    * byte-for-byte (double(0.02) · double(k) + double(x), same order) */
+  private def d06Corpus(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val base = e.select(col("vec_id").cast(LongType).as("id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+    val variant = e.select(
+      (col("vec_id") + VARIANT_OFFSET).as("id"),
+      transform(sequence(lit(1), lit(DIM6)), i =>
+        element_at(col("embedding"), i).cast(DoubleType) +
+          lit(0.02) * (pmod(col("vec_id") * 31 + i * 7, lit(5)) - 2)
+            .cast(DoubleType)).as("emb"))
+    base.unionByName(variant)
+  }
+
+  private def d06(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pl = d06Planes // plain array in the closure
+    // one tight pass per vector: norm + all 16 band keys (d03's kernel
+    // shape); the emb rides along for the exact verify join
+    val sig = d06Corpus(spark, dir).as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        it.map { case (id, emb) =>
+          var s = 0.0
+          var i = 0
+          while (i < emb.length) { s += emb(i) * emb(i); i += 1 }
+          val bands = new Array[Long](BANDS6)
+          var b = 0
+          while (b < BANDS6) {
+            var key = 0L
+            var r = 0
+            while (r < PLANES6) {
+              val p = pl(b * PLANES6 + r)
+              var d = 0.0
+              var j = 0
+              while (j < DIM6) { d += emb(j) * p(j); j += 1 }
+              if (d >= 0) key |= (1L << r)
+              r += 1
+            }
+            bands(b) = key
+            b += 1
+          }
+          (id, emb, math.sqrt(s), bands)
+        }
+      }.toDF("id", "emb", "nrm", "bands")
+    val buckets = sig.selectExpr(
+      "id", "emb", "nrm", "posexplode(bands) AS (band, bkey)")
+    val l = buckets.select(col("band"), col("bkey"), col("id").as("id1"),
+      col("emb").as("va"), col("nrm").as("na"))
+    val r = buckets.select(col("band"), col("bkey"), col("id").as("id2"),
+      col("emb").as("vb"), col("nrm").as("nb"))
+    val cos = graft.functions.VectorFunctions.cosinePrenormed(
+      col("va"), col("vb"), col("na"), col("nb"))
+    l.join(r, Seq("band", "bkey"))
+      .where(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("cos", cos)
+      .where(col("cos") >= COS_T6)
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cos_sim"))
+  }
+
+  private val d06Sql = {
+    def dotE(x: String, y: String) =
+      s"""list_sum(list_transform(generate_series(1, $DIM6), i ->
+         |  $x[i] * $y[i]))""".stripMargin
+    val cosE = s"""(${dotE("a.emb", "b.emb")} /
+                  |  (sqrt(${dotE("a.emb", "a.emb")}) *
+                  |   sqrt(${dotE("b.emb", "b.emb")})))""".stripMargin
+    s"""WITH aug AS (
+       |  SELECT vec_id AS id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $VARIANT_OFFSET AS id,
+       |    list_transform(generate_series(1, $DIM6), i ->
+       |      CAST(embedding[i] AS DOUBLE) +
+       |        0.02 * ((vec_id * 31 + i * 7) % 5 - 2)) AS emb
+       |  FROM embeddings)
+       |SELECT a.id AS id1, b.id AS id2, round($cosE, 4) AS cos_sim
+       |FROM aug a JOIN aug b ON a.id < b.id
+       |WHERE $cosE >= $COS_T6""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_dedup_exact", d01, Some(d01Sql)),
     QuerySpec("d02_dedup_ngram_jaccard", d02, Some(jaccardSql)),
     QuerySpec("d03_dedup_minhash_lsh", d03, Some(jaccardSql)),
     QuerySpec("d04_dedup_simhash", d04, Some(d04Sql)),
-    QuerySpec("d05_dedup_embedding", d05, Some(d05Sql)))
+    QuerySpec("d05_dedup_embedding", d05, Some(d05Sql)),
+    QuerySpec("d06_dedup_embedding_lsh", d06, Some(d06Sql)))
 }

@@ -30,4 +30,38 @@ class GraftFunctionsSpec extends AnyFunSuite {
     assert(viaSql === viaColumn)
     assert(viaSql >= 0L && viaSql < (1L << 32))
   }
+
+  test("graft_simhash64 matches a hand-computed signature") {
+    GraftFunctions.register(spark)
+    // independent Scala-side computation of the same definition: token
+    // hash = first 8 md5 bytes big-endian, bit b set iff vote sum > 0
+    val toks = Seq("alpha", "beta", "gamma", "delta")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val votes = new Array[Int](64)
+    toks.foreach { t =>
+      md.reset()
+      val d = md.digest(t.getBytes("UTF-8"))
+      val h = (0 until 8).foldLeft(0L)((acc, i) => (acc << 8) | (d(i) & 0xffL))
+      (0 until 64).foreach(b => votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1))
+    }
+    val expected = (0 until 64).foldLeft(0L)((acc, b) =>
+      if (votes(b) > 0) acc | (1L << b) else acc)
+    val viaSql = spark.sql(
+      s"SELECT graft_simhash64(array(${toks.map("'" + _ + "'").mkString(",")})) AS s")
+      .head.getLong(0)
+    assert(viaSql === expected)
+  }
+
+  test("simhash64 hamming distance is small for near-identical token sets") {
+    GraftFunctions.register(spark)
+    val base = (1 to 60).map(i => s"tok$i")
+    val near = base.dropRight(1) :+ "tok_changed"
+    def sig(ts: Seq[String]): Long = spark.sql(
+      s"SELECT graft_simhash64(array(${ts.map("'" + _ + "'").mkString(",")}))")
+      .head.getLong(0)
+    val h = java.lang.Long.bitCount(sig(base) ^ sig(near))
+    val hFar = java.lang.Long.bitCount(
+      sig(base) ^ sig((1 to 60).map(i => s"other$i")))
+    assert(h < hFar, s"near hamming $h should undercut far hamming $hFar")
+  }
 }

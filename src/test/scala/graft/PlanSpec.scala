@@ -36,6 +36,21 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
 
+  test("d05 all-pairs runs as a tiled equi-join, never a nested loop") {
+    val p = formatted("d05_dedup_embedding")
+    assert(!p.contains("CartesianProduct"),
+      "d05 must not plan a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "d05 must not plan a nested-loop join")
+  }
+
+  test("d06 LSH candidates join on (band, bkey), no nested loop") {
+    val p = formatted("d06_dedup_embedding_lsh")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("bkey"))
+  }
+
   test("x07 read is partition-pruned on the lang predicate") {
     val p = formatted("x07_partitioned_write")
     assert(p.contains("PartitionFilters") && p.contains("lang"))
