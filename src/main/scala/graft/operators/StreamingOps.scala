@@ -1,10 +1,8 @@
 package graft.operators
 
-import java.time.LocalDateTime
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,66 +11,70 @@ import graft.streaming.{Sentence, WordCountPipeline}
 
 /** Structured-Streaming operators surfaced through the driver gate.
   *
-  * Each op replays a test table through a MemoryStream in multiple
-  * micro-batches and runs a *streaming* stateful computation whose final
-  * state must equal the equivalent batch SQL — i.e. the DuckDB oracle
-  * checks that Spark's incremental state-store execution converges to
-  * the relational answer. (The MemoryStream feed is driver-side test
-  * plumbing; the engine's production source is
-  * sources.RateSentenceSource + any readStream format.)
+  * Each op stages a test table to a parquet directory and replays it
+  * through `readStream` with `maxFilesPerTrigger=1` — one micro-batch
+  * per staged file, the lake-tailing ingestion shape — and runs a
+  * *streaming* stateful computation whose final state must equal the
+  * equivalent batch SQL: the DuckDB oracle checks that Spark's
+  * incremental state-store execution converges to the relational
+  * answer. Nothing is ever collected to the driver — the staging write
+  * and the replay are both distributed, so the same harness shape holds
+  * at any corpus size. (The engine's production push source is
+  * sources.RateSentenceSource; any readStream format slots in here.)
   */
 object StreamingOps {
 
+  /** stage `df` as `files` parquet files; tail it as a stream, one file
+    * per micro-batch */
+  private def stagedStream(spark: SparkSession, df: DataFrame,
+                           files: Int): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    df.repartition(files).write.mode("overwrite").parquet(staged)
+    spark.readStream.schema(df.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+  }
+
+  /** run a complete-mode streaming aggregation to a memory sink until the
+    * staged input drains; returns the final state table */
+  private def runComplete(spark: SparkSession, agg: DataFrame,
+                          prefix: String): DataFrame = {
+    val qname = prefix + UUID.randomUUID().toString.replace("-", "")
+    val query = agg.writeStream
+      .outputMode("complete").format("memory").queryName(qname).start()
+    try query.processAllAvailable() finally query.stop()
+    spark.table(qname)
+  }
+
   /** w01 — the reference's stateful word count (SURVEY §2.1 #4-6) run as
-    * a streaming query over the documents corpus, fed in two
+    * a streaming query over the documents corpus, replayed in two
     * micro-batches to exercise StateStore save/restore between batches.
     * Final counts ≡ batch q14. */
   private def w01(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val texts = Tables.documents(spark, dir)
-      .select(col("text")).as[String].collect().toSeq
-    val ms = MemoryStream[String]
-    val sentences = ms.toDS()
-      .select(lit(-1L).as("ts"), col("value").as("sentence"),
+    val stream = stagedStream(spark,
+      Tables.documents(spark, dir).select(col("text")), files = 2)
+    val sentences = stream
+      .select(lit(-1L).as("ts"), col("text").as("sentence"),
               lit(0).as("sourceId")).as[Sentence]
     val counts = WordCountPipeline.runningCounts(
       WordCountPipeline.tokenize(sentences))
-    val qname = "w01_" + UUID.randomUUID().toString.replace("-", "")
-    val query = counts.writeStream
-      .outputMode("complete").format("memory").queryName(qname).start()
-    try {
-      val (h1, h2) = texts.splitAt(texts.length / 2)
-      ms.addData(h1); query.processAllAvailable()
-      ms.addData(h2); query.processAllAvailable()
-    } finally query.stop()
-    spark.table(qname).select(col("word"), col("count").as("cnt"))
+    runComplete(spark, counts.toDF(), "w01_")
+      .select(col("word"), col("count").as("cnt"))
   }
 
   /** w02 — streaming event-time tumbling-window aggregation over the
     * events stream (three replayed micro-batches). Final windows ≡ batch
     * q13. */
   private def w02(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = Tables.events(spark, dir)
-      .select(col("ts"), col("event_type"), col("value"))
-      .as[(LocalDateTime, String, Double)].collect().toSeq
-    val ms = MemoryStream[(LocalDateTime, String, Double)]
-    val agg = ms.toDS().toDF("ts", "event_type", "value")
+    val stream = stagedStream(spark,
+      Tables.events(spark, dir).select(col("ts"), col("event_type"), col("value")),
+      files = 3)
+    val agg = stream
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
                col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_v"))
-    val qname = "w02_" + UUID.randomUUID().toString.replace("-", "")
-    val query = agg.writeStream
-      .outputMode("complete").format("memory").queryName(qname).start()
-    try {
-      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
-        ms.addData(chunk); query.processAllAvailable()
-      }
-    } finally query.stop()
-    spark.table(qname)
+    runComplete(spark, agg, "w02_")
       .select(col("hour_start"), col("event_type"), col("n"), col("sum_v"))
   }
 
@@ -81,13 +83,9 @@ object StreamingOps {
     * session_window.end == last event + gap, so the oracle is the batch
     * sessionization CTE (x02) with `session_end + gap`. */
   private def w03(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = Tables.events(spark, dir)
-      .select(col("ts"), col("user_id"))
-      .as[(LocalDateTime, Long)].collect().toSeq
-    val ms = MemoryStream[(LocalDateTime, Long)]
-    val agg = ms.toDS().toDF("ts", "user_id")
+    val stream = stagedStream(spark,
+      Tables.events(spark, dir).select(col("ts"), col("user_id")), files = 3)
+    val agg = stream
       .groupBy(session_window(col("ts"), s"${ScaleOps.gapMinutes} minutes"),
                col("user_id"))
       .agg(count(lit(1)).as("n_events"))
@@ -95,15 +93,7 @@ object StreamingOps {
               col("session_window.start").as("session_start"),
               col("session_window.end").as("session_end_gap"),
               col("n_events"))
-    val qname = "w03_" + UUID.randomUUID().toString.replace("-", "")
-    val query = agg.writeStream
-      .outputMode("complete").format("memory").queryName(qname).start()
-    try {
-      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
-        ms.addData(chunk); query.processAllAvailable()
-      }
-    } finally query.stop()
-    spark.table(qname)
+    runComplete(spark, agg, "w03_")
   }
 
   private val w03Sql =
@@ -137,27 +127,27 @@ object StreamingOps {
   }
 
   /** w05 — streaming exact dedup: `dropDuplicates` over the normalized
-    * fingerprint with the seen-set in the state store. The corpus is
-    * replayed WITH duplicates (second batch repeats half the docs);
-    * exactly the distinct fingerprints must come out. */
+    * fingerprint with the seen-set in the state store. The staged corpus
+    * is written WITH duplicates (two full-corpus files plus a half-corpus
+    * replay file → 3 micro-batches); exactly the distinct fingerprints
+    * must come out. */
   private def w05(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val texts = Tables.documents(spark, dir)
-      .select(col("text")).as[String].collect().toSeq
-    val ms = MemoryStream[String]
-    val deduped = ms.toDS()
-      .select(graft.functions.TextFunctions.normFingerprint(col("value"))
+    val docs = Tables.documents(spark, dir).select(col("text"))
+    val staged = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    docs.repartition(2).write.mode("overwrite").parquet(staged)
+    // replayed duplicates: append half the corpus as an extra file —
+    // its fingerprints are already in the state store when it arrives
+    docs.where(pmod(xxhash64(col("text")), lit(2)) === 0)
+      .coalesce(1).write.mode("append").parquet(staged)
+    val deduped = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .select(graft.functions.TextFunctions.normFingerprint(col("text"))
         .as("fp_norm"))
       .dropDuplicates("fp_norm")
     val qname = "w05_" + UUID.randomUUID().toString.replace("-", "")
     val query = deduped.writeStream
       .outputMode("append").format("memory").queryName(qname).start()
-    try {
-      ms.addData(texts); query.processAllAvailable()
-      ms.addData(texts.take(texts.length / 2)) // replayed dupes → dropped
-      query.processAllAvailable()
-    } finally query.stop()
+    try query.processAllAvailable() finally query.stop()
     spark.table(qname)
   }
 
@@ -170,29 +160,17 @@ object StreamingOps {
     * the standard streaming-enrichment shape) and aggregates per
     * segment. Final state ≡ the batch join. */
   private def w06(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val rows = Tables.events(spark, dir)
-      .select(col("user_id"), col("value"))
-      .as[(Long, Double)].collect().toSeq
+    val stream = stagedStream(spark,
+      Tables.events(spark, dir).select(col("user_id"), col("value")), files = 3)
     val dim = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val ms = MemoryStream[(Long, Double)]
-    val agg = ms.toDS().toDF("user_id", "value")
+    val agg = stream
       .join(broadcast(dim), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast(DecimalType(18, 2)))
              .cast(DoubleType).as("sum_value"))
-    val qname = "w06_" + UUID.randomUUID().toString.replace("-", "")
-    val query = agg.writeStream
-      .outputMode("complete").format("memory").queryName(qname).start()
-    try {
-      rows.grouped(math.max(1, rows.length / 3 + 1)).foreach { chunk =>
-        ms.addData(chunk); query.processAllAvailable()
-      }
-    } finally query.stop()
-    spark.table(qname)
+    runComplete(spark, agg, "w06_")
   }
 
   private val w06Sql =
@@ -205,24 +183,12 @@ object StreamingOps {
     * `readStream.parquet` on a staged directory (the lake-tailing
     * ingestion shape), aggregated in complete mode. ≡ batch counts. */
   private def w07(spark: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("graft-w07").toString
-    // stage the events table as a streamable directory (2 files = 2 batches
-    // with maxFilesPerTrigger=1)
-    val ev = Tables.events(spark, dir)
-    ev.repartition(2).write.mode("overwrite").parquet(staged)
-    val stream = spark.readStream
-      .schema(ev.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(staged)
+    val stream = stagedStream(spark, Tables.events(spark, dir), files = 2)
     val agg = stream.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
            sum(col("value").cast(DecimalType(18, 2)))
              .cast(DoubleType).as("sum_value"))
-    val qname = "w07_" + UUID.randomUUID().toString.replace("-", "")
-    val query = agg.writeStream
-      .outputMode("complete").format("memory").queryName(qname).start()
-    try query.processAllAvailable() finally query.stop()
-    spark.table(qname)
+    runComplete(spark, agg, "w07_")
   }
 
   private val w07Sql =

@@ -16,6 +16,12 @@ import graft.sources.RateSentenceSource
   *   --source-rate 12500  --sentence-size 100  --sample-period 1000
   *   --parallelism 4      --duration 60        --checkpoint-interval 30
   *   --skew-percent 0     --checkpoint-dir <path>
+  *   --state-backend hdfs|rocksdb
+  *
+  * `--state-backend rocksdb` switches keyed state to the RocksDB state
+  * store (off-heap, spill-to-disk) — the engine knob for keyed state
+  * that exceeds executor heap, the analog of the reference's
+  * filesystem/RocksDB backend choice (flink-conf.yaml.template:112-117).
   */
 object StatefulWordCount {
 
@@ -27,7 +33,8 @@ object StatefulWordCount {
       durationSec: Int = 60,
       checkpointIntervalSec: Int = -1,
       skewPercent: Int = 0,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      stateBackend: String = "hdfs")
 
   def parse(args: Array[String]): Config =
     args.sliding(2, 2).foldLeft(Config()) {
@@ -39,6 +46,8 @@ object StatefulWordCount {
       case (c, Array("--checkpoint-interval", v)) => c.copy(checkpointIntervalSec = v.toInt)
       case (c, Array("--skew-percent", v))        => c.copy(skewPercent = v.toInt)
       case (c, Array("--checkpoint-dir", v))      => c.copy(checkpointDir = Some(v))
+      case (c, Array("--state-backend", v)) if v == "hdfs" || v == "rocksdb" =>
+        c.copy(stateBackend = v)
       case (c, other) =>
         sys.error(s"unknown argument: ${other.mkString(" ")}"); c
     }
@@ -56,7 +65,16 @@ object StatefulWordCount {
     try run(spark, cfg) finally spark.stop()
   }
 
+  /** provider class for the keyed state store backing the running counts */
+  private[streaming] def providerClass(cfg: Config): String =
+    if (cfg.stateBackend == "rocksdb")
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    else
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+
   def run(spark: SparkSession, cfg: Config): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      providerClass(cfg))
     val sentences = RateSentenceSource.stream(
       spark, rate = cfg.sourceRate, sentenceSize = cfg.sentenceSize,
       samplePeriod = cfg.samplePeriod, numPartitions = cfg.parallelism,

@@ -30,4 +30,17 @@ class ConfigSpec extends AnyFunSuite {
       StatefulWordCount.parse(Array("--bogus", "1"))
     }
   }
+
+  test("state-backend knob selects the RocksDB provider") {
+    assert(StatefulWordCount.parse(Array.empty).stateBackend === "hdfs")
+    val cfg = StatefulWordCount.parse(Array("--state-backend", "rocksdb"))
+    assert(cfg.stateBackend === "rocksdb")
+    assert(StatefulWordCount.providerClass(cfg)
+      === "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    assert(StatefulWordCount.providerClass(StatefulWordCount.Config())
+      .contains("HDFSBackedStateStoreProvider"))
+    assertThrows[RuntimeException] {
+      StatefulWordCount.parse(Array("--state-backend", "bogus"))
+    }
+  }
 }
