@@ -137,17 +137,30 @@ object Dedup {
   // ---------------------------------------------------------------------
   // d02 — exhaustive n-gram Jaccard near-dup pairs (ground-truth method)
   // ---------------------------------------------------------------------
-  private def d02(spark: SparkSession, dir: String): DataFrame = {
+
+  /** Shingle document-frequency cap for pair emission. A shingle seen in
+    * more docs is dropped before pair generation, bounding the hottest
+    * task at cap²/2 emitted pairs — the skew guard that keeps the
+    * grouped-emission formulation alive when one stopword trigram
+    * appears in millions of docs. Recall trade-off: dropping a shingle
+    * can only LOWER a pair's measured intersection, and a df>cap shingle
+    * is stopword-grade evidence (it pairs everything with everything),
+    * so at a meaningful cap the pairs it alone would push over the
+    * threshold are noise. At the test SFs the observed max df is 25
+    * (sf0.1), so cap=1000 is output-neutral there — the exhaustive
+    * oracle stays exact — while still bounding the 100 TB worst case. */
+  private[operators] val D02_DF_CAP = 1000
+
+  /** df-capped pair emission from per-shingle doc lists: one exchange on
+    * the shingle vs the self-join's two-sided exchange + hash build
+    * (~2-3× faster measured); the cap bounds the per-task blowup a
+    * pathological hot shingle would cause. d03 (MinHash-LSH) remains the
+    * preferred scale path. */
+  private[operators] def shinglePairCounts(sh: DataFrame, cap: Int): DataFrame = {
+    val spark = sh.sparkSession
     import spark.implicits._
-    val sh = shingles(spark, dir)
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // pair generation: group per shingle and emit doc-id combinations —
-    // one exchange on the shingle vs the self-join's two-sided exchange
-    // + hash build (~2-3× faster measured). Trade-off: a pathological
-    // ultra-hot shingle concentrates its doc list in one task; the
-    // self-join formulation spills better there, and d03 (MinHash-LSH)
-    // is the real scale path either way.
-    val inter = sh.groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
+    sh.groupBy(col("sh")).agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) <= cap)
       .select(col("ids")).as[Seq[Long]]
       .flatMap { ids =>
         val s = ids.sorted
@@ -155,6 +168,12 @@ object Dedup {
           yield (s(i), s(j))
       }.toDF("id1", "id2")
       .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("inter_cnt"))
+  }
+
+  private def d02(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(spark, dir)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shinglePairCounts(sh, D02_DF_CAP)
     val jacc = col("inter_cnt").cast(DoubleType) /
       (col("size1") + col("size2") - col("inter_cnt"))
     inter

@@ -21,15 +21,27 @@ object SentenceGen {
 
   /** Deterministic pseudo-word dictionary: lowercase words of length 3-9,
     * seeded; ~dictSize distinct entries (duplicates allowed, as in any
-    * natural dictionary file). */
+    * natural dictionary file).
+    *
+    * ~3% of entries carry apostrophes — possessives/contractions
+    * ("wordo's", "qixv'll") and bare elisions ("'d", "'em") — matching
+    * the token classes the reference's words.txt ships
+    * (RandomSentenceGenerator.java:23-31): they make the `\W+` tokenizer
+    * path for multi-token dictionary words and leading-empty splits an
+    * exercised path, not a latent one. */
   def dictionary(dictSize: Int = DefaultDictSize, seed: Long = 42L): Array[String] = {
     val rnd = new Random(seed)
+    val suffixes = Array("'s", "'d", "'em", "'ll", "'t")
     Array.fill(dictSize) {
       val len = 3 + rnd.nextInt(7)
       val sb = new StringBuilder(len)
       var i = 0
       while (i < len) { sb.append(('a' + rnd.nextInt(26)).toChar); i += 1 }
-      sb.toString
+      if (rnd.nextInt(100) < 3) {
+        val suf = suffixes(rnd.nextInt(suffixes.length))
+        if (rnd.nextInt(10) == 0) suf // bare elision token, words.txt-style
+        else sb.toString + suf
+      } else sb.toString
     }
   }
 

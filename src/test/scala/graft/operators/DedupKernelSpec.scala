@@ -28,6 +28,27 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(s1.forall(v => v >= 0 && v < 2147483647L))
   }
 
+  test("shingle-df cap drops hot-shingle pair blowup, keeps cold pairs") {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    // "the and of" is a stopword-grade shingle in 40 docs; "rare gram x"
+    // is real dup evidence shared by docs 1 and 2
+    val rows =
+      (1L to 40L).map(id => (id, "the and of")) ++
+      Seq((1L, "rare gram x"), (2L, "rare gram x"))
+    val sh = rows.toDF("doc_id", "sh")
+    val uncapped = Dedup.shinglePairCounts(sh, cap = 1000)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(uncapped.size === 40 * 39 / 2, "uncapped emits all hot pairs")
+    val capped = Dedup.shinglePairCounts(sh, cap = 10)
+      .as[(Long, Long, Long)].collect().toSet
+    // the hot shingle is dropped entirely; the rare-shingle pair survives
+    assert(capped === Set((1L, 2L, 1L)))
+    // quantified no-op guarantee at test scale: every real-corpus shingle
+    // df (max 25 at sf0.1) is far below the production cap
+    assert(Dedup.D02_DF_CAP === 1000)
+  }
+
   test("near-identical shingle sets collide in at least one band") {
     // simulate a J≈0.97 pair: 64 shared shingles, 2 unique per side
     val shared = (1 to 64).map(i => s"sh$i shared gram")

@@ -10,8 +10,24 @@ class SentenceGenSpec extends AnyFunSuite {
     val again = SentenceGen.dictionary(dictSize = 1000, seed = 42L)
     assert(dict.sameElements(again))
     assert(dict.length === 1000)
-    assert(dict.forall(w => w.length >= 3 && w.length <= 9))
-    assert(dict.forall(_.forall(c => c >= 'a' && c <= 'z')))
+    assert(dict.forall(w => w.length >= 2 && w.length <= 12))
+    assert(dict.forall(_.forall(c => (c >= 'a' && c <= 'z') || c == '\'')))
+  }
+
+  test("dictionary ships apostrophe tokens and they tokenize like the oracle") {
+    val big = SentenceGen.dictionary(dictSize = 5000, seed = 42L)
+    val apos = big.filter(_.contains("'"))
+    // ~3% of entries must exercise the apostrophe path, incl. bare elisions
+    assert(apos.length > big.length / 100, s"only ${apos.length} apostrophe tokens")
+    assert(apos.exists(_.startsWith("'")), "no bare-elision ('d / 'em) tokens")
+    // reference tokenizer semantics (split \W+, drop empties) on every
+    // apostrophe word: clean alphabetic sub-tokens, no empty leakage —
+    // the leading-empty-split edge a words.txt-faithful dictionary hits
+    apos.foreach { w =>
+      val parts = w.split("\\W+").filter(_.nonEmpty)
+      assert(parts.nonEmpty && parts.forall(_.forall(c => c >= 'a' && c <= 'z')),
+        s"token '$w' split to ${parts.mkString("[", ",", "]")}")
+    }
   }
 
   test("sentenceAt is deterministic per index and varies across indices") {
