@@ -224,6 +224,63 @@ object ScaleOps {
     """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
       |FROM documents WHERE lang IN ('en', 'de') GROUP BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x08 — ORC sink→source roundtrip (the third columnar/file format
+  //       surface next to parquet and CSV/JSON; ORC ships in-box)
+  // ---------------------------------------------------------------------
+  private def x08(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft-orc").toString
+    val o = Tables.orders(spark, dir)
+    o.write.mode("overwrite").orc(tmp)
+    ordersAgg(spark.read.schema(o.schema).orc(tmp))
+  }
+
+  // ---------------------------------------------------------------------
+  // x09 — bucketed tables + co-located join: both sides bucketed on the
+  //       join key (8 buckets) at write time, so the join AND the
+  //       key-local aggregation run with ZERO exchanges — the pattern
+  //       that turns the biggest recurring fact-fact shuffle at 100 TB
+  //       into a metadata decision. PlanSpec pins the no-Exchange shape.
+  // ---------------------------------------------------------------------
+  private def x09(spark: SparkSession, dir: String): DataFrame = {
+    // session-unique db under a temp location: the in-memory catalog dies
+    // with the JVM but managed-table directories would not, and a stale
+    // location fails the next saveAsTable
+    val db = "graft_x09_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val loc = Files.createTempDirectory("graft-x09").toString
+    spark.sql(s"CREATE DATABASE $db LOCATION '$loc'")
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(s"$db.orders_b")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(s"$db.lineitem_b")
+    val ob = spark.table(s"$db.orders_b")
+    val lb = spark.table(s"$db.lineitem_b")
+    // pin sort-merge: at test SF the orders side is broadcast-sized, but
+    // this op demonstrates the fact⋈fact case where broadcast is not an
+    // option and bucket co-location is what removes the shuffle
+    ob.hint("merge").join(lb, col("o_orderkey") === col("l_orderkey"))
+      .where(col("o_orderkey") % 100 === 0)
+      .groupBy(col("o_orderkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+               (lit(1).cast(DecimalType(3, 2)) -
+                col("l_discount").cast(DecimalType(4, 2))))
+             .cast(DoubleType).as("revenue"))
+  }
+
+  private val x09Sql =
+    """SELECT o_orderkey, o_orderstatus, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderkey % 100 = 0
+      |GROUP BY 1, 2""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -231,5 +288,7 @@ object ScaleOps {
     QuerySpec("x04_json_roundtrip", x04, Some(roundtripSql)),
     QuerySpec("x05_asof_join", x05, Some(x05Sql)),
     QuerySpec("x06_range_join_bucketed", x06, Some(x06Sql)),
-    QuerySpec("x07_partitioned_write", x07, Some(x07Sql)))
+    QuerySpec("x07_partitioned_write", x07, Some(x07Sql)),
+    QuerySpec("x08_orc_roundtrip", x08, Some(roundtripSql)),
+    QuerySpec("x09_bucketed_join", x09, Some(x09Sql)))
 }

@@ -56,6 +56,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PartitionFilters") && p.contains("lang"))
   }
 
+  test("x09 bucketed join and key-local agg plan with zero exchanges") {
+    val p = formatted("x09_bucketed_join")
+    assert(p.contains("SortMergeJoin"))
+    assert(p.contains("Bucketed: true"), "scans must read bucketed layout")
+    assert(!p.contains("Exchange"),
+      "bucketed co-located join must not shuffle")
+  }
+
   test("q01 aggregation is whole-stage codegen'd") {
     val p = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
       .queryExecution.explainString(CodegenMode)
