@@ -177,8 +177,82 @@ object Similarity {
               round(col("cos"), 4).as("cos_sim"))
   }
 
+  // ---------------------------------------------------------------------
+  // s04 — IVF-style approximate top-k: a coarse quantizer assigns every
+  //       vector to its nearest centroid (here: a fixed seeded subset of
+  //       the corpus — a deterministic one-step quantizer, so the oracle
+  //       can reproduce the assignment in SQL), and each query probes
+  //       ONLY its own cell. Assignment is a linear N×K broadcast pass;
+  //       the probe shrinks the scan ~K×. nprobe=1 keeps the op
+  //       deterministic; recall is traded via K and nprobe exactly as in
+  //       IVF-flat ANN systems.
+  // ---------------------------------------------------------------------
+  private val N_CENTROIDS = 16
+
+  private def s04(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(
+      col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val cents = e.where(col("vec_id") < N_CENTROIDS)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+              col("nrm").as("cn"))
+    // coarse assignment: nearest centroid by cosine (ties → lowest cid)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_c").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cos_c",
+        cosinePrenormed(col("embedding"), col("cv"), col("nrm"), col("cn")))
+      .withColumn("arn", row_number().over(wAssign))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+              col("cid").as("cluster"))
+    val q = assigned.where(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+              col("nrm").as("qn"), col("cluster"))
+    // probe only the query's cell
+    val scored = broadcast(q)
+      .join(assigned.select(col("vec_id").as("neighbor_id"),
+                            col("embedding").as("nv"), col("nrm").as("nn"),
+                            col("cluster")),
+            Seq("cluster"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= TOP_K)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+              round(col("cos"), 4).as("cos_sim"))
+  }
+
+  private val s04Sql =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM e
+       |      WHERE vec_id < $N_CENTROIDS),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid AS cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCos("e.embedding", "c.cv")} DESC, c.cid) AS arn
+       |    FROM e CROSS JOIN c) t
+       |  WHERE arn = 1),
+       |q AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, cluster FROM assigned
+       |  WHERE vec_id < $N_QUERIES),
+       |scored AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    ${sqlCos("qv", "a.embedding")} AS cos
+       |  FROM q JOIN assigned a USING (cluster)
+       |  WHERE a.vec_id <> query_id)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 4) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $TOP_K""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("s01_knn_bruteforce", s01, Some(s01Sql)),
     QuerySpec("s02_knn_lsh", s02, Some(s02Sql)),
-    QuerySpec("s03_knn_topk_aggregator", s03, Some(s01Sql)))
+    QuerySpec("s03_knn_topk_aggregator", s03, Some(s01Sql)),
+    QuerySpec("s04_knn_ivf", s04, Some(s04Sql)))
 }
