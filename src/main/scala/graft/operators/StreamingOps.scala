@@ -34,13 +34,14 @@ object StreamingOps {
       .option("maxFilesPerTrigger", 1).parquet(staged)
   }
 
-  /** run a complete-mode streaming aggregation to a memory sink until the
-    * staged input drains; returns the final state table */
+  /** run a streaming query to a memory sink until the staged input
+    * drains; returns the result table (complete mode: final state;
+    * append mode: all emitted rows) */
   private def runComplete(spark: SparkSession, agg: DataFrame,
-                          prefix: String): DataFrame = {
+                          prefix: String, mode: String = "complete"): DataFrame = {
     val qname = prefix + UUID.randomUUID().toString.replace("-", "")
     val query = agg.writeStream
-      .outputMode("complete").format("memory").queryName(qname).start()
+      .outputMode(mode).format("memory").queryName(qname).start()
     try query.processAllAvailable() finally query.stop()
     spark.table(qname)
   }
@@ -196,6 +197,39 @@ object StreamingOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** w08 — stream-stream interval join: errors join purchases of the
+    * same user within one hour after the purchase, both sides replayed
+    * as independent staged streams (2 micro-batches each) so matches
+    * span batch boundaries and buffer in the join state store. Inner
+    * join without watermark: state is never expired, so the drained
+    * result equals the batch interval join exactly. (The watermarked
+    * state-expiry variant is pinned separately by StreamStreamJoinSpec.) */
+  private def w08(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("user_id"), col("event_id"), col("event_type"))
+    val p = stagedStream(spark,
+      ev.filter(col("event_type") === "purchase")
+        .select(col("ts").as("p_ts"), col("user_id").as("p_user"),
+                col("event_id").as("p_id")), files = 2)
+    val e = stagedStream(spark,
+      ev.filter(col("event_type") === "error")
+        .select(col("ts").as("e_ts"), col("user_id").as("e_user"),
+                col("event_id").as("e_id")), files = 2)
+    val joined = p.join(e,
+      col("p_user") === col("e_user") &&
+      col("e_ts") >= col("p_ts") &&
+      col("e_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("e_id"), col("p_user").as("user_id"))
+    runComplete(spark, joined, "w08_", mode = "append")
+  }
+
+  private val w08Sql =
+    """SELECT p.event_id AS p_id, e.event_id AS e_id, p.user_id
+      |FROM events p JOIN events e
+      |  ON p.user_id = e.user_id
+      | AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+      |WHERE p.event_type = 'purchase' AND e.event_type = 'error'""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
@@ -203,5 +237,6 @@ object StreamingOps {
     QuerySpec("w04_rate_source_profile", w04, None),
     QuerySpec("w05_stream_dedup", w05, Some(w05Sql)),
     QuerySpec("w06_stream_static_join", w06, Some(w06Sql)),
-    QuerySpec("w07_stream_file_source", w07, Some(w07Sql)))
+    QuerySpec("w07_stream_file_source", w07, Some(w07Sql)),
+    QuerySpec("w08_stream_stream_join", w08, Some(w08Sql)))
 }
