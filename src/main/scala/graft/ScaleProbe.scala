@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale experiment (run manually; not part of the engine
+  * surface): amplify the sf0.1 corpus N× under /tmp with decorrelated
+  * copies, run the scale-sensitive operators against it, and print
+  * wall-seconds per factor — evidence for how each op's cost actually
+  * grows with corpus size (the 100 TB question), beyond asymptotic
+  * argument.
+  *
+  * Copies are made DISTINCT on purpose:
+  *  - document tokens are salted with the copy index, so no shingle is
+  *    shared across copies — near-dup structure per copy is preserved,
+  *    cross-copy candidate pollution is zero, and output sizes grow
+  *    linearly (clean scaling measurement, not an output-size blowup);
+  *  - embeddings get a copy-indexed deterministic offset large enough
+  *    to decorrelate copies, while d06's relative variant construction
+  *    keeps its planted pairs inside every copy.
+  *
+  * Usage: runMain graft.ScaleProbe [factor] [ops...]
+  */
+object ScaleProbe {
+
+  def amplify(spark: SparkSession, base: String, out: String,
+              factor: Int): Unit = {
+    val docs = Tables.documents(spark, base)
+    val docsAmp = (0 until factor).map { k =>
+      docs.select(
+        (col("doc_id") + k.toLong * 1000000000L).as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(t, lit(s"x$k"))), " ").as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+    docsAmp.write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val emb = Tables.embeddings(spark, base)
+    val embAmp = (0 until factor).map { k =>
+      emb.select(
+        (col("vec_id") + k.toLong * 10000000L).as("vec_id"),
+        // perturbation must be well-mixed per (vector, dim, copy): a
+        // dim-only offset adds the SAME bias to every vector (all
+        // cosines → 1), and a small-modulus hash gives whole residue
+        // classes of vectors identical noise (near-clusters that flood
+        // LSH buckets — both measured). Large-modulus multiplicative
+        // hash ⇒ quasi-continuous iid noise, ±0.15/dim.
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") +
+            (pmod(col("vec_id") * lit(2654435761L) + i * lit(1610612741L) +
+                  lit(k * 805306457L), lit(997)).cast("double") / 997.0 - 0.5)
+              * 0.3)
+            .cast("float")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    embAmp.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(4)
+    val ops = if (args.length > 1) args.drop(1).toSeq else Seq(
+      "q14_wordcount", "x01_salted_wordcount", "d01_dedup_exact",
+      "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
+      "d04_dedup_simhash", "d06_dedup_embedding_lsh", "t05_tfidf",
+      "s02_knn_lsh", "s04_knn_ivf")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = s"/tmp/graft-scale-x$factor"
+    amplify(spark, "/root/testdata/sf0.1", out, factor)
+    // warmup (JVM/codegen)
+    SparkEntry.queries("q14_wordcount")(spark, out).count()
+    val results = ops.map { name =>
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, out).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCALEPROBE x$factor $name%-26s $sec%7.2f s  $n%9d rows")
+      name -> sec
+    }
+    val total = results.map(_._2).sum
+    println(f"SCALEPROBE x$factor TOTAL ${total}%.1f s")
+    spark.stop()
+  }
+}

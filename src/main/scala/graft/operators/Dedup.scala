@@ -382,9 +382,10 @@ object Dedup {
   // d06 — embedding near-dup at the PRODUCTION threshold (0.9) via banded
   //        random-hyperplane LSH: the regime where angular LSH genuinely
   //        prunes (per-plane collision p = 1 - θ/π ≈ 0.95 for the ~0.99
-  //        planted pairs; 16 bands × 10 planes ⇒ per-pair miss ~1e-6 and
-  //        candidate volume ~16/1024 = 1.6% of all pairs — ~64× pruning,
-  //        growing with corpus size since bucket fan-out is fixed).
+  //        planted pairs; 16 bands × r planes ⇒ per-pair miss ~1e-6 and
+  //        per-band candidates ~n²/2^r). r scales with log2(corpus) —
+  //        see planesFor — so candidate volume stays ~linear instead of
+  //        going quadratic once fixed-size buckets saturate.
   //
   //        The raw corpus has no pairs above 0.52 (its near-dups live at
   //        0.45 — see d05), so the operator runs on an AUGMENTED corpus:
@@ -398,13 +399,30 @@ object Dedup {
   private val COS_T6 = 0.9
   private val VARIANT_OFFSET = 1000000L
   private val BANDS6 = 16
-  private val PLANES6 = 10 // 2^10 = 1024 buckets per band
+  private val PLANES6_MIN = 10 // >= 1024 buckets per band
+  private val PLANES6_MAX = 24 // fan-out ceiling (16M buckets per band)
   private val DIM6 = 64
   /** fixed seeded gaussian hyperplanes (internal to candidate generation
-    * — the exhaustive oracle never sees them, so no SQL embedding) */
+    * — the exhaustive oracle never sees them, so no SQL embedding). Each
+    * band owns a PLANES6_MAX block; a run uses the first r planes of
+    * every block, so growing r only APPENDS planes (signatures at a
+    * given r are corpus-size-independent). */
   private val d06Planes: Array[Array[Double]] = {
     val rnd = new scala.util.Random(13)
-    Array.fill(BANDS6 * PLANES6, DIM6)(rnd.nextGaussian())
+    Array.fill(BANDS6 * PLANES6_MAX, DIM6)(rnd.nextGaussian())
+  }
+
+  /** planes per band for a corpus of n vectors: r ≈ log2(n) keeps the
+    * expected per-band candidate volume ~n·B/2^r ≈ n·B — LINEAR in the
+    * corpus — where a fixed fan-out degrades to n²/2^r once buckets
+    * saturate (measured: 4× corpus → ~11× wall with fixed r=10). The
+    * price is per-band collision probability p^r, paid back by the B-way
+    * OR: at cos 0.99 (p≈0.955), r=24 and B=16 still give ~1e-3 pair-miss
+    * probability; lower-similarity thresholds need bigger B — the
+    * standard (B, r) trade every production LSH system tunes. */
+  private[operators] def planesFor(n: Long): Int = {
+    val lg = math.ceil(math.log(math.max(n, 2L).toDouble) / math.log(2.0)).toInt
+    math.min(PLANES6_MAX, math.max(PLANES6_MIN, lg))
   }
 
   /** base ∪ perturbed-variant corpus, embeddings promoted to double —
@@ -426,6 +444,7 @@ object Dedup {
   private def d06(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pl = d06Planes // plain array in the closure
+    val nPlanes = planesFor(d06Corpus(spark, dir).count())
     // one tight pass per vector: norm + all 16 band keys (d03's kernel
     // shape); the emb rides along for the exact verify join
     val sig = d06Corpus(spark, dir).as[(Long, Array[Double])]
@@ -439,8 +458,8 @@ object Dedup {
           while (b < BANDS6) {
             var key = 0L
             var r = 0
-            while (r < PLANES6) {
-              val p = pl(b * PLANES6 + r)
+            while (r < nPlanes) {
+              val p = pl(b * PLANES6_MAX + r)
               var d = 0.0
               var j = 0
               while (j < DIM6) { d += emb(j) * p(j); j += 1 }
