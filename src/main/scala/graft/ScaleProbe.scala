@@ -23,8 +23,54 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** amplify the relational/streaming tables: keys offset per copy so
+    * joins stay consistent within a copy and copies never join each
+    * other; timestamps unchanged (event density grows — the realistic
+    * direction for a busier stream) */
+  private def amplifyRelational(spark: SparkSession, base: String,
+                                out: String, factor: Int): Unit = {
+    // events: written with raw int64 nanos (no TIMESTAMP(NANOS) logical
+    // type), which Tables.events' ts-div-1000 path reads unchanged
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    (0 until factor).map { k =>
+      ev.select((col("event_id") + k.toLong * 1000000000000L).as("event_id"),
+        col("ts"), (col("user_id") + k.toLong * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    val o = Tables.orders(spark, base)
+    (0 until factor).map { k =>
+      o.select((col("o_orderkey") + k.toLong * 1000000000L).as("o_orderkey"),
+        (col("o_custkey") + k.toLong * 10000000L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
+    val l = Tables.lineitem(spark, base)
+    (0 until factor).map { k =>
+      l.withColumn("l_orderkey", col("l_orderkey") + k.toLong * 1000000000L)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    val c = Tables.customer(spark, base)
+    (0 until factor).map { k =>
+      c.withColumn("c_custkey", col("c_custkey") + k.toLong * 10000000L)
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    // dimensions stay as-is
+    Seq("region", "nation", "part", "supplier").foreach { t =>
+      Tables.load(spark, base, t)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+  }
+
   def amplify(spark: SparkSession, base: String, out: String,
               factor: Int): Unit = {
+    amplifyRelational(spark, base, out, factor)
     val docs = Tables.documents(spark, base)
     val docsAmp = (0 until factor).map { k =>
       docs.select(
@@ -62,7 +108,10 @@ object ScaleProbe {
       "q14_wordcount", "x01_salted_wordcount", "d01_dedup_exact",
       "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
       "d04_dedup_simhash", "d06_dedup_embedding_lsh", "t05_tfidf",
-      "s02_knn_lsh", "s04_knn_ivf")
+      "s02_knn_lsh", "s04_knn_ivf",
+      "q01_pricing_summary", "q03_join_agg", "q08_window_running",
+      "x02_sessionize", "x05_asof_join", "x06_range_join_bucketed",
+      "x09_bucketed_join", "w02_stream_window_agg", "w08_stream_stream_join")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions",
