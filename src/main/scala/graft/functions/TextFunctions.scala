@@ -13,9 +13,10 @@ import org.apache.spark.sql.types._
   * document pipeline stays inside WholeStageCodegen and scales linearly
   * with executor count: per-row work only, no shuffles introduced here.
   *
-  * Determinism: all outputs are integers, strings, or `round(x, 4)`
-  * doubles computed with a fixed operation order, so results are
-  * bit-stable across engines (mirrored in the DuckDB oracle SQL).
+  * Determinism: all outputs are integers, strings, or UNROUNDED single
+  * IEEE divisions of exact integers, so results are bit-stable across
+  * engines (mirrored in the DuckDB oracle SQL). Rounding is avoided on
+  * purpose — see the ratio-column comment below.
   */
 object TextFunctions {
 
@@ -54,30 +55,42 @@ object TextFunctions {
 
   val enStop = Seq("the", "a", "of", "and", "to", "in", "is")
 
-  /** stopword ratio in [0,1], rounded to 4 decimals */
-  def stopwordRatio(text: Column): Column =
-    round(tokensIn(text, enStop).cast(DoubleType) / tokenCount(text), 4)
+  // The ratio columns are single IEEE divisions of exact integers —
+  // bit-identical across engines UNROUNDED. Rounding them would be pure
+  // risk: an exact-decimal quotient (1/32 = .03125) is a 4-decimal
+  // round-half tie where Spark's HALF_UP and DuckDB's nearest-double
+  // rounding disagree.
 
-  /** mean token length (chars sans whitespace / tokens), rounded */
+  /** stopword ratio in [0,1] */
+  def stopwordRatio(text: Column): Column =
+    tokensIn(text, enStop).cast(DoubleType) / tokenCount(text)
+
+  /** mean token length (chars sans whitespace / tokens) */
   def avgTokenLen(text: Column): Column =
-    round(charCountNoSpace(text).cast(DoubleType) / tokenCount(text), 4)
+    charCountNoSpace(text).cast(DoubleType) / tokenCount(text)
 
   /** distinct/total token ratio — low values flag boilerplate/spam */
   def uniqRatio(text: Column): Column =
-    round(uniqTokenCount(text).cast(DoubleType) / tokenCount(text), 4)
+    uniqTokenCount(text).cast(DoubleType) / tokenCount(text)
 
   /** composite quality heuristic in [0,1]: rewards lexical diversity,
     * penalizes stopword stuffing and degenerate token lengths.
-    * Fixed left-to-right operation order for cross-engine bit-stability.
-    * Built from RAW ratios, not the rounded ones: weighting pre-rounded
-    * 4-decimal components by 0.4/0.3 yields exact 5-decimal values that
-    * sit on round-half boundaries where engines disagree. */
+    *
+    * 0.4·u/n + 0.3·(1 − s/n) + 0.3·min(1, c/(8n)) evaluated as ONE
+    * integer ratio: (128u + 96(n−s) + 12·min(8n, c)) / (320n). A single
+    * IEEE division of two exact integers is bit-identical across
+    * engines, with no rounding step at all — the float-composite
+    * formulation (even from raw ratios) lands on exact decimal
+    * round-half boundaries for round-denominator docs (e.g. n=10 →
+    * 0.66375), where Spark's HALF_UP and DuckDB's nearest-double
+    * rounding disagree in the 4th decimal. */
   def qualityScore(text: Column): Column = {
-    val uniq = uniqTokenCount(text).cast(DoubleType) / tokenCount(text)
-    val stop = tokensIn(text, enStop).cast(DoubleType) / tokenCount(text)
-    val atl  = charCountNoSpace(text).cast(DoubleType) / tokenCount(text)
-    round(uniq * 0.4 + (lit(1.0) - stop) * 0.3 +
-      least(lit(1.0), atl / 8.0) * 0.3, 4)
+    val n = tokenCount(text).cast(LongType)
+    val u = uniqTokenCount(text).cast(LongType)
+    val s = tokensIn(text, enStop).cast(LongType)
+    val c = charCountNoSpace(text).cast(LongType)
+    (lit(128L) * u + lit(96L) * (n - s) + lit(12L) * least(lit(8L) * n, c))
+      .cast(DoubleType) / (lit(320L) * n).cast(DoubleType)
   }
 
   // -- language identification -------------------------------------------

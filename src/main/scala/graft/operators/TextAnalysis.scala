@@ -48,14 +48,14 @@ object TextAnalysis {
   private val t02Sql =
     """SELECT doc_id, source,
       |  len(string_split_regex(text, '\s+')) AS n_tok,
-      |  round(CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE) / len(string_split_regex(text, '\s+')), 4) AS uniq_ratio,
-      |  round(CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split_regex(text, '\s+')), 4) AS stop_ratio,
-      |  round(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(string_split_regex(text, '\s+')), 4) AS avg_tok_len,
+      |  CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE) / len(string_split_regex(text, '\s+')) AS uniq_ratio,
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split_regex(text, '\s+')) AS stop_ratio,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(string_split_regex(text, '\s+')) AS avg_tok_len,
       |  length(regexp_replace(text, '[\w\s]', '', 'g')) AS punct_cnt,
-      |  round(
-      |    (CAST(len(list_distinct(string_split_regex(text, '\s+'))) AS DOUBLE) / len(string_split_regex(text, '\s+'))) * 0.4 +
-      |    (1.0 - CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(string_split_regex(text, '\s+'))) * 0.3 +
-      |    least(1.0, (CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) / len(string_split_regex(text, '\s+'))) / 8.0) * 0.3, 4) AS quality
+      |  CAST(128 * len(list_distinct(string_split_regex(text, '\s+')))
+      |     + 96 * (len(string_split_regex(text, '\s+')) - len(list_filter(string_split_regex(text, '\s+'), t -> t IN ('the','a','of','and','to','in','is'))))
+      |     + 12 * least(8 * len(string_split_regex(text, '\s+')), length(regexp_replace(text, '\s', '', 'g')))
+      |    AS DOUBLE) / (320 * len(string_split_regex(text, '\s+'))) AS quality
       |FROM documents""".stripMargin
 
   // t03 — language-ID confusion matrix: labeled lang × n-gram-marker guess
