@@ -128,7 +128,7 @@ object Dedup {
        |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT id1, id2, inter_cnt, sa.n AS size1, sb.n AS size2,
-       |  round(CAST(inter_cnt AS DOUBLE) / (sa.n + sb.n - inter_cnt), 4) AS jaccard
+       |  CAST(inter_cnt AS DOUBLE) / (sa.n + sb.n - inter_cnt) AS jaccard
        |FROM inter
        |JOIN sz sa ON sa.doc_id = id1
        |JOIN sz sb ON sb.doc_id = id2
@@ -181,7 +181,7 @@ object Dedup {
       .join(sz.select(col("doc_id").as("id2"), col("n").as("size2")), "id2")
       .where(jacc >= JACC_T)
       .select(col("id1"), col("id2"), col("inter_cnt"),
-              col("size1"), col("size2"), round(jacc, 4).as("jaccard"))
+              col("size1"), col("size2"), jacc.as("jaccard"))
   }
 
   // ---------------------------------------------------------------------
@@ -234,7 +234,7 @@ object Dedup {
       (col("size1") + col("size2") - col("inter_cnt"))
     verified.where(jacc >= JACC_T)
       .select(col("id1"), col("id2"), col("inter_cnt"),
-              col("size1"), col("size2"), round(jacc, 4).as("jaccard"))
+              col("size1"), col("size2"), jacc.as("jaccard"))
   }
 
   // ---------------------------------------------------------------------
