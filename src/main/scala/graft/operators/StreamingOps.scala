@@ -230,6 +230,55 @@ object StreamingOps {
       | AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
       |WHERE p.event_type = 'purchase' AND e.event_type = 'error'""".stripMargin
 
+  /** w09 — watermark finalization semantics, oracle-checked end-to-end
+    * in APPEND mode. The events stream replays in two batches with a
+    * GUARANTEED order (distinct file mtimes): batch A is 3/4 of the
+    * corpus, batch B (containing rows arbitrarily late relative to the
+    * post-A watermark) the rest. Append mode emits a window exactly
+    * once — when the watermark passes its end (the trailing no-data
+    * batch finalizes everything closed by max(all ts) − 10 min); the
+    * out-of-order batch-B rows must land in their event-time windows
+    * BEFORE finalization, never after (no duplicate or lost windows
+    * across the batch boundary). Measured Spark 4.1 semantics, pinned
+    * here: late rows for never-emitted windows are admitted and merged
+    * (eviction happens at batch end, after input is merged), so every
+    * closed window carries its full event-time count — which is exactly
+    * what the oracle computes. Event times are second-grained, so the
+    * watermark never lands exactly on an hour boundary and ≤-vs-<
+    * eviction edges cannot bite. */
+  private def w09(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("event_id"))
+    val staged = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    ev.where(pmod(col("event_id"), lit(4)) =!= 0)
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    // strictly later mtime ⇒ FileStreamSource schedules this file second
+    Thread.sleep(1100)
+    ev.where(pmod(col("event_id"), lit(4)) === 0)
+      .coalesce(1).write.mode("append").parquet(staged)
+    val agg = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      // watermarks demand TIMESTAMP (LTZ); session tz is UTC, so the
+      // NTZ↔LTZ casts here and on the output are wall-clock-identical
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", "10 minutes")
+      // group on the window STRUCT: extracting .start inside groupBy
+      // severs the watermark association and append mode is rejected
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runComplete(spark, agg, "w09_", mode = "append")
+      .select(col("window.start").cast(TimestampNTZType).as("hour_start"),
+              col("event_type"), col("n"))
+  }
+
+  private val w09Sql =
+    """WITH wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events)
+      |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+      |  event_type, COUNT(*) AS n
+      |FROM events, wm
+      |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+      |GROUP BY 1, 2""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
@@ -238,5 +287,6 @@ object StreamingOps {
     QuerySpec("w05_stream_dedup", w05, Some(w05Sql)),
     QuerySpec("w06_stream_static_join", w06, Some(w06Sql)),
     QuerySpec("w07_stream_file_source", w07, Some(w07Sql)),
-    QuerySpec("w08_stream_stream_join", w08, Some(w08Sql)))
+    QuerySpec("w08_stream_stream_join", w08, Some(w08Sql)),
+    QuerySpec("w09_stream_late_data", w09, Some(w09Sql)))
 }
