@@ -470,6 +470,108 @@ object Relational {
       |WHERE epoch_us(ts) < win_us + 3600000000
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q21 — outer joins and their null semantics: customers keep a row even
+  //        with no matching 'P' order (left outer); count(col) skips the
+  //        null-extended rows while count(*) keeps them
+  // ---------------------------------------------------------------------
+  private def q21(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "P")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+           count(col("o_orderkey")).as("n_orders"),
+           countDistinct(col("c_custkey")).as("n_cust"),
+           dsum(coalesce(col("o_totalprice"), lit(0.0))).as("p_spend"))
+  }
+
+  private val q21Sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_rows,
+      |  COUNT(o_orderkey) AS n_orders,
+      |  COUNT(DISTINCT c_custkey) AS n_cust,
+      |  CAST(SUM(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS p_spend
+      |FROM customer LEFT OUTER JOIN orders
+      |  ON c_custkey = o_custkey AND o_orderstatus = 'P'
+      |GROUP BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q23 — full outer join (the join family with no broadcast path: both
+  //        sides null-extend) between two per-customer aggregates, then
+  //        presence classification over the null patterns
+  // ---------------------------------------------------------------------
+  private def q23(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val f = o.filter(col("o_orderstatus") === "F").groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("f_spend"))
+    val op = o.filter(col("o_orderstatus") === "O").groupBy(col("o_custkey"))
+      .agg(dsum(col("o_totalprice")).as("o_spend"))
+    f.join(op, Seq("o_custkey"), "full_outer")
+      .select(
+        when(col("f_spend").isNotNull && col("o_spend").isNotNull, "both")
+          .when(col("f_spend").isNotNull, "f_only")
+          .otherwise("o_only").as("tag"),
+        col("f_spend"), col("o_spend"))
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_cust"),
+           sum(dec(coalesce(col("f_spend"), lit(0.0)), 18, 2))
+             .cast(DoubleType).as("f_total"),
+           sum(dec(coalesce(col("o_spend"), lit(0.0)), 18, 2))
+             .cast(DoubleType).as("o_total"))
+  }
+
+  private val q23Sql =
+    """WITH f AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS f_spend
+      |  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey),
+      |o AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS o_spend
+      |  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey)
+      |SELECT CASE WHEN f_spend IS NOT NULL AND o_spend IS NOT NULL THEN 'both'
+      |            WHEN f_spend IS NOT NULL THEN 'f_only'
+      |            ELSE 'o_only' END AS tag,
+      |  COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(coalesce(f_spend, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS f_total,
+      |  CAST(SUM(CAST(coalesce(o_spend, 0.0) AS DECIMAL(18,2))) AS DOUBLE) AS o_total
+      |FROM f FULL OUTER JOIN o USING (o_custkey)
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q22 — correlated scalar subqueries (TPC-H Q17 shape), exercised
+  //        through the SQL front-end so Catalyst's decorrelation rewrites
+  //        them into aggregated joins. The threshold predicate
+  //        qty < 0.5·avg(qty per part) is evaluated as exact decimal
+  //        cross-multiplication (2·qty·cnt < sum), never a double
+  //        division — double avg is partial-aggregation-order dependent
+  //        and rows at the threshold would flip between runs/engines.
+  // ---------------------------------------------------------------------
+  private def q22(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_q22_lineitem")
+    spark.sql(
+      """SELECT l_returnflag, COUNT(*) AS n_small,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+        |FROM graft_q22_lineitem l1
+        |WHERE 2 * CAST(l_quantity AS DECIMAL(18,2)) *
+        |      (SELECT COUNT(*) FROM graft_q22_lineitem l2
+        |       WHERE l2.l_partkey = l1.l_partkey)
+        |    < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))
+        |       FROM graft_q22_lineitem l3
+        |       WHERE l3.l_partkey = l1.l_partkey)
+        |GROUP BY l_returnflag""".stripMargin)
+  }
+
+  private val q22Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_small,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_revenue
+      |FROM lineitem l1
+      |WHERE 2 * CAST(l_quantity AS DECIMAL(18,2)) *
+      |      (SELECT COUNT(*) FROM lineitem l2
+      |       WHERE l2.l_partkey = l1.l_partkey)
+      |    < (SELECT SUM(CAST(l_quantity AS DECIMAL(18,2)))
+      |       FROM lineitem l3
+      |       WHERE l3.l_partkey = l1.l_partkey)
+      |GROUP BY l_returnflag""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_filter_project", q02, Some(q02Sql)),
@@ -490,5 +592,8 @@ object Relational {
     QuerySpec("q17_percentiles", q17, Some(q17Sql)),
     QuerySpec("q18_cube_grouping", q18, Some(q18Sql)),
     QuerySpec("q19_array_agg_funcs", q19, Some(q19Sql)),
-    QuerySpec("q20_sliding_window", q20, Some(q20Sql)))
+    QuerySpec("q20_sliding_window", q20, Some(q20Sql)),
+    QuerySpec("q21_outer_join", q21, Some(q21Sql)),
+    QuerySpec("q22_correlated_subquery", q22, Some(q22Sql)),
+    QuerySpec("q23_full_outer_join", q23, Some(q23Sql)))
 }
