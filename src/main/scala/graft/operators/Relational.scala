@@ -572,6 +572,33 @@ object Relational {
       |       WHERE l3.l_partkey = l1.l_partkey)
       |GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q24 — pivot (wide conditional aggregation): order counts per status
+  //        pivoted over an explicit priority list (explicit values keep
+  //        the output schema static — at scale, value discovery would be
+  //        an extra pass and a nondeterministic column set)
+  // ---------------------------------------------------------------------
+  private val q24Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  private def q24(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", q24Priorities)
+      .agg(count(lit(1)))
+      .select(col("o_orderstatus") +:
+        q24Priorities.zipWithIndex.map { case (p, i) =>
+          coalesce(col(s"`$p`"), lit(0L)).as(s"p$i") }: _*)
+
+  private val q24Sql =
+    """SELECT o_orderstatus,
+      |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p0,
+      |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p1,
+      |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p2,
+      |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p3,
+      |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p4
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_filter_project", q02, Some(q02Sql)),
@@ -595,5 +622,6 @@ object Relational {
     QuerySpec("q20_sliding_window", q20, Some(q20Sql)),
     QuerySpec("q21_outer_join", q21, Some(q21Sql)),
     QuerySpec("q22_correlated_subquery", q22, Some(q22Sql)),
-    QuerySpec("q23_full_outer_join", q23, Some(q23Sql)))
+    QuerySpec("q23_full_outer_join", q23, Some(q23Sql)),
+    QuerySpec("q24_pivot", q24, Some(q24Sql)))
 }
