@@ -15,6 +15,11 @@ run / fork := true
 // child output through its logger, which stamps every line with "[info] "
 // — that prefix is what kept BENCH_r01's JSON line from parsing.
 outputStrategy := Some(StdoutOutput)
+// ... and suppress sbt's own trailing "[success] Total time: ..." summary,
+// which otherwise prints AFTER the forked main's output and keeps the bench
+// JSON from being the last stdout line (BENCH_r02 "parsed": null).
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
