@@ -106,15 +106,22 @@ object StreamingOps {
 
   /** w04 — the rate-controlled sentence source itself, profiled through
     * one deterministic micro-batch (Trigger.Once, epoch-0 schedule).
-    * Sentence content is seeded generator output — not SQL-expressible,
-    * so this op has no oracle (driver records a rows-only check). */
+    * Sentence CONTENT is seeded generator output (not SQL-expressible),
+    * but the profile is exact arithmetic over (rate, samplePeriod,
+    * numPartitions, sentenceSize): one batch of `rate` rows, sourceId =
+    * idx % numPartitions, a stamp on every samplePeriod-th idx, and
+    * exactly sentenceSize single-space-joined words per sentence (the
+    * synthesized dictionary has no empty/whitespace entries) — so the
+    * oracle is a VALUES literal of that arithmetic, and a generator that
+    * drifted on rate, stamping cadence, partition fan-out, or sentence
+    * shape fails the hash. */
   private def w04(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.RateSentenceSource
     val sentences = RateSentenceSource.stream(
       spark, rate = 1000, sentenceSize = 10, samplePeriod = 100,
       numPartitions = 4, dictSize = 10000, startTimestampMs = 0L)
     val profile = sentences
-      .groupBy(col("sourceId"))
+      .groupBy(col("sourceId").as("source_id"))
       .agg(count(lit(1)).as("n_sentences"),
            sum(size(split(col("sentence"), "\\s+"))).as("n_words"),
            sum(when(col("ts") =!= -1L, 1L).otherwise(0L)).as("n_stamped"))
@@ -126,6 +133,16 @@ object StreamingOps {
     query.awaitTermination()
     spark.table(qname)
   }
+
+  /** idx 0..999; source = idx%4; stamps at idx%100==0 — all multiples of
+    * 100 are ≡ 0 (mod 4), so all 10 stamps land on source 0 */
+  private val w04Sql =
+    """SELECT * FROM (VALUES
+      |  (0, 250, 2500, 10),
+      |  (1, 250, 2500, 0),
+      |  (2, 250, 2500, 0),
+      |  (3, 250, 2500, 0))
+      |AS t(source_id, n_sentences, n_words, n_stamped)""".stripMargin
 
   /** w05 — streaming exact dedup: `dropDuplicates` over the normalized
     * fingerprint with the seen-set in the state store. The staged corpus
@@ -279,14 +296,150 @@ object StreamingOps {
       |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
       |GROUP BY 1, 2""".stripMargin
 
+  /** w10 — WATERMARKED stream-stream interval join, state-expiry
+    * semantics oracle-checked end-to-end (w08's gate variant runs
+    * unwatermarked and holds state forever; this is the production
+    * variant). Both sides carry `withWatermark("…", "10 minutes")`.
+    * Spark's exact admission rule (since the SPARK-40925 late-record /
+    * eviction split): in micro-batch b, late input is filtered with the
+    * LATE-EVENTS watermark — the global watermark as of the END of batch
+    * b−2, i.e. wm(b−2) = min over both streams of max(event time in
+    * batches ≤ b−2) − delay — one batch STALER than the eviction
+    * watermark wm(b−1), so rows that raced the last watermark advance
+    * are kept (what makes chained stateful operators safe). For an
+    * INNER interval join this admission filter is the entire observable
+    * semantic: eviction at the end of batch m uses wm(m−1), so a
+    * purchase evicted before batch b has p_ts + 1h ≤ wm(b−2), while any
+    * admitted error has e_ts ≥ wm(b−2) — and the join needs
+    * e_ts < p_ts + 1h, a contradiction. Eviction can never remove a row
+    * an admissible future input could still match; the drained result
+    * equals the batch join of admitted rows, which is exactly what the
+    * oracle computes, reconstructing wm(k) from the same VALUES.
+    *
+    * The input is a purpose-built 3-batch replay (literal timestamps,
+    * every row hours away from any eviction/admission edge, per-side
+    * "clock" rows pinning the watermark after each batch): arrival
+    * order is the semantics under test, so the data must control it —
+    * the events-table variant with natural arrival stays w08. Pairs
+    * planted: two emitted same-batch; one emitted across batches from
+    * retained purchase state; one from retained error state; one
+    * (105,150) whose error is late vs wm(b−1)=19:50 but ON TIME vs the
+    * late-events watermark wm(b−2)=9:50 — emitted, pinning the one-batch
+    * lag itself; and one (100,130) DROPPED outright (00:30 < 9:50). */
+  private def w10(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // (batch, ts, user, id)
+    val pRows = Seq(
+      (1, "2024-01-01 00:00:00", 1L, 100L), // evicted after wm passes 01:00+
+      (1, "2024-01-01 09:58:00", 5L, 105L), // stays in state; its error arrives late
+      (1, "2024-01-01 10:00:00", 91L, 191L), // clock; matched next batch
+      (2, "2024-01-01 19:30:00", 2L, 200L), // matched same batch AND next batch
+      (2, "2024-01-01 20:00:00", 93L, 293L), // clock
+      (3, "2024-01-01 19:55:00", 4L, 400L)) // admitted; matches error state
+    val eRows = Seq(
+      (1, "2024-01-01 00:15:00", 3L, 310L), // unmatched; evicted from state
+      (1, "2024-01-01 10:00:00", 92L, 910L), // clock
+      (2, "2024-01-01 10:20:00", 91L, 911L), // matches p191 from batch-1 state
+      (2, "2024-01-01 19:45:00", 2L, 220L), // matches p200 same batch
+      (2, "2024-01-01 19:58:00", 4L, 410L), // buffered; matched by batch-3 p400
+      (2, "2024-01-01 20:00:00", 94L, 940L), // clock
+      (3, "2024-01-01 00:30:00", 1L, 130L), // LATE (< wm(1)=9:50) → dropped
+      (3, "2024-01-01 10:05:00", 5L, 150L), // late vs wm(2), ON TIME vs wm(1) → emitted
+      (3, "2024-01-01 20:05:00", 2L, 230L)) // admitted; matches p200 state
+    val pDir = java.nio.file.Files.createTempDirectory("graft-w10-p").toString
+    val eDir = java.nio.file.Files.createTempDirectory("graft-w10-e").toString
+    // Replay order = mtime order (FileStreamSource sorts by modification
+    // time); stamp each batch's files explicitly rather than sleeping
+    // between writes.
+    def stampBatch(dir: String, b: Int): Unit = {
+      import java.nio.file.{Files => F, Paths}
+      val listing = F.list(Paths.get(dir))
+      try listing.forEach { f =>
+        val n = f.getFileName.toString
+        // freshly-written parts carry a real (large) mtime; already-
+        // stamped ones carry b*1000 and must not be restamped
+        if (n.startsWith("part-") &&
+            F.getLastModifiedTime(f).toMillis > 1000000L)
+          F.setLastModifiedTime(f,
+            java.nio.file.attribute.FileTime.fromMillis(b * 1000L))
+      } finally listing.close()
+    }
+    (1 to 3).foreach { b =>
+      pRows.filter(_._1 == b).map { case (_, s, u, i) => (t(s), u, i) }
+        .toDF("p_ts", "p_user", "p_id")
+        .coalesce(1).write.mode("append").parquet(pDir)
+      stampBatch(pDir, b)
+      eRows.filter(_._1 == b).map { case (_, s, u, i) => (t(s), u, i) }
+        .toDF("e_ts", "e_user", "e_id")
+        .coalesce(1).write.mode("append").parquet(eDir)
+      stampBatch(eDir, b)
+    }
+    def read(d: String, schema: StructType) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val p = read(pDir, new StructType().add("p_ts", TimestampType)
+        .add("p_user", LongType).add("p_id", LongType))
+      .withWatermark("p_ts", "10 minutes")
+    val e = read(eDir, new StructType().add("e_ts", TimestampType)
+        .add("e_user", LongType).add("e_id", LongType))
+      .withWatermark("e_ts", "10 minutes")
+    val joined = p.join(e,
+      col("p_user") === col("e_user") &&
+      col("e_ts") >= col("p_ts") &&
+      col("e_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("e_id"), col("p_user").as("user_id"))
+    runComplete(spark, joined, "w10_", mode = "append")
+  }
+
+  /** the same watermark machine, reconstructed relationally: wm(k) =
+    * min over both sides of max(event time in batches ≤ k) − 10 min; a
+    * batch-b row is admitted iff its event time ≥ the LATE-EVENTS
+    * watermark wm(b−2) (one batch staler than the eviction watermark
+    * wm(b−1) — SPARK-40925; batches 1-2 see wm ≤ −∞, all admitted);
+    * result = interval join of admitted rows (eviction provably cannot
+    * drop a pair an admitted row could form — see w10's scaladoc) */
+  private val w10Sql =
+    """WITH p AS (SELECT * FROM (VALUES
+      |    (1, TIMESTAMP '2024-01-01 00:00:00', 1, 100),
+      |    (1, TIMESTAMP '2024-01-01 09:58:00', 5, 105),
+      |    (1, TIMESTAMP '2024-01-01 10:00:00', 91, 191),
+      |    (2, TIMESTAMP '2024-01-01 19:30:00', 2, 200),
+      |    (2, TIMESTAMP '2024-01-01 20:00:00', 93, 293),
+      |    (3, TIMESTAMP '2024-01-01 19:55:00', 4, 400))
+      |  t(b, p_ts, p_user, p_id)),
+      |e AS (SELECT * FROM (VALUES
+      |    (1, TIMESTAMP '2024-01-01 00:15:00', 3, 310),
+      |    (1, TIMESTAMP '2024-01-01 10:00:00', 92, 910),
+      |    (2, TIMESTAMP '2024-01-01 10:20:00', 91, 911),
+      |    (2, TIMESTAMP '2024-01-01 19:45:00', 2, 220),
+      |    (2, TIMESTAMP '2024-01-01 19:58:00', 4, 410),
+      |    (2, TIMESTAMP '2024-01-01 20:00:00', 94, 940),
+      |    (3, TIMESTAMP '2024-01-01 00:30:00', 1, 130),
+      |    (3, TIMESTAMP '2024-01-01 10:05:00', 5, 150),
+      |    (3, TIMESTAMP '2024-01-01 20:05:00', 2, 230))
+      |  t(b, e_ts, e_user, e_id)),
+      |wm AS (SELECT k,
+      |    LEAST((SELECT max(p_ts) FROM p WHERE b <= k),
+      |          (SELECT max(e_ts) FROM e WHERE b <= k))
+      |      - INTERVAL 10 MINUTE AS w
+      |  FROM (VALUES (1), (2)) kk(k)),
+      |pk AS (SELECT * FROM p
+      |  WHERE b <= 2 OR p_ts >= (SELECT w FROM wm WHERE k = b - 2)),
+      |ek AS (SELECT * FROM e
+      |  WHERE b <= 2 OR e_ts >= (SELECT w FROM wm WHERE k = b - 2))
+      |SELECT p_id, e_id, p_user AS user_id
+      |FROM pk JOIN ek ON p_user = e_user
+      | AND e_ts >= p_ts AND e_ts < p_ts + INTERVAL 1 HOUR""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
     QuerySpec("w03_stream_session_window", w03, Some(w03Sql)),
-    QuerySpec("w04_rate_source_profile", w04, None),
+    QuerySpec("w04_rate_source_profile", w04, Some(w04Sql)),
     QuerySpec("w05_stream_dedup", w05, Some(w05Sql)),
     QuerySpec("w06_stream_static_join", w06, Some(w06Sql)),
     QuerySpec("w07_stream_file_source", w07, Some(w07Sql)),
     QuerySpec("w08_stream_stream_join", w08, Some(w08Sql)),
-    QuerySpec("w09_stream_late_data", w09, Some(w09Sql)))
+    QuerySpec("w09_stream_late_data", w09, Some(w09Sql)),
+    QuerySpec("w10_stream_stream_watermarked_join", w10, Some(w10Sql)))
 }

@@ -7,29 +7,40 @@ import scala.util.Random
   * word draws from a large dictionary, optional skew knob that emits the
   * literal word "skew" with probability skewPercent%).
   *
-  * Differences from the reference, on purpose:
-  *  - the dictionary is synthesized (seeded) rather than shipped as a
-  *    355k-line resource; only its cardinality matters for benchmark
-  *    parity (reference words.txt has 354,986 entries).
-  *  - generation is seeded per call-site (the reference uses an unseeded
-  *    Random — RandomSentenceGenerator.java:15), because the oracle
-  *    checks need reproducible streams (SURVEY.md §7.4).
+  * The default-size dictionary IS the reference's: the 354,986-line
+  * words.txt (RandomSentenceGenerator.java:23-31) ships as the engine
+  * resource graft/words.txt — entry lengths 0-31 chars, 3,869 apostrophe
+  * tokens (`'d`, `'em`, possessives), a handful of non-alphabetic
+  * entries (`&c`) — so word-length and character distributions match the
+  * reference byte-for-byte. Any other dictSize gets the synthesized
+  * seeded fallback below (used by tests and the deterministic w04
+  * profile, where sentence shape must be provable arithmetic).
+  *
+  * Difference from the reference, on purpose: generation is seeded per
+  * call-site (the reference uses an unseeded Random —
+  * RandomSentenceGenerator.java:15), because the oracle checks need
+  * reproducible streams (SURVEY.md §7.4).
   */
 object SentenceGen {
 
   val DefaultDictSize = 354986
 
-  /** Deterministic pseudo-word dictionary: lowercase words of length 3-9,
-    * seeded; ~dictSize distinct entries (duplicates allowed, as in any
-    * natural dictionary file).
-    *
-    * ~3% of entries carry apostrophes — possessives/contractions
-    * ("wordo's", "qixv'll") and bare elisions ("'d", "'em") — matching
-    * the token classes the reference's words.txt ships
-    * (RandomSentenceGenerator.java:23-31): they make the `\W+` tokenizer
-    * path for multi-token dictionary words and leading-empty splits an
-    * exercised path, not a latent one. */
+  /** the reference's literal words.txt, loaded once per JVM */
+  lazy val realDictionary: Array[String] = {
+    val in = getClass.getResourceAsStream("/graft/words.txt")
+    require(in != null, "resource graft/words.txt missing")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toArray
+    finally in.close()
+  }
+
+  /** The dictionary for a run: the real words.txt at the default size,
+    * else a deterministic synthesized fallback — lowercase pseudo-words
+    * (some with apostrophes: possessives/contractions and bare elisions
+    * like "'d", matching words.txt's token classes) so the `\W+`
+    * multi-token and leading-empty-split tokenizer paths stay exercised
+    * at every dictSize. */
   def dictionary(dictSize: Int = DefaultDictSize, seed: Long = 42L): Array[String] = {
+    if (dictSize == DefaultDictSize) return realDictionary
     val rnd = new Random(seed)
     val suffixes = Array("'s", "'d", "'em", "'ll", "'t")
     Array.fill(dictSize) {

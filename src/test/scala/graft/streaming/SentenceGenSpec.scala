@@ -30,6 +30,26 @@ class SentenceGenSpec extends AnyFunSuite {
     }
   }
 
+  test("default-size dictionary is the reference's literal words.txt") {
+    val real = SentenceGen.dictionary() // default size → resource-backed
+    assert(real.length === SentenceGen.DefaultDictSize)
+    assert(real eq SentenceGen.realDictionary)
+    // reference words.txt fingerprints: first/known entries and the
+    // apostrophe-token census (RandomSentenceGenerator.java:23-31 loads
+    // this file verbatim; we ship the same bytes as a resource)
+    assert(real.head === "&c")
+    assert(real.take(6).toSeq === Seq("&c", "'d", "'em", "'ll", "'m", "'mid"))
+    assert(real.count(_.contains("'")) === 3869)
+    // every entry tokenizes cleanly under the reference tokenizer
+    // (split \W+, drop empties) — incl. the empty line and '&c'
+    real.foreach { w =>
+      val parts = w.split("\\W+").filter(_.nonEmpty)
+      assert(parts.forall(p => p.forall(c =>
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9'))),
+        s"entry '$w' split to ${parts.mkString("[", ",", "]")}")
+    }
+  }
+
   test("sentenceAt is deterministic per index and varies across indices") {
     val s1 = SentenceGen.sentenceAt(17L, dict, size = 10)
     val s2 = SentenceGen.sentenceAt(17L, dict, size = 10)
