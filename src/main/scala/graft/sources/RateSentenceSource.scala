@@ -61,12 +61,16 @@ object RateSentenceSource {
       }
   }
 
-  /** Wall-clock-paced variant on the `rate` source: records are stamped
-    * with their actual generation time and the source cannot run ahead of
-    * real time — the reference's sleep-to-schedule pacing semantics
-    * (RateControlledSourceFunction.java:75-86). Use for latency
-    * measurement; the deterministic `stream` above is for throughput and
-    * exactly-once tests. */
+  /** Wall-clock-paced variant on the engine's `ms-rate` source (see
+    * MsRateSource.scala): records are stamped with their scheduled emit
+    * time and the source cannot run ahead of real time — the reference's
+    * sleep-to-schedule pacing semantics (RateControlledSourceFunction
+    * .java:75-86). ms-rate releases rows at millisecond granularity, so
+    * sink-side latency measures trigger-wait + pipeline delay (the
+    * built-in `rate` source's whole-second offsets would add up to 1 s
+    * of release delay per record). Use for latency measurement; the
+    * deterministic `stream` above is for throughput and exactly-once
+    * tests. */
   def wallClockStream(
       spark: SparkSession,
       rate: Int,
@@ -79,7 +83,7 @@ object RateSentenceSource {
     val dictBc = spark.sparkContext.broadcast(SentenceGen.dictionary(dictSize))
     val nPart = numPartitions
     spark.readStream
-      .format("rate")
+      .format("ms-rate")
       .option("rowsPerSecond", rate.toLong)
       .option("numPartitions", numPartitions)
       .load()
