@@ -113,7 +113,7 @@ object Dedup {
       |FROM documents
       |GROUP BY 1""".stripMargin
 
-  // shared exhaustive-jaccard oracle SQL (ground truth for d02 AND d03)
+  // exhaustive (uncapped) jaccard oracle SQL — ground truth for d03
   private val jaccardSql =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents),
@@ -183,6 +183,38 @@ object Dedup {
       .select(col("id1"), col("id2"), col("inter_cnt"),
               col("size1"), col("size2"), jacc.as("jaccard"))
   }
+
+  /** d02's oracle: the SAME df-capped function the operator computes —
+    * shingles with document frequency > D02_DF_CAP are dropped before
+    * pair counting (intersections only), while per-doc sizes stay
+    * uncapped, exactly mirroring shinglePairCounts. At the test SFs max
+    * df is 25 so this equals the exhaustive jaccardSql, but the operator
+    * and its oracle now define the same function at EVERY scale — a
+    * corpus with a hotter shingle can't silently diverge (round-2
+    * advisor finding). d03 keeps the uncapped oracle: its LSH candidate
+    * generation has no df cap. */
+  private val d02Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(tk) - ${SHINGLE - 1}),
+       |    i -> array_to_string(tk[i:i+${SHINGLE - 1}], ' ')))) AS sh
+       |  FROM toks WHERE len(tk) >= $SHINGLE),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |df AS (SELECT sh, COUNT(*) AS c FROM sh GROUP BY sh),
+       |shc AS (SELECT a.doc_id, a.sh FROM sh a JOIN df USING (sh)
+       |        WHERE df.c <= $D02_DF_CAP),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_cnt
+       |  FROM shc a JOIN shc b USING (sh) WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id1, id2, inter_cnt, sa.n AS size1, sb.n AS size2,
+       |  CAST(inter_cnt AS DOUBLE) / (sa.n + sb.n - inter_cnt) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON sa.doc_id = id1
+       |JOIN sz sb ON sb.doc_id = id2
+       |WHERE CAST(inter_cnt AS DOUBLE) / (sa.n + sb.n - inter_cnt) >= $JACC_T""".stripMargin
 
   // ---------------------------------------------------------------------
   // d03 — MinHash + LSH banding: linear-shuffle candidates, exact verify
@@ -512,7 +544,7 @@ object Dedup {
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_dedup_exact", d01, Some(d01Sql)),
-    QuerySpec("d02_dedup_ngram_jaccard", d02, Some(jaccardSql)),
+    QuerySpec("d02_dedup_ngram_jaccard", d02, Some(d02Sql)),
     QuerySpec("d03_dedup_minhash_lsh", d03, Some(jaccardSql)),
     QuerySpec("d04_dedup_simhash", d04, Some(d04Sql)),
     QuerySpec("d05_dedup_embedding", d05, Some(d05Sql)),
