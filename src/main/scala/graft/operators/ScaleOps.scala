@@ -243,11 +243,23 @@ object ScaleOps {
   //       into a metadata decision. PlanSpec pins the no-Exchange shape.
   // ---------------------------------------------------------------------
   private def x09(spark: SparkSession, dir: String): DataFrame = {
-    // session-unique db under a temp location: the in-memory catalog dies
-    // with the JVM but managed-table directories would not, and a stale
-    // location fails the next saveAsTable
-    val db = "graft_x09_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val loc = Files.createTempDirectory("graft-x09").toString
+    // FIXED db name + location with overwrite semantics: the result
+    // DataFrame is lazy, so this run's tables can only be dropped by the
+    // NEXT invocation — a per-run unique db would accumulate catalog
+    // entries and /tmp table data across gate/bench/probe runs in one
+    // JVM (round-2 advisor finding). DROP CASCADE clears the previous
+    // run's catalog + managed dirs; the recursive delete clears stale
+    // dirs left by a prior JVM the in-memory catalog no longer knows.
+    val db = "graft_x09"
+    val loc = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-x09-db")
+    spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+    if (Files.exists(loc)) {
+      val walk = Files.walk(loc)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
     spark.sql(s"CREATE DATABASE $db LOCATION '$loc'")
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"))

@@ -260,9 +260,12 @@ object StreamingOps {
     * here: late rows for never-emitted windows are admitted and merged
     * (eviction happens at batch end, after input is merged), so every
     * closed window carries its full event-time count — which is exactly
-    * what the oracle computes. Event times are second-grained, so the
-    * watermark never lands exactly on an hour boundary and ≤-vs-<
-    * eviction edges cannot bite. */
+    * what the oracle computes. Boundary edge: second-grained data CAN
+    * put the watermark exactly on an hour boundary (max(ts) at
+    * hh:10:00), where the oracle's `window_end <= wm` and Spark's
+    * eviction comparison must agree — they do: Spark finalizes the
+    * window whose end equals the watermark (`<=` semantics), pinned by
+    * WatermarkEdgeSpec. */
   private def w09(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("event_id"))
