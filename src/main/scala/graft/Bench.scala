@@ -47,6 +47,14 @@ object Bench {
     val streamWpsRocks = streamWordsPerSec(spark, measureSec = 30,
       rowsPerBatch = 200000, providerClass = Some(
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
+    // the reference's skew experiment (RandomSentenceGenerator.java:47-53):
+    // 20% of sentences are the all-"skew" hot key. Spark's hash agg does
+    // map-side partial aggregation before the shuffle, so the hot key
+    // arrives at its reducer as ~one partial row per map task, not as
+    // 20% of the stream — the knob that melts a naive keyBy is absorbed
+    // by the engine (SkewDemoSpec pins the salted x01 equivalence too)
+    val streamWpsSkew = streamWordsPerSec(spark, measureSec = 20,
+      rowsPerBatch = 200000, skewPercent = 20)
     // let state-store unload/GC from the throughput stress settle so the
     // latency measurement reflects pipeline delay, not cleanup contention
     System.gc()
@@ -65,6 +73,7 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""stream_words_per_sec":$streamWps,""" +
       s""""stream_words_per_sec_rocksdb":$streamWpsRocks,""" +
+      s""""stream_words_per_sec_skew20":$streamWpsSkew,""" +
       s""""latency_ms_p50":$p50,"latency_ms_p95":$p95,"sf":"$sfDir"}"""
     // The JSON line must reach the driver's parser intact. Round 1 lost it
     // in interleaved Spark shutdown noise (TaskKilled warnings from the
@@ -177,7 +186,8 @@ object Bench {
     * reference benchmarks both Flink backends the same way). */
   def streamWordsPerSec(spark: SparkSession, measureSec: Int = 25,
                         providerClass: Option[String] = None,
-                        rowsPerBatch: Int = 50000): Double = {
+                        rowsPerBatch: Int = 50000,
+                        skewPercent: Int = 0): Double = {
     val sentenceSize = 100
     val savedProvider = spark.conf.get(
       "spark.sql.streaming.stateStore.providerClass",
@@ -203,7 +213,8 @@ object Bench {
     val sentences = RateSentenceSource.stream(
       spark, rate = rowsPerBatch, sentenceSize = sentenceSize,
       samplePeriod = 1000,
-      numPartitions = spark.sparkContext.defaultParallelism)
+      numPartitions = spark.sparkContext.defaultParallelism,
+      skewPercent = skewPercent)
     val counts = WordCountPipeline.runningCounts(
       WordCountPipeline.tokenize(sentences))
     val q = counts.writeStream
