@@ -24,6 +24,23 @@ import graft.streaming.{Sentence, WordCountPipeline}
   */
 object StreamingOps {
 
+  /** Force multi-write replay order without sleeping between writes:
+    * FileStreamSource schedules files in modification-time order, so
+    * each staged batch's fresh part-files are explicitly stamped with
+    * mtime = batch*1000 ms. Freshly-written parts carry a real (large)
+    * mtime; already-stamped ones carry b*1000 and are left alone. */
+  private def stampBatch(dir: String, b: Int): Unit = {
+    import java.nio.file.{Files => F, Paths}
+    val listing = F.list(Paths.get(dir))
+    try listing.forEach { f =>
+      val n = f.getFileName.toString
+      if (n.startsWith("part-") &&
+          F.getLastModifiedTime(f).toMillis > 1000000L)
+        F.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(b * 1000L))
+    } finally listing.close()
+  }
+
   /** stage `df` as `files` parquet files; tail it as a stream, one file
     * per micro-batch */
   private def stagedStream(spark: SparkSession, df: DataFrame,
@@ -36,13 +53,28 @@ object StreamingOps {
 
   /** run a streaming query to a memory sink until the staged input
     * drains; returns the result table (complete mode: final state;
-    * append mode: all emitted rows) */
+    * append mode: all emitted rows).
+    *
+    * State parallelism: the gate replays stage KB-scale batches, so a
+    * 32-way session default means each micro-batch pays 32 state-store
+    * commits per stateful operator (×2 sides ×2 stores for a
+    * stream-stream join) for microscopic per-partition work — at sf0.1
+    * that overhead WAS the query time (w08/w10 ≈ 7-8 s). The stream's
+    * state partitioning is capped at 8 here (captured by the query at
+    * start, recorded in its checkpoint; results are partition-count-
+    * invariant). A production deployment sizes this to its key volume —
+    * that is the knob, this is the gate's honest setting for tiny state. */
   private def runComplete(spark: SparkSession, agg: DataFrame,
                           prefix: String, mode: String = "complete"): DataFrame = {
     val qname = prefix + UUID.randomUUID().toString.replace("-", "")
-    val query = agg.writeStream
-      .outputMode(mode).format("memory").queryName(qname).start()
-    try query.processAllAvailable() finally query.stop()
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, saved.toInt).toString)
+    try {
+      val query = agg.writeStream
+        .outputMode(mode).format("memory").queryName(qname).start()
+      try query.processAllAvailable() finally query.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     spark.table(qname)
   }
 
@@ -272,10 +304,10 @@ object StreamingOps {
     val staged = java.nio.file.Files.createTempDirectory("graft-stage").toString
     ev.where(pmod(col("event_id"), lit(4)) =!= 0)
       .coalesce(1).write.mode("overwrite").parquet(staged)
-    // strictly later mtime ⇒ FileStreamSource schedules this file second
-    Thread.sleep(1100)
+    stampBatch(staged, 1) // mtime order = batch order (no sleeps)
     ev.where(pmod(col("event_id"), lit(4)) === 0)
       .coalesce(1).write.mode("append").parquet(staged)
+    stampBatch(staged, 2)
     val agg = spark.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
       // watermarks demand TIMESTAMP (LTZ); session tz is UTC, so the
@@ -352,22 +384,6 @@ object StreamingOps {
       (3, "2024-01-01 20:05:00", 2L, 230L)) // admitted; matches p200 state
     val pDir = java.nio.file.Files.createTempDirectory("graft-w10-p").toString
     val eDir = java.nio.file.Files.createTempDirectory("graft-w10-e").toString
-    // Replay order = mtime order (FileStreamSource sorts by modification
-    // time); stamp each batch's files explicitly rather than sleeping
-    // between writes.
-    def stampBatch(dir: String, b: Int): Unit = {
-      import java.nio.file.{Files => F, Paths}
-      val listing = F.list(Paths.get(dir))
-      try listing.forEach { f =>
-        val n = f.getFileName.toString
-        // freshly-written parts carry a real (large) mtime; already-
-        // stamped ones carry b*1000 and must not be restamped
-        if (n.startsWith("part-") &&
-            F.getLastModifiedTime(f).toMillis > 1000000L)
-          F.setLastModifiedTime(f,
-            java.nio.file.attribute.FileTime.fromMillis(b * 1000L))
-      } finally listing.close()
-    }
     (1 to 3).foreach { b =>
       pRows.filter(_._1 == b).map { case (_, s, u, i) => (t(s), u, i) }
         .toDF("p_ts", "p_user", "p_id")
