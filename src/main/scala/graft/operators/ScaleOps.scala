@@ -243,16 +243,19 @@ object ScaleOps {
   //       into a metadata decision. PlanSpec pins the no-Exchange shape.
   // ---------------------------------------------------------------------
   private def x09(spark: SparkSession, dir: String): DataFrame = {
-    // FIXED db name + location with overwrite semantics: the result
+    // PER-PROCESS db name + location with overwrite semantics: the result
     // DataFrame is lazy, so this run's tables can only be dropped by the
     // NEXT invocation — a per-run unique db would accumulate catalog
     // entries and /tmp table data across gate/bench/probe runs in one
-    // JVM (round-2 advisor finding). DROP CASCADE clears the previous
-    // run's catalog + managed dirs; the recursive delete clears stale
-    // dirs left by a prior JVM the in-memory catalog no longer knows.
-    val db = "graft_x09"
+    // JVM (round-2 advisor finding), while a globally fixed name raced
+    // two concurrent JVMs' DROP CASCADE against each other's live tables
+    // (round-3 advisor finding). Keying by pid gives each JVM its own
+    // db: DROP CASCADE clears this JVM's previous run; the recursive
+    // delete clears a stale same-pid dir from a recycled pid.
+    val db = s"graft_x09_${ProcessHandle.current().pid()}"
     val loc = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-x09-db")
+      System.getProperty("java.io.tmpdir"),
+      s"graft-x09-db-${ProcessHandle.current().pid()}")
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
     if (Files.exists(loc)) {
       val walk = Files.walk(loc)
