@@ -476,7 +476,11 @@ object Dedup {
   private def d06(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pl = d06Planes // plain array in the closure
-    val nPlanes = planesFor(d06Corpus(spark, dir).count())
+    // corpus size = base ∪ variant = exactly 2× the table; counting the
+    // parquet rows is metadata-only, where counting d06Corpus itself
+    // would evaluate the variant's transform(...) projection over every
+    // vector just to size the plane fan-out (round-4 advisor finding)
+    val nPlanes = planesFor(2L * Tables.embeddings(spark, dir).count())
     // one tight pass per vector: norm + all 16 band keys (d03's kernel
     // shape); the emb rides along for the exact verify join
     val sig = d06Corpus(spark, dir).as[(Long, Array[Double])]

@@ -131,12 +131,7 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
         cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= TOP_K)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-              round(col("cos"), 4).as("cos_sim"))
+    topK(spark, scored)
   }
 
   private val s02Sql = {
@@ -179,7 +174,6 @@ object Similarity {
   //       row as in the window formulation; output ≡ s01 (same oracle)
   // ---------------------------------------------------------------------
   private def s03(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val q = e.where(col("vec_id") < N_QUERIES)
@@ -192,12 +186,25 @@ object Similarity {
       .select(col("query_id"),
               col("neighbor_id"),
               cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")).as("cos"))
-      .as[(Long, Long, Double)]
+    topK(spark, scored)
+  }
+
+  /** Grouped top-k through the typed TopKAggregator (s03's kernel, now
+    * the default tail for every ANN variant): map-side partial top-k
+    * buffers mean the exchange carries O(queries·k) rows, where the
+    * row_number window formulation shuffles and sorts every scored
+    * candidate. Ordering (cos desc, neighbor_id asc) matches the window
+    * version exactly, so the window-based SQL oracles are unchanged.
+    * Input must carry (query_id, neighbor_id, cos). */
+  private def topK(spark: SparkSession, scored: DataFrame): DataFrame = {
+    import spark.implicits._
     val agg = new graft.functions.TopKAggregator(TOP_K)
-    scored.groupByKey(_._1)
+    scored.select(col("query_id"), col("neighbor_id"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
       .agg(agg.toColumn.name("topk"))
-      .flatMap { case (qid, topk) =>
-        topk.zipWithIndex.map { case ((nid, cos), i) => (qid, nid, i + 1, cos) }
+      .flatMap { case (qid, tk) =>
+        tk.zipWithIndex.map { case ((nid, cos), i) => (qid, nid, i + 1, cos) }
       }
       .toDF("query_id", "neighbor_id", "rnk", "cos")
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
@@ -230,27 +237,72 @@ object Similarity {
     k.toInt
   }
 
-  private def s04(spark: SparkSession, dir: String): DataFrame = {
+  private def s04(spark: SparkSession, dir: String): DataFrame =
+    s04Probe(spark, dir, nprobe = 1)
+
+  /** IVF probe with a tunable `nprobe` (how many nearest cells each
+    * query scans — the recall/cost knob every IVF-flat system exposes).
+    * The gated s04 runs nprobe = 1: fully deterministic and what the
+    * SQL oracle reproduces. nprobe = K scans every cell and degenerates
+    * to exact brute force (≡ s01) — pinned by SimilarityProbeSpec.
+    *
+    * Assignment scale shape (the round-4 verdict's last scale-killer,
+    * fixed here): the N×K scoring pass stays a broadcast cross join
+    * (narrow — no shuffle), and the per-vector argmin runs as a typed
+    * `reduceGroups`, which plans as ObjectHashAggregate with map-side
+    * partial reduction — each task folds its slice of scored rows into
+    * one ≤K-free candidate per vec_id BEFORE the exchange, so the
+    * shuffle carries N assignment rows, not the n·√n scored rows the
+    * previous row_number window argmin sort-shuffled (at 1e9 vectors ×
+    * 31,623 centroids that was ~3e13 shuffled rows). PlanSpec pins the
+    * no-Window/no-Sort plan. */
+  private[graft] def s04Probe(spark: SparkSession, dir: String,
+                              nprobe: Int): DataFrame = {
+    import spark.implicits._
     val nCentroids = centroidsFor(Tables.embeddings(spark, dir).count())
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val cents = e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
               col("nrm").as("cn"))
-    // coarse assignment: nearest centroid by cosine (ties → lowest cid)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cos_c").desc, col("cid"))
+    // coarse assignment: nearest centroid by cosine (ties → lowest cid);
+    // the reduce function is a max under a strict total order (cid is
+    // unique), so the fold is associative+commutative → deterministic
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cos_c",
-        cosinePrenormed(col("embedding"), col("cv"), col("nrm"), col("cn")))
-      .withColumn("arn", row_number().over(wAssign))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-              col("cid").as("cluster"))
-    val q = assigned.where(col("vec_id") < N_QUERIES)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-              col("nrm").as("qn"), col("cluster"))
-    // probe only the query's cell
+      .select(col("vec_id"), col("cid"),
+              cosinePrenormed(col("embedding"), col("cv"),
+                              col("nrm"), col("cn")).as("cos_c"),
+              col("embedding"), col("nrm"))
+      .as[(Long, Long, Double, Array[Float], Double)]
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        if (a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)) a else b
+      }
+      .map { case (_, (vecId, cid, _, emb, nrm)) => (vecId, emb, nrm, cid) }
+      .toDF("vec_id", "embedding", "nrm", "cluster")
+    // each query probes its `nprobe` nearest cells, computed directly
+    // from the (tiny) query×centroid score matrix — NOT by filtering
+    // the full corpus assignment, which would recompute the entire N×K
+    // pass just to read the query rows (the typed groupByKey is opaque
+    // to Catalyst, so a vec_id filter cannot push through it). Top-1
+    // here ≡ the query's own assignment row (same tie-break).
+    val qvecs = e.where(col("vec_id") < N_QUERIES)
+    val probeAgg = new graft.functions.TopKAggregator(math.max(1, nprobe))
+    val cells = qvecs.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+              cosinePrenormed(col("embedding"), col("cv"),
+                              col("nrm"), col("cn")).as("cos_c"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(probeAgg.toColumn.name("cells"))
+      .flatMap { case (qid, cs) => cs.map { case (cid, _) => (qid, cid) } }
+      .toDF("query_id", "cluster")
+    val q = cells.join(
+      qvecs.select(col("vec_id").as("query_id"),
+                   col("embedding").as("qv"), col("nrm").as("qn")),
+      Seq("query_id"))
+    // probe only the query's cell(s); a neighbor lives in exactly one
+    // cell, so no pair is scored twice even at nprobe > 1
     val scored = broadcast(q)
       .join(assigned.select(col("vec_id").as("neighbor_id"),
                             col("embedding").as("nv"), col("nrm").as("nn"),
@@ -259,12 +311,7 @@ object Similarity {
       .where(col("neighbor_id") =!= col("query_id"))
       .withColumn("cos",
         cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= TOP_K)
-      .select(col("query_id"), col("neighbor_id"), col("rnk"),
-              round(col("cos"), 4).as("cos_sim"))
+    topK(spark, scored)
   }
 
   private val s04Sql =

@@ -51,6 +51,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bkey"))
   }
 
+  test("s04 IVF argmin and top-k aggregate map-side (no window/sort shuffle)") {
+    // the round-4 scale-killer: a row_number window argmin sort-shuffled
+    // all n·√n scored assignment rows; the typed reduceGroups/aggregator
+    // formulation must plan as (Object)HashAggregate with map-side
+    // partials — no Window, no Sort of the scored pass anywhere
+    val p = formatted("s04_knn_ivf")
+    assert(!p.contains("Window"), "s04 must not plan window functions")
+    assert(!p.contains("SortAggregate") && !p.contains("SortMergeJoin"),
+      "s04 argmin/top-k must not fall back to sort-based operators")
+    assert(p.contains("ObjectHashAggregate"))
+  }
+
+  test("s02 LSH top-k aggregates map-side (no window)") {
+    val p = formatted("s02_knn_lsh")
+    assert(!p.contains("Window"))
+    assert(p.contains("ObjectHashAggregate"))
+  }
+
   test("x07 read is partition-pruned on the lang predicate") {
     val p = formatted("x07_partitioned_write")
     assert(p.contains("PartitionFilters") && p.contains("lang"))

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** Pins the IVF `nprobe` knob (s04Probe): probing more cells can only
+  * improve recall, and probing every cell recovers the exact answer. */
+class SimilarityProbeSpec extends AnyFunSuite {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("nprobe covering every cell degenerates to exact brute force (= s01)") {
+    // centroidsFor(500) cells in total; an oversized nprobe probes all
+    // of them, so the candidate set is the full corpus — the result
+    // must equal the exact window-formulated baseline bit-for-bit
+    val all = Similarity.s04Probe(spark, sfDir, nprobe = Int.MaxValue)
+    val exact = SparkEntry.queries("s01_knn_bruteforce")(spark, sfDir)
+    assert(rows(all) == rows(exact))
+  }
+
+  test("raising nprobe monotonically improves every returned rank") {
+    import org.apache.spark.sql.functions.col
+    val p1 = Similarity.s04Probe(spark, sfDir, nprobe = 1)
+      .select(col("query_id"), col("rnk"), col("cos_sim").as("cos1"))
+    val p2 = Similarity.s04Probe(spark, sfDir, nprobe = 2)
+      .select(col("query_id"), col("rnk"), col("cos_sim").as("cos2"))
+    // nprobe=2's candidate set is a superset, so at every shared rank
+    // the score can only be >= (round(,4) preserves monotonicity)
+    val regressed = p1.join(p2, Seq("query_id", "rnk"))
+      .where(col("cos2") < col("cos1")).count()
+    assert(regressed == 0)
+  }
+
+  test("gated s04 is the nprobe=1 configuration") {
+    val gated = SparkEntry.queries("s04_knn_ivf")(spark, sfDir)
+    val probe1 = Similarity.s04Probe(spark, sfDir, nprobe = 1)
+    assert(rows(gated) == rows(probe1))
+  }
+}
