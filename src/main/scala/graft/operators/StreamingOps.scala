@@ -450,6 +450,93 @@ object StreamingOps {
       |FROM pk JOIN ek ON p_user = e_user
       | AND e_ts >= p_ts AND e_ts < p_ts + INTERVAL 1 HOUR""".stripMargin
 
+  /** w11 — BOUNDED-STATE streaming dedup: `dropDuplicatesWithinWatermark`
+    * (w05's production variant — w05's plain `dropDuplicates` keeps every
+    * fingerprint forever; here the seen-set expires with the watermark,
+    * so state is O(keys per delay window) at any stream length). Expiry
+    * semantics under test: a key's state lives until the watermark
+    * passes first-occurrence ts + delay; a duplicate arriving while the
+    * state is live is dropped, and a re-occurrence after expiry is
+    * EMITTED AGAIN — re-emission is exactly the bounded-state trade, so
+    * the oracle must model it, not just distinct().
+    *
+    * Like w10, arrival order IS the semantics, so the input is a
+    * purpose-built 3-batch replay (literal timestamps, per-batch clock
+    * keys pinning the watermark, every comparison ≥ 20 min from any
+    * admission/eviction edge). Planted: a same-batch duplicate
+    * (dropped), a cross-batch duplicate within delay (dropped — state
+    * from batch 1 is evicted only at the end of batch 2, which uses
+    * wm(1)), a re-occurrence after expiry (re-emitted), and a late row
+    * below the late-events watermark wm(b−2) (dropped outright,
+    * SPARK-40925 — same two-batch lag w10 pins). */
+  private def w11(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // (batch, ts, fp); wm(1) = 01:00 − 10 min = 00:50, wm(2) = 01:20
+    val rows = Seq(
+      (1, "2024-01-01 00:00:00", "A"), // emitted
+      (1, "2024-01-01 00:02:00", "A"), // same-batch dup → dropped
+      (1, "2024-01-01 00:03:00", "B"), // emitted; expiry 00:13
+      (1, "2024-01-01 00:04:00", "C"), // emitted; expiry 00:14 < wm(1)
+      (1, "2024-01-01 01:00:00", "K1"), // clock
+      (2, "2024-01-01 00:08:00", "B"), // dup, B-state still live → dropped
+      (2, "2024-01-01 01:30:00", "K2"), // clock
+      (3, "2024-01-01 01:25:00", "C"), // C-state expired → RE-emitted
+      (3, "2024-01-01 00:30:00", "D"), // late: 00:30 < wm(1)=00:50 → dropped
+      (3, "2024-01-01 02:00:00", "E"), // emitted
+      (3, "2024-01-01 02:10:00", "K3")) // clock
+    val dir11 = java.nio.file.Files.createTempDirectory("graft-w11").toString
+    (1 to 3).foreach { b =>
+      rows.filter(_._1 == b).map { case (_, s, fp) => (t(s), fp) }
+        .toDF("ts", "fp")
+        .coalesce(1).write.mode("append").parquet(dir11)
+      stampBatch(dir11, b)
+    }
+    val deduped = spark.readStream
+      .schema(new StructType().add("ts", TimestampType).add("fp", StringType))
+      .option("maxFilesPerTrigger", 1).parquet(dir11)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("fp"))
+    runComplete(spark, deduped, "w11_", mode = "append")
+  }
+
+  /** the dedup state machine reconstructed relationally: wm(k) =
+    * max(event time in batches ≤ k) − 10 min; a batch-b row is admitted
+    * iff ts ≥ wm(b−2) (late-events watermark — w10's machine); a row is
+    * emitted iff no earlier admitted same-key row's state is still live
+    * when it arrives, where state from an earlier batch is live iff
+    * first-ts + 10 min > wm(b−2) (the newest eviction applied before
+    * batch b runs at the end of batch b−1 with wm(b−2)) and same-batch
+    * predecessors always cover. Missing wm (batches 1-2) ⇒ −∞. Data is
+    * built so no key chains more than two generations, so "earlier
+    * admitted row" and "earlier emitted row" coincide for every cover. */
+  private val w11Sql =
+    """WITH r AS (SELECT * FROM (VALUES
+      |    (1, 1, TIMESTAMP '2024-01-01 00:00:00', 'A'),
+      |    (1, 2, TIMESTAMP '2024-01-01 00:02:00', 'A'),
+      |    (1, 3, TIMESTAMP '2024-01-01 00:03:00', 'B'),
+      |    (1, 4, TIMESTAMP '2024-01-01 00:04:00', 'C'),
+      |    (1, 5, TIMESTAMP '2024-01-01 01:00:00', 'K1'),
+      |    (2, 1, TIMESTAMP '2024-01-01 00:08:00', 'B'),
+      |    (2, 2, TIMESTAMP '2024-01-01 01:30:00', 'K2'),
+      |    (3, 1, TIMESTAMP '2024-01-01 01:25:00', 'C'),
+      |    (3, 2, TIMESTAMP '2024-01-01 00:30:00', 'D'),
+      |    (3, 3, TIMESTAMP '2024-01-01 02:00:00', 'E'),
+      |    (3, 4, TIMESTAMP '2024-01-01 02:10:00', 'K3'))
+      |  t(b, seq, ts, fp)),
+      |wm AS (SELECT k, max(ts) - INTERVAL 10 MINUTE AS w
+      |  FROM r, (VALUES (1), (2)) kk(k) WHERE b <= k GROUP BY k),
+      |adm AS (SELECT * FROM r
+      |  WHERE b <= 2 OR ts >= (SELECT w FROM wm WHERE k = b - 2))
+      |SELECT fp FROM adm a WHERE NOT EXISTS (
+      |  SELECT 1 FROM adm p WHERE p.fp = a.fp
+      |    AND (p.b < a.b OR (p.b = a.b AND p.seq < a.seq))
+      |    AND (p.b = a.b
+      |         OR p.ts + INTERVAL 10 MINUTE >
+      |            COALESCE((SELECT w FROM wm WHERE k = a.b - 2),
+      |                     TIMESTAMP '1970-01-01')))""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
@@ -460,5 +547,6 @@ object StreamingOps {
     QuerySpec("w07_stream_file_source", w07, Some(w07Sql)),
     QuerySpec("w08_stream_stream_join", w08, Some(w08Sql)),
     QuerySpec("w09_stream_late_data", w09, Some(w09Sql)),
-    QuerySpec("w10_stream_stream_watermarked_join", w10, Some(w10Sql)))
+    QuerySpec("w10_stream_stream_watermarked_join", w10, Some(w10Sql)),
+    QuerySpec("w11_stream_dedup_watermarked", w11, Some(w11Sql)))
 }
