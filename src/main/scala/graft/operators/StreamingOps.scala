@@ -194,11 +194,11 @@ object StreamingOps {
       .select(graft.functions.TextFunctions.normFingerprint(col("text"))
         .as("fp_norm"))
       .dropDuplicates("fp_norm")
-    val qname = "w05_" + UUID.randomUUID().toString.replace("-", "")
-    val query = deduped.writeStream
-      .outputMode("append").format("memory").queryName(qname).start()
-    try query.processAllAvailable() finally query.stop()
-    spark.table(qname)
+    // through runComplete for the 8-way state cap: this query predated
+    // it and self-started at the session's 32 shuffle partitions — 32
+    // state-store commits per micro-batch for KB-scale state was most
+    // of its gate time
+    runComplete(spark, deduped, "w05_", mode = "append")
   }
 
   private val w05Sql =
