@@ -113,16 +113,56 @@ object Similarity {
       when(planeDot(v, p) >= 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  private def s02(spark: SparkSession, dir: String): DataFrame = {
+  private def s02(spark: SparkSession, dir: String): DataFrame =
+    s02Probe(spark, dir, nflips = 0)
+
+  /** Hyperplane LSH with a tunable MULTI-PROBE knob (Lv et al., VLDB'07
+    * — the LSH analog of s04's `nprobe`): besides its own signature
+    * bucket, each query probes the `nflips` buckets reached by flipping
+    * the sign bit of the hyperplanes it sits CLOSEST to (smallest
+    * |margin| — the bits most likely to disagree for a true near
+    * neighbor). Recall rises with nflips at probe cost (1+nflips)×
+    * TARGET_BUCKET per query, with no extra tables — the trick that
+    * lets a production deployment hold fewer replicated hash tables.
+    * The gated s02 runs nflips = 0 (what the SQL oracle reproduces);
+    * monotone-recall and base-config equivalence are pinned by
+    * SimilarityProbeSpec.
+    *
+    * Scale shape: margins/probe buckets are computed only on the
+    * (tiny, broadcast) query side with codegen'd array expressions; the
+    * corpus side is untouched, and the probe explode only multiplies
+    * the broadcast rows by (1+nflips). Every vector lives in exactly
+    * one bucket and probe buckets are pairwise distinct, so no pair is
+    * scored twice. */
+  private[graft] def s02Probe(spark: SparkSession, dir: String,
+                              nflips: Int): DataFrame = {
     // metadata-cheap parquet row count; fixes the plane fan-out for this run
     val nPlanes = planesFor(Tables.embeddings(spark, dir).count())
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", bucketOf(col("embedding"), nPlanes))
       .withColumn("nrm", norm(col("embedding")))
-    val q = e.where(col("vec_id") < N_QUERIES)
+    // (|margin|, planeIdx) ascending: the flip candidates, nearest
+    // boundary first (ties → lower plane index, so fully deterministic)
+    val margins = array_sort(array(planes.take(nPlanes).zipWithIndex.map {
+      case (p, i) => struct(abs(planeDot(col("embedding"), p)).as("m"),
+                            lit(i).as("i"))
+    }.toIndexedSeq: _*))
+    val flips = math.min(math.max(0, nflips), nPlanes)
+    val qbase = e.where(col("vec_id") < N_QUERIES)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-              col("bucket"), col("nrm").as("qn"))
-    // probe only the query's bucket: candidate set shrinks ~64×
+              col("nrm").as("qn"), col("bucket"),
+              slice(transform(margins, s => s.getField("i")),
+                    1, math.max(1, flips)).as("flip_idx"))
+    // probe set = own bucket + single-bit flips (2^i exact in double
+    // up to PLANES_MAX=24, so the cast is lossless)
+    val probes =
+      if (flips == 0) array(col("bucket"))
+      else concat(array(col("bucket")),
+        transform(col("flip_idx"), i =>
+          col("bucket").bitwiseXOR(pow(lit(2.0), i).cast("int"))))
+    val q = qbase.select(col("query_id"), col("qv"), col("qn"),
+                         explode(probes).as("bucket"))
+    // probe only the query's bucket(s): candidate set shrinks ~64×/probe
     val scored = broadcast(q)
       .join(e.select(col("vec_id").as("neighbor_id"),
                      col("embedding").as("nv"), col("bucket"),

@@ -41,4 +41,29 @@ class SimilarityProbeSpec extends AnyFunSuite {
     val probe1 = Similarity.s04Probe(spark, sfDir, nprobe = 1)
     assert(rows(gated) == rows(probe1))
   }
+
+  test("gated s02 is the nflips=0 (single-bucket) configuration") {
+    val gated = SparkEntry.queries("s02_knn_lsh")(spark, sfDir)
+    val probe0 = Similarity.s02Probe(spark, sfDir, nflips = 0)
+    assert(rows(gated) == rows(probe0))
+  }
+
+  test("multi-probe flips monotonically improve every returned rank") {
+    import org.apache.spark.sql.functions.col
+    // flipping bits only ADDS probe buckets, so nflips=4's candidate
+    // set is a superset of nflips=0's: at every shared (query, rank)
+    // the score can only be >=, and no query can return fewer rows
+    val p0 = Similarity.s02Probe(spark, sfDir, nflips = 0)
+      .select(col("query_id"), col("rnk"), col("cos_sim").as("cos0"))
+    val p4 = Similarity.s02Probe(spark, sfDir, nflips = 4)
+      .select(col("query_id"), col("rnk"), col("cos_sim").as("cos4"))
+    val joined = p0.join(p4, Seq("query_id", "rnk"))
+    assert(joined.count() == p0.count(), "a returned rank disappeared")
+    assert(joined.where(col("cos4") < col("cos0")).count() == 0)
+    // and the knob does real work on this (deterministic) corpus:
+    // 4 extra probes fill every query's top-5 (45 → 50 rows) and
+    // strictly improve almost every shared rank
+    assert(p4.count() == 50)
+    assert(joined.where(col("cos4") > col("cos0")).count() >= 40)
+  }
 }
