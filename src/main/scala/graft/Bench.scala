@@ -220,8 +220,8 @@ object Bench {
         .option("checkpointLocation", {
           val base = java.nio.file.Paths.get("/dev/shm")
           if (Files.isWritable(base))
-            Files.createTempDirectory(base, "graft-bench-lat").toString
-          else Files.createTempDirectory("graft-bench-lat").toString
+            graft.util.Scratch.dirUnder(base, "graft-bench-lat")
+          else graft.util.Scratch.dir("graft-bench-lat")
         })
         // short trigger: the pipeline processes a 100 ms slice (~200
         // sentences) in well under the steady cadence, so a record waits
@@ -375,7 +375,7 @@ object Bench {
       val counts = WordCountPipeline.runningCounts(
         WordCountPipeline.tokenize(sentences))
       measureSteady(spark, counts.toDF(),
-        Files.createTempDirectory("graft-bench-ckpt").toString,
+        graft.util.Scratch.dir("graft-bench-ckpt"),
         measureSec, warmupTimeoutSec, minSteadyBatches, sentenceSize)._1
     } finally spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass", savedProvider)
@@ -414,7 +414,7 @@ object Bench {
         startTimestampMs = 1704067200000L) // 2024-01-01, arbitrary fixed
       val counts = WordCountPipeline.runningCounts(
         WordCountPipeline.tokenize(sentences)).toDF()
-      val ckpt = Files.createTempDirectory("graft-bench-rec-ckpt").toString
+      val ckpt = graft.util.Scratch.dir("graft-bench-rec-ckpt")
       // run 1: build up state at full rate, then die mid-run. stop() is
       // issued with no drain barrier, so whatever batch is in flight at
       // preKillSec is cancelled before its commit-log write — the

@@ -36,7 +36,7 @@ object LatencyBreakdown {
           batch.filter(_.ts != -1L).collect(); ()
       }
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-latbd").toString)
+        graft.util.Scratch.dir("graft-latbd"))
       .trigger(Trigger.ProcessingTime("250 milliseconds"))
       .start()
     Thread.sleep(20000)

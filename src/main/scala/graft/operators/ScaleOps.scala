@@ -111,7 +111,7 @@ object ScaleOps {
       |FROM orders GROUP BY 1, 2""".stripMargin
 
   private def x03(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-csv").toString
+    val tmp = graft.util.Scratch.dir("graft-csv")
     val o = Tables.orders(spark, dir)
     o.write.mode("overwrite")
       .option("header", "true")
@@ -126,7 +126,7 @@ object ScaleOps {
   }
 
   private def x04(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-json").toString
+    val tmp = graft.util.Scratch.dir("graft-json")
     val o = Tables.orders(spark, dir)
     o.write.mode("overwrite")
       .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
@@ -211,7 +211,7 @@ object ScaleOps {
   //       scale, the lang predicate prunes directories before any IO
   // ---------------------------------------------------------------------
   private def x07(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-part").toString
+    val tmp = graft.util.Scratch.dir("graft-part")
     Tables.documents(spark, dir)
       .write.mode("overwrite").partitionBy("lang").parquet(tmp)
     spark.read.parquet(tmp)
@@ -229,7 +229,7 @@ object ScaleOps {
   //       surface next to parquet and CSV/JSON; ORC ships in-box)
   // ---------------------------------------------------------------------
   private def x08(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = Files.createTempDirectory("graft-orc").toString
+    val tmp = graft.util.Scratch.dir("graft-orc")
     val o = Tables.orders(spark, dir)
     o.write.mode("overwrite").orc(tmp)
     ordersAgg(spark.read.schema(o.schema).orc(tmp))

@@ -45,7 +45,7 @@ object StreamingOps {
     * per micro-batch */
   private def stagedStream(spark: SparkSession, df: DataFrame,
                            files: Int): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val staged = graft.util.Scratch.dir("graft-stage")
     df.repartition(files).write.mode("overwrite").parquet(staged)
     spark.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
@@ -183,7 +183,7 @@ object StreamingOps {
     * must come out. */
   private def w05(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("text"))
-    val staged = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val staged = graft.util.Scratch.dir("graft-stage")
     docs.repartition(2).write.mode("overwrite").parquet(staged)
     // replayed duplicates: append half the corpus as an extra file —
     // its fingerprints are already in the state store when it arrives
@@ -301,7 +301,7 @@ object StreamingOps {
   private def w09(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("event_id"))
-    val staged = java.nio.file.Files.createTempDirectory("graft-stage").toString
+    val staged = graft.util.Scratch.dir("graft-stage")
     ev.where(pmod(col("event_id"), lit(4)) =!= 0)
       .coalesce(1).write.mode("overwrite").parquet(staged)
     stampBatch(staged, 1) // mtime order = batch order (no sleeps)
@@ -382,8 +382,8 @@ object StreamingOps {
       (3, "2024-01-01 00:30:00", 1L, 130L), // LATE (< wm(1)=9:50) → dropped
       (3, "2024-01-01 10:05:00", 5L, 150L), // late vs wm(2), ON TIME vs wm(1) → emitted
       (3, "2024-01-01 20:05:00", 2L, 230L)) // admitted; matches p200 state
-    val pDir = java.nio.file.Files.createTempDirectory("graft-w10-p").toString
-    val eDir = java.nio.file.Files.createTempDirectory("graft-w10-e").toString
+    val pDir = graft.util.Scratch.dir("graft-w10-p")
+    val eDir = graft.util.Scratch.dir("graft-w10-e")
     (1 to 3).foreach { b =>
       pRows.filter(_._1 == b).map { case (_, s, u, i) => (t(s), u, i) }
         .toDF("p_ts", "p_user", "p_id")
@@ -485,7 +485,7 @@ object StreamingOps {
       (3, "2024-01-01 00:30:00", "D"), // late: 00:30 < wm(1)=00:50 → dropped
       (3, "2024-01-01 02:00:00", "E"), // emitted
       (3, "2024-01-01 02:10:00", "K3")) // clock
-    val dir11 = java.nio.file.Files.createTempDirectory("graft-w11").toString
+    val dir11 = graft.util.Scratch.dir("graft-w11")
     (1 to 3).foreach { b =>
       rows.filter(_._1 == b).map { case (_, s, fp) => (t(s), fp) }
         .toDF("ts", "fp")

@@ -88,7 +88,7 @@ object StatefulWordCount {
     val counts = WordCountPipeline.statefulCounts(tokens)
 
     val ckpt = cfg.checkpointDir.getOrElse(
-      Files.createTempDirectory("graft-wc-ckpt").toString)
+      graft.util.Scratch.dir("graft-wc-ckpt"))
     val sink = new LatencySink(
       sinkId = scala.util.Random.nextInt(1 << 20), samplePeriod = cfg.samplePeriod)
     val query = counts.writeStream

@@ -1,0 +1,39 @@
+package graft.util
+
+import java.nio.file.{Files, Path}
+
+/** Process-scoped scratch directories: created like
+  * `Files.createTempDirectory` but swept by a single JVM shutdown hook,
+  * so repeated gate/bench runs don't accumulate staged parquet,
+  * roundtrip sinks, and checkpoints in java.io.tmpdir — the round-4
+  * advisor flagged the x09 variant of this leak, and every staged
+  * streaming input is the same class. Deletion is best-effort: a
+  * SIGKILL still leaks, and the hook swallows per-file errors (a dir
+  * may already be partly gone). Dirs live until JVM exit, so
+  * within-run reuse (e.g. the kill-and-recover checkpoint) is safe. */
+object Scratch {
+  private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[Path]()
+  private val armed = new java.util.concurrent.atomic.AtomicBoolean()
+
+  def dir(prefix: String): String = register(Files.createTempDirectory(prefix))
+
+  /** variant for an explicit parent (e.g. /dev/shm checkpoints) */
+  def dirUnder(base: Path, prefix: String): String =
+    register(Files.createTempDirectory(base, prefix))
+
+  private def register(p: Path): String = {
+    dirs.add(p)
+    if (armed.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => sweep()))
+    p.toString
+  }
+
+  private def sweep(): Unit = dirs.forEach { d =>
+    try if (Files.exists(d)) {
+      val walk = Files.walk(d)
+      try walk.sorted(java.util.Comparator.reverseOrder()).forEach { p =>
+        try Files.deleteIfExists(p) catch { case _: Throwable => () }
+      } finally walk.close()
+    } catch { case _: Throwable => () }
+  }
+}
