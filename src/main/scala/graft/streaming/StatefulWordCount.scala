@@ -17,6 +17,7 @@ import graft.sources.RateSentenceSource
   *   --parallelism 4      --duration 60        --checkpoint-interval 30
   *   --skew-percent 0     --checkpoint-dir <path>
   *   --state-backend hdfs|rocksdb
+  *   --changelog-checkpointing true|false   (rocksdb only)
   *
   * `--state-backend rocksdb` switches keyed state to the RocksDB state
   * store (off-heap, spill-to-disk) — the engine knob for keyed state
@@ -34,7 +35,8 @@ object StatefulWordCount {
       checkpointIntervalSec: Int = -1,
       skewPercent: Int = 0,
       checkpointDir: Option[String] = None,
-      stateBackend: String = "hdfs")
+      stateBackend: String = "hdfs",
+      changelogCheckpointing: Boolean = false)
 
   def parse(args: Array[String]): Config =
     args.sliding(2, 2).foldLeft(Config()) {
@@ -48,6 +50,8 @@ object StatefulWordCount {
       case (c, Array("--checkpoint-dir", v))      => c.copy(checkpointDir = Some(v))
       case (c, Array("--state-backend", v)) if v == "hdfs" || v == "rocksdb" =>
         c.copy(stateBackend = v)
+      case (c, Array("--changelog-checkpointing", v)) =>
+        c.copy(changelogCheckpointing = v.toBoolean)
       case (c, other) =>
         sys.error(s"unknown argument: ${other.mkString(" ")}"); c
     }
@@ -75,6 +79,16 @@ object StatefulWordCount {
   def run(spark: SparkSession, cfg: Config): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       providerClass(cfg))
+    // RocksDB changelog checkpointing: commit per-batch write deltas to
+    // the checkpoint instead of full SST snapshots — at 100 TB keyed
+    // state this turns the per-batch durability cost from O(state) into
+    // O(batch updates) and speeds recovery the same way (the RocksDB
+    // analog of an incremental checkpoint). Off by default: the gated
+    // recovery path measures the conservative full-snapshot shape.
+    if (cfg.stateBackend == "rocksdb" && cfg.changelogCheckpointing)
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
     val sentences = RateSentenceSource.stream(
       spark, rate = cfg.sourceRate, sentenceSize = cfg.sentenceSize,
       samplePeriod = cfg.samplePeriod, numPartitions = cfg.parallelism,

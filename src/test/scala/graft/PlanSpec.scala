@@ -69,6 +69,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("ObjectHashAggregate"))
   }
 
+  test("s02 multi-probe keeps the broadcast bucket-join shape") {
+    // the probe explode multiplies only the tiny broadcast query side;
+    // the corpus must still arrive through a broadcast hash join on the
+    // bucket key — never a sort-merge shuffle or a nested loop
+    val p = operators.Similarity.s02Probe(spark, sfDir, nflips = 4)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"))
+  }
+
   test("x07 read is partition-pruned on the lang predicate") {
     val p = formatted("x07_partitioned_write")
     assert(p.contains("PartitionFilters") && p.contains("lang"))

@@ -43,4 +43,11 @@ class ConfigSpec extends AnyFunSuite {
       StatefulWordCount.parse(Array("--state-backend", "bogus"))
     }
   }
+
+  test("changelog-checkpointing knob parses and defaults off") {
+    assert(!StatefulWordCount.parse(Array.empty).changelogCheckpointing)
+    assert(StatefulWordCount.parse(Array(
+      "--state-backend", "rocksdb", "--changelog-checkpointing", "true"))
+      .changelogCheckpointing)
+  }
 }
