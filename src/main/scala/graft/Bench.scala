@@ -87,14 +87,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val extras =
-      s""""stream_words_per_sec":${fmt(streamWps, 0)},""" +
-        s""""stream_words_per_sec_rocksdb":${fmt(streamWpsRocks, 0)},""" +
-        s""""stream_words_per_sec_skew20":${fmt(streamWpsSkew, 0)},""" +
-        s""""stream_words_per_sec_recovery":${fmt(streamWpsRecovery, 0)},""" +
-        s""""stream_recovery_sec":${fmt(recoverySec, 2)},""" +
-        s""""latency_ms_p50":$p50,"latency_ms_p95":$p95"""
-    val (full, last) = buildLines(results, extras, sfDir)
+    val (full, last) = buildLines(results,
+      extrasJson(streamWps, streamWpsRocks, streamWpsSkew,
+                 streamWpsRecovery, recoverySec, p50, p95),
+      sfDir)
     // The JSON must reach the driver's parser intact. Round 1 lost it in
     // interleaved Spark shutdown noise (TaskKilled warnings from stopped
     // streaming queries), so: (1) persist it to a well-known file first,
@@ -108,6 +104,22 @@ object Bench {
     println(last)
     System.out.flush()
   }
+
+  /** The non-query half of the bench JSON line. Kept as THE single
+    * builder (main and BenchLineSpec both call it) so the tail-window
+    * length guard always tests the real emitted fields — a metric added
+    * here is automatically inside the spec's ≤1800-char budget check. */
+  private[graft] def extrasJson(streamWps: Double, streamWpsRocks: Double,
+                                streamWpsSkew: Double,
+                                streamWpsRecovery: Double,
+                                recoverySec: Double,
+                                p50: Double, p95: Double): String =
+    s""""stream_words_per_sec":${fmt(streamWps, 0)},""" +
+      s""""stream_words_per_sec_rocksdb":${fmt(streamWpsRocks, 0)},""" +
+      s""""stream_words_per_sec_skew20":${fmt(streamWpsSkew, 0)},""" +
+      s""""stream_words_per_sec_recovery":${fmt(streamWpsRecovery, 0)},""" +
+      s""""stream_recovery_sec":${fmt(recoverySec, 2)},""" +
+      s""""latency_ms_p50":$p50,"latency_ms_p95":$p95"""
 
   private val rocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -420,12 +432,17 @@ object Bench {
       // preKillSec is cancelled before its commit-log write — the
       // checkpoint is left at an arbitrary mid-stream point, offsets
       // ahead of commits, exactly what a worker kill leaves behind.
-      measureSteady(spark, counts, ckpt, measureSec = preKillSec,
+      val pre = measureSteady(spark, counts, ckpt, measureSec = preKillSec,
         warmupTimeoutSec = 90, minSteadyBatches = 1, sentenceSize)
-      // run 2: restart from that checkpoint; firstEventDelay IS the
-      // recovery time (RocksDB reload + uncommitted-batch replay)
-      measureSteady(spark, counts, ckpt, measureSec = measureSec,
-        warmupTimeoutSec = 120, minSteadyBatches = 2, sentenceSize)
+      // a failed pre-kill run means there is nothing to recover FROM:
+      // without this check run 2 would measure a plain cold start on an
+      // empty checkpoint and report it as a recovery number
+      if (pre._1 < 0) (-1.0, -1.0)
+      else
+        // run 2: restart from that checkpoint; firstEventDelay IS the
+        // recovery time (RocksDB reload + uncommitted-batch replay)
+        measureSteady(spark, counts, ckpt, measureSec = measureSec,
+          warmupTimeoutSec = 120, minSteadyBatches = 2, sentenceSize)
     } finally spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass", savedProvider)
   }

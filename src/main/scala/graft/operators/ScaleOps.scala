@@ -241,15 +241,7 @@ object ScaleOps {
   //       key-local aggregation run with ZERO exchanges — the pattern
   //       that turns the biggest recurring fact-fact shuffle at 100 TB
   //       into a metadata decision. PlanSpec pins the no-Exchange shape.
-  private val x09HookArmed = new java.util.concurrent.atomic.AtomicBoolean()
-
-  private def deleteTree(loc: java.nio.file.Path): Unit =
-    if (Files.exists(loc)) {
-      val walk = Files.walk(loc)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => Files.deleteIfExists(p))
-      finally walk.close()
-    }
+  private val x09Registered = new java.util.concurrent.atomic.AtomicBoolean()
 
   // ---------------------------------------------------------------------
   private def x09(spark: SparkSession, dir: String): DataFrame = {
@@ -267,12 +259,12 @@ object ScaleOps {
       System.getProperty("java.io.tmpdir"),
       s"graft-x09-db-${ProcessHandle.current().pid()}")
     spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
-    deleteTree(loc)
+    graft.util.Scratch.deleteTree(loc)
     // a same-pid rerun sweeps the previous dir above, but a DIFFERENT
-    // next pid never would — without an exit hook every JVM run strands
+    // next pid never would — without an exit sweep every JVM run strands
     // its bucketed tables in java.io.tmpdir forever (round-4 advisor)
-    if (x09HookArmed.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => deleteTree(loc)))
+    if (x09Registered.compareAndSet(false, true))
+      graft.util.Scratch.register(loc)
     spark.sql(s"CREATE DATABASE $db LOCATION '$loc'")
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"))

@@ -85,10 +85,11 @@ object StatefulWordCount {
     // O(batch updates) and speeds recovery the same way (the RocksDB
     // analog of an incremental checkpoint). Off by default: the gated
     // recovery path measures the conservative full-snapshot shape.
-    if (cfg.stateBackend == "rocksdb" && cfg.changelogCheckpointing)
-      spark.conf.set(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
-        "true")
+    // Set UNCONDITIONALLY so a stale `true` left in a shared session by
+    // an earlier run cannot override this run's `false`.
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      (cfg.stateBackend == "rocksdb" && cfg.changelogCheckpointing).toString)
     val sentences = RateSentenceSource.stream(
       spark, rate = cfg.sourceRate, sentenceSize = cfg.sentenceSize,
       samplePeriod = cfg.samplePeriod, numPartitions = cfg.parallelism,

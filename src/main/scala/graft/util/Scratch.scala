@@ -21,19 +21,24 @@ object Scratch {
   def dirUnder(base: Path, prefix: String): String =
     register(Files.createTempDirectory(base, prefix))
 
-  private def register(p: Path): String = {
-    dirs.add(p)
-    if (armed.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => sweep()))
-    p.toString
-  }
-
-  private def sweep(): Unit = dirs.forEach { d =>
+  /** best-effort immediate recursive delete (also what the exit hook
+    * runs per registered dir) */
+  def deleteTree(d: Path): Unit =
     try if (Files.exists(d)) {
       val walk = Files.walk(d)
       try walk.sorted(java.util.Comparator.reverseOrder()).forEach { p =>
         try Files.deleteIfExists(p) catch { case _: Throwable => () }
       } finally walk.close()
     } catch { case _: Throwable => () }
+
+  /** enroll a pre-named path (e.g. the pid-keyed x09 scratch db) in the
+    * exit sweep */
+  def register(p: Path): String = {
+    dirs.add(p)
+    if (armed.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => sweep()))
+    p.toString
   }
+
+  private def sweep(): Unit = dirs.forEach(deleteTree)
 }

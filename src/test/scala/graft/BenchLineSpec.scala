@@ -14,15 +14,13 @@ class BenchLineSpec extends AnyFunSuite {
 
   private val mapper = new ObjectMapper()
 
-  // mirrors main(): worst realistic widths — 4-digit-second queries and
-  // full-width stream/latency fields
-  private val extras =
-    """"stream_words_per_sec":13606060,""" +
-      """"stream_words_per_sec_rocksdb":11008300,""" +
-      """"stream_words_per_sec_skew20":13606060,""" +
-      """"stream_words_per_sec_recovery":11008300,""" +
-      """"stream_recovery_sec":12.34,""" +
-      """"latency_ms_p50":1509.0,"latency_ms_p95":1223.0"""
+  // THE builder main() uses, fed worst realistic widths (8-digit
+  // words/s, 4-digit latencies) — so a field added to extrasJson is
+  // automatically under this spec's length budget
+  private val extras = Bench.extrasJson(
+    streamWps = 13606060d, streamWpsRocks = 11008300d,
+    streamWpsSkew = 13606060d, streamWpsRecovery = 11008300d,
+    recoverySec = 12.34, p50 = 1509.0, p95 = 1223.0)
 
   test("last line fits the driver's tail window for all registered queries") {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1234.56789)
