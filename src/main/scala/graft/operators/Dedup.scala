@@ -546,11 +546,122 @@ object Dedup {
        |WHERE $cosE >= $COS_T6""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // d07 — duplicate-CLUSTER resolution: pairwise near-dup detection (d03)
+  //        only yields edges; a pipeline must pick ONE survivor per
+  //        duplicate cluster, and near-dup similarity is not transitive-
+  //        closed (a~b, b~c without a~c), so the cluster is the connected
+  //        component of the pair graph. cluster_id = min doc_id in the
+  //        component (deterministic canonical representative);
+  //        keep = (doc_id == cluster_id).
+  // ---------------------------------------------------------------------
+
+  /** Connected components over an undirected pair list (id1, id2) via
+    * min-label propagation: every node starts labeled with itself; each
+    * round a node takes the min of its own and its neighbors' labels;
+    * fixpoint = component minimum.
+    *
+    * Scale posture: the iteration runs ONLY over nodes that appear in
+    * some pair — singletons (the overwhelming mass of a real corpus)
+    * never enter the loop and are restored by the caller's left join —
+    * so each round is one hash shuffle carrying (node, label) pairs of
+    * the duplicate SUBGRAPH, never the corpus. Rounds = max component
+    * diameter: near-dup clusters are stars/cliques around a source
+    * document (diameter ≤ ~3); a >`maxIters`-diameter duplicate CHAIN
+    * would need the alternating large-star/small-star contraction
+    * (Kiveris et al., MapReduce CC) — out of scope, so we fail loudly
+    * rather than return a non-converged labeling. Returns (node, label).
+    */
+  private[operators] def connectedComponents(pairs: DataFrame,
+                                             maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .cache()
+    // both edge directions are present, so src alone covers every node
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .cache()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("node"))
+        .select(edges("dst").as("node"), labels("label"))
+      val next = labels.union(prop)
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .cache()
+      // labels only ever decrease, so "no change" == fixpoint
+      done = next.join(labels.select(col("node"), col("label").as("prev")),
+          "node")
+        .where(col("label") < col("prev"))
+        .isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds")
+    labels
+  }
+
+  private def d07(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d03(spark, dir).select(col("id1"), col("id2"))
+    val members = connectedComponents(pairs)
+    val labels = Tables.documents(spark, dir).select(col("doc_id"))
+      .join(members, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+              coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+              (col("doc_id") === col("cluster_id")).as("keep"))
+  }
+
+  /** Oracle: the uncapped exhaustive Jaccard pairs (d03's ground truth),
+    * transitively closed with a recursive CTE; min reachable id = the
+    * component minimum the propagation loop converges to. */
+  private val d07Sql =
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(tk) - ${SHINGLE - 1}),
+       |    i -> array_to_string(tk[i:i+${SHINGLE - 1}], ' ')))) AS sh
+       |  FROM toks WHERE len(tk) >= $SHINGLE),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter_cnt
+       |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT id1, id2 FROM inter
+       |  JOIN sz sa ON sa.doc_id = id1
+       |  JOIN sz sb ON sb.doc_id = id2
+       |  WHERE CAST(inter_cnt AS DOUBLE) / (sa.n + sb.n - inter_cnt) >= $JACC_T),
+       |edges AS (
+       |  SELECT id1 AS src, id2 AS dst FROM pairs
+       |  UNION ALL SELECT id2, id1 FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+       |cc AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+       |lab AS (
+       |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |  FROM documents d LEFT JOIN cc c USING (doc_id)),
+       |siz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+       |SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       |  l.doc_id = l.cluster_id AS keep
+       |FROM lab l JOIN siz s USING (cluster_id)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_dedup_exact", d01, Some(d01Sql)),
     QuerySpec("d02_dedup_ngram_jaccard", d02, Some(d02Sql)),
     QuerySpec("d03_dedup_minhash_lsh", d03, Some(jaccardSql)),
     QuerySpec("d04_dedup_simhash", d04, Some(d04Sql)),
     QuerySpec("d05_dedup_embedding", d05, Some(d05Sql)),
-    QuerySpec("d06_dedup_embedding_lsh", d06, Some(d06Sql)))
+    QuerySpec("d06_dedup_embedding_lsh", d06, Some(d06Sql)),
+    QuerySpec("d07_dup_clusters", d07, Some(d07Sql)))
 }

@@ -599,6 +599,28 @@ object Relational {
       |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p4
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q25 — explicit GROUPING SETS: two disjoint one-dimension aggregates
+  // in ONE pass over the fact table (the set shape neither rollup nor
+  // cube expresses). Spark plans this as a single scan + Expand — at
+  // 100 TB that halves the scan cost vs two separate groupBys unioned.
+  // ---------------------------------------------------------------------
+  private def q25(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+           dsum(col("o_totalprice")).as("total"),
+           grouping_id().as("gid"))
+
+  private val q25Sql =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      |  GROUPING(o_orderstatus, o_orderpriority) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_filter_project", q02, Some(q02Sql)),
@@ -623,5 +645,6 @@ object Relational {
     QuerySpec("q21_outer_join", q21, Some(q21Sql)),
     QuerySpec("q22_correlated_subquery", q22, Some(q22Sql)),
     QuerySpec("q23_full_outer_join", q23, Some(q23Sql)),
-    QuerySpec("q24_pivot", q24, Some(q24Sql)))
+    QuerySpec("q24_pivot", q24, Some(q24Sql)),
+    QuerySpec("q25_grouping_sets", q25, Some(q25Sql)))
 }

@@ -147,11 +147,52 @@ object TextAnalysis {
       |       LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i) s) b
       |GROUP BY bigram HAVING COUNT(*) >= 5""".stripMargin
 
+  // t07 — repetition signals (the Gopher-rule family: a document whose
+  // mass concentrates in one token, or whose n-grams repeat, is
+  // boilerplate/spam). top_tok_frac = most-frequent-token share;
+  // dup_trigram_frac = share of trigram OCCURRENCES that are repeats of
+  // an earlier trigram. Per-document higher-order functions only — no
+  // shuffle, one codegen pass over the scan at any scale.
+  private def t07(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val tk = split(col("text"), "\\s+")
+    val nTok = size(tk)
+    val topCnt = array_max(transform(array_distinct(tk),
+      t => size(filter(tk, x => x === t))))
+    val triTotal = nTok - lit(2)
+    val triDistinct = size(array_distinct(transform(
+      sequence(lit(1), triTotal),
+      i => array_join(slice(tk, i, lit(3)), " "))))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      nTok.cast(LongType).as("n_tok"),
+      (topCnt.cast(DoubleType) / nTok).as("top_tok_frac"),
+      when(nTok >= 3,
+        lit(1.0) - triDistinct.cast(DoubleType) / triTotal)
+        .otherwise(0.0).as("dup_trigram_frac"))
+  }
+
+  private val t07Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents)
+      |SELECT doc_id,
+      |  len(tk) AS n_tok,
+      |  CAST(list_max(list_transform(list_distinct(tk),
+      |    u -> len(list_filter(tk, x -> x = u)))) AS DOUBLE) / len(tk)
+      |    AS top_tok_frac,
+      |  CASE WHEN len(tk) >= 3 THEN
+      |    1.0 - CAST(len(list_distinct(list_transform(
+      |      generate_series(1, len(tk) - 2),
+      |      i -> array_to_string(tk[i:i+2], ' ')))) AS DOUBLE) / (len(tk) - 2)
+      |  ELSE 0.0 END AS dup_trigram_frac
+      |FROM t""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
     QuerySpec("t03_lang_id", t03, Some(t03Sql)),
     QuerySpec("t04_fingerprint", t04, Some(t04Sql)),
     QuerySpec("t05_tfidf", t05, Some(t05Sql)),
-    QuerySpec("t06_bigrams", t06, Some(t06Sql)))
+    QuerySpec("t06_bigrams", t06, Some(t06Sql)),
+    QuerySpec("t07_repetition", t07, Some(t07Sql)))
 }

@@ -99,4 +99,19 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.explainString(CodegenMode)
     assert(p.contains("WholeStageCodegen"))
   }
+
+  test("q25 grouping sets run as ONE scan + Expand, not unioned groupBys") {
+    val p = formatted("q25_grouping_sets")
+    assert(p.contains("Expand"))
+    assert(!p.contains("Union"))
+    // one pass over the fact table: exactly one parquet scan node (the
+    // tree prints a node as "Scan parquet (id)"; its details section
+    // repeats it as "(id) Scan parquet", which must not be counted)
+    assert("Scan parquet *\\(".r.findAllIn(p).size === 1)
+  }
+
+  test("t07 repetition signals are shuffle-free (one codegen pass)") {
+    val p = formatted("t07_repetition")
+    assert(!p.contains("Exchange"))
+  }
 }
