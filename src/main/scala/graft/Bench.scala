@@ -82,6 +82,19 @@ object Bench {
     // recovered-commit and recovered steady-state words/s.
     val (streamWpsRecovery, recoverySec) = streamRecovery(spark)
 
+    // The streaming phase leaves heavy residue behind — each stopped
+    // query's ~355k-key state maps stay LOADED until the 60 s state-store
+    // maintenance cycle unloads them, and the gated loop starts
+    // immediately after (round 5's first local run measured d01, the
+    // alphabetically-first query, at 22.6 s vs its clean-JVM 0.6 s).
+    // Unload the stores eagerly, collect, settle, and pay whatever
+    // remains on an UNTIMED run. (Later gated streaming queries re-load
+    // stores on demand; StateStore.get restarts maintenance as needed.)
+    org.apache.spark.sql.graftglue.ColumnBridge.unloadAllStateStores()
+    System.gc()
+    Thread.sleep(3000)
+    SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

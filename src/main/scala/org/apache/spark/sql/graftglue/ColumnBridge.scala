@@ -24,4 +24,12 @@ object ColumnBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Eagerly unload every loaded state-store provider (they otherwise
+    * stay resident until the ~60 s maintenance cycle — between a
+    * stopped streaming query and a latency-sensitive batch phase that
+    * residue is measurable). Later streaming queries re-load providers
+    * on demand; StateStore.get restarts maintenance as needed. */
+  def unloadAllStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
