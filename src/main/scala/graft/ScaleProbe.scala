@@ -107,9 +107,11 @@ object ScaleProbe {
     val ops = if (args.length > 1) args.drop(1).toSeq else Seq(
       "q14_wordcount", "x01_salted_wordcount", "d01_dedup_exact",
       "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
-      "d04_dedup_simhash", "d06_dedup_embedding_lsh", "t05_tfidf",
+      "d04_dedup_simhash", "d06_dedup_embedding_lsh", "d07_dup_clusters",
+      "t05_tfidf", "t07_repetition",
       "s02_knn_lsh", "s04_knn_ivf",
       "q01_pricing_summary", "q03_join_agg", "q08_window_running",
+      "q25_grouping_sets",
       "x02_sessionize", "x05_asof_join", "x06_range_join_bucketed",
       "x09_bucketed_join", "w02_stream_window_agg", "w08_stream_stream_join")
     val spark = SparkSession.builder()
