@@ -577,9 +577,15 @@ object Dedup {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .cache()
-    // both edge directions are present, so src alone covers every node
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // both edge directions are present, so src alone covers every node.
+    // Initialization fuses the first propagation round: label = min of
+    // self and direct neighbors — for the star/clique shape of real dup
+    // clusters this already IS the component min, leaving only the
+    // fixpoint-verification round to run.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("mn"))
+      .select(col("src").as("node"),
+              least(col("src"), col("mn")).as("label"))
       .cache()
     var iter = 0
     var done = false
