@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.{QuerySpec, Tables}
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * payload columns with typed metadata, plus a decode / feature-extract /
-  * frame-sample stage.
+  * payload columns with typed metadata, plus decode / feature-extract /
+  * frame-sample (m02) and resize (m03) stages.
   *
   * The Spark-side plumbing is real — binary columns, typed record
   * schemas, partition-preserving `mapPartitions` with per-partition
@@ -120,7 +120,77 @@ object Multimodal {
       |  ((width * 31 + height * 17 + n_frames) % 1000) / 1000.0 AS feat_mean
       |FROM f""".stripMargin
 
+  /** typed resize output: target dims + the downsampled payload's
+    * fingerprint (the payload itself stays binary and never shuffles) */
+  final case class ResizedMedia(
+      doc_id: Long, fmt: String, width: Int, height: Int,
+      tgt_w: Int, tgt_h: Int, resized_len: Long, resized_md5: String)
+
+  /** The resize stub: aspect-preserving integer downscale to a 256-px
+    * bounding box (no-op when already inside it). A real implementation
+    * would hand payload + target dims to a codec; the stub "resample"
+    * keeps the leading len·256/maxside bytes — deterministic, so the
+    * oracle reproduces it — and everything around it (typed schema,
+    * narrow per-partition stage, fingerprint-not-payload output) is the
+    * production shape. */
+  object StubResizer {
+    private val BOX = 256
+    def resize(r: MediaRecord): ResizedMedia = {
+      val f = StubDecoder.decode(r)
+      val mx = math.max(f.width, f.height).toLong
+      val (tw, th, rlen) =
+        if (mx <= BOX) (f.width, f.height, f.byte_len)
+        else ((f.width * BOX / mx).toInt, (f.height * BOX / mx).toInt,
+              math.max(1L, f.byte_len * BOX / mx))
+      val head = java.util.Arrays.copyOfRange(r.payload, 0,
+        math.min(rlen, r.payload.length.toLong).toInt)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(head).map("%02x".format(_)).mkString
+      ResizedMedia(f.doc_id, f.fmt, f.width, f.height, tw, th, rlen, md5)
+    }
+  }
+
+  // m03 — resize: the remaining stage of the decode / feature-extract /
+  // resize / frame-sample quartet (m02 covers the other three). Narrow
+  // mapPartitions over the lake — payloads never shuffle; only dims and
+  // a 32-byte fingerprint leave the stage.
+  private def m03(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaLake(spark, dir).as[MediaRecord]
+      .mapPartitions(_.map(StubResizer.resize))
+      .toDF()
+  }
+
+  /** text is ASCII in this corpus (m02's oracle already leans on
+    * ascii(substring(text,1,1)) ≡ payload byte 0), so byte-slicing the
+    * payload ≡ substring on the text — which keeps the md5 comparable. */
+  private val m03Sql =
+    """WITH m AS (
+      |  SELECT doc_id, text,
+      |    (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt,
+      |    CAST(octet_length(encode(text)) AS BIGINT) AS len,
+      |    ascii(substring(text, 1, 1)) AS b0
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, text, fmt, len,
+      |    CAST(64 + len % 512 AS INT) AS width,
+      |    CAST(64 + (len + b0) % 512 AS INT) AS height
+      |  FROM m),
+      |r AS (
+      |  SELECT doc_id, text, fmt, len, width, height,
+      |    greatest(width, height) AS mx
+      |  FROM f)
+      |SELECT doc_id, fmt, width, height,
+      |  CAST(CASE WHEN mx <= 256 THEN width  ELSE width  * 256 // mx END AS INT) AS tgt_w,
+      |  CAST(CASE WHEN mx <= 256 THEN height ELSE height * 256 // mx END AS INT) AS tgt_h,
+      |  CASE WHEN mx <= 256 THEN len ELSE greatest(1, len * 256 // mx) END AS resized_len,
+      |  md5(substring(text, 1,
+      |    CAST(CASE WHEN mx <= 256 THEN len ELSE greatest(1, len * 256 // mx) END AS INT)))
+      |    AS resized_md5
+      |FROM r""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("m01_multimodal_meta", m01, Some(m01Sql)),
-    QuerySpec("m02_multimodal_decode", m02, Some(m02Sql)))
+    QuerySpec("m02_multimodal_decode", m02, Some(m02Sql)),
+    QuerySpec("m03_multimodal_resize", m03, Some(m03Sql)))
 }
