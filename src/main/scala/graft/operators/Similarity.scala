@@ -384,9 +384,59 @@ object Similarity {
        |  FROM scored) t
        |WHERE rnk <= $TOP_K""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s05 — scalar (int8) quantization: the compression step production
+  //        vector stores run before ANN (4 bytes/dim → 1). Per-vector
+  //        min/max range, 255-level uniform quantize, and the mean
+  //        absolute reconstruction error that tells you whether the
+  //        compressed index is usable. Narrow per-row HOFs — no shuffle,
+  //        one codegen pass at any scale. Rounding is floor(x + 0.5) in
+  //        BOTH engines (`round` half-up vs half-even dialects would
+  //        silently diverge on exact ties).
+  // ---------------------------------------------------------------------
+  private def s05(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+    val withP = e
+      .withColumn("qmin", array_min(col("emb")))
+      .withColumn("qmax", array_max(col("emb")))
+      .withColumn("scale", (col("qmax") - col("qmin")) / lit(255.0))
+    val dequantErr = aggregate(
+      transform(col("emb"), x =>
+        abs(x - (col("qmin") +
+          least(greatest(floor((x - col("qmin")) / col("scale") + lit(0.5)),
+                         lit(0.0)), lit(255.0)) * col("scale")))),
+      lit(0.0), (a, x) => a + x) / size(col("emb"))
+    withP.select(col("vec_id"), col("qmin"), col("qmax"),
+      // a constant vector has scale 0: reconstruction is exact and the
+      // quantize expression would divide by zero (branch is lazy)
+      when(col("scale") === 0.0, lit(0.0))
+        .otherwise(round(dequantErr, 6)).as("mean_abs_err"))
+  }
+
+  private val s05Sql =
+    """WITH e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings),
+      |s AS (
+      |  SELECT vec_id, emb, list_min(emb) AS qmin, list_max(emb) AS qmax,
+      |    (list_max(emb) - list_min(emb)) / 255.0 AS scale
+      |  FROM e)
+      |SELECT vec_id, qmin, qmax,
+      |  CASE WHEN scale = 0 THEN 0.0 ELSE
+      |    round(list_sum(list_transform(emb, x ->
+      |      abs(x - (qmin + least(greatest(floor((x - qmin) / scale + 0.5),
+      |                                     0.0), 255.0) * scale))))
+      |          / len(emb), 6)
+      |  END AS mean_abs_err
+      |FROM s""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("s01_knn_bruteforce", s01, Some(s01Sql)),
     QuerySpec("s02_knn_lsh", s02, Some(s02Sql)),
     QuerySpec("s03_knn_topk_aggregator", s03, Some(s01Sql)),
-    QuerySpec("s04_knn_ivf", s04, Some(s04Sql)))
+    QuerySpec("s04_knn_ivf", s04, Some(s04Sql)),
+    QuerySpec("s05_embedding_quantize", s05, Some(s05Sql)))
 }
