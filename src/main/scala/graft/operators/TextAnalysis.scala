@@ -187,6 +187,62 @@ object TextAnalysis {
       |  ELSE 0.0 END AS dup_trigram_frac
       |FROM t""".stripMargin
 
+  // t08 — bigram-LM quality score (the CCNet/KenLM-style perplexity
+  // filter): train add-one-smoothed bigram probabilities on the corpus
+  // itself, then score every document by its average log-probability —
+  // low scores mark text the corpus LM finds surprising (gibberish,
+  // boilerplate in the wrong language, OCR noise). Corpus-model build =
+  // two count shuffles; scoring = one join on the bigram + one per-doc
+  // aggregation — all hash-partitioned, no driver state.
+  //
+  // Determinism: a per-doc SUM of double log-probs depends on partition
+  // fold order, so each term is rounded to 8 decimals and summed as
+  // DECIMAL (exact, order-independent — the q01 pattern); only the final
+  // per-doc average returns to double.
+  private def t08(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
+      .where(size(col("tk")) >= 2)
+    // bigram OCCURRENCES (not distinct): every adjacent pair scores
+    val occ = toks.as[(Long, Seq[String])]
+      .flatMap { case (id, tk) =>
+        tk.iterator.sliding(2).withPartial(false)
+          .map(p => (id, p.head, p.head + " " + p.last))
+      }.toDF("doc_id", "w1", "bigram")
+    val bg = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+    val ug = occ.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = occ.select(col("w1")).distinct().count()
+    val logp = round(
+      log((col("c2") + 1).cast(DoubleType) / (col("c1") + vocab)), 8)
+      .cast(DecimalType(18, 8))
+    occ.join(bg, "bigram").join(ug, "w1")
+      .groupBy(col("doc_id"))
+      // cast the exact decimal sum to double BEFORE dividing: decimal
+      // division precision/scale rules differ between engines, double
+      // division does not
+      .agg(count(lit(1)).as("n_bigrams"),
+           (sum(logp).cast(DoubleType) / count(lit(1))).as("avg_logp"))
+  }
+
+  private val t08Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
+      |occ AS (
+      |  SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS bigram
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(tk) - 1)) AS i)
+      |  WHERE len(tk) >= 2),
+      |bg AS (SELECT bigram, COUNT(*) AS c2 FROM occ GROUP BY 1),
+      |ug AS (SELECT w1, COUNT(*) AS c1 FROM occ GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w1) AS vocab FROM occ)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  CAST(SUM(CAST(round(ln(CAST(c2 + 1 AS DOUBLE) / (c1 + vocab)), 8)
+      |               AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS avg_logp
+      |FROM occ JOIN bg USING (bigram) JOIN ug USING (w1), v
+      |GROUP BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -194,5 +250,6 @@ object TextAnalysis {
     QuerySpec("t04_fingerprint", t04, Some(t04Sql)),
     QuerySpec("t05_tfidf", t05, Some(t05Sql)),
     QuerySpec("t06_bigrams", t06, Some(t06Sql)),
-    QuerySpec("t07_repetition", t07, Some(t07Sql)))
+    QuerySpec("t07_repetition", t07, Some(t07Sql)),
+    QuerySpec("t08_lm_score", t08, Some(t08Sql)))
 }
