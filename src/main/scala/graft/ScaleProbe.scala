@@ -108,8 +108,9 @@ object ScaleProbe {
       "q14_wordcount", "x01_salted_wordcount", "d01_dedup_exact",
       "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
       "d04_dedup_simhash", "d06_dedup_embedding_lsh", "d07_dup_clusters",
-      "t05_tfidf", "t07_repetition",
-      "s02_knn_lsh", "s04_knn_ivf",
+      "t05_tfidf", "t07_repetition", "t08_lm_score",
+      "s02_knn_lsh", "s04_knn_ivf", "s05_embedding_quantize",
+      "m03_multimodal_resize",
       "q01_pricing_summary", "q03_join_agg", "q08_window_running",
       "q25_grouping_sets",
       "x02_sessionize", "x05_asof_join", "x06_range_join_bucketed",
