@@ -662,6 +662,53 @@ object Dedup {
        |  l.doc_id = l.cluster_id AS keep
        |FROM lab l JOIN siz s USING (cluster_id)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d08 — benchmark DECONTAMINATION: flag training documents that share
+  //        a long n-gram with an evaluation set (here: doc_id < 10 plays
+  //        the benchmark). The standard pipeline step that keeps eval
+  //        answers out of training data; 8-gram overlap is the common
+  //        operating point (long enough that a hit means copied text,
+  //        not chance collision).
+  //
+  //        Scale shape: the benchmark side is tiny and its distinct
+  //        8-grams are BROADCAST — the corpus scan joins against an
+  //        in-memory hash set, no shuffle of corpus shingles at all;
+  //        only (doc_id, n_hits) rows leave the aggregation. PlanSpec
+  //        pins the broadcast.
+  // ---------------------------------------------------------------------
+  private val DECON_N = 8
+  private val BENCH_DOCS = 10L
+  private def d08(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = ShingleUtil.tokens(text)
+        if (toks.length < DECON_N) Iterator.empty
+        else ShingleUtil.shingles(toks, DECON_N).iterator.map(s => (id, s))
+      }.toDF("doc_id", "sh")
+    val bench = grams.where(col("doc_id") < BENCH_DOCS)
+      .select(col("sh")).distinct()
+    grams.where(col("doc_id") >= BENCH_DOCS)
+      .join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  private val d08Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(tk) - ${DECON_N - 1}),
+       |    i -> array_to_string(tk[i:i+${DECON_N - 1}], ' ')))) AS sh
+       |  FROM toks WHERE len(tk) >= $DECON_N),
+       |bench AS (SELECT DISTINCT sh FROM grams WHERE doc_id < $BENCH_DOCS)
+       |SELECT doc_id, COUNT(*) AS n_hits
+       |FROM grams JOIN bench USING (sh)
+       |WHERE doc_id >= $BENCH_DOCS
+       |GROUP BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_dedup_exact", d01, Some(d01Sql)),
     QuerySpec("d02_dedup_ngram_jaccard", d02, Some(d02Sql)),
@@ -669,5 +716,6 @@ object Dedup {
     QuerySpec("d04_dedup_simhash", d04, Some(d04Sql)),
     QuerySpec("d05_dedup_embedding", d05, Some(d05Sql)),
     QuerySpec("d06_dedup_embedding_lsh", d06, Some(d06Sql)),
-    QuerySpec("d07_dup_clusters", d07, Some(d07Sql)))
+    QuerySpec("d07_dup_clusters", d07, Some(d07Sql)),
+    QuerySpec("d08_decontaminate", d08, Some(d08Sql)))
 }

@@ -114,4 +114,8 @@ class PlanSpec extends AnyFunSuite {
     val p = formatted("t07_repetition")
     assert(!p.contains("Exchange"))
   }
+
+  test("d08 decontamination broadcasts the benchmark n-gram set") {
+    assert(formatted("d08_decontaminate").contains("BroadcastHashJoin"))
+  }
 }
