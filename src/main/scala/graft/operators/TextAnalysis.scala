@@ -206,7 +206,11 @@ object TextAnalysis {
     val toks = docs
       .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
       .where(size(col("tk")) >= 2)
-    // bigram OCCURRENCES (not distinct): every adjacent pair scores
+    // bigram OCCURRENCES (not distinct): every adjacent pair scores.
+    // occ feeds the two model counts AND the scoring join; recomputing
+    // it (3 scans, shuffle-light) keeps this query stateless — a
+    // production pipeline would materialize the bg/ug model tables once
+    // and reuse them across scoring runs.
     val occ = toks.as[(Long, Seq[String])]
       .flatMap { case (id, tk) =>
         tk.iterator.sliding(2).withPartial(false)
