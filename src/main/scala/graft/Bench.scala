@@ -47,15 +47,7 @@ object Bench {
     // the first measured batch alone outlived the whole fixed 30 s
     // measurement window on the loaded driver machine.
     streamWordsPerSec(spark, measureSec = 5, rowsPerBatch = 50000)
-
-    // The untimed warmup run above leaves its ~355k-key state maps
-    // loaded (they unload on the 60 s maintenance cycle — mid-latency-
-    // measurement); on a loaded machine that residue read as p50 972 ms
-    // where the quiet-JVM number is ~350-430 ms. Same cure as before
-    // the gated loop: unload eagerly, collect, settle.
-    org.apache.spark.sql.graftglue.ColumnBridge.unloadAllStateStores()
-    System.gc()
-    Thread.sleep(2000)
+    settle(spark)
 
     // Latency runs on the quietest JVM slot — after the one-time
     // streaming machinery warmup, before the throughput stress: round 4
@@ -64,8 +56,15 @@ object Bench {
     // measures 369 ms — state-store unload/GC residue from the stress,
     // not pipeline delay. Its own 12 s warmup discard absorbs the
     // fMGWS-path codegen the untimed warmup above doesn't cover.
-    val (p50, p95) = latencyPercentiles(spark, runSec = 40, warmupSec = 12)
-    Thread.sleep(2000)
+    // 1000 sentences/s on a 250 ms trigger: the regime sweep
+    // (dev.LatencyProbe) shows the same ~350-450 ms p50 as 2000/s@100ms
+    // on a quiet machine, but where the tighter regime backlogs under
+    // external load (p50 766 / p95 1787 measured on a contended box),
+    // this one degrades gracefully (455/630 under the same load) — the
+    // driver's number should reflect the pipeline, not the co-tenants.
+    val (p50, p95) = latencyPercentiles(spark, runSec = 40, warmupSec = 12,
+      rate = 1000, triggerMs = 250)
+    settle(spark)
 
     // 200k-sentence micro-batches: the state-store commit (all ~355k
     // dictionary keys every batch) and shuffle setup are per-BATCH costs,
@@ -73,8 +72,10 @@ object Bench {
     // batch vs 9-11M at 200k on the same pipeline.
     val streamWps = streamWordsPerSec(spark, measureSec = 25,
       rowsPerBatch = 200000)
+    settle(spark)
     val streamWpsRocks = streamWordsPerSec(spark, measureSec = 25,
       rowsPerBatch = 200000, providerClass = Some(rocksDbProvider))
+    settle(spark)
     // the reference's skew experiment (RandomSentenceGenerator.java:47-53):
     // 20% of sentences are the all-"skew" hot key. Spark's hash agg does
     // map-side partial aggregation before the shuffle, so the hot key
@@ -83,6 +84,7 @@ object Bench {
     // by the engine (SkewDemoSpec pins the salted x01 equivalence too)
     val streamWpsSkew = streamWordsPerSec(spark, measureSec = 20,
       rowsPerBatch = 200000, skewPercent = 20)
+    settle(spark)
     // the reference's failure experiment (run_job.sh:77-83 +
     // kill_worker.sh): kill a worker mid-measurement, restart from the
     // checkpoint, measure recovered throughput. local[32] analog: stop
@@ -91,17 +93,12 @@ object Bench {
     // recovered-commit and recovered steady-state words/s.
     val (streamWpsRecovery, recoverySec) = streamRecovery(spark)
 
-    // The streaming phase leaves heavy residue behind — each stopped
-    // query's ~355k-key state maps stay LOADED until the 60 s state-store
-    // maintenance cycle unloads them, and the gated loop starts
-    // immediately after (round 5's first local run measured d01, the
-    // alphabetically-first query, at 22.6 s vs its clean-JVM 0.6 s).
-    // Unload the stores eagerly, collect, settle, and pay whatever
-    // remains on an UNTIMED run. (Later gated streaming queries re-load
-    // stores on demand; StateStore.get restarts maintenance as needed.)
-    org.apache.spark.sql.graftglue.ColumnBridge.unloadAllStateStores()
-    System.gc()
-    Thread.sleep(3000)
+    // ...and before the gated loop, pay whatever residue remains on an
+    // UNTIMED run (round 5's first local run measured d01, the
+    // alphabetically-first query, at 22.6 s vs its clean-JVM 0.6 s —
+    // the settle discipline plus this warmup is what keeps the loop's
+    // first timing window clean).
+    settle(spark)
     SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -145,6 +142,21 @@ object Bench {
 
   private val rocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Eagerly drop every stopped query's loaded state-store providers,
+    * collect, and let the JVM breathe. Stopped queries otherwise keep
+    * their ~355k-key state maps loaded until the 60 s maintenance cycle;
+    * run enough measurements back-to-back and several GENERATIONS of
+    * state stack up on the heap — measured as a p50 972 ms latency
+    * reading (quiet-JVM ~350-430 ms), a 22.6 s first gated query, and a
+    * recovery run degraded to ~24 s/batch by GC pressure. Called between
+    * every streaming measurement so each starts from an empty state
+    * registry, the way a fresh executor would. */
+  private def settle(spark: SparkSession, pauseMs: Long = 2000): Unit = {
+    org.apache.spark.sql.graftglue.ColumnBridge.unloadAllStateStores()
+    System.gc()
+    Thread.sleep(pauseMs)
+  }
 
   /** The two stdout JSON lines: `full` (full names, full precision —
     * also persisted to target/bench.json) and `last` (the line the
@@ -214,7 +226,9 @@ object Bench {
     * round-2 percentile). */
   def latencyPercentiles(spark: SparkSession, runSec: Int = 30,
                          warmupSec: Int = 10,
-                         shufflePartitions: Int = 0): (Double, Double) = {
+                         shufflePartitions: Int = 0,
+                         rate: Int = 2000,
+                         triggerMs: Int = 100): (Double, Double) = {
     import scala.jdk.CollectionConverters._
     val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val t0 = System.currentTimeMillis()
@@ -234,7 +248,8 @@ object Bench {
       // source fan-out matches the reducer count: 32 source tasks carrying
       // ~12 rows each would spend the batch budget on task scheduling
       val sentences = RateSentenceSource.wallClockStream(
-        spark, rate = 2000, sentenceSize = 100, samplePeriod = 200,
+        spark, rate = rate, sentenceSize = 100,
+        samplePeriod = math.max(1, rate / 10),
         numPartitions = parts)
       val counts = WordCountPipeline.statefulCounts(
         WordCountPipeline.tokenize(sentences))
@@ -257,10 +272,11 @@ object Bench {
             graft.util.Scratch.dirUnder(base, "graft-bench-lat")
           else graft.util.Scratch.dir("graft-bench-lat")
         })
-        // short trigger: the pipeline processes a 100 ms slice (~200
-        // sentences) in well under the steady cadence, so a record waits
-        // little for pickup; the cadence floor is batch processing itself
-        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        // the trigger sets the pickup-wait floor (~triggerMs/2 average);
+        // the cadence must exceed batch processing time or scheduled-
+        // time drift (backlog) pollutes every percentile — see the
+        // regime note at the call site
+        .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
         .start()
       try {
         // sliced sleep: a dead query (source bug, state-store failure)
@@ -460,11 +476,17 @@ object Bench {
       // without this check run 2 would measure a plain cold start on an
       // empty checkpoint and report it as a recovery number
       if (pre._1 < 0) (-1.0, -1.0)
-      else
+      else {
+        // drop run 1's still-loaded providers before restarting: a real
+        // replacement executor starts with nothing loaded, so the
+        // measured reload is genuine — and run 1's instance would
+        // otherwise sit on the heap for the whole measurement
+        settle(spark)
         // run 2: restart from that checkpoint; firstEventDelay IS the
         // recovery time (RocksDB reload + uncommitted-batch replay)
         measureSteady(spark, counts, ckpt, measureSec = measureSec,
           warmupTimeoutSec = 120, minSteadyBatches = 2, sentenceSize)
+      }
     } finally spark.conf.set(
       "spark.sql.streaming.stateStore.providerClass", savedProvider)
   }
