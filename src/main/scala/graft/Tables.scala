@@ -40,6 +40,23 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Cached table row count, for plan-SIZING knobs only (LSH plane
+    * count, IVF centroid count, TF-IDF corpus size): parquet footer
+    * counts are metadata-cheap but still a Spark job each, and the
+    * sizing ops re-derive them on every invocation — in one bench JVM
+    * that was a measurable constant cost per query (round-5 verdict:
+    * s02 outlier item). The fixture dirs are immutable within a JVM
+    * run (driver testdata; ScaleProbe writes each amplified dir once,
+    * before its first query), so the count is keyed by path and
+    * computed once. NOT for query results — only for knob derivation,
+    * where a stale count would mildly mis-size a bucket, not corrupt
+    * an answer. */
+  private val rowCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def cachedCount(s: SparkSession, d: String, name: String): Long =
+    rowCounts.computeIfAbsent(s"$d/$name",
+      _ => load(s, d, name).count())
 }
 
 /** One engine operator exposed through the driver contract.

@@ -21,10 +21,11 @@ object LatencyProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     regimes.foreach { case (parts, rate, trig) =>
-      val (p50, p95) = graft.Bench.latencyPercentiles(
+      val s = graft.Bench.latencyPercentiles(
         spark, shufflePartitions = parts, rate = rate, triggerMs = trig)
       println(f"LATENCY parts=$parts%-3d rate=$rate%-5d trig=${trig}%-4d " +
-        f"p50=$p50%6.0f ms  p95=$p95%6.0f ms")
+        f"p50=${s.p50}%6.0f ms  p95=${s.p95}%6.0f ms  " +
+        f"batch=${s.meanBatchMs}%5.0f ms  backlog=${s.backlogBatches}%d")
       Thread.sleep(2000)
     }
     spark.stop()

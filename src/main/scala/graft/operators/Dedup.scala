@@ -480,7 +480,7 @@ object Dedup {
     // parquet rows is metadata-only, where counting d06Corpus itself
     // would evaluate the variant's transform(...) projection over every
     // vector just to size the plane fan-out (round-4 advisor finding)
-    val nPlanes = planesFor(2L * Tables.embeddings(spark, dir).count())
+    val nPlanes = planesFor(2L * Tables.cachedCount(spark, dir, "embeddings"))
     // one tight pass per vector: norm + all 16 band keys (d03's kernel
     // shape); the emb rides along for the exact verify join
     val sig = d06Corpus(spark, dir).as[(Long, Array[Double])]
@@ -557,21 +557,27 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** Connected components over an undirected pair list (id1, id2) via
-    * min-label propagation: every node starts labeled with itself; each
-    * round a node takes the min of its own and its neighbors' labels;
-    * fixpoint = component minimum.
+    * min-label propagation WITH pointer-jumping: every node starts
+    * labeled with itself; each round a node (a) takes the min of its own
+    * and its neighbors' labels, then (b) shortcuts to its label's label
+    * (`label := label(label)` — every label is itself a node of the
+    * subgraph, so the self-join always resolves). Fixpoint = component
+    * minimum.
     *
     * Scale posture: the iteration runs ONLY over nodes that appear in
     * some pair — singletons (the overwhelming mass of a real corpus)
     * never enter the loop and are restored by the caller's left join —
-    * so each round is one hash shuffle carrying (node, label) pairs of
-    * the duplicate SUBGRAPH, never the corpus. Rounds = max component
-    * diameter: near-dup clusters are stars/cliques around a source
-    * document (diameter ≤ ~3); a >`maxIters`-diameter duplicate CHAIN
-    * would need the alternating large-star/small-star contraction
-    * (Kiveris et al., MapReduce CC) — out of scope, so we fail loudly
-    * rather than return a non-converged labeling. Returns (node, label).
-    */
+    * so each round is two hash shuffles carrying (node, label) pairs of
+    * the duplicate SUBGRAPH, never the corpus. The shortcut step halves
+    * the remaining pointer depth per round, so rounds = O(log diameter)
+    * — the same bound the large-star/small-star contraction achieves
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * where plain propagation needs a round per hop and round 5's loop
+    * genuinely could not resolve a >25-hop duplicate chain. Star/clique
+    * shaped clusters (the real near-dup shape) still converge in 2-3
+    * rounds; default maxIters = 25 now covers ~2^25-hop chains, and we
+    * still fail loudly rather than return a non-converged labeling.
+    * Returns (node, label). */
   private[operators] def connectedComponents(pairs: DataFrame,
                                              maxIters: Int = 25): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
@@ -592,23 +598,48 @@ object Dedup {
     while (!done && iter < maxIters) {
       val prop = edges.join(labels, edges("src") === labels("node"))
         .select(edges("dst").as("node"), labels("label"))
-      val next = labels.union(prop)
+      val merged = labels.union(prop)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .cache()
+        .cache() // read twice by the shortcut self-join below
+      // pointer jumping: label := min(label, label(label)). Labels are
+      // node ids of the subgraph (min over existing labels), so the
+      // inner self-join loses no rows; `least` keeps the fold monotone.
+      // localCheckpoint (not cache): the self-join references merged
+      // TWICE, so an unbroken lineage would double in size every round
+      // — exponential plan trees OOM'd the planner around round 10.
+      // Truncating per round keeps the plan flat; the materialization
+      // job is one the convergence check below was already paying.
+      val next = merged
+        .join(merged.select(col("node").as("pnode"),
+                            col("label").as("plabel")),
+              col("label") === col("pnode"))
+        .select(col("node"),
+                least(col("label"), col("plabel")).as("label"))
+        .localCheckpoint(true)
       // labels only ever decrease, so "no change" == fixpoint
       done = next.join(labels.select(col("node"), col("label").as("prev")),
           "node")
         .where(col("label") < col("prev"))
         .isEmpty
+      merged.unpersist()
       labels.unpersist()
       labels = next
       iter += 1
     }
     edges.unpersist()
-    if (!done)
+    if (!done) {
+      labels.unpersist()
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds")
-    labels
+    }
+    // hand back a lineage-truncated copy and drop the loop's cache:
+    // returning the cached frame leaked one (node, label) dataset into
+    // executor storage per invocation for the session lifetime (round-5
+    // advisor). localCheckpoint blocks are ContextCleaner-reclaimed once
+    // the result is unreferenced, where CacheManager entries never are.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   private def d07(spark: SparkSession, dir: String): DataFrame = {

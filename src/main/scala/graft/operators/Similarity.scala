@@ -136,23 +136,32 @@ object Similarity {
     * scored twice. */
   private[graft] def s02Probe(spark: SparkSession, dir: String,
                               nflips: Int): DataFrame = {
-    // metadata-cheap parquet row count; fixes the plane fan-out for this run
-    val nPlanes = planesFor(Tables.embeddings(spark, dir).count())
+    // parquet row count, cached per dir: fixes the plane fan-out for
+    // this run without paying a count job per invocation (round-5
+    // verdict: s02's constant cost)
+    val nPlanes = planesFor(Tables.cachedCount(spark, dir, "embeddings"))
     val e = Tables.embeddings(spark, dir)
       .withColumn("bucket", bucketOf(col("embedding"), nPlanes))
       .withColumn("nrm", norm(col("embedding")))
-    // (|margin|, planeIdx) ascending: the flip candidates, nearest
-    // boundary first (ties → lower plane index, so fully deterministic)
-    val margins = array_sort(array(planes.take(nPlanes).zipWithIndex.map {
-      case (p, i) => struct(abs(planeDot(col("embedding"), p)).as("m"),
-                            lit(i).as("i"))
-    }.toIndexedSeq: _*))
     val flips = math.min(math.max(0, nflips), nPlanes)
-    val qbase = e.where(col("vec_id") < N_QUERIES)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-              col("nrm").as("qn"), col("bucket"),
-              slice(transform(margins, s => s.getField("i")),
-                    1, math.max(1, flips)).as("flip_idx"))
+    val qcols = Seq(col("vec_id").as("query_id"), col("embedding").as("qv"),
+                    col("nrm").as("qn"), col("bucket"))
+    // the margin sort exists only to pick flip candidates — the gated
+    // nflips = 0 path never builds it (it was ~2r extra plane dots per
+    // query row for an unused column)
+    val qbase =
+      if (flips == 0) e.where(col("vec_id") < N_QUERIES).select(qcols: _*)
+      else {
+        // (|margin|, planeIdx) ascending: the flip candidates, nearest
+        // boundary first (ties → lower plane index, so fully deterministic)
+        val margins = array_sort(array(planes.take(nPlanes).zipWithIndex.map {
+          case (p, i) => struct(abs(planeDot(col("embedding"), p)).as("m"),
+                                lit(i).as("i"))
+        }.toIndexedSeq: _*))
+        e.where(col("vec_id") < N_QUERIES).select(qcols :+
+          slice(transform(margins, s => s.getField("i")),
+                1, flips).as("flip_idx"): _*)
+      }
     // probe set = own bucket + single-bit flips (2^i exact in double
     // up to PLANES_MAX=24, so the cast is lossless)
     val probes =
@@ -299,7 +308,7 @@ object Similarity {
   private[graft] def s04Probe(spark: SparkSession, dir: String,
                               nprobe: Int): DataFrame = {
     import spark.implicits._
-    val nCentroids = centroidsFor(Tables.embeddings(spark, dir).count())
+    val nCentroids = centroidsFor(Tables.cachedCount(spark, dir, "embeddings"))
     val e = Tables.embeddings(spark, dir).select(
       col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val cents = e.where(col("vec_id") < nCentroids)

@@ -101,7 +101,10 @@ object TextAnalysis {
   // tf/df/n are exact ints, tfidf is a rounded derived double)
   private def t05(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val n = docs.count() // corpus size: one scalar, computed distributively
+    // corpus size: one scalar, cached per dir — it feeds the idf VALUES,
+    // which is safe only because fixture dirs are immutable within a JVM
+    // (the cachedCount contract)
+    val n = Tables.cachedCount(spark, dir, "documents")
     val terms = docs
       .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("word"))
       .where(length(col("word")) > 0)
@@ -154,11 +157,28 @@ object TextAnalysis {
   // an earlier trigram. Per-document higher-order functions only — no
   // shuffle, one codegen pass over the scan at any scale.
   private def t07(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
     val tk = split(col("text"), "\\s+")
     val nTok = size(tk)
-    val topCnt = array_max(transform(array_distinct(tk),
-      t => size(filter(tk, x => x === t))))
+    // most-frequent-token count via sort + longest-equal-run fold:
+    // O(n log n) per document, one pass over the sorted array. (The
+    // round-5 shape — size(filter(tk, ...)) per DISTINCT token — was
+    // O(n_tok × n_distinct) per document, quadratic exactly on the
+    // long repetitive documents this Gopher-style filter targets.)
+    // Accumulator: (prev token, current run, best run); x === null prev
+    // is NULL, so the first element falls through to run = 1.
+    val topCnt = aggregate(
+      array_sort(tk),
+      struct(lit(null).cast("string").as("prev"),
+             lit(0).cast(IntegerType).as("run"),
+             lit(0).cast(IntegerType).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+               greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     val triTotal = nTok - lit(2)
     val triDistinct = size(array_distinct(transform(
       sequence(lit(1), triTotal),
@@ -199,30 +219,41 @@ object TextAnalysis {
   // fold order, so each term is rounded to 8 decimals and summed as
   // DECIMAL (exact, order-independent — the q01 pattern); only the final
   // per-doc average returns to double.
-  private def t08(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+  /** bigram OCCURRENCES (not distinct): every adjacent pair scores.
+    * Shared by the one-shot t08 (model + scoring from the same corpus)
+    * and the two-phase train/score pair below. */
+  private def t08Occ(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val toks = docs
+    Tables.documents(spark, dir)
       .select(col("doc_id"), split(col("text"), "\\s+").as("tk"))
       .where(size(col("tk")) >= 2)
-    // bigram OCCURRENCES (not distinct): every adjacent pair scores.
-    // occ feeds the two model counts AND the scoring join; recomputing
-    // it (3 scans, shuffle-light) keeps this query stateless — a
-    // production pipeline would materialize the bg/ug model tables once
-    // and reuse them across scoring runs.
-    val occ = toks.as[(Long, Seq[String])]
+      .as[(Long, Seq[String])]
       .flatMap { case (id, tk) =>
         tk.iterator.sliding(2).withPartial(false)
           .map(p => (id, p.head, p.head + " " + p.last))
       }.toDF("doc_id", "w1", "bigram")
-    val bg = occ.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
-    val ug = occ.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    val vocab = occ.select(col("w1")).distinct().count()
+  }
+
+  /** Score bigram occurrences against an (bg = bigram→c2, ug = w1→c1)
+    * add-one-smoothed model. vocab = |model contexts| = ug's row count,
+    * computed IN the query as a broadcast scalar (round-5 advisor: the
+    * eager distinct().count() at construction time ran two corpus scans
+    * for any caller that only wanted the plan). LEFT joins + coalesce:
+    * a bigram the model never saw scores (0+1)/(0+V) — the smoothing's
+    * whole point — so a corpus ≠ training corpus still scores; on the
+    * training corpus itself every key matches and the joins behave as
+    * inner. Per-doc log-prob terms are rounded to 8 decimals and summed
+    * as DECIMAL (exact, partition-order-independent — the q01 pattern). */
+  private def t08Score(occ: DataFrame, bg: DataFrame,
+                       ug: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val vocabDf = ug.agg(count(lit(1)).as("vocab"))
     val logp = round(
-      log((col("c2") + 1).cast(DoubleType) / (col("c1") + vocab)), 8)
+      log((coalesce(col("c2"), lit(0L)) + 1).cast(DoubleType) /
+          (coalesce(col("c1"), lit(0L)) + col("vocab"))), 8)
       .cast(DecimalType(18, 8))
-    occ.join(bg, "bigram").join(ug, "w1")
+    occ.join(bg, Seq("bigram"), "left").join(ug, Seq("w1"), "left")
+      .crossJoin(broadcast(vocabDf))
       .groupBy(col("doc_id"))
       // cast the exact decimal sum to double BEFORE dividing: decimal
       // division precision/scale rules differ between engines, double
@@ -230,6 +261,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
            (sum(logp).cast(DoubleType) / count(lit(1))).as("avg_logp"))
   }
+
+  private def t08(spark: SparkSession, dir: String): DataFrame = {
+    // one-shot, stateless: model counts AND the scoring join all derive
+    // from occ (Catalyst reuses the ug shuffle for the vocab scalar via
+    // ReusedExchange). A production pipeline materializes the model
+    // once instead — that path is t08TrainModel/t08ScoreWithModel.
+    val occ = t08Occ(spark, dir)
+    t08Score(occ,
+      occ.groupBy(col("bigram")).agg(count(lit(1)).as("c2")),
+      occ.groupBy(col("w1")).agg(count(lit(1)).as("c1")))
+  }
+
+  /** t08, two-phase (the shape CCNet actually runs): phase 1 trains the
+    * bigram LM once and materializes it as parquet model tables; phase 2
+    * scores any corpus against them with ONE scan of that corpus's
+    * bigram occurrences (the one-shot query recomputes occ three times
+    * to stay stateless). TextAnalysisSpec pins score(train corpus) ≡
+    * the one-shot t08. */
+  def t08TrainModel(spark: SparkSession, dir: String,
+                    modelDir: String): Unit = {
+    val occ = t08Occ(spark, dir)
+    occ.groupBy(col("bigram")).agg(count(lit(1)).as("c2"))
+      .write.mode("overwrite").parquet(s"$modelDir/bigrams")
+    occ.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      .write.mode("overwrite").parquet(s"$modelDir/unigrams")
+  }
+
+  def t08ScoreWithModel(spark: SparkSession, dir: String,
+                        modelDir: String): DataFrame =
+    t08Score(t08Occ(spark, dir),
+      spark.read.parquet(s"$modelDir/bigrams"),
+      spark.read.parquet(s"$modelDir/unigrams"))
 
   private val t08Sql =
     """WITH toks AS (

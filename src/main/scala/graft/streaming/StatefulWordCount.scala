@@ -18,6 +18,8 @@ import graft.sources.RateSentenceSource
   *   --skew-percent 0     --checkpoint-dir <path>
   *   --state-backend hdfs|rocksdb
   *   --changelog-checkpointing true|false   (rocksdb only)
+  *   --count-output <dir>   (durable per-batch running counts — the
+  *     observable-output mode the process-kill experiment asserts on)
   *
   * `--state-backend rocksdb` switches keyed state to the RocksDB state
   * store (off-heap, spill-to-disk) — the engine knob for keyed state
@@ -36,7 +38,8 @@ object StatefulWordCount {
       skewPercent: Int = 0,
       checkpointDir: Option[String] = None,
       stateBackend: String = "hdfs",
-      changelogCheckpointing: Boolean = false)
+      changelogCheckpointing: Boolean = false,
+      countOutput: Option[String] = None)
 
   def parse(args: Array[String]): Config =
     args.sliding(2, 2).foldLeft(Config()) {
@@ -52,6 +55,7 @@ object StatefulWordCount {
         c.copy(stateBackend = v)
       case (c, Array("--changelog-checkpointing", v)) =>
         c.copy(changelogCheckpointing = v.toBoolean)
+      case (c, Array("--count-output", v))        => c.copy(countOutput = Some(v))
       case (c, other) =>
         sys.error(s"unknown argument: ${other.mkString(" ")}"); c
     }
@@ -104,16 +108,39 @@ object StatefulWordCount {
 
     val ckpt = cfg.checkpointDir.getOrElse(
       graft.util.Scratch.dir("graft-wc-ckpt"))
-    val sink = new LatencySink(
-      sinkId = scala.util.Random.nextInt(1 << 20), samplePeriod = cfg.samplePeriod)
-    val query = counts.writeStream
-      .outputMode("append")
-      .foreachBatch((batch: org.apache.spark.sql.Dataset[WordCount], id: Long) =>
-        sink(batch, id))
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.ProcessingTime("1 second"))
-      .queryName("graft-stateful-wordcount")
-      .start()
+    val query = cfg.countOutput match {
+      case Some(out) =>
+        // durable-counts mode, for the process-level failure experiment
+        // (ChildJvmKillRecoverySpec — the kill_worker.sh analog): the
+        // update-mode running totals land in one parquet dir PER BATCH,
+        // overwritten on replay so a batch that died mid-write (the
+        // `kill -9` case) is rewritten identically when its offset range
+        // replays — idempotent, hence exactly-once observable from
+        // outside the process. The rate-micro-batch source derives every
+        // sentence purely from its row index, so any committed prefix
+        // has a recomputable ground truth.
+        WordCountPipeline.runningCounts(tokens).writeStream
+          .outputMode("update")
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            batch.write.mode("overwrite").parquet(s"$out/batch=$id")
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .queryName("graft-stateful-wordcount")
+          .start()
+      case None =>
+        val sink = new LatencySink(
+          sinkId = scala.util.Random.nextInt(1 << 20),
+          samplePeriod = cfg.samplePeriod)
+        counts.writeStream
+          .outputMode("append")
+          .foreachBatch((batch: org.apache.spark.sql.Dataset[WordCount], id: Long) =>
+            sink(batch, id))
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.ProcessingTime("1 second"))
+          .queryName("graft-stateful-wordcount")
+          .start()
+    }
     query.awaitTermination(cfg.durationSec * 1000L)
     query.stop()
   }

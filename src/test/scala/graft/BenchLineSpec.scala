@@ -20,7 +20,10 @@ class BenchLineSpec extends AnyFunSuite {
   private val extras = Bench.extrasJson(
     streamWps = 13606060d, streamWpsRocks = 11008300d,
     streamWpsSkew = 13606060d, streamWpsRecovery = 11008300d,
-    recoverySec = 12.34, p50 = 1509.0, p95 = 1223.0)
+    recoverySec = 12.34,
+    lat = Bench.LatencyStats(p50 = 1509.0, p95 = 1223.0,
+      meanBatchMs = 1234.0, backlogBatches = 123L),
+    streamWpsSpread = 0.87, streamWpsRocksSpread = 0.87)
 
   test("last line fits the driver's tail window for all registered queries") {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1234.56789)

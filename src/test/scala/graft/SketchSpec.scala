@@ -13,7 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class SketchSpec extends AnyFunSuite {
 
-  private val sfDir = "/root/testdata/sf0.01"
+  // shared sf0.001 fixture (the accuracy bounds hold there too) — the
+  // ad-hoc sf0.01 path this suite used was a 10× fixture in the unit
+  // path and a second path constant to drift (round-5 advisor)
+  private val sfDir = SparkTestSession.sfDir
   private lazy val spark = SparkTestSession.spark
 
   private lazy val tokens =

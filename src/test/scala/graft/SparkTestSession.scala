@@ -5,6 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for the whole test run (suites execute
   * sequentially in the forked test JVM). */
 object SparkTestSession {
+  /** shared unit-test fixture root — the smallest driver-generated SF */
+  val sfDir = "/root/testdata/sf0.001"
+
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")

@@ -32,9 +32,23 @@ class ClusterResolutionSpec extends AnyFunSuite {
     assert(cc(Seq.empty).isEmpty)
   }
 
+  test("a long duplicate chain converges in O(log d) rounds, not O(d)") {
+    // 64-hop path: plain min-label propagation needs ~one round per hop
+    // (round 5's loop could never resolve this inside maxIters = 25);
+    // the pointer-jumping shortcut must land it in ~log2(64)+verify
+    // rounds. maxIters = 12 would fail the old algorithm loudly.
+    val n = 64L
+    val chain = (0L until n - 1).map(i => (i, i + 1))
+    val labels = cc(chain, maxIters = 12)
+    assert(labels.size === n)
+    assert(labels.values.forall(_ == 0L))
+  }
+
   test("non-convergence within maxIters fails loudly, never silently") {
+    // even with the shortcut, a 64-hop chain cannot resolve in 2 rounds
+    val chain = (0L until 63L).map(i => (i, i + 1))
     val ex = intercept[IllegalStateException] {
-      cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), maxIters = 2)
+      cc(chain, maxIters = 2)
     }
     assert(ex.getMessage.contains("converge"))
   }
