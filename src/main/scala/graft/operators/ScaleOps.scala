@@ -309,6 +309,58 @@ object ScaleOps {
       |WHERE o_orderkey % 100 = 0
       |GROUP BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x10 — salted skew JOIN: x01's mitigation for the JOIN case. A
+  //       synthetic key concentrates ~80% of lineitem on one value — the
+  //       shape that melts a plain hash join's hottest reducer at 100 TB
+  //       when neither side broadcasts. The fact side salts the key
+  //       deterministically across SKEW_SALT sub-keys and the dim side
+  //       replicates SKEW_SALT×, so the join runs on (skey, salt) and
+  //       the hot key's rows spread over SKEW_SALT reducers. Result is
+  //       provably identical to the unsalted join (each fact row matches
+  //       exactly one dim replica) — the oracle is the PLAIN join.
+  //       Sort-merge pinned (broadcast would dodge the demonstrated
+  //       case); PlanSpec pins SMJ + the salt in the partitioning keys.
+  //       AqeSkewSpec pins the runtime (AQE) half of the same story.
+  // ---------------------------------------------------------------------
+  private val SKEW_SALT = 16
+
+  private def x10(spark: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(spark, dir).select(
+      when(pmod(col("l_orderkey"), lit(100)) < 80, lit(0L))
+        .otherwise(pmod(col("l_orderkey"), lit(1000))).as("skey"),
+      col("l_extendedprice"),
+      // deterministic per-row salt (no rand(): the gate re-executes)
+      pmod(col("l_orderkey") * 31 + col("l_linenumber"),
+           lit(SKEW_SALT.toLong)).as("salt"))
+    val dim = spark.range(0L, 1000L)
+      .select(col("id").as("skey"), pmod(col("id"), lit(5L)).as("region"))
+      .where(col("region") =!= 4) // the join genuinely filters
+    val dimSalted = dim.withColumn("salt",
+      explode(sequence(lit(0L), lit(SKEW_SALT - 1L))))
+    fact.hint("merge")
+      .join(dimSalted, Seq("skey", "salt"))
+      .groupBy(col("region"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+             .cast(DoubleType).as("revenue"))
+  }
+
+  private val x10Sql =
+    """WITH f AS (
+      |  SELECT CASE WHEN l_orderkey % 100 < 80 THEN 0
+      |              ELSE l_orderkey % 1000 END AS skey,
+      |         l_extendedprice
+      |  FROM lineitem),
+      |d AS (
+      |  SELECT skey, skey % 5 AS region
+      |  FROM (SELECT unnest(generate_series(0, 999)) AS skey)
+      |  WHERE skey % 5 <> 4)
+      |SELECT region, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM f JOIN d USING (skey)
+      |GROUP BY region""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -318,5 +370,6 @@ object ScaleOps {
     QuerySpec("x06_range_join_bucketed", x06, Some(x06Sql)),
     QuerySpec("x07_partitioned_write", x07, Some(x07Sql)),
     QuerySpec("x08_orc_roundtrip", x08, Some(roundtripSql)),
-    QuerySpec("x09_bucketed_join", x09, Some(x09Sql)))
+    QuerySpec("x09_bucketed_join", x09, Some(x09Sql)),
+    QuerySpec("x10_skew_salted_join", x10, Some(x10Sql)))
 }

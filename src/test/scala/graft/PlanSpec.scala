@@ -94,6 +94,20 @@ class PlanSpec extends AnyFunSuite {
       "bucketed co-located join must not shuffle")
   }
 
+  test("x10 skew join runs sort-merge with the salt in the join keys") {
+    // the pattern only mitigates skew if the hot key's rows actually
+    // spread over the salt sub-keys: the shuffle/join must be keyed on
+    // (skey, salt), and broadcast must not quietly dodge the case the
+    // op demonstrates (two large sides)
+    val p = formatted("x10_skew_salted_join")
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastHashJoin"))
+    // FormattedMode prints the SMJ keys as a "Left keys [n]: [...]" line
+    val joinKeys = "Left keys[^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(joinKeys.contains("skey") && joinKeys.contains("salt"),
+      s"join must be keyed on (skey, salt), got [$joinKeys]")
+  }
+
   test("q01 aggregation is whole-stage codegen'd") {
     val p = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
       .queryExecution.explainString(CodegenMode)
