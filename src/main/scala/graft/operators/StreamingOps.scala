@@ -537,6 +537,69 @@ object StreamingOps {
       |            COALESCE((SELECT w FROM wm WHERE k = a.b - 2),
       |                     TIMESTAMP '1970-01-01')))""".stripMargin
 
+  /** ValueState running counter: the reference's keyed `ReducingState`
+    * (StatefulWordCount.java:144-150, Count.reduce = v1+v2 at :173-179)
+    * expressed in `transformWithState` — Spark 4's arbitrary-stateful
+    * API (the successor to flatMapGroupsWithState, SPARK-49564): typed
+    * state handles with per-state TTL, timers, and RocksDB-only
+    * backing. Emits the new total once per (key, batch) it changes —
+    * update-mode cadence, same as `runningCounts`. */
+  private class RunningCountProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), (String, Long)] {
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long)] = {
+      var t = if (total.exists()) total.get() else 0L
+      rows.foreach(r => t += r._2)
+      total.update(t)
+      Iterator.single((key, t))
+    }
+  }
+
+  /** w12 — the stateful word count through `transformWithState` (the
+    * engine's third formulation of the reference's ReducingState, after
+    * the declarative update-mode agg (w01) and flatMapGroupsWithState):
+    * the API a production pipeline reaches for when state needs TTLs,
+    * multiple typed handles, or timers that fMGWS cannot express. Two
+    * replayed micro-batches exercise ValueState save/restore across
+    * batches on the MANDATORY RocksDB backend (transformWithState
+    * requires it). Totals are monotone, so max-per-word over the
+    * update-mode emissions is the final state, and the oracle is the
+    * same batch wordcount as w01 (q14). */
+  private def w12(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stream = stagedStream(spark,
+      Tables.documents(spark, dir).select(col("text")), files = 2)
+    val tokens = stream
+      .select(explode(split(col("text"), "\\W+")).as("word"),
+              lit(1L).as("cnt"))
+      .where(length(col("word")) > 0)
+      .as[(String, Long)]
+    val counts = tokens.groupByKey(_._1)
+      .transformWithState(new RunningCountProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("word", "cnt")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.get(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val emitted =
+      try runComplete(spark, counts, "w12_", mode = "update")
+      finally spark.conf.set(providerKey, saved)
+    emitted.groupBy(col("word")).agg(max(col("cnt")).as("cnt"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
@@ -548,5 +611,6 @@ object StreamingOps {
     QuerySpec("w08_stream_stream_join", w08, Some(w08Sql)),
     QuerySpec("w09_stream_late_data", w09, Some(w09Sql)),
     QuerySpec("w10_stream_stream_watermarked_join", w10, Some(w10Sql)),
-    QuerySpec("w11_stream_dedup_watermarked", w11, Some(w11Sql)))
+    QuerySpec("w11_stream_dedup_watermarked", w11, Some(w11Sql)),
+    QuerySpec("w12_stream_transform_with_state", w12, Some(Relational.q14Sql)))
 }
