@@ -129,6 +129,14 @@ object ScaleProbe {
     // warmup (JVM/codegen)
     SparkEntry.queries("q14_wordcount")(spark, out).count()
     val results = ops.map { name =>
+      // measurement hygiene between ops (the Bench settle() lesson, at
+      // gate granularity): a heap full of the previous op's freshly-dead
+      // shuffle objects turns the next op's small sequential jobs into
+      // GC-pause measurements — observed as d07 reading 129 s in-sweep
+      // vs 17 s isolated on the same quiet box. The sweep measures how
+      // ops SCALE, so each starts from a settled JVM.
+      System.gc()
+      Thread.sleep(1000)
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()
       val sec = (System.nanoTime() - t0) / 1e9
