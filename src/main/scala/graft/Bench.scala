@@ -56,14 +56,19 @@ object Bench {
     // measures 369 ms — state-store unload/GC residue from the stress,
     // not pipeline delay. Its own 12 s warmup discard absorbs the
     // fMGWS-path codegen the untimed warmup above doesn't cover.
-    // 1000 sentences/s on a 250 ms trigger: the regime sweep
-    // (dev.LatencyProbe) shows the same ~350-450 ms p50 as 2000/s@100ms
-    // on a quiet machine, but where the tighter regime backlogs under
-    // external load (p50 766 / p95 1787 measured on a contended box),
-    // this one degrades gracefully (455/630 under the same load) — the
-    // driver's number should reflect the pipeline, not the co-tenants.
+    // 500 sentences/s, 4 state partitions, 250 ms trigger. The round-6
+    // sweep (dev.LatencyProbe) showed per-batch cost on this container
+    // era is ~300-400 ms FIXED (state-store commits + task scheduling,
+    // nearly rate-independent), so the round-5 regime (1000/s, 8 parts)
+    // sat above saturation even on a quiet box — every percentile
+    // carried queueing. Halving both the rate and the partition count
+    // brings the batch to ~the trigger (quiet-box p50 345/472 measured,
+    // ~450 under co-tenant load vs 550-800 for the old regime); the
+    // throughput rows above prove capacity separately, and the
+    // meanBatchMs/backlog fields report which side of the trigger this
+    // run actually landed on.
     val lat = latencyPercentiles(spark, runSec = 40, warmupSec = 12,
-      rate = 1000, triggerMs = 250)
+      shufflePartitions = 4, rate = 500, triggerMs = 250)
     settle(spark)
 
     // 200k-sentence micro-batches: the state-store commit (all ~355k
