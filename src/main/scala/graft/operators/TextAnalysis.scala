@@ -333,6 +333,155 @@ object TextAnalysis {
       |FROM occ JOIN bg USING (bigram) JOIN ug USING (w1), v
       |GROUP BY doc_id""".stripMargin
 
+  // t10 — deterministic stratified downsampling: rebalance the corpus so
+  // every language stratum lands at ~the size of the smallest one (the
+  // standard multilingual-pretraining rebalance step). The keep decision
+  // is a pure function of doc_id — bucket = (doc_id·4243 + 17) mod 9973,
+  // a full-period Lehmer-style map whose step wraps the modulus every
+  // ~2.35 ids, so residues of ANY id subset equidistribute over [0, p)
+  // (a multiplier smaller than p degenerates: 100003 mod 99991 = 12
+  // keeps consecutive ids' buckets tiny and filters nothing) — compared
+  // entirely in integers (bucket·cnt < target·9973 ⟺ bucket/9973 <
+  // target/cnt), so there is no float threshold to flip between engines
+  // and a re-run selects the SAME documents (reproducible). At 100 TB
+  // the per-stratum counts are a broadcast scalar map and the filter is
+  // one codegen pass over the scan: no shuffle of the corpus at all.
+  // (Production would swap the affine residue for a 64-bit splittable
+  // hash of a stable key; the residue keeps the oracle portable.)
+  private def t10(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cnts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val target = cnts.agg(min(col("cnt")).as("target"))
+    docs.select(col("doc_id"), col("lang"), col("source"))
+      .join(broadcast(cnts), Seq("lang"))
+      .crossJoin(broadcast(target))
+      .where(pmod(col("doc_id") * lit(4243L) + lit(17L), lit(9973L)) *
+               col("cnt") < col("target") * lit(9973L))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  private val t10Sql =
+    """WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY 1),
+      |t AS (SELECT MIN(cnt) AS target FROM c)
+      |SELECT doc_id, lang, source
+      |FROM documents JOIN c USING (lang), t
+      |WHERE ((doc_id * 4243 + 17) % 9973) * cnt < target * 9973""".stripMargin
+
+  // t11 — PII detection/redaction. The synthetic corpus carries no PII
+  // (not even a digit), so the query first plants deterministic contact
+  // lines derived from doc_id, then detects and redacts them — the
+  // regex machinery (what a Presidio-style scrubber runs at scale) is
+  // real; the planted line is the fixture, same honesty contract as
+  // m02's stubbed codec. Patterns stay in the Java-regex ∩ RE2 common
+  // subset (char classes, bounded repeats — no lookaround) so the
+  // DuckDB oracle runs the literally-same pattern. Per-row regex only:
+  // zero shuffle, one codegen pass at any scale.
+  private val EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PHONE_RE = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  private def t11(spark: SparkSession, dir: String): DataFrame = {
+    // vary the planted classes per doc (¾ get an email, ⅔ a phone) so
+    // the detector's counts and redactions aren't corpus constants
+    val enriched = concat(col("text"),
+      when(pmod(col("doc_id"), lit(4L)) =!= 0L,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com"))).otherwise(""),
+      when(pmod(col("doc_id"), lit(3L)) =!= 0L,
+        concat(lit(" call +1-202-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .otherwise(""))
+    val redacted = regexp_replace(
+      regexp_replace(enriched, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      regexp_count(enriched, lit(EMAIL_RE)).as("n_emails"),
+      regexp_count(enriched, lit(PHONE_RE)).as("n_phones"),
+      md5(redacted).as("redacted_fp"))
+  }
+
+  private val t11Sql =
+    s"""WITH e AS (
+       |  SELECT doc_id,
+       |    text
+       |    || CASE WHEN doc_id % 4 <> 0
+       |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |         ELSE '' END
+       |    || CASE WHEN doc_id % 3 <> 0
+       |         THEN ' call +1-202-555-'
+       |              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |         ELSE '' END AS enriched
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(enriched, '$EMAIL_RE')) AS n_emails,
+       |  len(regexp_extract_all(enriched, '$PHONE_RE')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(enriched, '$EMAIL_RE', '<EMAIL>', 'g'),
+       |      '$PHONE_RE', '<PHONE>', 'g')) AS redacted_fp
+       |FROM e""".stripMargin
+
+  // t12 — concat-and-chunk sequence packing: the LLM-pretraining step
+  // that concatenates the tokenized corpus in a deterministic order and
+  // cuts it every SEQ_LEN tokens into training sequences (documents
+  // straddle cut points — GPT-style packing, no padding). Each document
+  // needs its GLOBAL token offset: a prefix sum over the whole corpus.
+  //
+  // Scale shape: a naive `SUM() OVER (ORDER BY doc_id)` funnels 100 TB
+  // through ONE partition (Exchange SinglePartition + global sort) — the
+  // classic window-function scale trap. This runs the textbook
+  // distributed prefix sum instead: order-preserving range shards
+  // (shard = ⌊doc_id·S/(max+1)⌋, monotone in doc_id) → per-shard local
+  // cumsum (Window PARTITIONED by shard: parallel) → the S shard totals
+  // collapse to one tiny single-partition window → broadcast the shard
+  // base offsets back. The only single-partition work is over S rows.
+  // The oracle is the naive global-window formulation — proving the
+  // two-phase plan computes exactly the single-sequence semantics.
+  private val SEQ_LEN = 512L
+  private val PACK_SHARDS = 32L
+
+  private def t12(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
+    val bounds = docs.agg(max(col("doc_id")).as("max_id"))
+    val sharded = docs.crossJoin(broadcast(bounds))
+      .withColumn("shard",
+        expr(s"(doc_id * $PACK_SHARDS) div (max_id + 1)"))
+      .drop("max_id")
+    val localW = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sharded.withColumn("local_before",
+      coalesce(sum(col("n_tok")).over(localW), lit(0L)))
+    // shard base offsets: exclusive running sum over the S shard totals
+    // (single-partition window over ≤ PACK_SHARDS rows — trivially small)
+    val baseW = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = sharded.groupBy(col("shard"))
+      .agg(sum(col("n_tok")).as("shard_total"))
+      .withColumn("shard_base",
+        coalesce(sum(col("shard_total")).over(baseW), lit(0L)))
+      .select(col("shard"), col("shard_base"))
+    local.join(broadcast(bases), Seq("shard"))
+      .withColumn("tok_start", col("shard_base") + col("local_before"))
+      .select(col("doc_id"), col("n_tok"), col("tok_start"),
+        expr(s"tok_start div $SEQ_LEN").as("first_chunk"),
+        expr(s"(tok_start + n_tok - 1) div $SEQ_LEN").as("last_chunk"))
+  }
+
+  private val t12Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+       |  FROM d)
+       |SELECT doc_id, n_tok, tok_start,
+       |  tok_start // $SEQ_LEN AS first_chunk,
+       |  (tok_start + n_tok - 1) // $SEQ_LEN AS last_chunk
+       |FROM c""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -342,5 +491,8 @@ object TextAnalysis {
     QuerySpec("t06_bigrams", t06, Some(t06Sql)),
     QuerySpec("t07_repetition", t07, Some(t07Sql)),
     QuerySpec("t08_lm_score", t08, Some(t08Sql)),
-    QuerySpec("t09_lm_score_pretrained", t09, Some(t08Sql)))
+    QuerySpec("t09_lm_score_pretrained", t09, Some(t08Sql)),
+    QuerySpec("t10_stratified_sample", t10, Some(t10Sql)),
+    QuerySpec("t11_pii_redaction", t11, Some(t11Sql)),
+    QuerySpec("t12_sequence_packing", t12, Some(t12Sql)))
 }
