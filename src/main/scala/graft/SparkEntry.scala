@@ -18,7 +18,8 @@ object SparkEntry {
     operators.Similarity.specs ++
     operators.StreamingOps.specs ++
     operators.Multimodal.specs ++
-    operators.ScaleOps.specs
+    operators.ScaleOps.specs ++
+    operators.Pipeline.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -132,4 +132,20 @@ class PlanSpec extends AnyFunSuite {
   test("d08 decontamination broadcasts the benchmark n-gram set") {
     assert(formatted("d08_decontaminate").contains("BroadcastHashJoin"))
   }
+
+  test("p01 pipeline broadcasts eval grams and never goes nested-loop") {
+    val p = formatted("p01_clean_corpus")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("t12 packing plans no full-corpus single-partition window") {
+    // the distributed prefix sum's only SinglePartition exchange feeds
+    // the ≤32-row shard-base window, downstream of a HashAggregate —
+    // the raw-scan side must reach its window via hashpartitioning
+    val p = formatted("t12_sequence_packing")
+    assert(p.contains("hashpartitioning(shard"),
+      s"expected shard hash partitioning in:\n$p")
+  }
 }
