@@ -442,10 +442,113 @@ object Similarity {
       |  END AS mean_abs_err
       |FROM s""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s06 — k-means clustering (Lloyd's): the workhorse behind semantic
+  //        dedup (SemDeDup-style cluster-then-prune), corpus topic
+  //        bucketing, and IVF index training (s04's centroids, done
+  //        properly). Deterministic by construction so the gate can
+  //        hash-match a floating-point iterative algorithm across two
+  //        engines:
+  //          - seeds: the K smallest vec_ids (no RNG);
+  //          - distances: Σ_dims round((x−c)²·1e8) as BIGINT — exact,
+  //            summation-order-free (double folds would differ between
+  //            engines at the last ulp);
+  //          - argmin ties: lexicographic (dist, cluster) min;
+  //          - new centroids: per-dim scaled-integer sums (round(x·1e6)),
+  //            one IEEE division at the end — NO float→decimal casts
+  //            anywhere (DuckDB's FLOAT→DECIMAL cast routes through
+  //            float multiplication and is lossy at scale ≥ 8).
+  //        An empty cluster simply disappears (standard Lloyd drop).
+  //
+  //        Scale shape: vectors never leave their partitions — the
+  //        centroid long-format table (K·dim = 512 rows) broadcasts;
+  //        per-(vec, cluster) partial distances reduce map-side via
+  //        groupBy(vec_id, cluster) then min(struct(dist, cluster)),
+  //        so the exchange carries K rows per vector, and the mean
+  //        recompute shuffles K·dim partial sums per partition. Two
+  //        fixed iterations gated; production would loop to
+  //        convergence with localCheckpoint per round (the d07 lesson).
+  // ---------------------------------------------------------------------
+  private val KMEANS_K = 8L
+  private val KMEANS_DIST_SCALE = 1e8
+  private val KMEANS_MEAN_SCALE = 1e6
+
+  /** both Lloyd iterations' assignments (a1, a2) — a2 is the gated
+    * output; a1 exists so the spec can pin cost monotonicity */
+  private[operators] def kmeansIterations(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos"), col("xf").cast(DoubleType).as("x"))
+
+    def assign(centroids: DataFrame): DataFrame = {
+      val d = col("x") - col("c")
+      ex.join(broadcast(centroids), Seq("pos"))
+        .groupBy(col("vec_id"), col("cluster"))
+        .agg(sum(round(d * d * lit(KMEANS_DIST_SCALE)).cast(LongType))
+          .as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.dist").as("dist_scaled"))
+    }
+
+    val c0 = ex.where(col("vec_id") < KMEANS_K)
+      .select(col("vec_id").as("cluster"), col("pos"), col("x").as("c"))
+    val a1 = assign(c0)
+    val c1 = ex.join(a1.select(col("vec_id"), col("cluster")), Seq("vec_id"))
+      .groupBy(col("cluster"), col("pos"))
+      .agg(sum(round(col("x") * lit(KMEANS_MEAN_SCALE)).cast(LongType))
+        .as("s"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("pos"),
+        (col("s").cast(DoubleType) / (lit(KMEANS_MEAN_SCALE) * col("n")))
+          .as("c"))
+    (a1, assign(c1))
+  }
+
+  private def s06(spark: SparkSession, dir: String): DataFrame =
+    kmeansIterations(spark, dir)._2
+
+  private val s06Sql =
+    s"""WITH ex AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cluster, pos, x AS c FROM ex
+       |       WHERE vec_id < $KMEANS_K),
+       |d1 AS (
+       |  SELECT vec_id, cluster,
+       |    SUM(CAST(round((x - c) * (x - c) * ${KMEANS_DIST_SCALE.toLong})
+       |        AS BIGINT)) AS dist
+       |  FROM ex JOIN c0 USING (pos) GROUP BY 1, 2),
+       |a1 AS (
+       |  SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cluster) AS rn
+       |    FROM d1) t WHERE rn = 1),
+       |c1 AS (
+       |  SELECT cluster, pos,
+       |    CAST(SUM(CAST(round(x * ${KMEANS_MEAN_SCALE.toLong}) AS BIGINT))
+       |         AS DOUBLE) / (${KMEANS_MEAN_SCALE.toLong} * COUNT(*)) AS c
+       |  FROM ex JOIN a1 USING (vec_id) GROUP BY 1, 2),
+       |d2 AS (
+       |  SELECT vec_id, cluster,
+       |    SUM(CAST(round((x - c) * (x - c) * ${KMEANS_DIST_SCALE.toLong})
+       |        AS BIGINT)) AS dist
+       |  FROM ex JOIN c1 USING (pos) GROUP BY 1, 2)
+       |SELECT vec_id, cluster, dist AS dist_scaled FROM (
+       |  SELECT vec_id, cluster, dist,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cluster) AS rn
+       |  FROM d2) t WHERE rn = 1""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("s01_knn_bruteforce", s01, Some(s01Sql)),
     QuerySpec("s02_knn_lsh", s02, Some(s02Sql)),
     QuerySpec("s03_knn_topk_aggregator", s03, Some(s01Sql)),
     QuerySpec("s04_knn_ivf", s04, Some(s04Sql)),
-    QuerySpec("s05_embedding_quantize", s05, Some(s05Sql)))
+    QuerySpec("s05_embedding_quantize", s05, Some(s05Sql)),
+    QuerySpec("s06_kmeans", s06, Some(s06Sql)))
 }

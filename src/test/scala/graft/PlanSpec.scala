@@ -140,6 +140,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("s06 k-means broadcasts centroids and never goes nested-loop") {
+    val p = formatted("s06_kmeans")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("t12 packing plans no full-corpus single-partition window") {
     // the distributed prefix sum's only SinglePartition exchange feeds
     // the ≤32-row shard-base window, downstream of a HashAggregate —

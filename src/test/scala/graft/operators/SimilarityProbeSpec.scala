@@ -66,4 +66,22 @@ class SimilarityProbeSpec extends AnyFunSuite {
     assert(p4.count() == 50)
     assert(joined.where(col("cos4") > col("cos0")).count() >= 40)
   }
+
+  test("s06 Lloyd update never increases total within-cluster cost") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val (a1, a2) = Similarity.kmeansIterations(spark, sfDir)
+    def cost(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum(col("dist_scaled"))).collect().head.getLong(0)
+    // the defining property of Lloyd's algorithm: re-centering then
+    // re-assigning is non-increasing in the summed squared distance
+    // (exact here — the scaled-integer distances make the comparison
+    // noise-free). Also pins the assignment surface: every vector
+    // assigned exactly once, clusters within the seeded range.
+    assert(cost(a2) <= cost(a1))
+    val n = a2.count()
+    assert(a2.select(col("vec_id")).distinct().count() === n)
+    val clusters = a2.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(clusters.subsetOf((0L until 8L).toSet))
+  }
 }
