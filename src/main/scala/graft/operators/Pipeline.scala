@@ -28,11 +28,21 @@ import graft.functions.TextFunctions._
   *      (an eval doc that failed quality still contaminates) and are
   *      broadcast; only stage-2 survivors are shingled for checking.
   *
-  * 100 TB shape: stage 1 is a codegen filter on the scan; stage 2
-  * shuffles fingerprints of survivors only; stage 3 shingles survivors
-  * only and joins against a broadcast eval-gram set, then anti-joins
-  * the (small) contaminated-id set back on doc_id. No stage touches
-  * rows a previous stage dropped.
+  * 100 TB shape — ONE full corpus scan end to end (a first cut with
+  * groupBy-min + semi-join dedup and an anti-join decontamination
+  * planned FIVE parquet scans of the corpus; every stateless re-use of
+  * a stage subtree re-derived it from the scan):
+  *  - stage 1 is a codegen filter on the scan;
+  *  - stage 2 is row_number()=1 over (fingerprint, doc_id) — the same
+  *    keep-min semantics as a self-join, in one fingerprint shuffle of
+  *    survivors with no second scan;
+  *  - stage 3 explodes survivors' 8-grams WITH their output columns
+  *    carried along, left-joins the broadcast eval-gram set, and
+  *    collapses back to one row per doc via max(hit). Grams of a doc
+  *    stay in their partition, so the partial aggregation collapses
+  *    them map-side and the exchange carries ~1 row per doc.
+  *  - the only other scan reads eval docs under a doc_id < 10 pushed
+  *    filter — row-group-pruned to nearly nothing.
   */
 object Pipeline {
 
@@ -42,6 +52,7 @@ object Pipeline {
 
   private def p01(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
 
     // stage 1 — quality gate (integer form of qualityScore ≥ 0.60:
@@ -54,27 +65,42 @@ object Pipeline {
       lit(12L) * least(lit(8L) * n, c)
     val q = docs.where(num * 100L >= lit(320L * QUALITY_PCT) * n)
 
-    // stage 2 — exact dedup, keep-min per normalized fingerprint
-    val keep = q.groupBy(normFingerprint(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    val surv = q.join(keep.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // stage 2 — exact dedup, keep-min per normalized fingerprint:
+    // row_number over (fp, doc_id) ≡ the groupBy-min + semi-join
+    // formulation, minus the second corpus scan it planned. Eval docs
+    // leave the corpus here too (they are never trainable).
+    val w = Window.partitionBy(normFingerprint(col("text")))
+      .orderBy(col("doc_id"))
+    val surv = q.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("doc_id") >= BENCH_DOCS)
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
 
-    // stage 3 — decontamination of the survivors
-    def grams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          val toks = Dedup.ShingleUtil.tokens(text)
-          if (toks.length < DECON_N) Iterator.empty
-          else Dedup.ShingleUtil.shingles(toks, DECON_N).iterator
-            .map(sh => (id, sh))
-        }.toDF("doc_id", "sh")
-    val bench = grams(docs.where(col("doc_id") < BENCH_DOCS))
-      .select(col("sh")).distinct()
-    val contaminated = grams(surv.where(col("doc_id") >= BENCH_DOCS))
-      .join(broadcast(bench), Seq("sh"))
-      .select(col("doc_id")).distinct()
-    surv.where(col("doc_id") >= BENCH_DOCS)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+    // stage 3 — decontamination: eval 8-grams from the FULL corpus
+    // (an eval doc that failed quality still contaminates), read under
+    // a pushed doc_id < 10 filter; survivors' grams carry the output
+    // columns so the contamination verdict is a per-doc max, not a
+    // join back to a re-derived survivor subtree
+    val bench = docs.where(col("doc_id") < BENCH_DOCS)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (_, text) =>
+        val toks = Dedup.ShingleUtil.tokens(text)
+        if (toks.length < DECON_N) Iterator.empty
+        else Dedup.ShingleUtil.shingles(toks, DECON_N).iterator
+      }.toDF("sh").distinct()
+    val gramRows = surv.as[(Long, String, String, String)]
+      .flatMap { case (id, lang, source, text) =>
+        val toks = Dedup.ShingleUtil.tokens(text)
+        // a doc too short to shingle must still emit its row: a null
+        // sentinel gram joins nothing and scores hit = 0
+        if (toks.length < DECON_N) Iterator((id, lang, source, None))
+        else Dedup.ShingleUtil.shingles(toks, DECON_N).iterator
+          .map(sh => (id, lang, source, Option(sh)))
+      }.toDF("doc_id", "lang", "source", "sh")
+    gramRows
+      .join(broadcast(bench.withColumn("hit", lit(1))), Seq("sh"), "left")
+      .groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(max(coalesce(col("hit"), lit(0))).as("contaminated"))
+      .where(col("contaminated") === 0)
       .select(col("doc_id"), col("lang"), col("source"))
   }
 

@@ -138,6 +138,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("BroadcastNestedLoopJoin"))
+    // the whole pipeline reads the corpus ONCE plus the row-group-pruned
+    // eval scan — a stateless reformulation that re-derives a stage
+    // subtree per consumer planned five full scans
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 parquet scans, saw $scans in:\n$p")
   }
 
   test("s06 k-means broadcasts centroids and never goes nested-loop") {
