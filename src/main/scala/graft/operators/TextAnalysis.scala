@@ -444,20 +444,33 @@ object TextAnalysis {
       .select(col("doc_id"),
         size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
     val bounds = docs.agg(max(col("doc_id")).as("max_id"))
+    // coalesce makes `shard` provably non-nullable: otherwise the final
+    // join infers isnotnull(shard) into ONE branch's subtree, the two
+    // shard exchanges stop being canonically equal, and ReuseExchange
+    // cannot collapse them — observed as a second full scan + tokenize
+    // + shuffle of the corpus (-1 is unreachable: doc_id ≥ 0)
     val sharded = docs.crossJoin(broadcast(bounds))
       .withColumn("shard",
-        expr(s"(doc_id * $PACK_SHARDS) div (max_id + 1)"))
+        coalesce(expr(s"(doc_id * $PACK_SHARDS) div (max_id + 1)"),
+          lit(-1L)))
       .drop("max_id")
     val localW = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = sharded.withColumn("local_before",
       coalesce(sum(col("n_tok")).over(localW), lit(0L)))
     // shard base offsets: exclusive running sum over the S shard totals
-    // (single-partition window over ≤ PACK_SHARDS rows — trivially small)
+    // (single-partition window over ≤ PACK_SHARDS rows — trivially
+    // small). Derived from `local`, not `sharded`: the inclusive prefix
+    // local_before + n_tok is monotone within a shard, so its max IS the
+    // shard total — and because both consumers then sit above the SAME
+    // shard exchange, ReuseExchange collapses them to one corpus scan,
+    // one tokenize pass, one shuffle write (a groupBy on `sharded`
+    // pushes a partial aggregate below its exchange, which makes the
+    // two exchanges structurally different and re-plans the scan twice).
     val baseW = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bases = sharded.groupBy(col("shard"))
-      .agg(sum(col("n_tok")).as("shard_total"))
+    val bases = local.groupBy(col("shard"))
+      .agg(max(col("local_before") + col("n_tok")).as("shard_total"))
       .withColumn("shard_base",
         coalesce(sum(col("shard_total")).over(baseW), lit(0L)))
       .select(col("shard"), col("shard_base"))

@@ -111,6 +111,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"expected a shard-partitioned window over doc_id in:\n$plan")
   }
 
+  test("t12 runs one corpus shuffle: AQE reuses the shard exchange") {
+    // both prefix-sum branches consume the SAME shard exchange (scan +
+    // tokenize + shuffle write happen once); `shard` is built non-null
+    // so no branch-asymmetric isnotnull inference breaks canonical
+    // equality. Runtime-only: AQE applies exchange reuse during
+    // execution, so the assertion needs the finalized adaptive plan.
+    val qe = graft.SparkEntry.queries("t12_sequence_packing")(spark, sfDir)
+      .queryExecution
+    qe.executedPlan.executeCollect()
+    val finalPlan = qe.executedPlan.toString
+    assert(finalPlan.contains("ReusedExchange"),
+      s"expected the shard exchange to be reused in:\n$finalPlan")
+  }
+
   test("t07 top-token count (sorted run-length fold) matches brute force") {
     // the one-pass rewrite of the quadratic distinct×filter shape must
     // agree with a plain Scala count on every fixture document
