@@ -468,6 +468,12 @@ object Similarity {
   //        recompute shuffles K·dim partial sums per partition. Two
   //        fixed iterations gated; production would loop to
   //        convergence with localCheckpoint per round (the d07 lesson).
+  //        The stateless tree re-derives the exploded view per consumer
+  //        (4 embedding scans in the executed plan) — the deliberate
+  //        trade at embedding-table sizes (1e9×64 floats ≈ 256 GB, not
+  //        the 100 TB text corpus): re-scanning columnar floats beats
+  //        caching a N·dim-row explode for the session (the d07 cache
+  //        leak) and keeps plan-only callers job-free (the t08 lesson).
   // ---------------------------------------------------------------------
   private val KMEANS_K = 8L
   private val KMEANS_DIST_SCALE = 1e8
