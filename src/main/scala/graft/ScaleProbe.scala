@@ -108,6 +108,7 @@ object ScaleProbe {
       "q14_wordcount", "x01_salted_wordcount", "d01_dedup_exact",
       "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
       "d04_dedup_simhash", "d06_dedup_embedding_lsh", "d07_dup_clusters",
+      "d09_substring_dedup",
       "t05_tfidf", "t07_repetition", "t08_lm_score",
       "t12_sequence_packing", "p01_clean_corpus",
       "s02_knn_lsh", "s04_knn_ivf", "s05_embedding_quantize",

@@ -740,6 +740,59 @@ object Dedup {
        |WHERE doc_id >= $BENCH_DOCS
        |GROUP BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // d09 — exact-substring duplication (the Lee et al. "Deduplicating
+  //        Training Data Makes Language Models Better" modality): flag
+  //        character spans ≥ SUB_L that are copied VERBATIM across
+  //        documents — catches boilerplate/license blocks/quoted text
+  //        that token-level Jaccard dilutes below threshold. A doc's
+  //        signal is how many of its distinct char SUB_L-grams also
+  //        occur in some other document.
+  //
+  //        The reference method is a corpus suffix array; the Spark
+  //        re-expression is stride-1 char shingles, per-doc DISTINCT
+  //        before any exchange (bounds amplification at repeated spans),
+  //        then one shuffle on the 20-byte gram. At 100 TB, stride-1
+  //        materializes ~L× the corpus in the exchange — the production
+  //        knob is content-defined sampling (keep grams with
+  //        hash(gram) ≡ 0 mod s, alignment-free, detects spans ≥ ~L+s·s
+  //        w.h.p. — the winnowing trick); the gated query runs stride-1
+  //        so the oracle is exact. All built-in expressions: the
+  //        shingling is transform(sequence(...), substring), codegen'd.
+  // ---------------------------------------------------------------------
+  private val SUB_L = 20
+
+  private def d09(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .where(length(col("text")) >= SUB_L)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, length(text) - ${SUB_L - 1})," +
+          s" i -> substring(text, i, $SUB_L))"))).as("g"))
+    val df = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd")) // distinct-per-doc ⇒ nd = #docs with g
+    grams.join(df, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        col("n_dup_grams").cast(DoubleType) / col("n_grams"))
+  }
+
+  private val d09Sql =
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, length(text) - ${SUB_L - 1}),
+       |    i -> substr(text, i, $SUB_L)))) AS g
+       |  FROM documents WHERE length(text) >= $SUB_L),
+       |df AS (SELECT g, COUNT(*) AS nd FROM g GROUP BY 1)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_grams,
+       |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS dup_frac
+       |FROM g JOIN df USING (g)
+       |GROUP BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("d01_dedup_exact", d01, Some(d01Sql)),
     QuerySpec("d02_dedup_ngram_jaccard", d02, Some(d02Sql)),
@@ -748,5 +801,6 @@ object Dedup {
     QuerySpec("d05_dedup_embedding", d05, Some(d05Sql)),
     QuerySpec("d06_dedup_embedding_lsh", d06, Some(d06Sql)),
     QuerySpec("d07_dup_clusters", d07, Some(d07Sql)),
-    QuerySpec("d08_decontaminate", d08, Some(d08Sql)))
+    QuerySpec("d08_decontaminate", d08, Some(d08Sql)),
+    QuerySpec("d09_substring_dedup", d09, Some(d09Sql)))
 }
