@@ -763,14 +763,18 @@ object Dedup {
   private val SUB_L = 20
 
   private def d09(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val grams = Tables.documents(spark, dir)
       .where(length(col("text")) >= SUB_L)
       .select(col("doc_id"), explode(array_distinct(expr(
         s"transform(sequence(1, length(text) - ${SUB_L - 1})," +
           s" i -> substring(text, i, $SUB_L))"))).as("g"))
-    val df = grams.groupBy(col("g"))
-      .agg(count(lit(1)).as("nd")) // distinct-per-doc ⇒ nd = #docs with g
-    grams.join(df, Seq("g"))
+    // doc frequency as a partition-only window, not groupBy + join-back:
+    // one derivation of the gram rows and ONE full exchange instead of
+    // two of each (distinct-per-doc ⇒ the partition count = #docs with
+    // g); the per-doc rollup then collapses map-side to ~docs·P rows
+    grams
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("g"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
