@@ -172,11 +172,15 @@ object Bench {
       s""""latency_backlog_batches":${lat.backlogBatches}"""
 
   /** Run a throughput measurement up to `runs` times (settling between)
-    * and return (max, spread): spread = (max − min) / max over the
-    * successful runs, so a driver artifact taken on a noisy box carries
-    * its own evidence — max ≈ the engine's demonstrated capability,
-    * spread ≈ how much co-tenant load moved the readings. −1 sentinels
-    * when every run failed. */
+    * and return (max, spread): spread = (max − min) / max, so a driver
+    * artifact taken on a noisy box carries its own evidence — max ≈ the
+    * engine's demonstrated capability, spread ≈ how much co-tenant load
+    * moved the readings. A FAILED run (measureSteady's −1 sentinel: no
+    * steady window completed) is the strongest load evidence there is,
+    * so it counts as 0 in the spread — one failure among successes
+    * pushes spread to 1.0 instead of silently vanishing and letting the
+    * surviving runs read as a tight, load-free measurement. −1 sentinels
+    * only when every run failed. */
   private def bestOf(spark: SparkSession, runs: Int)
                     (run: => Double): (Double, Double) = {
     val vals = (1 to runs).map { i =>
@@ -185,7 +189,7 @@ object Bench {
     }
     val ok = vals.filter(_ > 0)
     if (ok.isEmpty) (-1.0, -1.0)
-    else (ok.max, (ok.max - ok.min) / ok.max)
+    else (ok.max, (ok.max - vals.map(_ max 0.0).min) / ok.max)
   }
 
   private val rocksDbProvider =

@@ -262,8 +262,12 @@ object ScaleOps {
     * advisor) keeps any crash from stranding table data in tmpdir. */
   private[graft] def x09Stage(spark: SparkSession, dir: String): String =
     x09StagedDbs.computeIfAbsent(dir, _ => {
+      // the dir is encoded INJECTIVELY (sanitized path, not a 32-bit
+      // hash): two dirs colliding on String.hashCode would share a db
+      // name, and the second staging's DROP CASCADE would silently
+      // repoint the first dir's cache entry at the wrong tables
       val key = s"${ProcessHandle.current().pid()}_${
-        (dir.hashCode.toLong & 0xffffffffL).toHexString}"
+        dir.replaceAll("[^A-Za-z0-9]", "_")}"
       val db = s"graft_x09_$key"
       val loc = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft-x09-db-$key")

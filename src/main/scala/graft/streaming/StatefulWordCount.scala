@@ -104,7 +104,6 @@ object StatefulWordCount {
     // §2.1 #3.
     val tokens = WordCountPipeline.tokenize(
       sentences.repartition(cfg.parallelism))
-    val counts = WordCountPipeline.statefulCounts(tokens)
 
     val ckpt = cfg.checkpointDir.getOrElse(
       graft.util.Scratch.dir("graft-wc-ckpt"))
@@ -132,7 +131,7 @@ object StatefulWordCount {
         val sink = new LatencySink(
           sinkId = scala.util.Random.nextInt(1 << 20),
           samplePeriod = cfg.samplePeriod)
-        counts.writeStream
+        WordCountPipeline.statefulCounts(tokens).writeStream
           .outputMode("append")
           .foreachBatch((batch: org.apache.spark.sql.Dataset[WordCount], id: Long) =>
             sink(batch, id))

@@ -19,12 +19,16 @@ class MultimodalFixtureSpec extends AnyFunSuite {
 
   for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
     test(s"documents.text is pure ASCII at $dir (m03 byte≡char slicing)") {
-      val nonAscii = graft.Tables.documents(spark, dir)
+      // one job: collect the first offenders, assert on emptiness (an
+      // assert clue is by-value — interpolating a .head() there ran a
+      // second scan even on green runs)
+      val offenders = graft.Tables.documents(spark, dir)
         .where(length(col("text")) =!=
                octet_length(encode(col("text"), "UTF-8")))
-      assert(nonAscii.isEmpty,
+        .select("doc_id").head(5)
+      assert(offenders.isEmpty,
         s"non-ASCII documents break m03's byte-slice/char-substring oracle " +
-          s"equivalence: ${nonAscii.select("doc_id").head(5).mkString(",")}")
+          s"equivalence: ${offenders.mkString(",")}")
     }
   }
 }

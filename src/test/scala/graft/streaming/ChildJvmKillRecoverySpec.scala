@@ -95,15 +95,26 @@ class ChildJvmKillRecoverySpec extends AnyFunSuite {
     val committedAtKill = committedBatches(ckpt).max
 
     // run 2: the "standby" — a fresh JVM on the same checkpoint. State
-    // store reloads, the uncommitted offset range replays, then it runs
-    // out its duration and stops cleanly.
-    val p2 = start(durationSec = 12)
-    assert(p2.waitFor() === 0, "restarted child failed: " +
-      new String(Files.readAllBytes(log.toPath)).takeRight(2000))
-
+    // store reloads, the uncommitted offset range replays. Same
+    // generous-duration + commit-polling contract as run 1: a fixed
+    // 12 s budget flaked whenever co-tenant load stretched the reload +
+    // replay past it (run 1 budgets 240 s for the same box), and a
+    // crashed child still fails here — no commit ever lands and the
+    // poll expires with the log tail in the message.
+    val p2 = start(durationSec = 300)
+    try {
+      val deadline2 = System.currentTimeMillis() + 240000L
+      while (committedBatches(ckpt).max <= committedAtKill &&
+             System.currentTimeMillis() < deadline2 && p2.isAlive)
+        Thread.sleep(500)
+      assert(committedBatches(ckpt).max > committedAtKill,
+        "restarted child made no progress past the killed run: " +
+          new String(Files.readAllBytes(log.toPath)).takeRight(2000))
+    } finally {
+      p2.destroyForcibly()
+      p2.waitFor()
+    }
     val lastCommitted = committedBatches(ckpt).max
-    assert(lastCommitted > committedAtKill,
-      "restarted child made no progress past the killed run")
 
     // merge the per-batch update-mode emissions last-write-wins: every
     // batch dir ≤ lastCommitted is complete (foreachBatch finished
