@@ -152,6 +152,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d09 doc frequency runs as one gram exchange, never a join-back") {
+    // the stride-1 gram rows are ~L× the corpus — the partition window
+    // formulation moves them through ONE exchange; a groupBy-count +
+    // join-back re-derives and re-shuffles them (2 scans, 2 full
+    // exchanges, a join carrying every gram row)
+    val p = formatted("d09_substring_dedup")
+    assert(!p.contains("Join"), "d09 must not join grams back to counts")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length === 1,
+      "d09 must derive the gram rows once")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2,
+      s"expected ≤2 exchanges (gram window + post-partial-agg doc_id), saw $exchanges")
+  }
+
   test("t12 packing plans no full-corpus single-partition window") {
     // the distributed prefix sum's only SinglePartition exchange feeds
     // the ≤32-row shard-base window, downstream of a HashAggregate —
