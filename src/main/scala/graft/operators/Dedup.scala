@@ -782,6 +782,75 @@ object Dedup {
         col("n_dup_grams").cast(DoubleType) / col("n_grams"))
   }
 
+  // ---------------------------------------------------------------------
+  // d10 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
+  //        at corpus scale by clustering FIRST, then scoring cosine only
+  //        WITHIN each cluster. The third scale path for embedding
+  //        near-dup next to d05 (exhaustive tiles: O(n²/B) — the ground
+  //        truth) and d06 (angular LSH: needs a high threshold to prune):
+  //        with k ∝ √n clusters the pair space drops from n² to ~n·√n
+  //        with no signature machinery and no threshold floor, at the
+  //        price of missing cross-cluster pairs (the paper's accepted
+  //        approximation; recall is measurable here against d05's exact
+  //        pair set on the same corpus and threshold).
+  //
+  //        Composition: s06's deterministic two-iteration Lloyd
+  //        assignment (shared CTE body in the oracle — both engines
+  //        score the IDENTICAL clustering), then a within-cluster
+  //        equi-join (never all-pairs — the join key IS the cluster)
+  //        using d05's bit-exact index-order cosine, keep-lowest-id.
+  //
+  //        Scale shape: the only wide exchange hashes vectors by
+  //        cluster id; per-task work is bounded by the largest cluster
+  //        (the paper caps cluster sizes for exactly this reason —
+  //        k grows with n, and a skew-capped variant would re-cluster
+  //        oversized cells, the s04 centroid-split story).
+  // ---------------------------------------------------------------------
+  private def d10(spark: SparkSession, dir: String): DataFrame = {
+    val assign = Similarity.kmeansIterations(spark, dir)._2
+      .select(col("vec_id"), col("cluster"))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.norm(col("embedding")).as("nrm"))
+      .join(assign, Seq("vec_id"))
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
+      col("nrm").as("na"), col("cluster"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+      col("nrm").as("nb"), col("cluster"))
+    // a vector is a duplicate iff some LOWER-id cluster-mate sits at
+    // cos >= the d05 threshold — greedy keep-first, deterministic
+    val dups = a.join(b, Seq("cluster"))
+      .where(col("ida") < col("idb"))
+      .where(graft.functions.VectorFunctions.cosinePrenormed(
+        col("va"), col("vb"), col("na"), col("nb")) >= COS_T)
+      .select(col("idb").as("vec_id"))
+      .distinct()
+      .withColumn("dup", lit(1))
+    assign.join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup"), lit(0)).as("is_dup"))
+  }
+
+  private val d10Sql = {
+    def dotE(x: String, y: String) =
+      s"""list_sum(list_transform(generate_series(1, len($x)), i ->
+         |  CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))""".stripMargin
+    s"""WITH ${Similarity.kmeansCteBody},
+       |ec AS (
+       |  SELECT e.vec_id, e.embedding, a2.cluster
+       |  FROM embeddings e JOIN a2 USING (vec_id)),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM ec a JOIN ec b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${dotE("a.embedding", "b.embedding")} /
+       |    (sqrt(${dotE("a.embedding", "a.embedding")}) *
+       |     sqrt(${dotE("b.embedding", "b.embedding")})) >= $COS_T)
+       |SELECT a2.vec_id, a2.cluster,
+       |  CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+       |FROM a2 LEFT JOIN dups d USING (vec_id)""".stripMargin
+  }
+
   private val d09Sql =
     s"""WITH g AS (
        |  SELECT doc_id, unnest(list_distinct(list_transform(
@@ -806,5 +875,6 @@ object Dedup {
     QuerySpec("d06_dedup_embedding_lsh", d06, Some(d06Sql)),
     QuerySpec("d07_dup_clusters", d07, Some(d07Sql)),
     QuerySpec("d08_decontaminate", d08, Some(d08Sql)),
-    QuerySpec("d09_substring_dedup", d09, Some(d09Sql)))
+    QuerySpec("d09_substring_dedup", d09, Some(d09Sql)),
+    QuerySpec("d10_semdedup", d10, Some(d10Sql)))
 }

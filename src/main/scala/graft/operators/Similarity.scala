@@ -516,8 +516,11 @@ object Similarity {
   private def s06(spark: SparkSession, dir: String): DataFrame =
     kmeansIterations(spark, dir)._2
 
-  private val s06Sql =
-    s"""WITH ex AS (
+  /** the s06 oracle's CTE chain through the final assignment `a2`
+    * (vec_id, cluster, dist_scaled) — shared with d10's SemDeDup oracle
+    * so both engines score the IDENTICAL clustering */
+  private[operators] val kmeansCteBody =
+    s"""ex AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
        |    CAST(unnest(embedding) AS DOUBLE) AS x
        |  FROM embeddings),
@@ -543,12 +546,17 @@ object Similarity {
        |  SELECT vec_id, cluster,
        |    SUM(CAST(round((x - c) * (x - c) * ${KMEANS_DIST_SCALE.toLong})
        |        AS BIGINT)) AS dist
-       |  FROM ex JOIN c1 USING (pos) GROUP BY 1, 2)
-       |SELECT vec_id, cluster, dist AS dist_scaled FROM (
-       |  SELECT vec_id, cluster, dist,
-       |    ROW_NUMBER() OVER (PARTITION BY vec_id
-       |      ORDER BY dist, cluster) AS rn
-       |  FROM d2) t WHERE rn = 1""".stripMargin
+       |  FROM ex JOIN c1 USING (pos) GROUP BY 1, 2),
+       |a2 AS (
+       |  SELECT vec_id, cluster, dist AS dist_scaled FROM (
+       |    SELECT vec_id, cluster, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cluster) AS rn
+       |    FROM d2) t WHERE rn = 1)""".stripMargin
+
+  private val s06Sql =
+    s"""WITH $kmeansCteBody
+       |SELECT vec_id, cluster, dist_scaled FROM a2""".stripMargin
 
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("s01_knn_bruteforce", s01, Some(s01Sql)),
