@@ -166,6 +166,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected ≤2 exchanges (gram window + post-partial-agg doc_id), saw $exchanges")
   }
 
+  test("d10 SemDeDup pairs meet through the cluster equi-join only") {
+    // the whole point of cluster-then-compare: the pair space is the
+    // within-cluster join, never an all-pairs product — at 10^9 vectors
+    // a cartesian/BNLJ here is the difference between n·√n and n²
+    val p = formatted("d10_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      "d10 must not plan a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "d10 must not plan a nested-loop join")
+  }
+
   test("t12 packing plans no full-corpus single-partition window") {
     // the distributed prefix sum's only SinglePartition exchange feeds
     // the ≤32-row shard-base window, downstream of a HashAggregate —

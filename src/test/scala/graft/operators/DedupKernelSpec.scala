@@ -64,4 +64,24 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(k1.zip(k2).exists { case (x, y) => x == y },
       "expected at least one shared LSH band for a J≈0.97 pair")
   }
+
+  test("d10 SemDeDup dups are a strict subset of d05's exact dup set") {
+    // cluster-then-compare scores the same cosine at the same threshold
+    // over a SUBSET of the pair space (cluster-mates only), so every id
+    // it flags must be the higher element of some exact d05 pair; what
+    // it misses are exactly the cross-cluster pairs (the SemDeDup
+    // paper's accepted approximation). This fixture is the hard regime —
+    // d05's header documents no similarity gap at the 0.45 threshold —
+    // so recall is partial by design; the subset direction is exact.
+    val spark = graft.SparkTestSession.spark
+    val dir = graft.SparkTestSession.sfDir
+    val exact = graft.SparkEntry.queries("d05_dedup_embedding")(spark, dir)
+      .select("id2").distinct().collect().map(_.getLong(0)).toSet
+    val flagged = graft.SparkEntry.queries("d10_semdedup")(spark, dir)
+      .where("is_dup = 1").select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged.nonEmpty, "d10 must flag at least one duplicate")
+    assert(flagged.subsetOf(exact),
+      s"d10 flagged non-duplicates: ${(flagged -- exact).toSeq.sorted}")
+  }
 }
