@@ -600,6 +600,128 @@ object StreamingOps {
     emitted.groupBy(col("word")).agg(max(col("cnt")).as("cnt"))
   }
 
+  /** w13 — watermarked stream-stream LEFT OUTER interval join: the
+    * missing join mode after w08 (inner, unwatermarked) and w10 (inner,
+    * watermarked). Outer-ness is pure eviction semantics: an unmatched
+    * left row emits its null-padded result exactly when its state is
+    * evicted — the watermark proves no admissible right row can ever
+    * match it (e_ts must land in [p_ts, p_ts+1h) but admitted errors
+    * have e_ts above the watermark that evicted the purchase). Planted,
+    * each ≥ 50 min from any admission/eviction edge:
+    *  - p100: partner-less mid-stream → null row emitted at batch-2
+    *    eviction (wm(1)); its only candidate e130 arrives batch 3 BELOW
+    *    the late-events watermark and is dropped — the null is final,
+    *    late partners cannot retract it;
+    *  - p293: partner-less at drain → null row from the trailing
+    *    no-data batch's eviction at wm(3) — outer rows do not need a
+    *    data batch to flush;
+    *  - p700/p995: windows still open vs wm(3)=22:50 at drain → NO
+    *    emission (outer rows wait for the watermark; query stop drops
+    *    open state rather than fabricating nulls);
+    *  - matched rows (five inner pairs incl. cross-batch state hits and
+    *    the late-but-admissible e150) evict silently — matched state
+    *    never null-pads. Right-side unmatched rows emit nothing (left
+    *    outer). The oracle reconstructs the same watermark machine as
+    *    w10Sql plus the final-watermark null set. */
+  private def w13(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // (batch, ts, user, id)
+    val pRows = Seq(
+      (1, "2024-01-01 00:00:00", 1L, 100L), // unmatched → null row (batch-2 eviction)
+      (1, "2024-01-01 09:58:00", 5L, 105L), // matched by late-admissible e150
+      (1, "2024-01-01 10:00:00", 91L, 191L), // clock; matched from batch-2 e911
+      (2, "2024-01-01 19:30:00", 2L, 200L), // matched twice (e220 same batch, e230 next)
+      (2, "2024-01-01 20:00:00", 93L, 293L), // clock; unmatched → null row at drain
+      (3, "2024-01-01 19:55:00", 4L, 400L), // matches buffered e410 from batch-2 state
+      (3, "2024-01-01 22:40:00", 7L, 700L), // window open at drain → NO emission
+      (3, "2024-01-01 23:00:00", 95L, 995L)) // clock; window open → NO emission
+    val eRows = Seq(
+      (1, "2024-01-01 00:15:00", 3L, 310L), // right-side unmatched → nothing
+      (1, "2024-01-01 10:00:00", 92L, 910L), // clock
+      (2, "2024-01-01 10:20:00", 91L, 911L), // matches p191 from batch-1 state
+      (2, "2024-01-01 19:45:00", 2L, 220L), // matches p200 same batch
+      (2, "2024-01-01 19:58:00", 4L, 410L), // buffered; matched by batch-3 p400
+      (2, "2024-01-01 20:00:00", 94L, 940L), // clock
+      (3, "2024-01-01 00:30:00", 1L, 130L), // LATE (< wm(1)=9:50) → dropped; p100 stays null
+      (3, "2024-01-01 10:05:00", 5L, 150L), // late vs wm(2), on time vs wm(1) → matches p105
+      (3, "2024-01-01 20:05:00", 2L, 230L), // matches p200 state
+      (3, "2024-01-01 23:00:00", 96L, 960L)) // clock → wm(3) = 22:50
+    val pDir = graft.util.Scratch.dir("graft-w13-p")
+    val eDir = graft.util.Scratch.dir("graft-w13-e")
+    (1 to 3).foreach { b =>
+      pRows.filter(_._1 == b).map { case (_, s, u, i) => (t(s), u, i) }
+        .toDF("p_ts", "p_user", "p_id")
+        .coalesce(1).write.mode("append").parquet(pDir)
+      stampBatch(pDir, b)
+      eRows.filter(_._1 == b).map { case (_, s, u, i) => (t(s), u, i) }
+        .toDF("e_ts", "e_user", "e_id")
+        .coalesce(1).write.mode("append").parquet(eDir)
+      stampBatch(eDir, b)
+    }
+    def read(d: String, schema: StructType) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(d)
+    val p = read(pDir, new StructType().add("p_ts", TimestampType)
+        .add("p_user", LongType).add("p_id", LongType))
+      .withWatermark("p_ts", "10 minutes")
+    val e = read(eDir, new StructType().add("e_ts", TimestampType)
+        .add("e_user", LongType).add("e_id", LongType))
+      .withWatermark("e_ts", "10 minutes")
+    val joined = p.join(e,
+      col("p_user") === col("e_user") &&
+      col("e_ts") >= col("p_ts") &&
+      col("e_ts") < col("p_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("p_id"), col("e_id"), col("p_user").as("user_id"))
+    runComplete(spark, joined, "w13_", mode = "append")
+  }
+
+  /** w10Sql's watermark machine + the outer null set: an admitted
+    * purchase null-pads iff no admitted error matches it AND its match
+    * window closed under the FINAL watermark wm(3) — purchases whose
+    * window is still open at drain emit nothing */
+  private val w13Sql =
+    """WITH p AS (SELECT * FROM (VALUES
+      |    (1, TIMESTAMP '2024-01-01 00:00:00', 1, 100),
+      |    (1, TIMESTAMP '2024-01-01 09:58:00', 5, 105),
+      |    (1, TIMESTAMP '2024-01-01 10:00:00', 91, 191),
+      |    (2, TIMESTAMP '2024-01-01 19:30:00', 2, 200),
+      |    (2, TIMESTAMP '2024-01-01 20:00:00', 93, 293),
+      |    (3, TIMESTAMP '2024-01-01 19:55:00', 4, 400),
+      |    (3, TIMESTAMP '2024-01-01 22:40:00', 7, 700),
+      |    (3, TIMESTAMP '2024-01-01 23:00:00', 95, 995))
+      |  t(b, p_ts, p_user, p_id)),
+      |e AS (SELECT * FROM (VALUES
+      |    (1, TIMESTAMP '2024-01-01 00:15:00', 3, 310),
+      |    (1, TIMESTAMP '2024-01-01 10:00:00', 92, 910),
+      |    (2, TIMESTAMP '2024-01-01 10:20:00', 91, 911),
+      |    (2, TIMESTAMP '2024-01-01 19:45:00', 2, 220),
+      |    (2, TIMESTAMP '2024-01-01 19:58:00', 4, 410),
+      |    (2, TIMESTAMP '2024-01-01 20:00:00', 94, 940),
+      |    (3, TIMESTAMP '2024-01-01 00:30:00', 1, 130),
+      |    (3, TIMESTAMP '2024-01-01 10:05:00', 5, 150),
+      |    (3, TIMESTAMP '2024-01-01 20:05:00', 2, 230),
+      |    (3, TIMESTAMP '2024-01-01 23:00:00', 96, 960))
+      |  t(b, e_ts, e_user, e_id)),
+      |wm AS (SELECT k,
+      |    LEAST((SELECT max(p_ts) FROM p WHERE b <= k),
+      |          (SELECT max(e_ts) FROM e WHERE b <= k))
+      |      - INTERVAL 10 MINUTE AS w
+      |  FROM (VALUES (1), (2), (3)) kk(k)),
+      |pk AS (SELECT * FROM p
+      |  WHERE b <= 2 OR p_ts >= (SELECT w FROM wm WHERE k = b - 2)),
+      |ek AS (SELECT * FROM e
+      |  WHERE b <= 2 OR e_ts >= (SELECT w FROM wm WHERE k = b - 2)),
+      |matched AS (SELECT p_id, e_id, p_user AS user_id
+      |  FROM pk JOIN ek ON p_user = e_user
+      |   AND e_ts >= p_ts AND e_ts < p_ts + INTERVAL 1 HOUR)
+      |SELECT p_id, e_id, user_id FROM matched
+      |UNION ALL
+      |SELECT p_id, CAST(NULL AS BIGINT) AS e_id, p_user AS user_id
+      |FROM pk
+      |WHERE p_ts + INTERVAL 1 HOUR <= (SELECT w FROM wm WHERE k = 3)
+      |  AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.p_id = pk.p_id)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
@@ -612,5 +734,6 @@ object StreamingOps {
     QuerySpec("w09_stream_late_data", w09, Some(w09Sql)),
     QuerySpec("w10_stream_stream_watermarked_join", w10, Some(w10Sql)),
     QuerySpec("w11_stream_dedup_watermarked", w11, Some(w11Sql)),
-    QuerySpec("w12_stream_transform_with_state", w12, Some(Relational.q14Sql)))
+    QuerySpec("w12_stream_transform_with_state", w12, Some(Relational.q14Sql)),
+    QuerySpec("w13_stream_stream_left_outer_join", w13, Some(w13Sql)))
 }

@@ -50,4 +50,22 @@ class StreamStreamJoinSpec extends AnyFunSuite {
     val got = spark.table("ssj").as[(Long, Long)].collect().toSet
     assert(got === Set((100L, 11L), (201L, 22L)))
   }
+
+  test("w13 left outer: nulls exactly for expired unmatched left rows") {
+    // the gated replay's full expected surface, pinned row-exactly:
+    // five inner pairs (incl. cross-batch state hits and the
+    // late-but-admissible e150), null rows for the two purchases whose
+    // windows closed unmatched (p100 mid-stream, p293 at drain), and
+    // NOTHING for p700/p995 (windows still open at the final watermark)
+    // or any right-side row
+    val spark = SparkTestSession.spark
+    val got = graft.SparkEntry
+      .queries("w13_stream_stream_left_outer_join")(spark, SparkTestSession.sfDir)
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    assert(got === Set(
+      (191L, 911L), (200L, 220L), (200L, 230L), (400L, 410L), (105L, 150L),
+      (100L, -1L), (293L, -1L)))
+  }
 }
