@@ -365,6 +365,64 @@ object ScaleOps {
       |FROM f JOIN d USING (skey)
       |GROUP BY region""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x11 — runtime Bloom-filter semi-join reduction (Catalyst's
+  //       InjectRuntimeFilter rewrite): the selective dim-side predicate
+  //       (orders at priority 1-URGENT, ~20%) is turned into a Bloom
+  //       filter that Catalyst injects as a `might_contain` predicate on
+  //       the FACT side BEFORE its shuffle — at 100 TB this is the
+  //       difference between shuffling every lineitem row and shuffling
+  //       ~20% of them, without bucketing or a broadcast (the dim side
+  //       is too big to broadcast in the demonstrated regime, hence the
+  //       SMJ). The rewrite only fires for probable-shuffle joins with a
+  //       selective creation side under the size thresholds; the gate
+  //       scans are MBs, so the application-side threshold is scoped to
+  //       0 around this query's execution (at 100 TB the defaults fire
+  //       on their own). Result is provably identical to the plain join
+  //       — a Bloom filter has no false negatives and the join itself
+  //       re-checks the key — so the oracle is the PLAIN join SQL.
+  //       PlanSpec pins `might_contain` + SMJ in the executed shape.
+  // ---------------------------------------------------------------------
+  private[graft] val x11Confs = Map(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  private[graft] def x11Join(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+    val o = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+           sum(col("l_quantity").cast(DecimalType(18, 2)))
+             .cast(DoubleType).as("sum_qty"))
+  }
+
+  private def x11(spark: SparkSession, dir: String): DataFrame = {
+    // the rewrite runs at optimization time, i.e. when the sink action
+    // executes — so the conf scope must cover an eager execution here,
+    // not a lazily-returned plan (the harness re-plans at write time)
+    val saved = x11Confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    x11Confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val out = graft.util.Scratch.dir("graft-x11")
+    try x11Join(spark, dir).coalesce(1).write.mode("overwrite").parquet(out)
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    spark.read.parquet(out)
+  }
+
+  private val x11Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -375,5 +433,6 @@ object ScaleOps {
     QuerySpec("x07_partitioned_write", x07, Some(x07Sql)),
     QuerySpec("x08_orc_roundtrip", x08, Some(roundtripSql)),
     QuerySpec("x09_bucketed_join", x09, Some(x09Sql)),
-    QuerySpec("x10_skew_salted_join", x10, Some(x10Sql)))
+    QuerySpec("x10_skew_salted_join", x10, Some(x10Sql)),
+    QuerySpec("x11_bloom_filtered_join", x11, Some(x11Sql)))
 }

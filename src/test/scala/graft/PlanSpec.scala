@@ -166,6 +166,27 @@ class PlanSpec extends AnyFunSuite {
       s"expected ≤2 exchanges (gram window + post-partial-agg doc_id), saw $exchanges")
   }
 
+  test("x11 injects a runtime bloom filter on the fact side of the SMJ") {
+    // under x11's scoped confs Catalyst's InjectRuntimeFilter must turn
+    // the selective dim predicate into a might_contain guard on the
+    // lineitem side before its shuffle — the semi-join reduction the op
+    // exists to demonstrate
+    val saved = operators.ScaleOps.x11Confs.keys
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    operators.ScaleOps.x11Confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = operators.ScaleOps.x11Join(spark, sfDir)
+        .queryExecution.explainString(FormattedMode)
+      assert(p.contains("might_contain"),
+        s"expected an injected bloom filter in:\n$p")
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("BroadcastHashJoin"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("d10 SemDeDup pairs meet through the cluster equi-join only") {
     // the whole point of cluster-then-compare: the pair space is the
     // within-cluster join, never an all-pairs product — at 10^9 vectors
