@@ -117,7 +117,7 @@ object ScaleProbe {
       "q01_pricing_summary", "q03_join_agg", "q08_window_running",
       "q25_grouping_sets",
       "x02_sessionize", "x05_asof_join", "x06_range_join_bucketed",
-      "x09_bucketed_join", "x10_skew_salted_join",
+      "x09_bucketed_join", "x10_skew_salted_join", "x11_bloom_filtered_join",
       "w02_stream_window_agg", "w08_stream_stream_join")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
