@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
-import graft.{QuerySpec, Tables}
+import graft.{GraftFunctions, QuerySpec, Tables}
 
 /** Relational operator surface: scans, filters/projections, joins
   * (shuffle/broadcast/semi/anti), aggregations (hash, distinct, rollup),
@@ -621,6 +621,56 @@ object Relational {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q26 — table-generating (UDTF) surface: posexplode is Spark's lateral
+  // view / generator shape — each document fans out to (pos, tok) rows
+  // inside the Generate operator, which runs narrow (no shuffle at all:
+  // the fan-out happens inside the scan's codegen stage, and at 100 TB
+  // that is the only acceptable place for a 1→N row explosion — a
+  // generator that forced an exchange would multiply shuffle volume by
+  // the fan-out factor).
+  // ---------------------------------------------------------------------
+  private def q26(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"),
+              posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .where(col("pos") < 3)
+
+  private val q26Sql =
+    """SELECT doc_id, g.i - 1 AS pos,
+      |  list_extract(string_split(text, ' '), g.i) AS tok
+      |FROM documents, generate_series(1, 3) g(i)
+      |WHERE doc_id < 100 AND g.i <= len(string_split(text, ' '))""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q27 — the SQL registration route for the engine's custom Catalyst
+  // expressions: the query goes through `spark.sql` text, so resolution
+  // must find `graft_dot` in the function registry (GraftFunctions
+  // .register / GraftExtensions injection), not the DataFrame DSL. The
+  // expression is the same codegen'd DotProductD the DSL ops use —
+  // registration is the only thing this row adds evidence for.
+  // ---------------------------------------------------------------------
+  private def q27(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    Tables.embeddings(spark, dir).createOrReplaceTempView("q27_embeddings")
+    // neighbor-pair dot, not self-dot: the fixture's vectors are unit-norm,
+    // so a self-dot reads 1.0 everywhere and would let a constant-output
+    // bug in the function pass the oracle
+    spark.sql(
+      """SELECT a.vec_id, round(graft_dot(a.embedding, b.embedding), 4)
+        |  AS dot_next
+        |FROM q27_embeddings a JOIN q27_embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 50""".stripMargin)
+  }
+
+  private val q27Sql =
+    """SELECT a.vec_id, round(list_sum(list_transform(generate_series(1, 64),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |  4) AS dot_next
+      |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |WHERE a.vec_id < 50""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("q01_pricing_summary", q01, Some(q01Sql)),
     QuerySpec("q02_filter_project", q02, Some(q02Sql)),
@@ -646,5 +696,7 @@ object Relational {
     QuerySpec("q22_correlated_subquery", q22, Some(q22Sql)),
     QuerySpec("q23_full_outer_join", q23, Some(q23Sql)),
     QuerySpec("q24_pivot", q24, Some(q24Sql)),
-    QuerySpec("q25_grouping_sets", q25, Some(q25Sql)))
+    QuerySpec("q25_grouping_sets", q25, Some(q25Sql)),
+    QuerySpec("q26_generator_posexplode", q26, Some(q26Sql)),
+    QuerySpec("q27_sql_registered_udf", q27, Some(q27Sql)))
 }
