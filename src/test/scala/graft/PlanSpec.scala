@@ -166,6 +166,15 @@ class PlanSpec extends AnyFunSuite {
       s"expected ≤2 exchanges (gram window + post-partial-agg doc_id), saw $exchanges")
   }
 
+  test("q26 generator fan-out runs narrow — Generate with zero exchanges") {
+    // the 1→N explosion must happen inside the scan stage; a generator
+    // that forced a shuffle would multiply exchange volume by the
+    // fan-out factor at 100 TB
+    val p = formatted("q26_generator_posexplode")
+    assert(p.contains("Generate"), s"expected a Generate operator in:\n$p")
+    assert(!p.contains("Exchange"), "generator fan-out must not shuffle")
+  }
+
   test("x11 injects a runtime bloom filter on the fact side of the SMJ") {
     // under x11's scoped confs Catalyst's InjectRuntimeFilter must turn
     // the selective dim predicate into a might_contain guard on the
