@@ -112,7 +112,7 @@ object ScaleProbe {
       "t05_tfidf", "t07_repetition", "t08_lm_score",
       "t12_sequence_packing", "p01_clean_corpus",
       "s02_knn_lsh", "s04_knn_ivf", "s05_embedding_quantize",
-      "s06_kmeans",
+      "s06_kmeans", "s07_knn_pq_adc",
       "m03_multimodal_resize",
       "q01_pricing_summary", "q03_join_agg", "q08_window_running",
       "q25_grouping_sets",

@@ -558,11 +558,148 @@ object Similarity {
     s"""WITH $kmeansCteBody
        |SELECT vec_id, cluster, dist_scaled FROM a2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s07 — product quantization + asymmetric-distance ANN (Jégou et al.,
+  //        TPAMI'11 — the memory-compression scale path the other ANN
+  //        variants don't cover): split each vector into M=4 subspaces
+  //        of 16 dims, train a 16-codeword codebook per subspace with
+  //        s06's deterministic scaled-integer Lloyd (seeds = the 16
+  //        smallest vec_ids' subvectors, one refinement pass), encode
+  //        every vector as 4 small codes, then score queries against
+  //        CODES ONLY: a per-query distance table (query subvector ↔
+  //        every codeword, 4·16 integer entries) broadcasts, and the
+  //        approximate distance is the sum of 4 table lookups.
+  //
+  //        Scale story: at 10^9×64-float corpus (≈256 GB raw) the codes
+  //        are 4 bytes/vector (≈4 GB — 64× compression); the scan side
+  //        never touches raw floats after encoding, codebooks + distance
+  //        tables broadcast (KB), and the top-k tail is the O(q·k)
+  //        TopKAggregator exchange. Everything is scaled-integer
+  //        arithmetic end-to-end (distances are BIGINTs), so the oracle
+  //        hash-matches an iterative float algorithm across two engines
+  //        with no rounding dialect risk on the output columns.
+  // ---------------------------------------------------------------------
+  private val PQ_K = 16L     // codewords per subspace
+  private val PQ_SUBDIM = 16 // dims per subspace (DIM/16 = 4 subspaces)
+
+  private def s07(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val ex = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), floor(col("pos") / lit(PQ_SUBDIM)).as("sub"),
+              col("pos"), col("xf").cast(DoubleType).as("x"))
+
+    // per-(vector, subspace) nearest codeword under the scaled-integer
+    // distance; `sub` rides along from ex (pos determines the subspace)
+    def encode(centroids: DataFrame): DataFrame = {
+      val d = col("x") - col("c")
+      ex.join(broadcast(centroids), Seq("pos"))
+        .groupBy(col("vec_id"), col("sub"), col("cluster"))
+        .agg(sum(round(d * d * lit(KMEANS_DIST_SCALE)).cast(LongType))
+          .as("dist"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cluster").as("cluster"))
+    }
+
+    // seeds: codeword j of every subspace = seed vector j's subvector
+    val c0 = ex.where(col("vec_id") < PQ_K)
+      .select(col("vec_id").as("cluster"), col("pos"), col("x").as("c"))
+    val a1 = encode(c0)
+    val c1 = ex.join(a1, Seq("vec_id", "sub"))
+      .groupBy(col("sub"), col("cluster"), col("pos"))
+      .agg(sum(round(col("x") * lit(KMEANS_MEAN_SCALE)).cast(LongType))
+        .as("s"), count(lit(1)).as("n"))
+      .select(col("cluster"), col("pos"),
+        (col("s").cast(DoubleType) / (lit(KMEANS_MEAN_SCALE) * col("n")))
+          .as("c"))
+    val code = encode(c1) // (vec_id, sub, cluster) — 4 codes per vector
+
+    // ADC distance tables: raw query subvector ↔ every refined codeword
+    val dq = col("x") - col("c")
+    val dt = ex.where(col("vec_id") < N_QUERIES)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(c1), Seq("pos"))
+      .groupBy(col("query_id"), col("sub"), col("cluster"))
+      .agg(sum(round(dq * dq * lit(KMEANS_DIST_SCALE)).cast(LongType))
+        .as("dist"))
+
+    // approximate distance = Σ over the 4 subspaces of one table lookup;
+    // adist ≤ ~1e11 « 2^53, so the negated-double TopK score is exact
+    val scored = code.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(dt), Seq("sub", "cluster"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dist")).as("adist"))
+      .select(col("query_id"), col("neighbor_id"),
+              (-col("adist").cast(DoubleType)).as("cos"))
+    topK(spark, scored)
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+              (-col("cos_sim")).cast(LongType).as("adist"))
+  }
+
+  private val s07Sql =
+    s"""WITH exb AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+       |    CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, pos, CAST(floor(pos / $PQ_SUBDIM.0) AS BIGINT) AS sub, x
+       |  FROM exb),
+       |c0 AS (SELECT vec_id AS cluster, pos, x AS c FROM exb
+       |       WHERE vec_id < $PQ_K),
+       |d1 AS (
+       |  SELECT vec_id, sub, cluster,
+       |    SUM(CAST(round((x - c) * (x - c) * ${KMEANS_DIST_SCALE.toLong})
+       |        AS BIGINT)) AS dist
+       |  FROM ex JOIN c0 USING (pos) GROUP BY 1, 2, 3),
+       |a1 AS (
+       |  SELECT vec_id, sub, cluster FROM (
+       |    SELECT vec_id, sub, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY dist, cluster) AS rn
+       |    FROM d1) t WHERE rn = 1),
+       |c1 AS (
+       |  SELECT cluster, pos,
+       |    CAST(SUM(CAST(round(x * ${KMEANS_MEAN_SCALE.toLong}) AS BIGINT))
+       |         AS DOUBLE) / (${KMEANS_MEAN_SCALE.toLong} * COUNT(*)) AS c
+       |  FROM ex JOIN a1 USING (vec_id, sub) GROUP BY 1, 2),
+       |d2 AS (
+       |  SELECT vec_id, sub, cluster,
+       |    SUM(CAST(round((x - c) * (x - c) * ${KMEANS_DIST_SCALE.toLong})
+       |        AS BIGINT)) AS dist
+       |  FROM ex JOIN c1 USING (pos) GROUP BY 1, 2, 3),
+       |code AS (
+       |  SELECT vec_id, sub, cluster FROM (
+       |    SELECT vec_id, sub, cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY dist, cluster) AS rn
+       |    FROM d2) t WHERE rn = 1),
+       |dt AS (
+       |  SELECT e.vec_id AS query_id, e.sub, c1.cluster,
+       |    SUM(CAST(round((e.x - c1.c) * (e.x - c1.c)
+       |        * ${KMEANS_DIST_SCALE.toLong}) AS BIGINT)) AS dist
+       |  FROM ex e JOIN c1 ON e.pos = c1.pos
+       |  WHERE e.vec_id < $N_QUERIES GROUP BY 1, 2, 3),
+       |adc AS (
+       |  SELECT dt.query_id, code.vec_id AS neighbor_id,
+       |    SUM(dt.dist) AS adist
+       |  FROM code JOIN dt ON code.sub = dt.sub AND code.cluster = dt.cluster
+       |  WHERE code.vec_id <> dt.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, rnk, adist FROM (
+       |  SELECT query_id, neighbor_id, adist,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adist, neighbor_id) AS rnk
+       |  FROM adc) t
+       |WHERE rnk <= $TOP_K""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("s01_knn_bruteforce", s01, Some(s01Sql)),
     QuerySpec("s02_knn_lsh", s02, Some(s02Sql)),
     QuerySpec("s03_knn_topk_aggregator", s03, Some(s01Sql)),
     QuerySpec("s04_knn_ivf", s04, Some(s04Sql)),
     QuerySpec("s05_embedding_quantize", s05, Some(s05Sql)),
-    QuerySpec("s06_kmeans", s06, Some(s06Sql)))
+    QuerySpec("s06_kmeans", s06, Some(s06Sql)),
+    QuerySpec("s07_knn_pq_adc", s07, Some(s07Sql)))
 }

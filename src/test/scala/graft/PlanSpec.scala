@@ -166,6 +166,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected ≤2 exchanges (gram window + post-partial-agg doc_id), saw $exchanges")
   }
 
+  test("s07 scores codes against broadcast tables, never raw all-pairs") {
+    // the PQ contract: after encoding, only (sub, cluster) codes join a
+    // broadcast distance table — a cartesian or nested-loop against raw
+    // vectors would defeat the 64× compression the op exists for
+    val p = formatted("s07_knn_pq_adc")
+    assert(p.contains("BroadcastHashJoin"),
+      "codebook/distance-table joins must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q26 generator fan-out runs narrow — Generate with zero exchanges") {
     // the 1→N explosion must happen inside the scan stage; a generator
     // that forced a shuffle would multiply exchange volume by the

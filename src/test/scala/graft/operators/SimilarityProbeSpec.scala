@@ -42,6 +42,24 @@ class SimilarityProbeSpec extends AnyFunSuite {
     assert(rows(gated) == rows(probe1))
   }
 
+  test("s07 PQ-ADC retrieves real neighbors, not noise") {
+    // on the gap-free random fixture 16 codewords per subspace are very
+    // coarse, so partial recall is the expected regime (the d10
+    // pattern) — but ADC must still beat chance by a wide margin:
+    // random top-5 picks from ~500 candidates would overlap the exact
+    // set ~1% of the time; measured mean recall@5 is 0.26 at sf0.001.
+    import org.apache.spark.sql.functions.col
+    val exact = SparkEntry.queries("s01_knn_bruteforce")(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = SparkEntry.queries("s07_knn_pq_adc")(spark, sfDir)
+      .select(col("query_id"), col("neighbor_id"))
+    val nQueries = exact.select("query_id").distinct().count()
+    val hits = exact.join(pq, Seq("query_id", "neighbor_id")).count()
+    val recall = hits.toDouble / (nQueries * 5)
+    assert(recall >= 0.15,
+      f"PQ-ADC mean recall@5 $recall%.2f fell below the pinned floor")
+  }
+
   test("gated s02 is the nflips=0 (single-bucket) configuration") {
     val gated = SparkEntry.queries("s02_knn_lsh")(spark, sfDir)
     val probe0 = Similarity.s02Probe(spark, sfDir, nflips = 0)
