@@ -806,7 +806,10 @@ object Dedup {
   //        k grows with n, and a skew-capped variant would re-cluster
   //        oversized cells, the s04 centroid-split story).
   // ---------------------------------------------------------------------
-  private def d10(spark: SparkSession, dir: String): DataFrame = {
+  /** d10's (vec_id, cluster, is_dup) flag frame — shared with the p02
+    * pipeline, which keeps the is_dup = 0 survivors */
+  private[operators] def semdedupFlags(
+      spark: SparkSession, dir: String): DataFrame = {
     val assign = Similarity.kmeansIterations(spark, dir)._2
       .select(col("vec_id"), col("cluster"))
     val e = Tables.embeddings(spark, dir)
@@ -831,12 +834,16 @@ object Dedup {
         coalesce(col("dup"), lit(0)).as("is_dup"))
   }
 
-  private val d10Sql = {
+  private def d10(spark: SparkSession, dir: String): DataFrame =
+    semdedupFlags(spark, dir)
+
+  /** the `ec` + `dups` CTEs of the d10 oracle (kmeansCteBody must
+    * precede them in the WITH chain) — shared with the p02 oracle */
+  private[operators] val semdedupCtes: String = {
     def dotE(x: String, y: String) =
       s"""list_sum(list_transform(generate_series(1, len($x)), i ->
          |  CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))""".stripMargin
-    s"""WITH ${Similarity.kmeansCteBody},
-       |ec AS (
+    s"""ec AS (
        |  SELECT e.vec_id, e.embedding, a2.cluster
        |  FROM embeddings e JOIN a2 USING (vec_id)),
        |dups AS (
@@ -845,11 +852,15 @@ object Dedup {
        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
        |  WHERE ${dotE("a.embedding", "b.embedding")} /
        |    (sqrt(${dotE("a.embedding", "a.embedding")}) *
-       |     sqrt(${dotE("b.embedding", "b.embedding")})) >= $COS_T)
+       |     sqrt(${dotE("b.embedding", "b.embedding")})) >= $COS_T)""".stripMargin
+  }
+
+  private val d10Sql =
+    s"""WITH ${Similarity.kmeansCteBody},
+       |$semdedupCtes
        |SELECT a2.vec_id, a2.cluster,
        |  CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
        |FROM a2 LEFT JOIN dups d USING (vec_id)""".stripMargin
-  }
 
   private val d09Sql =
     s"""WITH g AS (

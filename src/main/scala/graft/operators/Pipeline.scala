@@ -137,6 +137,63 @@ object Pipeline {
        |WHERE doc_id >= $BENCH_DOCS
        |  AND doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // p02 — the EMBEDDING-side curation pipeline (p01 is the text side):
+  //       cluster → SemDeDup prune → quantize survivors, i.e. exactly
+  //       what a production vector store runs before indexing a corpus.
+  //       Composition closure again — each stage consumes the previous
+  //       stage's survivors and the oracle checks the composed result:
+  //         1. k-means assignment (s06's deterministic Lloyd — shared
+  //            CTE body, both engines score the identical clustering);
+  //         2. SemDeDup within clusters at the d05/d10 threshold —
+  //            is_dup = 0 survivors only (d10's flag frame verbatim);
+  //         3. int8 range quantization + reconstruction error (s05's
+  //            kernel) over survivors only — the compressed index is
+  //            built AFTER dedup, so no storage is spent on rows that
+  //            were about to be dropped.
+  //       100 TB shape: stages 1-2 are the s06/d10 shapes (broadcast
+  //       centroids, one cluster-hash exchange, within-cluster pair
+  //       space); stage 3 is a narrow per-row pass over survivors with
+  //       no shuffle at all — the pipeline adds NOTHING to the widest
+  //       exchange of its parts.
+  // ---------------------------------------------------------------------
+  private def p02(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val surv = Dedup.semdedupFlags(spark, dir)
+      .where(col("is_dup") === 0)
+      .select(col("vec_id"), col("cluster"))
+    val emb = Tables.embeddings(spark, dir).select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+    Similarity.quantized(emb.join(surv, Seq("vec_id")))
+      .select(col("vec_id"), col("cluster"), col("qmin"), col("qmax"),
+              col("mean_abs_err"))
+  }
+
+  private val p02Sql =
+    s"""WITH ${Similarity.kmeansCteBody},
+       |${Dedup.semdedupCtes},
+       |surv AS (
+       |  SELECT a2.vec_id, a2.cluster
+       |  FROM a2 LEFT JOIN dups d USING (vec_id)
+       |  WHERE d.vec_id IS NULL),
+       |e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings JOIN surv USING (vec_id)),
+       |s AS (
+       |  SELECT vec_id, emb, list_min(emb) AS qmin, list_max(emb) AS qmax,
+       |    (list_max(emb) - list_min(emb)) / 255.0 AS scale
+       |  FROM e)
+       |SELECT s.vec_id, surv.cluster, qmin, qmax,
+       |  CASE WHEN scale = 0 THEN 0.0 ELSE
+       |    round(list_sum(list_transform(emb, x ->
+       |      abs(x - (qmin + least(greatest(floor((x - qmin) / scale + 0.5),
+       |                                     0.0), 255.0) * scale))))
+       |          / len(emb), 6)
+       |  END AS mean_abs_err
+       |FROM s JOIN surv USING (vec_id)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
-    QuerySpec("p01_clean_corpus", p01, Some(p01Sql)))
+    QuerySpec("p01_clean_corpus", p01, Some(p01Sql)),
+    QuerySpec("p02_embedding_curation", p02, Some(p02Sql)))
 }

@@ -403,10 +403,10 @@ object Similarity {
   //        BOTH engines (`round` half-up vs half-even dialects would
   //        silently diverge on exact ties).
   // ---------------------------------------------------------------------
-  private def s05(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{ArrayType, DoubleType}
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"),
-      col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+  /** appends (qmin, qmax, mean_abs_err) to any frame carrying an `emb`
+    * array<double> column, dropping the helpers — s05's kernel, shared
+    * with the p02 pipeline */
+  private[operators] def quantized(e: DataFrame): DataFrame = {
     val withP = e
       .withColumn("qmin", array_min(col("emb")))
       .withColumn("qmax", array_max(col("emb")))
@@ -417,11 +417,19 @@ object Similarity {
           least(greatest(floor((x - col("qmin")) / col("scale") + lit(0.5)),
                          lit(0.0)), lit(255.0)) * col("scale")))),
       lit(0.0), (a, x) => a + x) / size(col("emb"))
-    withP.select(col("vec_id"), col("qmin"), col("qmax"),
+    withP
       // a constant vector has scale 0: reconstruction is exact and the
       // quantize expression would divide by zero (branch is lazy)
-      when(col("scale") === 0.0, lit(0.0))
-        .otherwise(round(dequantErr, 6)).as("mean_abs_err"))
+      .withColumn("mean_abs_err",
+        when(col("scale") === 0.0, lit(0.0)).otherwise(round(dequantErr, 6)))
+      .drop("emb", "scale")
+  }
+
+  private def s05(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    quantized(Tables.embeddings(spark, dir).select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("emb")))
+      .select(col("vec_id"), col("qmin"), col("qmax"), col("mean_abs_err"))
   }
 
   private val s05Sql =
