@@ -495,6 +495,103 @@ object TextAnalysis {
        |  (tok_start + n_tok - 1) // $SEQ_LEN AS last_chunk
        |FROM c""".stripMargin
 
+  // t13 — DSIR-style importance weighting (Xie et al., "Data Selection
+  // for Language Models via Importance Resampling", NeurIPS 2023): score
+  // every document by how much it resembles a TARGET distribution
+  // relative to the raw corpus, using hashed n-gram features. Features =
+  // unigrams + bigrams hashed into DSIR_B buckets (the paper's hashed
+  // n-gram generative model); per-bucket probabilities are add-one
+  // smoothed on target and raw; a document's weight is the mean
+  // log-ratio log(p_target/p_raw) over its feature occurrences. Target
+  // here = the "curated" sources (src0-src3) — the pretraining use case
+  // scores a web crawl against Wikipedia/books and keeps the top mass.
+  //
+  // Cross-engine hash: bucket = first 15 md5 hex chars as int, mod
+  // DSIR_B (the d04 oracle idiom) — both engines hash identically, so
+  // the oracle checks values, not just shapes.
+  //
+  // Scale shape: the corpus text never shuffles. The feature stream is
+  // a narrow explode; the two count aggregations exchange ≤ tasks·B
+  // pre-combined rows into B-row model tables, which re-join the stream
+  // BROADCAST; the per-doc mean exchanges one partial row per (task,
+  // doc). Like t08, the stateless one-shot pays 3 feature-stream passes
+  // (target counts, raw counts, scoring) — the materialize-the-model
+  // variant that avoids that is the t09 staging pattern. Determinism:
+  // log-ratio terms round to 8 decimals and sum as DECIMAL (the q01 /
+  // t08 pattern — partition-order-independent).
+  private val DSIR_B = 1024L
+  private val DSIR_TARGET = Seq("src0", "src1", "src2", "src3")
+
+  private def t13Feats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+              split(col("text"), "\\s+").as("tk"))
+    val bigrams = zip_with(
+      slice(col("tk"), lit(1), size(col("tk")) - 1),
+      slice(col("tk"), lit(2), size(col("tk")) - 1),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(col("doc_id"), col("source"),
+        explode(concat(col("tk"), bigrams)).as("feat"))
+      .withColumn("bucket",
+        conv(substring(md5(col("feat")), 1, 15), 16, 10)
+          .cast(LongType) % DSIR_B)
+      .drop("feat")
+  }
+
+  private def t13(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val feats = t13Feats(spark, dir)
+    val raw = feats.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgt = feats.where(col("source").isin(DSIR_TARGET: _*))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    // corpus totals fold the B-row count tables, not the corpus again
+    val tot = raw.agg(sum(col("cr")).as("nr"))
+      .crossJoin(tgt.agg(sum(col("ct")).as("nt")))
+    val model = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(log(
+          ((coalesce(col("ct"), lit(0L)) + 1).cast(DoubleType) /
+            (col("nt") + DSIR_B)) /
+          ((col("cr") + 1).cast(DoubleType) / (col("nr") + DSIR_B))), 8)
+          .cast(DecimalType(18, 8)).as("logratio"))
+    feats.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+           (sum(col("logratio")).cast(DoubleType) / count(lit(1)))
+             .as("dsir_score"))
+  }
+
+  private val t13Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, string_split_regex(text, '\\s+') AS tk
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, source,
+       |    CAST(concat('0x', substring(md5(feat), 1, 15)) AS BIGINT)
+       |      % $DSIR_B AS bucket
+       |  FROM toks, LATERAL (SELECT unnest(list_concat(tk,
+       |    list_transform(generate_series(1, len(tk) - 1),
+       |      i -> tk[i] || ' ' || tk[i+1]))) AS feat)),
+       |raw AS (SELECT bucket, COUNT(*) AS cr FROM f GROUP BY 1),
+       |tgt AS (SELECT bucket, COUNT(*) AS ct FROM f
+       |        WHERE source IN (${DSIR_TARGET.map(s => s"'$s'").mkString(", ")})
+       |        GROUP BY 1),
+       |tot AS (SELECT (SELECT SUM(cr) FROM raw) AS nr,
+       |               (SELECT SUM(ct) FROM tgt) AS nt),
+       |model AS (
+       |  SELECT bucket,
+       |    CAST(round(ln(
+       |      ((COALESCE(ct, 0) + 1)::DOUBLE / (nt + $DSIR_B)) /
+       |      ((cr + 1)::DOUBLE / (nr + $DSIR_B))), 8) AS DECIMAL(18,8))
+       |      AS logratio
+       |  FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot)
+       |SELECT doc_id, COUNT(*) AS n_feats,
+       |  CAST(SUM(logratio) AS DOUBLE) / COUNT(*) AS dsir_score
+       |FROM f JOIN model USING (bucket)
+       |GROUP BY doc_id""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -507,5 +604,6 @@ object TextAnalysis {
     QuerySpec("t09_lm_score_pretrained", t09, Some(t08Sql)),
     QuerySpec("t10_stratified_sample", t10, Some(t10Sql)),
     QuerySpec("t11_pii_redaction", t11, Some(t11Sql)),
-    QuerySpec("t12_sequence_packing", t12, Some(t12Sql)))
+    QuerySpec("t12_sequence_packing", t12, Some(t12Sql)),
+    QuerySpec("t13_dsir_importance", t13, Some(t13Sql)))
 }

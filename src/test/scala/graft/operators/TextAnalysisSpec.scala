@@ -147,4 +147,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(math.abs(frac - efrac) < 1e-12, s"doc $id top_tok_frac")
     }
   }
+
+  test("t13 importance weights rank target-source docs above the rest") {
+    // DSIR's whole claim: docs drawn from the target distribution get
+    // higher mean log-ratio than the rest of the corpus. The hashed
+    // model must recover source membership it was never told about at
+    // the doc level (the oracle pins values; this pins the semantics).
+    val scores = graft.SparkEntry.queries("t13_dsir_importance")(spark, sfDir)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"))
+    assert(scores.count() === docs.count(), "every document is scored")
+    val byGroup = scores.join(docs, "doc_id")
+      .groupBy(col("source").isin("src0", "src1", "src2", "src3")
+        .as("is_target"))
+      .agg(avg(col("dsir_score")).as("s"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byGroup(true) > byGroup(false) + 0.01,
+      s"target ${byGroup(true)} must clearly exceed raw ${byGroup(false)}")
+  }
 }
