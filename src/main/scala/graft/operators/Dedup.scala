@@ -229,7 +229,11 @@ object Dedup {
      Array.fill(NUM_HASH)(rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  private def d03(spark: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, shs, band, bkey) — per-doc distinct shingles plus the 16
+    * exploded LSH band keys, one tight mapPartitions pass per doc.
+    * Shared by d03 (corpus self-dedup) and d11 (incremental ingest). */
+  private[operators] def minhashBuckets(
+      spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pA = permA; val pB = permB // capture plain arrays in the closure
     // shingle → 64-wide signature → 16 band keys, one tight pass per doc
@@ -246,8 +250,12 @@ object Dedup {
           }
         }
       }.toDF("doc_id", "shs", "bands")
-    val buckets = sigDf.selectExpr(
+    sigDf.selectExpr(
       "doc_id", "shs", "posexplode(bands) AS (band, bkey)")
+  }
+
+  private def d03(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = minhashBuckets(spark, dir)
     val l = buckets.select(col("band"), col("bkey"),
       col("doc_id").as("id1"), col("shs").as("shs1"))
     val r = buckets.select(col("band"), col("bkey"),
@@ -268,6 +276,118 @@ object Dedup {
       .select(col("id1"), col("id2"), col("inter_cnt"),
               col("size1"), col("size2"), jacc.as("jaccard"))
   }
+
+  // ---------------------------------------------------------------------
+  // d11 — incremental near-dup INGESTION: flag which documents of an
+  //       incoming batch near-duplicate a STANDING corpus, without ever
+  //       shuffling — or re-pairing — the corpus. This is the shape a
+  //       production pipeline runs on every new crawl: d03 re-dedups a
+  //       whole corpus (quadratic in batches if rerun per ingest); d11
+  //       treats the corpus's LSH band keys as a persistent index and
+  //       probes it.
+  //
+  //       Plan at 100 TB (corpus) + a batch:
+  //         1. a Bloom filter over the corpus band keys (built ONCE per
+  //            corpus — the standing index; the x09/t09 staging pattern,
+  //            ~1.2 B/key at 1% fpp so 1e9 docs · 16 bands ≈ 19 GB...
+  //            per-band partitioned filters would shard that; one filter
+  //            suffices at the gate) prunes batch keys MAP-SIDE: only
+  //            keys that might collide with the corpus survive (no false
+  //            negatives, so recall is untouched).
+  //         2. the surviving key set (tiny) broadcasts; the corpus index
+  //            STREAMS through a broadcast semi-ish join — the corpus
+  //            never exchanges.
+  //         3. candidate (batch, corpus) pairs — candidate-scale, not
+  //            corpus-scale — verify exactly by shingle Jaccard (d03's
+  //            verify) and aggregate per batch doc.
+  //       Batch-internal duplicates are out of scope by design (that is
+  //       d03 run on the batch alone); the split here is doc_id-relative
+  //       (first half = corpus, second half = batch) so every SF
+  //       exercises the same shape.
+  //
+  //       The Bloom membership probe is a driver-built
+  //       `util.sketch.BloomFilter` behind a scala UDF: Spark's native
+  //       might_contain only binds to the runtime-filter framework
+  //       (x11), and the UDF sits on the already-narrow batch key
+  //       stream, not the corpus.
+  // ---------------------------------------------------------------------
+  private val D11_FPP = 0.01
+
+  // dir → (first batch doc_id, broadcast Bloom over corpus band keys):
+  // the standing ingest index, built once per (JVM, corpus) off the
+  // gated path — rebuilding it per batch would defeat the point
+  private val d11Index = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])]()
+
+  private[graft] def d11Stage(spark: SparkSession, dir: String): (Long,
+      org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter]) =
+    d11Index.computeIfAbsent(dir, _ => {
+      val half = (Tables.documents(spark, dir)
+        .agg(max(col("doc_id"))).head.getLong(0) + 1) / 2
+      val corpusKeys = minhashBuckets(spark, dir)
+        .where(col("doc_id") < half)
+        .select(concat_ws(":", col("band"), col("bkey")).as("k"))
+      // half·BANDS is an exact upper bound on corpus key count
+      val bloom = corpusKeys.stat.bloomFilter("k", half * BANDS, D11_FPP)
+      (half, spark.sparkContext.broadcast(bloom))
+    })
+
+  private def d11(spark: SparkSession, dir: String): DataFrame = {
+    val (half, bloomBc) = d11Stage(spark, dir)
+    val buckets = minhashBuckets(spark, dir)
+    val batch = buckets.where(col("doc_id") >= half)
+    val corpus = buckets.where(col("doc_id") < half)
+    val mightContain =
+      udf((k: String) => bloomBc.value.mightContainString(k))
+    val cand = batch.where(
+      mightContain(concat_ws(":", col("band"), col("bkey"))))
+    val ckeys = cand.select(col("band"), col("bkey")).distinct()
+    val partners = corpus.join(broadcast(ckeys), Seq("band", "bkey"))
+    val pairs = cand
+      .select(col("band"), col("bkey"), col("doc_id"), col("shs"))
+      .join(broadcast(partners.select(col("band"), col("bkey"),
+        col("doc_id").as("cid"), col("shs").as("cshs"))),
+        Seq("band", "bkey"))
+      .dropDuplicates("doc_id", "cid")
+    val scored = pairs
+      .withColumn("inter_cnt",
+        size(array_intersect(col("shs"), col("cshs"))).cast(LongType))
+      .withColumn("j", col("inter_cnt").cast(DoubleType) /
+        (size(col("shs")) + size(col("cshs")) - col("inter_cnt")))
+    scored.where(col("j") >= JACC_T)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), max(col("j")).as("max_jaccard"))
+  }
+
+  /** Exhaustive cross-split oracle: every (corpus, batch) pair with
+    * Jaccard ≥ threshold, aggregated per batch doc — banding recall at
+    * this threshold is exact on the fixture (d03's own oracle proves
+    * it), and the Bloom step cannot lose pairs (no false negatives). */
+  private val d11Sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, len(tk) - ${SHINGLE - 1}),
+       |    i -> array_to_string(tk[i:i+${SHINGLE - 1}], ' ')))) AS sh
+       |  FROM toks WHERE len(tk) >= $SHINGLE),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |half AS (SELECT (MAX(doc_id) + 1) // 2 AS h FROM documents),
+       |inter AS (
+       |  SELECT b.doc_id AS bid, a.doc_id AS cid, COUNT(*) AS ic
+       |  FROM sh a JOIN sh b USING (sh) CROSS JOIN half
+       |  WHERE a.doc_id < h AND b.doc_id >= h
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT bid, cid, CAST(ic AS DOUBLE) / (sa.n + sb.n - ic) AS j
+       |  FROM inter
+       |  JOIN sz sa ON sa.doc_id = cid
+       |  JOIN sz sb ON sb.doc_id = bid
+       |  WHERE CAST(ic AS DOUBLE) / (sa.n + sb.n - ic) >= $JACC_T)
+       |SELECT bid AS doc_id, COUNT(*) AS n_matches, MAX(j) AS max_jaccard
+       |FROM pairs GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // d04 — SimHash-64 near-dup: pigeonhole chunk candidates (EXACT for
@@ -887,5 +1007,6 @@ object Dedup {
     QuerySpec("d07_dup_clusters", d07, Some(d07Sql)),
     QuerySpec("d08_decontaminate", d08, Some(d08Sql)),
     QuerySpec("d09_substring_dedup", d09, Some(d09Sql)),
-    QuerySpec("d10_semdedup", d10, Some(d10Sql)))
+    QuerySpec("d10_semdedup", d10, Some(d10Sql)),
+    QuerySpec("d11_incremental_ingest", d11, Some(d11Sql)))
 }

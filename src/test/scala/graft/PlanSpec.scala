@@ -133,6 +133,15 @@ class PlanSpec extends AnyFunSuite {
     assert(formatted("d08_decontaminate").contains("BroadcastHashJoin"))
   }
 
+  test("d11 ingest streams the corpus through broadcast joins, no SMJ") {
+    // the standing corpus index must never exchange: candidate keys and
+    // candidate partners broadcast, everything else streams
+    val p = formatted("d11_incremental_ingest")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("p01 pipeline broadcasts eval grams and never goes nested-loop") {
     val p = formatted("p01_clean_corpus")
     assert(p.contains("BroadcastHashJoin"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Dedup.ShingleUtil
@@ -83,5 +84,25 @@ class DedupKernelSpec extends AnyFunSuite {
     assert(flagged.nonEmpty, "d10 must flag at least one duplicate")
     assert(flagged.subsetOf(exact),
       s"d10 flagged non-duplicates: ${(flagged -- exact).toSeq.sorted}")
+  }
+
+  test("d11's standing Bloom index prunes most batch band keys map-side") {
+    // the whole point of the ingest shape: almost all batch keys die at
+    // the (broadcast) membership probe, before ANY join — only genuine
+    // band collisions plus the ~1% fpp survive to meet the corpus
+    val spark = graft.SparkTestSession.spark
+    val dir = graft.SparkTestSession.sfDir
+    val (half, bloomBc) = Dedup.d11Stage(spark, dir)
+    val keys = Dedup.minhashBuckets(spark, dir)
+      .where(col("doc_id") >= half)
+      .select(concat_ws(":", col("band"), col("bkey")).as("k"))
+    val total = keys.count()
+    val bc = bloomBc // local: the lambda must not capture the suite
+    val surv = keys.where(
+      udf((k: String) => bc.value.mightContainString(k)).apply(col("k")))
+      .count()
+    assert(total > 0)
+    assert(surv < total / 5,
+      s"Bloom should prune >80% of batch keys: $surv of $total survived")
   }
 }
