@@ -108,9 +108,10 @@ object ScaleProbe {
       "q14_wordcount", "x01_salted_wordcount", "d01_dedup_exact",
       "d02_dedup_ngram_jaccard", "d03_dedup_minhash_lsh",
       "d04_dedup_simhash", "d06_dedup_embedding_lsh", "d07_dup_clusters",
-      "d09_substring_dedup",
+      "d09_substring_dedup", "d11_incremental_ingest",
       "t05_tfidf", "t07_repetition", "t08_lm_score",
-      "t12_sequence_packing", "p01_clean_corpus",
+      "t12_sequence_packing", "t13_dsir_importance",
+      "p01_clean_corpus", "p02_embedding_curation",
       "s02_knn_lsh", "s04_knn_ivf", "s05_embedding_quantize",
       "s06_kmeans", "s07_knn_pq_adc",
       "m03_multimodal_resize",

@@ -133,6 +133,15 @@ class PlanSpec extends AnyFunSuite {
     assert(formatted("d08_decontaminate").contains("BroadcastHashJoin"))
   }
 
+  test("t13 scores against a broadcast model, corpus text unshuffled") {
+    // the 1024-row log-ratio model must broadcast back onto the feature
+    // stream; a sort-merge formulation would shuffle every feature
+    // occurrence of the corpus on the bucket key
+    val p = formatted("t13_dsir_importance")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("d11 ingest streams the corpus through broadcast joins, no SMJ") {
     // the standing corpus index must never exchange: candidate keys and
     // candidate partners broadcast, everything else streams

@@ -92,7 +92,7 @@ class DedupKernelSpec extends AnyFunSuite {
     // band collisions plus the ~1% fpp survive to meet the corpus
     val spark = graft.SparkTestSession.spark
     val dir = graft.SparkTestSession.sfDir
-    val (half, bloomBc) = Dedup.d11Stage(spark, dir)
+    val (half, bloomBc, _) = Dedup.d11Stage(spark, dir)
     val keys = Dedup.minhashBuckets(spark, dir)
       .where(col("doc_id") >= half)
       .select(concat_ws(":", col("band"), col("bkey")).as("k"))
