@@ -123,6 +123,7 @@ object Bench {
     // zero-exchange join / one-scan scoring they demonstrate, not a
     // per-query rebuild (round-5 verdict: x09 outlier)
     graft.operators.ScaleOps.x09Stage(spark, sfDir)
+    graft.operators.ScaleOps.x12Stage(spark, sfDir)
     graft.operators.TextAnalysis.t09Stage(spark, sfDir)
     // d11's standing Bloom ingest index: built once per corpus, probed
     // per batch — same write-once-read-many reasoning as above

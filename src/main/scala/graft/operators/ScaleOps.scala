@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
@@ -423,6 +423,92 @@ object ScaleOps {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x12 — Z-order clustered layout + multi-dimensional pruned scan: the
+  //       scan-locality lever for predicates over TWO dimensions. A
+  //       single-column sort keeps parquet min/max stats tight on that
+  //       column only — a predicate on any other column prunes nothing.
+  //       Interleaving the bits of both key columns (Morton order) and
+  //       range-partitioning + sorting on the interleaved value makes
+  //       every file cover a small RECTANGLE of the 2-D key space, so
+  //       row-group/file stats stay tight on BOTH columns and a 2-D box
+  //       predicate skips most of the data — at 100 TB the difference
+  //       between scanning ~1% and ~10%+ of a table for a selective
+  //       2-D filter, without maintaining a second copy sorted the
+  //       other way. (Same technique as Delta's OPTIMIZE ZORDER BY;
+  //       curve from Morton 1966.) Layout is write-once infrastructure,
+  //       staged per (JVM, dir) like x09's buckets; the gated query is
+  //       the pruned scan + aggregate, oracle'd by the PLAIN filter on
+  //       the unclustered table — the layout may never change results.
+  //       ZOrderSpec pins the layout property itself (per-file spans
+  //       tight on both dims vs a single-dim sort); PlanSpec pins that
+  //       both predicates reach the scan as PushedFilters.
+  // ---------------------------------------------------------------------
+  /** Bit-interleave two 16-bit-normalized longs into their Morton code:
+    * bit i of `a` lands at 2i+1, bit i of `b` at 2i. Pure built-in
+    * bitwise expressions — codegen'd, no UDF. */
+  private def morton16(a: Column, b: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc.bitwiseOR(shiftleft(a.bitwiseAND(lit(1L << i)), i + 1))
+         .bitwiseOR(shiftleft(b.bitwiseAND(lit(1L << i)), i))
+    }
+
+  // dir → (z-ordered parquet path, orderkey threshold, partkey threshold)
+  private val x12Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long)]()
+
+  /** Stage the z-ordered lineitem copy ONCE per (JVM, dir); also fixes
+    * the query's 2-D box thresholds (max/10 per dim, integer division —
+    * mirrored exactly by the oracle's `MAX(..) // 10` subqueries so the
+    * predicate is identical at every SF). Min/max normalization to 16
+    * bits happens here, off the timed path, in one aggregate job. */
+  private[graft] def x12Stage(spark: SparkSession, dir: String): (String, Long, Long) =
+    x12Staged.computeIfAbsent(dir, _ => {
+      val li = Tables.lineitem(spark, dir).select(
+        col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      val r = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+                     min(col("l_partkey")), max(col("l_partkey"))).head()
+      val (okLo, okHi, pkLo, pkHi) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      // normalize to [0, 65535]: double ratio then truncate — products
+      // stay far under 2^53 so the arithmetic is exact-deterministic
+      def norm16(c: Column, lo: Long, hi: Long): Column =
+        ((c - lit(lo)).cast(DoubleType) * lit(65535.0) /
+          lit(math.max(hi - lo, 1L).toDouble)).cast(LongType)
+      val out = graft.util.Scratch.dir("graft-x12-zorder")
+      li.withColumn("zv", morton16(norm16(col("l_orderkey"), okLo, okHi),
+                                   norm16(col("l_partkey"), pkLo, pkHi)))
+        .repartitionByRange(32, col("zv"))
+        .sortWithinPartitions("zv")
+        .drop("zv")
+        .write.mode("overwrite").parquet(out)
+      (out, okHi / 10, pkHi / 10)
+    })
+
+  private def x12(spark: SparkSession, dir: String): DataFrame = {
+    val (path, okT, pkT) = x12Stage(spark, dir)
+    spark.read.parquet(path)
+      .where(col("l_orderkey") <= okT && col("l_partkey") <= pkT)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("l_quantity").cast(DecimalType(18, 2)))
+             .cast(DoubleType).as("sum_qty"),
+           sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+               (lit(1).cast(DecimalType(3, 2)) -
+                col("l_discount").cast(DecimalType(4, 2))))
+             .cast(DoubleType).as("revenue"))
+  }
+
+  private val x12Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey <= (SELECT MAX(l_orderkey) // 10 FROM lineitem)
+      |  AND l_partkey <= (SELECT MAX(l_partkey) // 10 FROM lineitem)
+      |GROUP BY l_returnflag""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -434,5 +520,6 @@ object ScaleOps {
     QuerySpec("x08_orc_roundtrip", x08, Some(roundtripSql)),
     QuerySpec("x09_bucketed_join", x09, Some(x09Sql)),
     QuerySpec("x10_skew_salted_join", x10, Some(x10Sql)),
-    QuerySpec("x11_bloom_filtered_join", x11, Some(x11Sql)))
+    QuerySpec("x11_bloom_filtered_join", x11, Some(x11Sql)),
+    QuerySpec("x12_zorder_scan", x12, Some(x12Sql)))
 }

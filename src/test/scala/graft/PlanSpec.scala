@@ -236,6 +236,19 @@ class PlanSpec extends AnyFunSuite {
       "d10 must not plan a nested-loop join")
   }
 
+  test("x12 pushes both 2-D box predicates into the z-ordered scan") {
+    // the layout only pays off if BOTH dimension predicates reach the
+    // parquet reader as pushed filters (that is what turns tight
+    // per-row-group min/max spans into skipped row groups), and the
+    // scan must read only the staged table's needed columns
+    val p = formatted("x12_zorder_scan")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("LessThanOrEqual(l_orderkey"),
+      s"orderkey predicate must be pushed, got:\n$p")
+    assert(p.contains("LessThanOrEqual(l_partkey"),
+      s"partkey predicate must be pushed, got:\n$p")
+  }
+
   test("t12 packing plans no full-corpus single-partition window") {
     // the distributed prefix sum's only SinglePartition exchange feeds
     // the ≤32-row shard-base window, downstream of a HashAggregate —
