@@ -24,19 +24,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries `timestamp[ns]`, which Spark's parquet reader
-    * rejects ([PARQUET_TYPE_ILLEGAL] INT64 (TIMESTAMP(NANOS,false))). Read
-    * the physical int64 nanos via the legacy conf, then floor-divide to
-    * micros and surface a TIMESTAMP_NTZ `ts` — the same wall-clock values
-    * DuckDB produces when it truncates ns→µs. Integer `div` (not `/`):
-    * 2024 epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact-integer range.
+  /** events.parquet has shipped with two `ts` layouts across driver
+    * generations: `timestamp[ns]` (which Spark's parquet reader rejects —
+    * [PARQUET_TYPE_ILLEGAL]; the legacy conf surfaces the physical int64
+    * nanos, floor-divided to micros here) and plain `timestamp[us]`
+    * (readable directly). Branch on the decoded type so both work; either
+    * way the surfaced column is TIMESTAMP_NTZ at µs precision — the same
+    * wall-clock values DuckDB produces. Integer `div` (not `/`) for the ns
+    * path: 2024 epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))
-        .cast(org.apache.spark.sql.types.TimestampNTZType))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = load(s, d, "events")
+    val tsCol = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000"))
+      case _        => col("ts")
+    }
+    raw.withColumn("ts", tsCol.cast(TimestampNTZType))
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -556,7 +556,10 @@ object Similarity {
        |        AS BIGINT)) AS dist
        |  FROM ex JOIN c1 USING (pos) GROUP BY 1, 2),
        |a2 AS (
-       |  SELECT vec_id, cluster, dist AS dist_scaled FROM (
+       |  -- SUM(BIGINT) is HUGEINT in DuckDB, which pandas renders as
+       |  -- float64 ("5.0" vs Spark's "5" under the driver's value hash)
+       |  -- — cast back to BIGINT on every summed output column
+       |  SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist_scaled FROM (
        |    SELECT vec_id, cluster, dist,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id
        |        ORDER BY dist, cluster) AS rn
@@ -690,8 +693,10 @@ object Similarity {
        |  FROM ex e JOIN c1 ON e.pos = c1.pos
        |  WHERE e.vec_id < $N_QUERIES GROUP BY 1, 2, 3),
        |adc AS (
+       |  -- CAST: DuckDB SUM(BIGINT) → HUGEINT → pandas float64, which
+       |  -- breaks the driver's stringified value hash ("5.0" vs "5")
        |  SELECT dt.query_id, code.vec_id AS neighbor_id,
-       |    SUM(dt.dist) AS adist
+       |    CAST(SUM(dt.dist) AS BIGINT) AS adist
        |  FROM code JOIN dt ON code.sub = dt.sub AND code.cluster = dt.cluster
        |  WHERE code.vec_id <> dt.query_id
        |  GROUP BY 1, 2)

@@ -486,13 +486,16 @@ object TextAnalysis {
        |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tok
        |  FROM documents),
        |c AS (
+       |  -- CAST: DuckDB's windowed SUM(BIGINT) is HUGEINT → pandas
+       |  -- float64, which breaks the driver's stringified value hash
        |  SELECT doc_id, n_tok,
-       |    COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_start
+       |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tok_start
        |  FROM d)
        |SELECT doc_id, n_tok, tok_start,
-       |  tok_start // $SEQ_LEN AS first_chunk,
-       |  (tok_start + n_tok - 1) // $SEQ_LEN AS last_chunk
+       |  CAST(tok_start // $SEQ_LEN AS BIGINT) AS first_chunk,
+       |  CAST((tok_start + n_tok - 1) // $SEQ_LEN AS BIGINT) AS last_chunk
        |FROM c""".stripMargin
 
   // t13 — DSIR-style importance weighting (Xie et al., "Data Selection
