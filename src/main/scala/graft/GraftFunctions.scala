@@ -23,9 +23,20 @@ import graft.functions.expressions.{DotProductD, SimHash32, SimHash64}
 object GraftFunctions {
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_dot" -> ((es: Seq[Expression]) =>
-      DotProductD(Cast(es(0), ArrayType(DoubleType)),
-                  Cast(es(1), ArrayType(DoubleType)))),
+    // float/double arrays are read in place by DotProductD; any other
+    // numeric array (SQL int literals, etc.) still routes through a cast
+    "graft_dot" -> ((es: Seq[Expression]) => {
+      def prep(e: Expression) = e match {
+        case e if e.resolved => e.dataType match {
+          case ArrayType(org.apache.spark.sql.types.FloatType | DoubleType, _) => e
+          case _ => Cast(e, ArrayType(DoubleType))
+        }
+        // unresolved at builder time: the unconditional cast is safe
+        // (array<double>→array<double> is simplified away by Catalyst)
+        case e => Cast(e, ArrayType(DoubleType))
+      }
+      DotProductD(prep(es(0)), prep(es(1)))
+    }),
     "graft_simhash32" -> ((es: Seq[Expression]) => SimHash32(es.head)),
     "graft_simhash64" -> ((es: Seq[Expression]) => SimHash64(es.head)))
 

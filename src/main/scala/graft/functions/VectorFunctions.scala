@@ -17,13 +17,13 @@ object VectorFunctions {
 
   import graft.functions.expressions.DotProductD
 
-  private def asDouble(v: Column): Column = v.cast(ArrayType(DoubleType))
-
   /** elementwise dot product in double precision — codegen'd tight loop
-    * (expressions.DotProductD), same left-to-right fold as the HOF
-    * formulation so values are unchanged */
+    * (expressions.DotProductD) that reads float OR double arrays in
+    * place (no cast materialization; float→double widening per element
+    * is exact), same left-to-right fold as the HOF formulation so
+    * values are unchanged */
   def dot(a: Column, b: Column): Column =
-    toColumn(DotProductD(toExpr(asDouble(a)), toExpr(asDouble(b))))
+    toColumn(DotProductD(toExpr(a), toExpr(b)))
 
   /** HOF reference implementation of dot (kept for tests: must equal
     * the codegen'd expression bit-for-bit) */

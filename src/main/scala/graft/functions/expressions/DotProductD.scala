@@ -1,16 +1,27 @@
 package graft.functions.expressions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Codegen'd dot product over two `array<double>` columns.
+/** Codegen'd dot product over two `array<float|double>` columns,
+  * accumulating in double precision.
   *
   * Replaces the `aggregate(zip_with(...))` higher-order-function chain,
   * which Catalyst evaluates interpreted (HOFs have no whole-stage
   * codegen): one tight fused loop instead of per-element lambda
   * dispatch — ~10× on the all-pairs similarity ops.
+  *
+  * Float inputs are read directly and widened per element ((double)f is
+  * exact — IEEE binary32 embeds in binary64), which is bit-identical to
+  * `cast(array<float> → array<double>)` followed by a double dot — but
+  * WITHOUT the cast's per-row array materialization. That cast sat in
+  * the post-join projection of the all-pairs ops, so it allocated two
+  * fresh 64-element arrays per candidate PAIR (O(n²) allocations);
+  * reading floats in place drops it to zero and keeps shuffled vectors
+  * at float width (half the exchange bytes of pre-casting).
   *
   * Accumulation is the same left-to-right double fold as the HOF
   * version and the DuckDB oracle's list_sum(list_transform(...)), so
@@ -22,13 +33,34 @@ case class DotProductD(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
 
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(e: Expression) = e.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _                                    => false
+    }
+    if (ok(left) && ok(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot requires array<float|double> inputs, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
     s
   }
 
@@ -37,11 +69,14 @@ case class DotProductD(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
+      def get(arr: String, e: Expression) =
+        if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
+        else s"$arr.getDouble($i)"
       s"""
          |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |  $s += ${get(a, left)} * ${get(b, right)};
          |}
          |${ev.value} = $s;
        """.stripMargin
