@@ -193,7 +193,80 @@ object Pipeline {
        |  END AS mean_abs_err
        |FROM s JOIN surv USING (vec_id)""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // p03 — domain-mixing epoch assembly (the Pile / DoReMi-style step
+  //       t10's downsampler can't express): each source gets a target
+  //       weight in EPOCHS, and the assembled training corpus contains
+  //       floor(w) full copies of every document plus one more with
+  //       probability frac(w) — so a 2.5-epoch curated source
+  //       contributes each doc 2 or 3 times while a 0.25-epoch crawl
+  //       source keeps 1 in 4 docs. The fractional coin is a pure
+  //       function of (source, doc_id) through the cross-engine md5
+  //       idiom (t13's bucket hash), in integer milli-epoch units —
+  //       deterministic, reproducible, no float threshold.
+  //
+  //       Weights mirror t13's DSIR framing: src0-3 are the curated
+  //       target (2.5 epochs), src4-9 mid-quality (1 epoch), the rest
+  //       crawl-grade (0.25 epochs).
+  //
+  //       100 TB shape: zero shuffle — one codegen pass over the scan
+  //       (hash, compare, explode a ≤3-element sequence); the weight
+  //       table is a literal here and a broadcast join in production.
+  //       Output size is Σ wᵢ·nᵢ rows by construction, so the op plans
+  //       the epoch mix without ever materializing an intermediate
+  //       corpus copy.
+  // ---------------------------------------------------------------------
+  private val MIX_CURATED = Seq("src0", "src1", "src2", "src3")
+  private val MIX_MID = Seq("src4", "src5", "src6", "src7", "src8", "src9")
+  private val MIX_W_CURATED = 2500L // milli-epochs
+  private val MIX_W_MID = 1000L
+  private val MIX_W_TAIL = 250L
+
+  private def p03(spark: SparkSession, dir: String): DataFrame = {
+    val w = when(col("source").isin(MIX_CURATED: _*), MIX_W_CURATED)
+      .when(col("source").isin(MIX_MID: _*), MIX_W_MID)
+      .otherwise(MIX_W_TAIL)
+    // uniform coin in [0, 1000): low bits of the md5-derived integer
+    // (t13's cross-engine hash idiom), salted with the source so the
+    // same doc_id draws independent coins if sources ever collide
+    val coin = pmod(
+      conv(substring(md5(concat_ws(":", col("source"), col("doc_id"))),
+        1, 15), 16, 10).cast(LongType), lit(1000L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), w.as("w_milli"), coin.as("coin"))
+      .withColumn("n_copies",
+        expr("w_milli div 1000") +
+          when(col("coin") < col("w_milli") % 1000L, 1L).otherwise(0L))
+      .where(col("n_copies") >= 1L)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
+  }
+
+  private val p03Sql = {
+    val curated = MIX_CURATED.map(s => s"'$s'").mkString(", ")
+    val mid = MIX_MID.map(s => s"'$s'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN source IN ($curated) THEN $MIX_W_CURATED
+       |         WHEN source IN ($mid) THEN $MIX_W_MID
+       |         ELSE $MIX_W_TAIL END AS w_milli,
+       |    CAST(concat('0x', substring(md5(
+       |      source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % 1000 AS coin
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, source,
+       |    w_milli // 1000 +
+       |      CASE WHEN coin < w_milli % 1000 THEN 1 ELSE 0 END AS n_copies
+       |  FROM w)
+       |SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies,
+       |  CAST(epoch AS BIGINT) AS epoch
+       |FROM c, LATERAL (SELECT unnest(generate_series(1, n_copies)) AS epoch)
+       |WHERE n_copies >= 1""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_clean_corpus", p01, Some(p01Sql)),
-    QuerySpec("p02_embedding_curation", p02, Some(p02Sql)))
+    QuerySpec("p02_embedding_curation", p02, Some(p02Sql)),
+    QuerySpec("p03_domain_mixing", p03, Some(p03Sql)))
 }

@@ -156,18 +156,17 @@ object TextAnalysis {
   // dup_trigram_frac = share of trigram OCCURRENCES that are repeats of
   // an earlier trigram. Per-document higher-order functions only — no
   // shuffle, one codegen pass over the scan at any scale.
-  private def t07(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
-    val tk = split(col("text"), "\\s+")
-    val nTok = size(tk)
-    // most-frequent-token count via sort + longest-equal-run fold:
-    // O(n log n) per document, one pass over the sorted array. (The
-    // round-5 shape — size(filter(tk, ...)) per DISTINCT token — was
-    // O(n_tok × n_distinct) per document, quadratic exactly on the
-    // long repetitive documents this Gopher-style filter targets.)
-    // Accumulator: (prev token, current run, best run); x === null prev
-    // is NULL, so the first element falls through to run = 1.
-    val topCnt = aggregate(
+  /** most-frequent-token count via sort + longest-equal-run fold:
+    * O(n log n) per document, one pass over the sorted array. (The
+    * round-5 shape — size(filter(tk, ...)) per DISTINCT token — was
+    * O(n_tok × n_distinct) per document, quadratic exactly on the
+    * long repetitive documents the Gopher-style filters target.)
+    * Accumulator: (prev token, current run, best run); x === null prev
+    * is NULL, so the first element falls through to run = 1. Shared by
+    * t07 (repetition signals) and t14 (composite filter verdict). */
+  private def topTokenCount(tk: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.types.IntegerType
+    aggregate(
       array_sort(tk),
       struct(lit(null).cast("string").as("prev"),
              lit(0).cast(IntegerType).as("run"),
@@ -179,6 +178,13 @@ object TextAnalysis {
                greatest(acc.getField("best"), run).as("best"))
       },
       acc => acc.getField("best"))
+  }
+
+  private def t07(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val tk = split(col("text"), "\\s+")
+    val nTok = size(tk)
+    val topCnt = topTokenCount(tk)
     val triTotal = nTok - lit(2)
     val triDistinct = size(array_distinct(transform(
       sequence(lit(1), triTotal),
@@ -595,6 +601,96 @@ object TextAnalysis {
        |FROM f JOIN model USING (bucket)
        |GROUP BY doc_id""".stripMargin
 
+  // t14 — Gopher/C4-style composite filter VERDICT (Rae et al. 2021
+  // §A1.1; Raffel et al. 2020 §2.2): the keep/drop decision a cleaning
+  // pipeline actually executes, with a per-rule flag column so dropped
+  // documents are attributable (the audit trail production filters
+  // keep). Rules over signals this module already computes:
+  //   r_len     — token count in [T14_MIN_TOK, T14_MAX_TOK]
+  //   r_wordlen — mean word length in [3, 10] chars
+  //   r_stop    — ≥ 2 English stopwords (Gopher's "stop word" rule;
+  //               doubles as a cheap English-ID gate here)
+  //   r_toptok  — most-frequent token ≤ 20% of tokens (t07's signal)
+  //   r_dup3    — duplicate-trigram share ≤ 30% (t07's signal)
+  // Every threshold compares cross-multiplied INTEGERS (5·top ≤ n, not
+  // top/n ≤ 0.2), so the verdict is bit-identical across engines — no
+  // float boundary to flip a keep into a drop.
+  //
+  // Scale shape: per-document expressions only — zero shuffle, one
+  // WholeStageCodegen pass over the scan at any corpus size; at 100 TB
+  // this runs as the map side of whatever consumes it (p01 composes the
+  // same shape).
+  private val T14_MIN_TOK = 20L
+  private val T14_MAX_TOK = 80L
+
+  private def t14(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val tk = split(col("text"), "\\s+")
+    val nTok = size(tk).cast(LongType)
+    val chars = charCountNoSpace(col("text")).cast(LongType)
+    val nStop = tokensIn(col("text"), enStop).cast(LongType)
+    val topCnt = topTokenCount(tk).cast(LongType)
+    val triTotal = (size(tk) - lit(2)).cast(LongType)
+    val triDistinct = size(array_distinct(transform(
+      sequence(lit(1), size(tk) - lit(2)),
+      i => array_join(slice(tk, i, lit(3)), " ")))).cast(LongType)
+    def flag(c: org.apache.spark.sql.Column) = when(c, 1).otherwise(0)
+    // < 3 tokens ⇒ no trigrams ⇒ vacuously clean. Outer `when`, not a
+    // `||`: Spark's sequence(1, n-2) runs DESCENDING for n < 3 and its
+    // slice(tk, 0, _) throws under ANSI — CaseWhen evaluates the guarded
+    // branch only for rows that reach it, a boolean Or does not.
+    val rDup3 = when(triTotal < 1L, 1)
+      .otherwise(flag((triTotal - triDistinct) * 10L <= triTotal * 3L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        nTok.as("n_tok"),
+        flag(nTok >= T14_MIN_TOK && nTok <= T14_MAX_TOK).as("r_len"),
+        flag(chars >= nTok * 3L && chars <= nTok * 10L).as("r_wordlen"),
+        flag(nStop >= 2L).as("r_stop"),
+        flag(topCnt * 5L <= nTok).as("r_toptok"),
+        rDup3.as("r_dup3"))
+      .withColumn("keep",
+        col("r_len") * col("r_wordlen") * col("r_stop") *
+          col("r_toptok") * col("r_dup3"))
+  }
+
+  private val t14Sql = {
+    val stop = enStop.map(s => s"'$s'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source, text,
+       |    string_split_regex(text, '\\s+') AS tk FROM documents),
+       |sig AS (
+       |  SELECT doc_id, source,
+       |    len(tk) AS n_tok,
+       |    length(regexp_replace(text, '\\s', '', 'g')) AS chars,
+       |    len(list_filter(tk, x -> x IN ($stop))) AS n_stop,
+       |    list_max(list_transform(list_distinct(tk),
+       |      u -> len(list_filter(tk, x -> x = u)))) AS top_cnt,
+       |    len(tk) - 2 AS tri_total,
+       |    CASE WHEN len(tk) >= 3 THEN
+       |      len(list_distinct(list_transform(
+       |        generate_series(1, len(tk) - 2),
+       |        i -> array_to_string(tk[i:i+2], ' '))))
+       |    ELSE 0 END AS tri_distinct
+       |  FROM t),
+       |r AS (
+       |  SELECT doc_id, source, n_tok,
+       |    CASE WHEN n_tok >= $T14_MIN_TOK AND n_tok <= $T14_MAX_TOK
+       |      THEN 1 ELSE 0 END AS r_len,
+       |    CASE WHEN chars >= n_tok * 3 AND chars <= n_tok * 10
+       |      THEN 1 ELSE 0 END AS r_wordlen,
+       |    CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop,
+       |    CASE WHEN top_cnt * 5 <= n_tok THEN 1 ELSE 0 END AS r_toptok,
+       |    CASE WHEN tri_total < 1
+       |           OR (tri_total - tri_distinct) * 10 <= tri_total * 3
+       |      THEN 1 ELSE 0 END AS r_dup3
+       |  FROM sig)
+       |SELECT doc_id, source, n_tok, r_len, r_wordlen, r_stop, r_toptok,
+       |  r_dup3,
+       |  r_len * r_wordlen * r_stop * r_toptok * r_dup3 AS keep
+       |FROM r""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -608,5 +704,6 @@ object TextAnalysis {
     QuerySpec("t10_stratified_sample", t10, Some(t10Sql)),
     QuerySpec("t11_pii_redaction", t11, Some(t11Sql)),
     QuerySpec("t12_sequence_packing", t12, Some(t12Sql)),
-    QuerySpec("t13_dsir_importance", t13, Some(t13Sql)))
+    QuerySpec("t13_dsir_importance", t13, Some(t13Sql)),
+    QuerySpec("t14_filter_verdict", t14, Some(t14Sql)))
 }

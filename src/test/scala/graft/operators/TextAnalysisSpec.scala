@@ -165,4 +165,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(byGroup(true) > byGroup(false) + 0.01,
       s"target ${byGroup(true)} must clearly exceed raw ${byGroup(false)}")
   }
+
+  test("t14 verdict: keep is the conjunction and rules discriminate") {
+    val v = graft.SparkEntry.queries("t14_filter_verdict")(spark, sfDir)
+      .collect()
+    assert(v.nonEmpty)
+    v.foreach { r =>
+      val flags = Seq("r_len", "r_wordlen", "r_stop", "r_toptok", "r_dup3")
+        .map(f => r.getInt(r.fieldIndex(f)))
+      assert(flags.forall(f => f == 0 || f == 1))
+      assert(r.getInt(r.fieldIndex("keep")) === flags.product,
+        s"keep must be the AND of the rule flags for doc ${r.get(0)}")
+    }
+    // the verdict must actually split the fixture — an all-pass (or
+    // all-fail) filter tests nothing
+    val kept = v.count(_.getInt(v.head.fieldIndex("keep")) == 1)
+    assert(kept > 0 && kept < v.length,
+      s"$kept/${v.length} kept — thresholds no longer discriminate")
+  }
+
+  test("t14 short documents are vacuously clean on the trigram rule") {
+    // < 3 tokens ⇒ no trigrams; the guarded branch must neither throw
+    // (Spark's descending sequence + slice(tk, 0, _) under ANSI) nor
+    // mark the doc dirty
+    import spark.implicits._
+    val tiny = Seq((1L, "one two", "srcX"), (2L, "one", "srcX"))
+      .toDF("doc_id", "text", "source")
+    val staged = graft.util.Scratch.dir("graft-t14-tiny")
+    tiny.write.mode("overwrite").parquet(s"$staged/documents.parquet")
+    val v = graft.SparkEntry.queries("t14_filter_verdict")(spark, staged)
+      .collect().map(r => r.getLong(0) ->
+        r.getInt(r.fieldIndex("r_dup3"))).toMap
+    assert(v === Map(1L -> 1, 2L -> 1))
+  }
 }
