@@ -25,6 +25,13 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     toColumn(DotProductD(toExpr(a), toExpr(b)))
 
+  /** scaled-integer squared distance: Σᵢ round((aᵢ−bᵢ)²·scale) as
+    * BIGINT — one codegen loop; bit-identical to the exploded
+    * round()+sum formulation (see expressions.ScaledSqDistL) */
+  def scaledSqDist(a: Column, b: Column, scale: Double): Column =
+    toColumn(graft.functions.expressions.ScaledSqDistL(
+      toExpr(a), toExpr(b), scale))
+
   /** HOF reference implementation of dot (kept for tests: must equal
     * the codegen'd expression bit-for-bit) */
   def dotHof(a: Column, b: Column): Column =

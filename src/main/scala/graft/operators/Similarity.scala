@@ -488,29 +488,46 @@ object Similarity {
   private val KMEANS_MEAN_SCALE = 1e6
 
   /** both Lloyd iterations' assignments (a1, a2) — a2 is the gated
-    * output; a1 exists so the spec can pin cost monotonicity */
+    * output; a1 exists so the spec can pin cost monotonicity.
+    *
+    * Assignment runs in ARRAY form: the K centroid vectors broadcast as
+    * K rows of array<double>, the corpus joins them on a constant key
+    * (BroadcastHashJoin — K rows per vector through the operators), and
+    * the per-(vector, centroid) distance is ONE codegen loop
+    * (ScaledSqDistL — bit-identical to the exploded round()+sum, see
+    * its scaladoc). The round-6 exploded shape pushed K·dim rows per
+    * vector through a join and two hash aggregations: 64× the operator
+    * row count for dim = 64. Centroid RECOMPUTE stays in exploded
+    * (cluster, pos) space — one narrow pass over members is the natural
+    * shape for per-dimension means — and folds back to arrays via a
+    * pos-sorted collect for the second assignment's broadcast side. */
   private[operators] def kmeansIterations(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
-    val ex = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
-      .select(col("vec_id"), col("pos"), col("xf").cast(DoubleType).as("x"))
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
 
-    def assign(centroids: DataFrame): DataFrame = {
-      val d = col("x") - col("c")
-      ex.join(broadcast(centroids), Seq("pos"))
-        .groupBy(col("vec_id"), col("cluster"))
-        .agg(sum(round(d * d * lit(KMEANS_DIST_SCALE)).cast(LongType))
-          .as("dist"))
+    // corpus × K centroid rows is an explicit broadcast cross join —
+    // the BNLJ's build side is K rows (bytes), the corpus only streams;
+    // this is the correct plan, unlike a corpus-sided nested loop
+    // (PlanSpec pins build side + no CartesianProduct)
+    def assign(centroids: DataFrame): DataFrame =
+      emb.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("cluster"),
+          graft.functions.VectorFunctions.scaledSqDist(
+            col("embedding"), col("carr"), KMEANS_DIST_SCALE).as("dist"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("dist"), col("cluster"))).as("m"))
         .select(col("vec_id"), col("m.cluster").as("cluster"),
           col("m.dist").as("dist_scaled"))
-    }
 
-    val c0 = ex.where(col("vec_id") < KMEANS_K)
-      .select(col("vec_id").as("cluster"), col("pos"), col("x").as("c"))
+    val c0 = emb.where(col("vec_id") < KMEANS_K)
+      .select(col("vec_id").as("cluster"),
+        col("embedding").cast(ArrayType(DoubleType)).as("carr"))
     val a1 = assign(c0)
+    val ex = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), col("pos"), col("xf").cast(DoubleType).as("x"))
     val c1 = ex.join(a1.select(col("vec_id"), col("cluster")), Seq("vec_id"))
       .groupBy(col("cluster"), col("pos"))
       .agg(sum(round(col("x") * lit(KMEANS_MEAN_SCALE)).cast(LongType))
@@ -518,7 +535,13 @@ object Similarity {
       .select(col("cluster"), col("pos"),
         (col("s").cast(DoubleType) / (lit(KMEANS_MEAN_SCALE) * col("n")))
           .as("c"))
-    (a1, assign(c1))
+    // fold the (cluster, pos, c) means back into position-ordered
+    // arrays; every surviving cluster has a value at every pos (each
+    // member contributes all dims), so the arrays are dense
+    val c1arr = c1.groupBy(col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("carr"))
+    (a1, assign(c1arr))
   }
 
   private def s06(spark: SparkSession, dir: String): DataFrame =
@@ -594,46 +617,70 @@ object Similarity {
   private val PQ_SUBDIM = 16 // dims per subspace (DIM/16 = 4 subspaces)
 
   private def s07(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.{DoubleType, LongType}
-    val ex = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
-      .select(col("vec_id"), floor(col("pos") / lit(PQ_SUBDIM)).as("sub"),
-              col("pos"), col("xf").cast(DoubleType).as("x"))
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    // sub-vector view: one row per (vector, subspace), carrying the
+    // 16-dim slice — nsub rows per vector instead of dim exploded rows
+    val subs = emb
+      .select(col("vec_id"),
+        explode(sequence(lit(0L),
+          expr(s"(size(embedding) - 1) div $PQ_SUBDIM"))).as("sub"),
+        col("embedding"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"),
+          (col("sub") * PQ_SUBDIM + 1).cast(IntegerType),
+          lit(PQ_SUBDIM)).as("semb"))
 
     // per-(vector, subspace) nearest codeword under the scaled-integer
-    // distance; `sub` rides along from ex (pos determines the subspace)
-    def encode(centroids: DataFrame): DataFrame = {
-      val d = col("x") - col("c")
-      ex.join(broadcast(centroids), Seq("pos"))
-        .groupBy(col("vec_id"), col("sub"), col("cluster"))
-        .agg(sum(round(d * d * lit(KMEANS_DIST_SCALE)).cast(LongType))
-          .as("dist"))
+    // distance, in array form: the codebook rows (sub, cluster, sarr)
+    // broadcast and join on `sub` (a real equi-key — BroadcastHashJoin),
+    // the 16-dim distance is one ScaledSqDistL loop per candidate. The
+    // round-6 exploded shape joined dim rows per vector against the
+    // codeword POSITIONS and paid two hash aggregations on
+    // dim·K-scale row counts.
+    def encode(codebook: DataFrame): DataFrame =
+      subs.join(broadcast(codebook), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("cluster"),
+          graft.functions.VectorFunctions.scaledSqDist(
+            col("semb"), col("sarr"), KMEANS_DIST_SCALE).as("dist"))
         .groupBy(col("vec_id"), col("sub"))
         .agg(min(struct(col("dist"), col("cluster"))).as("m"))
         .select(col("vec_id"), col("sub"), col("m.cluster").as("cluster"))
-    }
 
-    // seeds: codeword j of every subspace = seed vector j's subvector
-    val c0 = ex.where(col("vec_id") < PQ_K)
-      .select(col("vec_id").as("cluster"), col("pos"), col("x").as("c"))
+    // seeds: codeword j of subspace s = seed vector j's slice at s
+    val c0 = subs.where(col("vec_id") < PQ_K)
+      .select(col("sub"), col("vec_id").as("cluster"),
+        col("semb").cast(org.apache.spark.sql.types.ArrayType(DoubleType))
+          .as("sarr"))
     val a1 = encode(c0)
+    // codeword refinement stays in exploded (sub, cluster, pos) space
+    // (per-dimension means), then folds back to 16-dim arrays keyed by
+    // (sub, cluster) — a subspace-empty cluster just has no row, same
+    // dropout semantics as the exploded join on pos
+    val ex = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col("vec_id"), expr(s"CAST(pos AS BIGINT) div $PQ_SUBDIM").as("sub"),
+              col("pos"), col("xf").cast(DoubleType).as("x"))
     val c1 = ex.join(a1, Seq("vec_id", "sub"))
       .groupBy(col("sub"), col("cluster"), col("pos"))
       .agg(sum(round(col("x") * lit(KMEANS_MEAN_SCALE)).cast(LongType))
         .as("s"), count(lit(1)).as("n"))
-      .select(col("cluster"), col("pos"),
+      .select(col("sub"), col("cluster"), col("pos"),
         (col("s").cast(DoubleType) / (lit(KMEANS_MEAN_SCALE) * col("n")))
           .as("c"))
-    val code = encode(c1) // (vec_id, sub, cluster) — 4 codes per vector
+    val c1book = c1.groupBy(col("sub"), col("cluster"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("sarr"))
+    val code = encode(c1book) // (vec_id, sub, cluster) — 4 codes per vector
 
     // ADC distance tables: raw query subvector ↔ every refined codeword
-    val dq = col("x") - col("c")
-    val dt = ex.where(col("vec_id") < N_QUERIES)
+    val dt = subs.where(col("vec_id") < N_QUERIES)
       .withColumnRenamed("vec_id", "query_id")
-      .join(broadcast(c1), Seq("pos"))
-      .groupBy(col("query_id"), col("sub"), col("cluster"))
-      .agg(sum(round(dq * dq * lit(KMEANS_DIST_SCALE)).cast(LongType))
-        .as("dist"))
+      .join(broadcast(c1book), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cluster"),
+        graft.functions.VectorFunctions.scaledSqDist(
+          col("semb"), col("sarr"), KMEANS_DIST_SCALE).as("dist"))
 
     // approximate distance = Σ over the 4 subspaces of one table lookup;
     // adist ≤ ~1e11 « 2^53, so the negated-double TopK score is exact

@@ -129,6 +129,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"))
   }
 
+  test("t14 filter verdict is shuffle-free (one codegen pass)") {
+    val p = formatted("t14_filter_verdict")
+    assert(!p.contains("Exchange"))
+  }
+
+  test("p03 domain mixing is a narrow scan → hash → explode, no shuffle") {
+    val p = formatted("p03_domain_mixing")
+    assert(!p.contains("Exchange"))
+    assert(p.contains("Generate"), "the epoch expansion must be a Generate")
+  }
+
   test("d08 decontamination broadcasts the benchmark n-gram set") {
     assert(formatted("d08_decontaminate").contains("BroadcastHashJoin"))
   }
@@ -163,11 +174,24 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 2, s"expected 2 parquet scans, saw $scans in:\n$p")
   }
 
-  test("s06 k-means broadcasts centroids and never goes nested-loop") {
+  test("s06 k-means assignment streams the corpus against K broadcast rows") {
+    // array-form Lloyd: the ONLY join is corpus × K centroid-array rows
+    // — a BroadcastNestedLoopJoin whose build side is K rows of bytes
+    // is the correct plan (there is no join key; every vector scores
+    // every centroid). What must never happen is a CartesianProduct or
+    // the corpus itself on the build side.
     val p = formatted("s06_kmeans")
-    assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"),
+      "centroids must broadcast as the build side")
+    // the centroid subtree, not the corpus scan, sits under the
+    // broadcast: no BroadcastExchange may feed directly from a scan
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+      case (_, i) =>
+        assert(!lines.lift(i + 1).getOrElse("").contains("Scan parquet"),
+          "the corpus scan must never be the broadcast build side")
+    }
   }
 
   test("d09 doc frequency runs as one gram exchange, never a join-back") {
@@ -232,8 +256,16 @@ class PlanSpec extends AnyFunSuite {
     val p = formatted("d10_semdedup")
     assert(!p.contains("CartesianProduct"),
       "d10 must not plan a cartesian product")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      "d10 must not plan a nested-loop join")
+    // the embedded k-means assignment legitimately BNLJs the corpus
+    // against K broadcast centroid rows (see the s06 test); what must
+    // never sit under a broadcast build side is a corpus scan — that
+    // would be the n² pair product this op exists to avoid
+    val lines = p.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
+      case (_, i) =>
+        assert(!lines.lift(i + 1).getOrElse("").contains("Scan parquet"),
+          "the corpus scan must never be the broadcast build side")
+    }
   }
 
   test("x12 pushes both 2-D box predicates into the z-ordered scan") {

@@ -25,6 +25,31 @@ class VectorFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("scaledSqDist is bit-identical to the exploded round()+sum shape") {
+    // the k-means family's determinism contract: the one-loop kernel
+    // must reproduce round((x−c)²·s) per element EXACTLY (BigDecimal
+    // HALF_UP — Spark round's double path), summed as long
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = Seq.tabulate(50)(i => (i.toLong,
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = rows.toDF("id", "a", "c")
+    val fast = df.select(col("id"),
+      VectorFunctions.scaledSqDist(col("a"), col("c"), 1e8).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = df
+      .select(col("id"), posexplode(col("a")).as(Seq("pos", "xf")),
+        col("c"))
+      .select(col("id"),
+        (col("xf").cast("double") - element_at(col("c"), col("pos") + 1))
+          .as("d0"))
+      .groupBy(col("id"))
+      .agg(sum(round(col("d0") * col("d0") * lit(1e8)).cast("long")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === ref)
+  }
+
   test("cosine is symmetric and 1.0 on itself") {
     import spark.implicits._
     val v = Array.fill(16)(0.5f)
