@@ -509,6 +509,41 @@ object ScaleOps {
       |  AND l_partkey <= (SELECT MAX(l_partkey) // 10 FROM lineitem)
       |GROUP BY l_returnflag""".stripMargin
 
+  // x13 — CDC → SCD2 dimension history (the warehouse merge-apply
+  // shape): treat `events` as a change stream keyed by user_id and
+  // build type-2 validity intervals — each change is valid from its own
+  // timestamp until the key's next change; the key's latest change is
+  // the current row (valid_to NULL, is_current 1). Deterministic total
+  // order inside a key: (ts, event_id) — same-timestamp changes
+  // tie-break on event_id, so the history is reproducible.
+  //
+  // 100 TB shape: ONE hash exchange on the key, then a per-key ordered
+  // window — the window is PARTITIONED (never the single-partition
+  // global-sort trap t12 dodges), so 10^9 keys spread over the
+  // cluster and per-task memory is bounded by the largest single key's
+  // history. This is how you build SCD2 without a MERGE-capable table
+  // format: pure window algebra any engine can run.
+  private def x13(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts").as("valid_from"))
+      .withColumn("valid_to",
+        lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1).otherwise(0))
+  }
+
+  private val x13Sql =
+    """SELECT user_id, event_id, event_type, value,
+      |  ts AS valid_from,
+      |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    AS valid_to,
+      |  CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM events""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -521,5 +556,6 @@ object ScaleOps {
     QuerySpec("x09_bucketed_join", x09, Some(x09Sql)),
     QuerySpec("x10_skew_salted_join", x10, Some(x10Sql)),
     QuerySpec("x11_bloom_filtered_join", x11, Some(x11Sql)),
-    QuerySpec("x12_zorder_scan", x12, Some(x12Sql)))
+    QuerySpec("x12_zorder_scan", x12, Some(x12Sql)),
+    QuerySpec("x13_scd2_history", x13, Some(x13Sql)))
 }

@@ -134,6 +134,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"))
   }
 
+  test("x13 SCD2 history windows per key, never a global sort") {
+    val p = formatted("x13_scd2_history")
+    assert(!p.contains("Exchange SinglePartition"),
+      "the interval window must be partitioned by the CDC key")
+  }
+
   test("p03 domain mixing is a narrow scan → hash → explode, no shuffle") {
     val p = formatted("p03_domain_mixing")
     assert(!p.contains("Exchange"))
