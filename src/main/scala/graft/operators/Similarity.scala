@@ -245,9 +245,10 @@ object Similarity {
     * candidate. Ordering (cos desc, neighbor_id asc) matches the window
     * version exactly, so the window-based SQL oracles are unchanged.
     * Input must carry (query_id, neighbor_id, cos). */
-  private def topK(spark: SparkSession, scored: DataFrame): DataFrame = {
+  private def topKN(spark: SparkSession, scored: DataFrame,
+                    k: Int): DataFrame = {
     import spark.implicits._
-    val agg = new graft.functions.TopKAggregator(TOP_K)
+    val agg = new graft.functions.TopKAggregator(k)
     scored.select(col("query_id"), col("neighbor_id"), col("cos"))
       .as[(Long, Long, Double)]
       .groupByKey(_._1)
@@ -259,6 +260,9 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rnk"),
               round(col("cos"), 4).as("cos_sim"))
   }
+
+  private def topK(spark: SparkSession, scored: DataFrame): DataFrame =
+    topKN(spark, scored, TOP_K)
 
   // ---------------------------------------------------------------------
   // s04 — IVF-style approximate top-k: a coarse quantizer assigns every
@@ -754,6 +758,113 @@ object Similarity {
        |  FROM adc) t
        |WHERE rnk <= $TOP_K""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s08 — int8 scalar-quantized search + exact rerank (the SQ8 pipeline
+  //        of FAISS/vector-db practice — the third compression scale
+  //        path next to PQ codes (s07) and cell probing (s04)): score
+  //        queries against RECONSTRUCTED-from-int8 vectors (s05's exact
+  //        quantize formula), keep a 3k candidate pool per query, then
+  //        rerank only that pool against raw floats for the final top-k.
+  //
+  //        Scale story: the scan-heavy approx pass touches 1-byte codes
+  //        (64× smaller than raw doubles — here reconstructed on the
+  //        fly; a production index materializes the code column once,
+  //        the d11/x12 staging pattern) and its exchange is the O(q·3k)
+  //        TopKAggregator partial; the exact pass reads just 3k raw
+  //        vectors per query through a broadcast semi-join of the
+  //        candidate ids. Recall cost is measurable: rerank can only
+  //        recover what quantized scoring put in the pool.
+  //
+  //        Determinism: reconstruction is the same IEEE expression
+  //        sequence in both engines (identical fold order ⇒ identical
+  //        doubles ⇒ identical candidate order with id tie-break) —
+  //        the property every ranked op here already leans on.
+  // ---------------------------------------------------------------------
+  private val SQ_CAND = 3 * TOP_K
+
+  private def s08(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+    val recon = e
+      .withColumn("qmin", array_min(col("emb")))
+      .withColumn("scale",
+        (array_max(col("emb")) - col("qmin")) / lit(255.0))
+      // scale 0 (constant vector): codes reconstruct exactly to qmin
+      .withColumn("remb",
+        when(col("scale") === 0.0, col("emb")).otherwise(
+          transform(col("emb"), x => col("qmin") +
+            least(greatest(floor((x - col("qmin")) / col("scale") + lit(0.5)),
+                           lit(0.0)), lit(255.0)) * col("scale"))))
+      .select(col("vec_id").as("neighbor_id"), col("remb"),
+              norm(col("remb")).as("rn"))
+    val q = e.where(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("emb").as("qv"),
+              norm(col("emb")).as("qn"))
+    val approx = broadcast(q)
+      .join(recon, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        cosinePrenormed(col("qv"), col("remb"), col("qn"), col("rn")))
+    val cand = topKN(spark, approx, SQ_CAND)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact rerank: only the candidate pool's raw vectors are read —
+    // the tiny (q·3k)-row id set broadcasts against the corpus
+    val exact = e.select(col("vec_id").as("neighbor_id"),
+        col("emb").as("nv"), norm(col("emb")).as("nn"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos",
+        cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")))
+    topK(spark, exact)
+  }
+
+  private val s08Sql = {
+    def dotE(x: String, y: String) =
+      s"""list_sum(list_transform(generate_series(1, len($x)), i ->
+         |  $x[i] * $y[i]))""".stripMargin
+    def cosE(x: String, y: String) =
+      s"(${dotE(x, y)} / (sqrt(${dotE(x, x)}) * sqrt(${dotE(y, y)})))"
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT vec_id, emb, list_min(emb) AS qmin,
+       |    (list_max(emb) - list_min(emb)) / 255.0 AS scale
+       |  FROM e),
+       |r AS (
+       |  SELECT vec_id AS neighbor_id,
+       |    CASE WHEN scale = 0 THEN emb ELSE
+       |      list_transform(emb, x -> qmin +
+       |        least(greatest(floor((x - qmin) / scale + 0.5), 0.0), 255.0)
+       |          * scale)
+       |    END AS remb
+       |  FROM p),
+       |q AS (SELECT vec_id AS query_id, emb AS qv FROM e
+       |      WHERE vec_id < $N_QUERIES),
+       |approx AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${cosE("qv", "remb")} AS ac
+       |  FROM q JOIN r ON neighbor_id <> query_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ac DESC, neighbor_id) AS rn
+       |    FROM approx) t WHERE rn <= $SQ_CAND),
+       |exact AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${cosE("qv", "emb")} AS cos
+       |  FROM cand c JOIN q USING (query_id)
+       |  JOIN e ON e.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 4) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM exact) t
+       |WHERE rnk <= $TOP_K""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("s01_knn_bruteforce", s01, Some(s01Sql)),
     QuerySpec("s02_knn_lsh", s02, Some(s02Sql)),
@@ -761,5 +872,6 @@ object Similarity {
     QuerySpec("s04_knn_ivf", s04, Some(s04Sql)),
     QuerySpec("s05_embedding_quantize", s05, Some(s05Sql)),
     QuerySpec("s06_kmeans", s06, Some(s06Sql)),
-    QuerySpec("s07_knn_pq_adc", s07, Some(s07Sql)))
+    QuerySpec("s07_knn_pq_adc", s07, Some(s07Sql)),
+    QuerySpec("s08_knn_sq8_rerank", s08, Some(s08Sql)))
 }

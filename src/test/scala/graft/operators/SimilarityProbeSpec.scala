@@ -85,6 +85,21 @@ class SimilarityProbeSpec extends AnyFunSuite {
     assert(joined.where(col("cos4") > col("cos0")).count() >= 40)
   }
 
+  test("s08 SQ8 rerank recovers the exact top-k on the fixture") {
+    // int8 reconstruction error is small relative to this corpus's
+    // similarity gaps, so the 3k candidate pool must contain every true
+    // neighbor and the exact rerank must reproduce s01 verbatim — the
+    // compression path costs recall only when quantization error
+    // crosses a pair's score gap
+    import org.apache.spark.sql.functions.col
+    val cols = Seq("query_id", "rnk", "neighbor_id").map(col)
+    val sq = graft.SparkEntry.queries("s08_knn_sq8_rerank")(spark, sfDir)
+      .select(cols: _*).collect().map(_.toSeq).toSet
+    val exact = graft.SparkEntry.queries("s01_knn_bruteforce")(spark, sfDir)
+      .select(cols: _*).collect().map(_.toSeq).toSet
+    assert(sq === exact)
+  }
+
   test("s06 Lloyd update never increases total within-cluster cost") {
     import org.apache.spark.sql.functions.{col, sum}
     val (a1, a2) = Similarity.kmeansIterations(spark, sfDir)
