@@ -110,15 +110,17 @@ object ScaleProbe {
       "d04_dedup_simhash", "d06_dedup_embedding_lsh", "d07_dup_clusters",
       "d09_substring_dedup", "d11_incremental_ingest",
       "t05_tfidf", "t07_repetition", "t08_lm_score",
-      "t12_sequence_packing", "t13_dsir_importance",
-      "p01_clean_corpus", "p02_embedding_curation",
+      "t12_sequence_packing", "t13_dsir_importance", "t14_filter_verdict",
+      "p01_clean_corpus", "p02_embedding_curation", "p03_domain_mixing",
       "s02_knn_lsh", "s04_knn_ivf", "s05_embedding_quantize",
-      "s06_kmeans", "s07_knn_pq_adc",
+      "s06_kmeans", "s07_knn_pq_adc", "s08_knn_sq8_rerank",
+      "d10_semdedup",
       "m03_multimodal_resize",
       "q01_pricing_summary", "q03_join_agg", "q08_window_running",
       "q25_grouping_sets",
       "x02_sessionize", "x05_asof_join", "x06_range_join_bucketed",
       "x09_bucketed_join", "x10_skew_salted_join", "x11_bloom_filtered_join",
+      "x13_scd2_history",
       "w02_stream_window_agg", "w08_stream_stream_join")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
