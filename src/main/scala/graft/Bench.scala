@@ -125,6 +125,7 @@ object Bench {
     graft.operators.ScaleOps.x09Stage(spark, sfDir)
     graft.operators.ScaleOps.x12Stage(spark, sfDir)
     graft.operators.TextAnalysis.t09Stage(spark, sfDir)
+    graft.operators.TextAnalysis.t15Stage(spark, sfDir)
     // d11's standing Bloom ingest index: built once per corpus, probed
     // per batch — same write-once-read-many reasoning as above
     graft.operators.Dedup.d11Stage(spark, sfDir)

@@ -166,6 +166,15 @@ class TextAnalysisSpec extends AnyFunSuite {
       s"target ${byGroup(true)} must clearly exceed raw ${byGroup(false)}")
   }
 
+  test("t15 staged DSIR scoring equals the one-shot t13") {
+    // the t09 lesson applied to importance weighting: scoring against
+    // the materialized bucket model must reproduce the stateless
+    // one-shot exactly (same smoothing, same decimal rounding)
+    val staged = graft.SparkEntry.queries("t15_dsir_pretrained")(spark, sfDir)
+    val oneShot = graft.SparkEntry.queries("t13_dsir_importance")(spark, sfDir)
+    assert(rows(staged) === rows(oneShot))
+  }
+
   test("t14 verdict: keep is the conjunction and rules discriminate") {
     val v = graft.SparkEntry.queries("t14_filter_verdict")(spark, sfDir)
       .collect()
