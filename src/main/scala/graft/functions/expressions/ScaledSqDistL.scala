@@ -50,12 +50,17 @@ case class ScaledSqDistL(left: Expression, right: Expression, scale: Double)
         s"got ${left.dataType.sql} and ${right.dataType.sql}")
   }
 
+  // hoisted: interpreted eval runs per row; re-deriving the element
+  // type there would pattern-match the schema once per pair
+  @transient private lazy val leftIsFloat = elemType(left) == FloatType
+  @transient private lazy val rightIsFloat = elemType(right) == FloatType
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lf = elemType(left) == FloatType
-    val rf = elemType(right) == FloatType
+    val lf = leftIsFloat
+    val rf = rightIsFloat
     var s = 0L
     var i = 0
     while (i < n) {
