@@ -39,8 +39,15 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = load(s, d, "events")
     val tsCol = raw.schema("ts").dataType match {
-      case LongType => timestamp_micros(expr("ts div 1000"))
-      case _        => col("ts")
+      case LongType        => timestamp_micros(expr("ts div 1000"))
+      case TimestampNTZType => col("ts")
+      // fail LOUD on anything else — in particular session-timezone
+      // TimestampType (isAdjustedToUTC=true parquet): casting that to
+      // NTZ converts through the session zone, which would silently
+      // shift every wall-clock in a session not pinned to UTC
+      case other => throw new IllegalStateException(
+        s"events.ts decoded as $other — expected int64 nanos or " +
+          "timestamp_ntz; teach Tables.events this layout explicitly")
     }
     raw.withColumn("ts", tsCol.cast(TimestampNTZType))
   }

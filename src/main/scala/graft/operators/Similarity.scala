@@ -415,11 +415,13 @@ object Similarity {
       .withColumn("qmin", array_min(col("emb")))
       .withColumn("qmax", array_max(col("emb")))
       .withColumn("scale", (col("qmax") - col("qmin")) / lit(255.0))
+    // |x − recon8(x)| per element — the reconstruction is the ONE
+    // shared definition (recon8) that s08's candidate scoring also
+    // uses, so the two ops cannot silently diverge
     val dequantErr = aggregate(
-      transform(col("emb"), x =>
-        abs(x - (col("qmin") +
-          least(greatest(floor((x - col("qmin")) / col("scale") + lit(0.5)),
-                         lit(0.0)), lit(255.0)) * col("scale")))),
+      zip_with(col("emb"),
+        recon8(col("emb"), col("qmin"), col("scale")),
+        (x, r) => abs(x - r)),
       lit(0.0), (a, x) => a + x) / size(col("emb"))
     withP
       // a constant vector has scale 0: reconstruction is exact and the
@@ -782,6 +784,28 @@ object Similarity {
   // ---------------------------------------------------------------------
   private val SQ_CAND = 3 * TOP_K
 
+  /** the int8 reconstructed-vector column — s05's exact quantize
+    * formula applied element-wise (shared with the s05 error kernel
+    * and mirrored textually by [[sqlRecon8]], so the two engines and
+    * the two ops stay on ONE definition) */
+  private[operators] def recon8(emb: Column, qmin: Column,
+                                scale: Column): Column =
+    // scale 0 (constant vector): codes reconstruct exactly to qmin
+    when(scale === 0.0, emb).otherwise(
+      transform(emb, x => qmin +
+        least(greatest(floor((x - qmin) / scale + lit(0.5)),
+                       lit(0.0)), lit(255.0)) * scale))
+
+  /** DuckDB text of [[recon8]] over list column `x` with scalar
+    * columns `qmin`/`scale` in scope */
+  private[operators] def sqlRecon8(x: String, qmin: String,
+                                   scale: String): String =
+    s"""CASE WHEN $scale = 0 THEN $x ELSE
+       |  list_transform($x, v -> $qmin +
+       |    least(greatest(floor((v - $qmin) / $scale + 0.5), 0.0), 255.0)
+       |      * $scale)
+       |END""".stripMargin
+
   private def s08(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
     val e = Tables.embeddings(spark, dir).select(col("vec_id"),
@@ -790,12 +814,7 @@ object Similarity {
       .withColumn("qmin", array_min(col("emb")))
       .withColumn("scale",
         (array_max(col("emb")) - col("qmin")) / lit(255.0))
-      // scale 0 (constant vector): codes reconstruct exactly to qmin
-      .withColumn("remb",
-        when(col("scale") === 0.0, col("emb")).otherwise(
-          transform(col("emb"), x => col("qmin") +
-            least(greatest(floor((x - col("qmin")) / col("scale") + lit(0.5)),
-                           lit(0.0)), lit(255.0)) * col("scale"))))
+      .withColumn("remb", recon8(col("emb"), col("qmin"), col("scale")))
       .select(col("vec_id").as("neighbor_id"), col("remb"),
               norm(col("remb")).as("rn"))
     val q = e.where(col("vec_id") < N_QUERIES)
@@ -807,14 +826,18 @@ object Similarity {
         cosinePrenormed(col("qv"), col("remb"), col("qn"), col("rn")))
     val cand = topKN(spark, approx, SQ_CAND)
       .select(col("query_id"), col("neighbor_id"))
-    // exact rerank: only the candidate pool's raw vectors are read —
-    // the tiny (q·3k)-row id set broadcasts against the corpus
+    // exact rerank: semi-join the candidate ids FIRST, then compute
+    // norms — the norm/dot projection sits above the join, so the
+    // exact pass pays O(q·3k) kernel evaluations, not a second
+    // full-corpus norm scan (expression projections below a join
+    // would run for every corpus row)
     val exact = e.select(col("vec_id").as("neighbor_id"),
-        col("emb").as("nv"), norm(col("emb")).as("nn"))
+        col("emb").as("nv"))
       .join(broadcast(cand), Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cos",
-        cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")))
+        cosinePrenormed(col("qv"), col("nv"), col("qn"),
+                        norm(col("nv"))))
     topK(spark, exact)
   }
 
@@ -834,11 +857,7 @@ object Similarity {
        |  FROM e),
        |r AS (
        |  SELECT vec_id AS neighbor_id,
-       |    CASE WHEN scale = 0 THEN emb ELSE
-       |      list_transform(emb, x -> qmin +
-       |        least(greatest(floor((x - qmin) / scale + 0.5), 0.0), 255.0)
-       |          * scale)
-       |    END AS remb
+       |    ${sqlRecon8("emb", "qmin", "scale")} AS remb
        |  FROM p),
        |q AS (SELECT vec_id AS query_id, emb AS qv FROM e
        |      WHERE vec_id < $N_QUERIES),

@@ -190,13 +190,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastNestedLoopJoin Cross BuildRight"),
       "centroids must broadcast as the build side")
-    // the centroid subtree, not the corpus scan, sits under the
-    // broadcast: no BroadcastExchange may feed directly from a scan
+    assertBnljStreamsTheScan(p)
+  }
+
+  /** Non-vacuous build-side guard for the centroid-assignment joins:
+    * every BNLJ must (a) build RIGHT — the broadcast()-hinted centroid
+    * arg; if Catalyst ever re-chose sides on size stats the join would
+    * render BuildLeft — and (b) stream a subtree that reaches the
+    * parquet scan (the corpus pipeline: Scan → Filter/Project …). The
+    * streamed subtree is the lines between the `:-` child and its `+-`
+    * build sibling at the same indent column. (The first cut checked
+    * the line after BroadcastExchange for a scan, which is always a
+    * Project/aggregate — a guard that could not fire; and the seed
+    * path's build side legitimately holds a vec_id<K FILTERED scan, so
+    * 'no scan under broadcast' is not the invariant either.) */
+  private def assertBnljStreamsTheScan(p: String): Unit = {
     val lines = p.linesIterator.toVector
-    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
-      case (_, i) =>
-        assert(!lines.lift(i + 1).getOrElse("").contains("Scan parquet"),
-          "the corpus scan must never be the broadcast build side")
+    // tree-section lines carry the join type ("… Cross BuildX"); the
+    // details section repeats the bare node name — skip those
+    val bnlj = lines.zipWithIndex
+      .filter(_._1.contains("BroadcastNestedLoopJoin Cross"))
+    assert(bnlj.nonEmpty, "expected a centroid-assignment BNLJ")
+    bnlj.foreach { case (line, i) =>
+      assert(line.contains("Cross BuildRight"),
+        s"assignment BNLJ must build on the broadcast centroid side: $line")
+      val streamed = lines.lift(i + 1).getOrElse("")
+      val indent = streamed.indexOf(":-")
+      assert(indent >= 0, s"expected a streamed child under: $line")
+      val buildIdx = (i + 2 until lines.length).find { j =>
+        lines(j).length > indent + 1 &&
+          lines(j).substring(indent).startsWith("+-")
+      }.getOrElse(lines.length)
+      val subtree = lines.slice(i + 1, buildIdx)
+      assert(subtree.exists(_.contains("Scan parquet")),
+        s"BNLJ streamed side must be the corpus scan pipeline, saw:\n" +
+          subtree.mkString("\n"))
     }
   }
 
@@ -263,15 +291,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       "d10 must not plan a cartesian product")
     // the embedded k-means assignment legitimately BNLJs the corpus
-    // against K broadcast centroid rows (see the s06 test); what must
-    // never sit under a broadcast build side is a corpus scan — that
-    // would be the n² pair product this op exists to avoid
-    val lines = p.linesIterator.toVector
-    lines.zipWithIndex.filter(_._1.contains("BroadcastExchange")).foreach {
-      case (_, i) =>
-        assert(!lines.lift(i + 1).getOrElse("").contains("Scan parquet"),
-          "the corpus scan must never be the broadcast build side")
-    }
+    // against K broadcast centroid rows — but every BNLJ in this plan
+    // must be exactly that shape (corpus streamed, tiny build side):
+    assertBnljStreamsTheScan(p)
+    // ...and the PAIR join itself must remain an equi-join on the
+    // cluster key — the n² product this op exists to avoid would show
+    // up as the pair join degrading to a nested loop
+    assert(Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(p.contains),
+      "the within-cluster pair join must plan as an equi-join")
   }
 
   test("x12 pushes both 2-D box predicates into the z-ordered scan") {
