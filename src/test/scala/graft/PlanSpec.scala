@@ -134,6 +134,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"))
   }
 
+  test("s08 SQ8 search: typed top-k, broadcast rerank, no window/sort") {
+    // both ranking stages run through the map-side TopKAggregator
+    // (ObjectHashAggregate) — a Window/global-Sort here would shuffle
+    // every scored row; the rerank side must meet the corpus through
+    // broadcast joins of the tiny candidate/query sets only
+    val p = formatted("s08_knn_sq8_rerank")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("Window"), "ranking must not plan a Window")
+    assert(!p.contains("SortMergeJoin"), "rerank joins must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("x13 SCD2 history windows per key, never a global sort") {
     val p = formatted("x13_scd2_history")
     assert(!p.contains("Exchange SinglePartition"),
