@@ -728,6 +728,51 @@ object TextAnalysis {
        |FROM r""".stripMargin
   }
 
+  // t16 — BPE pair counting: the inner loop of byte-pair-encoding
+  // tokenizer training (Sennrich et al. 2016) at corpus scale — count
+  // adjacent CHARACTER pairs within words (t06's bigrams count word
+  // pairs; this is the symbol-level statistic a merge step consumes)
+  // and rank the top candidates. One full BPE training run would loop:
+  // merge rank-1, re-segment, recount — each iteration is exactly this
+  // query over the evolving symbol stream.
+  //
+  // Scale shape: the pair space is bounded (alphabet², thousands of
+  // distinct keys at any corpus size), so the count collapses almost
+  // entirely map-side and the exchange carries ≤ tasks·|pairs| rows;
+  // the top-k is TakeOrderedAndProject (no global sort), and the rank
+  // window runs over the ≤ BPE_TOP survivors on one partition — rows
+  // that number in the hundreds regardless of corpus size.
+  private val BPE_TOP = 100
+
+  private def t16(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))"))
+        .as("pair"))
+    val top = pairs.groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(BPE_TOP)
+    top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("pair"))))
+  }
+
+  private val t16Sql =
+    s"""WITH w AS (
+       |  SELECT unnest(string_split_regex(text, '\\s+')) AS w
+       |  FROM documents),
+       |p AS (
+       |  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+       |    i -> substr(w, i, 2))) AS pair
+       |  FROM w WHERE length(w) >= 2),
+       |c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY 1)
+       |SELECT pair, cnt, rnk FROM (
+       |  SELECT pair, cnt,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS INT) AS rnk
+       |  FROM c) t
+       |WHERE rnk <= $BPE_TOP""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -743,5 +788,6 @@ object TextAnalysis {
     QuerySpec("t12_sequence_packing", t12, Some(t12Sql)),
     QuerySpec("t13_dsir_importance", t13, Some(t13Sql)),
     QuerySpec("t14_filter_verdict", t14, Some(t14Sql)),
-    QuerySpec("t15_dsir_pretrained", t15, Some(t13Sql)))
+    QuerySpec("t15_dsir_pretrained", t15, Some(t13Sql)),
+    QuerySpec("t16_bpe_pair_counts", t16, Some(t16Sql)))
 }
