@@ -831,26 +831,37 @@ object Dedup {
   //        only (doc_id, n_hits) rows leave the aggregation. PlanSpec
   //        pins the broadcast.
   // ---------------------------------------------------------------------
-  private val DECON_N = 8
-  private val BENCH_DOCS = 10L
-  private def d08(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val grams = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+  private[operators] val DECON_N = 8
+  private[operators] val BENCH_DOCS = 10L
+  /** per-doc distinct DECON_N-gram frame (doc_id, sh) — shared by the
+    * batch d08 and the streaming w14 decontamination variants */
+  private[operators] def deconGrams(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = ShingleUtil.tokens(text)
         if (toks.length < DECON_N) Iterator.empty
         else ShingleUtil.shingles(toks, DECON_N).iterator.map(s => (id, s))
       }.toDF("doc_id", "sh")
-    val bench = grams.where(col("doc_id") < BENCH_DOCS)
+  }
+
+  /** the benchmark's distinct gram set from the STATIC corpus —
+    * broadcast side of both decontamination variants */
+  private[operators] def deconBenchGrams(spark: SparkSession,
+                                         dir: String): DataFrame =
+    deconGrams(Tables.documents(spark, dir))
+      .where(col("doc_id") < BENCH_DOCS)
       .select(col("sh")).distinct()
+
+  private def d08(spark: SparkSession, dir: String): DataFrame = {
+    val grams = deconGrams(Tables.documents(spark, dir))
     grams.where(col("doc_id") >= BENCH_DOCS)
-      .join(broadcast(bench), "sh")
+      .join(broadcast(deconBenchGrams(spark, dir)), "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
   }
 
-  private val d08Sql =
+  private[operators] val d08Sql =
     s"""WITH toks AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS tk FROM documents),
        |grams AS (

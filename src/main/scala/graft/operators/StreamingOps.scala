@@ -722,6 +722,34 @@ object StreamingOps {
       |WHERE p_ts + INTERVAL 1 HOUR <= (SELECT w FROM wm WHERE k = 3)
       |  AND NOT EXISTS (SELECT 1 FROM matched m WHERE m.p_id = pk.p_id)""".stripMargin
 
+  /** w14 — STREAMING decontamination: the d08 eval-hygiene step as an
+    * ingestion-time filter — the shape a production pipeline actually
+    * wants (scan each incoming crawl batch once, at arrival, against a
+    * standing benchmark index, instead of re-running batch decon over
+    * the accumulated corpus). The benchmark's distinct 8-gram set comes
+    * from the STATIC corpus and broadcasts; incoming documents replay
+    * as 2 micro-batches, shingle INSIDE the stream (narrow flatMap),
+    * meet the grams through a stateless stream-static broadcast join,
+    * and fold to per-doc hit counts in the streaming aggregation state.
+    * Drained result ≡ batch d08 (same oracle SQL verbatim).
+    *
+    * 100 TB shape: per-batch cost is the batch's own gram volume —
+    * nothing re-scans the standing corpus; the only state is one count
+    * per CONTAMINATED doc (the join drops clean docs before the
+    * aggregation). */
+  private def w14(spark: SparkSession, dir: String): DataFrame = {
+    val bench = Dedup.deconBenchGrams(spark, dir)
+    val incoming = stagedStream(spark,
+      Tables.documents(spark, dir)
+        .where(col("doc_id") >= Dedup.BENCH_DOCS)
+        .select(col("doc_id"), col("text")), files = 2)
+    val hits = Dedup.deconGrams(incoming)
+      .join(broadcast(bench), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    runComplete(spark, hits, "w14_")
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
@@ -735,5 +763,6 @@ object StreamingOps {
     QuerySpec("w10_stream_stream_watermarked_join", w10, Some(w10Sql)),
     QuerySpec("w11_stream_dedup_watermarked", w11, Some(w11Sql)),
     QuerySpec("w12_stream_transform_with_state", w12, Some(Relational.q14Sql)),
-    QuerySpec("w13_stream_stream_left_outer_join", w13, Some(w13Sql)))
+    QuerySpec("w13_stream_stream_left_outer_join", w13, Some(w13Sql)),
+    QuerySpec("w14_stream_decontaminate", w14, Some(Dedup.d08Sql)))
 }
