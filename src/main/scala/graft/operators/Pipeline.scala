@@ -222,18 +222,20 @@ object Pipeline {
   private val MIX_W_MID = 1000L
   private val MIX_W_TAIL = 250L
 
-  private def p03(spark: SparkSession, dir: String): DataFrame = {
+  /** epoch-repetition expansion over any (doc_id, source) frame —
+    * shared by the standalone p03 and the composed p04. The coin is a
+    * pure function of (source, doc_id) through the cross-engine md5
+    * idiom (t13's bucket hash), salted with the source so the same
+    * doc_id draws independent coins across sources. */
+  private def mixEpochs(docs: DataFrame): DataFrame = {
     val w = when(col("source").isin(MIX_CURATED: _*), MIX_W_CURATED)
       .when(col("source").isin(MIX_MID: _*), MIX_W_MID)
       .otherwise(MIX_W_TAIL)
-    // uniform coin in [0, 1000): low bits of the md5-derived integer
-    // (t13's cross-engine hash idiom), salted with the source so the
-    // same doc_id draws independent coins if sources ever collide
     val coin = pmod(
       conv(substring(md5(concat_ws(":", col("source"), col("doc_id"))),
         1, 15), 16, 10).cast(LongType), lit(1000L))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), w.as("w_milli"), coin.as("coin"))
+    docs.select(col("doc_id"), col("source"),
+        w.as("w_milli"), coin.as("coin"))
       .withColumn("n_copies",
         expr("w_milli div 1000") +
           when(col("coin") < col("w_milli") % 1000L, 1L).otherwise(0L))
@@ -241,6 +243,10 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("n_copies"),
         explode(sequence(lit(1L), col("n_copies"))).as("epoch"))
   }
+
+  private def p03(spark: SparkSession, dir: String): DataFrame =
+    mixEpochs(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")))
 
   private val p03Sql = {
     val curated = MIX_CURATED.map(s => s"'$s'").mkString(", ")
@@ -265,8 +271,107 @@ object Pipeline {
        |WHERE n_copies >= 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // p04 — corpus → TRAINING SEQUENCES, end to end: the full text-side
+  //       assembly a pretraining run consumes, composed from the gated
+  //       stages — p01's cleaned survivors (quality gate → exact dedup
+  //       → decontamination) are epoch-mixed by source weight (p03's
+  //       kernel) and the mixed stream is packed into fixed 512-token
+  //       sequences (t12's distributed prefix sum, here over the
+  //       (doc_id, epoch) order — a doc sampled for 3 epochs occupies
+  //       3 disjoint spans of the token stream). One query from raw
+  //       corpus to "which chunk does each training copy land in".
+  //
+  //       100 TB shape: union of its parts' — p01's single corpus scan
+  //       + one pushed-projection n_tok scan, the zero-shuffle mixing
+  //       explode, and the two-phase prefix sum whose only
+  //       single-partition work is ≤ P04_SHARDS shard totals. The
+  //       composition adds NO exchange beyond its widest part.
+  // ---------------------------------------------------------------------
+  private val P04_SEQ = 512L
+  private val P04_SHARDS = 32L
+
+  private def p04(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val surv = p01(spark, dir).select(col("doc_id"), col("source"))
+    val ntok = Tables.documents(spark, dir).select(col("doc_id"),
+      size(split(col("text"), "\\s+")).cast(LongType).as("n_tok"))
+    val mixed = mixEpochs(surv).join(ntok, Seq("doc_id"))
+    // t12's order-preserving range shards, over (doc_id, epoch): a
+    // doc's epochs share its shard, so shard is monotone in the global
+    // (doc_id, epoch) order and per-shard windows compose exactly
+    val bounds = mixed.agg(max(col("doc_id")).as("max_id"))
+    val sharded = mixed.crossJoin(broadcast(bounds))
+      .withColumn("shard",
+        coalesce(expr(s"(doc_id * $P04_SHARDS) div (max_id + 1)"),
+          lit(-1L)))
+      .drop("max_id")
+    val localW = Window.partitionBy(col("shard"))
+      .orderBy(col("doc_id"), col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sharded.withColumn("local_before",
+      coalesce(sum(col("n_tok")).over(localW), lit(0L)))
+    val baseW = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = local.groupBy(col("shard"))
+      .agg(max(col("local_before") + col("n_tok")).as("shard_total"))
+      .withColumn("shard_base",
+        coalesce(sum(col("shard_total")).over(baseW), lit(0L)))
+      .select(col("shard"), col("shard_base"))
+    local.join(broadcast(bases), Seq("shard"))
+      .withColumn("tok_start", col("shard_base") + col("local_before"))
+      .select(col("doc_id"), col("epoch"), col("source"), col("n_tok"),
+        col("tok_start"),
+        expr(s"tok_start div $P04_SEQ").as("first_chunk"),
+        expr(s"(tok_start + n_tok - 1) div $P04_SEQ").as("last_chunk"))
+  }
+
+  private val p04Sql = {
+    val curated = MIX_CURATED.map(s => s"'$s'").mkString(", ")
+    val mid = MIX_MID.map(s => s"'$s'").mkString(", ")
+    s"""WITH srv AS ($p01Sql),
+       |n AS (
+       |  SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_tok
+       |  FROM documents),
+       |wgt AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN source IN ($curated) THEN $MIX_W_CURATED
+       |         WHEN source IN ($mid) THEN $MIX_W_MID
+       |         ELSE $MIX_W_TAIL END AS w_milli,
+       |    CAST(concat('0x', substring(md5(
+       |      source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |      % 1000 AS coin
+       |  FROM srv),
+       |cps AS (
+       |  SELECT doc_id, source,
+       |    w_milli // 1000 +
+       |      CASE WHEN coin < w_milli % 1000 THEN 1 ELSE 0 END AS n_copies
+       |  FROM wgt),
+       |mixed AS (
+       |  SELECT doc_id, source, CAST(epoch AS BIGINT) AS epoch
+       |  FROM cps, LATERAL (SELECT unnest(generate_series(1, n_copies))
+       |    AS epoch)
+       |  WHERE n_copies >= 1),
+       |rs AS (
+       |  SELECT m.doc_id, m.epoch, m.source, n.n_tok
+       |  FROM mixed m JOIN n USING (doc_id)),
+       |c AS (
+       |  -- CAST: windowed SUM(BIGINT) is HUGEINT in DuckDB (pandas
+       |  -- float64), which breaks the driver's value hash
+       |  SELECT doc_id, epoch, source, n_tok,
+       |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id, epoch
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tok_start
+       |  FROM rs)
+       |SELECT doc_id, epoch, source, n_tok, tok_start,
+       |  CAST(tok_start // $P04_SEQ AS BIGINT) AS first_chunk,
+       |  CAST((tok_start + n_tok - 1) // $P04_SEQ AS BIGINT) AS last_chunk
+       |FROM c""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_clean_corpus", p01, Some(p01Sql)),
     QuerySpec("p02_embedding_curation", p02, Some(p02Sql)),
-    QuerySpec("p03_domain_mixing", p03, Some(p03Sql)))
+    QuerySpec("p03_domain_mixing", p03, Some(p03Sql)),
+    QuerySpec("p04_training_mix", p04, Some(p04Sql)))
 }
