@@ -84,11 +84,11 @@ object Bench {
     // short ones plus a spread field can (the max is the engine's
     // demonstrated capability; a large spread says the box, not the
     // plan, produced the low readings).
-    val (streamWps, streamWpsSpread) = bestOf(spark, runs = 3) {
+    val hdfsRuns = bestOf(spark, runs = 3) {
       streamWordsPerSec(spark, measureSec = 10, rowsPerBatch = 200000)
     }
     settle(spark)
-    val (streamWpsRocks, streamWpsRocksSpread) = bestOf(spark, runs = 3) {
+    val rocksRuns = bestOf(spark, runs = 3) {
       streamWordsPerSec(spark, measureSec = 10, rowsPerBatch = 200000,
         providerClass = Some(rocksDbProvider))
     }
@@ -98,17 +98,36 @@ object Bench {
     // map-side partial aggregation before the shuffle, so the hot key
     // arrives at its reducer as ~one partial row per map task, not as
     // 20% of the stream — the knob that melts a naive keyBy is absorbed
-    // by the engine (SkewDemoSpec pins the salted x01 equivalence too)
-    val streamWpsSkew = streamWordsPerSec(spark, measureSec = 20,
-      rowsPerBatch = 200000, skewPercent = 20)
+    // by the engine (SkewDemoSpec pins the salted x01 equivalence too).
+    // Best-of-3 like the backends above: the round-7 verdict flagged
+    // this row as the round-to-round swinger with no spread evidence
+    // (5.6M → 4.0M → 2.2M across r5-r7 on single 20 s windows).
+    val skewRuns = bestOf(spark, runs = 3) {
+      streamWordsPerSec(spark, measureSec = 10, rowsPerBatch = 200000,
+        skewPercent = 20)
+    }
     settle(spark)
     // the reference's failure experiment (run_job.sh:77-83 +
     // kill_worker.sh): kill a worker mid-measurement, restart from the
     // checkpoint, measure recovered throughput. local[32] analog: stop
     // the RocksDB-backed query mid-run (in-flight batch dies
     // uncommitted), restart on the same checkpoint, report time-to-first-
-    // recovered-commit and recovered steady-state words/s.
-    val (streamWpsRecovery, recoverySec) = streamRecovery(spark)
+    // recovered-commit and recovered steady-state words/s. Best-of-2
+    // (each attempt is a full kill+recover cycle, ~40 s): the reported
+    // recovery_sec is the one from the best-throughput attempt.
+    val recoveryPairs = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val recoveryRuns = bestOf(spark, runs = 2) {
+      val (wps, sec) = streamRecovery(spark)
+      recoveryPairs.add(sec)
+      wps
+    }
+    val recoverySec = {
+      val pairs = recoveryPairs.toArray(Array.empty[java.lang.Double])
+        .map(_.doubleValue())
+      val best = recoveryRuns.runs.zipWithIndex
+        .filter(_._1 == recoveryRuns.max).map(_._2).headOption
+      best.flatMap(i => pairs.lift(i)).getOrElse(-1.0)
+    }
 
     // ...and before the gated loop, pay whatever residue remains on an
     // UNTIMED run (round 5's first local run measured d01, the
@@ -129,6 +148,12 @@ object Bench {
     // d11's standing Bloom ingest index: built once per corpus, probed
     // per batch — same write-once-read-many reasoning as above
     graft.operators.Dedup.d11Stage(spark, sfDir)
+    // s07/s08's compressed ANN indexes (PQ codes + codebooks, SQ8 code
+    // column): train/encode/quantize is write-once ingestion work, so
+    // the gate times the code-column scan a deployed system pays per
+    // query, not index construction (round-7 verdict item 1)
+    graft.operators.Similarity.s07Stage(spark, sfDir)
+    graft.operators.Similarity.s08Stage(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -136,9 +161,12 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val (full, last) = buildLines(results,
-      extrasJson(streamWps, streamWpsRocks, streamWpsSkew,
-                 streamWpsRecovery, recoverySec, lat,
-                 streamWpsSpread, streamWpsRocksSpread),
+      extrasJson(hdfsRuns, rocksRuns, skewRuns, recoveryRuns,
+                 recoverySec, lat),
+      runsJson(Seq("stream_words_per_sec" -> hdfsRuns,
+                   "stream_words_per_sec_rocksdb" -> rocksRuns,
+                   "stream_words_per_sec_skew20" -> skewRuns,
+                   "stream_words_per_sec_recovery" -> recoveryRuns)),
       sfDir)
     // The JSON must reach the driver's parser intact. Round 1 lost it in
     // interleaved Spark shutdown noise (TaskKilled warnings from stopped
@@ -154,48 +182,95 @@ object Bench {
     System.out.flush()
   }
 
+  /** All attempts of one repeated throughput measurement: `max` is the
+    * headline (the engine's demonstrated capability), `spread` =
+    * (max − min)/max with failures counted as 0, `runs` every attempt's
+    * value in order (failures as -1), `causes` one "runN: why" string
+    * per failed attempt. The runs/causes land in the full JSON artifact
+    * only, so a dead run is diagnosable from the artifact itself —
+    * round-7 verdict: rocksdb_spread 1.00 reported WITH no indication
+    * which failure mode produced it. */
+  private[graft] final case class RunSet(max: Double, spread: Double,
+                                         runs: Seq[Double],
+                                         causes: Seq[String])
+
   /** The non-query half of the bench JSON line. Kept as THE single
     * builder (main and BenchLineSpec both call it) so the tail-window
     * length guard always tests the real emitted fields — a metric added
     * here is automatically inside the spec's ≤1800-char budget check. */
-  private[graft] def extrasJson(streamWps: Double, streamWpsRocks: Double,
-                                streamWpsSkew: Double,
-                                streamWpsRecovery: Double,
-                                recoverySec: Double,
-                                lat: LatencyStats,
-                                streamWpsSpread: Double,
-                                streamWpsRocksSpread: Double): String =
-    s""""stream_words_per_sec":${fmt(streamWps, 0)},""" +
-      s""""stream_words_per_sec_spread":${fmt(streamWpsSpread, 2)},""" +
-      s""""stream_words_per_sec_rocksdb":${fmt(streamWpsRocks, 0)},""" +
-      s""""stream_words_per_sec_rocksdb_spread":${fmt(streamWpsRocksSpread, 2)},""" +
-      s""""stream_words_per_sec_skew20":${fmt(streamWpsSkew, 0)},""" +
-      s""""stream_words_per_sec_recovery":${fmt(streamWpsRecovery, 0)},""" +
+  private[graft] def extrasJson(hdfs: RunSet, rocks: RunSet, skew: RunSet,
+                                recovery: RunSet, recoverySec: Double,
+                                lat: LatencyStats): String =
+    s""""stream_words_per_sec":${fmt(hdfs.max, 0)},""" +
+      s""""stream_words_per_sec_spread":${fmt(hdfs.spread, 2)},""" +
+      s""""stream_words_per_sec_rocksdb":${fmt(rocks.max, 0)},""" +
+      s""""stream_words_per_sec_rocksdb_spread":${fmt(rocks.spread, 2)},""" +
+      s""""stream_words_per_sec_skew20":${fmt(skew.max, 0)},""" +
+      s""""stream_words_per_sec_skew20_spread":${fmt(skew.spread, 2)},""" +
+      s""""stream_words_per_sec_recovery":${fmt(recovery.max, 0)},""" +
+      s""""stream_words_per_sec_recovery_spread":${fmt(recovery.spread, 2)},""" +
       s""""stream_recovery_sec":${fmt(recoverySec, 2)},""" +
       s""""latency_ms_p50":${lat.p50},"latency_ms_p95":${lat.p95},""" +
       s""""latency_mean_batch_ms":${fmt(lat.meanBatchMs, 0)},""" +
       s""""latency_backlog_batches":${lat.backlogBatches}"""
 
+  /** Per-run evidence for the FULL artifact line only (target/bench.json
+    * — unbounded, unlike the driver's ~2000-char stdout tail): every
+    * attempt's value plus a cause string per failed attempt. */
+  private[graft] def runsJson(sets: Seq[(String, RunSet)]): String =
+    sets.map { case (name, rs) =>
+      val runs = rs.runs.map(fmt(_, 0)).mkString("[", ",", "]")
+      val causes = rs.causes.map(jstr).mkString("[", ",", "]")
+      s""""${name}_runs":$runs,"${name}_run_errors":$causes"""
+    }.mkString(",")
+
+  /** minimal JSON string escape for run-failure causes (exception
+    * messages can carry quotes/newlines) */
+  private def jstr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** Run a throughput measurement up to `runs` times (settling between)
-    * and return (max, spread): spread = (max − min) / max, so a driver
-    * artifact taken on a noisy box carries its own evidence — max ≈ the
-    * engine's demonstrated capability, spread ≈ how much co-tenant load
-    * moved the readings. A FAILED run (measureSteady's −1 sentinel: no
-    * steady window completed) is the strongest load evidence there is,
-    * so it counts as 0 in the spread — one failure among successes
-    * pushes spread to 1.0 instead of silently vanishing and letting the
-    * surviving runs read as a tight, load-free measurement. −1 sentinels
-    * only when every run failed. */
+    * and return the full RunSet: headline = max, spread = (max − min) /
+    * max, so a driver artifact taken on a noisy box carries its own
+    * evidence — max ≈ the engine's demonstrated capability, spread ≈
+    * how much co-tenant load moved the readings. A FAILED run
+    * (measureSteady's −1 sentinel: no steady window completed) is the
+    * strongest load evidence there is, so it counts as 0 in the spread —
+    * one failure among successes pushes spread to 1.0 instead of
+    * silently vanishing and letting the surviving runs read as a tight,
+    * load-free measurement; its cause (captured from measureSteady) is
+    * carried in `causes`. −1 sentinels only when every run failed. */
   private def bestOf(spark: SparkSession, runs: Int)
-                    (run: => Double): (Double, Double) = {
-    val vals = (1 to runs).map { i =>
+                    (run: => Double): RunSet = {
+    val attempts = (1 to runs).map { i =>
       if (i > 1) settle(spark)
-      run
+      lastFailureCause.set(null)
+      val v = run
+      val cause =
+        if (v > 0) None
+        else Some(s"run$i: ${Option(lastFailureCause.get())
+          .getOrElse("failed (no cause recorded)")}")
+      (v, cause)
     }
+    val vals = attempts.map(_._1)
+    val causes = attempts.flatMap(_._2)
     val ok = vals.filter(_ > 0)
-    if (ok.isEmpty) (-1.0, -1.0)
-    else (ok.max, (ok.max - vals.map(_ max 0.0).min) / ok.max)
+    if (ok.isEmpty) RunSet(-1.0, -1.0, vals, causes)
+    else RunSet(ok.max, (ok.max - vals.map(_ max 0.0).min) / ok.max,
+                vals, causes)
   }
+
+  /** why the most recent measureSteady returned its −1 sentinel — read
+    * by bestOf immediately after each attempt (single bench thread) */
+  private val lastFailureCause =
+    new java.util.concurrent.atomic.AtomicReference[String]()
 
   private val rocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -226,26 +301,39 @@ object Bench {
     * the real registered query-name set. */
   private[graft] def buildLines(results: Seq[(String, Double)],
                                 extras: String,
+                                fullOnlyExtras: String,
                                 sfDir: String): (String, String) = {
     val total = results.map(_._2).sum
-    def jsonLine(qs: String): String =
+    def jsonLine(qs: String, extra2: String = ""): String =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,""" +
-        extras + s""","sf":"$sfDir"}"""
+        extras + extra2 + s""","sf":"$sfDir"}"""
     val full = jsonLine(results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}"))
-    val compact = jsonLine(results.map { case (k, v) =>
-      "\"" + k + "\":" + fmt(v, 2) }.mkString("{", ",", "}"))
-    val last =
-      if (compact.length <= 1800) compact
-      else {
-        val seen = scala.collection.mutable.Map.empty[String, Int]
-        val prefixed = results.map { case (k, v) =>
-          val p = k.takeWhile(_ != '_')
-          val n = seen.updateWith(p)(c => Some(c.getOrElse(0) + 1)).get
-          (if (n == 1) p else s"$p-$n") -> v
-        }
-        jsonLine(prefixed.map { case (k, v) => "\"" + k + "\":" + fmt(v, 2) }
+      .mkString("{", ",", "}"),
+      if (fullOnlyExtras.isEmpty) "" else "," + fullOnlyExtras)
+    // cascading compaction: full names at 2 decimals, then prefixed
+    // names at 2 → 1 → 0 decimals — first line under budget wins. The
+    // round-8 extras growth (skew/recovery spreads) pushed the 96-query
+    // prefixed-2-decimal line past 1800, so the precision steps buy
+    // headroom for ~40 more queries before names would need truncating;
+    // the full-precision line is always in target/bench.json.
+    val seen = scala.collection.mutable.Map.empty[String, Int]
+    lazy val prefixed = results.map { case (k, v) =>
+      val p = k.takeWhile(_ != '_')
+      val n = seen.updateWith(p)(c => Some(c.getOrElse(0) + 1)).get
+      (if (n == 1) p else s"$p-$n") -> v
+    }
+    val candidates =
+      (results, 2) #:: LazyList.from(Seq(2, 1, 0).map(d => (prefixed, d)))
+    val last = candidates
+      .map { case (rs, d) =>
+        jsonLine(rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, d) }
           .mkString("{", ",", "}"))
+      }
+      .find(_.length <= 1800)
+      .getOrElse {
+        // past any realistic registry size — keep the artifact parseable
+        // by dropping per-query detail rather than emitting a cut line
+        jsonLine("{}")
       }
     (full, last)
   }
@@ -469,9 +557,21 @@ object Bench {
       if (firstNanos.get() == 0L) -1.0
       else (firstNanos.get() - startNanos) / 1e9
     val elapsed = (lastNanos.get() - firstNanos.get()) / 1e9
-    if (steadyBatches.get() < minSteadyBatches || elapsed <= 0)
+    if (steadyBatches.get() < minSteadyBatches || elapsed <= 0) {
+      // record WHY for the artifact (read by bestOf): a query exception
+      // if there was one, else which stage starved — warmup never
+      // completing vs too few steady batches inside the 4× hard stop
+      val cause = q.exception.map(e => s"query died: ${e.message}")
+        .getOrElse(
+          if (firstNanos.get() == 0L)
+            f"warmup batch never committed (waited ${warmupTimeoutSec}s)"
+          else
+            f"no steady window: ${steadyBatches.get()}/$minSteadyBatches " +
+              f"steady batches in ${elapsed}%.1fs (firstDelay " +
+              f"$firstDelaySec%.1fs)")
+      lastFailureCause.set(cause)
       (-1.0, firstDelaySec)
-    else (steadyRows.get() * sentenceSize / elapsed, firstDelaySec)
+    } else (steadyRows.get() * sentenceSize / elapsed, firstDelaySec)
   }
 
   private val runCounter = new AtomicInteger()

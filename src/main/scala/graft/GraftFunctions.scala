@@ -24,7 +24,16 @@ object GraftFunctions {
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // float/double arrays are read in place by DotProductD; any other
-    // numeric array (SQL int literals, etc.) still routes through a cast
+    // numeric array (SQL int literals, etc.) still routes through a cast.
+    // Known asymmetry (round-7 advisor): the in-place fast path fires
+    // only when the argument is already resolved at builder invocation —
+    // in practice ResolveFunctions invokes builders on resolved children,
+    // so SQL over real float columns takes it; an unresolved argument
+    // falls back to the unconditional Cast, which Catalyst simplifies
+    // away for array<double> but MATERIALIZES for array<float> (a per-row
+    // copy the DataFrame path — VectorFunctions.dot — never pays). If a
+    // SQL caller's plan shows a Cast above a float column here, route
+    // hot-path code through the DataFrame API.
     "graft_dot" -> ((es: Seq[Expression]) => {
       def prep(e: Expression) = e match {
         case e if e.resolved => e.dataType match {

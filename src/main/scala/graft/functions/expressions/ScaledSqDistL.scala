@@ -23,12 +23,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   *    BigDecimal HALF_UP path Spark's `round()` uses for doubles, then
   *    cast to long — not Math.round, whose floor(x+0.5) can differ at
   *    representability boundaries;
+  *  - non-finite products skip the BigDecimal step exactly as Spark's
+  *    RoundBase does (round() passes NaN/Infinity through; the
+  *    double→long cast then yields 0 / ±Long.MaxValue), so a NaN or
+  *    overflowing input diverges from the exploded round().cast(long)
+  *    original in NO case — BigDecimal.valueOf would instead throw
+  *    NumberFormatException (round-7 advisor);
   *  - the per-element longs then sum exactly in any order (long
   *    addition is associative), so loop order vs shuffle order is
   *    immaterial — this is WHY the kernel scales distances to integers
   *    instead of summing doubles.
   * Float inputs are widened per element ((double)f is exact), same as
   * DotProductD.
+  *
+  * Unlike DotProductD (which inherits dot-product convention and
+  * truncates to the shorter input), length-mismatched arrays FAIL
+  * loudly: this kernel feeds argmin cluster assignment, where silently
+  * scoring a malformed centroid/codebook row over a prefix would
+  * produce a plausible-looking wrong assignment (round-7 advisor).
   */
 case class ScaledSqDistL(left: Expression, right: Expression, scale: Double)
     extends BinaryExpression {
@@ -58,7 +70,12 @@ case class ScaledSqDistL(left: Expression, right: Expression, scale: Double)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"scaled_sq_dist: length mismatch ($n vs ${y.numElements()}) — " +
+          "this kernel feeds argmin assignment; a truncated distance " +
+          "would silently change cluster membership")
     val lf = leftIsFloat
     val rf = rightIsFloat
     var s = 0L
@@ -67,8 +84,13 @@ case class ScaledSqDistL(left: Expression, right: Expression, scale: Double)
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       val d = xv - yv
-      s += java.math.BigDecimal.valueOf(d * d * scale)
-        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      val p = d * d * scale
+      // Spark round() semantics: non-finite passes through, the
+      // double→long cast clamps (NaN→0, ±Inf→±Long.MaxValue)
+      s += (if (java.lang.Double.isNaN(p) || java.lang.Double.isInfinite(p)) p
+            else java.math.BigDecimal.valueOf(p)
+              .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue())
+        .toLong
       i += 1
     }
     s
@@ -83,13 +105,23 @@ case class ScaledSqDistL(left: Expression, right: Expression, scale: Double)
       def get(arr: String, e: Expression) =
         if (elemType(e) == FloatType) s"(double) $arr.getFloat($i)"
         else s"$arr.getDouble($i)"
+      val p = ctx.freshName("p")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "scaled_sq_dist: length mismatch (" + $n + " vs " +
+         |      $b.numElements() + ") — this kernel feeds argmin " +
+         |      "assignment; a truncated distance would silently change " +
+         |      "cluster membership");
+         |}
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  final double $d = ${get(a, left)} - ${get(b, right)};
-         |  $s += (long) java.math.BigDecimal.valueOf($d * $d * ${scale}D)
-         |    .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue();
+         |  final double $p = $d * $d * ${scale}D;
+         |  $s += (long) ((Double.isNaN($p) || Double.isInfinite($p)) ? $p
+         |    : java.math.BigDecimal.valueOf($p)
+         |        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue());
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -17,24 +17,40 @@ class BenchLineSpec extends AnyFunSuite {
   // THE builder main() uses, fed worst realistic widths (8-digit
   // words/s, 4-digit latencies) — so a field added to extrasJson is
   // automatically under this spec's length budget
+  // worst realistic widths: 8-digit words/s, one failed run per set
+  // (max-length cause strings land only in the full line)
+  private def rs(v: Double) = Bench.RunSet(v, 0.87, Seq(v, 0.0, v * 0.5),
+    Seq("run2: no steady window: 1/2 steady batches in 38.2s (firstDelay 31.0s)"))
   private val extras = Bench.extrasJson(
-    streamWps = 13606060d, streamWpsRocks = 11008300d,
-    streamWpsSkew = 13606060d, streamWpsRecovery = 11008300d,
+    hdfs = rs(13606060d), rocks = rs(11008300d),
+    skew = rs(13606060d), recovery = rs(11008300d),
     recoverySec = 12.34,
     lat = Bench.LatencyStats(p50 = 1509.0, p95 = 1223.0,
-      meanBatchMs = 1234.0, backlogBatches = 123L),
-    streamWpsSpread = 0.87, streamWpsRocksSpread = 0.87)
+      meanBatchMs = 1234.0, backlogBatches = 123L))
+  private val fullExtras = Bench.runsJson(Seq(
+    "stream_words_per_sec" -> rs(13606060d),
+    "stream_words_per_sec_rocksdb" -> rs(11008300d),
+    "stream_words_per_sec_skew20" -> rs(13606060d),
+    "stream_words_per_sec_recovery" -> rs(11008300d)))
 
   test("last line fits the driver's tail window for all registered queries") {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1234.56789)
-    val (full, last) = Bench.buildLines(results, extras, "/root/testdata/sf0.1")
+    val (full, last) =
+      Bench.buildLines(results, extras, fullExtras, "/root/testdata/sf0.1")
     assert(last.length <= 1800, s"compact line ${last.length} chars")
     val node = mapper.readTree(last)
     assert(node.get("metric").asText() === "total")
     assert(node.get("queries").size() === results.size,
       "a timing was lost to a duplicate key")
     assert(node.get("stream_words_per_sec_recovery").asLong() === 11008300L)
-    assert(mapper.readTree(full).get("queries").size() === results.size)
+    // the per-run evidence parses as JSON and lands in the FULL line
+    // only (the bounded tail line must not carry unbounded cause text)
+    val fullNode = mapper.readTree(full)
+    assert(fullNode.get("queries").size() === results.size)
+    assert(fullNode.get("stream_words_per_sec_rocksdb_runs").size() === 3)
+    assert(fullNode.get("stream_words_per_sec_rocksdb_run_errors")
+      .get(0).asText().startsWith("run2:"))
+    assert(node.get("stream_words_per_sec_rocksdb_runs") == null)
   }
 
   test("prefix fallback disambiguates shared prefixes") {
@@ -43,7 +59,7 @@ class BenchLineSpec extends AnyFunSuite {
     val names = Seq("q23_alpha_variant", "q23_beta_variant", "q23_gamma") ++
       (1 to 90).map(i => f"zz$i%03d_some_quite_long_query_name")
     val results = names.map(_ -> 9.87)
-    val (_, last) = Bench.buildLines(results, extras, "/sf")
+    val (_, last) = Bench.buildLines(results, extras, fullExtras, "/sf")
     assert(last.length <= 1800)
     val qs = mapper.readTree(last).get("queries")
     assert(qs.size() === results.size, "duplicate prefix dropped a timing")
