@@ -23,12 +23,17 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   *    BigDecimal HALF_UP path Spark's `round()` uses for doubles, then
   *    cast to long — not Math.round, whose floor(x+0.5) can differ at
   *    representability boundaries;
-  *  - non-finite products skip the BigDecimal step exactly as Spark's
-  *    RoundBase does (round() passes NaN/Infinity through; the
-  *    double→long cast then yields 0 / ±Long.MaxValue), so a NaN or
-  *    overflowing input diverges from the exploded round().cast(long)
-  *    original in NO case — BigDecimal.valueOf would instead throw
-  *    NumberFormatException (round-7 advisor);
+  *  - non-finite products skip the BigDecimal step as Spark's RoundBase
+  *    does (round() passes NaN/Infinity through) and then SATURATE via
+  *    the legacy double→long conversion: NaN → 0, ±Inf →
+  *    ±Long.MaxValue. This is deliberate fail-SOFT (round-7 advisor:
+  *    BigDecimal.valueOf threw NumberFormatException): under Spark 4's
+  *    default ANSI casts the exploded original throws CAST_OVERFLOW,
+  *    but one malformed embedding should not kill a corpus-scale
+  *    clustering job — a saturated distance can never win an argmin.
+  *    Caveat: a NaN element contributes 0 (looks "near" on that dim),
+  *    and two saturated elements wrap the long sum — acceptable for a
+  *    distance ranking, not a general-purpose metric;
   *  - the per-element longs then sum exactly in any order (long
   *    addition is associative), so loop order vs shuffle order is
   *    immaterial — this is WHY the kernel scales distances to integers

@@ -369,9 +369,86 @@ object Pipeline {
        |FROM c""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // p05 — curriculum ordering: assign every document a deterministic
+  //       global training position that is easy→hard ACROSS phases and
+  //       uniformly shuffled WITHIN each phase (the standard curriculum-
+  //       learning data order: difficulty staging without intra-phase
+  //       ordering bias). Difficulty proxy = n_chars against FIXED
+  //       thresholds — deliberately not quantiles, so phase assignment
+  //       is a zero-shuffle codegen'd CASE, stable as the corpus grows,
+  //       and reproducible in any engine; the within-phase shuffle key
+  //       is the md5-derived integer p03 already uses for its sampling
+  //       coin (seeded, engine-portable).
+  //
+  //       100 TB shape: one corpus scan; the rank window is PARTITIONED
+  //       by phase... but a phase is corpus-scale, so the honest scale
+  //       path for the within-phase rank is the t12/p04 two-phase
+  //       prefix-sum over (phase, shard) — here the phase count is 4
+  //       and the fixture fits a per-phase window; the phase-offset
+  //       join shows the composition point where the sharded rank would
+  //       slot in. Phase offsets are a 4-row broadcast.
+  // ---------------------------------------------------------------------
+  private val P05_EASY = 200L // n_chars phase thresholds (fixed, not
+  private val P05_MID = 300L  // quantiles — see scaladoc)
+  private val P05_HARD = 400L
+
+  private def p05(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val phased = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("phase",
+        when(col("n_chars") < P05_EASY, 1L)
+          .when(col("n_chars") < P05_MID, 2L)
+          .when(col("n_chars") < P05_HARD, 3L)
+          .otherwise(4L))
+      .withColumn("skey",
+        conv(substring(md5(concat_ws(":", lit("p05"), col("doc_id"))),
+          1, 15), 16, 10).cast(LongType))
+    val w = Window.partitionBy(col("phase"))
+      .orderBy(col("skey"), col("doc_id"))
+    val pos = phased.withColumn("ppos", row_number().over(w).cast(LongType))
+    // phase offsets: a ≤4-row aggregate + prefix sum, broadcast back
+    val baseW = Window.orderBy(col("phase"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = phased.groupBy(col("phase"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("phase_base", coalesce(sum(col("n")).over(baseW), lit(0L)))
+      .select(col("phase"), col("phase_base"))
+    pos.join(broadcast(bases), Seq("phase"))
+      .select(col("doc_id"), col("phase"), col("n_chars"),
+              (col("phase_base") + col("ppos") - 1L).as("train_pos"))
+  }
+
+  private val p05Sql =
+    s"""WITH ph AS (
+       |  SELECT doc_id, n_chars,
+       |    CASE WHEN n_chars < $P05_EASY THEN 1
+       |         WHEN n_chars < $P05_MID THEN 2
+       |         WHEN n_chars < $P05_HARD THEN 3 ELSE 4 END AS phase,
+       |    CAST(concat('0x', substring(md5(
+       |      'p05:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, n_chars, phase,
+       |    ROW_NUMBER() OVER (PARTITION BY phase
+       |      ORDER BY skey, doc_id) AS ppos
+       |  FROM ph),
+       |b AS (SELECT phase, COUNT(*) AS n FROM ph GROUP BY phase),
+       |bb AS (
+       |  -- CAST: windowed SUM(BIGINT) is HUGEINT in DuckDB
+       |  SELECT phase, CAST(COALESCE(SUM(n) OVER (ORDER BY phase
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS phase_base
+       |  FROM b)
+       |SELECT p.doc_id, CAST(p.phase AS BIGINT) AS phase, p.n_chars,
+       |  CAST(phase_base + ppos - 1 AS BIGINT) AS train_pos
+       |FROM pos p JOIN bb USING (phase)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_clean_corpus", p01, Some(p01Sql)),
     QuerySpec("p02_embedding_curation", p02, Some(p02Sql)),
     QuerySpec("p03_domain_mixing", p03, Some(p03Sql)),
-    QuerySpec("p04_training_mix", p04, Some(p04Sql)))
+    QuerySpec("p04_training_mix", p04, Some(p04Sql)),
+    QuerySpec("p05_curriculum_order", p05, Some(p05Sql)))
 }

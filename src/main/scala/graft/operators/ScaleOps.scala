@@ -544,6 +544,141 @@ object ScaleOps {
       |    ORDER BY ts, event_id) IS NULL THEN 1 ELSE 0 END AS is_current
       |FROM events""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x14 — incremental aggregate maintenance (materialized-view refresh):
+  //       a standing aggregate over the ordered-before-SPLIT history is
+  //       staged once per (JVM, dir) — the materialized base — and the
+  //       query aggregates ONLY the post-split delta, merging partials
+  //       with the base by re-aggregating their union. The 100 TB
+  //       pattern: a daily-refresh rollup over an append-only fact table
+  //       re-scans the day, never the years — base maintenance cost is
+  //       O(delta), total-recompute is the oracle, and the merge is
+  //       exact because the partial states are (COUNT, SUM(DECIMAL)) —
+  //       both associative, so base+delta re-aggregation is value-
+  //       identical to the flat GROUP BY the oracle runs.
+  // ---------------------------------------------------------------------
+  private val X14_SPLIT = "2000-01-01" // ~82% of orders land before this
+
+  // dir → staged base-aggregate parquet path
+  private val x14Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** partial-state aggregation shape shared by base and delta: the
+    * merge only works if both sides carry the SAME associative state */
+  private def x14Partial(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+           sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sum_price"))
+
+  private[graft] def x14Stage(spark: SparkSession, dir: String): String =
+    x14Staged.computeIfAbsent(dir, _ => {
+      val path = s"${graft.util.Scratch.dir("graft-x14-base")}/base"
+      x14Partial(Tables.orders(spark, dir)
+          .where(col("o_orderdate") < lit(X14_SPLIT).cast(TimestampType)))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  private def x14(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(x14Stage(spark, dir))
+    val delta = x14Partial(Tables.orders(spark, dir)
+      .where(col("o_orderdate") >= lit(X14_SPLIT).cast(TimestampType)))
+    base.unionByName(delta)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sum(col("n_orders")).as("n_orders"),
+           sum(col("sum_price")).cast(DoubleType).as("total_price"))
+  }
+
+  private val x14Sql =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total_price
+      |FROM orders
+      |GROUP BY o_orderstatus, o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x15 — KMV (k-minimum-values) distinct-count sketch, per group: hash
+  //       every key through a fixed 2-round multiplicative mixer over
+  //       Z_2^32 (odd constants ⇒ bijective, so distinct hashes ==
+  //       distinct keys and both engines derive the identical hash in
+  //       plain integer arithmetic — no engine-specific hash function),
+  //       keep the k smallest per group, and estimate
+  //       |distinct| ≈ (k−1) · 2^32 / h_(k) from the kth minimum.
+  //       Output carries the exact distinct next to the estimate, so
+  //       the sketch's error is visible in the result itself.
+  //
+  //       100 TB shape: this is the mergeable-sketch pattern (the
+  //       portable cousin of HLL, whose register layout no two engines
+  //       share): the k-min buffer is the same bounded ≤k map-side
+  //       partial the TopKAggregator family runs — the exchange carries
+  //       O(groups·k) rows however many billions of rows scan. The
+  //       exact COUNT(DISTINCT) beside it is the oracle-checkable
+  //       accuracy witness, not the production path.
+  // ---------------------------------------------------------------------
+  private val KMV_K = 64
+  private val KMV_M1 = 2654435761L // Knuth multiplicative (odd)
+  private val KMV_M2 = 1540483477L // MurmurHash-lineage constant (odd)
+  private val KMV_MOD = 4294967296L // 2^32
+
+  /** the shared hash text: identical integer expression in both engines
+    * (max intermediate ≈ 2^32·M2 ≈ 6.6e18 < 2^63) */
+  private def kmvHash(key: Column): Column =
+    (((key * KMV_M1) % KMV_MOD) * KMV_M2 + 12345L) % KMV_MOD
+
+  private def x15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // distinct (group, hash) first: dedup partial-aggregates map-side,
+    // so repeated keys collapse before anything exchanges
+    val h = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"),
+              kmvHash(col("l_orderkey")).as("hv"))
+      .distinct()
+    val exact = h.groupBy(col("flag"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    // k smallest hashes via the bounded TopKAggregator (score = −hash,
+    // so "top k by score" is "k minimum hashes"; the buffer is sorted
+    // score-desc ⇒ hash-ascending, so the kth minimum is the LAST
+    // element): ≤k rows per partition reach the exchange
+    val agg = new graft.functions.TopKAggregator(KMV_K)
+    val kmin = h.select(col("flag"), col("hv"))
+      .as[(String, Long)]
+      .map { case (f, v) => (f, (0L, v, -v.toDouble)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.toColumn.name("kmin"))
+      .map { case (f, tk) =>
+        val hk: Option[Long] =
+          if (tk.length >= KMV_K) Some(tk.last._1) else None
+        (f, hk)
+      }
+      .toDF("flag", "hk")
+    exact.join(kmin, Seq("flag"))
+      .select(col("flag"), col("exact_distinct"),
+        when(col("hk").isNull, col("exact_distinct"))
+          .otherwise(round(lit((KMV_K - 1).toDouble * KMV_MOD) / col("hk"))
+            .cast(LongType)).as("kmv_estimate"))
+  }
+
+  private val x15Sql =
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag AS flag,
+       |    (((l_orderkey * $KMV_M1) % $KMV_MOD) * $KMV_M2 + 12345)
+       |      % $KMV_MOD AS hv
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT flag, hv,
+       |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY hv) AS rn,
+       |    COUNT(*) OVER (PARTITION BY flag) AS nd
+       |  FROM h)
+       |SELECT flag, CAST(MAX(nd) AS BIGINT) AS exact_distinct,
+       |  CAST(COALESCE(
+       |    CAST(round((${KMV_K - 1}.0 * $KMV_MOD) /
+       |      MAX(CASE WHEN rn = $KMV_K THEN hv END)) AS BIGINT),
+       |    MAX(nd)) AS BIGINT) AS kmv_estimate
+       |FROM r GROUP BY flag""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -557,5 +692,7 @@ object ScaleOps {
     QuerySpec("x10_skew_salted_join", x10, Some(x10Sql)),
     QuerySpec("x11_bloom_filtered_join", x11, Some(x11Sql)),
     QuerySpec("x12_zorder_scan", x12, Some(x12Sql)),
-    QuerySpec("x13_scd2_history", x13, Some(x13Sql)))
+    QuerySpec("x13_scd2_history", x13, Some(x13Sql)),
+    QuerySpec("x14_incremental_agg", x14, Some(x14Sql)),
+    QuerySpec("x15_kmv_distinct_sketch", x15, Some(x15Sql)))
 }

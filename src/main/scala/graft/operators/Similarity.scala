@@ -972,6 +972,79 @@ object Similarity {
        |WHERE rnk <= $TOP_K""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // s09 — MaxSim late-interaction retrieval (the ColBERT scoring model,
+  //        Khattab & Zaharia, SIGIR'20): documents are MULTI-vector —
+  //        here every consecutive run of MAXSIM_TOKS vec_ids forms one
+  //        document's token vectors — and relevance of doc B to query
+  //        doc A is Σ over A's tokens of the MAX cosine against any of
+  //        B's tokens. This is the scoring family single-vector kNN
+  //        (s01-s08) cannot express: a query token matches its best
+  //        counterpart, not a pooled average.
+  //
+  //        Scale shape: query token vectors broadcast (q·MAXSIM_TOKS
+  //        rows); the corpus token table never shuffles for scoring —
+  //        the two aggregations (per-token max, per-doc sum) partial-
+  //        aggregate map-side, and the ranked tail is the O(q·k)
+  //        TopKAggregator exchange. Per-pair scores are scaled to
+  //        BIGINTs before max/sum, so aggregation order is immaterial
+  //        and the oracle hash-matches (the d05/s06 determinism rule).
+  // ---------------------------------------------------------------------
+  private val MAXSIM_TOKS = 4   // token vectors per document
+  private val MAXSIM_QDOCS = 3  // doc < 3 are the query documents
+  private val MAXSIM_SCALE = 1e6
+
+  private def s09(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val toks = Tables.embeddings(spark, dir)
+      .select(expr(s"vec_id div $MAXSIM_TOKS").as("doc"),
+              col("vec_id").as("tok"), col("embedding"),
+              norm(col("embedding")).as("nrm"))
+    val q = toks.where(col("doc") < MAXSIM_QDOCS)
+      .select(col("doc").as("qdoc"), col("tok").as("qtok"),
+              col("embedding").as("qv"), col("nrm").as("qn"))
+    val pairs = broadcast(q)
+      .join(toks.select(col("doc").as("ndoc"), col("embedding").as("nv"),
+                        col("nrm").as("nn")),
+            col("ndoc") =!= col("qdoc"))
+      .select(col("qdoc"), col("qtok"), col("ndoc"),
+        round(cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn"))
+          * MAXSIM_SCALE).cast(LongType).as("sc"))
+    val score = pairs
+      .groupBy(col("qdoc"), col("ndoc"), col("qtok"))
+      .agg(max(col("sc")).as("mx"))
+      .groupBy(col("qdoc"), col("ndoc"))
+      .agg(sum(col("mx")).as("ms"))
+    topK(spark, score.select(col("qdoc").as("query_id"),
+        col("ndoc").as("neighbor_id"), col("ms").cast(DoubleType).as("cos")))
+      .select(col("query_id"), col("neighbor_id"), col("rnk"),
+              col("cos_sim").cast(LongType).as("maxsim_scaled"))
+  }
+
+  private val s09Sql =
+    s"""WITH e AS (
+       |  SELECT vec_id, vec_id // $MAXSIM_TOKS AS doc, embedding
+       |  FROM embeddings),
+       |q AS (SELECT doc AS qdoc, vec_id AS qtok, embedding AS qv
+       |      FROM e WHERE doc < $MAXSIM_QDOCS),
+       |p AS (
+       |  SELECT qdoc, qtok, n.doc AS ndoc,
+       |    CAST(round(${sqlCos("qv", "n.embedding")}
+       |      * ${MAXSIM_SCALE.toLong}) AS BIGINT) AS sc
+       |  FROM q JOIN e n ON n.doc <> qdoc),
+       |m AS (SELECT qdoc, ndoc, qtok, MAX(sc) AS mx FROM p GROUP BY 1, 2, 3),
+       |s AS (
+       |  -- CAST: SUM(BIGINT) is HUGEINT in DuckDB (driver hash breaker)
+       |  SELECT qdoc AS query_id, ndoc AS neighbor_id,
+       |    CAST(SUM(mx) AS BIGINT) AS ms
+       |  FROM m GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, rnk, ms AS maxsim_scaled FROM (
+       |  SELECT query_id, neighbor_id, ms,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ms DESC, neighbor_id) AS rnk
+       |  FROM s) t
+       |WHERE rnk <= $TOP_K""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("s01_knn_bruteforce", s01, Some(s01Sql)),
     QuerySpec("s02_knn_lsh", s02, Some(s02Sql)),
@@ -980,5 +1053,6 @@ object Similarity {
     QuerySpec("s05_embedding_quantize", s05, Some(s05Sql)),
     QuerySpec("s06_kmeans", s06, Some(s06Sql)),
     QuerySpec("s07_knn_pq_adc", s07, Some(s07Sql)),
-    QuerySpec("s08_knn_sq8_rerank", s08, Some(s08Sql)))
+    QuerySpec("s08_knn_sq8_rerank", s08, Some(s08Sql)),
+    QuerySpec("s09_maxsim_late_interaction", s09, Some(s09Sql)))
 }
