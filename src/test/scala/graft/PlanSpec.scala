@@ -265,6 +265,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x14 pushes the delta date filter; base comes from the staged parquet") {
+    // the refresh contract: the flat table is scanned only ABOVE the
+    // split date (the delta); history arrives as the staged partial
+    // aggregate. A missing pushdown would re-scan all of orders.
+    val p = formatted("x14_incremental_agg")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "delta filter must reach the orders scan")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).length === 2,
+      "exactly two scans: staged base + delta slice")
+  }
+
+  test("x15 k-min sketch aggregates map-side, never a rank window") {
+    // the sketch's reason to exist is bounded state: the k-min buffer
+    // must run as an ObjectHashAggregate with partial buffers (≤k rows
+    // per partition reach the exchange), not the oracle's row_number
+    // formulation which would sort-shuffle every distinct hash
+    val p = formatted("x15_kmv_distinct_sketch")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("Window"), "no rank window on the Spark side")
+  }
+
+  test("s09 maxsim broadcasts query tokens; scoring never shuffles the corpus") {
+    val p = formatted("s09_maxsim_late_interaction")
+    assert(!p.contains("SortMergeJoin"), "the ≠-doc join must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("ObjectHashAggregate"), "ranked tail via TopKAggregator")
+  }
+
+  test("p05 curriculum rank windows per phase; only the 4-row offsets are global") {
+    val p = formatted("p05_curriculum_order")
+    assert("Exchange SinglePartition".r.findAllIn(p).length <= 1,
+      "only the ≤4-row phase-offset prefix sum may gather to one partition")
+  }
+
   test("q26 generator fan-out runs narrow — Generate with zero exchanges") {
     // the 1→N explosion must happen inside the scan stage; a generator
     // that forced a shuffle would multiply exchange volume by the
