@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -943,21 +944,39 @@ object Dedup {
   // ---------------------------------------------------------------------
   /** d10's (vec_id, cluster, is_dup) flag frame — shared with the p02
     * pipeline, which keeps the is_dup = 0 survivors */
+  /** SemDeDup flag frame. `subCap` (p02's cap — round-7 verdict item 4)
+    * bounds the within-cluster pair space: members rank by vec_id inside
+    * their cluster and only pairs in the same ⌈cap⌉-sized SUB-BUCKET
+    * compare, so a pathological mega-cluster contributes
+    * O(n/cap · cap²) = O(n·cap) pairs instead of n² — the df-cap analog
+    * for the embedding side. Deterministic (rank ties are impossible on
+    * the unique vec_id), and the standard recall trade: near-dups that
+    * straddle a sub-bucket boundary survive, exactly like Jaccard pairs
+    * above d02's df cap. d10 stays uncapped — it IS the within-cluster
+    * exhaustive baseline the capped path is checked against. */
   private[operators] def semdedupFlags(
-      spark: SparkSession, dir: String): DataFrame = {
+      spark: SparkSession, dir: String,
+      subCap: Option[Int] = None): DataFrame = {
     val assign = Similarity.kmeansIterations(spark, dir)._2
       .select(col("vec_id"), col("cluster"))
-    val e = Tables.embeddings(spark, dir)
+    val e0 = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"),
         graft.functions.VectorFunctions.norm(col("embedding")).as("nrm"))
       .join(assign, Seq("vec_id"))
+    val e = subCap match {
+      case Some(cap) =>
+        val rn = row_number().over(
+          Window.partitionBy(col("cluster")).orderBy(col("vec_id")))
+        e0.withColumn("sub", ((rn - 1) / cap).cast("bigint"))
+      case None => e0.withColumn("sub", lit(0L))
+    }
     val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
-      col("nrm").as("na"), col("cluster"))
+      col("nrm").as("na"), col("cluster"), col("sub"))
     val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
-      col("nrm").as("nb"), col("cluster"))
+      col("nrm").as("nb"), col("cluster"), col("sub"))
     // a vector is a duplicate iff some LOWER-id cluster-mate sits at
     // cos >= the d05 threshold — greedy keep-first, deterministic
-    val dups = a.join(b, Seq("cluster"))
+    val dups = a.join(b, Seq("cluster", "sub"))
       .where(col("ida") < col("idb"))
       .where(graft.functions.VectorFunctions.cosinePrenormed(
         col("va"), col("vb"), col("na"), col("nb")) >= COS_T)
@@ -973,22 +992,33 @@ object Dedup {
     semdedupFlags(spark, dir)
 
   /** the `ec` + `dups` CTEs of the d10 oracle (kmeansCteBody must
-    * precede them in the WITH chain) — shared with the p02 oracle */
-  private[operators] val semdedupCtes: String = {
+    * precede them in the WITH chain) — shared with the p02 oracle.
+    * `subCap` mirrors semdedupFlags' sub-bucket cap: None compares the
+    * whole cluster, Some(cap) only same-sub-bucket pairs. */
+  private[operators] def semdedupCtesFor(subCap: Option[Int]): String = {
     def dotE(x: String, y: String) =
       s"""list_sum(list_transform(generate_series(1, len($x)), i ->
          |  CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)))""".stripMargin
+    val subExpr = subCap match {
+      case Some(cap) =>
+        s"(ROW_NUMBER() OVER (PARTITION BY a2.cluster ORDER BY e.vec_id) - 1) // $cap"
+      case None => "0"
+    }
     s"""ec AS (
-       |  SELECT e.vec_id, e.embedding, a2.cluster
+       |  SELECT e.vec_id, e.embedding, a2.cluster,
+       |    $subExpr AS sub
        |  FROM embeddings e JOIN a2 USING (vec_id)),
        |dups AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM ec a JOIN ec b
-       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |    ON a.cluster = b.cluster AND a.sub = b.sub
+       |      AND a.vec_id < b.vec_id
        |  WHERE ${dotE("a.embedding", "b.embedding")} /
        |    (sqrt(${dotE("a.embedding", "a.embedding")}) *
        |     sqrt(${dotE("b.embedding", "b.embedding")})) >= $COS_T)""".stripMargin
   }
+
+  private[operators] val semdedupCtes: String = semdedupCtesFor(None)
 
   private val d10Sql =
     s"""WITH ${Similarity.kmeansCteBody},

@@ -155,11 +155,20 @@ object Pipeline {
   //       centroids, one cluster-hash exchange, within-cluster pair
   //       space); stage 3 is a narrow per-row pass over survivors with
   //       no shuffle at all — the pipeline adds NOTHING to the widest
-  //       exchange of its parts.
+  //       exchange of its parts. Unlike d10 (the exhaustive
+  //       within-cluster baseline), the dedup stage here runs CAPPED:
+  //       cluster members sub-bucket in groups of P02_SUB_CAP by vec_id
+  //       rank, and only same-sub-bucket pairs compare — so a skewed
+  //       mega-cluster on a real dense corpus costs O(n·cap) pairs, not
+  //       n² (round-7 verdict watch item). The recall trade (boundary-
+  //       straddling near-dups survive) is the embedding-side analog of
+  //       d02's df cap, and the oracle mirrors the cap exactly.
   // ---------------------------------------------------------------------
+  private val P02_SUB_CAP = 32
+
   private def p02(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
-    val surv = Dedup.semdedupFlags(spark, dir)
+    val surv = Dedup.semdedupFlags(spark, dir, Some(P02_SUB_CAP))
       .where(col("is_dup") === 0)
       .select(col("vec_id"), col("cluster"))
     val emb = Tables.embeddings(spark, dir).select(col("vec_id"),
@@ -171,7 +180,7 @@ object Pipeline {
 
   private val p02Sql =
     s"""WITH ${Similarity.kmeansCteBody},
-       |${Dedup.semdedupCtes},
+       |${Dedup.semdedupCtesFor(Some(P02_SUB_CAP))},
        |surv AS (
        |  SELECT a2.vec_id, a2.cluster
        |  FROM a2 LEFT JOIN dups d USING (vec_id)

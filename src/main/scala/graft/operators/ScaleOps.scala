@@ -523,10 +523,12 @@ object ScaleOps {
   // cluster and per-task memory is bounded by the largest single key's
   // history. This is how you build SCD2 without a MERGE-capable table
   // format: pure window algebra any engine can run.
-  private def x13(spark: SparkSession, dir: String): DataFrame = {
+  /** SCD2 interval derivation over any change frame — shared by the
+    * full-history x13 and the delta half of the x16 apply step */
+  private def scd2(changes: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("valid_from"), col("event_id"))
-    Tables.events(spark, dir)
+    changes
       .select(col("user_id"), col("event_id"), col("event_type"),
         col("value"), col("ts").as("valid_from"))
       .withColumn("valid_to",
@@ -534,6 +536,9 @@ object ScaleOps {
       .withColumn("is_current",
         when(col("valid_to").isNull, 1).otherwise(0))
   }
+
+  private def x13(spark: SparkSession, dir: String): DataFrame =
+    scd2(Tables.events(spark, dir))
 
   private val x13Sql =
     """SELECT user_id, event_id, event_type, value,
@@ -679,6 +684,63 @@ object ScaleOps {
        |    MAX(nd)) AS BIGINT) AS kmv_estimate
        |FROM r GROUP BY flag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x16 — SCD2 APPLY (x13's missing half — the round-7 verdict item):
+  //       merge a new change-batch into a STANDING dimension history
+  //       without recomputing it — the MERGE-without-MERGE warehouse op
+  //       a daily CDC load actually runs. The pre-split history is
+  //       staged once per (JVM, dir) as the standing table; the query
+  //       (1) derives SCD2 intervals over the delta slice ALONE,
+  //       (2) closes the base's open rows whose key appears in the
+  //       delta (valid_to ← the key's first delta timestamp), and
+  //       (3) unions the chained delta rows in.
+  //
+  //       100 TB shape: the base NEVER re-windows and never exchanges —
+  //       it streams through a map-side coalesce against the
+  //       BROADCAST (key → first-delta-ts) table, so daily cost is
+  //       O(history-scan + delta), not O(history-window). Correct
+  //       because the split is a global timestamp cut: every delta
+  //       change for a key is later than all its base changes, so
+  //       base-internal intervals are unaffected and only open rows
+  //       can close. Oracle = the full history re-derived from the
+  //       unioned change stream (x13's own SQL) — the apply step is
+  //       value-identical to the recompute by construction.
+  // ---------------------------------------------------------------------
+  private val X16_SPLIT = "2024-01-25" // ~80% of the 30-day event window
+
+  private val x16Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def x16Stage(spark: SparkSession, dir: String): String =
+    x16Staged.computeIfAbsent(dir, _ => {
+      val path = s"${graft.util.Scratch.dir("graft-x16-hist")}/base"
+      scd2(Tables.events(spark, dir)
+          .where(col("ts") < lit(X16_SPLIT).cast(TimestampType)))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
+  private def x16(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(x16Stage(spark, dir))
+    val delta = scd2(Tables.events(spark, dir)
+      .where(col("ts") >= lit(X16_SPLIT).cast(TimestampType)))
+    // one row per delta key: the timestamp that closes the base's
+    // current row — tiny vs the history, hence broadcast
+    val firstDelta = delta.groupBy(col("user_id"))
+      .agg(min(struct(col("valid_from"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("f.valid_from").as("cut"))
+    val closed = base
+      .join(broadcast(firstDelta), Seq("user_id"), "left")
+      .withColumn("is_current",
+        when(col("is_current") === 1 && col("cut").isNotNull, 0)
+          .otherwise(col("is_current")))
+      .withColumn("valid_to",
+        when(col("is_current") === 0 && col("valid_to").isNull,
+          col("cut")).otherwise(col("valid_to")))
+      .drop("cut")
+    closed.unionByName(delta)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -694,5 +756,6 @@ object ScaleOps {
     QuerySpec("x12_zorder_scan", x12, Some(x12Sql)),
     QuerySpec("x13_scd2_history", x13, Some(x13Sql)),
     QuerySpec("x14_incremental_agg", x14, Some(x14Sql)),
-    QuerySpec("x15_kmv_distinct_sketch", x15, Some(x15Sql)))
+    QuerySpec("x15_kmv_distinct_sketch", x15, Some(x15Sql)),
+    QuerySpec("x16_scd2_apply", x16, Some(x13Sql)))
 }

@@ -525,7 +525,13 @@ object TextAnalysis {
   // BROADCAST; the per-doc mean exchanges one partial row per (task,
   // doc). Like t08, the stateless one-shot pays 3 feature-stream passes
   // (target counts, raw counts, scoring) — the materialize-the-model
-  // variant that avoids that is the t09 staging pattern. Determinism:
+  // variant that avoids that is the t09 staging pattern.
+  //
+  // PREFER t15 (`t15_dsir_pretrained`) as the default: it scores in ONE
+  // corpus pass against the staged bucket model (~1.8× faster here,
+  // and the only shape that makes sense at 100 TB, where the model is
+  // trained once and every ingestion batch scores against it). t13
+  // stays gated as the stateless re-derivation that double-checks t15. Determinism:
   // log-ratio terms round to 8 decimals and sum as DECIMAL (the q01 /
   // t08 pattern — partition-order-independent).
   private val DSIR_B = 1024L
@@ -773,6 +779,117 @@ object TextAnalysis {
        |  FROM c) t
        |WHERE rnk <= $BPE_TOP""".stripMargin
 
+  // t17 — the BPE TRAINING loop t16's single statistic feeds (Sennrich
+  // et al. 2016, algorithm 1): merge the top pair, re-segment, recount,
+  // T17_MERGES times. The result is the learned merge table — the
+  // artifact a tokenizer trainer actually ships.
+  //
+  // The key scale move: BPE trains on the WORD-FREQUENCY table, not the
+  // corpus. One corpus-scale aggregation collapses 100 TB of text into
+  // the bounded word-type vocabulary (the reference dictionary is 355 k
+  // types; real web corpora are single-digit millions), and every merge
+  // iteration is a narrow pass over that cached table weighted by
+  // counts. Words are segmented as \x01-prefixed symbol strings, so a
+  // merge is a plain left-to-right non-overlapping string replace —
+  // identical greedy semantics in Spark and DuckDB, and the \x01 anchor
+  // makes "a then b" unambiguous however many characters each merged
+  // symbol spans. Merge selection is inherently sequential (iteration
+  // k's counts depend on k−1's winner), so the driver collects exactly
+  // ONE (pair, count) row per iteration — the same scalar-per-round
+  // pattern as s06's Lloyd centroids — and the merge table itself (4
+  // rows) is driver-assembled by construction.
+  //
+  // Determinism: counts are integer sums; ties break on (sym_a, sym_b)
+  // binary order in both engines.
+  private val T17_MERGES = 4
+  private val BPE_SEP = "\u0001"
+
+  private def t17(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .where(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "(.)", BPE_SEP + "$1").as("seg"),
+              col("cnt"))
+      .cache()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    try {
+      var seg = vocab
+      var it = 1
+      var exhausted = false
+      while (it <= T17_MERGES && !exhausted) {
+        val top = seg
+          .select(col("cnt"),
+            expr(s"filter(split(seg, '$BPE_SEP'), s -> s != '')").as("sy"))
+          .where(size(col("sy")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(0, size(sy) - 2)," +
+              " i -> struct(sy[i] AS a, sy[i + 1] AS b))")).as("p"))
+          .groupBy(col("p.a"), col("p.b")).agg(sum(col("cnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        top.headOption match {
+          case Some(r) =>
+            val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+            merges += ((it, a, b, c))
+            seg = seg.select(
+              call_function("replace", col("seg"),
+                lit(BPE_SEP + a + BPE_SEP + b),
+                lit(BPE_SEP + a + b)).as("seg"),
+              col("cnt"))
+            it += 1
+          case None => exhausted = true
+        }
+      }
+    } finally vocab.unpersist()
+    merges.result().toDF("it", "sym_a", "sym_b", "cnt")
+      .select(col("it"), col("sym_a"), col("sym_b"),
+        concat(col("sym_a"), col("sym_b")).as("merged"), col("cnt"))
+  }
+
+  /** the DuckDB twin unrolls the same loop: wN = segmentation after N
+    * merges, pN+1 = its pair counts, tN+1 = the winner applied to make
+    * wN+1. Each tN is the scalar the Spark driver collects. */
+  private val t17Sql = {
+    def pairCte(p: String, w: String) =
+      s"""$p AS (
+         |  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+         |    SELECT cnt, string_split(pr, chr(2))[1] AS a,
+         |           string_split(pr, chr(2))[2] AS b
+         |    FROM (SELECT cnt,
+         |        unnest(list_transform(generate_series(1, len(sy) - 1),
+         |          i -> sy[i] || chr(2) || sy[i+1])) AS pr
+         |      FROM (SELECT cnt,
+         |          list_filter(string_split(seg, chr(1)), s -> s <> '') AS sy
+         |        FROM $w)))
+         |  GROUP BY 1, 2)""".stripMargin
+    def topCte(t: String, p: String) =
+      s"$t AS (SELECT a, b, cnt FROM $p ORDER BY cnt DESC, a, b LIMIT 1)"
+    def mergeCte(wNext: String, w: String, t: String) =
+      s"""$wNext AS (
+         |  SELECT w.cnt, replace(w.seg, chr(1) || t.a || chr(1) || t.b,
+         |                        chr(1) || t.a || t.b) AS seg
+         |  FROM $w w CROSS JOIN $t t)""".stripMargin
+    val rounds = (1 to T17_MERGES).map { i =>
+      val tail = if (i < T17_MERGES) ",\n" + mergeCte(s"w$i", s"w${i - 1}", s"t$i") else ""
+      pairCte(s"p$i", s"w${i - 1}") + ",\n" + topCte(s"t$i", s"p$i") + tail
+    }.mkString(",\n")
+    val out = (1 to T17_MERGES).map(i =>
+      s"SELECT CAST($i AS INT) AS it, a AS sym_a, b AS sym_b, a || b AS merged, cnt FROM t$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wc AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(string_split_regex(text, '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE w <> '' GROUP BY 1),
+       |w0 AS (
+       |  SELECT cnt, regexp_replace(w, '(.)', chr(1) || '\\1', 'g') AS seg
+       |  FROM wc),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -789,5 +906,6 @@ object TextAnalysis {
     QuerySpec("t13_dsir_importance", t13, Some(t13Sql)),
     QuerySpec("t14_filter_verdict", t14, Some(t14Sql)),
     QuerySpec("t15_dsir_pretrained", t15, Some(t13Sql)),
-    QuerySpec("t16_bpe_pair_counts", t16, Some(t16Sql)))
+    QuerySpec("t16_bpe_pair_counts", t16, Some(t16Sql)),
+    QuerySpec("t17_bpe_merge_loop", t17, Some(t17Sql)))
 }

@@ -276,6 +276,31 @@ class PlanSpec extends AnyFunSuite {
       "exactly two scans: staged base + delta slice")
   }
 
+  test("x16 apply broadcasts the delta keys; delta ts filter reaches the scan") {
+    // the daily-CDC contract: the standing history streams map-side
+    // against a broadcast (key → first-delta-ts) table — a shuffled
+    // join here would exchange the whole history every refresh — and
+    // events is scanned only at/above the split timestamp
+    val p = formatted("x16_scd2_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      "base-close join must broadcast the delta keys")
+    assert(p.contains("GreaterThanOrEqual(ts"),
+      "delta slice filter must reach the events scan")
+    assert(!p.contains("SortMergeJoin"),
+      "the history must never shuffle for the apply")
+  }
+
+  test("p02 dedup stage pairs within (cluster, sub) — capped, no cartesian") {
+    // the only cross joins in the plan are broadcasts of bounded
+    // centroid/scalar metadata (the documented k-means shape); the
+    // PAIR join itself must stay an equi-join carrying the sub-bucket
+    // cap key so a mega-cluster can't go quadratic
+    val p = formatted("p02_embedding_curation")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("sub"),
+      "within-cluster pair join must carry the sub-bucket cap key")
+  }
+
   test("x15 k-min sketch aggregates map-side, never a rank window") {
     // the sketch's reason to exist is bounded state: the k-min buffer
     // must run as an ObjectHashAggregate with partial buffers (≤k rows
