@@ -19,7 +19,8 @@ object SparkEntry {
     operators.StreamingOps.specs ++
     operators.Multimodal.specs ++
     operators.ScaleOps.specs ++
-    operators.Pipeline.specs
+    operators.Pipeline.specs ++
+    operators.Graph.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

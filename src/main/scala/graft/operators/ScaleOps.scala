@@ -540,7 +540,7 @@ object ScaleOps {
   private def x13(spark: SparkSession, dir: String): DataFrame =
     scd2(Tables.events(spark, dir))
 
-  private val x13Sql =
+  private[operators] val x13Sql =
     """SELECT user_id, event_id, event_type, value,
       |  ts AS valid_from,
       |  LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)

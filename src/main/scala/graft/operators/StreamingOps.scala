@@ -750,6 +750,70 @@ object StreamingOps {
     runComplete(spark, hits, "w14_")
   }
 
+  /** w15 — STREAMING SCD2 maintenance: x16's daily apply run
+    * continuously — the change stream replays as micro-batches and a
+    * per-key state machine (`flatMapGroupsWithState`) maintains the
+    * type-2 history incrementally. State per key = its own change list
+    * (the same per-key bound x13's window and a warehouse MERGE both
+    * carry); on every batch that touches a key, the machine folds the
+    * new changes in (ts, event_id) order and re-emits the key's
+    * corrected intervals in UPDATE mode.
+    *
+    * Batch-split insensitive BY CONSTRUCTION: the staged replay
+    * partitions rows arbitrarily, so changes can arrive out of ts
+    * order across batches — each arrival re-derives the key's
+    * intervals from full state, and since inserting a change only ever
+    * TIGHTENS earlier rows' valid_to (never reopens one), the drained
+    * fold `min(valid_to)` per event is the history's fixpoint however
+    * the input was sliced. Drained result ≡ the batch x13 derivation
+    * (same oracle SQL verbatim), which a spec also pins.
+    *
+    * 100 TB shape: per-batch cost is the batch's own keys — the
+    * standing history never re-scans (it IS the state store, RocksDB
+    * in production); emission volume per batch = touched keys' own
+    * histories. This is the ingestion-time shape; x16 is the same op
+    * as a daily batch merge. */
+  private def w15(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val stream = stagedStream(spark,
+      Tables.events(spark, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ts")), files = 3)
+    val changes = stream
+      .as[(Long, Long, String, Double, java.time.LocalDateTime)]
+    // state/change tuple: (event_id, event_type, value, ts)
+    val history = changes.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (key: Long,
+         rows: Iterator[(Long, Long, String, Double, java.time.LocalDateTime)],
+         state: org.apache.spark.sql.streaming.GroupState[
+           Seq[(Long, String, Double, java.time.LocalDateTime)]]) => {
+          val prior = state.getOption.getOrElse(Seq.empty)
+          val all = (prior ++ rows.map(r => (r._2, r._3, r._4, r._5)))
+            .sortBy(c => (c._4, c._1))(
+              Ordering.Tuple2(Ordering.fromLessThan[java.time.LocalDateTime](
+                _.isBefore(_)), Ordering.Long))
+          state.update(all)
+          all.iterator.zipWithIndex.map { case (c, i) =>
+            (key, c._1, c._2, c._3, c._4,
+              if (i + 1 < all.length) Some(all(i + 1)._4) else None)
+          }
+        })
+      .toDF("user_id", "event_id", "event_type", "value",
+        "valid_from", "valid_to")
+    runComplete(spark, history.toDF(), "w15_", mode = "update")
+      // valid_to only tightens as state accumulates, so the min
+      // non-null emission per event IS the final interval (null = the
+      // event was always the key's open row)
+      .groupBy(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("valid_from"))
+      .agg(min(col("valid_to")).as("valid_to"))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1).otherwise(0))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
@@ -764,5 +828,6 @@ object StreamingOps {
     QuerySpec("w11_stream_dedup_watermarked", w11, Some(w11Sql)),
     QuerySpec("w12_stream_transform_with_state", w12, Some(Relational.q14Sql)),
     QuerySpec("w13_stream_stream_left_outer_join", w13, Some(w13Sql)),
-    QuerySpec("w14_stream_decontaminate", w14, Some(Dedup.d08Sql)))
+    QuerySpec("w14_stream_decontaminate", w14, Some(Dedup.d08Sql)),
+    QuerySpec("w15_stream_scd2", w15, Some(ScaleOps.x13Sql)))
 }

@@ -62,6 +62,37 @@ class Round8bOpsSpec extends AnyFunSuite {
     assert(p1 == p2)
   }
 
+  test("g01 ranks are positive, mass-bounded, and contiguously ranked") {
+    val r = SparkEntry.queries("g01_word_pagerank")(spark, sfDir).collect()
+    assert(r.nonEmpty && r.length <= 100)
+    assert(r.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to r.length))
+    val ranks = r.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("rank_scaled"))
+    assert(ranks.forall(_ > 0))
+    assert(ranks.toSeq == ranks.sorted.reverse.toSeq, "rnk must follow rank desc")
+    // total rank mass never exceeds the scaled unit: dangling mass only
+    // LEAKS (the documented simplification) — a sum above SCALE means
+    // an inflow double-counted somewhere
+    assert(ranks.sum <= 1000000000000L)
+  }
+
+  test("g01 is deterministic across runs (integer arithmetic, no FP)") {
+    val a = rows(SparkEntry.queries("g01_word_pagerank")(spark, sfDir))
+    val b = rows(SparkEntry.queries("g01_word_pagerank")(spark, sfDir))
+    assert(a == b)
+  }
+
+  test("w15 drained streaming history equals the batch x13 derivation") {
+    // the replay slices events into arbitrary (unordered) micro-batches,
+    // so this equality also proves the state machine is insensitive to
+    // arrival order
+    val streamed = SparkEntry.queries("w15_stream_scd2")(spark, sfDir)
+    val batch = SparkEntry.queries("x13_scd2_history")(spark, sfDir)
+    assert(rows(streamed.select("user_id", "event_id", "event_type",
+      "value", "valid_from", "valid_to", "is_current")) ==
+      rows(batch.select("user_id", "event_id", "event_type",
+        "value", "valid_from", "valid_to", "is_current")))
+  }
+
   test("p02's capped SemDeDup flags a subset of the exhaustive dups") {
     // the cap only REMOVES comparisons (cross-sub-bucket pairs), so
     // every capped dup must also be an uncapped dup, and a cap larger
