@@ -130,6 +130,131 @@ object Graph {
        |WHERE rnk <= $PR_TOP""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // g02 — triangle counting over the UNDIRECTED word co-occurrence
+  //       graph (clustering-structure analytics — the local-density
+  //       statistic next to g01's global authority): per-node triangle
+  //       participation counts, top-TRI_TOP by count.
+  //
+  //       Degree-ordered orientation (the standard distributed
+  //       triangle-count bound — Suri & Vassilvitskii 2011): orient
+  //       every undirected edge from its lower to its higher endpoint
+  //       under the TOTAL order (degree, node), then each triangle has
+  //       exactly ONE vertex with two out-edges, so wedges (two
+  //       out-edges of one node, dsts ordered) joined against the
+  //       oriented edge set count each triangle exactly once. Because
+  //       edges point toward HIGHER degree, out-degrees are bounded by
+  //       O(√m) — the wedge volume Σ d_out² stays near-linear even
+  //       when a hub word touches everything, which is precisely the
+  //       skew profile of co-occurrence graphs.
+  //
+  //       Determinism: the order key is the STRING lpad(deg)|node —
+  //       zero-padded so lexicographic comparison IS (deg, node) order
+  //       in both engines; counts are integer. No floating point.
+  //
+  //       100 TB shape: corpus touches only the bigram count (bounded
+  //       pair space, as g01); after that every stage is graph-sized —
+  //       one exchange for degrees, one self-join exchange on the
+  //       wedge apex, one (dst, dst) exchange to close wedges, one
+  //       count per node. Edge set caches for its three uses and
+  //       unpersists behind the lineage-truncated ≤TRI_TOP result.
+  // ---------------------------------------------------------------------
+  private val TRI_MIN_W = 3L
+  private val TRI_TOP = 100
+
+  private def g02(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(spark, dir)
+      .select(expr("filter(split(text, '\\\\s+'), s -> s != '')").as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2)," +
+          " i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+    val und = pairs.where(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"),
+              greatest(col("a"), col("b")).as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      .where(col("w") >= TRI_MIN_W)
+      .select(col("u"), col("v")).cache()
+    val deg = und.select(col("u").as("node"))
+      .union(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val keyed = deg.select(col("node"),
+      concat(lpad(col("deg").cast("string"), 12, "0"),
+             lit("|"), col("node")).as("k"))
+    val e = und
+      .join(keyed.select(col("node").as("u"), col("k").as("ku")), Seq("u"))
+      .join(keyed.select(col("node").as("v"), col("k").as("kv")), Seq("v"))
+      .select(
+        when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("s"),
+        when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("d"),
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kd"))
+      .cache()
+    // wedges: two out-edges of one apex, dsts ordered by the orientation
+    // key — the closing edge, if present, must then be oriented x→y
+    val wedges = e.as("e1").join(e.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.kd") < col("e2.kd"))
+      .select(col("e1.s").as("apex"),
+              col("e1.d").as("x"), col("e2.d").as("y"))
+    val tri = wedges.join(
+      e.select(col("s").as("x"), col("d").as("y")), Seq("x", "y"))
+    val out = tri
+      .select(explode(array(col("apex"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+      .join(deg, Seq("node"))
+      .orderBy(col("tri").desc, col("node")).limit(TRI_TOP)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("tri").desc, col("node"))))
+      .select(col("rnk"), col("node").as("word"), col("deg"), col("tri"))
+      .localCheckpoint(true)
+    und.unpersist()
+    e.unpersist()
+    out
+  }
+
+  private val g02Sql =
+    s"""WITH tk AS (
+       |  SELECT list_filter(string_split_regex(text, '\\s+'), s -> s <> '')
+       |    AS tk FROM documents),
+       |p0 AS (
+       |  SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+       |    i -> struct_pack(a := tk[i], b := tk[i+1]))) AS p
+       |  FROM tk WHERE len(tk) >= 2),
+       |und AS (
+       |  SELECT least(p.a, p.b) AS u, greatest(p.a, p.b) AS v
+       |  FROM p0 WHERE p.a <> p.b
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $TRI_MIN_W),
+       |deg AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+       |    SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und)
+       |  GROUP BY 1),
+       |keyed AS (
+       |  SELECT node, lpad(CAST(deg AS VARCHAR), 12, '0') || '|' || node
+       |    AS k FROM deg),
+       |e AS (
+       |  SELECT CASE WHEN ku.k < kv.k THEN und.u ELSE und.v END AS s,
+       |         CASE WHEN ku.k < kv.k THEN und.v ELSE und.u END AS d,
+       |         CASE WHEN ku.k < kv.k THEN kv.k  ELSE ku.k  END AS kd
+       |  FROM und JOIN keyed ku ON und.u = ku.node
+       |           JOIN keyed kv ON und.v = kv.node),
+       |tri AS (
+       |  SELECT e1.s AS apex, e1.d AS x, e2.d AS y
+       |  FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.kd < e2.kd
+       |  JOIN e e3 ON e3.s = e1.d AND e3.d = e2.d),
+       |cnt AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+       |    SELECT apex AS node FROM tri
+       |    UNION ALL SELECT x AS node FROM tri
+       |    UNION ALL SELECT y AS node FROM tri)
+       |  GROUP BY 1)
+       |SELECT rnk, word, deg, tri FROM (
+       |  SELECT cnt.node AS word, deg.deg, cnt.tri,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cnt.tri DESC, cnt.node) AS INT)
+       |      AS rnk
+       |  FROM cnt JOIN deg ON cnt.node = deg.node) t
+       |WHERE rnk <= $TRI_TOP""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
-    QuerySpec("g01_word_pagerank", g01, Some(g01Sql)))
+    QuerySpec("g01_word_pagerank", g01, Some(g01Sql)),
+    QuerySpec("g02_triangle_count", g02, Some(g02Sql)))
 }

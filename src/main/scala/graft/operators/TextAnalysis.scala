@@ -890,6 +890,101 @@ object TextAnalysis {
        |$out""".stripMargin
   }
 
+  // t18 — PMI collocation extraction (Church & Hanks 1990): rank word
+  // pairs by pointwise mutual information p(a,b)/(p(a)p(b)) — the
+  // classic "strongly associated phrase" statistic a corpus analyst
+  // runs next to raw bigram counts (t06), which rank by frequency and
+  // so surface stopword pairs first. PMI normalizes by the parts'
+  // own frequencies, so "los angeles" outranks "of the".
+  //
+  // Determinism across engines: the score is the SCALED-INTEGER ratio
+  //   pmi_ppm = (1e6 · c_ab · N_uni²) div (c_a · c_b · N_bi)
+  // (p(a,b) = c_ab/N_bi over bigram occurrences, p(w) = c_w/N_uni over
+  // token occurrences — the ratio in parts-per-million, floor'd).
+  // Products route through DECIMAL(38,0) (Spark) / HUGEINT (DuckDB):
+  // both are exact integer arithmetic and both `div`s floor on the
+  // all-positive operands, so the engines emit bit-identical scores.
+  // Headroom: 38 digits hold the numerator up to N_uni ≈ 3×10^12
+  // tokens (≈ 15 TB of text) at c_ab = 10^6; past that, decimate the
+  // counts by a common power of two before scoring (the ratio is
+  // scale-invariant) — a constant-fold, not a plan change.
+  //
+  // 100 TB shape: two corpus-scale counts (unigram, bigram) — each ONE
+  // exchange onto a bounded key space (word types / observed pairs,
+  // millions of keys independent of corpus size); the totals are
+  // 1-row aggregates OVER THOSE COUNT TABLES (no third corpus scan)
+  // and broadcast; the scoring joins touch only the bounded pair
+  // space; the tail is TakeOrderedAndProject. Count tables cache for
+  // their two/three uses and unpersist behind a lineage-truncated
+  // ≤T18_TOP-row result (the g01 loop discipline).
+  private val T18_MIN = 5L
+  private val T18_TOP = 100
+  private val T18_SCALE = 1000000L
+
+  private def t18(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tk = Tables.documents(spark, dir)
+      .select(expr("filter(split(text, '\\\\s+'), s -> s != '')").as("tk"))
+    val uc = tk.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1")).cache()
+    val bc = tk.where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2)," +
+          " i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt")).cache()
+    // totals aggregate the bounded count tables, not the corpus
+    val totals = uc.agg(sum(col("c1")).as("nuni"))
+      .crossJoin(bc.agg(sum(col("cnt")).as("nbi")))
+    val out = bc.where(col("cnt") >= T18_MIN)
+      .join(uc.select(col("w").as("a"), col("c1").as("ca")), Seq("a"))
+      .join(uc.select(col("w").as("b"), col("c1").as("cb")), Seq("b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_ppm", expr(
+        s"CAST((CAST($T18_SCALE AS DECIMAL(38,0)) * cnt * nuni * nuni)" +
+          " div (CAST(ca AS DECIMAL(38,0)) * cb * nbi) AS BIGINT)"))
+      .orderBy(col("pmi_ppm").desc, col("a"), col("b")).limit(T18_TOP)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("pmi_ppm").desc, col("a"), col("b"))))
+      .select(col("rnk"), col("a"), col("b"), col("cnt"), col("pmi_ppm"))
+      .localCheckpoint(true)
+    uc.unpersist()
+    bc.unpersist()
+    out
+  }
+
+  private val t18Sql =
+    s"""WITH tk AS (
+       |  SELECT list_filter(string_split_regex(text, '\\s+'), s -> s <> '')
+       |    AS tk FROM documents),
+       |uc AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c1
+       |  FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY 1),
+       |bc AS (
+       |  SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (
+       |    SELECT unnest(list_transform(generate_series(1, len(tk) - 1),
+       |      i -> struct_pack(a := tk[i], b := tk[i+1]))) AS p
+       |    FROM tk WHERE len(tk) >= 2)
+       |  GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT (SELECT CAST(SUM(c1) AS BIGINT) FROM uc) AS nuni,
+       |         (SELECT CAST(SUM(cnt) AS BIGINT) FROM bc) AS nbi),
+       |s AS (
+       |  SELECT bc.a, bc.b, bc.cnt,
+       |    CAST((CAST($T18_SCALE AS HUGEINT) * bc.cnt * t.nuni * t.nuni)
+       |      // (CAST(ua.c1 AS HUGEINT) * ub.c1 * t.nbi) AS BIGINT)
+       |      AS pmi_ppm
+       |  FROM bc JOIN uc ua ON bc.a = ua.w JOIN uc ub ON bc.b = ub.w
+       |  CROSS JOIN tot t
+       |  WHERE bc.cnt >= $T18_MIN)
+       |SELECT rnk, a, b, cnt, pmi_ppm FROM (
+       |  SELECT a, b, cnt, pmi_ppm,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY pmi_ppm DESC, a, b) AS INT)
+       |      AS rnk
+       |  FROM s) t
+       |WHERE rnk <= $T18_TOP""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -907,5 +1002,6 @@ object TextAnalysis {
     QuerySpec("t14_filter_verdict", t14, Some(t14Sql)),
     QuerySpec("t15_dsir_pretrained", t15, Some(t13Sql)),
     QuerySpec("t16_bpe_pair_counts", t16, Some(t16Sql)),
-    QuerySpec("t17_bpe_merge_loop", t17, Some(t17Sql)))
+    QuerySpec("t17_bpe_merge_loop", t17, Some(t17Sql)),
+    QuerySpec("t18_pmi_collocations", t18, Some(t18Sql)))
 }
