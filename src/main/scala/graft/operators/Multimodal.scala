@@ -189,8 +189,76 @@ object Multimodal {
       |    AS resized_md5
       |FROM r""".stripMargin
 
+  // m04 — frame-table materialization: explode each payload's SAMPLED
+  // frames (m02 computes the offsets and keeps them packed; this is
+  // the downstream step a vision-training pipeline actually runs —
+  // one ROW per sampled frame, carrying a per-frame fingerprint, so
+  // frames become a first-class dataset to dedup/shuffle/pack).
+  //
+  // The "frame read" is the stub boundary: a real codec would decode
+  // the frame at `frame_off`; the stub fingerprints the 32-byte
+  // payload slice the offset points at (seek = off·32 mod len — fake
+  // but deterministic, so the oracle reproduces it; corpus is ASCII,
+  // so byte-slicing the payload ≡ substring on the text, the m03
+  // precedent). Everything around the stub is the production shape:
+  // the explode is NARROW (payloads never shuffle; each task fans its
+  // own rows out), the per-frame output carries a fingerprint + typed
+  // metadata rather than pixels, and row volume is bounded by the
+  // sampling policy (≤4 frames/payload), not the media length.
+  private def m04(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        element_at(
+          array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("fmt"),
+        col("text"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .withColumn("len", length(col("payload")).cast("long"))
+      .withColumn("n_frames", expr(
+        "CAST(CASE fmt WHEN 'video' THEN 1 + len % 30" +
+          " WHEN 'audio' THEN 1 + len % 100 ELSE 1 END AS INT)"))
+      .withColumn("step",
+        greatest(lit(1), expr("CAST((n_frames + 3) div 4 AS INT)")))
+      .select(col("doc_id"), col("fmt"), col("n_frames"), col("payload"),
+        col("len"), col("step"),
+        explode(expr("sequence(0, n_frames - 1, step)")).as("frame_off"))
+      .select(col("doc_id"), col("fmt"), col("n_frames"),
+        expr("CAST(frame_off div step AS INT)").as("frame_idx"),
+        col("frame_off"),
+        md5(expr(
+          "substring(payload, CAST(frame_off * 32 % greatest(len, 1) + 1 AS INT), 32)"))
+          .as("frame_md5"))
+
+  private val m04Sql =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS fmt,
+      |    text, CAST(octet_length(encode(text)) AS BIGINT) AS len
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, fmt, text, len,
+      |    CAST(CASE fmt WHEN 'video' THEN 1 + len % 30
+      |                  WHEN 'audio' THEN 1 + len % 100
+      |                  ELSE 1 END AS INT) AS n_frames
+      |  FROM m),
+      |g AS (
+      |  SELECT doc_id, fmt, text, len, n_frames,
+      |    greatest(1, CAST((n_frames + 3) // 4 AS INT)) AS step
+      |  FROM f)
+      |SELECT doc_id, fmt, n_frames,
+      |  CAST(frame_off // step AS INT) AS frame_idx,
+      |  frame_off,
+      |  md5(substring(text,
+      |    CAST(frame_off * 32 % greatest(len, 1) + 1 AS INT), 32))
+      |    AS frame_md5
+      |FROM (
+      |  SELECT doc_id, fmt, text, len, n_frames, step,
+      |    unnest(generate_series(0, n_frames - 1, step)) AS frame_off
+      |  FROM g) t""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("m01_multimodal_meta", m01, Some(m01Sql)),
     QuerySpec("m02_multimodal_decode", m02, Some(m02Sql)),
-    QuerySpec("m03_multimodal_resize", m03, Some(m03Sql)))
+    QuerySpec("m03_multimodal_resize", m03, Some(m03Sql)),
+    QuerySpec("m04_multimodal_frame_table", m04, Some(m04Sql)))
 }

@@ -622,14 +622,14 @@ object ScaleOps {
   //       exact COUNT(DISTINCT) beside it is the oracle-checkable
   //       accuracy witness, not the production path.
   // ---------------------------------------------------------------------
-  private val KMV_K = 64
-  private val KMV_M1 = 2654435761L // Knuth multiplicative (odd)
-  private val KMV_M2 = 1540483477L // MurmurHash-lineage constant (odd)
-  private val KMV_MOD = 4294967296L // 2^32
+  private[operators] val KMV_K = 64
+  private[operators] val KMV_M1 = 2654435761L // Knuth multiplicative (odd)
+  private[operators] val KMV_M2 = 1540483477L // MurmurHash-lineage constant (odd)
+  private[operators] val KMV_MOD = 4294967296L // 2^32
 
   /** the shared hash text: identical integer expression in both engines
     * (max intermediate ≈ 2^32·M2 ≈ 6.6e18 < 2^63) */
-  private def kmvHash(key: Column): Column =
+  private[operators] def kmvHash(key: Column): Column =
     (((key * KMV_M1) % KMV_MOD) * KMV_M2 + 12345L) % KMV_MOD
 
   private def x15(spark: SparkSession, dir: String): DataFrame = {
@@ -741,6 +741,106 @@ object ScaleOps {
     closed.unionByName(delta)
   }
 
+  // ---------------------------------------------------------------------
+  // x17 — standing file-statistics manifest + planner-side file pruning
+  //       (the Iceberg/Delta scan-planning shape): a date-clustered
+  //       layout plus a SEPARATE tiny manifest table of per-file
+  //       (min, max) l_shipdate; the query consults the manifest FIRST
+  //       and hands the reader only the files whose range overlaps the
+  //       predicate.
+  //
+  //       This is the metadata half of the pruning story x12's z-order
+  //       covers on the data side: parquet row-group stats only help
+  //       AFTER the engine has listed and opened every footer — at
+  //       100 TB with millions of files, listing+footer-reads ARE the
+  //       planning cost. A manifest makes planning O(files-in-range)
+  //       against a table thousands of times smaller than the data,
+  //       which is exactly what table formats' manifest files buy.
+  //       The driver-side collect is the MANIFEST (≤X17_FILES rows,
+  //       metadata-scale — the same bounded-collect class as d11's
+  //       Bloom build), never data.
+  //
+  //       Layout + manifest stage once per (JVM, dir); the gated query
+  //       is the pruned scan + aggregate, oracle'd by the PLAIN filter
+  //       on the unclustered table — pruning may never change results
+  //       (the exact predicate still applies after the file cut).
+  //       Round8dOpsSpec pins that the plan reads strictly fewer files
+  //       than the manifest lists and that the pruned result equals
+  //       the unpruned one.
+  // ---------------------------------------------------------------------
+  private val X17_FILES = 24
+  private val X17_LO = java.time.LocalDateTime.parse("1995-01-01T00:00")
+  private val X17_HI = java.time.LocalDateTime.parse("1995-04-01T00:00")
+
+  // dir → (data path, manifest path)
+  private val x17Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def x17Stage(spark: SparkSession, dir: String): (String, String) =
+    x17Staged.computeIfAbsent(dir, _ => {
+      val root = graft.util.Scratch.dir("graft-x17-manifest")
+      val (data, manifest) = (s"$root/data", s"$root/manifest")
+      Tables.lineitem(spark, dir)
+        .select(col("l_shipdate"), col("l_returnflag"), col("l_quantity"),
+                col("l_extendedprice"), col("l_discount"))
+        .repartitionByRange(X17_FILES, col("l_shipdate"))
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite").parquet(data)
+      // one pass over the fresh layout builds the standing manifest
+      spark.read.parquet(data)
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(manifest)
+      (data, manifest)
+    })
+
+  /** manifest-driven planning: the file subset whose [lo, hi] span
+    * overlaps the query's half-open shipdate window, plus the manifest
+    * size (exposed so the spec can pin that pruning actually pruned) */
+  private[graft] def x17Plan(spark: SparkSession, dir: String): (Seq[String], Int) = {
+    val (_, manifest) = x17Stage(spark, dir)
+    val mf = spark.read.parquet(manifest).collect() // ≤ X17_FILES rows
+    val picked = mf.toSeq
+      .filter { r =>
+        val (lo, hi) = (r.getAs[java.time.LocalDateTime]("lo"),
+                        r.getAs[java.time.LocalDateTime]("hi"))
+        !hi.isBefore(X17_LO) && lo.isBefore(X17_HI)
+      }
+      .map(_.getAs[String]("file")).sorted
+    (picked, mf.length)
+  }
+
+  private def x17(spark: SparkSession, dir: String): DataFrame = {
+    val (data, _) = x17Stage(spark, dir)
+    val (files, _) = x17Plan(spark, dir)
+    // a window no file covers still answers correctly off the full
+    // layout (the exact predicate below filters to zero rows)
+    val scan =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else spark.read.parquet(data)
+    scan
+      .where(col("l_shipdate") >= lit(X17_LO.toString).cast(TimestampNTZType) &&
+             col("l_shipdate") <  lit(X17_HI.toString).cast(TimestampNTZType))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("l_quantity").cast(DecimalType(18, 2)))
+             .cast(DoubleType).as("sum_qty"),
+           sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+               (lit(1).cast(DecimalType(3, 2)) -
+                col("l_discount").cast(DecimalType(4, 2))))
+             .cast(DoubleType).as("revenue"))
+  }
+
+  private val x17Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      |  AND l_shipdate <  TIMESTAMP '1995-04-01'
+      |GROUP BY l_returnflag""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -757,5 +857,6 @@ object ScaleOps {
     QuerySpec("x13_scd2_history", x13, Some(x13Sql)),
     QuerySpec("x14_incremental_agg", x14, Some(x14Sql)),
     QuerySpec("x15_kmv_distinct_sketch", x15, Some(x15Sql)),
-    QuerySpec("x16_scd2_apply", x16, Some(x13Sql)))
+    QuerySpec("x16_scd2_apply", x16, Some(x13Sql)),
+    QuerySpec("x17_manifest_pruned_scan", x17, Some(x17Sql)))
 }

@@ -814,6 +814,84 @@ object StreamingOps {
         when(col("valid_to").isNull, 1).otherwise(0))
   }
 
+  /** w16 — STREAMING KMV distinct sketch: x15's k-minimum-values
+    * estimator maintained continuously — the live distinct-count
+    * dashboard shape, where HLL/KMV sketches actually earn their keep.
+    * The change stream replays as micro-batches; a per-group state
+    * machine holds ONLY the k smallest key hashes (the whole point:
+    * state is 64 longs per group FOREVER, however many billions of
+    * rows pass), folds each batch's hashes in, and re-emits the
+    * group's running estimate.
+    *
+    * Batch-split insensitive BY CONSTRUCTION: the k smallest of a
+    * union is independent of how the union was sliced, so the drained
+    * final state — picked per group by an update-sequence column the
+    * state machine stamps — equals the batch sketch over the same
+    * rows, whatever the replay order. While the buffer is not yet
+    * full it holds EVERY distinct hash seen, so "estimate = buffer
+    * size" in that regime is the same exact-count fallback x15's
+    * COALESCE takes; both regimes mirror the oracle exactly.
+    *
+    * 100 TB shape: per-batch cost is the batch's own rows (a narrow
+    * hash + the grouped fold); emission is one row per touched group;
+    * nothing ever re-scans. The estimate arithmetic replicates x15's
+    * bit-for-bit ((k−1)·2^32 / h_k, IEEE double, half-up round) so
+    * the streamed number is the batch number, not an approximation of
+    * an approximation. */
+  private def w16(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val stream = stagedStream(spark,
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag").as("flag"),
+                ScaleOps.kmvHash(col("l_orderkey")).as("hv")),
+      files = 3)
+    val perGroup = stream.as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (flag: String, rows: Iterator[(String, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Vector[Long])]) => {
+          val (seq, prior) = state.getOption.getOrElse((0L, Vector.empty[Long]))
+          // k-min of the union: merge, dedup, keep the K smallest
+          val merged = (prior ++ rows.map(_._2))
+            .distinct.sorted.take(ScaleOps.KMV_K)
+          state.update((seq + 1, merged))
+          val est =
+            if (merged.length >= ScaleOps.KMV_K)
+              math.round((ScaleOps.KMV_K - 1).toDouble * ScaleOps.KMV_MOD /
+                merged.last.toDouble)
+            else merged.length.toLong
+          Iterator.single((flag, seq + 1, est))
+        })
+      .toDF("flag", "upd_seq", "kmv_estimate")
+    runComplete(spark, perGroup, "w16_", mode = "update")
+      // final state per group = the emission with the highest sequence
+      .groupBy(col("flag"))
+      .agg(max_by(col("kmv_estimate"), col("upd_seq")).as("kmv_estimate"))
+  }
+
+  /** x15's sketch estimate alone (the streaming op carries no exact
+    * count beside it — tracking one would need unbounded state, which
+    * is what the sketch exists to avoid) */
+  private val w16Sql =
+    s"""WITH h AS (
+       |  SELECT DISTINCT l_returnflag AS flag,
+       |    (((l_orderkey * ${ScaleOps.KMV_M1}) % ${ScaleOps.KMV_MOD})
+       |      * ${ScaleOps.KMV_M2} + 12345) % ${ScaleOps.KMV_MOD} AS hv
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT flag, hv,
+       |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY hv) AS rn,
+       |    COUNT(*) OVER (PARTITION BY flag) AS nd
+       |  FROM h)
+       |SELECT flag,
+       |  CAST(COALESCE(
+       |    CAST(round((${ScaleOps.KMV_K - 1}.0 * ${ScaleOps.KMV_MOD}) /
+       |      MAX(CASE WHEN rn = ${ScaleOps.KMV_K} THEN hv END)) AS BIGINT),
+       |    MAX(nd)) AS BIGINT) AS kmv_estimate
+       |FROM r GROUP BY flag""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
@@ -829,5 +907,6 @@ object StreamingOps {
     QuerySpec("w12_stream_transform_with_state", w12, Some(Relational.q14Sql)),
     QuerySpec("w13_stream_stream_left_outer_join", w13, Some(w13Sql)),
     QuerySpec("w14_stream_decontaminate", w14, Some(Dedup.d08Sql)),
-    QuerySpec("w15_stream_scd2", w15, Some(ScaleOps.x13Sql)))
+    QuerySpec("w15_stream_scd2", w15, Some(ScaleOps.x13Sql)),
+    QuerySpec("w16_stream_kmv_sketch", w16, Some(w16Sql)))
 }

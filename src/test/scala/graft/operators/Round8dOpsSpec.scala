@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestSession}
+
+/** Semantic contracts of the round-8 fourth batch: manifest-driven
+  * file pruning (x17), the sampled-frame table (m04), and the
+  * streaming KMV sketch (w16). Exact-value parity with DuckDB is the
+  * Verify gate's job; these pin the properties the value hash can't
+  * see — above all that x17's pruning actually prunes and that w16's
+  * bounded state converges to the batch sketch. */
+class Round8dOpsSpec extends AnyFunSuite {
+
+  private val sfDir = SparkTestSession.sfDir
+  private lazy val spark = SparkTestSession.spark
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(_.toSeq).toSet
+
+  test("x17 plans strictly fewer files than the manifest lists") {
+    val (picked, total) = ScaleOps.x17Plan(spark, sfDir)
+    assert(total > 1, "layout must split into multiple files")
+    assert(picked.nonEmpty, "the query window must be covered")
+    assert(picked.length < total,
+      s"no pruning: ${picked.length} of $total files selected")
+  }
+
+  test("x17 pruned result equals the unpruned filtered scan") {
+    // pruning may never change results: the exact predicate re-applies
+    // after the file cut, so the manifest can only skip files that
+    // contribute nothing
+    val pruned = SparkEntry.queries("x17_manifest_pruned_scan")(spark, sfDir)
+    val (data, _) = ScaleOps.x17Stage(spark, sfDir)
+    val full = spark.read.parquet(data)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+             col("l_shipdate") <  lit("1995-04-01").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"))
+    val prunedCounts = pruned.select("l_returnflag", "n_rows")
+    assert(rows(prunedCounts) == rows(full))
+  }
+
+  test("x17 stages the layout and manifest once per (jvm, dir)") {
+    val p1 = ScaleOps.x17Stage(spark, sfDir)
+    val p2 = ScaleOps.x17Stage(spark, sfDir)
+    assert(p1 == p2)
+  }
+
+  test("m04 emits at most 4 sampled frames per payload, contiguously indexed") {
+    val f = SparkEntry.queries("m04_multimodal_frame_table")(spark, sfDir)
+    val perDoc = f.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), collect_list(col("frame_idx")).as("idxs"))
+      .collect()
+    perDoc.foreach { r =>
+      val n = r.getAs[Long]("n")
+      assert(n >= 1 && n <= 4, s"doc ${r.getAs[Long]("doc_id")}: $n frames")
+      assert(r.getSeq[Int](r.fieldIndex("idxs")).sorted == (0 until n.toInt),
+        "frame_idx must be dense from 0")
+    }
+    // images are single-frame by the decode stub's contract
+    val img = f.where(col("fmt") === "image")
+      .agg(max(col("n_frames"))).collect().head.getInt(0)
+    assert(img == 1)
+  }
+
+  test("w16 drained streaming sketch equals the batch x15 estimate") {
+    // the k smallest of a union is slicing-independent, so the stream's
+    // final state must coincide with the batch sketch over the same rows
+    val streamed = SparkEntry.queries("w16_stream_kmv_sketch")(spark, sfDir)
+    val batch = SparkEntry.queries("x15_kmv_distinct_sketch")(spark, sfDir)
+      .select(col("flag"), col("kmv_estimate"))
+    assert(rows(streamed) == rows(batch))
+  }
+}
