@@ -162,7 +162,13 @@ object Graph {
   private val TRI_MIN_W = 3L
   private val TRI_TOP = 100
 
-  private def g02(spark: SparkSession, dir: String): DataFrame = {
+  /** the full counting plan BEFORE lineage truncation, plus the cached
+    * edge frames it reuses — the gated g02 materializes the plan via
+    * localCheckpoint and unpersists the caches; PlanSpec pins the
+    * uncached shape directly */
+  private[graft] def g02Plan(spark: SparkSession, dir: String,
+                             cache: Boolean = false): (DataFrame, Seq[DataFrame]) = {
+    def hold(df: DataFrame) = if (cache) df.cache() else df
     val pairs = Tables.documents(spark, dir)
       .select(expr("filter(split(text, '\\\\s+'), s -> s != '')").as("tk"))
       .where(size(col("tk")) >= 2)
@@ -170,26 +176,25 @@ object Graph {
         "transform(sequence(0, size(tk) - 2)," +
           " i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
       .select(col("p.a"), col("p.b"))
-    val und = pairs.where(col("a") =!= col("b"))
+    val und = hold(pairs.where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"),
               greatest(col("a"), col("b")).as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
       .where(col("w") >= TRI_MIN_W)
-      .select(col("u"), col("v")).cache()
+      .select(col("u"), col("v")))
     val deg = und.select(col("u").as("node"))
       .union(und.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val keyed = deg.select(col("node"),
       concat(lpad(col("deg").cast("string"), 12, "0"),
              lit("|"), col("node")).as("k"))
-    val e = und
+    val e = hold(und
       .join(keyed.select(col("node").as("u"), col("k").as("ku")), Seq("u"))
       .join(keyed.select(col("node").as("v"), col("k").as("kv")), Seq("v"))
       .select(
         when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("s"),
         when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("d"),
-        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kd"))
-      .cache()
+        when(col("ku") < col("kv"), col("kv")).otherwise(col("ku")).as("kd")))
     // wedges: two out-edges of one apex, dsts ordered by the orientation
     // key — the closing edge, if present, must then be oriented x→y
     val wedges = e.as("e1").join(e.as("e2"),
@@ -206,9 +211,13 @@ object Graph {
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("tri").desc, col("node"))))
       .select(col("rnk"), col("node").as("word"), col("deg"), col("tri"))
-      .localCheckpoint(true)
-    und.unpersist()
-    e.unpersist()
+    (out, Seq(und, e))
+  }
+
+  private def g02(spark: SparkSession, dir: String): DataFrame = {
+    val (plan, caches) = g02Plan(spark, dir, cache = true)
+    val out = plan.localCheckpoint(true)
+    caches.foreach(_.unpersist())
     out
   }
 

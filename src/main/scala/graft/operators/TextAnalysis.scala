@@ -921,18 +921,25 @@ object TextAnalysis {
   private val T18_TOP = 100
   private val T18_SCALE = 1000000L
 
-  private def t18(spark: SparkSession, dir: String): DataFrame = {
+  /** the full scoring plan BEFORE lineage truncation, plus the cached
+    * count tables it reuses — the gated t18 materializes the plan
+    * through localCheckpoint and unpersists the caches; PlanSpec pins
+    * the uncached shape directly (truncation would otherwise hide it
+    * behind a Scan ExistingRDD) */
+  private[graft] def t18Plan(spark: SparkSession, dir: String,
+                             cache: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.expressions.Window
+    def hold(df: DataFrame) = if (cache) df.cache() else df
     val tk = Tables.documents(spark, dir)
       .select(expr("filter(split(text, '\\\\s+'), s -> s != '')").as("tk"))
-    val uc = tk.select(explode(col("tk")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c1")).cache()
-    val bc = tk.where(size(col("tk")) >= 2)
+    val uc = hold(tk.select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1")))
+    val bc = hold(tk.where(size(col("tk")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(tk) - 2)," +
           " i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
       .select(col("p.a"), col("p.b"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt")).cache()
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt")))
     // totals aggregate the bounded count tables, not the corpus
     val totals = uc.agg(sum(col("c1")).as("nuni"))
       .crossJoin(bc.agg(sum(col("cnt")).as("nbi")))
@@ -947,9 +954,13 @@ object TextAnalysis {
       .withColumn("rnk", row_number().over(
         Window.orderBy(col("pmi_ppm").desc, col("a"), col("b"))))
       .select(col("rnk"), col("a"), col("b"), col("cnt"), col("pmi_ppm"))
-      .localCheckpoint(true)
-    uc.unpersist()
-    bc.unpersist()
+    (out, Seq(uc, bc))
+  }
+
+  private def t18(spark: SparkSession, dir: String): DataFrame = {
+    val (plan, caches) = t18Plan(spark, dir, cache = true)
+    val out = plan.localCheckpoint(true)
+    caches.foreach(_.unpersist())
     out
   }
 

@@ -394,4 +394,54 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(shard"),
       s"expected shard hash partitioning in:\n$p")
   }
+
+  test("t18 scoring joins the bounded count tables by key, totals broadcast") {
+    // the corpus is scanned only for the two count aggregations; the
+    // scoring stage must meet the unigram table through equi-joins and
+    // the 1-row totals through a broadcast — never a cartesian of
+    // anything unbounded
+    val p = graft.operators.TextAnalysis.t18Plan(spark, sfDir)._1
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct"),
+      "t18 must not plan a cartesian product")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+           p.contains("BroadcastExchange"),
+      "the 1-row totals must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k tail must not global-sort")
+  }
+
+  test("g02 wedges and closings meet through equi-joins, never nested loops") {
+    // degree-ordered triangle counting lives or dies on the wedge join
+    // being a hash/merge equi-join on the apex (the kd inequality is a
+    // post-filter) and the closing join an equi-join on (x, y)
+    val p = graft.operators.Graph.g02Plan(spark, sfDir)._1
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins degraded to a nested loop:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-k tail must not global-sort")
+  }
+
+  test("x17 pruned scan pushes the shipdate window into the picked files") {
+    // after the manifest cut, the exact predicate must STILL reach the
+    // reader as pushed filters — file pruning composes with row-group
+    // pruning, it does not replace it
+    val p = formatted("x17_manifest_pruned_scan")
+    assert(p.contains("PushedFilters"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate lower bound must be pushed, got:\n$p")
+    assert(p.contains("LessThan(l_shipdate"),
+      s"shipdate upper bound must be pushed, got:\n$p")
+  }
+
+  test("m04 frame fan-out runs narrow — Generate with zero exchanges") {
+    // the frame table is a per-payload explode: any exchange here
+    // would mean payload bytes moving between tasks
+    val p = formatted("m04_multimodal_frame_table")
+    assert(p.contains("Generate"))
+    assert(!p.contains("Exchange"),
+      s"m04 must not shuffle payloads:\n$p")
+  }
 }
