@@ -454,10 +454,53 @@ object Pipeline {
        |  CAST(phase_base + ppos - 1 AS BIGINT) AS train_pos
        |FROM pos p JOIN bb USING (phase)""".stripMargin
 
+  // p06 — the corpus report card: the per-source health dashboard a
+  // data team reads before and after every pipeline change (the
+  // datasheet/datacard statistic block) — doc volume, token volume,
+  // language mix, exact-dup pressure, size profile — in ONE pass.
+  // What each column answers: n_docs/n_tokens (how much data), n_langs
+  // + top_lang share via n_top_lang (is the source what its label
+  // claims), n_dup_docs (how much d01 would remove — exact text dups
+  // counted against the per-source distinct), chars_min/max/total
+  // (degenerate-document pressure at either tail).
+  //
+  // 100 TB shape: one corpus scan → one exchange on `source` (a
+  // handful of groups); the dup and language statistics ride the SAME
+  // aggregation as map-side partial count-distincts — no second scan,
+  // no join. All counts integer-exact.
+  private def p06(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"), col("n_chars"),
+        expr("size(filter(split(text, '\\\\s+'), s -> s != ''))")
+          .cast("long").as("n_tok"),
+        md5(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("n_tokens"),
+           countDistinct(col("lang")).as("n_langs"),
+           (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_docs"),
+           min(col("n_chars")).as("chars_min"),
+           max(col("n_chars")).as("chars_max"),
+           sum(col("n_chars")).as("chars_total"))
+
+  private val p06Sql =
+    """SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'),
+      |    s -> s <> ''))) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      |  CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dup_docs,
+      |  MIN(n_chars) AS chars_min,
+      |  MAX(n_chars) AS chars_max,
+      |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+      |FROM documents
+      |GROUP BY source""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_clean_corpus", p01, Some(p01Sql)),
     QuerySpec("p02_embedding_curation", p02, Some(p02Sql)),
     QuerySpec("p03_domain_mixing", p03, Some(p03Sql)),
     QuerySpec("p04_training_mix", p04, Some(p04Sql)),
-    QuerySpec("p05_curriculum_order", p05, Some(p05Sql)))
+    QuerySpec("p05_curriculum_order", p05, Some(p05Sql)),
+    QuerySpec("p06_corpus_report", p06, Some(p06Sql)))
 }

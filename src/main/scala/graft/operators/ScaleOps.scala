@@ -841,6 +841,87 @@ object ScaleOps {
       |  AND l_shipdate <  TIMESTAMP '1995-04-01'
       |GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x18 — snapshot reads / time travel over immutable files + versioned
+  //       manifests (the other half of the table-format story x17's
+  //       single manifest starts): version 1 commits the base file set,
+  //       version 2 commits base + appended delta files — data files
+  //       are never rewritten, a "commit" is just a new manifest row
+  //       set, and reading AS OF v resolves exactly v's file list. The
+  //       gated query reads BOTH snapshots and aggregates each, so the
+  //       result itself exhibits the isolation property: v1's numbers
+  //       are unchanged by v2's append.
+  //
+  //       100 TB shape: this is how Iceberg/Delta give O(1) snapshot
+  //       reads and concurrent append without locking — immutable data
+  //       + a metadata pointer swap. The version cut is a MAX-derived
+  //       orderkey threshold (mirrored by the oracle's subquery) so the
+  //       split is deterministic at every SF; the manifest collect is
+  //       metadata-scale (≤ X18_FILES rows), the same bounded class as
+  //       x17's planning read.
+  // ---------------------------------------------------------------------
+  private val X18_FILES = 12
+
+  // dir → (manifest path, data root)
+  private val x18Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  private[graft] def x18Stage(spark: SparkSession, dir: String): (String, String) =
+    x18Staged.computeIfAbsent(dir, _ => {
+      val root = graft.util.Scratch.dir("graft-x18-snapshots")
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val cut = li.agg(max(col("l_orderkey"))).head.getLong(0) / 2
+      li.where(col("l_orderkey") <= cut)
+        .repartition(X18_FILES * 2 / 3)
+        .write.mode("overwrite").parquet(s"$root/base")
+      li.where(col("l_orderkey") > cut)
+        .repartition(X18_FILES / 3)
+        .write.mode("overwrite").parquet(s"$root/delta")
+      def files(sub: String): Seq[String] = {
+        val d = new java.io.File(s"$root/$sub")
+        d.listFiles.toSeq.map(_.getName)
+          .filter(_.startsWith("part-")).sorted.map(n => s"$root/$sub/$n")
+      }
+      val v1 = files("base")
+      val v2 = v1 ++ files("delta")
+      import spark.implicits._
+      (v1.map((1, _)) ++ v2.map((2, _))).toDF("version", "file")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest")
+      (s"$root/manifest", root)
+    })
+
+  /** AS-OF file resolution: the file list manifest version `v` commits */
+  private[graft] def x18Snapshot(spark: SparkSession, dir: String,
+                                 v: Int): Seq[String] = {
+    val (manifest, _) = x18Stage(spark, dir)
+    spark.read.parquet(manifest) // ≤ 2·X18_FILES rows
+      .where(col("version") === v).select(col("file"))
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  private def x18(spark: SparkSession, dir: String): DataFrame = {
+    def snap(v: Int): DataFrame =
+      spark.read.parquet(x18Snapshot(spark, dir, v): _*)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("l_quantity").cast(DecimalType(18, 2)))
+               .cast(DoubleType).as("sum_qty"))
+        .select(lit(v).as("version"), col("l_returnflag"),
+                col("n_rows"), col("sum_qty"))
+    snap(1).unionByName(snap(2))
+  }
+
+  private val x18Sql =
+    """WITH s AS (SELECT MAX(l_orderkey) // 2 AS cut FROM lineitem)
+      |SELECT 1 AS version, l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem, s WHERE l_orderkey <= s.cut GROUP BY 2
+      |UNION ALL
+      |SELECT 2 AS version, l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY 2""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -858,5 +939,6 @@ object ScaleOps {
     QuerySpec("x14_incremental_agg", x14, Some(x14Sql)),
     QuerySpec("x15_kmv_distinct_sketch", x15, Some(x15Sql)),
     QuerySpec("x16_scd2_apply", x16, Some(x13Sql)),
-    QuerySpec("x17_manifest_pruned_scan", x17, Some(x17Sql)))
+    QuerySpec("x17_manifest_pruned_scan", x17, Some(x17Sql)),
+    QuerySpec("x18_snapshot_time_travel", x18, Some(x18Sql)))
 }

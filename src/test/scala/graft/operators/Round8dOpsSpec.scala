@@ -65,6 +65,36 @@ class Round8dOpsSpec extends AnyFunSuite {
     assert(img == 1)
   }
 
+  test("x18 snapshots are nested file sets and v1 ignores v2's append") {
+    val v1 = ScaleOps.x18Snapshot(spark, sfDir, 1)
+    val v2 = ScaleOps.x18Snapshot(spark, sfDir, 2)
+    assert(v1.nonEmpty && v2.size > v1.size,
+      "v2 must append files to v1's set")
+    assert(v1.toSet.subsetOf(v2.toSet),
+      "append-only commits: v1's files must all survive into v2")
+    // snapshot isolation: reading AS OF v1 after v2 exists returns
+    // exactly the pre-append rows
+    val out = SparkEntry.queries("x18_snapshot_time_travel")(spark, sfDir)
+    val n1 = out.where(col("version") === 1)
+      .agg(sum(col("n_rows"))).collect().head.getLong(0)
+    val n2 = out.where(col("version") === 2)
+      .agg(sum(col("n_rows"))).collect().head.getLong(0)
+    assert(n1 < n2, s"v1 ($n1 rows) must be a strict subset of v2 ($n2)")
+  }
+
+  test("p06 report internals are mutually consistent") {
+    val r = SparkEntry.queries("p06_corpus_report")(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val (docs, dups) =
+        (row.getAs[Long]("n_docs"), row.getAs[Long]("n_dup_docs"))
+      assert(dups >= 0 && dups < docs)
+      assert(row.getAs[Long]("chars_min") <= row.getAs[Long]("chars_max"))
+      assert(row.getAs[Long]("chars_total") >= row.getAs[Long]("chars_max"))
+      assert(row.getAs[Long]("n_langs") >= 1)
+    }
+  }
+
   test("w16 drained streaming sketch equals the batch x15 estimate") {
     // the k smallest of a union is slicing-independent, so the stream's
     // final state must coincide with the batch sketch over the same rows
