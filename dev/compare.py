@@ -39,6 +39,9 @@ def canon(rows, cols):
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    # optional 3rd arg: comma-separated query-name filter, matching
+    # graft.Verify's own filter arg (debug runs of a few queries)
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -46,6 +49,8 @@ def main():
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")

@@ -1045,6 +1045,48 @@ object Similarity {
        |  FROM s) t
        |WHERE rnk <= $TOP_K""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s10 — ANN recall evaluation (the harness that licenses every
+  //       approximate index in this family): per-query recall@k of the
+  //       LSH probe (s02) against the exact baseline (s01) — the
+  //       number a team reads BEFORE shipping an index config, and the
+  //       regression gate they re-run when the corpus drifts. Output
+  //       is per-query (k, hits, integer recall %), so a recall
+  //       regression names the query that lost its neighbors instead
+  //       of hiding inside an average.
+  //
+  //       100 TB shape: both sides reuse their own pipelines untouched
+  //       (whatever those cost is the price of evaluating them — and
+  //       the eval runs on a SAMPLE of queries by construction,
+  //       N_QUERIES, never the corpus); the comparison itself joins
+  //       two O(queries·k) result sets — metadata-scale. Recall is
+  //       integer percent (hits·100 div k), exact in both engines.
+  // ---------------------------------------------------------------------
+  private def s10(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s01(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = s02(spark, dir).select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("k"), col("n_hits"),
+        expr("CAST(n_hits * 100 div k AS BIGINT)").as("recall_pct"))
+  }
+
+  /** the two result sets' own oracle SQL, nested as subqueries — the
+    * recall arithmetic on top is pure integer aggregation */
+  private val s10Sql =
+    s"""SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS k,
+       |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(a.neighbor_id) * 100 // COUNT(*) AS BIGINT)
+       |    AS recall_pct
+       |FROM (
+       |$s01Sql
+       |) e LEFT JOIN (
+       |$s02Sql
+       |) a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY 1""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("s01_knn_bruteforce", s01, Some(s01Sql)),
     QuerySpec("s02_knn_lsh", s02, Some(s02Sql)),
@@ -1054,5 +1096,6 @@ object Similarity {
     QuerySpec("s06_kmeans", s06, Some(s06Sql)),
     QuerySpec("s07_knn_pq_adc", s07, Some(s07Sql)),
     QuerySpec("s08_knn_sq8_rerank", s08, Some(s08Sql)),
-    QuerySpec("s09_maxsim_late_interaction", s09, Some(s09Sql)))
+    QuerySpec("s09_maxsim_late_interaction", s09, Some(s09Sql)),
+    QuerySpec("s10_ann_recall", s10, Some(s10Sql)))
 }

@@ -95,6 +95,22 @@ class Round8dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("s10 reports bounded per-query recall over the full query sample") {
+    val r = SparkEntry.queries("s10_ann_recall")(spark, sfDir).collect()
+    assert(r.length == 10, "one row per query vector")
+    r.foreach { row =>
+      val (k, hits, pct) = (row.getAs[Long]("k"),
+        row.getAs[Long]("n_hits"), row.getAs[Long]("recall_pct"))
+      assert(k == 5)
+      assert(hits >= 0 && hits <= k)
+      assert(pct == hits * 100 / k)
+    }
+    // the LSH index only earns its place if it finds SOMETHING: demand
+    // nonzero aggregate recall on the fixture (a 0 here means the
+    // bucketing broke, not that the corpus got unlucky)
+    assert(r.map(_.getAs[Long]("n_hits")).sum > 0)
+  }
+
   test("w16 drained streaming sketch equals the batch x15 estimate") {
     // the k smallest of a union is slicing-independent, so the stream's
     // final state must coincide with the batch sketch over the same rows
