@@ -159,6 +159,11 @@ object Bench {
     // delta-merge refresh, not the one-off base build
     graft.operators.ScaleOps.x14Stage(spark, sfDir)
     graft.operators.ScaleOps.x16Stage(spark, sfDir)
+    // x17's clustered layout + manifest and x18's versioned snapshots:
+    // write-once table-format metadata — the gate times planning +
+    // pruned reads, not the layout build
+    graft.operators.ScaleOps.x17Stage(spark, sfDir)
+    graft.operators.ScaleOps.x18Stage(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
