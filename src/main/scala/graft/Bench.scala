@@ -164,6 +164,7 @@ object Bench {
     // pruned reads, not the layout build
     graft.operators.ScaleOps.x17Stage(spark, sfDir)
     graft.operators.ScaleOps.x18Stage(spark, sfDir)
+    graft.operators.ScaleOps.x19Stage(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

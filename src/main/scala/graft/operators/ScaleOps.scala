@@ -922,6 +922,57 @@ object ScaleOps {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x19 — small-file COMPACTION as a rewrite commit (the OPTIMIZE /
+  //       rewrite_data_files operation; completes the table-format
+  //       trio with x17's pruning manifest and x18's snapshots): the
+  //       delta's small files rewrite into one right-sized file and a
+  //       new manifest version commits base + compacted in place of
+  //       base + fragments — contents identical, file count smaller.
+  //       Small files are THE silent killer of 100 TB scans (per-file
+  //       open/footer/seek costs dwarf row work once files shrink below
+  //       ~100 MB; streaming ingestion produces exactly such fragments
+  //       continuously), and because data files are immutable, the
+  //       rewrite is a background job + an atomic metadata swap —
+  //       readers on v2 never block.
+  //
+  //       The gated query reads the COMPACTED snapshot; its oracle is
+  //       the plain full-table aggregate — a rewrite may never change
+  //       results. Round8dOpsSpec pins the part that the value hash
+  //       can't see: strictly fewer files than v2, same rows.
+  // ---------------------------------------------------------------------
+  // dir → (v2 file list, v3 = compacted file list)
+  private val x19Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[String], Seq[String])]()
+
+  private[graft] def x19Stage(spark: SparkSession, dir: String): (Seq[String], Seq[String]) =
+    x19Staged.computeIfAbsent(dir, _ => {
+      val (_, root) = x18Stage(spark, dir)
+      val v1 = x18Snapshot(spark, dir, 1)
+      val v2 = x18Snapshot(spark, dir, 2)
+      val fragments = v2.diff(v1)
+      spark.read.parquet(fragments: _*).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/compact")
+      val compacted = new java.io.File(s"$root/compact").listFiles.toSeq
+        .map(_.getName).filter(_.startsWith("part-")).sorted
+        .map(n => s"$root/compact/$n")
+      (v2, v1 ++ compacted)
+    })
+
+  private def x19(spark: SparkSession, dir: String): DataFrame = {
+    val (_, v3) = x19Stage(spark, dir)
+    spark.read.parquet(v3: _*)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("l_quantity").cast(DecimalType(18, 2)))
+             .cast(DoubleType).as("sum_qty"))
+  }
+
+  private val x19Sql =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -940,5 +991,6 @@ object ScaleOps {
     QuerySpec("x15_kmv_distinct_sketch", x15, Some(x15Sql)),
     QuerySpec("x16_scd2_apply", x16, Some(x13Sql)),
     QuerySpec("x17_manifest_pruned_scan", x17, Some(x17Sql)),
-    QuerySpec("x18_snapshot_time_travel", x18, Some(x18Sql)))
+    QuerySpec("x18_snapshot_time_travel", x18, Some(x18Sql)),
+    QuerySpec("x19_compaction_rewrite", x19, Some(x19Sql)))
 }

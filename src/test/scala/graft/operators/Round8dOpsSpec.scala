@@ -95,6 +95,19 @@ class Round8dOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("x19 compaction shrinks the file set without changing the rows") {
+    val (v2, v3) = ScaleOps.x19Stage(spark, sfDir)
+    assert(v3.length < v2.length,
+      s"compaction must reduce files: v2=${v2.length} v3=${v3.length}")
+    val before = spark.read.parquet(v2: _*)
+    val after = spark.read.parquet(v3: _*)
+    assert(before.count() == after.count())
+    assert(rows(before.groupBy(col("l_returnflag"))
+             .agg(sum(col("l_orderkey")).as("s"))) ==
+           rows(after.groupBy(col("l_returnflag"))
+             .agg(sum(col("l_orderkey")).as("s"))))
+  }
+
   test("s10 reports bounded per-query recall over the full query sample") {
     val r = SparkEntry.queries("s10_ann_recall")(spark, sfDir).collect()
     assert(r.length == 10, "one row per query vector")
