@@ -25,15 +25,12 @@ object GraftFunctions {
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // float/double arrays are read in place by DotProductD; any other
     // numeric array (SQL int literals, etc.) still routes through a cast.
-    // Known asymmetry (round-7 advisor): the in-place fast path fires
-    // only when the argument is already resolved at builder invocation —
-    // in practice ResolveFunctions invokes builders on resolved children,
-    // so SQL over real float columns takes it; an unresolved argument
-    // falls back to the unconditional Cast, which Catalyst simplifies
-    // away for array<double> but MATERIALIZES for array<float> (a per-row
-    // copy the DataFrame path — VectorFunctions.dot — never pays). If a
-    // SQL caller's plan shows a Cast above a float column here, route
-    // hot-path code through the DataFrame API.
+    // When the argument is unresolved at builder invocation the builder
+    // must insert an unconditional Cast (it cannot see the type yet) —
+    // the round-7 advisor's asymmetry. plans.StripDotCast (injected by
+    // both registration routes) removes that cast post-resolution when
+    // the child is already array<float|double>, so the SQL route pays
+    // the same zero-copy cost as the DataFrame route.
     "graft_dot" -> ((es: Seq[Expression]) => {
       def prep(e: Expression) = e match {
         case e if e.resolved => e.dataType match {
@@ -49,20 +46,29 @@ object GraftFunctions {
     "graft_simhash32" -> ((es: Seq[Expression]) => SimHash32(es.head)),
     "graft_simhash64" -> ((es: Seq[Expression]) => SimHash64(es.head)))
 
-  /** runtime registration on an existing session */
-  def register(spark: SparkSession): Unit =
+  /** runtime registration on an existing session: the SQL functions
+    * plus the cast-stripping optimizer rule (same pair the extensions
+    * route injects) */
+  def register(spark: SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       ColumnBridge.registerTempFunction(spark, name, b)
     }
+    if (!spark.experimental.extraOptimizations
+          .contains(graft.plans.StripDotCast))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.StripDotCast
+  }
 }
 
 /** `spark.sql.extensions` entry point. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.builders.foreach { case (name, b) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[DotProductD].getName, name),
         b))
     }
+    e.injectOptimizerRule(_ => graft.plans.StripDotCast)
+  }
 }

@@ -436,6 +436,33 @@ class PlanSpec extends AnyFunSuite {
       s"shipdate upper bound must be pushed, got:\n$p")
   }
 
+  test("SQL-route graft_dot reads float arrays in place (cast stripped)") {
+    // the round-7 advisor's asymmetry: the SQL builder wraps unresolved
+    // args in cast(array<float> → array<double>), which would
+    // materialize a fresh double array per row — StripDotCast must
+    // remove it so spark.sql callers pay the DataFrame route's
+    // zero-copy cost, with bit-identical results (float widening is
+    // exact per element)
+    GraftFunctions.register(spark)
+    val df = spark.sql(
+      s"SELECT vec_id, graft_dot(embedding, embedding) AS d " +
+        s"FROM parquet.`$sfDir/embeddings.parquet`")
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("dotproductd") || opt.toLowerCase.contains("dot"),
+      s"expected the dot expression in:\n$opt")
+    assert(!opt.toLowerCase.contains("cast(embedding"),
+      s"the float-array cast survived optimization:\n$opt")
+    // equality with the DataFrame route on a sample row
+    import org.apache.spark.sql.functions.col
+    val sqlRow = df.where(col("vec_id") === 0).collect().head.getDouble(1)
+    val dfRow = graft.Tables.load(spark, sfDir, "embeddings")
+      .where(col("vec_id") === 0)
+      .select(graft.functions.VectorFunctions.dot(
+        col("embedding"), col("embedding")).as("d"))
+      .collect().head.getDouble(0)
+    assert(sqlRow == dfRow)
+  }
+
   test("m04 frame fan-out runs narrow — Generate with zero exchanges") {
     // the frame table is a per-payload explode: any exchange here
     // would mean payload bytes moving between tasks
