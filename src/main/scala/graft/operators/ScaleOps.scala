@@ -973,6 +973,38 @@ object ScaleOps {
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x20 — custom BATCH DataSourceV2 connector with pushdown (the
+  //       library-author surface a storage integration implements —
+  //       sources.SeqSourceProvider, the batch counterpart to the
+  //       streaming ms-rate source): range predicates on `id` absorb
+  //       into the scan itself (out-of-range partitions are never
+  //       planned; in-range partitions iterate only their ids) and
+  //       column pruning reaches row materialization. The table is a
+  //       pure function of id via x15's portable integer mixer, so the
+  //       oracle reproduces it from generate_series — proving the
+  //       pushdown handled its filters EXACTLY, with no post-scan
+  //       re-check. PlanSpec pins that the v2 scan carries the pushed
+  //       range and plans only the in-range partition subset.
+  // ---------------------------------------------------------------------
+  private val X20_N = 100000L
+  private val X20_LO = 25000L
+  private val X20_HI = 75000L
+
+  private def x20(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-seq").option("n", X20_N).load()
+      .where(col("id") >= X20_LO && col("id") < X20_HI)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("val")).as("sum_val"))
+
+  private val x20Sql =
+    s"""SELECT 't' || CAST(i % 7 AS VARCHAR) AS tag,
+       |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(SUM(${graft.sources.SeqSourceProvider.mixSql("i")})
+       |    AS BIGINT) AS sum_val
+       |FROM generate_series($X20_LO, ${X20_HI - 1}) t(i)
+       |GROUP BY 1""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -992,5 +1024,6 @@ object ScaleOps {
     QuerySpec("x16_scd2_apply", x16, Some(x13Sql)),
     QuerySpec("x17_manifest_pruned_scan", x17, Some(x17Sql)),
     QuerySpec("x18_snapshot_time_travel", x18, Some(x18Sql)),
-    QuerySpec("x19_compaction_rewrite", x19, Some(x19Sql)))
+    QuerySpec("x19_compaction_rewrite", x19, Some(x19Sql)),
+    QuerySpec("x20_custom_source_pushdown", x20, Some(x20Sql)))
 }
