@@ -287,28 +287,44 @@ object Graph {
   //       fixed point as unrolled CTEs.
   //
   //       100 TB shape: the event log collapses to DISTINCT (type,
-  //       hour, user) rows in one exchange; the pair generation is a
-  //       self-join WITHIN activity buckets — Σ bucket² work, bounded
-  //       by bucket size not corpus size (a skew-heavy deployment caps
-  //       or salts its hottest buckets, the d02 df-cap analog). Each
-  //       LPA round is graph-sized: one join of (node, label) to the
-  //       edge list, one exchange onto (node, label) for the vote sum,
-  //       and a KEY-PARTITIONED window for the argmax — per-task
-  //       memory bounded by one node's candidate labels, never a
-  //       global sort. Edges cache across rounds and unpersist behind
-  //       the truncated result.
+  //       hour, user) rows in one exchange; pair generation is a
+  //       self-join within activity buckets, CAPPED by LPA_SUB-member
+  //       sub-buckets (p02's SemDeDup cap applied to the event side —
+  //       the ×16 densified probe measured the uncapped self-join at
+  //       110 s where the capped one stays linear): bucket members
+  //       rank by user_id, only same-sub-bucket pairs meet, so a
+  //       mega-bucket costs O(size·LPA_SUB) pairs instead of size².
+  //       The gate corpora's buckets (≤10 users) sit inside one
+  //       sub-bucket, so the cap provably changes nothing there (a
+  //       spec pins cap→∞ equality). Each LPA round is graph-sized:
+  //       one join of (node, label) to the edge list, one exchange
+  //       onto (node, label) for the vote sum, and a KEY-PARTITIONED
+  //       window for the argmax — per-task memory bounded by one
+  //       node's candidate labels, never a global sort. Edges cache
+  //       across rounds and unpersist behind the truncated result.
   // ---------------------------------------------------------------------
   private val LPA_MIN_W = 3L
   private val LPA_ITERS = 3
   private val LPA_TOP = 100
+  private val LPA_SUB = 16
 
-  private def g03(spark: SparkSession, dir: String): DataFrame = {
+  private def g03(spark: SparkSession, dir: String): DataFrame =
+    g03Communities(spark, dir, LPA_SUB)
+
+  /** cap-parameterized entry so the spec can pin that the production
+    * cap is inactive on the gate corpora (cap→∞ equality) */
+  private[graft] def g03Communities(spark: SparkSession, dir: String,
+                                    sub: Int): DataFrame = {
     val b = Tables.events(spark, dir)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("h"),
               col("user_id")).distinct()
+      .withColumn("sub", expr(
+        s"CAST((row_number() OVER (PARTITION BY event_type, h" +
+          s" ORDER BY user_id) - 1) div $sub AS INT)"))
     val und = b.as("a").join(b.as("b2"),
         col("a.event_type") === col("b2.event_type") &&
         col("a.h") === col("b2.h") &&
+        col("a.sub") === col("b2.sub") &&
         col("a.user_id") < col("b2.user_id"))
       .groupBy(col("a.user_id").as("u"), col("b2.user_id").as("v"))
       .agg(count(lit(1)).as("w"))
@@ -350,13 +366,18 @@ object Graph {
          |    SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
          |      ORDER BY vw DESC, lbl) AS rn FROM v$i) t
          |  WHERE rn = 1)""".stripMargin
-    s"""WITH b AS (
+    s"""WITH b0 AS (
        |  SELECT DISTINCT event_type, date_trunc('hour', ts) AS h, user_id
        |  FROM events),
+       |b AS (
+       |  SELECT event_type, h, user_id,
+       |    CAST((ROW_NUMBER() OVER (PARTITION BY event_type, h
+       |      ORDER BY user_id) - 1) // $LPA_SUB AS INT) AS sub
+       |  FROM b0),
        |und AS (
        |  SELECT a.user_id AS u, b2.user_id AS v,
        |    CAST(COUNT(*) AS BIGINT) AS w
-       |  FROM b a JOIN b b2 USING (event_type, h)
+       |  FROM b a JOIN b b2 USING (event_type, h, sub)
        |  WHERE a.user_id < b2.user_id
        |  GROUP BY 1, 2 HAVING COUNT(*) >= $LPA_MIN_W),
        |e2 AS (

@@ -86,4 +86,13 @@ class Round8cOpsSpec extends AnyFunSuite {
     val b = rows(SparkEntry.queries("g03_label_propagation")(spark, sfDir))
     assert(a == b)
   }
+
+  test("g03's sub-bucket cap is inactive on the gate corpus") {
+    // the cap only prunes pairs inside buckets LARGER than the cap; the
+    // gate corpus's buckets all fit inside one sub-bucket, so capped
+    // and uncapped communities must coincide exactly
+    val capped = rows(Graph.g03Communities(spark, sfDir, 16))
+    val uncapped = rows(Graph.g03Communities(spark, sfDir, 1000000))
+    assert(capped == uncapped)
+  }
 }
