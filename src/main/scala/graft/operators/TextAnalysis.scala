@@ -996,6 +996,89 @@ object TextAnalysis {
        |  FROM s) t
        |WHERE rnk <= $T18_TOP""".stripMargin
 
+  // t19 — vocabulary DRIFT detection (the data-quality monitor a
+  // pipeline runs between crawls / between train and validation
+  // splits): two-sample χ² per word across the corpus's doc_id halves,
+  // ranked by divergence — the statistic that answers "did the token
+  // distribution move, and which words moved it". The split is the
+  // MAX-derived doc_id cut (d11's `half` convention), deterministic at
+  // every SF.
+  //
+  // Determinism: χ² for the word's 2×2 table (a=o1, b=o2, c=N1−o1,
+  // d=N2−o2) is N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — computed as the
+  // SCALED-INTEGER ratio chi2_micro with all products routed through
+  // DECIMAL(38,0)/HUGEINT (the t18 discipline), so both engines emit
+  // bit-identical scores. Headroom mirrors t18: 38 digits hold the
+  // numerator to ~10^6-token halves per word at corpus sizes ~10^9
+  // tokens; past that decimate counts by a common power of two (the
+  // statistic is scale-covariant, the RANKING survives decimation).
+  //
+  // 100 TB shape: one corpus scan → one exchange onto the bounded word
+  // space with the half-split folded into conditional partial sums
+  // (map-side combine); totals are a 1-row aggregate over the count
+  // table, broadcast; the tail is TakeOrderedAndProject.
+  private val T19_MIN = 5L
+  private val T19_TOP = 50
+  private val T19_SCALE = 1000000L
+
+  private def t19(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val cutDf = docs.agg(expr("(MAX(doc_id) + 1) div 2").as("cut"))
+    val words = docs.crossJoin(broadcast(cutDf))
+      .select(expr("filter(split(text, '\\\\s+'), s -> s != '')").as("tk"),
+              (col("doc_id") < col("cut")).as("first_half"))
+      .select(explode(col("tk")).as("w"), col("first_half"))
+    val counts = words.groupBy(col("w"))
+      .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("o1"),
+           sum(when(col("first_half"), 0L).otherwise(1L)).as("o2"))
+    val totals = counts.agg(sum(col("o1")).as("n1"), sum(col("o2")).as("n2"))
+    counts.where(col("o1") + col("o2") >= T19_MIN)
+      .crossJoin(broadcast(totals))
+      .withColumn("chi2_micro", expr(
+        s"""CAST(((n1 + n2) * CAST($T19_SCALE AS DECIMAL(38,0))
+           | * (o1 * (n2 - o2) - o2 * (n1 - o1))
+           | * (o1 * (n2 - o2) - o2 * (n1 - o1)))
+           | div (CAST(o1 + o2 AS DECIMAL(38,0))
+           |   * (n1 - o1 + n2 - o2) * n1 * n2) AS BIGINT)"""
+          .stripMargin.replaceAll("\n", " ")))
+      .orderBy(col("chi2_micro").desc, col("w")).limit(T19_TOP)
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("chi2_micro").desc, col("w"))))
+      .select(col("rnk"), col("w"), col("o1"), col("o2"), col("chi2_micro"))
+  }
+
+  private val t19Sql =
+    s"""WITH cut AS (
+       |  SELECT (MAX(doc_id) + 1) // 2 AS cut FROM documents),
+       |words AS (
+       |  SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+       |    s -> s <> '')) AS w, doc_id < cut.cut AS first_half
+       |  FROM documents CROSS JOIN cut),
+       |counts AS (
+       |  SELECT w,
+       |    CAST(SUM(CASE WHEN first_half THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+       |    CAST(SUM(CASE WHEN first_half THEN 0 ELSE 1 END) AS BIGINT) AS o2
+       |  FROM words GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(o1) AS BIGINT) AS n1, CAST(SUM(o2) AS BIGINT) AS n2
+       |  FROM counts),
+       |s AS (
+       |  SELECT w, o1, o2,
+       |    CAST(((n1 + n2) * CAST($T19_SCALE AS HUGEINT)
+       |      * (o1 * (n2 - o2) - o2 * (n1 - o1))
+       |      * (o1 * (n2 - o2) - o2 * (n1 - o1)))
+       |      // (CAST(o1 + o2 AS HUGEINT)
+       |        * (n1 - o1 + n2 - o2) * n1 * n2) AS BIGINT) AS chi2_micro
+       |  FROM counts CROSS JOIN tot
+       |  WHERE o1 + o2 >= $T19_MIN)
+       |SELECT rnk, w, o1, o2, chi2_micro FROM (
+       |  SELECT w, o1, o2, chi2_micro,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY chi2_micro DESC, w) AS INT)
+       |      AS rnk
+       |  FROM s) t
+       |WHERE rnk <= $T19_TOP""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("t01_token_stats", t01, Some(t01Sql)),
     QuerySpec("t02_quality_score", t02, Some(t02Sql)),
@@ -1014,5 +1097,6 @@ object TextAnalysis {
     QuerySpec("t15_dsir_pretrained", t15, Some(t13Sql)),
     QuerySpec("t16_bpe_pair_counts", t16, Some(t16Sql)),
     QuerySpec("t17_bpe_merge_loop", t17, Some(t17Sql)),
-    QuerySpec("t18_pmi_collocations", t18, Some(t18Sql)))
+    QuerySpec("t18_pmi_collocations", t18, Some(t18Sql)),
+    QuerySpec("t19_vocab_drift", t19, Some(t19Sql)))
 }

@@ -87,6 +87,23 @@ class Round8cOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("t19 drift scores are nonnegative, ranked, over min-count words") {
+    val r = SparkEntry.queries("t19_vocab_drift")(spark, sfDir)
+      .orderBy(col("rnk")).collect()
+    assert(r.nonEmpty && r.length <= 50)
+    assert(r.map(_.getAs[Int]("rnk")).toSeq == (1 to r.length))
+    val scores = r.map(_.getAs[Long]("chi2_micro")).toSeq
+    assert(scores == scores.sorted.reverse, "rnk must follow chi2 desc")
+    assert(scores.forall(_ >= 0), "chi-squared is a squared statistic")
+    assert(r.forall(x => x.getAs[Long]("o1") + x.getAs[Long]("o2") >= 5L))
+  }
+
+  test("t19 is deterministic across runs (integer arithmetic)") {
+    val a = rows(SparkEntry.queries("t19_vocab_drift")(spark, sfDir))
+    val b = rows(SparkEntry.queries("t19_vocab_drift")(spark, sfDir))
+    assert(a == b)
+  }
+
   test("g03's sub-bucket cap is inactive on the gate corpus") {
     // the cap only prunes pairs inside buckets LARGER than the cap; the
     // gate corpus's buckets all fit inside one sub-bucket, so capped
