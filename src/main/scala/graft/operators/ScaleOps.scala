@@ -1005,6 +1005,37 @@ object ScaleOps {
        |FROM generate_series($X20_LO, ${X20_HI - 1}) t(i)
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x21 — NATIVE as-of join via the whole-operator extension route
+  //       (plans.AsOfJoin: custom LogicalPlan + injected SparkStrategy
+  //       + SparkPlan — preference-order (c), the one extension surface
+  //       the composed x05 doesn't exercise): same semantics as x05
+  //       (each error matched to the user's latest purchase at-or-
+  //       before it), same oracle SQL (DuckDB native ASOF), but planned
+  //       as a sort-merge as-of — one hash exchange + one sort per
+  //       side (declared through requiredChildDistribution/Ordering;
+  //       EnsureRequirements inserts them), then a single forward
+  //       merge pass per partition holding ONE candidate row of state.
+  //       The two sides read the base table independently so each
+  //       carries its own attribute ids (the self-join hygiene a
+  //       custom binary node owes the analyzer).
+  // ---------------------------------------------------------------------
+  private def x21(spark: SparkSession, dir: String): DataFrame = {
+    val errors = Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user_id"),
+              col("ts").as("purchase_ts"))
+    graft.plans.AsOf.join(errors, purchases,
+        leftKey = "user_id", rightKey = "p_user_id",
+        leftTs = "ts", rightTs = "purchase_ts", rightTie = "purchase_id")
+      .select(col("event_id"), col("user_id"), col("ts"),
+              col("purchase_id"), col("purchase_ts"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -1025,5 +1056,6 @@ object ScaleOps {
     QuerySpec("x17_manifest_pruned_scan", x17, Some(x17Sql)),
     QuerySpec("x18_snapshot_time_travel", x18, Some(x18Sql)),
     QuerySpec("x19_compaction_rewrite", x19, Some(x19Sql)),
-    QuerySpec("x20_custom_source_pushdown", x20, Some(x20Sql)))
+    QuerySpec("x20_custom_source_pushdown", x20, Some(x20Sql)),
+    QuerySpec("x21_native_asof_join", x21, Some(x05Sql)))
 }

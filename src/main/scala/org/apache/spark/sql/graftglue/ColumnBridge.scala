@@ -25,6 +25,16 @@ object ColumnBridge {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
 
+  /** Wrap a custom logical plan as a DataFrame (the classic
+    * Dataset.ofRows, private[sql] in Spark 4) — the invocation route
+    * for library-defined logical operators planned by an injected
+    * strategy. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Eagerly unload every loaded state-store provider (they otherwise
     * stay resident until the ~60 s maintenance cycle — between a
     * stopped streaming query and a latency-sensitive batch phase that
