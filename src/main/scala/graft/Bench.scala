@@ -327,14 +327,27 @@ object Bench {
     // prefixed-2-decimal line past 1800, so the precision steps buy
     // headroom for ~40 more queries before names would need truncating;
     // the full-precision line is always in target/bench.json.
-    val seen = scala.collection.mutable.Map.empty[String, Int]
-    lazy val prefixed = results.map { case (k, v) =>
-      val p = k.takeWhile(_ != '_')
-      val n = seen.updateWith(p)(c => Some(c.getOrElse(0) + 1)).get
-      (if (n == 1) p else s"$p-$n") -> v
+    def dedup(rs: Seq[(String, Double)]): Seq[(String, Double)] = {
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      rs.map { case (k, v) =>
+        val n = seen.updateWith(k)(c => Some(c.getOrElse(0) + 1)).get
+        (if (n == 1) k else s"$k-$n") -> v
+      }
     }
+    lazy val prefixed = dedup(results.map { case (k, v) =>
+      k.takeWhile(_ != '_') -> v })
+    // final step: strip the zero-padding from the family index
+    // ("q01" → "q1") — ~1 char × registry size, which is what moved
+    // the 117-query line back under budget
+    lazy val shortPrefixed = dedup(results.map { case (k, v) =>
+      val p = k.takeWhile(_ != '_')
+      val (alpha, digits) = p.span(!_.isDigit)
+      val d = digits.dropWhile(_ == '0')
+      (alpha + (if (digits.nonEmpty && d.isEmpty) "0" else d)) -> v
+    })
     val candidates =
-      (results, 2) #:: LazyList.from(Seq(2, 1, 0).map(d => (prefixed, d)))
+      (results, 2) #:: LazyList.from(
+        Seq(2, 1, 0).map(d => (prefixed, d)) :+ ((shortPrefixed, 0)))
     val last = candidates
       .map { case (rs, d) =>
         jsonLine(rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, d) }
