@@ -131,7 +131,16 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val out = s"/tmp/graft-scale-x$factor"
-    amplify(spark, "/root/testdata/sf0.1", out, factor)
+    // amplification is ~minutes at x16 and deterministic — reuse a
+    // completed corpus across probe invocations (the marker lands only
+    // after every table is written, so a killed run re-amplifies)
+    val marker = java.nio.file.Paths.get(s"$out/.complete")
+    if (java.nio.file.Files.exists(marker))
+      println(s"SCALEPROBE x$factor reusing amplified corpus at $out")
+    else {
+      amplify(spark, "/root/testdata/sf0.1", out, factor)
+      java.nio.file.Files.writeString(marker, "ok")
+    }
     // warmup (JVM/codegen)
     SparkEntry.queries("q14_wordcount")(spark, out).count()
     val results = ops.map { name =>
