@@ -626,11 +626,32 @@ object ScaleOps {
   private[operators] val KMV_M1 = 2654435761L // Knuth multiplicative (odd)
   private[operators] val KMV_M2 = 1540483477L // MurmurHash-lineage constant (odd)
   private[operators] val KMV_MOD = 4294967296L // 2^32
+  // (M1 · 2^16) mod 2^32 — the high-half factor of the split multiply
+  private[operators] val KMV_C1 = (KMV_M1 << 16) % KMV_MOD // 2041839616
 
-  /** the shared hash text: identical integer expression in both engines
-    * (max intermediate ≈ 2^32·M2 ≈ 6.6e18 < 2^63) */
-  private[operators] def kmvHash(key: Column): Column =
-    (((key * KMV_M1) % KMV_MOD) * KMV_M2 + 12345L) % KMV_MOD
+  /** The shared hash text: identical integer expression in both
+    * engines, for NONNEGATIVE keys of any BIGINT magnitude. Round 1
+    * is a SPLIT 32×32→mod-2^32 multiply — (kl·M1 + kh·(M1·2^16 mod
+    * 2^32)) mod 2^32 with k = key mod 2^32 split at 16 bits — because
+    * the naive key·M1 overflows Int64 (an ANSI runtime throw) once
+    * keys pass ~3.4e9: the ×16 amplified probe's offset orderkeys
+    * found exactly that. Congruence mod 2^32 makes the split form
+    * equal to the naive one wherever the naive one was defined, so
+    * gate results are bit-identical. Max intermediates: round 1
+    * ≈ 3.1e14, round 2 ≈ 2^32·M2 ≈ 6.6e18 — both < 2^63. */
+  private[operators] def kmvHash(key: Column): Column = {
+    val k = key % KMV_MOD
+    val mixed =
+      (k.bitwiseAND(lit(65535L)) * KMV_M1 +
+        shiftright(k, 16) * KMV_C1) % KMV_MOD
+    (mixed * KMV_M2 + 12345L) % KMV_MOD
+  }
+
+  /** the same hash as oracle SQL text over a column/expression */
+  private[operators] def kmvHashSql(key: String): String =
+    s"((((($key % $KMV_MOD) % 65536) * $KMV_M1" +
+      s" + (($key % $KMV_MOD) // 65536) * $KMV_C1) % $KMV_MOD)" +
+      s" * $KMV_M2 + 12345) % $KMV_MOD"
 
   private def x15(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -669,8 +690,7 @@ object ScaleOps {
   private val x15Sql =
     s"""WITH h AS (
        |  SELECT DISTINCT l_returnflag AS flag,
-       |    (((l_orderkey * $KMV_M1) % $KMV_MOD) * $KMV_M2 + 12345)
-       |      % $KMV_MOD AS hv
+       |    ${kmvHashSql("l_orderkey")} AS hv
        |  FROM lineitem),
        |r AS (
        |  SELECT flag, hv,

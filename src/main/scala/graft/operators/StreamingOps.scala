@@ -877,8 +877,7 @@ object StreamingOps {
   private val w16Sql =
     s"""WITH h AS (
        |  SELECT DISTINCT l_returnflag AS flag,
-       |    (((l_orderkey * ${ScaleOps.KMV_M1}) % ${ScaleOps.KMV_MOD})
-       |      * ${ScaleOps.KMV_M2} + 12345) % ${ScaleOps.KMV_MOD} AS hv
+       |    ${ScaleOps.kmvHashSql("l_orderkey")} AS hv
        |  FROM lineitem),
        |r AS (
        |  SELECT flag, hv,
