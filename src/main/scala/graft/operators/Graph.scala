@@ -71,7 +71,12 @@ object Graph {
       val inflow = edges
         .join(ranks.withColumnRenamed("node", "a"), Seq("a"))
         .join(outW, Seq("a"))
-        .select(col("b").as("node"), expr("(r * w) div wout").as("c"))
+        // DECIMAL(38,0) product: r ≤ SCALE (1e12) and a hot bigram's w
+        // can reach ~1e10 on a web corpus — the Int64 product would
+        // overflow at ~1e22 (the KMV mixer's lesson, applied here);
+        // the quotient is ≤ r, so the result stays BIGINT
+        .select(col("b").as("node"),
+          expr("(CAST(r AS DECIMAL(38,0)) * w) div wout").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("inflow"))
       ranks = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
@@ -92,7 +97,8 @@ object Graph {
     def contribCte(c: String, rPrev: String) =
       s"""$c AS (
          |  SELECT e.b AS node,
-         |    CAST(SUM((r.r * e.w) // ow.wout) AS BIGINT) AS inflow
+         |    CAST(SUM((CAST(r.r AS HUGEINT) * e.w) // ow.wout) AS BIGINT)
+         |      AS inflow
          |  FROM e JOIN $rPrev r ON e.a = r.node JOIN ow ON e.a = ow.a
          |  GROUP BY 1)""".stripMargin
     def rankCte(rNext: String, c: String) =
