@@ -115,19 +115,10 @@ object Bench {
     // recovered-commit and recovered steady-state words/s. Best-of-2
     // (each attempt is a full kill+recover cycle, ~40 s): the reported
     // recovery_sec is the one from the best-throughput attempt.
-    val recoveryPairs = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
-    val recoveryRuns = bestOf(spark, runs = 2) {
-      val (wps, sec) = streamRecovery(spark)
-      recoveryPairs.add(sec)
-      wps
+    val (recoveryRuns, recoverySecOpt) = bestOfWith(spark, runs = 2) {
+      streamRecovery(spark)
     }
-    val recoverySec = {
-      val pairs = recoveryPairs.toArray(Array.empty[java.lang.Double])
-        .map(_.doubleValue())
-      val best = recoveryRuns.runs.zipWithIndex
-        .filter(_._1 == recoveryRuns.max).map(_._2).headOption
-      best.flatMap(i => pairs.lift(i)).getOrElse(-1.0)
-    }
+    val recoverySec = recoverySecOpt.getOrElse(-1.0)
 
     // ...and before the gated loop, pay whatever residue remains on an
     // UNTIMED run (round 5's first local run measured d01, the
@@ -259,23 +250,37 @@ object Bench {
     * load-free measurement; its cause (captured from measureSteady) is
     * carried in `causes`. −1 sentinels only when every run failed. */
   private def bestOf(spark: SparkSession, runs: Int)
-                    (run: => Double): RunSet = {
+                    (run: => Double): RunSet =
+    bestOfWith(spark, runs)((run, ()))._1
+
+  /** bestOf with a per-attempt payload: returns the RunSet plus the
+    * payload of the BEST attempt (None when every attempt failed).
+    * Exists so callers never reconstruct which-attempt-won through a
+    * side channel (the round-8 review found recoverySec doing exactly
+    * that with an index-matched queue, which desynchronizes the moment
+    * an attempt fails). */
+  private def bestOfWith[A](spark: SparkSession, runs: Int)
+                           (run: => (Double, A)): (RunSet, Option[A]) = {
     val attempts = (1 to runs).map { i =>
       if (i > 1) settle(spark)
       lastFailureCause.set(null)
-      val v = run
+      val (v, payload) = run
       val cause =
         if (v > 0) None
         else Some(s"run$i: ${Option(lastFailureCause.get())
           .getOrElse("failed (no cause recorded)")}")
-      (v, cause)
+      (v, cause, payload)
     }
     val vals = attempts.map(_._1)
     val causes = attempts.flatMap(_._2)
     val ok = vals.filter(_ > 0)
-    if (ok.isEmpty) RunSet(-1.0, -1.0, vals, causes)
-    else RunSet(ok.max, (ok.max - vals.map(_ max 0.0).min) / ok.max,
-                vals, causes)
+    if (ok.isEmpty) (RunSet(-1.0, -1.0, vals, causes), None)
+    else {
+      val best = attempts.maxBy(_._1)
+      (RunSet(ok.max, (ok.max - vals.map(_ max 0.0).min) / ok.max,
+              vals, causes),
+       Some(best._3))
+    }
   }
 
   /** why the most recent measureSteady returned its −1 sentinel — read

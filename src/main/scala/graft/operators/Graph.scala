@@ -49,13 +49,9 @@ object Graph {
   private val PR_TOP = 100
 
   private def g01(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.documents(spark, dir)
-      .select(expr("filter(split(text, '\\\\s+'), s -> s != '')").as("tk"))
-      .where(size(col("tk")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(tk) - 2)," +
-          " i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
-      .select(col("p.a"), col("p.b"))
+    // t06's bigram statistic as graph structure — the SHARED substrate
+    // (TextAnalysis.wordPairs) the whole lexical-graph family builds on
+    val pairs = TextAnalysis.wordPairs(spark, dir)
     val edges = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= PR_MIN_W)
@@ -175,13 +171,7 @@ object Graph {
   private[graft] def g02Plan(spark: SparkSession, dir: String,
                              cache: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     def hold(df: DataFrame) = if (cache) df.cache() else df
-    val pairs = Tables.documents(spark, dir)
-      .select(expr("filter(split(text, '\\\\s+'), s -> s != '')").as("tk"))
-      .where(size(col("tk")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(tk) - 2)," +
-          " i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
-      .select(col("p.a"), col("p.b"))
+    val pairs = TextAnalysis.wordPairs(spark, dir)
     val und = hold(pairs.where(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"),
               greatest(col("a"), col("b")).as("v"))

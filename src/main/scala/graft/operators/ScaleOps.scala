@@ -605,14 +605,16 @@ object ScaleOps {
 
   // ---------------------------------------------------------------------
   // x15 — KMV (k-minimum-values) distinct-count sketch, per group: hash
-  //       every key through a fixed 2-round multiplicative mixer over
-  //       Z_2^32 (odd constants ⇒ bijective, so distinct hashes ==
-  //       distinct keys and both engines derive the identical hash in
-  //       plain integer arithmetic — no engine-specific hash function),
+  //       every key through the shared 2-round multiplicative mixer
+  //       over Z_2^32 (util.Mix32 — both engines derive the identical
+  //       hash in plain integer arithmetic, no engine-specific hash
+  //       function; bijective for keys < 2^32, folding mod 2^32 above),
   //       keep the k smallest per group, and estimate
   //       |distinct| ≈ (k−1) · 2^32 / h_(k) from the kth minimum.
   //       Output carries the exact distinct next to the estimate, so
-  //       the sketch's error is visible in the result itself.
+  //       the sketch's error is visible in the result itself — and the
+  //       exact witness counts KEYS, not hashes, so it stays exact for
+  //       keyspaces past 2^32 where hashes legitimately collide.
   //
   //       100 TB shape: this is the mergeable-sketch pattern (the
   //       portable cousin of HLL, whose register layout no two engines
@@ -623,52 +625,52 @@ object ScaleOps {
   //       accuracy witness, not the production path.
   // ---------------------------------------------------------------------
   private[operators] val KMV_K = 64
-  private[operators] val KMV_M1 = 2654435761L // Knuth multiplicative (odd)
-  private[operators] val KMV_M2 = 1540483477L // MurmurHash-lineage constant (odd)
-  private[operators] val KMV_MOD = 4294967296L // 2^32
-  // (M1 · 2^16) mod 2^32 — the high-half factor of the split multiply
-  private[operators] val KMV_C1 = (KMV_M1 << 16) % KMV_MOD // 2041839616
+  private[operators] val KMV_MOD = graft.util.Mix32.MOD // 2^32
 
-  /** The shared hash text: identical integer expression in both
-    * engines, for NONNEGATIVE keys of any BIGINT magnitude. Round 1
-    * is a SPLIT 32×32→mod-2^32 multiply — (kl·M1 + kh·(M1·2^16 mod
-    * 2^32)) mod 2^32 with k = key mod 2^32 split at 16 bits — because
-    * the naive key·M1 overflows Int64 (an ANSI runtime throw) once
-    * keys pass ~3.4e9: the ×16 amplified probe's offset orderkeys
-    * found exactly that. Congruence mod 2^32 makes the split form
-    * equal to the naive one wherever the naive one was defined, so
-    * gate results are bit-identical. Max intermediates: round 1
-    * ≈ 3.1e14, round 2 ≈ 2^32·M2 ≈ 6.6e18 — both < 2^63. */
-  private[operators] def kmvHash(key: Column): Column = {
-    val k = key % KMV_MOD
-    val mixed =
-      (k.bitwiseAND(lit(65535L)) * KMV_M1 +
-        shiftright(k, 16) * KMV_C1) % KMV_MOD
-    (mixed * KMV_M2 + 12345L) % KMV_MOD
-  }
+  /** the shared portable mixer (see graft.util.Mix32 for the
+    * overflow-safe split-multiply form and its equality argument) */
+  private[operators] def kmvHash(key: Column): Column =
+    graft.util.Mix32.hash(key)
 
   /** the same hash as oracle SQL text over a column/expression */
   private[operators] def kmvHashSql(key: String): String =
-    s"((((($key % $KMV_MOD) % 65536) * $KMV_M1" +
-      s" + (($key % $KMV_MOD) // 65536) * $KMV_C1) % $KMV_MOD)" +
-      s" * $KMV_M2 + 12345) % $KMV_MOD"
+    graft.util.Mix32.sql(key)
 
   private def x15(spark: SparkSession, dir: String): DataFrame = {
+    val (plan, caches) = x15Plan(spark, dir, cache = true)
+    val out = plan.localCheckpoint(true)
+    caches.foreach(_.unpersist())
+    out
+  }
+
+  /** the full sketch plan BEFORE lineage truncation (the t18Plan
+    * pattern — PlanSpec pins this shape) plus the cached base */
+  private[graft] def x15Plan(spark: SparkSession, dir: String,
+                             cache: Boolean = false): (DataFrame, Seq[DataFrame]) = {
     import spark.implicits._
-    // distinct (group, hash) first: dedup partial-aggregates map-side,
-    // so repeated keys collapse before anything exchanges
-    val h = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag").as("flag"),
-              kmvHash(col("l_orderkey")).as("hv"))
+    // distinct (group, KEY) first — cached, because both the exact
+    // witness and the sketch read it (uncached, the corpus-scale
+    // distinct ran twice — round-8 review finding). The exact count is
+    // over KEYS, not hashes: the mixer folds keys mod 2^32, so for
+    // keys ≥ 2^32 distinct hashes undercount distinct keys (fine for
+    // the sketch, wrong for its accuracy witness — see Mix32's scaladoc)
+    val base0 = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("flag"), col("l_orderkey").as("k"))
       .distinct()
-    val exact = h.groupBy(col("flag"))
+    val base = if (cache) base0.cache() else base0
+    val exact = base.groupBy(col("flag"))
       .agg(count(lit(1)).as("exact_distinct"))
+    // sketch side: distinct HASHES (collided keys legitimately count
+    // once in a KMV) — a cheap second distinct over the deduped base
+    val h = base.select(col("flag"), kmvHash(col("k")).as("hv")).distinct()
     // k smallest hashes via the bounded TopKAggregator (score = −hash,
     // so "top k by score" is "k minimum hashes"; the buffer is sorted
     // score-desc ⇒ hash-ascending, so the kth minimum is the LAST
-    // element): ≤k rows per partition reach the exchange
+    // element): ≤k rows per partition reach the exchange. When the
+    // buffer is not yet full it holds EVERY distinct hash, so its
+    // length is the sketch's own exact-regime fallback (w16's contract)
     val agg = new graft.functions.TopKAggregator(KMV_K)
-    val kmin = h.select(col("flag"), col("hv"))
+    val kmin = h
       .as[(String, Long)]
       .map { case (f, v) => (f, (0L, v, -v.toDouble)) }
       .groupByKey(_._1)
@@ -677,32 +679,40 @@ object ScaleOps {
       .map { case (f, tk) =>
         val hk: Option[Long] =
           if (tk.length >= KMV_K) Some(tk.last._1) else None
-        (f, hk)
+        (f, hk, tk.length.toLong)
       }
-      .toDF("flag", "hk")
-    exact.join(kmin, Seq("flag"))
+      .toDF("flag", "hk", "nhv")
+    val out = exact.join(kmin, Seq("flag"))
       .select(col("flag"), col("exact_distinct"),
-        when(col("hk").isNull, col("exact_distinct"))
+        when(col("hk").isNull, col("nhv"))
           .otherwise(round(lit((KMV_K - 1).toDouble * KMV_MOD) / col("hk"))
             .cast(LongType)).as("kmv_estimate"))
+    (out, Seq(base))
   }
 
   private val x15Sql =
-    s"""WITH h AS (
-       |  SELECT DISTINCT l_returnflag AS flag,
-       |    ${kmvHashSql("l_orderkey")} AS hv
+    s"""WITH base AS (
+       |  SELECT DISTINCT l_returnflag AS flag, l_orderkey AS k
        |  FROM lineitem),
+       |ex AS (
+       |  SELECT flag, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+       |  FROM base GROUP BY 1),
+       |h AS (
+       |  SELECT DISTINCT flag, ${kmvHashSql("k")} AS hv FROM base),
        |r AS (
        |  SELECT flag, hv,
        |    ROW_NUMBER() OVER (PARTITION BY flag ORDER BY hv) AS rn,
-       |    COUNT(*) OVER (PARTITION BY flag) AS nd
-       |  FROM h)
-       |SELECT flag, CAST(MAX(nd) AS BIGINT) AS exact_distinct,
-       |  CAST(COALESCE(
-       |    CAST(round((${KMV_K - 1}.0 * $KMV_MOD) /
-       |      MAX(CASE WHEN rn = $KMV_K THEN hv END)) AS BIGINT),
-       |    MAX(nd)) AS BIGINT) AS kmv_estimate
-       |FROM r GROUP BY flag""".stripMargin
+       |    COUNT(*) OVER (PARTITION BY flag) AS nhv
+       |  FROM h),
+       |est AS (
+       |  SELECT flag,
+       |    CAST(COALESCE(
+       |      CAST(round((${KMV_K - 1}.0 * $KMV_MOD) /
+       |        MAX(CASE WHEN rn = $KMV_K THEN hv END)) AS BIGINT),
+       |      MAX(nhv)) AS BIGINT) AS kmv_estimate
+       |  FROM r GROUP BY flag)
+       |SELECT ex.flag, ex.exact_distinct, est.kmv_estimate
+       |FROM ex JOIN est ON ex.flag = est.flag""".stripMargin
 
   // ---------------------------------------------------------------------
   // x16 — SCD2 APPLY (x13's missing half — the round-7 verdict item):

@@ -921,6 +921,19 @@ object TextAnalysis {
   private val T18_TOP = 100
   private val T18_SCALE = 1000000L
 
+  /** Shared corpus substrate — whitespace tokens → adjacent word pairs
+    * (a, b) — used identically by t18's bigram counts and the graph
+    * family's edge construction (g01/g02); one definition so the
+    * "shared bigram statistic" claim cannot drift between the ops. */
+  private[operators] def wordPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(expr("filter(split(text, '\\\\s+'), s -> s != '')").as("tk"))
+      .where(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(tk) - 2)," +
+          " i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
+      .select(col("p.a"), col("p.b"))
+
   /** the full scoring plan BEFORE lineage truncation, plus the cached
     * count tables it reuses — the gated t18 materializes the plan
     * through localCheckpoint and unpersists the caches; PlanSpec pins
@@ -934,11 +947,7 @@ object TextAnalysis {
       .select(expr("filter(split(text, '\\\\s+'), s -> s != '')").as("tk"))
     val uc = hold(tk.select(explode(col("tk")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1")))
-    val bc = hold(tk.where(size(col("tk")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(0, size(tk) - 2)," +
-          " i -> struct(tk[i] AS a, tk[i + 1] AS b))")).as("p"))
-      .select(col("p.a"), col("p.b"))
+    val bc = hold(wordPairs(spark, dir)
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt")))
     // totals aggregate the bounded count tables, not the corpus
     val totals = uc.agg(sum(col("c1")).as("nuni"))
@@ -1008,10 +1017,14 @@ object TextAnalysis {
   // d=N2−o2) is N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — computed as the
   // SCALED-INTEGER ratio chi2_micro with all products routed through
   // DECIMAL(38,0)/HUGEINT (the t18 discipline), so both engines emit
-  // bit-identical scores. Headroom mirrors t18: 38 digits hold the
-  // numerator to ~10^6-token halves per word at corpus sizes ~10^9
-  // tokens; past that decimate counts by a common power of two (the
-  // statistic is scale-covariant, the RANKING survives decimation).
+  // bit-identical scores. Headroom (sharper than t18's — the numerator
+  // is quintic): |o1·n2 − o2·n1| ≤ o·n, so the numerator ≈ 2e6·o²·n³
+  // must stay under 10^38 ⇒ with the most frequent word at ~1% share
+  // that bounds the halves at ~10^7 tokens each. Past that, DECIMATE
+  // the counts by a common power of two before scoring — χ² scales
+  // linearly with the common count scale, so the RANKING (which is
+  // what the op emits) is preserved up to floor rounding; the
+  // decimation is a constant-fold, not a plan change.
   //
   // 100 TB shape: one corpus scan → one exchange onto the bounded word
   // space with the half-split folded into conditional partial sums

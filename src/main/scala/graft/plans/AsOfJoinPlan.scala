@@ -115,10 +115,24 @@ case class AsOfJoinExec(
 }
 
 /** The DataFrame-facing entry: resolves the named columns on each
-  * side's analyzed plan, registers the strategy on the session once,
-  * and wraps the custom node as a DataFrame. Column names must be
+  * side's analyzed plan, VALIDATES them at call time (the merge casts
+  * evaluations to Long, so a wrong-typed column must fail here, not
+  * as a ClassCastException deep inside a task), filters null
+  * keys/timestamps (inner as-of semantics — DuckDB's ASOF drops them
+  * the same way), registers the strategy on the session once, and
+  * wraps the custom node as a DataFrame. Column names must be
   * disjoint across the two sides (the operator outputs both). */
 object AsOf {
+  import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+  private def requireLongBacked(name: String, dt: DataType,
+                                role: String): Unit = dt match {
+    case LongType | TimestampType | TimestampNTZType => ()
+    case other => throw new IllegalArgumentException(
+      s"as-of $role column `$name` must be BIGINT or a timestamp " +
+        s"(Long-backed), got ${other.sql}")
+  }
+
   def join(left: DataFrame, right: DataFrame,
            leftKey: String, rightKey: String,
            leftTs: String, rightTs: String,
@@ -127,14 +141,28 @@ object AsOf {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    val l = left.queryExecution.analyzed
-    val r = right.queryExecution.analyzed
+    // null keys/timestamps can never match — drop them engine-side so
+    // the merge never unboxes a null
+    val lf = left.where(left.col(leftKey).isNotNull &&
+                        left.col(leftTs).isNotNull)
+    val rf = right.where(right.col(rightKey).isNotNull &&
+                         right.col(rightTs).isNotNull &&
+                         right.col(rightTie).isNotNull)
+    val l = lf.queryExecution.analyzed
+    val r = rf.queryExecution.analyzed
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"column $n not in ${p.output.map(_.name).mkString(", ")}"))
+    val (lk, rk) = (attr(l, leftKey), attr(r, rightKey))
+    val (lt, rt) = (attr(l, leftTs), attr(r, rightTs))
+    val tie = attr(r, rightTie)
+    requireLongBacked(leftKey, lk.dataType, "left key")
+    requireLongBacked(rightKey, rk.dataType, "right key")
+    requireLongBacked(leftTs, lt.dataType, "left timestamp")
+    requireLongBacked(rightTs, rt.dataType, "right timestamp")
+    requireLongBacked(rightTie, tie.dataType, "right tie-break")
     org.apache.spark.sql.graftglue.ColumnBridge.ofRows(spark,
-      AsOfJoin(l, r, attr(l, leftKey), attr(r, rightKey),
-               attr(l, leftTs), attr(r, rightTs), attr(r, rightTie)))
+      AsOfJoin(l, r, lk, rk, lt, rt, tie))
   }
 }

@@ -53,23 +53,13 @@ object SeqSourceProvider {
   val SCHEMA: StructType = new StructType()
     .add("id", LongType).add("val", LongType).add("tag", StringType)
 
-  // the x15 mixer verbatim (odd constants => bijective over Z_2^32),
-  // in its overflow-safe split-multiply form: the naive i·M1 wraps
-  // silently in Scala but ERRORS in the DuckDB oracle past i ≈ 3.4e9,
-  // so the two engines would diverge exactly when ids get realistic
-  private[sources] val M1 = 2654435761L
-  private[sources] val M2 = 1540483477L
-  private[sources] val MOD = 4294967296L
-  private[sources] val C1 = (M1 << 16) % MOD // (M1·2^16) mod 2^32
-  private[sources] def mix(i: Long): Long = {
-    val k = i % MOD
-    (((k & 65535L) * M1 + (k >> 16) * C1) % MOD * M2 + 12345L) % MOD
-  }
+  // the shared portable mixer (graft.util.Mix32 — ONE definition for
+  // the sketch ops and this connector, so the cross-engine hash the
+  // x20 oracle equality depends on cannot drift between copies)
+  private[sources] def mix(i: Long): Long = graft.util.Mix32.mix(i)
 
   /** the oracle-side mixer as SQL text, over a column/expression `i` */
-  def mixSql(i: String): String =
-    s"(((($i % $MOD) % 65536) * $M1 + (($i % $MOD) // 65536) * $C1)" +
-      s" % $MOD * $M2 + 12345) % $MOD"
+  def mixSql(i: String): String = graft.util.Mix32.sql(i)
 }
 
 private[sources] class SeqTable(options: CaseInsensitiveStringMap)

@@ -306,7 +306,8 @@ class PlanSpec extends AnyFunSuite {
     // must run as an ObjectHashAggregate with partial buffers (≤k rows
     // per partition reach the exchange), not the oracle's row_number
     // formulation which would sort-shuffle every distinct hash
-    val p = formatted("x15_kmv_distinct_sketch")
+    val p = graft.operators.ScaleOps.x15Plan(spark, sfDir)._1
+      .queryExecution.explainString(FormattedMode)
     assert(p.contains("ObjectHashAggregate"))
     assert(!p.contains("Window"), "no rank window on the Spark side")
   }
