@@ -1066,6 +1066,89 @@ object ScaleOps {
               col("purchase_id"), col("purchase_ts"))
   }
 
+  // ---------------------------------------------------------------------
+  // x22 — ordered funnel analysis (view → click → purchase): the
+  //       product-analytics staple — how many users progressed through
+  //       each stage IN ORDER and WITHIN THE CONVERSION WINDOW (a
+  //       click only counts within FUNNEL_WINDOW of the user's first
+  //       view, a purchase within FUNNEL_WINDOW of their first
+  //       qualifying click — without the window the dense fixture
+  //       converts everyone and the funnel measures nothing; 1 day
+  //       yields 150→60→25 at sf0.01). The naive formulation is two
+  //       self-joins of the event
+  //       log against itself (quadratic in a user's history); this one
+  //       is ONE hash exchange on user_id, one sort, and two chained
+  //       running-min windows over the same (already-sorted) pass —
+  //       stage qualification becomes "is the previous stage's running
+  //       first-timestamp non-null strictly before me", computed with
+  //       a 1-PRECEDING frame so same-timestamp events never qualify
+  //       each other (ties ordered by event_id, deterministic).
+  //
+  //       100 TB shape: per-task memory is one user's history (key-
+  //       partitioned windows, the x13 discipline); the second window
+  //       reuses the first's sort (same spec — no extra exchange); the
+  //       final aggregate is three conditional count-distincts that
+  //       partial-aggregate map-side. Conversion rates are integer
+  //       percent (exact in both engines).
+  // ---------------------------------------------------------------------
+  private def x22(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val day = expr("INTERVAL 1 DAY")
+    val o = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rv",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+    val clickQ = col("event_type") === "click" && col("rv").isNotNull &&
+      col("ts") <= col("rv") + day
+    val o2 = o.withColumn("rc", min(when(clickQ, col("ts"))).over(w))
+    val purchaseQ = col("event_type") === "purchase" &&
+      col("rc").isNotNull && col("ts") <= col("rc") + day
+    o2.agg(
+        countDistinct(when(col("event_type") === "view",
+          col("user_id"))).as("n_view"),
+        countDistinct(when(clickQ, col("user_id"))).as("n_click"),
+        countDistinct(when(purchaseQ, col("user_id"))).as("n_purchase"))
+      .select(col("n_view"), col("n_click"), col("n_purchase"),
+        expr("CASE WHEN n_view = 0 THEN 0" +
+          " ELSE n_click * 100 div n_view END").as("pct_click"),
+        expr("CASE WHEN n_click = 0 THEN 0" +
+          " ELSE n_purchase * 100 div n_click END").as("pct_purchase"))
+  }
+
+  private val x22Sql =
+    """WITH o AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rv
+      |  FROM events),
+      |o2 AS (
+      |  SELECT user_id, event_type, rv, ts,
+      |    MIN(CASE WHEN event_type = 'click' AND rv IS NOT NULL
+      |      AND ts <= rv + INTERVAL 1 DAY THEN ts END) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rc
+      |  FROM o),
+      |agg AS (
+      |  SELECT
+      |    CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+      |      THEN user_id END) AS BIGINT) AS n_view,
+      |    CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+      |      AND rv IS NOT NULL AND ts <= rv + INTERVAL 1 DAY
+      |      THEN user_id END) AS BIGINT) AS n_click,
+      |    CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+      |      AND rc IS NOT NULL AND ts <= rc + INTERVAL 1 DAY
+      |      THEN user_id END) AS BIGINT) AS n_purchase
+      |  FROM o2)
+      |SELECT n_view, n_click, n_purchase,
+      |  CAST(CASE WHEN n_view = 0 THEN 0
+      |    ELSE n_click * 100 // n_view END AS BIGINT) AS pct_click,
+      |  CAST(CASE WHEN n_click = 0 THEN 0
+      |    ELSE n_purchase * 100 // n_click END AS BIGINT) AS pct_purchase
+      |FROM agg""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -1087,5 +1170,6 @@ object ScaleOps {
     QuerySpec("x18_snapshot_time_travel", x18, Some(x18Sql)),
     QuerySpec("x19_compaction_rewrite", x19, Some(x19Sql)),
     QuerySpec("x20_custom_source_pushdown", x20, Some(x20Sql)),
-    QuerySpec("x21_native_asof_join", x21, Some(x05Sql)))
+    QuerySpec("x21_native_asof_join", x21, Some(x05Sql)),
+    QuerySpec("x22_funnel_analysis", x22, Some(x22Sql)))
 }

@@ -108,6 +108,32 @@ class Round8dOpsSpec extends AnyFunSuite {
              .agg(sum(col("l_orderkey")).as("s"))))
   }
 
+  test("x22 funnel stages are ordered, shrinking, and self-consistent") {
+    val r = SparkEntry.queries("x22_funnel_analysis")(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (v, c, p) = (row.getAs[Long]("n_view"), row.getAs[Long]("n_click"),
+      row.getAs[Long]("n_purchase"))
+    // ordered qualification can only lose users stage over stage, and
+    // the conversion window must actually drop some (an all-100% funnel
+    // means the window stopped filtering — the degenerate first cut)
+    assert(v >= c && c >= p, s"funnel grew: $v -> $c -> $p")
+    assert(c < v, "conversion window must filter somebody")
+    assert(p >= 0 && v > 0)
+    assert(row.getAs[Long]("pct_click") == c * 100 / v)
+    assert(row.getAs[Long]("pct_purchase") ==
+      (if (c == 0) 0L else p * 100 / c))
+  }
+
+  test("x22 windows are key-partitioned (no global-sort funnel)") {
+    val plan = SparkEntry.queries("x22_funnel_analysis")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(user_id"))
+    assert(!plan.contains("SinglePartition, Window") &&
+      !plan.toLowerCase.contains("moving all data to a single partition"),
+      s"funnel windows must partition by user:\n$plan")
+  }
+
   test("s10 reports bounded per-query recall over the full query sample") {
     val r = SparkEntry.queries("s10_ann_recall")(spark, sfDir).collect()
     assert(r.length == 10, "one row per query vector")
