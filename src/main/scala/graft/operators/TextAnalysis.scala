@@ -1049,9 +1049,18 @@ object TextAnalysis {
     counts.where(col("o1") + col("o2") >= T19_MIN)
       .crossJoin(broadcast(totals))
       .withColumn("chi2_micro", expr(
+        // the inner difference is promoted BEFORE its products form —
+        // left in BIGINT, o1·(n2−o2) wraps past ~3e9 tokens per half
+        // (silently under Spark's non-ANSI arithmetic, an error in
+        // DuckDB: divergent failure modes and a silently wrong Spark
+        // ranking — round-8 advisor); promoted, the only bound left is
+        // the documented DECIMAL(38,0) numerator headroom (~1e7 tokens
+        // per half at a 1% top-word share)
         s"""CAST(((n1 + n2) * CAST($T19_SCALE AS DECIMAL(38,0))
-           | * (o1 * (n2 - o2) - o2 * (n1 - o1))
-           | * (o1 * (n2 - o2) - o2 * (n1 - o1)))
+           | * (CAST(o1 AS DECIMAL(38,0)) * (n2 - o2)
+           |    - CAST(o2 AS DECIMAL(38,0)) * (n1 - o1))
+           | * (CAST(o1 AS DECIMAL(38,0)) * (n2 - o2)
+           |    - CAST(o2 AS DECIMAL(38,0)) * (n1 - o1)))
            | div (CAST(o1 + o2 AS DECIMAL(38,0))
            |   * (n1 - o1 + n2 - o2) * n1 * n2) AS BIGINT)"""
           .stripMargin.replaceAll("\n", " ")))
@@ -1079,8 +1088,10 @@ object TextAnalysis {
        |s AS (
        |  SELECT w, o1, o2,
        |    CAST(((n1 + n2) * CAST($T19_SCALE AS HUGEINT)
-       |      * (o1 * (n2 - o2) - o2 * (n1 - o1))
-       |      * (o1 * (n2 - o2) - o2 * (n1 - o1)))
+       |      * (CAST(o1 AS HUGEINT) * (n2 - o2)
+       |         - CAST(o2 AS HUGEINT) * (n1 - o1))
+       |      * (CAST(o1 AS HUGEINT) * (n2 - o2)
+       |         - CAST(o2 AS HUGEINT) * (n1 - o1)))
        |      // (CAST(o1 + o2 AS HUGEINT)
        |        * (n1 - o1 + n2 - o2) * n1 * n2) AS BIGINT) AS chi2_micro
        |  FROM counts CROSS JOIN tot

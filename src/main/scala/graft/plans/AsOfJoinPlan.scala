@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
@@ -94,6 +94,12 @@ case class AsOfJoinExec(
       var candKey = 0L
       var cand: InternalRow = null
       val joined = new JoinedRow
+      // emit UnsafeRows: a parent operator (or a whole-plan collect with
+      // no Project above) consumes this node's rows directly, and the
+      // contract is UnsafeRow — a bare JoinedRow ClassCastExceptions in
+      // getByteArrayRdd (caught by AsOfJoinSpec's shared-lineage test,
+      // which is the first consumer with no projection on top)
+      val toUnsafe = UnsafeProjection.create(output, output)
       li.flatMap { lrow =>
         val k = lk.eval(lrow).asInstanceOf[Long]
         val ts = lt.eval(lrow).asInstanceOf[Long]
@@ -107,7 +113,7 @@ case class AsOfJoinExec(
             cand = rBuf.next().copy()
           } else advance = false
         }
-        if (cand != null && candKey == k) Some(joined(lrow, cand))
+        if (cand != null && candKey == k) Some(toUnsafe(joined(lrow, cand)))
         else None
       }
     }
@@ -149,7 +155,19 @@ object AsOf {
                          right.col(rightTs).isNotNull &&
                          right.col(rightTie).isNotNull)
     val l = lf.queryExecution.analyzed
-    val r = rf.queryExecution.analyzed
+    val r0 = rf.queryExecution.analyzed
+    // Self-join hygiene: two sides derived from the SAME DataFrame (or
+    // a shared cache) carry identical ExprIds, and a custom binary node
+    // gets none of the analyzer's dedup-right rules — duplicate ids
+    // across left/right would make BindReferences resolve rightKey/
+    // rightTs against the wrong side, a plan-dependent mis-bind rather
+    // than a clear error. Re-alias the right side with fresh ExprIds
+    // whenever the output sets overlap.
+    val r =
+      if (l.outputSet.intersect(r0.outputSet).isEmpty) r0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        r0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), r0)
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(

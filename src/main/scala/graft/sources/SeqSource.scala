@@ -89,6 +89,17 @@ private[sources] class SeqScanBuilder(n: Long, slices: Int)
     case _       => None
   }
 
+  /** saturating increment: the exclusive-bound conversions below add 1
+    * to an inclusive bound, and `Long.MaxValue + 1` wraps to MinValue —
+    * `id > MaxValue` would silently return ALL rows and
+    * `id <= MaxValue` NONE, wrong results with no error since accepted
+    * filters are never re-checked post-scan. Saturation keeps both
+    * exact: ids live in [0, n) with n ≤ MaxValue, so id can never
+    * exceed MaxValue − 1 and a MaxValue-saturated bound is still the
+    * mathematically correct half-open endpoint. */
+  private def satInc(v: Long): Long =
+    if (v == Long.MaxValue) Long.MaxValue else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case GreaterThanOrEqual("id", v) => num(v).isDefined
@@ -100,11 +111,11 @@ private[sources] class SeqScanBuilder(n: Long, slices: Int)
     }
     accepted.foreach {
       case GreaterThanOrEqual("id", v) => lo = math.max(lo, num(v).get)
-      case GreaterThan("id", v)        => lo = math.max(lo, num(v).get + 1)
+      case GreaterThan("id", v)        => lo = math.max(lo, satInc(num(v).get))
       case LessThan("id", v)           => hi = math.min(hi, num(v).get)
-      case LessThanOrEqual("id", v)    => hi = math.min(hi, num(v).get + 1)
+      case LessThanOrEqual("id", v)    => hi = math.min(hi, satInc(num(v).get))
       case EqualTo("id", v) =>
-        lo = math.max(lo, num(v).get); hi = math.min(hi, num(v).get + 1)
+        lo = math.max(lo, num(v).get); hi = math.min(hi, satInc(num(v).get))
       case _ => ()
     }
     pushed = accepted

@@ -57,4 +57,22 @@ class AsOfJoinSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((100L, 202L), (101L, 201L)))
   }
+
+  test("shared-lineage sides (identical ExprIds) re-alias instead of mis-binding") {
+    import spark.implicits._
+    // both sides ARE the same DataFrame — every attribute id collides.
+    // Before the round-9 guard, BindReferences could resolve the right-
+    // side expressions against the wrong child (plan-dependent, not a
+    // clear error — round-8 advisor); AsOf.join now re-aliases the
+    // right side with fresh ids whenever the output sets overlap.
+    val events = Seq((1L, 5L, 100L), (1L, 8L, 101L), (2L, 3L, 102L))
+      .toDF("k", "ts", "tie")
+    val out = AsOf.join(events, events, "k", "k", "ts", "ts", "tie")
+      .collect().map(_.toSeq).toSet
+    // self as-of: every row's latest match at-or-before itself IS itself
+    assert(out == Set(
+      Seq(1L, 5L, 100L, 1L, 5L, 100L),
+      Seq(1L, 8L, 101L, 1L, 8L, 101L),
+      Seq(2L, 3L, 102L, 2L, 3L, 102L)))
+  }
 }

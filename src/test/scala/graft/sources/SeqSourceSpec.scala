@@ -53,6 +53,16 @@ class SeqSourceSpec extends AnyFunSuite {
       s"pruned column set must reach the reader:\n$plan")
   }
 
+  test("MaxValue-bound range filters saturate instead of wrapping") {
+    // exclusive-bound conversion adds 1 to an inclusive bound; before
+    // the round-9 fix Long.MaxValue + 1 wrapped, so `id > MaxValue`
+    // returned ALL rows and `id <= MaxValue` NONE — silently, since
+    // accepted filters never re-check post-scan (round-8 advisor)
+    assert(table(1000L).where(col("id") > Long.MaxValue).count() == 0L)
+    assert(table(1000L).where(col("id") <= Long.MaxValue).count() == 1000L)
+    assert(table(1000L).where(col("id") === Long.MaxValue).count() == 0L)
+  }
+
   test("unsupported predicates fall back to engine-side filtering, correctly") {
     // a val predicate can't absorb into the range; the source must
     // report it back and Spark must still produce the right answer
