@@ -156,6 +156,10 @@ object Bench {
     graft.operators.ScaleOps.x17Stage(spark, sfDir)
     graft.operators.ScaleOps.x18Stage(spark, sfDir)
     graft.operators.ScaleOps.x19Stage(spark, sfDir)
+    // x23's base layout + key-stats manifest: the standing table the
+    // MERGE mutates — the gate times the mutation (plan → COW rewrite →
+    // commit → read back), not the initial table build
+    graft.operators.ScaleOps.x23Stage(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1066,6 +1066,23 @@ object ScaleOps {
               col("purchase_id"), col("purchase_ts"))
   }
 
+  /** x21's own oracle (round-8 advisor): x05's DuckDB-native ASOF has
+    * no tie-break for duplicate right-side (user_id, ts) pairs, while
+    * the native operator deterministically picks the greatest
+    * purchase_id — fixtures happen to be duplicate-free at every SF
+    * (Round9OpsSpec pins that), but the oracle should not depend on it.
+    * This formulation states the operator's full contract explicitly:
+    * per error, the purchase with the greatest (ts, purchase_id) ≤ ts. */
+  private val x21Sql =
+    """SELECT e.event_id, e.user_id, e.ts, p.purchase_id, p.purchase_ts
+      |FROM (SELECT event_id, user_id, ts FROM events
+      |      WHERE event_type = 'error') e
+      |JOIN (SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+      |      FROM events WHERE event_type = 'purchase') p
+      |  ON e.user_id = p.user_id AND p.purchase_ts <= e.ts
+      |QUALIFY ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |  ORDER BY p.purchase_ts DESC, p.purchase_id DESC) = 1""".stripMargin
+
   // ---------------------------------------------------------------------
   // x22 — ordered funnel analysis (view → click → purchase): the
   //       product-analytics staple — how many users progressed through
@@ -1149,6 +1166,174 @@ object ScaleOps {
       |    ELSE n_purchase * 100 // n_click END AS BIGINT) AS pct_purchase
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x23 — row-level MERGE (upsert) as a COPY-ON-WRITE commit on the
+  //       x17/x18 table format — the daily warehouse mutation the trio
+  //       couldn't express (a commit could only add or rewrite whole
+  //       files; x16's SCD2 apply explicitly works around the absence).
+  //       MERGE matches a delta on the table key, rewrites ONLY the
+  //       files whose key range can contain matched rows, and commits
+  //       (base − rewritten) + rewritten' + inserted as a new manifest
+  //       version. Data files stay immutable; the "mutation" is new
+  //       files plus a metadata swap — exactly how Iceberg/Delta COW
+  //       MERGE works, and why readers of the pre-merge snapshot are
+  //       never blocked or corrupted (x18's isolation, extended to
+  //       mutation: the gated output carries BOTH versions' aggregates,
+  //       so the hash itself proves v1 is unchanged by the merge).
+  //
+  //       Planning is manifest-driven (x17's shape): the delta's keys
+  //       probe the per-file (lo, hi) key stats — a broadcast range
+  //       join against ≤X23_FILES manifest rows — so update keys
+  //       localized to a key range (here: corrections hitting the low
+  //       quarter of the key space, the late-arriving-fixes pattern)
+  //       rewrite only that quarter's files. Round9OpsSpec pins the
+  //       file-list diff: matched ⊊ base, untouched files carried
+  //       verbatim. Delta rows whose key lands in NO file range are
+  //       inserts by construction (key outside every range ⇒ not in
+  //       base) and never scan the base at all; rows inside a touched
+  //       range split matched/not-matched by an anti-join against the
+  //       TOUCHED FILES ONLY — the base table is never fully scanned
+  //       by the merge itself.
+  //
+  //       100 TB shape: collects are manifest-scale (≤X23_FILES rows,
+  //       the x17/x18 bounded class); the rewrite reads and writes
+  //       only matched files (delta-proportional, not table-
+  //       proportional); the delta side broadcasts against metadata,
+  //       never the reverse. The gated query times the WHOLE mutation —
+  //       plan → COW rewrite → insert file → commit → read back — the
+  //       operation a warehouse user pays for daily (x07's write-then-
+  //       read discipline). Prices are DECIMAL(18,2) end to end, so
+  //       the doubled update values and their sums are exact in both
+  //       engines.
+  // ---------------------------------------------------------------------
+  private val X23_FILES = 12
+
+  /** per-(JVM, dir) base layout: (root, v1 file list, per-file key
+    * stats (file, lo, hi) — the collected manifest, ≤X23_FILES rows) */
+  private val x23Staged =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (String, Seq[String], Seq[(String, Long, Long)])]()
+
+  private[graft] def x23Stage(spark: SparkSession,
+                              dir: String): (String, Seq[String], Seq[(String, Long, Long)]) =
+    x23Staged.computeIfAbsent(dir, _ => {
+      val root = graft.util.Scratch.dir("graft-x23-merge")
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+                col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+        .repartitionByRange(X23_FILES, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(s"$root/base")
+      val manifest = spark.read.parquet(s"$root/base")
+        .groupBy(input_file_name().as("file"))
+        .agg(min(col("o_orderkey")).as("lo"), max(col("o_orderkey")).as("hi"))
+        .collect() // ≤ X23_FILES rows — metadata, never data
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+      (root, manifest.map(_._1), manifest)
+    })
+
+  /** The merge plan + commit, exposed for Round9OpsSpec's file-diff
+    * pins: returns (v1 files, matched files, v2 files). Also used by
+    * the gated query — planning happens once per call, like a real
+    * commit. */
+  private[graft] def x23Plan(spark: SparkSession,
+                             dir: String): (Seq[String], Seq[String], Seq[String]) = {
+    val (root, v1, manifest) = x23Stage(spark, dir)
+    val mx = manifest.map(_._3).max // table-wide max key, off METADATA
+    val base = spark.read.parquet(v1: _*)
+    // the delta a daily pipeline would hand to MERGE: corrections to
+    // the low quarter of the key space (every 37th key: status 'U',
+    // price doubled) plus brand-new orders (keys beyond the current
+    // max). Derived deterministically from the table so the DuckDB
+    // oracle reproduces it exactly.
+    val upd = base
+      .where(col("o_orderkey") % 37 === 0 && col("o_orderkey") <= mx / 4)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+              (col("o_price") * 2).cast(DecimalType(18, 2)).as("o_price"))
+    val ins = base
+      .where(col("o_orderkey") % 97 === 0)
+      .select((lit(mx + 1) + col("o_orderkey")).as("o_orderkey"),
+              lit("N").as("o_orderstatus"), col("o_price"))
+    val delta = upd.unionByName(ins)
+    // manifest-driven file targeting: which files CAN contain a delta
+    // key — a broadcast range join against ≤X23_FILES metadata rows
+    import spark.implicits._
+    val manifestDf = manifest.toDF("file", "lo", "hi")
+    val matched = delta
+      .join(broadcast(manifestDf),
+            col("o_orderkey") >= col("lo") && col("o_orderkey") <= col("hi"))
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted // ≤ X23_FILES rows
+    // COW rewrite: matched files only, upsert applied via left join
+    val touched = spark.read.parquet(matched: _*)
+    val updates = delta.select(col("o_orderkey").as("d_key"),
+      col("o_orderstatus").as("d_status"), col("o_price").as("d_price"))
+    touched.join(broadcast(updates), col("o_orderkey") === col("d_key"), "left")
+      .select(col("o_orderkey"),
+              coalesce(col("d_status"), col("o_orderstatus")).as("o_orderstatus"),
+              coalesce(col("d_price"), col("o_price")).as("o_price"))
+      .write.mode("overwrite").parquet(s"$root/cow")
+    // not-matched delta rows insert as new files: anti-join against the
+    // TOUCHED scan only (a key in base must live in a covering file, so
+    // absence from the touched files proves absence from the table)
+    delta.join(touched.select(col("o_orderkey").as("d_key")),
+               col("o_orderkey") === col("d_key"), "left_anti")
+      .write.mode("overwrite").parquet(s"$root/ins")
+    def files(sub: String): Seq[String] = {
+      val d = new java.io.File(s"$root/$sub")
+      d.listFiles.toSeq.map(_.getName)
+        .filter(_.startsWith("part-")).sorted.map(n => s"$root/$sub/$n")
+    }
+    val v2 = v1.diff(matched) ++ files("cow") ++ files("ins")
+    // the commit: manifest version 2 lands beside version 1 (x18's
+    // snapshot layout) — metadata-scale, the atomic-swap analog
+    (v1.map((1, _)) ++ v2.map((2, _))).toDF("version", "file")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/manifest")
+    (v1, matched, v2)
+  }
+
+  private def x23(spark: SparkSession, dir: String): DataFrame = {
+    val (v1, _, v2) = x23Plan(spark, dir)
+    def agg(v: Int, fs: Seq[String]): DataFrame =
+      spark.read.parquet(fs: _*)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("o_price")).cast(DoubleType).as("sum_price"))
+        .select(lit(v).as("version"), col("o_orderstatus"),
+                col("n_rows"), col("sum_price"))
+    agg(1, v1).unionByName(agg(2, v2))
+  }
+
+  private val x23Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_price FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, 'U' AS o_orderstatus,
+      |    CAST(o_price * 2 AS DECIMAL(18,2)) AS o_price
+      |  FROM base, m WHERE o_orderkey % 37 = 0 AND o_orderkey <= m.mx // 4),
+      |ins AS (
+      |  SELECT m.mx + 1 + o_orderkey AS o_orderkey, 'N' AS o_orderstatus,
+      |    o_price
+      |  FROM base, m WHERE o_orderkey % 97 = 0),
+      |merged AS (
+      |  SELECT b.o_orderkey,
+      |    COALESCE(u.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+      |    COALESCE(u.o_price, b.o_price) AS o_price
+      |  FROM base b LEFT JOIN upd u ON b.o_orderkey = u.o_orderkey
+      |  UNION ALL SELECT o_orderkey, o_orderstatus, o_price FROM ins)
+      |SELECT 1 AS version, o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
+      |FROM base GROUP BY 2
+      |UNION ALL
+      |SELECT 2 AS version, o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY 2""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -1170,6 +1355,7 @@ object ScaleOps {
     QuerySpec("x18_snapshot_time_travel", x18, Some(x18Sql)),
     QuerySpec("x19_compaction_rewrite", x19, Some(x19Sql)),
     QuerySpec("x20_custom_source_pushdown", x20, Some(x20Sql)),
-    QuerySpec("x21_native_asof_join", x21, Some(x05Sql)),
-    QuerySpec("x22_funnel_analysis", x22, Some(x22Sql)))
+    QuerySpec("x21_native_asof_join", x21, Some(x21Sql)),
+    QuerySpec("x22_funnel_analysis", x22, Some(x22Sql)),
+    QuerySpec("x23_merge_upsert", x23, Some(x23Sql)))
 }

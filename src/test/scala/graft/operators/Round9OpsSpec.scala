@@ -27,4 +27,43 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(dups.isEmpty, "duplicate purchase (user_id, ts) pairs would " +
       "make x05's DuckDB ASOF oracle nondeterministic")
   }
+
+  test("x23 MERGE is copy-on-write: only range-matched files rewrite, the rest carry verbatim") {
+    val (v1, matched, v2) = ScaleOps.x23Plan(spark, sfDir)
+    // the value hash can't see the file lists — pin the COW contract:
+    // the update keys are localized to the low quarter of the key
+    // space, so MERGE must rewrite a strict, non-empty subset of files
+    assert(matched.nonEmpty, "merge must match at least one file")
+    assert(matched.size < v1.size,
+      s"range targeting failed: all ${v1.size} files rewritten")
+    assert(matched.forall(v1.contains))
+    val untouched = v1.diff(matched)
+    assert(untouched.forall(v2.contains),
+      "untouched base files must carry into the merged snapshot verbatim")
+    assert(matched.forall(f => !v2.contains(f)),
+      "rewritten files must leave the merged snapshot")
+  }
+
+  test("x23 time travel: the pre-merge snapshot still reads the old values") {
+    val (v1, _, v2) = ScaleOps.x23Plan(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+    val mx = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    // an updated key: 0 is %37-divisible and ≤ mx/4 at every SF
+    def statusOf(fs: Seq[String], key: Long): Seq[String] =
+      spark.read.parquet(fs: _*).where(col("o_orderkey") === key)
+        .select(col("o_orderstatus")).collect().map(_.getString(0)).toSeq
+    val original = orders.where(col("o_orderkey") === 0)
+      .select(col("o_orderstatus")).head.getString(0)
+    assert(statusOf(v1, 0L) == Seq(original),
+      "v1 must read the pre-merge status after the merge commits")
+    assert(statusOf(v2, 0L) == Seq("U"),
+      "v2 must read the merged status")
+    // inserts land beyond the old max key: in v2 only
+    assert(statusOf(v1, mx + 1) == Seq.empty)
+    assert(statusOf(v2, mx + 1) == Seq("N"))
+    // row accounting: v2 = base + inserts (no deletes in this delta)
+    val inserts = orders.where(col("o_orderkey") % 97 === 0).count()
+    assert(spark.read.parquet(v1: _*).count() == orders.count())
+    assert(spark.read.parquet(v2: _*).count() == orders.count() + inserts)
+  }
 }
