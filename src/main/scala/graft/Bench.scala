@@ -198,7 +198,8 @@ object Bench {
     * which failure mode produced it. */
   private[graft] final case class RunSet(max: Double, spread: Double,
                                          runs: Seq[Double],
-                                         causes: Seq[String])
+                                         causes: Seq[String],
+                                         stats: Seq[String])
 
   /** The non-query half of the bench JSON line. Kept as THE single
     * builder (main and BenchLineSpec both call it) so the tail-window
@@ -227,7 +228,9 @@ object Bench {
     sets.map { case (name, rs) =>
       val runs = rs.runs.map(fmt(_, 0)).mkString("[", ",", "]")
       val causes = rs.causes.map(jstr).mkString("[", ",", "]")
-      s""""${name}_runs":$runs,"${name}_run_errors":$causes"""
+      val stats = rs.stats.map(jstr).mkString("[", ",", "]")
+      s""""${name}_runs":$runs,"${name}_run_errors":$causes,""" +
+        s""""${name}_run_stats":$stats"""
     }.mkString(",")
 
   /** minimal JSON string escape for run-failure causes (exception
@@ -268,22 +271,31 @@ object Bench {
     val attempts = (1 to runs).map { i =>
       if (i > 1) settle(spark)
       lastFailureCause.set(null)
+      lastRunStats.set(null)
       val (v, payload) = run
       val cause =
         if (v > 0) None
         else Some(s"run$i: ${Option(lastFailureCause.get())
           .getOrElse("failed (no cause recorded)")}")
-      (v, cause, payload)
+      // attribution for EVERY attempt, not just failures: the round-8
+      // artifact carried a 610k-words/s run (6% of best) with empty
+      // run_errors — causes attach only to dead runs, so a slow-but-
+      // alive straggler was indistinguishable from co-tenant load vs an
+      // engine stall. Per-run batch cadence + GC share answers that
+      // from the artifact itself (round-8 verdict item 2).
+      val stat = s"run$i: ${Option(lastRunStats.get()).getOrElse("n/a")}"
+      (v, cause, stat, payload)
     }
     val vals = attempts.map(_._1)
     val causes = attempts.flatMap(_._2)
+    val stats = attempts.map(_._3)
     val ok = vals.filter(_ > 0)
-    if (ok.isEmpty) (RunSet(-1.0, -1.0, vals, causes), None)
+    if (ok.isEmpty) (RunSet(-1.0, -1.0, vals, causes, stats), None)
     else {
       val best = attempts.maxBy(_._1)
       (RunSet(ok.max, (ok.max - vals.map(_ max 0.0).min) / ok.max,
-              vals, causes),
-       Some(best._3))
+              vals, causes, stats),
+       Some(best._4))
     }
   }
 
@@ -291,6 +303,19 @@ object Bench {
     * by bestOf immediately after each attempt (single bench thread) */
   private val lastFailureCause =
     new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** the most recent measureSteady's per-run attribution line (batch
+    * cadence + GC share over the steady window) — set on success AND
+    * failure, read by bestOfWith after each attempt */
+  private val lastRunStats =
+    new java.util.concurrent.atomic.AtomicReference[String]()
+
+  /** cumulative stop-the-world GC milliseconds across all collectors */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
 
   private val rocksDbProvider =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
@@ -560,6 +585,11 @@ object Bench {
       .option("checkpointLocation", ckpt)
       .trigger(Trigger.ProcessingTime(0))
       .start()
+    // GC share of the steady window, snapshot-bracketed around the
+    // measurement loop (the stop itself can GC; that's not attributable
+    // to the measured window)
+    var gcSteadyStart = -1L
+    var gcSteadyEnd = -1L
     try {
       var warmed = false
       var waitedMs = 0L
@@ -568,6 +598,7 @@ object Bench {
         waitedMs += 250
       }
       if (warmed) {
+        gcSteadyStart = gcMillis()
         val clockStart = System.nanoTime()
         val hardStop = clockStart + measureSec.toLong * 4L * 1000000000L
         var done = false
@@ -579,6 +610,7 @@ object Bench {
                   steadyBatches.get() >= minSteadyBatches) ||
                  now >= hardStop || !q.isActive
         }
+        gcSteadyEnd = gcMillis()
       }
     } finally {
       stopQuiet(spark, q)
@@ -590,6 +622,26 @@ object Bench {
       if (firstNanos.get() == 0L) -1.0
       else (firstNanos.get() - startNanos) / 1e9
     val elapsed = (lastNanos.get() - firstNanos.get()) / 1e9
+    // per-run attribution line: committed-batch cadence + GC share of
+    // the steady wall. A straggler with mean-batch ≈ best-run's and few
+    // batches says "short window / late start" (co-tenant load); a
+    // straggler with 5-10× the batch time and a high GC share says the
+    // engine side (state-store churn, heap pressure) — readable straight
+    // from the artifact, no re-run needed.
+    lastRunStats.set {
+      val batches = steadyBatches.get()
+      if (batches <= 0 || elapsed <= 0)
+        s"no steady batches (firstDelay ${fmt(firstDelaySec, 1)}s)"
+      else {
+        val meanMs = elapsed * 1000.0 / batches
+        val gc = if (gcSteadyStart < 0 || gcSteadyEnd < gcSteadyStart) -1L
+                 else gcSteadyEnd - gcSteadyStart
+        val gcPct = if (gc < 0) "n/a"
+                    else fmt(100.0 * gc / (elapsed * 1000.0), 0) + "%"
+        s"$batches steady batches over ${fmt(elapsed, 1)}s, " +
+          s"mean ${fmt(meanMs, 0)} ms/batch, gc ${gc}ms ($gcPct of wall)"
+      }
+    }
     if (steadyBatches.get() < minSteadyBatches || elapsed <= 0) {
       // record WHY for the artifact (read by bestOf): a query exception
       // if there was one, else which stage starved — warmup never

@@ -20,7 +20,10 @@ class BenchLineSpec extends AnyFunSuite {
   // worst realistic widths: 8-digit words/s, one failed run per set
   // (max-length cause strings land only in the full line)
   private def rs(v: Double) = Bench.RunSet(v, 0.87, Seq(v, 0.0, v * 0.5),
-    Seq("run2: no steady window: 1/2 steady batches in 38.2s (firstDelay 31.0s)"))
+    Seq("run2: no steady window: 1/2 steady batches in 38.2s (firstDelay 31.0s)"),
+    Seq("run1: 9 steady batches over 10.2s, mean 1133 ms/batch, gc 210ms (2% of wall)",
+        "run2: no steady batches (firstDelay 31.0s)",
+        "run3: 4 steady batches over 10.8s, mean 2700 ms/batch, gc 4320ms (40% of wall)"))
   private val extras = Bench.extrasJson(
     hdfs = rs(13606060d), rocks = rs(11008300d),
     skew = rs(13606060d), recovery = rs(11008300d),
@@ -50,7 +53,13 @@ class BenchLineSpec extends AnyFunSuite {
     assert(fullNode.get("stream_words_per_sec_rocksdb_runs").size() === 3)
     assert(fullNode.get("stream_words_per_sec_rocksdb_run_errors")
       .get(0).asText().startsWith("run2:"))
+    // per-run attribution (round-9): one stats line per attempt —
+    // including slow-but-ALIVE runs, which carry no run_errors entry
+    assert(fullNode.get("stream_words_per_sec_rocksdb_run_stats").size() === 3)
+    assert(fullNode.get("stream_words_per_sec_rocksdb_run_stats")
+      .get(2).asText().contains("gc"))
     assert(node.get("stream_words_per_sec_rocksdb_runs") == null)
+    assert(node.get("stream_words_per_sec_rocksdb_run_stats") == null)
   }
 
   test("prefix fallback disambiguates shared prefixes") {
