@@ -48,15 +48,32 @@ object Graph {
   private val PR_SCALE = 1000000000000L // 1e-12 rank units
   private val PR_TOP = 100
 
-  private def g01(spark: SparkSession, dir: String): DataFrame = {
+  /** the pre-truncation plan + its loop-scoped caches, exposed so
+    * PlanSpec can pin the one-exchange-per-iteration shape (the
+    * returned g01 frame is localCheckpoint-truncated — its plan is just
+    * Scan ExistingRDD) */
+  private[graft] def g01Plan(spark: SparkSession,
+                             dir: String): (DataFrame, Seq[DataFrame]) = {
     // t06's bigram statistic as graph structure — the SHARED substrate
     // (TextAnalysis.wordPairs) the whole lexical-graph family builds on
     val pairs = TextAnalysis.wordPairs(spark, dir)
+    // ONE standing partitioning for the whole loop (round-8 verdict:
+    // the pre-shuffle cache made every iteration re-exchange BOTH join
+    // sides). edges are cached already hash-partitioned on the join
+    // key `a`; outW derives from them with zero exchange and inherits
+    // the alignment; nodes are cached hash-partitioned on `node` by
+    // their own distinct. Each iteration's ranks side arrives hash(node)
+    // from the previous round's aggregate and the node→a rename is
+    // alias-preserving, so the only per-round exchange left is the
+    // unavoidable contribution flip (b's inflow must reach node
+    // partitioning) — the plan you'd want at a billion edges, where
+    // re-exchanging the edge table five times IS the job's cost.
     val edges = pairs.groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("w"))
       .where(col("w") >= PR_MIN_W)
+      .repartition(col("a"))
       .cache()
-    val outW = edges.groupBy(col("a")).agg(sum(col("w")).as("wout"))
+    val outW = edges.groupBy(col("a")).agg(sum(col("w")).as("wout")).cache()
     val nodes = edges.select(col("a").as("node"))
       .union(edges.select(col("b").as("node"))).distinct().cache()
     val n = nodes.count() // one scalar action; sizes r0 like t05's idf
@@ -83,9 +100,13 @@ object Graph {
       .withColumn("rnk",
         row_number().over(Window.orderBy(col("r").desc, col("node"))))
       .select(col("rnk"), col("node").as("word"), col("r").as("rank_scaled"))
-      .localCheckpoint(true)
-    edges.unpersist()
-    nodes.unpersist()
+    (out, Seq(edges, outW, nodes))
+  }
+
+  private def g01(spark: SparkSession, dir: String): DataFrame = {
+    val (plan, caches) = g01Plan(spark, dir)
+    val out = plan.localCheckpoint(true)
+    caches.foreach(_.unpersist())
     out
   }
 

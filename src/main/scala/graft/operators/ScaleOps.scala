@@ -1073,7 +1073,7 @@ object ScaleOps {
     * (Round9OpsSpec pins that), but the oracle should not depend on it.
     * This formulation states the operator's full contract explicitly:
     * per error, the purchase with the greatest (ts, purchase_id) ≤ ts. */
-  private val x21Sql =
+  private[operators] val x21Sql =
     """SELECT e.event_id, e.user_id, e.ts, p.purchase_id, p.purchase_ts
       |FROM (SELECT event_id, user_id, ts FROM events
       |      WHERE event_type = 'error') e

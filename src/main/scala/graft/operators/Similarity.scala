@@ -1087,6 +1087,60 @@ object Similarity {
        |) a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
        |GROUP BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // s11 — the cross-index recall SWEEP (round-8 verdict item 4): s10
+  //       evaluates one approximate path (LSH); this is the table a
+  //       production ANN rollout reads before SWITCHING indexes — one
+  //       row per approximate index (LSH, IVF, PQ-ADC, SQ8+rerank),
+  //       each scored against the same exact baseline (s01), same k.
+  //       Aggregated across the query sample (s10 keeps the per-query
+  //       breakdown; this is the per-index summary), integer percent.
+  //
+  //       100 TB shape: identical to s10's — each index's own pipeline
+  //       runs untouched over the staged standing indexes (PQ codes,
+  //       SQ8 column, centroids — built once per corpus), and the
+  //       recall arithmetic joins O(queries·k) result sets, metadata-
+  //       scale regardless of corpus size.
+  // ---------------------------------------------------------------------
+  private def s11(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s01(spark, dir).select(col("query_id"), col("neighbor_id"))
+    def recall(name: String, approx: DataFrame): DataFrame =
+      exact.join(
+          approx.select(col("query_id"), col("neighbor_id"))
+            .withColumn("hit", lit(1)),
+          Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_pairs"), count(col("hit")).as("n_hits"))
+        .select(lit(name).as("index_name"), lit(TOP_K).as("k"),
+          col("n_pairs"), col("n_hits"),
+          expr("CAST(n_hits * 100 div n_pairs AS BIGINT)").as("recall_pct"))
+    recall("lsh", s02(spark, dir))
+      .unionByName(recall("ivf", s04(spark, dir)))
+      .unionByName(recall("pq_adc", s07(spark, dir)))
+      .unionByName(recall("sq8_rerank", s08(spark, dir)))
+  }
+
+  /** one recall row per index: the exact baseline's SQL left-joined
+    * with each approximate pipeline's own oracle SQL (s10's nesting
+    * pattern, swept across every index) */
+  private def s11RecallSql(name: String, approxSql: String): String =
+    s"""SELECT '$name' AS index_name, CAST($TOP_K AS INT) AS k,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(a.neighbor_id) * 100 // COUNT(*) AS BIGINT)
+       |    AS recall_pct
+       |FROM (
+       |$s01Sql
+       |) e LEFT JOIN (
+       |$approxSql
+       |) a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
+      .stripMargin
+
+  private lazy val s11Sql = Seq(
+      "lsh" -> s02Sql, "ivf" -> s04Sql,
+      "pq_adc" -> s07Sql, "sq8_rerank" -> s08Sql)
+    .map { case (n, sql) => s11RecallSql(n, sql) }
+    .mkString("\nUNION ALL\n")
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("s01_knn_bruteforce", s01, Some(s01Sql)),
     QuerySpec("s02_knn_lsh", s02, Some(s02Sql)),
@@ -1097,5 +1151,6 @@ object Similarity {
     QuerySpec("s07_knn_pq_adc", s07, Some(s07Sql)),
     QuerySpec("s08_knn_sq8_rerank", s08, Some(s08Sql)),
     QuerySpec("s09_maxsim_late_interaction", s09, Some(s09Sql)),
-    QuerySpec("s10_ann_recall", s10, Some(s10Sql)))
+    QuerySpec("s10_ann_recall", s10, Some(s10Sql)),
+    QuerySpec("s11_recall_sweep", s11, Some(s11Sql)))
 }

@@ -891,6 +891,58 @@ object StreamingOps {
        |    MAX(nd)) AS BIGINT) AS kmv_estimate
        |FROM r GROUP BY flag""".stripMargin
 
+  /** w17 — STREAMING as-of enrichment: x21 run continuously — the
+    * production shape where an event stream is enriched, at arrival,
+    * against a time-versioned dimension (each error matched to the
+    * user's latest purchase at-or-before it). The dimension is a
+    * STANDING table (cached once, like a warehouse dimension snapshot);
+    * each micro-batch runs the NATIVE as-of operator (plans.AsOf, the
+    * custom LogicalPlan/Strategy/Exec route) against it inside
+    * foreachBatch — the stream-static enrichment pattern, with the
+    * operator the composed window formulation can't stream (a running
+    * last_value over a union needs the whole history per key; the
+    * per-batch as-of needs only the batch).
+    *
+    * Batch-split insensitive BY CONSTRUCTION: an as-of match depends
+    * only on the left row itself and the static dimension, so any
+    * slicing of the error stream yields the same enriched union —
+    * Round9OpsSpec pins drained ≡ batch x21, and the oracle SQL is
+    * x21's verbatim.
+    *
+    * 100 TB shape: per-batch cost is the batch's own rows exchanged
+    * against the dimension (the dimension side is cached and
+    * re-partitions once per batch — at production scale it would be
+    * bucketed to make that exchange one-sided); no streaming state at
+    * all, so there is nothing to bound or time out. */
+  private def w17(spark: SparkSession, dir: String): DataFrame = {
+    val errors = Tables.events(spark, dir)
+      .where(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = Tables.events(spark, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+              col("user_id").as("p_user_id"),
+              col("ts").as("purchase_ts"))
+      .cache()
+    val out = s"${graft.util.Scratch.dir("graft-w17")}/enriched"
+    val stream = stagedStream(spark, errors, files = 3)
+    val query = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.plans.AsOf.join(batch, purchases,
+            leftKey = "user_id", rightKey = "p_user_id",
+            leftTs = "ts", rightTs = "purchase_ts",
+            rightTie = "purchase_id")
+          .select(col("event_id"), col("user_id"), col("ts"),
+                  col("purchase_id"), col("purchase_ts"))
+          .write.mode("append").parquet(out)
+        ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    purchases.unpersist()
+    spark.read.parquet(out)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
@@ -907,5 +959,6 @@ object StreamingOps {
     QuerySpec("w13_stream_stream_left_outer_join", w13, Some(w13Sql)),
     QuerySpec("w14_stream_decontaminate", w14, Some(Dedup.d08Sql)),
     QuerySpec("w15_stream_scd2", w15, Some(ScaleOps.x13Sql)),
-    QuerySpec("w16_stream_kmv_sketch", w16, Some(w16Sql)))
+    QuerySpec("w16_stream_kmv_sketch", w16, Some(w16Sql)),
+    QuerySpec("w17_stream_asof_enrich", w17, Some(ScaleOps.x21Sql)))
 }

@@ -66,4 +66,38 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(v1: _*).count() == orders.count())
     assert(spark.read.parquet(v2: _*).count() == orders.count() + inserts)
   }
+
+  test("g01 iterations reuse the standing cached partitionings") {
+    // round-8 verdict: edges were cached PRE-shuffle, so every
+    // iteration re-exchanged both sides of the rank join. With the
+    // standing hash(a)/hash(node) caches, the lazy 5-iteration plan
+    // carries at most 7 one-time shuffles (edges groupBy + standing
+    // repartition and their re-appearance under the dependent outW /
+    // nodes cache builds) plus exactly ONE shuffle per iteration (the
+    // b→node contribution flip, which no partitioning can avoid);
+    // small sides ride broadcasts. A regression to per-iteration
+    // re-exchanging shows up as ≥2 shuffles per round and fails this.
+    val (plan, caches) = Graph.g01Plan(spark, sfDir)
+    try {
+      val p = plan.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val shuffles = "\\(\\d+\\) Exchange\\b".r.findAllIn(p).length
+      assert(shuffles <= 12,
+        s"expected ≤12 shuffles (7 one-time + 1/iteration), got $shuffles")
+    } finally caches.foreach(_.unpersist())
+  }
+
+  test("w17 drained stream equals batch x21 (slicing-insensitive by construction)") {
+    // an as-of match depends only on the left row and the static
+    // dimension, so any micro-batch slicing of the error stream yields
+    // the same enriched union — the drained 3-batch replay must equal
+    // the batch operator row-for-row
+    val streamed = graft.SparkEntry
+      .queries("w17_stream_asof_enrich")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.SparkEntry
+      .queries("x21_native_asof_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+  }
 }
