@@ -379,9 +379,22 @@ object Bench {
       val d = digits.dropWhile(_ == '0')
       (alpha + (if (digits.nonEmpty && d.isEmpty) "0" else d)) -> v
     })
+    // true last resort before dropping detail entirely: one summed
+    // entry per operator FAMILY (d/g/m/p/q/s/t/w/x — ~9 keys however
+    // large the registry grows). Round 9's 122-query registry pushed
+    // the worst-case-width short-prefix line ~6 chars past budget;
+    // realistic widths (values under ~100 s) still carry every query
+    // at an earlier cascade step (spec-pinned), so this step only
+    // fires when many queries are simultaneously 4+ digits of seconds
+    // — a regime where the family breakdown is the readable summary.
+    lazy val familySums = results
+      .groupBy(_._1.takeWhile(_.isLetter))
+      .map { case (fam, rs) => fam -> rs.map(_._2).sum }
+      .toSeq.sortBy(_._1)
     val candidates =
       (results, 2) #:: LazyList.from(
-        Seq(2, 1, 0).map(d => (prefixed, d)) :+ ((shortPrefixed, 0)))
+        Seq(2, 1, 0).map(d => (prefixed, d)) :+
+          ((shortPrefixed, 0)) :+ ((familySums, 1)))
     val last = candidates
       .map { case (rs, d) =>
         jsonLine(rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, d) }

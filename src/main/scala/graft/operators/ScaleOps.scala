@@ -1334,6 +1334,29 @@ object ScaleOps {
       |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
       |FROM merged GROUP BY 2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // x24 — AGGREGATE pushdown through the graft-seq connector (completes
+  //       x20's pushdown story: filters + columns + aggregates): a
+  //       COUNT(*)/MIN(id)/MAX(id) over a pushed range is CLOSED-FORM
+  //       on the integer interval, so the source answers it with one
+  //       metadata partition emitting one arithmetic row — zero data-
+  //       column materialization, no re-aggregation above the scan
+  //       (complete pushdown; SeqSourceSpec pins the plan). At 100 TB
+  //       this is the difference between a catalog lookup and a
+  //       full-table scan for the queries BI tools fire constantly.
+  // ---------------------------------------------------------------------
+  private def x24(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-seq").option("n", X20_N).load()
+      .where(col("id") >= X20_LO && col("id") < X20_HI)
+      .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
+           max(col("id")).as("max_id"))
+
+  private val x24Sql =
+    s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  CAST(MIN(i) AS BIGINT) AS min_id,
+       |  CAST(MAX(i) AS BIGINT) AS max_id
+       |FROM generate_series($X20_LO, ${X20_HI - 1}) t(i)""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("x01_salted_wordcount", x01, Some(Relational.q14Sql)),
     QuerySpec("x02_sessionize", x02, Some(x02Sql)),
@@ -1357,5 +1380,6 @@ object ScaleOps {
     QuerySpec("x20_custom_source_pushdown", x20, Some(x20Sql)),
     QuerySpec("x21_native_asof_join", x21, Some(x21Sql)),
     QuerySpec("x22_funnel_analysis", x22, Some(x22Sql)),
-    QuerySpec("x23_merge_upsert", x23, Some(x23Sql)))
+    QuerySpec("x23_merge_upsert", x23, Some(x23Sql)),
+    QuerySpec("x24_pushed_aggregate", x24, Some(x24Sql)))
 }

@@ -6,9 +6,12 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsPushDownV2Filters}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -16,12 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * DataSourceV2 connector with real pushdown, the library-author
   * counterpart to the streaming `ms-rate` source: where ms-rate shows
   * the MicroBatchStream surface, this shows the batch ScanBuilder
-  * surface a storage connector implements — SupportsPushDownFilters
+  * surface a storage connector implements — SupportsPushDownV2Filters
   * (range predicates on `id` shrink the scan itself: partitions whose
   * id range falls outside the pushed bounds are never planned, and
-  * surviving partitions iterate only the in-range ids) and
+  * surviving partitions iterate only the in-range ids),
   * SupportsPushDownRequiredColumns (unprojected columns are never
-  * materialized, not even as nulls).
+  * materialized, not even as nulls), and SupportsPushDownAggregates
+  * (COUNT(*)/MIN(id)/MAX(id) answer closed-form off the range itself —
+  * one metadata partition, zero data materialization).
   *
   * Rows are a pure function of `id`, via the same 2-round
   * multiplicative mixer over Z_2^32 the KMV sketch uses (x15 —
@@ -76,18 +81,14 @@ private[sources] class SeqTable(options: CaseInsensitiveStringMap)
 
 private[sources] class SeqScanBuilder(n: Long, slices: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownV2Filters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo = 0L
   private var hi = n
-  private var pushed: Array[Filter] = Array.empty
+  private var pushed: Array[Predicate] = Array.empty
   private var required: StructType = SeqSourceProvider.SCHEMA
-
-  private def num(v: Any): Option[Long] = v match {
-    case l: Long => Some(l)
-    case i: Int  => Some(i.toLong)
-    case _       => None
-  }
+  private var pushedAggs: Option[Array[AggregateFunc]] = None
 
   /** saturating increment: the exclusive-bound conversions below add 1
     * to an inclusive bound, and `Long.MaxValue + 1` wraps to MinValue —
@@ -100,36 +101,172 @@ private[sources] class SeqScanBuilder(n: Long, slices: Int)
   private def satInc(v: Long): Long =
     if (v == Long.MaxValue) Long.MaxValue else v + 1
 
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
-      case GreaterThanOrEqual("id", v) => num(v).isDefined
-      case GreaterThan("id", v)        => num(v).isDefined
-      case LessThan("id", v)           => num(v).isDefined
-      case LessThanOrEqual("id", v)    => num(v).isDefined
-      case EqualTo("id", v)            => num(v).isDefined
-      case _                           => false
+  /** a range predicate normalized to `id OP literal` form ((lit OP id)
+    * flips the comparison) — None when the predicate is not a plain
+    * two-child comparison of the id column against an integer literal */
+  private def normalized(p: Predicate): Option[(String, Long)] = {
+    def idRef(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference =>
+          r.fieldNames.length == 1 && r.fieldNames()(0) == "id"
+        case _ => false
+      }
+    def litVal(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value match {
+            case x: java.lang.Long    => Some(x.longValue)
+            case x: java.lang.Integer => Some(x.longValue)
+            case x: java.lang.Short   => Some(x.longValue)
+            case _                    => None
+          }
+        case _ => None
+      }
+    val c = p.children()
+    if (c.length != 2) None
+    else if (idRef(c(0))) litVal(c(1)).map((p.name(), _))
+    else if (idRef(c(1))) litVal(c(0)).map { v =>
+      (p.name() match {
+        case ">" => "<"
+        case "<" => ">"
+        case ">=" => "<="
+        case "<=" => ">="
+        case other => other
+      }, v)
     }
-    accepted.foreach {
-      case GreaterThanOrEqual("id", v) => lo = math.max(lo, num(v).get)
-      case GreaterThan("id", v)        => lo = math.max(lo, satInc(num(v).get))
-      case LessThan("id", v)           => hi = math.min(hi, num(v).get)
-      case LessThanOrEqual("id", v)    => hi = math.min(hi, satInc(num(v).get))
-      case EqualTo("id", v) =>
-        lo = math.max(lo, num(v).get); hi = math.min(hi, satInc(num(v).get))
+    else None
+  }
+
+  // V2 Predicate pushdown (not the legacy sources.Filter surface):
+  // besides being the current connector API, it is what composes with
+  // aggregate pushdown — V2ScanRelationPushDown refuses to push an
+  // aggregate past V1-pushed filters (it cannot see that they were
+  // handled EXACTLY), while V2-pushed predicates keep the holder
+  // eligible. Found empirically in round 9: the same query pushed
+  // aggregates with no WHERE clause and stopped the moment one V1
+  // filter was accepted.
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    val ops = Set(">", ">=", "<", "<=", "=")
+    // IS_NOT_NULL(id) is the analyzer's inferred companion of every id
+    // range predicate and is vacuously true here (ids are never null);
+    // rejecting it would leave a post-scan Filter that blocks aggregate
+    // pushdown (rewriteAggregate requires an empty post-scan filter list)
+    def vacuous(p: Predicate): Boolean =
+      p.name() == "IS_NOT_NULL" && p.children().length == 1 &&
+        (p.children()(0) match {
+          case r: NamedReference => r.fieldNames.length == 1
+          case _ => false
+        })
+    val (accepted, rejected) = predicates.partition(p =>
+      vacuous(p) || (ops.contains(p.name()) && normalized(p).isDefined))
+    accepted.flatMap(normalized(_)).foreach {
+      case (">=", v) => lo = math.max(lo, v)
+      case (">", v)  => lo = math.max(lo, satInc(v))
+      case ("<", v)  => hi = math.min(hi, v)
+      case ("<=", v) => hi = math.min(hi, satInc(v))
+      case ("=", v)  =>
+        lo = math.max(lo, v); hi = math.min(hi, satInc(v))
       case _ => ()
     }
     pushed = accepted
-    // exact integer range handling: accepted filters need no post-scan
-    // re-evaluation — only the rejected remainder goes back to Spark
+    // exact integer range handling: accepted predicates need no
+    // post-scan re-evaluation — only the rejected remainder goes back
     rejected
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedPredicates(): Array[Predicate] = pushed
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SeqScan(lo, math.max(lo, hi), slices, required)
+  // ---- aggregate pushdown (COUNT(*) / MIN(id) / MAX(id)) ------------
+  // Every supported aggregate is CLOSED-FORM on the pushed integer
+  // range [lo, hi): count = hi − lo, min = lo, max = hi − 1 — so a
+  // pushed-aggregate scan plans ONE metadata partition emitting one
+  // arithmetic row and never materializes a single data column. That
+  // is the full connector pushdown story (filters + columns +
+  // aggregates): a 100 TB COUNT(*) against this source costs nothing
+  // but the plan. Complete pushdown (not partial): Spark plans a bare
+  // Project on top, no re-aggregation — sound because the range
+  // filters this source accepts are handled exactly (see pushFilters),
+  // and Spark only attempts aggregate pushdown when no post-scan
+  // filter remains.
+
+  private def idColumn(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: NamedReference =>
+        r.fieldNames.length == 1 && r.fieldNames()(0) == "id"
+      case _ => false
+    }
+
+  private def supported(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall {
+      case _: CountStar => true
+      case m: Min => idColumn(m.column)
+      case m: Max => idColumn(m.column)
+      case _ => false
+    }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    supported(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supported(agg) && {
+      pushedAggs = Some(agg.aggregateExpressions)
+      true
+    }
+
+  override def build(): Scan = pushedAggs match {
+    case Some(aggs) => new SeqAggScan(lo, math.max(lo, hi), aggs)
+    case None => new SeqScan(lo, math.max(lo, hi), slices, required)
+  }
+}
+
+/** the pushed-aggregate scan: one partition, one closed-form row, zero
+  * data-column materialization (MIN/MAX are nullable — an empty pushed
+  * range yields (0, null, null), matching Spark's global-aggregate
+  * semantics on empty input) */
+private[sources] class SeqAggScan(lo: Long, hi: Long,
+                                  aggs: Array[AggregateFunc])
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(aggs.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-seq range=[$lo, $hi) pushed-aggregates=" +
+      aggs.map(_.toString).mkString(",")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SeqPartition(0L, 1L)) // one metadata partition, one row
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // evaluate the closed forms DRIVER-side and ship only the row's
+    // values (the factory must serialize; the Scan itself must not)
+    val empty = hi <= lo
+    val values: Array[Any] = aggs.map {
+      case _: CountStar => (math.max(0L, hi - lo)): java.lang.Long
+      case _: Min => if (empty) null else (lo: java.lang.Long)
+      case _: Max => if (empty) null else ((hi - 1): java.lang.Long)
+      case other => throw new IllegalStateException(
+        s"unsupported pushed aggregate $other") // unreachable: gated by supported()
+    }
+    SeqAggReaderFactory(values)
+  }
+}
+
+private[sources] case class SeqAggReaderFactory(values: Array[Any])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = new GenericInternalRow(values)
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] class SeqScan(lo: Long, hi: Long, slices: Int,

@@ -36,15 +36,35 @@ class BenchLineSpec extends AnyFunSuite {
     "stream_words_per_sec_skew20" -> rs(13606060d),
     "stream_words_per_sec_recovery" -> rs(11008300d)))
 
+  test("last line carries EVERY query at realistic widths") {
+    // realistic worst case: every gated query simultaneously at 2-digit
+    // seconds (the slowest real query to date is ~14 s) — the compact
+    // line must keep the full per-query breakdown
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 13.57912)
+    val (_, last) =
+      Bench.buildLines(results, extras, fullExtras, "/root/testdata/sf0.1")
+    assert(last.length <= 1800, s"compact line ${last.length} chars")
+    val node = mapper.readTree(last)
+    assert(node.get("queries").size() === results.size,
+      "a timing was lost to a duplicate key or a premature cascade step")
+  }
+
   test("last line fits the driver's tail window for all registered queries") {
+    // PATHOLOGICAL widths: every query simultaneously at 4-digit
+    // seconds. The line must stay parseable and keep at least the
+    // per-family breakdown (round 9: 122 worst-case-width queries
+    // overflowed the short-prefix step by ~6 chars — the family-sum
+    // step is the principled last resort before dropping detail)
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1234.56789)
     val (full, last) =
       Bench.buildLines(results, extras, fullExtras, "/root/testdata/sf0.1")
     assert(last.length <= 1800, s"compact line ${last.length} chars")
     val node = mapper.readTree(last)
     assert(node.get("metric").asText() === "total")
-    assert(node.get("queries").size() === results.size,
-      "a timing was lost to a duplicate key")
+    assert(node.get("queries").size() > 0,
+      "per-query detail must degrade to family sums, not vanish")
+    assert(node.get("queries").has("q") && node.get("queries").has("x"),
+      "family breakdown missing from the last-resort step")
     assert(node.get("stream_words_per_sec_recovery").asLong() === 11008300L)
     // the per-run evidence parses as JSON and lands in the FULL line
     // only (the bounded tail line must not carry unbounded cause text)

@@ -71,4 +71,39 @@ class SeqSourceSpec extends AnyFunSuite {
     val expected = (0L until 1000L).count(SeqSourceProvider.mix(_) % 2 == 0)
     assert(viaSource == expected)
   }
+
+  test("COUNT/MIN/MAX push completely: one metadata partition, no re-aggregation") {
+    val df = table(100000L)
+      .where(col("id") >= 25000L && col("id") < 75000L)
+      .agg(count(lit(1)).as("n_rows"), min(col("id")).as("min_id"),
+           max(col("id")).as("max_id"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed-aggregates=COUNT(*),MIN(id),MAX(id)"),
+      s"aggregates must reach the scan:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown must leave no aggregation above the scan:\n$plan")
+    // closed-form answer off ONE metadata partition — no data-column
+    // materialization, no per-id iteration
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.collect().map(_.toSeq).toSeq ==
+      Seq(Seq(50000L, 25000L, 74999L)))
+  }
+
+  test("pushed aggregates over an empty range match global-agg-on-empty semantics") {
+    val row = table(1000L).where(col("id") >= 500L && col("id") < 500L)
+      .agg(count(lit(1)), min(col("id")), max(col("id"))).head
+    assert(row.getLong(0) == 0L && row.isNullAt(1) && row.isNullAt(2))
+  }
+
+  test("grouped or non-id aggregates stay engine-side, correctly") {
+    // group-by and SUM are not supported by the source — Spark must
+    // keep its own aggregation and still be right
+    val grouped = table(70L).groupBy(col("tag")).agg(count(lit(1)).as("n"))
+    assert(grouped.queryExecution.executedPlan.toString
+      .contains("HashAggregate"))
+    assert(grouped.collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap == (0 to 6).map(i => s"t$i" -> 10L).toMap)
+    val summed = table(100L).agg(sum(col("id"))).head.getLong(0)
+    assert(summed == (0L until 100L).sum)
+  }
 }
