@@ -67,6 +67,34 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(v2: _*).count() == orders.count() + inserts)
   }
 
+  test("x25 DELETE is copy-on-write: range-pruned rewrite, deleted rows gone only from v2") {
+    val (v1, matched, v2) = ScaleOps.x25Plan(spark, sfDir)
+    // the delete predicate is localized to the low quarter of the key
+    // space — planning off the manifest must rewrite a strict subset
+    assert(matched.nonEmpty && matched.size < v1.size)
+    assert(v1.diff(matched).forall(v2.contains))
+    assert(matched.forall(f => !v2.contains(f)))
+    def has(fs: Seq[String], key: Long): Boolean =
+      spark.read.parquet(fs: _*)
+        .where(col("o_orderkey") === key).limit(1).count() == 1
+    val mx = Tables.orders(spark, sfDir)
+      .agg(max(col("o_orderkey"))).head.getLong(0)
+    // key 0 qualifies (0 % 53 = 0, <= mx/4): deleted from v2, kept in v1
+    assert(has(v1, 0L) && !has(v2, 0L))
+    // key 1 is in a REWRITTEN file but doesn't qualify: must survive
+    assert(has(v1, 1L) && has(v2, 1L))
+    // a %53 key beyond the range cut doesn't qualify: must survive
+    val beyond = (mx / 4 / 53 + 1) * 53
+    assert(beyond <= mx && has(v2, beyond))
+    // row accounting: v2 = base − matched deletes
+    val orders = Tables.orders(spark, sfDir)
+    val deletes = orders
+      .where(col("o_orderkey") <= mx / 4 && col("o_orderkey") % 53 === 0)
+      .count()
+    assert(deletes > 0)
+    assert(spark.read.parquet(v2: _*).count() == orders.count() - deletes)
+  }
+
   test("g01 iterations reuse the standing cached partitionings") {
     // round-8 verdict: edges were cached PRE-shuffle, so every
     // iteration re-exchanged both sides of the rank join. With the
