@@ -157,9 +157,12 @@ object Bench {
     graft.operators.ScaleOps.x18Stage(spark, sfDir)
     graft.operators.ScaleOps.x19Stage(spark, sfDir)
     // x23's base layout + key-stats manifest: the standing table the
-    // MERGE mutates — the gate times the mutation (plan → COW rewrite →
-    // commit → read back), not the initial table build
+    // MERGE (and x25's DELETE) mutates — the gate times the mutation
+    // (plan → COW rewrite → commit → read back), not the table build
     graft.operators.ScaleOps.x23Stage(spark, sfDir)
+    // x26's layout + expiration: retention is a stage-time commit; the
+    // gate times reading the retained snapshot after the vacuum
+    graft.operators.ScaleOps.x26Stage(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

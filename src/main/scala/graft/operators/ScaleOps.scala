@@ -1335,6 +1335,77 @@ object ScaleOps {
       |FROM merged GROUP BY 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x26 — snapshot EXPIRATION + VACUUM (expire_snapshots / VACUUM —
+  //       the retention op that completes the table-format lifecycle:
+  //       x17 prune, x18 time travel, x19 compact, x23 merge, x25
+  //       delete, x26 expire): immutable-file formats never delete on
+  //       write, so storage only returns when old snapshots EXPIRE and
+  //       files no live version references physically delete. Staged
+  //       on its OWN layout (x18/x19's files stay readable for their
+  //       own gates): v1 = base, v2 = base + delta fragments, v3 =
+  //       base + compacted — expiring v1/v2 leaves the fragments
+  //       unreferenced, and vacuum deletes exactly those. The gated
+  //       query reads the retained snapshot AFTER the vacuum; its
+  //       oracle is the plain full-table aggregate — retention may
+  //       never change what live readers see. Round9OpsSpec pins what
+  //       the hash can't: the fragment files are physically gone, the
+  //       retained files all survive, and the reference arithmetic
+  //       (candidates = all − live) happened over file LISTS, never
+  //       data.
+  //
+  //       100 TB shape: expiration is pure metadata (set difference of
+  //       manifest file lists) + storage deletes; nothing rescans. The
+  //       dangerous half — deleting a file a live snapshot still
+  //       references — is structurally impossible when deletion is
+  //       computed as (all physical) − (union of live manifests),
+  //       which is the exact computation pinned here.
+  // ---------------------------------------------------------------------
+  // dir → (v3 live files, vacuumed = physically deleted files)
+  private val x26Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[String], Seq[String])]()
+
+  private[graft] def x26Stage(spark: SparkSession,
+                              dir: String): (Seq[String], Seq[String]) =
+    x26Staged.computeIfAbsent(dir, _ => {
+      val root = graft.util.Scratch.dir("graft-x26-vacuum")
+      val li = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      val cut = li.agg(max(col("l_orderkey"))).head.getLong(0) / 2
+      li.where(col("l_orderkey") <= cut).repartition(8)
+        .write.mode("overwrite").parquet(s"$root/base")
+      li.where(col("l_orderkey") > cut).repartition(4)
+        .write.mode("overwrite").parquet(s"$root/delta")
+      def files(sub: String): Seq[String] = {
+        val d = new java.io.File(s"$root/$sub")
+        d.listFiles.toSeq.map(_.getName)
+          .filter(_.startsWith("part-")).sorted.map(n => s"$root/$sub/$n")
+      }
+      val fragments = files("delta")
+      spark.read.parquet(fragments: _*).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/compact")
+      val v1 = files("base")
+      val v2 = v1 ++ fragments
+      val v3 = v1 ++ files("compact")
+      // EXPIRE v1/v2, retain v3; vacuum = (all physical) − (live refs).
+      // Pure file-list arithmetic — by construction it can never name
+      // a file the retained snapshot still reads.
+      val live = v3.toSet
+      val vacuumed = (v1 ++ v2).distinct.filterNot(live)
+      vacuumed.foreach(f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f)))
+      (v3, vacuumed)
+    })
+
+  private def x26(spark: SparkSession, dir: String): DataFrame = {
+    val (v3, _) = x26Stage(spark, dir)
+    spark.read.parquet(v3: _*)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("l_quantity").cast(DecimalType(18, 2)))
+             .cast(DoubleType).as("sum_qty"))
+  }
+
+  // ---------------------------------------------------------------------
   // x25 — row-level DELETE as a COPY-ON-WRITE commit (x23's sibling —
   //       the verdict's gap was "MERGE/DELETE on the table format" and
   //       MERGE alone closes half of it): GDPR erasure, retention
@@ -1454,5 +1525,6 @@ object ScaleOps {
     QuerySpec("x22_funnel_analysis", x22, Some(x22Sql)),
     QuerySpec("x23_merge_upsert", x23, Some(x23Sql)),
     QuerySpec("x24_pushed_aggregate", x24, Some(x24Sql)),
-    QuerySpec("x25_delete_commit", x25, Some(x25Sql)))
+    QuerySpec("x25_delete_commit", x25, Some(x25Sql)),
+    QuerySpec("x26_snapshot_expire", x26, Some(x19Sql)))
 }

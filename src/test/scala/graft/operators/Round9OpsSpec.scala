@@ -95,6 +95,24 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(v2: _*).count() == orders.count() - deletes)
   }
 
+  test("x26 vacuum deletes exactly the unreferenced files, retained snapshot intact") {
+    val (v3, vacuumed) = ScaleOps.x26Stage(spark, sfDir)
+    // something actually expired, and it was the delta fragments
+    assert(vacuumed.nonEmpty)
+    assert(vacuumed.forall(_.contains("/delta/")))
+    // physically gone — storage was reclaimed, not just dereferenced
+    vacuumed.foreach(f =>
+      assert(!new java.io.File(f).exists(), s"vacuumed file survived: $f"))
+    // every retained file survives, and structurally no live file can
+    // be vacuumed: deletion was computed as (all physical) − (live)
+    v3.foreach(f =>
+      assert(new java.io.File(f).exists(), s"live file vacuumed: $f"))
+    assert(vacuumed.toSet.intersect(v3.toSet).isEmpty)
+    // retention never changes what live readers see
+    val li = Tables.lineitem(spark, sfDir)
+    assert(spark.read.parquet(v3: _*).count() == li.count())
+  }
+
   test("g01 iterations reuse the standing cached partitionings") {
     // round-8 verdict: edges were cached PRE-shuffle, so every
     // iteration re-exchanged both sides of the rank join. With the
