@@ -1141,6 +1141,91 @@ object Similarity {
     .map { case (n, sql) => s11RecallSql(n, sql) }
     .mkString("\nUNION ALL\n")
 
+  // ---------------------------------------------------------------------
+  // s12 — the IVF OPERATING CURVE (recall vs nprobe): s11 compares
+  //       indexes at their gate settings; this sweeps ONE index's
+  //       recall/cost knob — nprobe ∈ {1, 2, 4} nearest cells probed —
+  //       against the exact baseline. This is the tuning table an IVF
+  //       deployment reads to pick its operating point (recall rises
+  //       with nprobe, scan cost rises linearly with it), and the
+  //       regression gate that catches a centroid-drift recall cliff.
+  //
+  //       100 TB shape: per arm, the probe cost is nprobe/K of the
+  //       corpus (cell-bucketed scan) and the recall arithmetic joins
+  //       O(queries·k) result sets; the sweep is N_PROBES independent
+  //       evaluations over the SAME standing assignment.
+  // ---------------------------------------------------------------------
+  private val S12_PROBES = Seq(1, 2, 4)
+
+  private def s12(spark: SparkSession, dir: String): DataFrame = {
+    val exact = s01(spark, dir).select(col("query_id"), col("neighbor_id"))
+    S12_PROBES.map { np =>
+      val approx = s04Probe(spark, dir, np)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_pairs"), count(col("hit")).as("n_hits"))
+        .select(lit(np).as("nprobe"), col("n_pairs"), col("n_hits"),
+          expr("CAST(n_hits * 100 div n_pairs AS BIGINT)").as("recall_pct"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** s04's pipeline generalized to `nprobe` cells per query: the query
+    * probes its top-nprobe centroids by (cosine desc, cid asc) — the
+    * exact order TopKAggregator uses Spark-side — instead of only its
+    * own assignment cell */
+  private def s04SqlAt(np: Int): String =
+    s"""WITH k_t AS (
+       |  SELECT COALESCE(
+       |    (SELECT MIN(k) FROM generate_series($CENTROIDS_MIN, $CENTROIDS_MAX) t(k)
+       |     WHERE k * k >= (SELECT count(*) FROM embeddings)),
+       |    $CENTROIDS_MAX) AS nk),
+       |e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM e
+       |      WHERE vec_id < (SELECT nk FROM k_t)),
+       |assigned AS (
+       |  SELECT vec_id, embedding, cluster FROM (
+       |    SELECT e.vec_id, e.embedding, c.cid AS cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqlCos("e.embedding", "c.cv")} DESC, c.cid) AS arn
+       |    FROM e CROSS JOIN c) t
+       |  WHERE arn = 1),
+       |q0 AS (
+       |  SELECT vec_id AS query_id, embedding AS qv FROM e
+       |  WHERE vec_id < $N_QUERIES),
+       |qc AS (
+       |  SELECT query_id, cluster, qv FROM (
+       |    SELECT q0.query_id, q0.qv, c.cid AS cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY q0.query_id
+       |        ORDER BY ${sqlCos("q0.qv", "c.cv")} DESC, c.cid) AS crn
+       |    FROM q0 CROSS JOIN c) t
+       |  WHERE crn <= $np),
+       |scored AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    ${sqlCos("qv", "a.embedding")} AS cos
+       |  FROM qc JOIN assigned a USING (cluster)
+       |  WHERE a.vec_id <> query_id)
+       |SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $TOP_K""".stripMargin
+
+  private lazy val s12Sql = S12_PROBES.map { np =>
+    s"""SELECT $np AS nprobe,
+       |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+       |  CAST(COUNT(a.neighbor_id) * 100 // COUNT(*) AS BIGINT)
+       |    AS recall_pct
+       |FROM (
+       |$s01Sql
+       |) e LEFT JOIN (
+       |${s04SqlAt(np)}
+       |) a ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id"""
+      .stripMargin
+  }.mkString("\nUNION ALL\n")
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("s01_knn_bruteforce", s01, Some(s01Sql)),
     QuerySpec("s02_knn_lsh", s02, Some(s02Sql)),
@@ -1152,5 +1237,6 @@ object Similarity {
     QuerySpec("s08_knn_sq8_rerank", s08, Some(s08Sql)),
     QuerySpec("s09_maxsim_late_interaction", s09, Some(s09Sql)),
     QuerySpec("s10_ann_recall", s10, Some(s10Sql)),
-    QuerySpec("s11_recall_sweep", s11, Some(s11Sql)))
+    QuerySpec("s11_recall_sweep", s11, Some(s11Sql)),
+    QuerySpec("s12_ivf_operating_curve", s12, Some(s12Sql)))
 }

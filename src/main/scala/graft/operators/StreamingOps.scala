@@ -943,6 +943,81 @@ object StreamingOps {
     spark.read.parquet(out)
   }
 
+  /** The w18 commit protocol, factored out so the idempotency contract
+    * is directly testable: commit batch `batchId`'s rows as immutable
+    * files under the batch's own deterministic directory, then append
+    * manifest version `batchId` listing the CUMULATIVE file set. A
+    * replayed already-committed batch (Spark re-delivers the last batch
+    * after a failure between the sink commit and the checkpoint write —
+    * the exact window exactly-once sinks exist for) is detected by its
+    * version row and skipped entirely — the transaction-log pattern of
+    * Delta's streaming sink, on the x18-style manifest. */
+  private[graft] def w18Commit(root: String, b: DataFrame,
+                               batchId: Long): Unit = {
+    val spark = b.sparkSession
+    val mpath = s"$root/manifest"
+    if (new java.io.File(mpath).exists &&
+        !spark.read.parquet(mpath)
+          .where(col("version") === batchId).isEmpty) return
+    b.write.mode("overwrite").parquet(s"$root/batch=$batchId")
+    val files = (0L to batchId).flatMap { v =>
+      val d = new java.io.File(s"$root/batch=$v")
+      if (!d.exists) Seq.empty
+      else d.listFiles.toSeq.map(_.getName)
+        .filter(_.startsWith("part-")).sorted.map(n => s"$root/batch=$v/$n")
+    }
+    import spark.implicits._
+    files.map((batchId, _)).toDF("version", "file")
+      .coalesce(1).write.mode("append").parquet(mpath)
+  }
+
+  /** w17's sibling on the WRITE side — STREAMING INGESTION into the
+    * table format (the Delta/Iceberg streaming-sink shape, over the
+    * x17-x26 manifest layout): each micro-batch lands as immutable
+    * files plus a versioned manifest commit, exactly-once by batch-id
+    * idempotency (w18Commit). The gated query drains the replay and
+    * reads AS OF the latest committed version; oracle = the plain
+    * batch aggregate over the full input — however the stream was
+    * sliced, the committed table IS the input. Every intermediate
+    * version remains time-travel-readable (x18's isolation, acquired
+    * continuously), which Round9OpsSpec pins along with the
+    * replayed-batch no-op.
+    *
+    * 100 TB shape: per-batch cost is the batch's own rows + one
+    * metadata append; the manifest read in the idempotency check is
+    * versions-scale, not data-scale. Compaction of the accumulated
+    * small files is exactly x19, and retention of superseded versions
+    * exactly x26 — the ops compose into the full lakehouse ingestion
+    * loop. */
+  private def w18(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-w18")
+    val input = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val stream = stagedStream(spark, input, files = 3)
+    val query = stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        w18Commit(root, b, batchId)
+        ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    val mf = spark.read.parquet(s"$root/manifest")
+    val latest = mf.agg(max(col("version"))).head.getLong(0)
+    val files = mf.where(col("version") === latest)
+      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+    spark.read.parquet(files: _*)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  private val w18Sql =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders GROUP BY 1""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
@@ -960,5 +1035,6 @@ object StreamingOps {
     QuerySpec("w14_stream_decontaminate", w14, Some(Dedup.d08Sql)),
     QuerySpec("w15_stream_scd2", w15, Some(ScaleOps.x13Sql)),
     QuerySpec("w16_stream_kmv_sketch", w16, Some(w16Sql)),
-    QuerySpec("w17_stream_asof_enrich", w17, Some(ScaleOps.x21Sql)))
+    QuerySpec("w17_stream_asof_enrich", w17, Some(ScaleOps.x21Sql)),
+    QuerySpec("w18_stream_table_ingest", w18, Some(w18Sql)))
 }

@@ -113,6 +113,29 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(v3: _*).count() == li.count())
   }
 
+  test("w18 commits are exactly-once: a replayed batch is a no-op, versions stay readable") {
+    val root = graft.util.Scratch.dir("graft-w18-spec")
+    val orders = Tables.orders(spark, sfDir).select(col("o_orderkey"))
+    val b0 = orders.where(col("o_orderkey") < 100)
+    val b1 = orders.where(col("o_orderkey") >= 100 && col("o_orderkey") < 200)
+    StreamingOps.w18Commit(root, b0, 0L)
+    StreamingOps.w18Commit(root, b1, 1L)
+    val mpath = s"$root/manifest"
+    val before = spark.read.parquet(mpath).collect().map(_.toSeq).toSet
+    // replay batch 1 — the failure window between a sink commit and
+    // the checkpoint write, which Spark answers by re-delivering the
+    // batch; the commit protocol must detect and skip it
+    StreamingOps.w18Commit(root, b1, 1L)
+    val after = spark.read.parquet(mpath).collect().map(_.toSeq).toSet
+    assert(after == before, "a replayed committed batch must be a no-op")
+    // every intermediate version stays time-travel-readable
+    def files(v: Long): Seq[String] =
+      spark.read.parquet(mpath).where(col("version") === v)
+        .select(col("file")).collect().map(_.getString(0)).toSeq
+    assert(spark.read.parquet(files(0): _*).count() == b0.count())
+    assert(spark.read.parquet(files(1): _*).count() == b0.count() + b1.count())
+  }
+
   test("g01 iterations reuse the standing cached partitionings") {
     // round-8 verdict: edges were cached PRE-shuffle, so every
     // iteration re-exchanged both sides of the rank join. With the
