@@ -163,6 +163,9 @@ object Bench {
     // x26's layout + expiration: retention is a stage-time commit; the
     // gate times reading the retained snapshot after the vacuum
     graft.operators.ScaleOps.x26Stage(spark, sfDir)
+    // x27's evolved layout: the evolution commit is stage-time; the
+    // gate times the mixed-schema unified read
+    graft.operators.ScaleOps.x27Stage(spark, sfDir)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

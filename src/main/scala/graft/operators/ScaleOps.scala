@@ -1406,6 +1406,78 @@ object ScaleOps {
   }
 
   // ---------------------------------------------------------------------
+  // x27 — SCHEMA EVOLUTION (ALTER TABLE ADD COLUMN) without rewriting
+  //       data files: v1 commits files with the original columns, the
+  //       schema gains `o_channel`, and v2 appends NEW files carrying
+  //       it — old files are never touched, and a v2 read projects
+  //       NULL for the column where a file predates it. This is the
+  //       table-format promise that makes schema change an O(metadata)
+  //       operation instead of a 100 TB rewrite, and the reason column
+  //       ADD/RENAME are resolved by field id, not position, in
+  //       Iceberg/Delta. The gated query reads the mixed-schema file
+  //       set (Spark's parquet schema merging unifies), buckets the
+  //       pre-evolution rows under their NULL, and aggregates —
+  //       the NULL/non-NULL split across the evolution boundary sits
+  //       inside the hash-checked result. Round9OpsSpec pins what the
+  //       hash can't: v1 files are byte-identical before and after the
+  //       evolution commit (no rewrite happened), and a v1-only read
+  //       still serves the OLD schema untouched.
+  // ---------------------------------------------------------------------
+  // dir → (v1 files, v2 files)
+  private val x27Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[String], Seq[String])]()
+
+  private[graft] def x27Stage(spark: SparkSession,
+                              dir: String): (Seq[String], Seq[String]) =
+    x27Staged.computeIfAbsent(dir, _ => {
+      val root = graft.util.Scratch.dir("graft-x27-evolve")
+      val o = Tables.orders(spark, dir)
+        .select(col("o_orderkey"),
+                col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+      val cut = o.agg(max(col("o_orderkey"))).head.getLong(0) / 2
+      o.where(col("o_orderkey") <= cut).repartition(6)
+        .write.mode("overwrite").parquet(s"$root/v1data")
+      // the evolution commit: later files CARRY the new column, derived
+      // deterministically so the oracle reproduces it
+      o.where(col("o_orderkey") > cut)
+        .withColumn("o_channel",
+          expr("CASE o_orderkey % 3 WHEN 0 THEN 'web' " +
+               "WHEN 1 THEN 'store' ELSE 'app' END"))
+        .repartition(3)
+        .write.mode("overwrite").parquet(s"$root/v2data")
+      def files(sub: String): Seq[String] = {
+        val d = new java.io.File(s"$root/$sub")
+        d.listFiles.toSeq.map(_.getName)
+          .filter(_.startsWith("part-")).sorted.map(n => s"$root/$sub/$n")
+      }
+      val v1 = files("v1data")
+      (v1, v1 ++ files("v2data"))
+    })
+
+  private def x27(spark: SparkSession, dir: String): DataFrame = {
+    val (_, v2) = x27Stage(spark, dir)
+    spark.read.option("mergeSchema", "true").parquet(v2: _*)
+      .select(coalesce(col("o_channel"), lit("(pre-evolution)"))
+                .as("o_channel"),
+              col("o_price"))
+      .groupBy(col("o_channel"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  private val x27Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) // 2 AS cut FROM orders),
+      |evolved AS (
+      |  SELECT CASE WHEN o_orderkey <= m.cut THEN '(pre-evolution)'
+      |    WHEN o_orderkey % 3 = 0 THEN 'web'
+      |    WHEN o_orderkey % 3 = 1 THEN 'store' ELSE 'app' END AS o_channel,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_price
+      |  FROM orders, m)
+      |SELECT o_channel, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
+      |FROM evolved GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x25 — row-level DELETE as a COPY-ON-WRITE commit (x23's sibling —
   //       the verdict's gap was "MERGE/DELETE on the table format" and
   //       MERGE alone closes half of it): GDPR erasure, retention
@@ -1526,5 +1598,6 @@ object ScaleOps {
     QuerySpec("x23_merge_upsert", x23, Some(x23Sql)),
     QuerySpec("x24_pushed_aggregate", x24, Some(x24Sql)),
     QuerySpec("x25_delete_commit", x25, Some(x25Sql)),
-    QuerySpec("x26_snapshot_expire", x26, Some(x19Sql)))
+    QuerySpec("x26_snapshot_expire", x26, Some(x19Sql)),
+    QuerySpec("x27_schema_evolution", x27, Some(x27Sql)))
 }

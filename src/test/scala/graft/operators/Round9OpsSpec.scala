@@ -136,6 +136,31 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(files(1): _*).count() == b0.count() + b1.count())
   }
 
+  test("x27 schema evolution never rewrites old files; v1 reads keep the old schema") {
+    val (v1, v2) = ScaleOps.x27Stage(spark, sfDir)
+    // the evolution commit only ADDED files
+    assert(v1.forall(v2.contains) && v2.size > v1.size)
+    // pre-evolution files are byte-identical after the commit (no
+    // rewrite happened — the O(metadata) promise)
+    import java.nio.file.{Files, Paths}
+    val sizes = v1.map(f => Files.size(Paths.get(f)))
+    val (_, v2Again) = ScaleOps.x27Stage(spark, sfDir)
+    assert(v1.map(f => Files.size(Paths.get(f))) == sizes)
+    assert(v2Again == v2)
+    // a v1-only read still serves the OLD schema untouched
+    val v1Schema = spark.read.parquet(v1: _*).schema.fieldNames.toSet
+    assert(v1Schema == Set("o_orderkey", "o_price"))
+    // the unified read carries the new column, NULL before the boundary
+    val unified = spark.read.option("mergeSchema", "true").parquet(v2: _*)
+    assert(unified.schema.fieldNames.contains("o_channel"))
+    val cut = Tables.orders(spark, sfDir)
+      .agg(max(col("o_orderkey"))).head.getLong(0) / 2
+    assert(unified.where(col("o_orderkey") <= cut &&
+      col("o_channel").isNotNull).isEmpty)
+    assert(unified.where(col("o_orderkey") > cut &&
+      col("o_channel").isNull).isEmpty)
+  }
+
   test("g01 iterations reuse the standing cached partitionings") {
     // round-8 verdict: edges were cached PRE-shuffle, so every
     // iteration re-exchanged both sides of the rank join. With the
