@@ -1406,6 +1406,106 @@ object ScaleOps {
   }
 
   // ---------------------------------------------------------------------
+  // x28 — OPTIMISTIC CONCURRENCY: the transactional property that makes
+  //       a table format multi-writer-safe. A commit is prepared OFF
+  //       the critical path (the cumulative manifest parquet is written
+  //       to a temp name) and then published by an ATOMIC RENAME onto
+  //       the next version's slot — exactly the HDFS/POSIX commit
+  //       protocol Delta's LogStore uses. Two writers who both read
+  //       head version N race to publish v(N+1): the rename is atomic,
+  //       so exactly one wins; the loser's rename fails (the slot
+  //       exists), it re-reads the new head, re-composes its commit on
+  //       top, and retries to v(N+2). No locks, no coordination service
+  //       — conflict detection IS the filesystem's name uniqueness.
+  //
+  //       The gated query runs the race deterministically (writer B
+  //       deliberately commits against the stale head), retries, and
+  //       reads the final version: the result equals the full union —
+  //       the conflict lost no rows and duplicated none — against the
+  //       plain batch oracle. Round9OpsSpec pins the protocol itself:
+  //       the stale attempt returns false, the winning slot is
+  //       untouched by the loser, and the retry lands on the NEXT slot.
+  //
+  //       100 TB shape: commit cost is manifest-size, not data-size;
+  //       writers never re-stage data files on conflict (the rename
+  //       loser reuses its already-written files and only re-composes
+  //       the metadata), which is why optimistic concurrency beats
+  //       locking for long-running ingestion jobs.
+  // ---------------------------------------------------------------------
+  /** prepare-then-atomic-rename commit: returns false on conflict (the
+    * target version slot already exists — another writer won) */
+  private[graft] def x28Commit(spark: SparkSession, root: String,
+                               expectedVersion: Long,
+                               newFiles: Seq[String]): Boolean = {
+    import spark.implicits._
+    val next = expectedVersion + 1
+    val prior =
+      if (expectedVersion == 0) Seq.empty[String]
+      else spark.read.parquet(s"$root/commits/v$expectedVersion")
+        .select(col("file")).collect().map(_.getString(0)).toSeq
+    val tmp = s"$root/commits/.tmp-${java.util.UUID.randomUUID()}"
+    (prior ++ newFiles).toDF("file")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val target = java.nio.file.Paths.get(s"$root/commits/v$next")
+    try {
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      true
+    } catch {
+      case _: java.io.IOException =>
+        graft.util.Scratch.deleteTree(java.nio.file.Paths.get(tmp))
+        false
+    }
+  }
+
+  /** current head version: the highest published v{N} slot */
+  private[graft] def x28Head(root: String): Long = {
+    val d = new java.io.File(s"$root/commits")
+    if (!d.exists) 0L
+    else d.listFiles.toSeq.map(_.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+      .foldLeft(0L)(math.max)
+  }
+
+  private def x28(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x28-occ")
+    new java.io.File(s"$root/commits").mkdirs()
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    def stage(sub: String, part: DataFrame): Seq[String] = {
+      part.repartition(2).write.mode("overwrite").parquet(s"$root/$sub")
+      new java.io.File(s"$root/$sub").listFiles.toSeq.map(_.getName)
+        .filter(_.startsWith("part-")).sorted.map(n => s"$root/$sub/$n")
+    }
+    val base = stage("base", o.where(col("o_orderkey") <= mx / 2))
+    val d1 = stage("d1", o.where(col("o_orderkey") > mx / 2 &&
+                                 col("o_orderkey") <= mx * 3 / 4))
+    val d2 = stage("d2", o.where(col("o_orderkey") > mx * 3 / 4))
+    require(x28Commit(spark, root, 0, base)) // v1: the base table
+    // writers A and B both read head = 1 and race; run the race
+    // deterministically — A publishes first, B's attempt is stale
+    require(x28Commit(spark, root, 1, d1)) // A wins v2
+    var committed = x28Commit(spark, root, 1, d2) // B: conflict, false
+    while (!committed) // B re-reads the head and retries on top of it
+      committed = x28Commit(spark, root, x28Head(root), d2)
+    val head = x28Head(root)
+    val files = spark.read.parquet(s"$root/commits/v$head")
+      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+    spark.read.parquet(files: _*)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  private val x28Sql =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x27 — SCHEMA EVOLUTION (ALTER TABLE ADD COLUMN) without rewriting
   //       data files: v1 commits files with the original columns, the
   //       schema gains `o_channel`, and v2 appends NEW files carrying
@@ -1599,5 +1699,6 @@ object ScaleOps {
     QuerySpec("x24_pushed_aggregate", x24, Some(x24Sql)),
     QuerySpec("x25_delete_commit", x25, Some(x25Sql)),
     QuerySpec("x26_snapshot_expire", x26, Some(x19Sql)),
-    QuerySpec("x27_schema_evolution", x27, Some(x27Sql)))
+    QuerySpec("x27_schema_evolution", x27, Some(x27Sql)),
+    QuerySpec("x28_optimistic_commit", x28, Some(x28Sql)))
 }

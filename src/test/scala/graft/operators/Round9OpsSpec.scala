@@ -161,6 +161,75 @@ class Round9OpsSpec extends AnyFunSuite {
       col("o_channel").isNull).isEmpty)
   }
 
+  test("x28 optimistic commits: one winner per slot, loser retries on the new head") {
+    val root = graft.util.Scratch.dir("graft-x28-spec")
+    new java.io.File(s"$root/commits").mkdirs()
+    import spark.implicits._
+    def files(sub: String, rows: Seq[Long]): Seq[String] = {
+      rows.toDF("k").coalesce(1).write.mode("overwrite").parquet(s"$root/$sub")
+      new java.io.File(s"$root/$sub").listFiles.toSeq.map(_.getName)
+        .filter(_.startsWith("part-")).sorted.map(n => s"$root/$sub/$n")
+    }
+    val base = files("base", Seq(1L, 2L))
+    val dA = files("dA", Seq(3L))
+    val dB = files("dB", Seq(4L))
+    assert(ScaleOps.x28Commit(spark, root, 0, base))
+    // both writers read head 1; A publishes v2 first
+    assert(ScaleOps.x28Commit(spark, root, 1, dA))
+    val v2Files = spark.read.parquet(s"$root/commits/v2")
+      .collect().map(_.getString(0)).toSet
+    // B's stale attempt must FAIL and must not touch A's slot
+    assert(!ScaleOps.x28Commit(spark, root, 1, dB),
+      "a stale commit must lose the rename race")
+    assert(spark.read.parquet(s"$root/commits/v2")
+      .collect().map(_.getString(0)).toSet == v2Files,
+      "the losing writer must not disturb the winner's slot")
+    // B retries against the refreshed head and lands on the NEXT slot
+    assert(ScaleOps.x28Head(root) == 2)
+    assert(ScaleOps.x28Commit(spark, root, 2, dB))
+    assert(ScaleOps.x28Head(root) == 3)
+    // the final version carries base ∪ dA ∪ dB, nothing lost or doubled
+    val finalFiles = spark.read.parquet(s"$root/commits/v3")
+      .collect().map(_.getString(0)).toSeq
+    val ks = spark.read.parquet(finalFiles: _*)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("x28 under a REAL race: 8 concurrent writers all land, nothing lost or doubled") {
+    val root = graft.util.Scratch.dir("graft-x28-race")
+    new java.io.File(s"$root/commits").mkdirs()
+    import spark.implicits._
+    def files(sub: String, rows: Seq[Long]): Seq[String] = {
+      rows.toDF("k").coalesce(1).write.mode("overwrite").parquet(s"$root/$sub")
+      new java.io.File(s"$root/$sub").listFiles.toSeq.map(_.getName)
+        .filter(_.startsWith("part-")).sorted.map(n => s"$root/$sub/$n")
+    }
+    assert(ScaleOps.x28Commit(spark, root, 0, files("base", Seq(0L))))
+    val writers = (1 to 8).map(i => i.toLong -> files(s"w$i", Seq(i.toLong)))
+    // every writer stages once, then loops read-head → commit until its
+    // rename wins — the protocol's liveness under genuine contention
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = writers.map { case (_, fs) =>
+      Future {
+        var done = false
+        while (!done)
+          done = ScaleOps.x28Commit(spark, root, ScaleOps.x28Head(root), fs)
+      }
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+    // 8 writers + the base = head version 9, and the final manifest
+    // carries every writer's row exactly once
+    assert(ScaleOps.x28Head(root) == 9)
+    val finalFiles = spark.read.parquet(s"$root/commits/v9")
+      .collect().map(_.getString(0)).toSeq
+    val ks = spark.read.parquet(finalFiles: _*)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks == (0L to 8L))
+  }
+
   test("g01 iterations reuse the standing cached partitionings") {
     // round-8 verdict: edges were cached PRE-shuffle, so every
     // iteration re-exchanged both sides of the rank join. With the
