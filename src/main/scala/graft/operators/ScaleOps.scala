@@ -1406,6 +1406,68 @@ object ScaleOps {
   }
 
   // ---------------------------------------------------------------------
+  // x29 — DELETE via DELETION VECTORS (merge-on-read — the modern
+  //       sibling of x25's copy-on-write, same semantics, same oracle,
+  //       different cost model): instead of rewriting every file that
+  //       contains a matched row, the commit writes a SIDECAR of
+  //       (file, row position) pairs — Delta's deletion vectors /
+  //       Iceberg's position deletes — and readers anti-join it until
+  //       a compaction folds the deletes in. Positions come from the
+  //       reader's own `_metadata.row_index` (stable physical order
+  //       within an immutable parquet file), so building the vector is
+  //       a scan of only the manifest-pruned candidate files and the
+  //       commit is O(deleted positions), not O(matched file bytes) —
+  //       the reason DVs win for small scattered deletes (GDPR
+  //       erasure) where COW would rewrite terabytes to remove
+  //       kilobytes.
+  //
+  //       The gated output aggregates the table before and after the
+  //       DV applies (x25's exact output, hash-checked by x25's exact
+  //       oracle), and Round9OpsSpec pins the mechanism: zero data
+  //       files written, DV cardinality = matched rows, and the
+  //       merge-on-read result ≡ the copy-on-write result row-for-row
+  //       (the cross-mechanism equivalence a format migration relies
+  //       on).
+  // ---------------------------------------------------------------------
+  /** the DV build + the two read paths, exposed for the spec */
+  private[graft] def x29Parts(spark: SparkSession,
+                              dir: String): (DataFrame, DataFrame, Long) = {
+    val (root, v1, manifest) = x23Stage(spark, dir)
+    val mx = manifest.map(_._3).max
+    val cut = mx / 4
+    def withMeta(fs: Seq[String]): DataFrame =
+      spark.read.parquet(fs: _*)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_price"),
+                col("_metadata.file_path").as("dv_file"),
+                col("_metadata.row_index").as("dv_pos"))
+    // the DELETE commit: scan only the manifest-pruned candidates and
+    // record matched positions — no data file is written or touched
+    val candidates = manifest.filter(_._2 <= cut).map(_._1).sorted
+    withMeta(candidates)
+      .where(col("o_orderkey") <= cut && col("o_orderkey") % 53 === 0)
+      .select(col("dv_file"), col("dv_pos"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/dv")
+    val dv = spark.read.parquet(s"$root/dv")
+    val full = withMeta(v1)
+    val applied = full
+      .join(broadcast(dv), Seq("dv_file", "dv_pos"), "left_anti")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_price"))
+    (full.select(col("o_orderkey"), col("o_orderstatus"), col("o_price")),
+     applied, dv.count())
+  }
+
+  private def x29(spark: SparkSession, dir: String): DataFrame = {
+    val (before, after, _) = x29Parts(spark, dir)
+    def agg(v: Int, df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("o_price")).cast(DoubleType).as("sum_price"))
+        .select(lit(v).as("version"), col("o_orderstatus"),
+                col("n_rows"), col("sum_price"))
+    agg(1, before).unionByName(agg(2, after))
+  }
+
+  // ---------------------------------------------------------------------
   // x28 — OPTIMISTIC CONCURRENCY: the transactional property that makes
   //       a table format multi-writer-safe. A commit is prepared OFF
   //       the critical path (the cumulative manifest parquet is written
@@ -1700,5 +1762,6 @@ object ScaleOps {
     QuerySpec("x25_delete_commit", x25, Some(x25Sql)),
     QuerySpec("x26_snapshot_expire", x26, Some(x19Sql)),
     QuerySpec("x27_schema_evolution", x27, Some(x27Sql)),
-    QuerySpec("x28_optimistic_commit", x28, Some(x28Sql)))
+    QuerySpec("x28_optimistic_commit", x28, Some(x28Sql)),
+    QuerySpec("x29_deletion_vectors", x29, Some(x25Sql)))
 }

@@ -230,6 +230,35 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(ks == (0L to 8L))
   }
 
+  test("x29 deletion vectors: zero files rewritten, merge-on-read ≡ copy-on-write") {
+    // byte-identity of the base before/after the DV commit: the whole
+    // point of merge-on-read is that data files are never touched
+    val (_, v1, _) = ScaleOps.x23Stage(spark, sfDir)
+    import java.nio.file.{Files, Path, Paths}
+    // the staged manifest carries input_file_name() URIs ("file:/…")
+    def toPath(f: String): Path =
+      if (f.startsWith("file:")) Paths.get(java.net.URI.create(f))
+      else Paths.get(f)
+    val sizesBefore = v1.map(f => Files.size(toPath(f)))
+    val (_, applied, dvRows) = ScaleOps.x29Parts(spark, sfDir)
+    assert(v1.map(f => Files.size(toPath(f))) == sizesBefore)
+    // DV cardinality = exactly the matched rows
+    val orders = Tables.orders(spark, sfDir)
+    val mx = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+    val expected = orders
+      .where(col("o_orderkey") <= mx / 4 && col("o_orderkey") % 53 === 0)
+      .count()
+    assert(dvRows == expected && dvRows > 0)
+    // cross-mechanism equivalence: the DV-applied read equals x25's
+    // copy-on-write v2 read row-for-row — what a COW→MoR format
+    // migration relies on
+    val (_, _, cowV2) = ScaleOps.x25Plan(spark, sfDir)
+    val cow = spark.read.parquet(cowV2: _*)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_price"))
+      .collect().map(_.toSeq).toSet
+    assert(applied.collect().map(_.toSeq).toSet == cow)
+  }
+
   test("g01 iterations reuse the standing cached partitionings") {
     // round-8 verdict: edges were cached PRE-shuffle, so every
     // iteration re-exchanged both sides of the rank join. With the
