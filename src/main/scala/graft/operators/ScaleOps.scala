@@ -1406,6 +1406,66 @@ object ScaleOps {
   }
 
   // ---------------------------------------------------------------------
+  // x30 — the TABLE LIFECYCLE through the public API (graft.table
+  //       .GraftTable): create → append → merge → delete → compact →
+  //       expire → read, each a versioned atomic commit, in one gated
+  //       query. x17-x29 prove the mechanisms one at a time; this is
+  //       the integration a user actually programs against — the
+  //       handle a pipeline would hold instead of the reference's raw
+  //       files — and it proves the pieces COMPOSE: the merge's
+  //       rewrite feeds the delete's planning, compaction folds both
+  //       mutations' files, expiration vacuums every superseded
+  //       version, and the final read still matches the one-shot
+  //       relational recompute of the whole history (the oracle).
+  //       GraftTableSpec pins the per-step contracts (version
+  //       numbering, time travel across mutations, partial-rewrite
+  //       file diffs, a 6-writer concurrent append race).
+  // ---------------------------------------------------------------------
+  private def x30(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x30-lifecycle")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.where(col("o_orderkey") <= mx / 2).repartition(6))
+    t.append(o.where(col("o_orderkey") > mx / 2 &&
+                     col("o_orderkey") <= mx * 3 / 4).repartition(3))
+    t.merge(o.where(col("o_orderkey") <= mx / 8 &&
+                    col("o_orderkey") % 37 === 0)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+              (col("o_price") * 2).cast(DecimalType(18, 2)).as("o_price")))
+    t.delete(col("o_orderkey") <= mx / 8 && col("o_orderkey") % 53 === 0)
+    t.compact(targetFiles = 2)
+    t.expire(keepLast = 1)
+    t.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  private val x30Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |tbl AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_price
+      |  FROM orders, m WHERE o_orderkey <= (3 * m.mx) // 4),
+      |upserted AS (
+      |  SELECT t.o_orderkey,
+      |    CASE WHEN t.o_orderkey <= m.mx // 8 AND t.o_orderkey % 37 = 0
+      |      THEN 'U' ELSE t.o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN t.o_orderkey <= m.mx // 8 AND t.o_orderkey % 37 = 0
+      |      THEN CAST(t.o_price * 2 AS DECIMAL(18,2)) ELSE t.o_price END
+      |      AS o_price
+      |  FROM tbl t, m),
+      |final AS (
+      |  SELECT u.* FROM upserted u, m
+      |  WHERE NOT (u.o_orderkey <= m.mx // 8 AND u.o_orderkey % 53 = 0))
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x29 — DELETE via DELETION VECTORS (merge-on-read — the modern
   //       sibling of x25's copy-on-write, same semantics, same oracle,
   //       different cost model): instead of rewriting every file that
@@ -1763,5 +1823,6 @@ object ScaleOps {
     QuerySpec("x26_snapshot_expire", x26, Some(x19Sql)),
     QuerySpec("x27_schema_evolution", x27, Some(x27Sql)),
     QuerySpec("x28_optimistic_commit", x28, Some(x28Sql)),
-    QuerySpec("x29_deletion_vectors", x29, Some(x25Sql)))
+    QuerySpec("x29_deletion_vectors", x29, Some(x25Sql)),
+    QuerySpec("x30_table_lifecycle", x30, Some(x30Sql)))
 }
