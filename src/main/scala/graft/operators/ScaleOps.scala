@@ -1265,8 +1265,12 @@ object ScaleOps {
             col("o_orderkey") >= col("lo") && col("o_orderkey") <= col("hi"))
       .select(col("file")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted // ≤ X23_FILES rows
-    // COW rewrite: matched files only, upsert applied via left join
-    val touched = spark.read.parquet(matched: _*)
+    // COW rewrite: matched files only, upsert applied via left join.
+    // An empty matched set (a purely-insert delta) degenerates to an
+    // empty rewrite: every delta row anti-joins through as an insert.
+    val touched =
+      if (matched.nonEmpty) spark.read.parquet(matched: _*)
+      else base.limit(0)
     val updates = delta.select(col("o_orderkey").as("d_key"),
       col("o_orderstatus").as("d_status"), col("o_price").as("d_price"))
     touched.join(broadcast(updates), col("o_orderkey") === col("d_key"), "left")
