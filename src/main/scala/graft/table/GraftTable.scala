@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftglue.PredicateTree
 
 /** The user-facing table-format API — the x17-x29 mechanisms composed
   * into one handle a pipeline actually programs against:
@@ -11,35 +12,74 @@ import org.apache.spark.sql.functions._
   * {{{
   * val t = GraftTable.create(spark, root, keyCol = "id", df)
   * t.append(more)                  // new files + a new version
-  * t.merge(delta)                  // COW upsert by key
-  * t.delete(col("id") % 53 === 0)  // COW delete
-  * t.compact()                     // fold small files, same rows
+  * t.merge(delta)                  // COW upsert by key, stats-pruned
+  * t.delete(col("id") % 53 === 0)  // COW delete (NULL rows kept)
+  * t.delete(pred, mode = "mor")    // deletion-vector delete: no rewrite
+  * t.compact()                     // fold SMALL files, big ones carry
   * t.expire(keepLast = 1)          // vacuum unreferenced files
-  * t.read()                        // head snapshot
-  * t.read(version = 2)            // time travel
+  * t.read()                        // head snapshot (DV-applied)
+  * t.read(version = 2)             // time travel
+  * t.streamAppend(batch, batchId)  // exactly-once streaming ingestion
   * }}}
   *
   * Storage model (the x18/x28 layout): immutable data files under
   * `root/data/<uuid>/part-*`, one manifest parquet per version under
-  * `root/commits/v{N}` listing the version's exact file set. Every
-  * commit is PREPARED at a temp name and PUBLISHED by an atomic rename
-  * onto the next version slot — optimistic concurrency (x28): exactly
-  * one writer wins a slot; every mutator here runs a read-head →
-  * compose → rename CAS loop, so concurrent writers all land without
-  * locks (GraftTableSpec races 6 appenders to prove it).
+  * `root/commits/v{N}`. A manifest row is `(file, kind, lo, hi, txn)`:
+  * `kind` is `data` or `dv` (an x29-style deletion-vector sidecar of
+  * `(dv_file, dv_pos)` positions readers anti-join), `lo`/`hi` are the
+  * file's key range — per-file statistics collected ONCE at stage time,
+  * so every later mutation PLANS against manifest rows instead of
+  * scanning the table (the x17/x23 half of the story the round-9 API
+  * lacked). Non-numeric keys degrade gracefully: their stats are the
+  * full range and planning falls back to candidate-everything, never
+  * to wrong answers.
   *
-  * Mutation planning is containment-exact: a MERGE/DELETE first scans
-  * the CURRENT snapshot for the files that actually hold matched rows
-  * (`_metadata.file_path` — at 100 TB this scan is itself pruned by
-  * the format's stats, x17's half of the story) and rewrites ONLY
-  * those; untouched files carry between versions by reference. Readers
-  * of any retained version are never blocked by a mutation, and
-  * `expire` deletes exactly (all physical) − (union of retained
-  * manifests) — x26's structural safety.
+  * Mutation planning is two-phase and reads only range-overlapping
+  * files: (1) prune candidate files off the manifest stats — a
+  * broadcast range join for MERGE deltas (ScaleOps x23Plan's shape), a
+  * min/max interval evaluator over the predicate tree for DELETE
+  * (Iceberg's inclusive-metrics idea) — then (2) refine to the exactly
+  * matched files by scanning the CANDIDATES ONLY with `_metadata`
+  * provenance. A key-localized daily upsert against a range-clustered
+  * 100 TB table therefore reads the overlapping files and nothing else
+  * (GraftTableSpec proves it by physically hiding the non-overlapping
+  * files during a merge).
+  *
+  * Delete semantics are SQL's: a row is removed iff the predicate is
+  * TRUE. A rewritten file keeps rows via `coalesce(NOT p, true)`, so
+  * rows where the predicate evaluates NULL survive a sibling-triggered
+  * rewrite (the round-9 three-valued-logic data-loss bug, spec-pinned).
+  * `mode = "mor"` writes a deletion-vector sidecar instead of
+  * rewriting — O(deleted positions), zero data files touched — and
+  * every read path (including later mutations' rewrites) applies the
+  * version's DVs before doing anything else, so COW and MoR deletes
+  * are row-for-row equivalent through the API.
+  *
+  * Every commit is PREPARED at a temp name and PUBLISHED by an atomic
+  * rename onto the next version slot — optimistic concurrency (x28):
+  * exactly one writer wins a slot. Only the slot-taken conflict
+  * (FileAlreadyExists / DirectoryNotEmpty) retries; any other I/O
+  * failure (ATOMIC_MOVE unsupported, disk errors) is rethrown rather
+  * than spun on. Mutators that re-stage per attempt (merge / delete /
+  * compact) DELETE the losing attempt's staged files before retrying,
+  * so contention cannot accumulate orphans; `append`/`streamAppend`
+  * stage once and re-compose only metadata on conflict.
+  *
+  * Vacuum safety: `stage()` drops a `.staging-<uuid>` marker beside the
+  * staged directory BEFORE writing any data file and clears it only
+  * after the files are referenced by a committed manifest. `expire`
+  * skips marked directories, so a writer mid-commit can never have its
+  * staged-but-unpublished files vacuumed out from under it (the
+  * round-9 race); a crashed writer's permanently-marked leftovers can
+  * be reclaimed by passing `staleStagingMs` (Delta's age-based
+  * retention window). Deletion is still computed as (all physical) −
+  * (union of retained manifests) — never a file a retained version
+  * reads.
   */
 final class GraftTable private (spark: SparkSession, val root: String,
                                 keyCol: String) {
   import spark.implicits._
+  import GraftTable.{FileRef, Staged}
 
   private val commitsDir = s"$root/commits"
   private val dataDir = s"$root/data"
@@ -53,130 +93,422 @@ final class GraftTable private (spark: SparkSession, val root: String,
       .foldLeft(0L)(math.max)
   }
 
-  /** the exact file set version `v` committed */
-  def filesOf(v: Long): Seq[String] =
+  /** version `v`'s full manifest: data files + DV sidecars + key stats */
+  private[table] def manifestOf(v: Long): Seq[FileRef] =
     spark.read.parquet(s"$commitsDir/v$v")
-      .select(col("file")).collect().map(_.getString(0)).toSeq.sorted
+      .select(col("file"), col("kind"), col("lo"), col("hi"))
+      .collect()
+      .map(r => FileRef(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(r => (r.kind, r.file))
 
-  /** snapshot read — head by default, any retained version by number */
+  /** the exact DATA file set version `v` committed */
+  def filesOf(v: Long): Seq[String] =
+    manifestOf(v).filter(_.kind == "data").map(_.file).sorted
+
+  /** version `v`'s deletion-vector sidecar files (empty when none) */
+  def deletionVectorsOf(v: Long): Seq[String] =
+    manifestOf(v).filter(_.kind == "dv").map(_.file).sorted
+
+  /** snapshot read — head by default, any retained version by number.
+    * DV-applied: positions recorded by merge-on-read deletes are
+    * anti-joined out (broadcast — DVs are deleted-position-scale). */
   def read(version: Long = -1L): DataFrame = {
     val v = if (version < 0) head else version
-    val fs = filesOf(v)
-    if (fs.isEmpty) spark.emptyDataFrame else spark.read.parquet(fs: _*)
+    if (v == 0) return spark.emptyDataFrame
+    val refs = manifestOf(v)
+    val data = refs.filter(_.kind == "data").map(_.file)
+    if (data.isEmpty) spark.emptyDataFrame
+    else if (!refs.exists(_.kind == "dv")) spark.read.parquet(data: _*)
+    else scan(refs, data).drop("__file", "__pos")
+  }
+
+  // ---- read plumbing --------------------------------------------------
+
+  /** DV-applied rows of `files` with `__file`/`__pos` provenance
+    * columns — the one scan shape every mutation's refinement and
+    * rewrite read through, so merge-on-read deletes are honored by
+    * every later mutation, not just by `read`. */
+  private def scan(refs: Seq[FileRef], files: Seq[String]): DataFrame = {
+    val base = spark.read.parquet(files: _*)
+      // _metadata.file_path is a URI; manifests hold plain paths
+      .withColumn("__file",
+        regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val dvs = refs.filter(_.kind == "dv").map(_.file)
+    if (dvs.isEmpty) base
+    else {
+      val dv = spark.read.parquet(dvs: _*)
+      base.join(broadcast(dv),
+        base("__file") === dv("dv_file") && base("__pos") === dv("dv_pos"),
+        "left_anti")
+    }
+  }
+
+  /** zero-row frame with the table's schema (for all-insert merges) */
+  private def emptyLike(data: Seq[FileRef], fallback: DataFrame): DataFrame =
+    if (data.isEmpty) fallback.limit(0)
+    else spark.read.parquet(data.head.file).limit(0)
+
+  // ---- mutation planning ----------------------------------------------
+
+  /** files whose key range CAN contain one of `delta`'s keys — a
+    * broadcast range join of the delta's keys against manifest stats
+    * rows (metadata-scale; x23Plan's exact template). Falls back to
+    * all files when the key column isn't numeric (stats are vacuous). */
+  private[table] def pruneByKeys(data: Seq[FileRef],
+                                 delta: DataFrame): Seq[String] = {
+    if (data.isEmpty) return Seq.empty
+    val nonNumeric = delta
+      .where(col(keyCol).isNotNull && col(keyCol).cast("long").isNull)
+      .limit(1).count() > 0
+    if (nonNumeric) return data.map(_.file).sorted
+    val mdf = data.map(r => (r.file, r.lo, r.hi)).toDF("__mfile", "__lo", "__hi")
+    delta.select(col(keyCol).cast("long").as("__k"))
+      .where(col("__k").isNotNull)
+      .join(broadcast(mdf),
+        col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+      .select(col("__mfile")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+  }
+
+  /** files whose key range can satisfy `predicate` — a min/max interval
+    * evaluator over the predicate's boolean skeleton
+    * ([[PredicateTree]]: key-column conjuncts prune; anything else is
+    * conservatively "may match"). Skipping is sound for NULL keys too:
+    * a pure key comparison never selects a NULL-key row under
+    * three-valued logic, and files whose stats are unknown keep the
+    * full range. */
+  private[table] def pruneByPredicate(data: Seq[FileRef],
+                                      predicate: Column): Seq[String] = {
+    val tree = PredicateTree.parse(predicate, keyCol)
+    data.filter(r => mayMatch(tree, r.lo, r.hi)).map(_.file).sorted
+  }
+
+  /** can ANY row of a file with key range [lo, hi] satisfy `e`?
+    * (true = keep the file as a candidate; Unknown is true) */
+  private def mayMatch(e: PredicateTree.Node, lo: Long, hi: Long): Boolean = {
+    import PredicateTree._
+    e match {
+      case And(a, b) => mayMatch(a, lo, hi) && mayMatch(b, lo, hi)
+      case Or(a, b)  => mayMatch(a, lo, hi) || mayMatch(b, lo, hi)
+      case Not(x)    => !allMatch(x, lo, hi)
+      case Cmp("<", c)  => lo < c
+      case Cmp("<=", c) => lo <= c
+      case Cmp(">", c)  => hi > c
+      case Cmp(">=", c) => hi >= c
+      case Cmp("=", c)  => lo <= c && c <= hi
+      case Cmp(_, _)    => true
+      case In(vs)       => vs.exists(c => lo <= c && c <= hi)
+      case Unknown      => true
+    }
+  }
+
+  /** does EVERY non-NULL-key row of [lo, hi] satisfy `e`? (an
+    * under-approximation — false when unknown — used only to evaluate
+    * `NOT` soundly: ¬x can match unless x provably matches all rows) */
+  private def allMatch(e: PredicateTree.Node, lo: Long, hi: Long): Boolean = {
+    import PredicateTree._
+    e match {
+      case And(a, b) => allMatch(a, lo, hi) && allMatch(b, lo, hi)
+      case Or(a, b)  => allMatch(a, lo, hi) || allMatch(b, lo, hi)
+      case Not(x)    => !mayMatch(x, lo, hi)
+      case Cmp("<", c)  => hi < c
+      case Cmp("<=", c) => hi <= c
+      case Cmp(">", c)  => lo > c
+      case Cmp(">=", c) => lo >= c
+      case Cmp("=", c)  => lo == c && hi == c
+      case _ => false
+    }
   }
 
   // ---- write path -----------------------------------------------------
 
-  /** land `df` as immutable files under a fresh uuid dir; returns them */
-  private def stage(df: DataFrame): Seq[String] = {
-    val sub = s"$dataDir/${java.util.UUID.randomUUID()}"
+  /** land `df` as immutable files under a fresh uuid dir, collect each
+    * file's (lo, hi) key stats in one metadata-scale read-back, and
+    * leave a `.staging-<uuid>` marker until a commit adopts the files.
+    * Zero-row or non-numeric-key files get the conservative full range
+    * (always a candidate — planning may weaken, correctness cannot). */
+  private def stage(df: DataFrame): Staged = {
+    new java.io.File(dataDir).mkdirs()
+    val uuid = java.util.UUID.randomUUID().toString
+    val marker = Paths.get(s"$dataDir/.staging-$uuid")
+    Files.createFile(marker) // BEFORE any data file exists (expire skips it)
+    val sub = s"$dataDir/$uuid"
     df.write.parquet(sub)
-    new java.io.File(sub).listFiles.toSeq.map(_.getName)
+    val files = new java.io.File(sub).listFiles.toSeq.map(_.getName)
       .filter(_.startsWith("part-")).sorted.map(n => s"$sub/$n")
+    val stats: Map[String, (Long, Long)] =
+      if (files.isEmpty) Map.empty
+      else spark.read.parquet(sub)
+        .select(col(keyCol).cast("long").as("__k"),
+          regexp_replace(col("_metadata.file_path"), "^file:(//)?", "").as("__f"))
+        .groupBy(col("__f"))
+        .agg(min(col("__k")).as("lo"), max(col("__k")).as("hi"))
+        .collect().map { r =>
+          r.getString(0) -> (
+            if (r.isNullAt(1) || r.isNullAt(2)) (Long.MinValue, Long.MaxValue)
+            else (r.getLong(1), r.getLong(2)))
+        }.toMap
+    Staged(sub, files.map { f =>
+      val (lo, hi) = stats.getOrElse(f, (Long.MinValue, Long.MaxValue))
+      FileRef(f, "data", lo, hi)
+    }, marker)
+  }
+
+  /** stage a deletion-vector sidecar (`dv_file`, `dv_pos` rows) */
+  private def stageDv(df: DataFrame): Staged = {
+    new java.io.File(dataDir).mkdirs()
+    val uuid = java.util.UUID.randomUUID().toString
+    val marker = Paths.get(s"$dataDir/.staging-$uuid")
+    Files.createFile(marker)
+    val sub = s"$dataDir/$uuid"
+    df.coalesce(1).write.parquet(sub)
+    val files = new java.io.File(sub).listFiles.toSeq.map(_.getName)
+      .filter(_.startsWith("part-")).sorted.map(n => s"$sub/$n")
+    Staged(sub, files.map(FileRef(_, "dv", 0L, -1L)), marker)
+  }
+
+  private def discardStaged(st: Staged): Unit = {
+    graft.util.Scratch.deleteTree(Paths.get(st.dir))
+    Files.deleteIfExists(st.marker)
   }
 
   /** one CAS attempt: prepare the manifest at a temp name, publish by
-    * atomic rename onto v{expected+1}; false = another writer won */
-  private def tryCommit(expected: Long, files: Seq[String]): Boolean = {
+    * atomic rename onto v{expected+1}. Only the slot-taken races
+    * (FileAlreadyExists / DirectoryNotEmpty — another writer won) are
+    * conflicts; any other I/O failure is rethrown so a broken
+    * filesystem surfaces instead of livelocking the retry loop. */
+  private def tryCommit(expected: Long, refs: Seq[FileRef],
+                        txn: Long): Boolean = {
     val tmp = s"$commitsDir/.tmp-${java.util.UUID.randomUUID()}"
-    files.toDF("file").coalesce(1).write.parquet(tmp)
+    refs.map(r => (r.file, r.kind, r.lo, r.hi, txn))
+      .toDF("file", "kind", "lo", "hi", "txn")
+      .coalesce(1).write.parquet(tmp)
+    val target = Paths.get(s"$commitsDir/v${expected + 1}")
     try {
-      Files.move(Paths.get(tmp), Paths.get(s"$commitsDir/v${expected + 1}"),
-        StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
       true
     } catch {
-      case _: java.io.IOException =>
+      case e: java.nio.file.AtomicMoveNotSupportedException =>
+        graft.util.Scratch.deleteTree(Paths.get(tmp)); throw e
+      case _: java.nio.file.FileAlreadyExistsException |
+           _: java.nio.file.DirectoryNotEmptyException =>
         graft.util.Scratch.deleteTree(Paths.get(tmp)); false
+      case e: java.io.IOException =>
+        graft.util.Scratch.deleteTree(Paths.get(tmp))
+        // rename(2) reports a lost slot race as EEXIST or ENOTEMPTY; the
+        // JDK maps the latter to the GENERIC FileSystemException, so the
+        // discriminator between "another writer won" and a genuinely
+        // broken filesystem is whether the slot now exists
+        if (Files.exists(target)) false else throw e
     }
   }
 
-  /** the CAS loop every mutator runs: re-reads the head and re-composes
-    * its METADATA on conflict — staged data files are never re-written */
-  private def commitLoop(compose: Seq[String] => Seq[String]): Long = {
-    var committed = false
-    var v = 0L
-    while (!committed) {
+  /** The CAS loop every mutator runs: re-reads the head and re-composes
+    * on conflict. `compose` returns the new manifest plus whatever it
+    * staged THIS attempt — a losing attempt's staged files are deleted
+    * before the retry (no orphan accumulation under contention); the
+    * winning attempt's staging markers clear after the publish.
+    * Stage-once mutators (append) pass their files outside the loop and
+    * re-compose metadata only. `compose` may return None to abort as a
+    * no-op (e.g. an already-committed streaming batch), in which case
+    * the current head is returned. */
+  private def commitLoop(txn: Long = -1L)(
+      compose: Seq[FileRef] => Option[(Seq[FileRef], Seq[Staged])]): Long = {
+    while (true) {
       val h = head
-      val base = if (h == 0) Seq.empty[String] else filesOf(h)
-      v = h + 1
-      committed = tryCommit(h, compose(base))
+      val base = if (h == 0) Seq.empty[FileRef] else manifestOf(h)
+      compose(base) match {
+        case None => return h
+        case Some((refs, staged)) =>
+          if (tryCommit(h, refs, txn)) {
+            staged.foreach(s => Files.deleteIfExists(s.marker))
+            return h + 1
+          } else staged.foreach(discardStaged)
+      }
     }
-    v
+    0L // unreachable
   }
 
   /** append-only commit: new files, every existing file by reference */
   def append(df: DataFrame): Long = {
-    val fs = stage(df)
-    commitLoop(base => base ++ fs)
+    val st = stage(df)
+    val v = commitLoop() (base => Some((base ++ st.refs, Seq.empty)))
+    Files.deleteIfExists(st.marker)
+    v
   }
 
-  /** the current snapshot with the provenance column the mutation
-    * planners target files by */
-  private def withFile(fs: Seq[String]): DataFrame =
-    spark.read.parquet(fs: _*)
-      // _metadata.file_path is a URI; manifests hold plain paths
-      .withColumn("__file",
-        regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
-
-  /** COW upsert by key: files holding a delta key rewrite with the
-    * delta's rows taking precedence; delta keys in no file insert */
-  def merge(delta: DataFrame): Long = commitLoop { base =>
-    val cur = withFile(base)
-    val matched = cur
-      .join(broadcast(delta.select(col(keyCol))), Seq(keyCol))
-      .select(col("__file")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    val touched =
-      if (matched.isEmpty) read(head).limit(0)
-      else spark.read.parquet(matched: _*)
-    // kept ∪ delta IS the upsert: delta rows replace matched keys and
-    // supply the inserts (a delta key absent from every matched file is
-    // absent from the table — containment-exact targeting)
-    val kept = touched.join(broadcast(delta.select(col(keyCol))),
-      Seq(keyCol), "left_anti")
-    val fs = stage(kept.unionByName(delta))
-    base.diff(matched) ++ fs
+  /** `append` with exactly-once batch-id idempotency — the w18 streaming
+    * commit protocol behind the handle. Drive it from foreachBatch:
+    * {{{ q.foreachBatch((b, id) => { t.streamAppend(b, id); () }) }}}
+    * A replayed already-committed batch (Spark re-delivers the last
+    * batch after a failure between sink commit and checkpoint write) is
+    * detected by its `txn` marker in the manifests and skipped — the
+    * check re-runs inside the CAS loop, so two racing deliveries of one
+    * batch commit exactly once. The txn scan reads manifests only
+    * (versions-scale; Delta pays the same log scan). */
+  def streamAppend(df: DataFrame, batchId: Long): Long = {
+    require(batchId >= 0, "batchId must be >= 0")
+    if (committedTxns().contains(batchId)) return head
+    val st = stage(df)
+    val v = commitLoop(txn = batchId) { base =>
+      if (committedTxns().contains(batchId)) { discardStaged(st); None }
+      else Some((base ++ st.refs, Seq.empty))
+    }
+    Files.deleteIfExists(st.marker)
+    v
   }
 
-  /** COW delete: files holding a matching row rewrite with the
-    * predicate negated */
-  def delete(predicate: Column): Long = commitLoop { base =>
-    val matched = withFile(base).where(predicate)
-      .select(col("__file")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
-    if (matched.isEmpty) base
-    else base.diff(matched) ++
-      stage(spark.read.parquet(matched: _*).where(!predicate))
+  /** every batch id any committed version recorded */
+  private def committedTxns(): Set[Long] = {
+    val d = new java.io.File(commitsDir)
+    if (!d.exists) return Set.empty
+    val vs = d.listFiles.toSeq.filter(_.getName.matches("v\\d+")).map(_.getPath)
+    if (vs.isEmpty) Set.empty
+    else spark.read.parquet(vs: _*)
+      .select(col("txn")).where(col("txn") >= 0).distinct()
+      .collect().map(_.getLong(0)).toSet
   }
 
-  /** rewrite the whole snapshot into ~targetFiles right-sized files —
-    * contents identical (x19's contract), commit swaps the file set */
-  def compact(targetFiles: Int = 1): Long = commitLoop { base =>
-    stage(spark.read.parquet(base: _*).coalesce(math.max(1, targetFiles)))
+  /** COW upsert by key. Planning: stats-pruned candidates (broadcast
+    * range join vs manifest rows), refined to the exactly-matched files
+    * by scanning the candidates ONLY; only matched files rewrite (delta
+    * rows take precedence), delta keys in no file insert as new files.
+    * Rows a MoR delete already removed stay removed (rewrites read
+    * DV-applied). */
+  def merge(delta: DataFrame): Long = {
+    val dkeys = delta.select(col(keyCol))
+    commitLoop() { base =>
+      val data = base.filter(_.kind == "data")
+      val cand = pruneByKeys(data, delta)
+      val matched =
+        if (cand.isEmpty) Seq.empty[String]
+        else scan(base, cand)
+          .join(broadcast(dkeys), Seq(keyCol))
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      val touched =
+        if (matched.isEmpty) emptyLike(data, delta)
+        else scan(base, matched).drop("__file", "__pos")
+      // kept ∪ delta IS the upsert: delta rows replace matched keys and
+      // supply the inserts (a delta key absent from every candidate
+      // file is absent from the table — stats containment)
+      val kept = touched.join(broadcast(dkeys), Seq(keyCol), "left_anti")
+      val st = stage(kept.unionByName(delta))
+      val ms = matched.toSet
+      Some((base.filterNot(r => r.kind == "data" && ms(r.file)) ++ st.refs,
+            Seq(st)))
+    }
   }
 
-  /** expire everything but the last `keepLast` versions and VACUUM:
-    * physically delete exactly (all physical) − (retained manifests'
-    * union) — structurally never a file a retained version reads.
+  /** row-level DELETE: removes rows where `predicate` is TRUE (SQL
+    * three-valued semantics — NULL-evaluating rows always survive).
+    *
+    *  - `mode = "cow"` (default): matched files rewrite with
+    *    `coalesce(NOT predicate, true)`; unmatched files carry.
+    *  - `mode = "mor"`: an x29-style deletion-vector sidecar of
+    *    matched `(file, row_index)` positions commits instead — zero
+    *    data files rewritten, O(deleted positions); readers and later
+    *    mutations anti-join it.
+    *
+    * Both plan off the manifest stats first and scan only candidate
+    * files to find matches. */
+  def delete(predicate: Column, mode: String = "cow"): Long = {
+    require(mode == "cow" || mode == "mor", s"unknown delete mode: $mode")
+    commitLoop() { base =>
+      val data = base.filter(_.kind == "data")
+      val cand = pruneByPredicate(data, predicate)
+      val matched =
+        if (cand.isEmpty) Seq.empty[String]
+        else scan(base, cand).where(predicate)
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      if (matched.isEmpty) Some((base, Seq.empty))
+      else if (mode == "cow") {
+        val st = stage(scan(base, matched).drop("__file", "__pos")
+          .where(coalesce(!predicate, lit(true))))
+        val ms = matched.toSet
+        Some((base.filterNot(r => r.kind == "data" && ms(r.file)) ++ st.refs,
+              Seq(st)))
+      } else {
+        val st = stageDv(scan(base, matched).where(predicate)
+          .select(col("__file").as("dv_file"), col("__pos").as("dv_pos")))
+        Some((base ++ st.refs, Seq(st)))
+      }
+    }
+  }
+
+  /** small-file compaction (OPTIMIZE): bin-packs only files under
+    * `smallFileBytes` into ~`targetFiles` right-sized files — files
+    * already at target size carry between versions BY REFERENCE (x19's
+    * actual shape; the previous whole-snapshot rewrite was O(table) per
+    * call). Folding applies pending DVs to the folded files, so
+    * compaction also physically reclaims MoR-deleted rows. Always
+    * commits a version (mutator contract), even when nothing folds. */
+  def compact(targetFiles: Int = 1, smallFileBytes: Long = 64L << 20): Long =
+    commitLoop() { base =>
+      val data = base.filter(_.kind == "data")
+      val small = data.filter(r =>
+        new java.io.File(r.file).length() < smallFileBytes)
+      if (small.size <= math.max(1, targetFiles)) Some((base, Seq.empty))
+      else {
+        val st = stage(scan(base, small.map(_.file)).drop("__file", "__pos")
+          .coalesce(math.max(1, targetFiles)))
+        val ss = small.map(_.file).toSet
+        Some((base.filterNot(r => r.kind == "data" && ss(r.file)) ++ st.refs,
+              Seq(st)))
+      }
+    }
+
+  /** expire everything but the last `keepLast` (≥ 1) versions and
+    * VACUUM: physically delete (all physical) − (retained manifests'
+    * union), skipping directories whose `.staging` marker shows a
+    * writer mid-commit (files staged but not yet published are NOT
+    * garbage — the round-9 concurrent-writer race). Markers older than
+    * `staleStagingMs` are treated as crashed writers and reclaimed
+    * (default: never — retention policy belongs to the operator).
     * Returns the deleted files. */
-  def expire(keepLast: Int): Seq[String] = {
+  def expire(keepLast: Int, staleStagingMs: Long = Long.MaxValue): Seq[String] = {
+    require(keepLast >= 1,
+      s"keepLast must be >= 1 (got $keepLast): expiring every version would vacuum the head snapshot")
     val h = head
     val retained = (math.max(1, h - keepLast + 1) to h)
-      .flatMap(filesOf).toSet
-    val all = {
-      val d = new java.io.File(dataDir)
-      if (!d.exists) Seq.empty[String]
-      else d.listFiles.toSeq.flatMap(sub =>
-        sub.listFiles.toSeq.filter(_.getName.startsWith("part-")))
-        .map(_.getPath)
-    }
+      .flatMap(v => manifestOf(v).map(_.file)).toSet
+    val dd = new java.io.File(dataDir)
+    if (!dd.exists) return Seq.empty
+    val now = System.currentTimeMillis()
+    val inFlight = dd.listFiles.toSeq
+      .filter(f => f.isFile && f.getName.startsWith(".staging-"))
+      .filter(m => now - m.lastModified < staleStagingMs)
+      .map(_.getName.stripPrefix(".staging-")).toSet
+    val all = dd.listFiles.toSeq.filter(_.isDirectory)
+      .filterNot(sub => inFlight(sub.getName))
+      .flatMap(sub => sub.listFiles.toSeq.filter(_.getName.startsWith("part-")))
+      .map(_.getPath)
     val vacuumed = all.filterNot(retained).sorted
     vacuumed.foreach(f => Files.deleteIfExists(Paths.get(f)))
     vacuumed
   }
+
+  // test seam: a completed-but-uncommitted stage IS the mid-commit state
+  // the vacuum-safety race is about (stage() returns, tryCommit hasn't
+  // run) — exposed so the spec can hold a table in exactly that state
+  private[table] def stageForTest(df: DataFrame): Staged = stage(df)
+  private[table] def adoptForTest(st: Staged): Long = {
+    val v = commitLoop() (base => Some((base ++ st.refs, Seq.empty)))
+    Files.deleteIfExists(st.marker)
+    v
+  }
 }
 
 object GraftTable {
+  /** one manifest row: a data file or DV sidecar + its key stats */
+  final case class FileRef(file: String, kind: String, lo: Long, hi: Long)
+
+  /** a staged-but-uncommitted file set and its in-flight marker */
+  private[table] final case class Staged(dir: String, refs: Seq[FileRef],
+                                         marker: java.nio.file.Path)
+
   /** version 1 = the initial file set */
   def create(spark: SparkSession, root: String, keyCol: String,
              df: DataFrame): GraftTable = {
@@ -187,7 +519,9 @@ object GraftTable {
     t
   }
 
-  /** open an existing table */
-  def open(spark: SparkSession, root: String, keyCol: String): GraftTable =
+  /** open an existing table (or an empty root a stream will populate) */
+  def open(spark: SparkSession, root: String, keyCol: String): GraftTable = {
+    new java.io.File(s"$root/commits").mkdirs()
     new GraftTable(spark, root, keyCol)
+  }
 }

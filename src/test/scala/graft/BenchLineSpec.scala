@@ -29,7 +29,10 @@ class BenchLineSpec extends AnyFunSuite {
     skew = rs(13606060d), recovery = rs(11008300d),
     recoverySec = 12.34,
     lat = Bench.LatencyStats(p50 = 1509.0, p95 = 1223.0,
-      meanBatchMs = 1234.0, backlogBatches = 123L))
+      meanBatchMs = 1234.0, backlogBatches = 123L),
+    // compact line carries only the COUNT; the per-query notes ride
+    // the full line's tail end (see Bench.main's field-order comment)
+    gateRetryCount = 133)
   private val fullExtras = Bench.runsJson(Seq(
     "stream_words_per_sec" -> rs(13606060d),
     "stream_words_per_sec_rocksdb" -> rs(11008300d),

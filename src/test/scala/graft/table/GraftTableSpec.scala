@@ -91,4 +91,171 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.head == 7, "every writer must win exactly one version")
     assert(keys(t.read()) == (0L to 6L))
   }
+
+  // ---- round-10 contracts ---------------------------------------------
+
+  /** a range-clustered table whose manifest stats make pruning exact */
+  private def rangeTable(prefix: String, n: Long = 100L, files: Int = 5) =
+    GraftTable.create(spark, graft.util.Scratch.dir(prefix), "k",
+      rows(1L to n: _*).repartitionByRange(files, col("k"))
+        .sortWithinPartitions("k"))
+
+  test("planning prunes off manifest stats: keys and predicates both") {
+    val t = rangeTable("graft-tbl-prune")
+    val data = t.manifestOf(1).filter(_.kind == "data")
+    assert(data.size >= 4, "fixture needs several range files")
+    // delta keys localized to the low range touch a strict subset
+    val low = t.pruneByKeys(data, Seq((1L, "u"), (5L, "u")).toDF("k", "v"))
+    assert(low.nonEmpty && low.size < data.size,
+      s"key-localized delta must prune: ${low.size}/${data.size}")
+    // predicate pruning walks the expression tree (And keeps the
+    // range half, % is unknown; Not flips soundly)
+    val p1 = t.pruneByPredicate(data, col("k") <= 10 && col("k") % 7 === 0)
+    assert(p1.nonEmpty && p1.size < data.size)
+    val p2 = t.pruneByPredicate(data, !(col("k") <= 80))
+    assert(p2.nonEmpty && p2.size < data.size,
+      "NOT over a key comparison must still prune the all-below files")
+    val p3 = t.pruneByPredicate(data, col("v") === "s7")
+    assert(p3 == data.map(_.file).sorted,
+      "a non-key predicate must conservatively keep every file")
+  }
+
+  test("a key-localized merge READS only range-overlapping files") {
+    val t = rangeTable("graft-tbl-read-prune")
+    val data = t.manifestOf(1).filter(_.kind == "data")
+    val delta = Seq((1L, "U1"), (3L, "U3")).toDF("k", "v")
+    val cand = t.pruneByKeys(data, delta).toSet
+    assert(cand.nonEmpty && cand.size < data.size)
+    // physically hide every NON-candidate file: if any phase of the
+    // merge (planning, refinement, rewrite) opened it, the merge would
+    // throw — success is proof the files were never read, which is
+    // strictly stronger than checking which files were REWRITTEN
+    val hidden = data.map(_.file).filterNot(cand)
+    hidden.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f), java.nio.file.Paths.get(f + ".hidden")))
+    try t.merge(delta)
+    finally hidden.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f + ".hidden"), java.nio.file.Paths.get(f)))
+    assert(t.head == 2)
+    assert(keys(t.read()) == (1L to 100L))
+    assert(t.read().where(col("k") === 1).head.getString(1) == "U1")
+    assert(t.read().where(col("k") === 3).head.getString(1) == "U3")
+    // untouched files carried by reference across the commit
+    assert(hidden.toSet.subsetOf(t.filesOf(2).toSet))
+  }
+
+  test("delete keeps NULL-evaluating rows that share a file with a match") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-null"), "k",
+      Seq((1L, "x"), (2L, null), (3L, "y")).toDF("k", "v").coalesce(1))
+    t.delete(col("v") === "x") // row 2's predicate is NULL, same file
+    assert(keys(t.read()) == Seq(2L, 3L),
+      "a NULL-predicate row must survive its file's rewrite")
+    assert(t.read().where(col("k") === 2).head.isNullAt(1))
+  }
+
+  test("MoR delete rewrites nothing; reads match COW row-for-row") {
+    val cow = rangeTable("graft-tbl-cow", n = 20L, files = 4)
+    val mor = rangeTable("graft-tbl-mor", n = 20L, files = 4)
+    val pred = col("k") % 5 === 0
+    cow.delete(pred)
+    mor.delete(pred, mode = "mor")
+    // zero data files rewritten: v2's data file set IS v1's
+    assert(mor.filesOf(2) == mor.filesOf(1))
+    assert(mor.deletionVectorsOf(2).nonEmpty &&
+           mor.deletionVectorsOf(1).isEmpty)
+    // cross-mechanism equivalence through the API (the x29 property)
+    val expect = (1L to 20L).filterNot(_ % 5 == 0)
+    assert(keys(mor.read()) == expect)
+    assert(mor.read().collect().map(_.toSeq).toSet ==
+           cow.read().collect().map(_.toSeq).toSet)
+    // later mutations honor the DV: merging a deleted key re-inserts
+    // exactly one copy (the position-deleted original stays dead)
+    mor.merge(Seq((5L, "BACK")).toDF("k", "v"))
+    assert(mor.read().where(col("k") === 5).count() == 1)
+    assert(mor.read().where(col("k") === 5).head.getString(1) == "BACK")
+  }
+
+  test("compact folds only small files; big files carry by reference") {
+    val root = graft.util.Scratch.dir("graft-tbl-compact")
+    val t = GraftTable.create(spark, root, "k",
+      rows(1L to 2000L: _*).coalesce(1)) // one big file
+    t.append(rows(2001L to 2004L: _*).repartition(4, col("k"))) // fragments
+    val big = t.filesOf(1).head
+    val bigLen = new java.io.File(big).length()
+    t.filesOf(2).filterNot(_ == big).foreach(f =>
+      assert(new java.io.File(f).length() < bigLen, "fixture: fragments smaller"))
+    t.compact(targetFiles = 1, smallFileBytes = bigLen)
+    val v3 = t.filesOf(3)
+    assert(v3.contains(big), "an at-size file must carry by reference")
+    assert(v3.size < t.filesOf(2).size, "fragments must fold")
+    assert(keys(t.read()) == (1L to 2004L))
+  }
+
+  test("expire never vacuums a concurrent writer's staged files") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-race"), "k", rows(1, 2, 3))
+    t.delete(col("k") === 2) // leaves v1's files unreferenced by head
+    // a writer that has finished stage() but not yet published — the
+    // exact mid-commit state the round-9 vacuum could corrupt
+    val st = t.stageForTest(rows(10, 11))
+    val vacuumed = t.expire(keepLast = 1)
+    assert(vacuumed.nonEmpty, "v1's superseded files still vacuum")
+    st.refs.foreach(r => assert(new java.io.File(r.file).exists,
+      "staged-but-uncommitted files must survive expire"))
+    assert(!vacuumed.exists(st.refs.map(_.file).contains(_)))
+    // the writer then publishes; its files are live and readable
+    val v = t.adoptForTest(st)
+    assert(keys(t.read(v)) == Seq(1L, 3L, 10L, 11L))
+    // once committed (marker cleared) the normal retention rules apply
+    t.delete(col("k") === 10)
+    val vac2 = t.expire(keepLast = 1)
+    assert(t.filesOf(t.head).forall(f => new java.io.File(f).exists))
+    assert(keys(t.read()) == Seq(1L, 3L, 11L))
+  }
+
+  test("expire(0) is rejected instead of silently vacuuming the head") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-keep"), "k", rows(1))
+    intercept[IllegalArgumentException] { t.expire(keepLast = 0) }
+    intercept[IllegalArgumentException] { t.expire(keepLast = -3) }
+  }
+
+  test("streamAppend: batch-id idempotency makes replays a no-op") {
+    val t = GraftTable.open(spark,
+      graft.util.Scratch.dir("graft-tbl-stream"), "k")
+    assert(t.streamAppend(rows(1, 2), 0L) == 1)
+    assert(t.streamAppend(rows(3, 4), 1L) == 2)
+    val before = t.read().collect().map(_.toSeq).toSet
+    // the replay window: Spark re-delivers the last batch after a
+    // failure between sink commit and checkpoint write
+    assert(t.streamAppend(rows(3, 4), 1L) == 2, "replay must not commit")
+    assert(t.head == 2)
+    assert(t.read().collect().map(_.toSeq).toSet == before)
+    // drained stream ≡ batch append of the same rows
+    assert(keys(t.read()) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("contended mutations leave no orphaned data files") {
+    val t = rangeTable("graft-tbl-orphan", n = 20L, files = 4)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = Seq(
+      Future { t.merge(Seq((7L, "A")).toDF("k", "v")) },
+      Future { t.merge(Seq((13L, "B")).toDF("k", "v")) })
+    Await.result(Future.sequence(fs), 120.seconds)
+    assert(t.head == 3, "both mutators must land")
+    assert(t.read().where(col("k") === 7).head.getString(1) == "A")
+    assert(t.read().where(col("k") === 13).head.getString(1) == "B")
+    // losing CAS attempts must have deleted their staged files: every
+    // physical file is referenced by some committed version
+    val referenced = (1L to t.head).flatMap(v => t.manifestOf(v).map(_.file)).toSet
+    val physical = new java.io.File(s"${t.root}/data").listFiles.toSeq
+      .filter(_.isDirectory)
+      .flatMap(d => d.listFiles.toSeq.filter(_.getName.startsWith("part-")))
+      .map(_.getPath).toSet
+    assert(physical.subsetOf(referenced),
+      s"orphans: ${(physical -- referenced).toSeq.sorted.take(5)}")
+  }
 }
