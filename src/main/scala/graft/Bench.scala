@@ -280,7 +280,7 @@ object Bench {
     * block records the compact line's queries map — prefix-keyed,
     * integer-second precision). Empty when absent/unparseable: the
     * retry rule then never fires, which is the safe degradation. */
-  private def priorRoundTimes(): Map[String, Double] = try {
+  private[graft] def priorRoundTimes(): Map[String, Double] = try {
     val files = Option(new java.io.File(".").listFiles).getOrElse(Array.empty)
       .filter(_.getName.matches("BENCH_r\\d+\\.json"))
     if (files.isEmpty) return Map.empty
@@ -300,7 +300,7 @@ object Bench {
 
   /** look a query up under every name the compact-line cascade may
     * have recorded it: full name, family prefix, zero-stripped prefix */
-  private def priorTimeFor(prior: Map[String, Double],
+  private[graft] def priorTimeFor(prior: Map[String, Double],
                            name: String): Option[Double] = {
     val pfx = name.takeWhile(_ != '_')
     val (alpha, digits) = pfx.span(!_.isDigit)

@@ -1563,6 +1563,169 @@ object ScaleOps {
   }
 
   // ---------------------------------------------------------------------
+  // x33 — incremental CHANGE FEED between table versions (Delta's
+  //       change data feed / Iceberg's incremental scan — the
+  //       consumption half of the table format: x14 proved downstream
+  //       aggregates can refresh from a delta; this is where the delta
+  //       COMES FROM). `GraftTable.changes(fromV, toV)` derives NET
+  //       row-level changes from the manifest diff alone: rows of
+  //       files the window removed vs rows of files it added (plus
+  //       carried-file rows newly dead under a deletion vector),
+  //       classified insert/delete/update by one keyed full-outer
+  //       join with a null-safe all-columns comparison — rows of
+  //       rewritten files that carried verbatim emit NOTHING, which is
+  //       exactly what makes CDC cheaper than diffing snapshots. The
+  //       gated query runs x31's merge then x32's MoR delete on one
+  //       table and feeds `changes(1, 3)` — updates net out against
+  //       the later delete (the update-then-delete keys emit a single
+  //       delete with the v1 preimage), inserts carry the new rows,
+  //       unchanged rewritten rows vanish — against a relational
+  //       oracle deriving the same three-way classification from the
+  //       deterministic mutation arithmetic. GraftTableSpec pins the
+  //       mechanism (append ⇒ pure inserts, DV ⇒ pure deletes off
+  //       carried files) and the fixpoint: applying the feed to the
+  //       fromV snapshot reproduces the toV snapshot row-for-row.
+  //
+  //       100 TB shape: the feed reads changed files + new DV targets
+  //       only (change-proportional); a daily downstream refresh pays
+  //       the day's mutation volume, never the table.
+  // ---------------------------------------------------------------------
+  private def x33(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x33-changes")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.repartitionByRange(X23_FILES, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    val upd = o
+      .where(col("o_orderkey") % 37 === 0 && col("o_orderkey") <= mx / 4)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+              (col("o_price") * 2).cast(DecimalType(18, 2)).as("o_price"))
+    val ins = o
+      .where(col("o_orderkey") % 97 === 0)
+      .select((lit(mx + 1) + col("o_orderkey")).as("o_orderkey"),
+              lit("N").as("o_orderstatus"), col("o_price"))
+    t.merge(upd.unionByName(ins))                                // v2
+    t.delete(col("o_orderkey") <= mx / 4 && col("o_orderkey") % 53 === 0,
+      mode = "mor")                                              // v3
+    t.changes(1, 3)
+      .groupBy(col("change_type"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  private val x33Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_price FROM orders),
+      |changes AS (
+      |  SELECT 'insert' AS change_type, 'N' AS o_orderstatus, o_price
+      |  FROM base, m WHERE o_orderkey % 97 = 0
+      |  UNION ALL
+      |  SELECT 'update', 'U',
+      |    CAST(o_price * 2 AS DECIMAL(18,2))
+      |  FROM base, m WHERE o_orderkey % 37 = 0
+      |    AND o_orderkey <= m.mx // 4 AND NOT (o_orderkey % 53 = 0)
+      |  UNION ALL
+      |  SELECT 'delete', o_orderstatus, o_price
+      |  FROM base, m WHERE o_orderkey % 53 = 0 AND o_orderkey <= m.mx // 4)
+      |SELECT change_type, o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
+      |FROM changes GROUP BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x34 — CDC-driven INCREMENTAL AGGREGATE REFRESH: the lakehouse
+  //       consumption loop CLOSED. x14 proved a materialized aggregate
+  //       refreshes from a delta by re-aggregating partial state; x33
+  //       gives the delta a first-class source. This query maintains a
+  //       standing per-status aggregate across a merge + MoR delete
+  //       WITHOUT re-reading the table: the feed (preimages = true —
+  //       Delta CDF's update_preimage/update_postimage split) signs
+  //       each row (+1 insert/postimage, −1 delete/preimage),
+  //       aggregates the day's changes, and a full-outer merge folds
+  //       them into the base aggregate. SUM/COUNT are abelian-group
+  //       aggregates, so subtract-pre + add-post is EXACT — the
+  //       refreshed result must equal the flat recompute of the final
+  //       state, which is the oracle.
+  //
+  //       100 TB shape: refresh cost = day's mutation volume (the
+  //       feed) + the bounded aggregate table; the base table is
+  //       never rescanned. This is the shape every warehouse
+  //       dashboard-refresh pipeline wants — and why CDC feeds emit
+  //       preimages at all.
+  // ---------------------------------------------------------------------
+  private def x34(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x34-refresh")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.repartitionByRange(X23_FILES, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    // the standing materialized aggregate, built once from v1
+    val baseAgg = t.read(1)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n0"),
+           sum(col("o_price")).as("s0"))
+    // the day's mutations (x31's merge, then x32's MoR delete)
+    val upd = o
+      .where(col("o_orderkey") % 37 === 0 && col("o_orderkey") <= mx / 4)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+              (col("o_price") * 2).cast(DecimalType(18, 2)).as("o_price"))
+    val ins = o
+      .where(col("o_orderkey") % 97 === 0)
+      .select((lit(mx + 1) + col("o_orderkey")).as("o_orderkey"),
+              lit("N").as("o_orderstatus"), col("o_price"))
+    t.merge(upd.unionByName(ins))
+    t.delete(col("o_orderkey") <= mx / 4 && col("o_orderkey") % 53 === 0,
+      mode = "mor")
+    // refresh from the change feed only — the table is not re-read
+    val feed = t.changes(1, 3, preimages = true)
+    val signed = feed.withColumn("__sign",
+      when(col("change_type").isin("insert", "update_postimage"), lit(1L))
+        .otherwise(lit(-1L)))
+    val delta = signed.groupBy(col("o_orderstatus"))
+      .agg(sum(col("__sign")).as("dn"),
+           sum(col("o_price") * col("__sign")).as("ds"))
+    baseAgg.join(delta, Seq("o_orderstatus"), "full_outer")
+      .select(col("o_orderstatus"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_rows"),
+        (coalesce(col("s0"), lit(0).cast(DecimalType(18, 2))) +
+          coalesce(col("ds"), lit(0).cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("sum_price"))
+      .where(col("n_rows") > 0)
+  }
+
+  private val x34Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_price FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 37 = 0 AND o_orderkey <= m.mx // 4
+      |      THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 37 = 0 AND o_orderkey <= m.mx // 4
+      |      THEN CAST(o_price * 2 AS DECIMAL(18,2)) ELSE o_price END
+      |      AS o_price
+      |  FROM base, m
+      |  UNION ALL
+      |  SELECT m.mx + 1 + o_orderkey, 'N', o_price
+      |  FROM base, m WHERE o_orderkey % 97 = 0),
+      |final AS (
+      |  SELECT f.* FROM merged f, m
+      |  WHERE NOT (f.o_orderkey % 53 = 0 AND f.o_orderkey <= m.mx // 4))
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x29 — DELETE via DELETION VECTORS (merge-on-read — the modern
   //       sibling of x25's copy-on-write, same semantics, same oracle,
   //       different cost model): instead of rewriting every file that
@@ -1940,5 +2103,7 @@ object ScaleOps {
     QuerySpec("x29_deletion_vectors", x29, Some(x25Sql)),
     QuerySpec("x30_table_lifecycle", x30, Some(x30Sql)),
     QuerySpec("x31_api_merge_pruned", x31, Some(x23Sql)),
-    QuerySpec("x32_api_mor_delete", x32, Some(x25Sql)))
+    QuerySpec("x32_api_mor_delete", x32, Some(x25Sql)),
+    QuerySpec("x33_table_change_feed", x33, Some(x33Sql)),
+    QuerySpec("x34_cdc_incremental_refresh", x34, Some(x34Sql)))
 }

@@ -490,6 +490,113 @@ final class GraftTable private (spark: SparkSession, val root: String,
     vacuumed
   }
 
+  /** one row per committed version: the audit/debug view (Delta's
+    * DESCRIBE HISTORY shape, metadata-only) */
+  def history(): DataFrame = {
+    val rows = (1L to head).map { v =>
+      val m = manifestOf(v)
+      val txn = spark.read.parquet(s"$commitsDir/v$v")
+        .agg(max(col("txn"))).head.getLong(0)
+      (v, m.count(_.kind == "data"), m.count(_.kind == "dv"), txn)
+    }
+    rows.toDF("version", "n_data_files", "n_dv_files", "txn")
+  }
+
+  /** NET row-level changes between two committed versions — the
+    * incremental-consumption path (Delta's change data feed / Iceberg's
+    * incremental scan): what a downstream materialization applies to go
+    * from its `fromV`-based state to `toV` without re-reading the
+    * table. Returns the table's columns plus `change_type` ∈
+    * {insert, delete, update} — postimage rows for insert/update,
+    * the `fromV` preimage for delete; rows untouched across the window
+    * (including rows of rewritten files that carried verbatim) emit
+    * nothing, and a row born and erased inside the window nets out.
+    *
+    * Computed CHANGE-proportionally off the manifest diff, never a
+    * table scan: only files removed by the window, files added by it,
+    * and carried files targeted by new deletion vectors are read; the
+    * classification is one keyed full-outer join of those row sets
+    * with a null-safe all-columns comparison. Requires the key to be
+    * unique per row (the upsert-table contract `merge` maintains) —
+    * duplicate keys would cross-multiply in the join.
+    *
+    * `preimages = true` splits each update into `update_preimage` +
+    * `update_postimage` rows (Delta CDF's shape) — what an
+    * incremental AGGREGATE refresh needs: subtract the preimage, add
+    * the postimage, and a downstream SUM/COUNT stays exact without
+    * touching the base table (x34 composes exactly this). */
+  def changes(fromV: Long, toV: Long,
+              preimages: Boolean = false): DataFrame = {
+    val h = head
+    require(fromV >= 1 && fromV <= toV && toV <= h,
+      s"need 1 <= fromV <= toV <= $h (got $fromV, $toV)")
+    val from = manifestOf(fromV)
+    val to = manifestOf(toV)
+    val fromData = from.filter(_.kind == "data").map(_.file).toSet
+    val toData = to.filter(_.kind == "data").map(_.file).toSet
+    val removed = (fromData -- toData).toSeq.sorted
+    val added = (toData -- fromData).toSeq.sorted
+    val carried = fromData.intersect(toData).toSeq.sorted
+    val fromDvs = from.filter(_.kind == "dv").map(_.file).toSet
+    val newDvs = to.filter(_.kind == "dv").map(_.file)
+      .filterNot(fromDvs).sorted
+    val schema = emptyLike((from ++ to).filter(_.kind == "data"),
+      spark.emptyDataFrame)
+    val dataCols = schema.columns.toSeq
+    // fromV-visible rows the window removed or rewrote...
+    val oldRows =
+      if (removed.isEmpty) schema
+      else scan(from, removed).drop("__file", "__pos")
+    // ...plus carried-file rows a new deletion vector erased: visible
+    // at fromV (from's DVs applied by scan), dead at toV
+    val dvErased =
+      if (newDvs.isEmpty || carried.isEmpty) schema
+      else {
+        val dv = spark.read.parquet(newDvs: _*)
+        val c = scan(from, carried)
+        c.join(broadcast(dv),
+            c("__file") === dv("dv_file") && c("__pos") === dv("dv_pos"),
+            "left_semi")
+          .drop("__file", "__pos")
+      }
+    // toV-visible rows of the window's new files (toV's DVs applied)
+    val newRows =
+      if (added.isEmpty) schema
+      else scan(to, added).drop("__file", "__pos")
+    val l = oldRows.unionByName(dvErased)
+      .select(dataCols.map(c => col(c).as(s"__l_$c")): _*)
+    val r = newRows
+      .select(dataCols.map(c => col(c).as(s"__r_$c")): _*)
+    val same = dataCols
+      .map(c => col(s"__l_$c") <=> col(s"__r_$c")).reduce(_ && _)
+    val classified = l
+      .join(r, col(s"__l_$keyCol") === col(s"__r_$keyCol"), "full_outer")
+      .withColumn("change_type",
+        when(col(s"__l_$keyCol").isNull, lit("insert"))
+          .when(col(s"__r_$keyCol").isNull, lit("delete"))
+          .when(same, lit("unchanged"))
+          .otherwise(lit("update")))
+      .where(col("change_type") =!= "unchanged")
+    if (!preimages)
+      classified.select(dataCols.map(c =>
+        coalesce(col(s"__r_$c"), col(s"__l_$c")).as(c)) :+
+        col("change_type"): _*)
+    else {
+      // Delta-CDF shape: one row per side of an update
+      val nonUpdate = classified.where(col("change_type") =!= "update")
+        .select(dataCols.map(c =>
+          coalesce(col(s"__r_$c"), col(s"__l_$c")).as(c)) :+
+          col("change_type"): _*)
+      val pre = classified.where(col("change_type") === "update")
+        .select(dataCols.map(c => col(s"__l_$c").as(c)) :+
+          lit("update_preimage").as("change_type"): _*)
+      val post = classified.where(col("change_type") === "update")
+        .select(dataCols.map(c => col(s"__r_$c").as(c)) :+
+          lit("update_postimage").as("change_type"): _*)
+      nonUpdate.unionByName(pre).unionByName(post)
+    }
+  }
+
   // test seam: a completed-but-uncommitted stage IS the mid-commit state
   // the vacuum-safety race is about (stage() returns, tryCommit hasn't
   // run) — exposed so the spec can hold a table in exactly that state

@@ -39,6 +39,21 @@ class BenchLineSpec extends AnyFunSuite {
     "stream_words_per_sec_skew20" -> rs(13606060d),
     "stream_words_per_sec_recovery" -> rs(11008300d)))
 
+  test("retry rule reads the prior round's per-query times") {
+    // against the REAL newest BENCH_r*.json in the repo root (the
+    // driver artifact the forked test/bench JVMs see as cwd): the
+    // parse must find the parsed-block queries map, not the escaped
+    // stdout tail, and the cascade-aware lookup must resolve full
+    // query names to its prefix keys — gate_retries:0 on a quiet run
+    // is only meaningful if this path demonstrably works
+    val prior = Bench.priorRoundTimes()
+    assert(prior.size > 50, s"expected a full queries map, got ${prior.size}")
+    assert(prior.keys.forall(k => !k.contains("\\")), "matched the escaped tail")
+    val d07 = Bench.priorTimeFor(prior, "d07_dup_clusters")
+    assert(d07.isDefined && d07.get > 0.0)
+    assert(Bench.priorTimeFor(prior, "zz99_not_a_query").isEmpty)
+  }
+
   test("last line carries EVERY query at realistic widths") {
     // realistic worst case: every gated query simultaneously at 2-digit
     // seconds (the slowest real query to date is ~14 s) — the compact

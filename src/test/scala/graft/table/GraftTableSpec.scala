@@ -236,6 +236,66 @@ class GraftTableSpec extends AnyFunSuite {
     assert(keys(t.read()) == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("change feed: append is pure inserts, DV delete is pure deletes") {
+    val t = rangeTable("graft-tbl-cdc", n = 20L, files = 4)
+    t.append(rows(21L, 22L))
+    val c12 = t.changes(1, 2)
+    assert(c12.select(col("change_type")).distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("insert"))
+    assert(keys(c12.drop("change_type")) == Seq(21L, 22L))
+    // a MoR delete touches no data file — the feed must classify off
+    // the new deletion vector over CARRIED files
+    t.delete(col("k") % 7 === 0, mode = "mor")
+    val c23 = t.changes(2, 3)
+    assert(c23.select(col("change_type")).distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("delete"))
+    assert(keys(c23.drop("change_type")) == Seq(7L, 14L, 21L))
+    // update-then-delete inside one window nets to a single delete
+    // with the fromV preimage; unchanged rewritten rows emit nothing
+    t.merge(Seq((3L, "U3"), (4L, "U4")).toDF("k", "v")) // v4
+    t.delete(col("k") === 4)                            // v5 (COW)
+    val c35 = t.changes(3, 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(c35.toSeq == Seq((3L, "U3", "update"), (4L, "s4", "delete")))
+    // Delta-CDF preimage mode: an update splits into its two sides
+    val c35p = t.changes(3, 5, preimages = true)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(r => (r._1, r._3))
+    assert(c35p.toSeq == Seq(
+      (3L, "U3", "update_postimage"), (3L, "s3", "update_preimage"),
+      (4L, "s4", "delete")))
+  }
+
+  test("change feed fixpoint: fromV snapshot + feed = toV snapshot") {
+    val t = rangeTable("graft-tbl-cdc-fix", n = 30L, files = 3)
+    t.merge(Seq((5L, "U5"), (40L, "NEW")).toDF("k", "v"))
+    t.delete(col("k") % 11 === 0, mode = "mor")
+    t.append(rows(41L, 42L))
+    val feed = t.changes(1, t.head).cache()
+    val dropKeys = feed
+      .where(col("change_type").isin("delete", "update")).select(col("k"))
+    val upserts = feed
+      .where(col("change_type").isin("insert", "update")).drop("change_type")
+    val applied = t.read(1).join(dropKeys, Seq("k"), "left_anti")
+      .unionByName(upserts)
+    assert(applied.collect().map(_.toSeq).toSet ==
+           t.read(t.head).collect().map(_.toSeq).toSet,
+      "applying the net feed to v1 must reproduce the head snapshot")
+    feed.unpersist()
+  }
+
+  test("history lists every version with its txn marker") {
+    val t = GraftTable.open(spark,
+      graft.util.Scratch.dir("graft-tbl-hist"), "k")
+    t.streamAppend(rows(1).coalesce(1), 7L)
+    t.append(rows(2).coalesce(1))
+    t.delete(col("k") === 1, mode = "mor")
+    val h = t.history().orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(h.toSeq == Seq((1L, 1, 0, 7L), (2L, 2, 0, -1L), (3L, 2, 1, -1L)))
+  }
+
   test("contended mutations leave no orphaned data files") {
     val t = rangeTable("graft-tbl-orphan", n = 20L, files = 4)
     import scala.concurrent.{Await, Future}
