@@ -1049,6 +1049,63 @@ object StreamingOps {
            sum(col("o_price")).cast(DoubleType).as("sum_price"))
   }
 
+  /** exactly-once STREAMING MERGE — the upsert side of w19 (Delta's
+    * merge-in-foreachBatch pattern, which is NOT replay-safe as
+    * usually written: a batch re-delivered after a failure between
+    * sink commit and checkpoint write would double-apply its upserts'
+    * side effects on a non-idempotent target; here it cannot, because
+    * `GraftTable.merge(b, txn = batchId)` records the batch id as a
+    * manifest txn marker and skips an already-committed id, with the
+    * check re-run inside the commit CAS loop). Update keys are unique
+    * within the delta, so each lands in exactly one micro-batch and
+    * the drained table is batch-slicing-independent — oracle = the
+    * one-shot relational upsert. With w18/w19 (append), this (upsert)
+    * and x33/x34 (consume), the streaming lakehouse loop is closed in
+    * both directions through one handle. */
+  private def w20(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-w20")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.repartitionByRange(12, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    val upd = o
+      .where(col("o_orderkey") % 37 === 0 && col("o_orderkey") <= mx / 4)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+              (col("o_price") * 2).cast(DecimalType(18, 2)).as("o_price"))
+    val stream = stagedStream(spark, upd, files = 3)
+    val query = stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        t.merge(b, txn = batchId)
+        ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    t.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  private val w20Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_price FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 37 = 0 AND o_orderkey <= m.mx // 4
+      |      THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 37 = 0 AND o_orderkey <= m.mx // 4
+      |      THEN CAST(o_price * 2 AS DECIMAL(18,2)) ELSE o_price END
+      |      AS o_price
+      |  FROM base, m)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY 1""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("w01_stream_wordcount", w01, Some(Relational.q14Sql)),
     QuerySpec("w02_stream_window_agg", w02, Some(Relational.q13Sql)),
@@ -1068,5 +1125,6 @@ object StreamingOps {
     QuerySpec("w16_stream_kmv_sketch", w16, Some(w16Sql)),
     QuerySpec("w17_stream_asof_enrich", w17, Some(ScaleOps.x21Sql)),
     QuerySpec("w18_stream_table_ingest", w18, Some(w18Sql)),
-    QuerySpec("w19_stream_table_api_ingest", w19, Some(w18Sql)))
+    QuerySpec("w19_stream_table_api_ingest", w19, Some(w18Sql)),
+    QuerySpec("w20_stream_merge_upsert", w20, Some(w20Sql)))
 }

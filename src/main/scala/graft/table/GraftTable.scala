@@ -375,10 +375,26 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * by scanning the candidates ONLY; only matched files rewrite (delta
     * rows take precedence), delta keys in no file insert as new files.
     * Rows a MoR delete already removed stay removed (rewrites read
-    * DV-applied). */
-  def merge(delta: DataFrame): Long = {
+    * DV-applied).
+    *
+    * `txn` makes the merge IDEMPOTENT by id (default −1 = none): a
+    * merge whose txn some committed version already carries is a
+    * no-op, with the check re-run inside the CAS loop. This is what
+    * makes MERGE-in-foreachBatch exactly-once — a replayed micro-batch
+    * must not double-apply its upserts (plain Delta MERGE in
+    * foreachBatch is NOT replay-safe without a txn guard; w20 gates
+    * the safe pattern). */
+  def merge(delta: DataFrame, txn: Long = -1L): Long = {
+    if (txn >= 0 && committedTxns().contains(txn)) return head
     val dkeys = delta.select(col(keyCol))
-    commitLoop() { base =>
+    commitLoop(txn = txn) { base =>
+      if (txn >= 0 && committedTxns().contains(txn)) None
+      else composeMerge(base, delta, dkeys)
+    }
+  }
+
+  private def composeMerge(base: Seq[FileRef], delta: DataFrame,
+                           dkeys: DataFrame): Option[(Seq[FileRef], Seq[Staged])] = {
       val data = base.filter(_.kind == "data")
       val cand = pruneByKeys(data, delta)
       val matched =
@@ -398,7 +414,6 @@ final class GraftTable private (spark: SparkSession, val root: String,
       val ms = matched.toSet
       Some((base.filterNot(r => r.kind == "data" && ms(r.file)) ++ st.refs,
             Seq(st)))
-    }
   }
 
   /** row-level DELETE: removes rows where `predicate` is TRUE (SQL

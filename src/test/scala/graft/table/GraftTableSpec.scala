@@ -296,6 +296,21 @@ class GraftTableSpec extends AnyFunSuite {
     assert(h.toSeq == Seq((1L, 1, 0, 7L), (2L, 2, 0, -1L), (3L, 2, 1, -1L)))
   }
 
+  test("merge with a txn id is idempotent under replay") {
+    val t = rangeTable("graft-tbl-txn-merge", n = 20L, files = 4)
+    val delta = Seq((7L, "U7"), (25L, "NEW")).toDF("k", "v")
+    assert(t.merge(delta, txn = 42L) == 2)
+    val before = t.read().collect().map(_.toSeq).toSet
+    // the replay window: the same batch re-delivered must not
+    // double-apply (here it WOULD be visible: a second merge re-stages
+    // files and bumps the version even when values are unchanged)
+    assert(t.merge(delta, txn = 42L) == 2, "replayed txn must not commit")
+    assert(t.head == 2)
+    assert(t.read().collect().map(_.toSeq).toSet == before)
+    // a different txn applies normally
+    assert(t.merge(Seq((8L, "U8")).toDF("k", "v"), txn = 43L) == 3)
+  }
+
   test("contended mutations leave no orphaned data files") {
     val t = rangeTable("graft-tbl-orphan", n = 20L, files = 4)
     import scala.concurrent.{Await, Future}
