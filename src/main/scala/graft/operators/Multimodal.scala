@@ -256,9 +256,82 @@ object Multimodal {
       |    unnest(generate_series(0, n_frames - 1, step)) AS frame_off
       |  FROM g) t""".stripMargin
 
+  // m05 — MEDIA NEAR-DUP detection over the frame table (the
+  // multimodal × dedup composition a video-training pipeline runs:
+  // re-uploads and re-encodes of the same asset share sampled-frame
+  // fingerprints even when file-level hashes differ). d02's shape on
+  // m04's rows: frame_md5 plays the shingle — distinct per doc,
+  // df-capped so a fingerprint shared by more than M05_DF_CAP media
+  // (boilerplate intros, test cards — here: the corpus's repetitive
+  // text) never fans out into pairs — then same-fingerprint join,
+  // per-pair shared counts, and an integer-exact Jaccard in permille
+  // (floor division in both engines). With the byte-exact stub
+  // fingerprint only true re-uploads match (jac = 1000); a real
+  // deployment swaps in a perceptual hash at the same boundary and
+  // the pipeline around it is unchanged.
+  //
+  // 100 TB shape: payloads never move — only (doc_id, 32-byte md5)
+  // pairs shuffle; the df cap bounds the same-fingerprint join's
+  // fan-out exactly like d02's shingle cap, and output volume is
+  // pair-of-actual-dup-proportional.
+  private val M05_DF_CAP = 16
+  private val M05_JAC_PM = 500 // keep pairs sharing >= half their frames
+
+  private def m05(spark: SparkSession, dir: String): DataFrame = {
+    val frames = m04(spark, dir)
+      .select(col("doc_id"), col("frame_md5")).distinct()
+    val rare = frames.groupBy(col("frame_md5"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") <= M05_DF_CAP)
+      .select(col("frame_md5"))
+    val capped = frames.join(rare, Seq("frame_md5"))
+    val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"), Seq("frame_md5"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .withColumn("jac_pm",
+        expr("CAST(shared * 1000 DIV (n_a + n_b - shared) AS BIGINT)"))
+      .where(col("jac_pm") >= M05_JAC_PM)
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+              col("n_a"), col("n_b"), col("jac_pm"))
+  }
+
+  private val m05Sql =
+    s"""WITH frames0 AS (SELECT * FROM (${m04Sql}) z),
+       |frames AS (SELECT DISTINCT doc_id, frame_md5 FROM frames0),
+       |rare AS (
+       |  SELECT frame_md5 FROM frames
+       |  GROUP BY 1 HAVING COUNT(*) <= $M05_DF_CAP),
+       |capped AS (SELECT f.doc_id, f.frame_md5
+       |           FROM frames f JOIN rare USING (frame_md5)),
+       |sizes AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM capped GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(COUNT(*) AS BIGINT) AS shared
+       |  FROM capped a JOIN capped b
+       |    ON a.frame_md5 = b.frame_md5 AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT * FROM (
+       |  SELECT doc_a, doc_b, shared, sa.n AS n_a, sb.n AS n_b,
+       |    CAST(shared * 1000 // (sa.n + sb.n - shared) AS BIGINT) AS jac_pm
+       |  FROM pairs
+       |  JOIN sizes sa ON sa.doc_id = doc_a
+       |  JOIN sizes sb ON sb.doc_id = doc_b) t
+       |WHERE jac_pm >= $M05_JAC_PM""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("m01_multimodal_meta", m01, Some(m01Sql)),
     QuerySpec("m02_multimodal_decode", m02, Some(m02Sql)),
     QuerySpec("m03_multimodal_resize", m03, Some(m03Sql)),
-    QuerySpec("m04_multimodal_frame_table", m04, Some(m04Sql)))
+    QuerySpec("m04_multimodal_frame_table", m04, Some(m04Sql)),
+    QuerySpec("m05_multimodal_frame_dedup", m05, Some(m05Sql)))
 }

@@ -1726,6 +1726,47 @@ object ScaleOps {
       |FROM final GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x35 — SCHEMA EVOLUTION through the public API: x27's O(metadata)
+  //       ALTER TABLE ADD COLUMN, reachable from the handle. The
+  //       evolution commit is just `append` with a wider frame — old
+  //       files are never rewritten (byte-identity spec-pinned) — and
+  //       every read path (`read`, the mutation `scan`) now unifies
+  //       schemas across the version's files, projecting NULL where a
+  //       file predates a column. Same gated shape and oracle as x27:
+  //       the NULL/non-NULL split across the evolution boundary sits
+  //       inside the hash-checked result; the difference is that here
+  //       the whole story runs through GraftTable, so evolution
+  //       composes with every other mutation (a post-evolution merge
+  //       fills missing columns with NULL — whole-row replacement).
+  // ---------------------------------------------------------------------
+  private def x35(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x35-api-evolve")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val cut = o.agg(max(col("o_orderkey"))).head.getLong(0) / 2
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.where(col("o_orderkey") <= cut)
+        .repartitionByRange(6, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    // the evolution commit: later files CARRY the new column; nothing
+    // rewrites (the append composes the old files by reference)
+    t.append(o.where(col("o_orderkey") > cut)
+      .withColumn("o_channel",
+        expr("CASE o_orderkey % 3 WHEN 0 THEN 'web' " +
+             "WHEN 1 THEN 'store' ELSE 'app' END"))
+      .repartitionByRange(3, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey"))
+    t.read()
+      .select(coalesce(col("o_channel"), lit("(pre-evolution)"))
+                .as("o_channel"),
+              col("o_price"))
+      .groupBy(col("o_channel"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  // ---------------------------------------------------------------------
   // x29 — DELETE via DELETION VECTORS (merge-on-read — the modern
   //       sibling of x25's copy-on-write, same semantics, same oracle,
   //       different cost model): instead of rewriting every file that
@@ -2105,5 +2146,6 @@ object ScaleOps {
     QuerySpec("x31_api_merge_pruned", x31, Some(x23Sql)),
     QuerySpec("x32_api_mor_delete", x32, Some(x25Sql)),
     QuerySpec("x33_table_change_feed", x33, Some(x33Sql)),
-    QuerySpec("x34_cdc_incremental_refresh", x34, Some(x34Sql)))
+    QuerySpec("x34_cdc_incremental_refresh", x34, Some(x34Sql)),
+    QuerySpec("x35_api_schema_evolution", x35, Some(x27Sql)))
 }

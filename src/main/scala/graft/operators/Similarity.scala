@@ -973,6 +973,100 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // s13 — MATRYOSHKA truncated-dimension prefilter + exact rerank
+  //        (MRL, Kusupati et al., NeurIPS'22): matryoshka-trained
+  //        embeddings rank usefully under PREFIX truncation, so the
+  //        scan-heavy pass scores only the first MRL_DIMS dimensions —
+  //        4× less arithmetic here, and in a production layout that
+  //        materializes the head dims as their own column (the
+  //        d11/x12/s08 staging pattern) 4× less I/O — keeps a
+  //        candidate pool per query, and reranks only the pool at full
+  //        dimension. The fourth compression scale path beside PQ
+  //        codes (s07), SQ8 (s08), and cell probing (s04), and the one
+  //        modern embedding APIs expose natively (truncatable output
+  //        dims). The fixture's vectors aren't MRL-trained — a random
+  //        prefix correlates with the full cosine only ~√(d'/d) — so
+  //        the demo runs the half-dimension point with a 10k pool
+  //        (recall@5 vs s01: 74% at sf0.001, 76% at sf0.01 —
+  //        SimilarityProbeSpec pins the floor); with actual MRL
+  //        embeddings the head dims carry most of the variance and the
+  //        same plan runs at 16/64 with a small pool. The planted
+  //        near-dup pairs agree in every dimension, so prefix scoring
+  //        surfaces them exactly as full scoring does.
+  //
+  //        Determinism: slice preserves element order, both engines
+  //        fold dims 1..MRL_DIMS left-to-right in doubles, and ties
+  //        break on neighbor_id — the s01/s08 story verbatim.
+  // ---------------------------------------------------------------------
+  private val MRL_DIMS = 32
+  private val MRL_CAND = 10 * TOP_K
+
+  private def s13(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"),
+      col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+    val pref = e.select(col("vec_id").as("neighbor_id"),
+        slice(col("emb"), 1, MRL_DIMS).as("pv"))
+      .withColumn("pn", norm(col("pv")))
+    val q = e.where(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("emb").as("qv"),
+              slice(col("emb"), 1, MRL_DIMS).as("qpv"),
+              norm(col("emb")).as("qn"))
+      .withColumn("qpn", norm(col("qpv")))
+    // truncated-dim scan: the only pass that touches the whole corpus
+    val approx = broadcast(q.select(col("query_id"), col("qpv"), col("qpn")))
+      .join(pref, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        cosinePrenormed(col("qpv"), col("pv"), col("qpn"), col("pn")))
+    val cand = topKN(spark, approx, MRL_CAND)
+      .select(col("query_id"), col("neighbor_id"))
+    // full-dimension rerank of the pool only (s08's exact-pass shape)
+    val exact = e.select(col("vec_id").as("neighbor_id"),
+        col("emb").as("nv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("qv"), col("qn"))),
+        Seq("query_id"))
+      .withColumn("cos",
+        cosinePrenormed(col("qv"), col("nv"), col("qn"), norm(col("nv"))))
+    topK(spark, exact)
+  }
+
+  private val s13Sql = {
+    def dotN(x: String, y: String, n: Int) =
+      s"""list_sum(list_transform(generate_series(1, $n), i ->
+         |  $x[i] * $y[i]))""".stripMargin
+    def cosN(x: String, y: String, n: Int) =
+      s"(${dotN(x, y, n)} / (sqrt(${dotN(x, x, n)}) * sqrt(${dotN(y, y, n)})))"
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS qv FROM e
+       |      WHERE vec_id < $N_QUERIES),
+       |approx AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id,
+       |    ${cosN("qv", "e.emb", MRL_DIMS)} AS ac
+       |  FROM q JOIN e ON e.vec_id <> query_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ac DESC, neighbor_id) AS rn
+       |    FROM approx) t WHERE rn <= $MRL_CAND),
+       |exact AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${cosN("qv", "emb", DIM)} AS cos
+       |  FROM cand c JOIN q USING (query_id)
+       |  JOIN e ON e.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 4) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM exact) t
+       |WHERE rnk <= $TOP_K""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // s09 — MaxSim late-interaction retrieval (the ColBERT scoring model,
   //        Khattab & Zaharia, SIGIR'20): documents are MULTI-vector —
   //        here every consecutive run of MAXSIM_TOKS vec_ids forms one
@@ -1238,5 +1332,6 @@ object Similarity {
     QuerySpec("s09_maxsim_late_interaction", s09, Some(s09Sql)),
     QuerySpec("s10_ann_recall", s10, Some(s10Sql)),
     QuerySpec("s11_recall_sweep", s11, Some(s11Sql)),
-    QuerySpec("s12_ivf_operating_curve", s12, Some(s12Sql)))
+    QuerySpec("s12_ivf_operating_curve", s12, Some(s12Sql)),
+    QuerySpec("s13_knn_matryoshka", s13, Some(s13Sql)))
 }

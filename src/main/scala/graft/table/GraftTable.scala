@@ -111,14 +111,19 @@ final class GraftTable private (spark: SparkSession, val root: String,
 
   /** snapshot read — head by default, any retained version by number.
     * DV-applied: positions recorded by merge-on-read deletes are
-    * anti-joined out (broadcast — DVs are deleted-position-scale). */
+    * anti-joined out (broadcast — DVs are deleted-position-scale).
+    * Schema-merged: a version whose later files carry evolved columns
+    * (x27's O(metadata) ALTER — `append` a wider frame, old files
+    * never rewrite) reads under the unified schema, NULL where a file
+    * predates a column. */
   def read(version: Long = -1L): DataFrame = {
     val v = if (version < 0) head else version
     if (v == 0) return spark.emptyDataFrame
     val refs = manifestOf(v)
     val data = refs.filter(_.kind == "data").map(_.file)
     if (data.isEmpty) spark.emptyDataFrame
-    else if (!refs.exists(_.kind == "dv")) spark.read.parquet(data: _*)
+    else if (!refs.exists(_.kind == "dv"))
+      spark.read.option("mergeSchema", "true").parquet(data: _*)
     else scan(refs, data).drop("__file", "__pos")
   }
 
@@ -129,7 +134,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * rewrite read through, so merge-on-read deletes are honored by
     * every later mutation, not just by `read`. */
   private def scan(refs: Seq[FileRef], files: Seq[String]): DataFrame = {
-    val base = spark.read.parquet(files: _*)
+    val base = spark.read.option("mergeSchema", "true").parquet(files: _*)
       // _metadata.file_path is a URI; manifests hold plain paths
       .withColumn("__file",
         regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
@@ -408,9 +413,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
         else scan(base, matched).drop("__file", "__pos")
       // kept ∪ delta IS the upsert: delta rows replace matched keys and
       // supply the inserts (a delta key absent from every candidate
-      // file is absent from the table — stats containment)
+      // file is absent from the table — stats containment). Missing
+      // columns on either side (an evolved table merged with a
+      // pre-evolution delta, or vice versa) fill with NULL — merge is
+      // whole-row replacement, not column-wise patching.
       val kept = touched.join(broadcast(dkeys), Seq(keyCol), "left_anti")
-      val st = stage(kept.unionByName(delta))
+      val st = stage(kept.unionByName(delta, allowMissingColumns = true))
       val ms = matched.toSet
       Some((base.filterNot(r => r.kind == "data" && ms(r.file)) ++ st.refs,
             Seq(st)))

@@ -42,6 +42,23 @@ class SimilarityProbeSpec extends AnyFunSuite {
     assert(rows(gated) == rows(probe1))
   }
 
+  test("s13 matryoshka prefilter recalls well above chance vs exact") {
+    import org.apache.spark.sql.functions.col
+    // untrained-embedding regime: a random half-dimension prefix
+    // correlates ~sqrt(1/2) with the full cosine, so the 10k pool is
+    // what carries recall — measured 74% at sf0.001 / 76% at sf0.01;
+    // pin a floor with fixture-regeneration slack (chance would be
+    // ~ pool/corpus ≈ 10%)
+    def pairs(name: String) =
+      SparkEntry.queries(name)(spark, sfDir)
+        .select(col("query_id"), col("neighbor_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("s01_knn_bruteforce")
+    val mrl = pairs("s13_knn_matryoshka")
+    val recall = (exact & mrl).size.toDouble / exact.size
+    assert(recall >= 0.6, f"matryoshka recall@5 $recall%.2f")
+  }
+
   test("s07 PQ-ADC retrieves real neighbors, not noise") {
     // on the gap-free random fixture 16 codewords per subspace are very
     // coarse, so partial recall is the expected regime (the d10

@@ -296,6 +296,34 @@ class GraftTableSpec extends AnyFunSuite {
     assert(h.toSeq == Seq((1L, 1, 0, 7L), (2L, 2, 0, -1L), (3L, 2, 1, -1L)))
   }
 
+  test("schema evolution: evolved append rewrites nothing, reads unify") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-evolve"), "k",
+      rows(1, 2).coalesce(1))
+    val v1files = t.filesOf(1)
+    val bytesBefore = v1files.map(f =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)).toSeq)
+    // the evolution commit: a wider frame appended through the handle
+    t.append(Seq((3L, "s3", "extra3"), (4L, "s4", "extra4"))
+      .toDF("k", "v", "w").coalesce(1))
+    // old files byte-identical — evolution is O(metadata)
+    assert(v1files.map(f =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)).toSeq)
+      == bytesBefore)
+    // unified read: NULL where a file predates the column
+    val head = t.read()
+    assert(head.columns.toSeq == Seq("k", "v", "w"))
+    assert(head.where(col("k") === 1).head.isNullAt(2))
+    assert(head.where(col("k") === 3).head.getString(2) == "extra3")
+    // time travel still serves the pre-evolution schema untouched
+    assert(t.read(1).columns.toSeq == Seq("k", "v"))
+    // mutations compose across the boundary: a pre-evolution-shaped
+    // delta merges with NULL filling the evolved column
+    t.merge(Seq((1L, "U1")).toDF("k", "v"))
+    assert(t.read().where(col("k") === 1).head.getString(1) == "U1")
+    assert(t.read().where(col("k") === 3).head.getString(2) == "extra3")
+  }
+
   test("merge with a txn id is idempotent under replay") {
     val t = rangeTable("graft-tbl-txn-merge", n = 20L, files = 4)
     val delta = Seq((7L, "U7"), (25L, "NEW")).toDF("k", "v")
