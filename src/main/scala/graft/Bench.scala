@@ -166,6 +166,10 @@ object Bench {
     // x27's evolved layout: the evolution commit is stage-time; the
     // gate times the mixed-schema unified read
     graft.operators.ScaleOps.x27Stage(spark, sfDir)
+    // x33/x34's mutated GraftTable (v1 base, v2 merge, v3 MoR delete):
+    // the standing history a CDC consumer polls — the gate times the
+    // change feed and the incremental refresh, not the history rebuild
+    graft.operators.ScaleOps.x33Stage(spark, sfDir)
 
     // Gate loop with per-query attribution (round-9 verdict #6: the
     // judge had to RE-RUN d07/d08/d09 to acquit the engine of a 3×
