@@ -1767,6 +1767,33 @@ object ScaleOps {
   }
 
   // ---------------------------------------------------------------------
+  // x36 — snapshot RESTORE (Delta's RESTORE TABLE ... TO VERSION — the
+  //       bad-batch recovery verb that completes the lifecycle
+  //       vocabulary: create/append/merge/delete/compact/expire/
+  //       evolve/changes/history and now roll-back). Restoring is a
+  //       NEW commit whose manifest IS the target version's — pure
+  //       metadata, nothing copied, the bad versions stay
+  //       time-travel-readable until retention expires them — and it
+  //       refuses to resurrect a version whose files were already
+  //       vacuumed. The gated query rolls x33's mutated table (v2
+  //       merge + v3 MoR delete were the "bad batches") back to v1 and
+  //       reads the head: the oracle is the plain full-orders
+  //       aggregate — the mutations must be exactly undone. The
+  //       GraftTableSpec pin covers what the hash can't: the restore
+  //       is a new version (history intact), and the pre-restore head
+  //       still time-travels.
+  // ---------------------------------------------------------------------
+  private def x36(spark: SparkSession, dir: String): DataFrame = {
+    val t = graft.table.GraftTable.open(spark, x33Stage(spark, dir),
+      "o_orderkey")
+    val v = t.restore(1)
+    t.read(v)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  // ---------------------------------------------------------------------
   // x29 — DELETE via DELETION VECTORS (merge-on-read — the modern
   //       sibling of x25's copy-on-write, same semantics, same oracle,
   //       different cost model): instead of rewriting every file that
@@ -2147,5 +2174,6 @@ object ScaleOps {
     QuerySpec("x32_api_mor_delete", x32, Some(x25Sql)),
     QuerySpec("x33_table_change_feed", x33, Some(x33Sql)),
     QuerySpec("x34_cdc_incremental_refresh", x34, Some(x34Sql)),
-    QuerySpec("x35_api_schema_evolution", x35, Some(x27Sql)))
+    QuerySpec("x35_api_schema_evolution", x35, Some(x27Sql)),
+    QuerySpec("x36_table_restore", x36, Some(x28Sql)))
 }

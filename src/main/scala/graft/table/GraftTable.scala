@@ -513,6 +513,22 @@ final class GraftTable private (spark: SparkSession, val root: String,
     vacuumed
   }
 
+  /** roll the table back to version `v` AS A NEW COMMIT (Delta's
+    * RESTORE): the head becomes v's exact manifest, history is
+    * preserved (the bad batches stay time-travel-readable until they
+    * expire), and nothing is copied — pure metadata, O(manifest).
+    * Fails loudly if any of v's data files has already been vacuumed
+    * (restoring past the retention window is unrecoverable by
+    * design). */
+  def restore(v: Long): Long = {
+    val h = head
+    require(v >= 1 && v <= h, s"need 1 <= v <= $h (got $v)")
+    val target = manifestOf(v)
+    target.foreach(r => require(new java.io.File(r.file).exists,
+      s"version $v is not restorable: ${r.file} was vacuumed"))
+    commitLoop() (_ => Some((target, Seq.empty)))
+  }
+
   /** one row per committed version: the audit/debug view (Delta's
     * DESCRIBE HISTORY shape, metadata-only) */
   def history(): DataFrame = {

@@ -339,6 +339,25 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.merge(Seq((8L, "U8")).toDF("k", "v"), txn = 43L) == 3)
   }
 
+  test("restore rolls back as a new commit; vacuumed versions refuse") {
+    val t = rangeTable("graft-tbl-restore", n = 20L, files = 4)
+    t.merge(Seq((7L, "BAD")).toDF("k", "v"))   // v2: the bad batch
+    t.delete(col("k") === 3)                   // v3: another one
+    val v = t.restore(1)
+    assert(v == 4, "restore must be a NEW version, not a rewind")
+    // the head is exactly v1 again — same manifest, nothing copied
+    assert(t.filesOf(4) == t.filesOf(1))
+    assert(keys(t.read()) == (1L to 20L))
+    assert(t.read().where(col("k") === 7).head.getString(1) == "s7")
+    // history intact: the bad batches still time-travel until expired
+    assert(t.read(2).where(col("k") === 7).head.getString(1) == "BAD")
+    assert(keys(t.read(3)) == (1L to 20L).filterNot(_ == 3L))
+    // a vacuumed version is not restorable — loud, not dangling
+    t.delete(col("k") === 5)                   // v5 supersedes v2/v3 files
+    t.expire(keepLast = 1)
+    intercept[IllegalArgumentException] { t.restore(2) }
+  }
+
   test("contended mutations leave no orphaned data files") {
     val t = rangeTable("graft-tbl-orphan", n = 20L, files = 4)
     import scala.concurrent.{Await, Future}
