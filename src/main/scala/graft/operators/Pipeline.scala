@@ -496,11 +496,82 @@ object Pipeline {
       |FROM documents
       |GROUP BY source""".stripMargin
 
+  // p07 — the CURATED LAKEHOUSE: the corpus run as a GOVERNED TABLE,
+  // end to end through one GraftTable handle. Micro-batches of raw
+  // documents stream-ingest with exactly-once batch-id commits (w19's
+  // protocol), curation executes as a row-level DELETE of the
+  // quality-rule failures (simple deterministic gates — length bounds
+  // + a token floor — the t14/p01 family, expressed as a predicate
+  // the table's planner sees), OPTIMIZE folds the per-batch small
+  // files, retention vacuums the superseded versions, and the
+  // survivors' per-source report reads off the head snapshot. The
+  // oracle is the same rules applied relationally to the raw corpus —
+  // however the stream was sliced and however the files were
+  // rewritten, the governed table must hold exactly the keepers.
+  //
+  // This is the bridge between the two halves of the repo: the
+  // text-pipeline ops (what to keep) and the table format (how the
+  // kept corpus lives) — ingestion, mutation, compaction, and
+  // retention all versioned, time-travelable, and exactly-once, the
+  // way a production training-data corpus is actually operated.
+  //
+  // 100 TB shape: ingest cost is per-batch; the curation delete scans
+  // each file once and rewrites only files holding failures; compact
+  // bins small files only; the report is one aggregation over the
+  // survivors. Nothing in the loop is table-squared.
+  private val P07_MIN_CHARS = 150
+  private val P07_MAX_CHARS = 500
+  private val P07_MIN_TOK = 25
+
+  private def p07(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-p07-lakehouse")
+    val t = graft.table.GraftTable.open(spark, root, "doc_id")
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"),
+              col("n_chars"))
+    val stream = StreamingOps.stagedStream(spark, docs, files = 3)
+    val query = stream.writeStream
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        t.streamAppend(b, batchId)
+        ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    val nTok = expr("size(filter(split(text, '\\\\s+'), s -> s != ''))")
+    t.delete(col("n_chars") < P07_MIN_CHARS ||
+             col("n_chars") > P07_MAX_CHARS || nTok < P07_MIN_TOK)
+    t.compact()
+    t.expire(keepLast = 1)
+    t.read()
+      .select(col("source"), col("n_chars"),
+        expr("size(filter(split(text, '\\\\s+'), s -> s != ''))")
+          .cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("n_tok")).as("n_tokens"),
+           sum(col("n_chars")).as("chars_total"))
+  }
+
+  private val p07Sql =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, n_chars,
+       |    len(list_filter(string_split_regex(text, '\\s+'),
+       |      s -> s <> '')) AS n_tok
+       |  FROM documents)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_total
+       |FROM d
+       |WHERE n_chars >= $P07_MIN_CHARS AND n_chars <= $P07_MAX_CHARS
+       |  AND n_tok >= $P07_MIN_TOK
+       |GROUP BY 1""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
     QuerySpec("p01_clean_corpus", p01, Some(p01Sql)),
     QuerySpec("p02_embedding_curation", p02, Some(p02Sql)),
     QuerySpec("p03_domain_mixing", p03, Some(p03Sql)),
     QuerySpec("p04_training_mix", p04, Some(p04Sql)),
     QuerySpec("p05_curriculum_order", p05, Some(p05Sql)),
-    QuerySpec("p06_corpus_report", p06, Some(p06Sql)))
+    QuerySpec("p06_corpus_report", p06, Some(p06Sql)),
+    QuerySpec("p07_curated_lakehouse", p07, Some(p07Sql)))
 }

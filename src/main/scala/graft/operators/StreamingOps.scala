@@ -43,7 +43,7 @@ object StreamingOps {
 
   /** stage `df` as `files` parquet files; tail it as a stream, one file
     * per micro-batch */
-  private def stagedStream(spark: SparkSession, df: DataFrame,
+  private[operators] def stagedStream(spark: SparkSession, df: DataFrame,
                            files: Int): DataFrame = {
     val staged = graft.util.Scratch.dir("graft-stage")
     df.repartition(files).write.mode("overwrite").parquet(staged)

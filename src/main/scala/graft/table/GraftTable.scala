@@ -13,13 +13,18 @@ import org.apache.spark.sql.graftglue.PredicateTree
   * val t = GraftTable.create(spark, root, keyCol = "id", df)
   * t.append(more)                  // new files + a new version
   * t.merge(delta)                  // COW upsert by key, stats-pruned
+  * t.merge(batch, txn = batchId)   // ...idempotent by txn id
   * t.delete(col("id") % 53 === 0)  // COW delete (NULL rows kept)
   * t.delete(pred, mode = "mor")    // deletion-vector delete: no rewrite
   * t.compact()                     // fold SMALL files, big ones carry
   * t.expire(keepLast = 1)          // vacuum unreferenced files
-  * t.read()                        // head snapshot (DV-applied)
-  * t.read(version = 2)             // time travel
+  * t.read()                        // head snapshot (DV-applied,
+  * t.read(version = 2)             //   schema-merged) / time travel
   * t.streamAppend(batch, batchId)  // exactly-once streaming ingestion
+  * t.changes(1, 3)                 // net CDC feed between versions
+  * t.changes(1, 3, preimages=true) // ...with update pre/post images
+  * t.restore(2)                    // roll back as a new commit
+  * t.history()                     // one metadata row per version
   * }}}
   *
   * Storage model (the x18/x28 layout): immutable data files under
