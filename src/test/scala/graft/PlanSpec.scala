@@ -146,6 +146,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("s13 matryoshka: typed top-k both stages, broadcast rerank, no window") {
+    // the prefix scan streams the corpus against the broadcast query
+    // side (the deliberate s01-style BNLJ on =!=); both ranking stages
+    // ride the map-side TopKAggregator; the full-dim rerank meets the
+    // corpus only through broadcast joins of the candidate/query sets
+    val p = formatted("s13_knn_matryoshka")
+    assert(p.contains("ObjectHashAggregate"))
+    assert(!p.contains("Window"), "ranking must not plan a Window")
+    assert(!p.contains("SortMergeJoin"), "rerank joins must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("m05 frame-pair join is md5-equi, never a cross product") {
+    // the df cap bounds the same-fingerprint fan-out; the join itself
+    // must be a hash/merge equi-join on frame_md5 — a nested loop here
+    // would be frames², payloads or not
+    val p = formatted("m05_multimodal_frame_dedup")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("x33 change feed classifies via a keyed join, never a cross product") {
+    // old'/new row sets (both change-proportional) meet in ONE
+    // full-outer equi-join on the table key; DV erasure and the
+    // refinement paths are broadcast/anti joins of metadata-scale sets
+    val p = formatted("x33_table_change_feed")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("x13 SCD2 history windows per key, never a global sort") {
     val p = formatted("x13_scd2_history")
     assert(!p.contains("Exchange SinglePartition"),
