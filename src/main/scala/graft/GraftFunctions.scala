@@ -70,5 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         b))
     }
     e.injectOptimizerRule(_ => graft.plans.StripDotCast)
+    // the GRAFT HISTORY / GRAFT CHANGES command surface; everything
+    // else delegates to Spark's parser verbatim
+    e.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
   }
 }

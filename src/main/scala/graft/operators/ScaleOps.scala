@@ -1794,6 +1794,31 @@ object ScaleOps {
   }
 
   // ---------------------------------------------------------------------
+  // x37 — the SQL COMMAND SURFACE for the table format: `GRAFT CHANGES
+  //       '<root>' KEY <col> FROM <v> TO <v>` parsed by
+  //       plans.GraftSqlParser — the injectParser extension route,
+  //       completing the SparkSessionExtensions taxonomy (expression /
+  //       aggregator / rule / strategy+SparkPlan / DSv2 / function /
+  //       PARSER). The gated query routes x33's exact change feed
+  //       through the COMMAND TEXT instead of the Scala API (the same
+  //       parser instance the `spark.sql.extensions` route installs;
+  //       GraftSqlParserSpec proves the injected end-to-end route on a
+  //       session built with the extensions, plus delegate
+  //       transparency for normal SQL) and aggregates to x33's oracle.
+  // ---------------------------------------------------------------------
+  private def x37(spark: SparkSession, dir: String): DataFrame = {
+    val root = x33Stage(spark, dir)
+    val parser = new graft.plans.GraftSqlParser(spark,
+      spark.sessionState.sqlParser)
+    val plan = parser.parsePlan(
+      s"GRAFT CHANGES '$root' KEY o_orderkey FROM 1 TO 3")
+    org.apache.spark.sql.graftglue.ColumnBridge.ofRows(spark, plan)
+      .groupBy(col("change_type"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  // ---------------------------------------------------------------------
   // x29 — DELETE via DELETION VECTORS (merge-on-read — the modern
   //       sibling of x25's copy-on-write, same semantics, same oracle,
   //       different cost model): instead of rewriting every file that
@@ -2175,5 +2200,6 @@ object ScaleOps {
     QuerySpec("x33_table_change_feed", x33, Some(x33Sql)),
     QuerySpec("x34_cdc_incremental_refresh", x34, Some(x34Sql)),
     QuerySpec("x35_api_schema_evolution", x35, Some(x27Sql)),
-    QuerySpec("x36_table_restore", x36, Some(x28Sql)))
+    QuerySpec("x36_table_restore", x36, Some(x28Sql)),
+    QuerySpec("x37_sql_table_changes", x37, Some(x33Sql)))
 }

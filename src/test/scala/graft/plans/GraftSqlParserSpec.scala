@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+
+/** The injected-parser contract: a session built with
+  * `spark.sql.extensions=graft.GraftExtensions` answers GRAFT commands
+  * through plain `spark.sql`, while every other statement delegates to
+  * Spark's parser untouched. */
+class GraftSqlParserSpec extends AnyFunSuite {
+
+  private lazy val base = SparkTestSession.spark
+  import base.implicits._
+
+  /** a second session on the SAME SparkContext, built with the
+    * extensions conf (the production injection route); the shared test
+    * session is restored as active/default afterwards */
+  private lazy val ext: SparkSession = {
+    base // force creation first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // spark.sql.extensions is a STATIC conf read from the
+    // SparkContext at session build — on a pre-existing context (this
+    // test JVM's) it cannot apply, so the session uses the documented
+    // programmatic route: Builder.withExtensions(new GraftExtensions),
+    // the exact same entry-point class the conf route instantiates
+    try SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new graft.GraftExtensions())
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  private def fixture(): String = {
+    val t = graft.table.GraftTable.create(base,
+      graft.util.Scratch.dir("graft-sqlparser"), "k",
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").coalesce(1))
+    t.merge(Seq((2L, "B2"), (4L, "d")).toDF("k", "v"))
+    t.root
+  }
+
+  test("GRAFT CHANGES runs end-to-end through the injected spark.sql route") {
+    val root = fixture()
+    val out = ext.sql(s"GRAFT CHANGES '$root' KEY k FROM 1 TO 2")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((2L, "B2", "update"), (4L, "d", "insert")))
+    // preimage variant through the same syntax
+    val pre = ext.sql(s"GRAFT CHANGES '$root' KEY k FROM 1 TO 2 WITH PREIMAGES")
+      .where(col("change_type").startsWith("update"))
+      .count()
+    assert(pre == 2, "WITH PREIMAGES must split the update into two rows")
+  }
+
+  test("GRAFT HISTORY lists versions through spark.sql") {
+    val root = fixture()
+    val h = ext.sql(s"GRAFT HISTORY '$root'")
+    assert(h.columns.toSeq ==
+      Seq("version", "n_data_files", "n_dv_files", "txn"))
+    assert(h.count() == 2)
+  }
+
+  test("everything else delegates to Spark's parser untouched") {
+    assert(ext.sql("SELECT 1 + 1 AS two").head.getInt(0) == 2)
+    // the injected functions ride the same extensions entry point
+    assert(ext.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .head.getDouble(0) == 11.0)
+    // malformed GRAFT text is NOT half-parsed: it falls through to the
+    // delegate, which rejects it as the non-SQL it is
+    intercept[Exception] { ext.sql("GRAFT CHANGES oops").collect() }
+  }
+}
