@@ -535,15 +535,25 @@ final class GraftTable private (spark: SparkSession, val root: String,
   }
 
   /** one row per committed version: the audit/debug view (Delta's
-    * DESCRIBE HISTORY shape, metadata-only) */
+    * DESCRIBE HISTORY shape) — ONE read over all manifests with the
+    * version recovered from the slot path, not a job per version */
   def history(): DataFrame = {
-    val rows = (1L to head).map { v =>
-      val m = manifestOf(v)
-      val txn = spark.read.parquet(s"$commitsDir/v$v")
-        .agg(max(col("txn"))).head.getLong(0)
-      (v, m.count(_.kind == "data"), m.count(_.kind == "dv"), txn)
-    }
-    rows.toDF("version", "n_data_files", "n_dv_files", "txn")
+    val h = head
+    if (h == 0)
+      return Seq.empty[(Long, Int, Int, Long)]
+        .toDF("version", "n_data_files", "n_dv_files", "txn")
+    val vs = (1L to h).map(v => s"$commitsDir/v$v")
+    spark.read.parquet(vs: _*)
+      .withColumn("version",
+        regexp_extract(col("_metadata.file_path"), "/v(\\d+)/", 1)
+          .cast("long"))
+      .groupBy(col("version"))
+      .agg(count(when(col("kind") === "data", 1)).cast("int")
+             .as("n_data_files"),
+           count(when(col("kind") === "dv", 1)).cast("int")
+             .as("n_dv_files"),
+           max(col("txn")).as("txn"))
+      .orderBy(col("version"))
   }
 
   /** NET row-level changes between two committed versions — the

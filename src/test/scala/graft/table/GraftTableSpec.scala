@@ -285,6 +285,14 @@ class GraftTableSpec extends AnyFunSuite {
     feed.unpersist()
   }
 
+  test("an empty change-feed window emits no rows, schema intact") {
+    val t = rangeTable("graft-tbl-cdc-empty", n = 10L, files = 2)
+    t.append(rows(11L))
+    val c = t.changes(2, 2)
+    assert(c.count() == 0)
+    assert(c.columns.toSeq == Seq("k", "v", "change_type"))
+  }
+
   test("history lists every version with its txn marker") {
     val t = GraftTable.open(spark,
       graft.util.Scratch.dir("graft-tbl-hist"), "k")
