@@ -571,8 +571,10 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * and carried files targeted by new deletion vectors are read; the
     * classification is one keyed full-outer join of those row sets
     * with a null-safe all-columns comparison. Requires the key to be
-    * unique per row (the upsert-table contract `merge` maintains) —
-    * duplicate keys would cross-multiply in the join.
+    * unique AND non-null per row (the upsert-table contract `merge`
+    * maintains) — duplicate keys would cross-multiply in the join,
+    * and a NULL key can never match its own other-side row, so such a
+    * row would misclassify as a delete+insert pair.
     *
     * `preimages = true` splits each update into `update_preimage` +
     * `update_postimage` rows (Delta CDF's shape) — what an
