@@ -1702,7 +1702,7 @@ object ScaleOps {
       .where(col("n_rows") > 0)
   }
 
-  private val x34Sql =
+  private[operators] val x34Sql =
     """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
       |base AS (
       |  SELECT o_orderkey, o_orderstatus,
@@ -1817,6 +1817,101 @@ object ScaleOps {
       .agg(count(lit(1)).as("n_rows"),
            sum(col("o_price")).cast(DoubleType).as("sum_price"))
   }
+
+  // ---------------------------------------------------------------------
+  // x38 — NON-key-column pruned DELETE (the GDPR-erasure shape): the
+  //       table is KEYED by o_orderkey (the row id `merge` upserts by)
+  //       but CLUSTERED by o_custkey (the customer), and the erasure
+  //       predicate is over o_custkey — a column the round-9 planner
+  //       could not prune on at all, because only the key had manifest
+  //       stats. The manifest now carries a per-column (min, max)
+  //       stats MAP for every integral column (Iceberg's inclusive
+  //       metrics), and `pruneByPredicate` evaluates the predicate's
+  //       boolean skeleton against whichever column each comparison
+  //       names — so erasing a customer band reads exactly the files
+  //       whose o_custkey range overlaps it and carries every other
+  //       file by reference (GraftTableSpec pins the read-set by
+  //       physically hiding the non-candidates during the delete).
+  //
+  //       100 TB shape: THE compliance-pipeline pattern — tables
+  //       cluster by the erasure subject (customer/user), key by row
+  //       id for upserts; a daily GDPR batch then rewrites only the
+  //       subjects' own files. Without per-column stats the same
+  //       delete scans the full snapshot no matter how the table is
+  //       laid out.
+  // ---------------------------------------------------------------------
+  private def x38(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x38-gdpr")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val cut = o.agg(max(col("o_custkey"))).head.getLong(0) / 10
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.repartitionByRange(X23_FILES, col("o_custkey"))
+        .sortWithinPartitions("o_custkey"))
+    t.delete(col("o_custkey") <= cut)
+    t.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  private val x38Sql =
+    """WITH m AS (SELECT MAX(o_custkey) AS mx FROM orders)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders, m WHERE NOT (o_custkey <= m.mx // 10)
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x39 — Z-ORDER clustering through the handle (Delta's `OPTIMIZE ...
+  //       ZORDER BY`, composing x12's Morton curve with x38's
+  //       per-column manifest stats): the table starts HASH-laid-out —
+  //       every file spans the full range of both dimensions, so no
+  //       predicate prunes anything — then `t.cluster(Seq(o_orderkey,
+  //       o_custkey))` rewrites it so each file covers a small
+  //       rectangle of the 2-D key space and the stats map goes tight
+  //       on BOTH columns at once. The 2-D box DELETE that follows
+  //       reads only box-overlapping files (GraftTableSpec pins the
+  //       post-cluster prunability on each dimension separately; x12's
+  //       ZOrderSpec pins the span-tightness property of the curve
+  //       itself). Oracle = the plain relational complement of the box
+  //       — layout must never change results.
+  //
+  //       100 TB shape: cluster() is the scheduled REORGANIZATION verb
+  //       (O(table), like the OPTIMIZE it imitates — amortized over
+  //       every subsequent stats-pruned mutation); the delete after it
+  //       is box-proportional. One clustered copy serves selective
+  //       predicates on either dimension — no second table sorted the
+  //       other way.
+  // ---------------------------------------------------------------------
+  private def x39(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x39-zorder")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val r = o.agg(max(col("o_orderkey")), max(col("o_custkey"))).head()
+    val (okT, ckT) = (r.getLong(0) / 4, r.getLong(1) / 4)
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.repartition(X23_FILES, col("o_orderkey")))
+    t.cluster(Seq("o_orderkey", "o_custkey"), targetFiles = X23_FILES)
+    t.delete(col("o_orderkey") <= okT && col("o_custkey") <= ckT)
+    t.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  private val x39Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mok, MAX(o_custkey) AS mck
+      |           FROM orders)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders, m
+      |WHERE NOT (o_orderkey <= m.mok // 4 AND o_custkey <= m.mck // 4)
+      |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // x29 — DELETE via DELETION VECTORS (merge-on-read — the modern
@@ -2201,5 +2296,7 @@ object ScaleOps {
     QuerySpec("x34_cdc_incremental_refresh", x34, Some(x34Sql)),
     QuerySpec("x35_api_schema_evolution", x35, Some(x27Sql)),
     QuerySpec("x36_table_restore", x36, Some(x28Sql)),
-    QuerySpec("x37_sql_table_changes", x37, Some(x33Sql)))
+    QuerySpec("x37_sql_table_changes", x37, Some(x33Sql)),
+    QuerySpec("x38_api_colstats_delete", x38, Some(x38Sql)),
+    QuerySpec("x39_api_zorder_cluster", x39, Some(x39Sql)))
 }

@@ -1089,6 +1089,46 @@ object StreamingOps {
            sum(col("o_price")).cast(DoubleType).as("sum_price"))
   }
 
+  /** streaming CDC REPLICATION — the READ side of the change-feed loop
+    * (Delta CDF's streaming consumption shape, where stream offsets
+    * ARE table versions): a mirror table follows the source by
+    * consuming `changes(v-1, v)` per arriving version and applying it
+    * with `applyChanges(feed, txn = v)` — inserts/updates as upserts,
+    * deletes as removals, ONE commit per source version, idempotent by
+    * the version-as-txn marker, so a re-delivered version cannot
+    * double-apply (exactly-once replication without distributed
+    * transactions — the txn check re-runs inside the commit CAS loop).
+    * The source is x33's standing mutated table (v2 merge, v3 MoR
+    * delete); the drained mirror must equal the source head, which is
+    * x34's final-state oracle.
+    *
+    * 100 TB shape: per-version cost is the version's own change volume
+    * (the feed reads changed files + new DV targets only) plus a
+    * stats-pruned apply that rewrites only files holding affected
+    * keys — the mirror never rescans, the source is never re-read
+    * beyond its changes. This is the cross-region replica / dev-fork
+    * sync pattern every lakehouse deployment runs. */
+  private def w21(spark: SparkSession, dir: String): DataFrame = {
+    val src = graft.table.GraftTable.open(spark,
+      ScaleOps.x33Stage(spark, dir), "o_orderkey")
+    val mirror = graft.table.GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-w21"), "o_orderkey", src.read(1))
+    import spark.implicits._
+    val stream = stagedStream(spark, Seq(2L, 3L).toDF("version"), files = 2)
+    val query = stream.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("version")).collect().map(_.getLong(0)).sorted
+          .foreach(v => mirror.applyChanges(src.changes(v - 1, v), txn = v))
+        ()
+      }
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    mirror.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
   private val w20Sql =
     """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
       |base AS (
@@ -1126,5 +1166,6 @@ object StreamingOps {
     QuerySpec("w17_stream_asof_enrich", w17, Some(ScaleOps.x21Sql)),
     QuerySpec("w18_stream_table_ingest", w18, Some(w18Sql)),
     QuerySpec("w19_stream_table_api_ingest", w19, Some(w18Sql)),
-    QuerySpec("w20_stream_merge_upsert", w20, Some(w20Sql)))
+    QuerySpec("w20_stream_merge_upsert", w20, Some(w20Sql)),
+    QuerySpec("w21_stream_cdc_replication", w21, Some(ScaleOps.x34Sql)))
 }

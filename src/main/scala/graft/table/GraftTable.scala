@@ -17,25 +17,32 @@ import org.apache.spark.sql.graftglue.PredicateTree
   * t.delete(col("id") % 53 === 0)  // COW delete (NULL rows kept)
   * t.delete(pred, mode = "mor")    // deletion-vector delete: no rewrite
   * t.compact()                     // fold SMALL files, big ones carry
+  * t.cluster(Seq("cust", "day"))   // OPTIMIZE ZORDER BY: 2-D locality
   * t.expire(keepLast = 1)          // vacuum unreferenced files
   * t.read()                        // head snapshot (DV-applied,
   * t.read(version = 2)             //   schema-merged) / time travel
   * t.streamAppend(batch, batchId)  // exactly-once streaming ingestion
   * t.changes(1, 3)                 // net CDC feed between versions
   * t.changes(1, 3, preimages=true) // ...with update pre/post images
+  * t.applyChanges(feed, txn = v)   // apply a CDC feed atomically
   * t.restore(2)                    // roll back as a new commit
   * t.history()                     // one metadata row per version
   * }}}
   *
   * Storage model (the x18/x28 layout): immutable data files under
   * `root/data/<uuid>/part-*`, one manifest parquet per version under
-  * `root/commits/v{N}`. A manifest row is `(file, kind, lo, hi, txn)`:
-  * `kind` is `data` or `dv` (an x29-style deletion-vector sidecar of
-  * `(dv_file, dv_pos)` positions readers anti-join), `lo`/`hi` are the
-  * file's key range — per-file statistics collected ONCE at stage time,
-  * so every later mutation PLANS against manifest rows instead of
-  * scanning the table (the x17/x23 half of the story the round-9 API
-  * lacked). Non-numeric keys degrade gracefully: their stats are the
+  * `root/commits/v{N}`. A manifest row is `(file, kind, lo, hi, txn,
+  * stats)`: `kind` is `data` or `dv` (an x29-style deletion-vector
+  * sidecar of `(dv_file, dv_pos)` positions readers anti-join),
+  * `lo`/`hi` are the file's key range and `stats` maps EVERY integral
+  * column to its per-file (min, max) — Iceberg's inclusive metrics,
+  * collected ONCE at stage time, so every later mutation PLANS
+  * against manifest rows instead of scanning the table (the x17/x23
+  * half of the story the round-9 API lacked), and a predicate over
+  * ANY stats-covered column prunes, not just the clustering key (the
+  * GDPR shape: a table keyed by row id, clustered by customer,
+  * deletes one customer's rows by reading only that customer's
+  * files). Non-numeric keys degrade gracefully: their stats are the
   * full range and planning falls back to candidate-everything, never
   * to wrong answers.
   *
@@ -98,12 +105,15 @@ final class GraftTable private (spark: SparkSession, val root: String,
       .foldLeft(0L)(math.max)
   }
 
-  /** version `v`'s full manifest: data files + DV sidecars + key stats */
+  /** version `v`'s full manifest: data files + DV sidecars + stats */
   private[table] def manifestOf(v: Long): Seq[FileRef] =
     spark.read.parquet(s"$commitsDir/v$v")
-      .select(col("file"), col("kind"), col("lo"), col("hi"))
+      .select(col("file"), col("kind"), col("lo"), col("hi"), col("stats"))
       .collect()
-      .map(r => FileRef(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .map(r => FileRef(r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3),
+        r.getAs[Map[String, org.apache.spark.sql.Row]](4)
+          .map { case (c, s) => c -> (s.getLong(0), s.getLong(1)) }))
       .toSeq.sortBy(r => (r.kind, r.file))
 
   /** the exact DATA file set version `v` committed */
@@ -181,52 +191,73 @@ final class GraftTable private (spark: SparkSession, val root: String,
       .collect().map(_.getString(0)).toSeq.sorted
   }
 
-  /** files whose key range can satisfy `predicate` — a min/max interval
-    * evaluator over the predicate's boolean skeleton
-    * ([[PredicateTree]]: key-column conjuncts prune; anything else is
-    * conservatively "may match"). Skipping is sound for NULL keys too:
-    * a pure key comparison never selects a NULL-key row under
-    * three-valued logic, and files whose stats are unknown keep the
-    * full range. */
+  /** files whose statistics can satisfy `predicate` — a min/max
+    * interval evaluator over the predicate's boolean skeleton
+    * ([[PredicateTree]]): a conjunct over ANY column the manifest
+    * carries stats for prunes (the key via its dedicated range, every
+    * other integral column via the per-file stats map — Iceberg's
+    * inclusive metrics); anything else is conservatively "may match".
+    * Skipping is sound for NULL values too: a pure comparison never
+    * selects a NULL row under three-valued logic, and min/max over the
+    * non-NULL rows bounds exactly the rows a comparison can select. */
   private[table] def pruneByPredicate(data: Seq[FileRef],
                                       predicate: Column): Seq[String] = {
-    val tree = PredicateTree.parse(predicate, keyCol)
-    data.filter(r => mayMatch(tree, r.lo, r.hi)).map(_.file).sorted
+    val tree = PredicateTree.parse(predicate)
+    data.filter(r => mayMatch(tree, r)).map(_.file).sorted
   }
 
-  /** can ANY row of a file with key range [lo, hi] satisfy `e`?
+  /** column `c`'s (min, max) for file `r` — the key column's dedicated
+    * range, any other column's stats-map entry, unbounded otherwise */
+  private def rangeOf(r: FileRef, c: String): (Long, Long) =
+    if (c == keyCol) (r.lo, r.hi)
+    else r.stats.getOrElse(c, (Long.MinValue, Long.MaxValue))
+
+  /** can ANY row of file `r` satisfy `e`?
     * (true = keep the file as a candidate; Unknown is true) */
-  private def mayMatch(e: PredicateTree.Node, lo: Long, hi: Long): Boolean = {
+  private def mayMatch(e: PredicateTree.Node, r: FileRef): Boolean = {
     import PredicateTree._
     e match {
-      case And(a, b) => mayMatch(a, lo, hi) && mayMatch(b, lo, hi)
-      case Or(a, b)  => mayMatch(a, lo, hi) || mayMatch(b, lo, hi)
-      case Not(x)    => !allMatch(x, lo, hi)
-      case Cmp("<", c)  => lo < c
-      case Cmp("<=", c) => lo <= c
-      case Cmp(">", c)  => hi > c
-      case Cmp(">=", c) => hi >= c
-      case Cmp("=", c)  => lo <= c && c <= hi
-      case Cmp(_, _)    => true
-      case In(vs)       => vs.exists(c => lo <= c && c <= hi)
-      case Unknown      => true
+      case And(a, b) => mayMatch(a, r) && mayMatch(b, r)
+      case Or(a, b)  => mayMatch(a, r) || mayMatch(b, r)
+      case Not(x)    => !allMatch(x, r)
+      case Cmp(c, op, v) =>
+        val (lo, hi) = rangeOf(r, c)
+        op match {
+          case "<"  => lo < v
+          case "<=" => lo <= v
+          case ">"  => hi > v
+          case ">=" => hi >= v
+          case "="  => lo <= v && v <= hi
+          case _    => true
+        }
+      case In(c, vs) =>
+        val (lo, hi) = rangeOf(r, c)
+        vs.exists(v => lo <= v && v <= hi)
+      case Unknown => true
     }
   }
 
-  /** does EVERY non-NULL-key row of [lo, hi] satisfy `e`? (an
+  /** does EVERY row of `r` that evaluates `e` non-NULL satisfy it? (an
     * under-approximation — false when unknown — used only to evaluate
-    * `NOT` soundly: ¬x can match unless x provably matches all rows) */
-  private def allMatch(e: PredicateTree.Node, lo: Long, hi: Long): Boolean = {
+    * `NOT` soundly: ¬x can match unless x provably matches all rows;
+    * NULL-valued rows evaluate ¬x to NULL, which a delete never
+    * selects, so quantifying over the non-NULL rows suffices) */
+  private def allMatch(e: PredicateTree.Node, r: FileRef): Boolean = {
     import PredicateTree._
     e match {
-      case And(a, b) => allMatch(a, lo, hi) && allMatch(b, lo, hi)
-      case Or(a, b)  => allMatch(a, lo, hi) || allMatch(b, lo, hi)
-      case Not(x)    => !mayMatch(x, lo, hi)
-      case Cmp("<", c)  => hi < c
-      case Cmp("<=", c) => hi <= c
-      case Cmp(">", c)  => lo > c
-      case Cmp(">=", c) => lo >= c
-      case Cmp("=", c)  => lo == c && hi == c
+      case And(a, b) => allMatch(a, r) && allMatch(b, r)
+      case Or(a, b)  => allMatch(a, r) || allMatch(b, r)
+      case Not(x)    => !mayMatch(x, r)
+      case Cmp(c, op, v) =>
+        val (lo, hi) = rangeOf(r, c)
+        op match {
+          case "<"  => hi < v
+          case "<=" => hi <= v
+          case ">"  => lo > v
+          case ">=" => lo >= v
+          case "="  => lo == v && hi == v
+          case _    => false
+        }
       case _ => false
     }
   }
@@ -234,10 +265,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
   // ---- write path -----------------------------------------------------
 
   /** land `df` as immutable files under a fresh uuid dir, collect each
-    * file's (lo, hi) key stats in one metadata-scale read-back, and
-    * leave a `.staging-<uuid>` marker until a commit adopts the files.
-    * Zero-row or non-numeric-key files get the conservative full range
-    * (always a candidate — planning may weaken, correctness cannot). */
+    * file's per-column (min, max) stats — the key's range plus every
+    * integral column's (Iceberg's inclusive metrics) — in ONE
+    * metadata-scale read-back, and leave a `.staging-<uuid>` marker
+    * until a commit adopts the files. Zero-row or non-numeric-key
+    * files get the conservative full key range, and an all-NULL column
+    * simply records no stats (always a candidate — planning may
+    * weaken, correctness cannot). */
   private def stage(df: DataFrame): Staged = {
     new java.io.File(dataDir).mkdirs()
     val uuid = java.util.UUID.randomUUID().toString
@@ -247,21 +281,40 @@ final class GraftTable private (spark: SparkSession, val root: String,
     df.write.parquet(sub)
     val files = new java.io.File(sub).listFiles.toSeq.map(_.getName)
       .filter(_.startsWith("part-")).sorted.map(n => s"$sub/$n")
-    val stats: Map[String, (Long, Long)] =
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val intCols = df.schema.fields.collect {
+      case f if Seq(ByteType, ShortType, IntegerType, LongType)
+                  .contains(f.dataType) => f.name
+    }.toSeq
+    val perFile: Map[String, (Long, Long, Map[String, (Long, Long)])] =
       if (files.isEmpty) Map.empty
-      else spark.read.parquet(sub)
-        .select(col(keyCol).cast("long").as("__k"),
-          regexp_replace(col("_metadata.file_path"), "^file:(//)?", "").as("__f"))
-        .groupBy(col("__f"))
-        .agg(min(col("__k")).as("lo"), max(col("__k")).as("hi"))
-        .collect().map { r =>
-          r.getString(0) -> (
-            if (r.isNullAt(1) || r.isNullAt(2)) (Long.MinValue, Long.MaxValue)
-            else (r.getLong(1), r.getLong(2)))
-        }.toMap
+      else {
+        val aggs = Seq(min(col("__k")).as("__klo"), max(col("__k")).as("__khi")) ++
+          intCols.flatMap(c => Seq(
+            min(col(c)).cast("long").as(s"__lo_$c"),
+            max(col(c)).cast("long").as(s"__hi_$c")))
+        spark.read.parquet(sub)
+          .withColumn("__k", col(keyCol).cast("long"))
+          .withColumn("__f",
+            regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
+          .groupBy(col("__f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            val key =
+              if (r.isNullAt(1) || r.isNullAt(2)) (Long.MinValue, Long.MaxValue)
+              else (r.getLong(1), r.getLong(2))
+            val colStats = intCols.zipWithIndex.flatMap { case (c, i) =>
+              val (loIdx, hiIdx) = (3 + 2 * i, 4 + 2 * i)
+              if (r.isNullAt(loIdx) || r.isNullAt(hiIdx)) None
+              else Some(c -> (r.getLong(loIdx), r.getLong(hiIdx)))
+            }.toMap
+            r.getString(0) -> (key._1, key._2, colStats)
+          }.toMap
+      }
     Staged(sub, files.map { f =>
-      val (lo, hi) = stats.getOrElse(f, (Long.MinValue, Long.MaxValue))
-      FileRef(f, "data", lo, hi)
+      val (lo, hi, cs) = perFile.getOrElse(f,
+        (Long.MinValue, Long.MaxValue, Map.empty[String, (Long, Long)]))
+      FileRef(f, "data", lo, hi, cs)
     }, marker)
   }
 
@@ -291,8 +344,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
   private def tryCommit(expected: Long, refs: Seq[FileRef],
                         txn: Long): Boolean = {
     val tmp = s"$commitsDir/.tmp-${java.util.UUID.randomUUID()}"
-    refs.map(r => (r.file, r.kind, r.lo, r.hi, txn))
-      .toDF("file", "kind", "lo", "hi", "txn")
+    refs.map(r => (r.file, r.kind, r.lo, r.hi, txn, r.stats))
+      .toDF("file", "kind", "lo", "hi", "txn", "stats")
       .coalesce(1).write.parquet(tmp)
     val target = Paths.get(s"$commitsDir/v${expected + 1}")
     try {
@@ -399,31 +452,72 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val dkeys = delta.select(col(keyCol))
     commitLoop(txn = txn) { base =>
       if (txn >= 0 && committedTxns().contains(txn)) None
-      else composeMerge(base, delta, dkeys)
+      else composeApply(base, delta, dkeys)
     }
   }
 
-  private def composeMerge(base: Seq[FileRef], delta: DataFrame,
-                           dkeys: DataFrame): Option[(Seq[FileRef], Seq[Staged])] = {
+  /** APPLY a CDC feed in one atomic commit — the consumption dual of
+    * [[changes]] (Delta Live Tables' `APPLY CHANGES INTO` verb, the
+    * general row-level mutation Spark's own MERGE expresses as
+    * WHEN MATCHED THEN UPDATE/DELETE + WHEN NOT MATCHED THEN INSERT).
+    * `feed` carries the table's columns plus `change_type` ∈
+    * {insert, update, delete} — exactly the net shape `changes(fromV,
+    * toV)` emits: insert/update rows land as upserts (the postimage
+    * replaces the key), delete rows remove the key, and because ALL of
+    * it is one commit a reader can never observe a half-applied state
+    * (an upsert-then-delete split across two versions could).
+    *
+    * Planning is stats-pruned over every feed key regardless of its
+    * change type (each may touch an existing file) and refined to the
+    * exactly-matched files — the same two-phase read-set as `merge`,
+    * so a day's CDC volume against a 100 TB table rewrites only the
+    * files holding affected keys. Deletes of keys the table never had
+    * are no-ops (the feed may be a superset replay).
+    *
+    * `txn` makes the apply idempotent by id, with the check re-run
+    * inside the CAS loop: with `changes(v-1, v)` as the feed and `v`
+    * as the txn, a streaming replication loop (w21) is exactly-once —
+    * a re-delivered version cannot double-apply. Requires feed keys
+    * unique and non-null (what `changes` of an upsert table
+    * produces). */
+  def applyChanges(feed: DataFrame, txn: Long = -1L): Long = {
+    if (txn >= 0 && committedTxns().contains(txn)) return head
+    val post = feed.where(col("change_type") =!= "delete")
+      .drop("change_type")
+    val fkeys = feed.select(col(keyCol))
+    commitLoop(txn = txn) { base =>
+      if (txn >= 0 && committedTxns().contains(txn)) None
+      else composeApply(base, post, fkeys)
+    }
+  }
+
+  /** the shared upsert/apply composition: rows keyed by `allKeys`
+    * leave (their files rewrite without them), `post` rows come back —
+    * `merge` passes post = delta = allKeys' rows (pure upsert),
+    * `applyChanges` passes the non-delete postimages against ALL feed
+    * keys (so a delete key leaves and nothing returns). */
+  private def composeApply(base: Seq[FileRef], post: DataFrame,
+                           allKeys: DataFrame): Option[(Seq[FileRef], Seq[Staged])] = {
       val data = base.filter(_.kind == "data")
-      val cand = pruneByKeys(data, delta)
+      val cand = pruneByKeys(data, allKeys)
       val matched =
         if (cand.isEmpty) Seq.empty[String]
         else scan(base, cand)
-          .join(broadcast(dkeys), Seq(keyCol))
+          .join(broadcast(allKeys), Seq(keyCol))
           .select(col("__file")).distinct()
           .collect().map(_.getString(0)).toSeq.sorted
       val touched =
-        if (matched.isEmpty) emptyLike(data, delta)
+        if (matched.isEmpty) emptyLike(data, post)
         else scan(base, matched).drop("__file", "__pos")
-      // kept ∪ delta IS the upsert: delta rows replace matched keys and
-      // supply the inserts (a delta key absent from every candidate
-      // file is absent from the table — stats containment). Missing
-      // columns on either side (an evolved table merged with a
-      // pre-evolution delta, or vice versa) fill with NULL — merge is
-      // whole-row replacement, not column-wise patching.
-      val kept = touched.join(broadcast(dkeys), Seq(keyCol), "left_anti")
-      val st = stage(kept.unionByName(delta, allowMissingColumns = true))
+      // kept ∪ post IS the mutation: post rows replace matched keys and
+      // supply the inserts (a key absent from every candidate file is
+      // absent from the table — stats containment); a key with no
+      // postimage (a delete) simply never comes back. Missing columns
+      // on either side (an evolved table merged with a pre-evolution
+      // delta, or vice versa) fill with NULL — whole-row replacement,
+      // not column-wise patching.
+      val kept = touched.join(broadcast(allKeys), Seq(keyCol), "left_anti")
+      val st = stage(kept.unionByName(post, allowMissingColumns = true))
       val ms = matched.toSet
       Some((base.filterNot(r => r.kind == "data" && ms(r.file)) ++ st.refs,
             Seq(st)))
@@ -487,6 +581,65 @@ final class GraftTable private (spark: SparkSession, val root: String,
               Seq(st)))
       }
     }
+
+  /** Z-ORDER the table (Delta's `OPTIMIZE ... ZORDER BY`): rewrite the
+    * snapshot clustered on the Morton interleave of up to four
+    * columns' bits (16 bits each, min/max-normalized — x12's curve,
+    * generalized to N dimensions), so every file covers a small
+    * RECTANGLE of the clustering space and the manifest's per-column
+    * stats go tight on EVERY clustered dimension at once — after
+    * `cluster(Seq("cust", "day"))`, a delete or merge predicate on
+    * either column (or both) prunes, where a single-column sort keeps
+    * only that column's stats tight. Pending deletion vectors fold in
+    * (the rewrite reads DV-applied), so clustering also physically
+    * reclaims MoR-deleted rows.
+    *
+    * This is a REORGANIZATION verb — O(table) by design, like the
+    * engine it imitates; run it per partition / on a schedule, not per
+    * commit. The payoff is every subsequent stats-pruned mutation and
+    * read. Rows are bit-identical to the pre-cluster snapshot
+    * (spec-pinned); only the layout and the stats tightness change. */
+  def cluster(zorderBy: Seq[String], targetFiles: Int = 16): Long = {
+    require(zorderBy.nonEmpty && zorderBy.size <= 4,
+      s"1..4 z-order columns (got ${zorderBy.size}: 16 bits each interleave into a 64-bit key)")
+    commitLoop() { base =>
+      val data = base.filter(_.kind == "data")
+      if (data.isEmpty) Some((base, Seq.empty))
+      else {
+        val snap = scan(base, data.map(_.file)).drop("__file", "__pos")
+        val aggs = zorderBy.flatMap(c =>
+          Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+        val mm = snap.agg(aggs.head, aggs.tail: _*).head()
+        val bounds = zorderBy.indices.map { j =>
+          if (mm.isNullAt(2 * j) || mm.isNullAt(2 * j + 1)) (0L, 0L)
+          else (mm.getLong(2 * j), mm.getLong(2 * j + 1))
+        }
+        val n = zorderBy.size
+        val normed = zorderBy.zip(bounds).map { case (c, (lo, hi)) =>
+          // normalize to [0, 65535]: double ratio then truncate —
+          // products stay far under 2^53, so exact-deterministic
+          ((col(c).cast("double") - lit(lo.toDouble)) * lit(65535.0) /
+            lit(math.max(hi - lo, 1L).toDouble)).cast("long")
+        }
+        // bit i of column j lands at n*i + (n-1-j): round-robin
+        // interleave, pure codegen'd bitwise expressions (no UDF)
+        val zv = (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+          normed.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+            a.bitwiseOR(shiftleft(c.bitwiseAND(lit(1L << i)),
+              i * (n - 1) + (n - 1 - j)))
+          }
+        }
+        val st = stage(snap
+          .withColumn("__zv", coalesce(zv, lit(-1L)))
+          .repartitionByRange(math.max(1, targetFiles), col("__zv"))
+          .sortWithinPartitions("__zv")
+          .drop("__zv"))
+        // the rewrite is the whole live row set with DVs applied: the
+        // new manifest is exactly the staged files
+        Some((st.refs, Seq(st)))
+      }
+    }
+  }
 
   /** expire everything but the last `keepLast` (≥ 1) versions and
     * VACUUM: physically delete (all physical) − (retained manifests'
@@ -665,8 +818,15 @@ final class GraftTable private (spark: SparkSession, val root: String,
 }
 
 object GraftTable {
-  /** one manifest row: a data file or DV sidecar + its key stats */
-  final case class FileRef(file: String, kind: String, lo: Long, hi: Long)
+  /** one manifest row: a data file or DV sidecar + its statistics —
+    * `lo`/`hi` are the KEY column's range (what `pruneByKeys`' range
+    * join consumes); `stats` holds (min, max) for EVERY integral
+    * column of the file (Iceberg's per-column inclusive metrics), so
+    * predicate pruning is not limited to the clustering key. A column
+    * absent from `stats` (non-integral, or all-NULL in the file)
+    * evaluates against the unbounded range. */
+  final case class FileRef(file: String, kind: String, lo: Long, hi: Long,
+                           stats: Map[String, (Long, Long)] = Map.empty)
 
   /** a staged-but-uncommitted file set and its in-flight marker */
   private[table] final case class Staged(dir: String, refs: Seq[FileRef],

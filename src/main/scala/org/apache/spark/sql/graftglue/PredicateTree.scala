@@ -7,30 +7,36 @@ import org.apache.spark.sql.internal.{ColumnNode, UnresolvedAttribute, Unresolve
   * pruning evaluator can reason about (Iceberg's inclusive-metrics
   * shape). Spark 4 Columns carry a ColumnNode AST (not Catalyst
   * expressions — those only exist post-analysis), so the walk happens
-  * on `Column.node`; anything the walker doesn't recognize — other
-  * columns, arithmetic, UDFs — folds to [[PredicateTree.Unknown]],
-  * which every consumer must treat as "may match" (pruning can only
-  * ever weaken, never wrong). */
+  * on `Column.node`; anything the walker doesn't recognize —
+  * column-to-column comparisons, arithmetic, UDFs — folds to
+  * [[PredicateTree.Unknown]], which every consumer must treat as "may
+  * match" (pruning can only ever weaken, never wrong).
+  *
+  * Comparisons carry their COLUMN NAME, so an evaluator with per-file
+  * statistics for several columns (GraftTable's manifest stats) prunes
+  * on every column it has bounds for — a conjunct over a column the
+  * evaluator lacks stats on simply evaluates against the unbounded
+  * range. */
 object PredicateTree {
 
   sealed trait Node
-  /** comparison between the key column and a long literal; `op` is the
-    * normalized operator with the KEY ON THE LEFT (a reversed
-    * `lit <= key` arrives as `key >= lit`) */
-  final case class Cmp(op: String, value: Long) extends Node
+  /** comparison between a column and a long literal; `op` is the
+    * normalized operator with the COLUMN ON THE LEFT (a reversed
+    * `lit <= c` arrives as `c >= lit`) */
+  final case class Cmp(column: String, op: String, value: Long) extends Node
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
   final case class Not(x: Node) extends Node
-  final case class In(values: Seq[Long]) extends Node
+  final case class In(column: String, values: Seq[Long]) extends Node
   case object Unknown extends Node
 
-  /** parse `predicate` relative to `keyCol` (other columns ⇒ Unknown) */
-  def parse(predicate: Column, keyCol: String): Node =
-    walk(predicate.node, keyCol)
+  /** parse `predicate`'s boolean skeleton (unrecognized sub-trees ⇒
+    * Unknown) */
+  def parse(predicate: Column): Node = walk(predicate.node)
 
-  private def isKey(n: ColumnNode, keyCol: String): Boolean = n match {
-    case a: UnresolvedAttribute => a.nameParts.lastOption.contains(keyCol)
-    case _ => false
+  private def colName(n: ColumnNode): Option[String] = n match {
+    case a: UnresolvedAttribute => a.nameParts.lastOption
+    case _ => None
   }
 
   private def litLong(n: ColumnNode): Option[Long] = n match {
@@ -52,19 +58,21 @@ object PredicateTree {
     case other => other // = is symmetric
   }
 
-  private def walk(n: ColumnNode, k: String): Node = n match {
+  private def walk(n: ColumnNode): Node = n match {
     case f: UnresolvedFunction => (f.functionName, f.arguments) match {
-      case ("and", Seq(a, b)) => And(walk(a, k), walk(b, k))
-      case ("or", Seq(a, b))  => Or(walk(a, k), walk(b, k))
-      case ("!" | "not", Seq(a)) => Not(walk(a, k))
+      case ("and", Seq(a, b)) => And(walk(a), walk(b))
+      case ("or", Seq(a, b))  => Or(walk(a), walk(b))
+      case ("!" | "not", Seq(a)) => Not(walk(a))
       case (op @ ("<" | "<=" | ">" | ">=" | "=" | "=="), Seq(a, b)) =>
-        if (isKey(a, k) && litLong(b).isDefined) Cmp(normalize(op), litLong(b).get)
-        else if (isKey(b, k) && litLong(a).isDefined)
-          Cmp(flip(normalize(op)), litLong(a).get)
-        else Unknown
+        (colName(a), litLong(b), colName(b), litLong(a)) match {
+          case (Some(c), Some(v), _, _) => Cmp(c, normalize(op), v)
+          case (_, _, Some(c), Some(v)) => Cmp(c, flip(normalize(op)), v)
+          case _ => Unknown
+        }
       case ("in", key +: vs)
-          if isKey(key, k) && vs.nonEmpty && vs.forall(litLong(_).isDefined) =>
-        In(vs.map(litLong(_).get))
+          if colName(key).isDefined && vs.nonEmpty &&
+             vs.forall(litLong(_).isDefined) =>
+        In(colName(key).get, vs.map(litLong(_).get))
       case _ => Unknown
     }
     case _ => Unknown

@@ -144,6 +144,60 @@ class GraftTableSpec extends AnyFunSuite {
     assert(hidden.toSet.subsetOf(t.filesOf(2).toSet))
   }
 
+  test("a NON-key-column delete READS only stats-overlapping files") {
+    // the GDPR shape: keyed by row id, CLUSTERED by customer — the
+    // delete predicate is over g, not the key, and must still prune
+    // via the per-column stats map the manifest carries
+    val df = (1L to 100L).map(k => (k, k / 20, s"s$k")).toDF("k", "g", "v")
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-colstats"), "k",
+      df.repartitionByRange(5, col("g")).sortWithinPartitions("g"))
+    val data = t.manifestOf(1).filter(_.kind == "data")
+    assert(data.forall(_.stats.contains("g")),
+      "every file must carry per-column stats for g")
+    val cand = t.pruneByPredicate(data, col("g") === 2).toSet
+    assert(cand.nonEmpty && cand.size < data.size,
+      s"a g-localized predicate must prune: ${cand.size}/${data.size}")
+    // hide every non-candidate file: the delete succeeding proves the
+    // pruned files were never OPENED, not merely never rewritten
+    val hidden = data.map(_.file).filterNot(cand)
+    hidden.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f), java.nio.file.Paths.get(f + ".hidden")))
+    try t.delete(col("g") === 2)
+    finally hidden.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f + ".hidden"), java.nio.file.Paths.get(f)))
+    assert(keys(t.read()) == (1L to 100L).filterNot(k => k / 20 == 2),
+      "exactly g == 2 rows must be gone")
+    assert(hidden.toSet.subsetOf(t.filesOf(2).toSet),
+      "non-candidate files carry by reference")
+  }
+
+  test("cluster() z-orders: both dimensions prune after; rows identical") {
+    // hash layout: every file spans the full range of both x and y, so
+    // nothing prunes before the reorganization
+    val df = (1L to 400L).map(k => (k, k % 20, k / 20, s"s$k"))
+      .toDF("k", "x", "y", "v")
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-zorder"), "k",
+      df.repartition(8, col("k")))
+    t.delete(col("k") === 399, mode = "mor") // a pending DV to fold in
+    val before = t.manifestOf(t.head).filter(_.kind == "data")
+    assert(t.pruneByPredicate(before, col("x") <= 4).size == before.size,
+      "hash layout must not prune on x")
+    val rowsBefore = t.read().collect().map(_.toSeq).toSet
+    t.cluster(Seq("x", "y"), targetFiles = 8)
+    val after = t.manifestOf(t.head).filter(_.kind == "data")
+    assert(after.forall(_.kind == "data"))
+    assert(t.deletionVectorsOf(t.head).isEmpty,
+      "clustering folds pending deletion vectors in")
+    val px = t.pruneByPredicate(after, col("x") <= 4)
+    val py = t.pruneByPredicate(after, col("y") <= 4)
+    assert(px.size < after.size, s"x must prune post-cluster: ${px.size}/${after.size}")
+    assert(py.size < after.size, s"y must prune post-cluster: ${py.size}/${after.size}")
+    assert(t.read().collect().map(_.toSeq).toSet == rowsBefore,
+      "clustering may change layout, never rows")
+  }
+
   test("delete keeps NULL-evaluating rows that share a file with a match") {
     val t = GraftTable.create(spark,
       graft.util.Scratch.dir("graft-tbl-null"), "k",
@@ -283,6 +337,44 @@ class GraftTableSpec extends AnyFunSuite {
            t.read(t.head).collect().map(_.toSeq).toSet,
       "applying the net feed to v1 must reproduce the head snapshot")
     feed.unpersist()
+  }
+
+  test("applyChanges: one commit applies insert+update+delete; replays no-op") {
+    val t = rangeTable("graft-tbl-apply", n = 20L, files = 4)
+    val feed = Seq(
+      (21L, "NEW", "insert"),
+      (7L, "U7", "update"),
+      (13L, "s13", "delete"),
+      (99L, "GONE", "delete") // never existed: must be a no-op row
+    ).toDF("k", "v", "change_type")
+    val v = t.applyChanges(feed, txn = 42L)
+    assert(v == 2, "the whole feed must land as ONE commit")
+    assert(keys(t.read()) == ((1L to 21L).filterNot(_ == 13L)))
+    assert(t.read().where(col("k") === 7).head.getString(1) == "U7")
+    // exactly-once by txn: a replayed feed cannot double-apply
+    assert(t.applyChanges(feed, txn = 42L) == 2)
+    assert(t.head == 2)
+    // untouched files carried by reference (stats-pruned planning)
+    assert(t.filesOf(1).intersect(t.filesOf(2)).nonEmpty,
+      "files holding no feed key must carry")
+  }
+
+  test("applyChanges replicates a table through its own change feed") {
+    val src = rangeTable("graft-tbl-cdc-src", n = 30L, files = 3)
+    src.merge(Seq((5L, "U5"), (40L, "NEW")).toDF("k", "v")) // v2
+    src.delete(col("k") % 11 === 0, mode = "mor")           // v3
+    src.applyChanges(Seq((6L, "U6", "update"), (40L, "s40", "delete"))
+      .toDF("k", "v", "change_type"))                       // v4
+    // the mirror follows version-by-version, txn = source version
+    val mirror = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-cdc-mirror"), "k", src.read(1))
+    (2L to src.head).foreach { v =>
+      mirror.applyChanges(src.changes(v - 1, v), txn = v)
+    }
+    assert(mirror.read().collect().map(_.toSeq).toSet ==
+           src.read().collect().map(_.toSeq).toSet,
+      "the replicated mirror must equal the source head row-for-row")
+    assert(mirror.head == src.head, "one mirror commit per source version")
   }
 
   test("an empty change-feed window emits no rows, schema intact") {
