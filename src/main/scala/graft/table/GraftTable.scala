@@ -144,23 +144,59 @@ final class GraftTable private (spark: SparkSession, val root: String,
 
   // ---- read plumbing --------------------------------------------------
 
-  /** DV-applied rows of `files` with `__file`/`__pos` provenance
-    * columns — the one scan shape every mutation's refinement and
-    * rewrite read through, so merge-on-read deletes are honored by
-    * every later mutation, not just by `read`. */
-  private def scan(refs: Seq[FileRef], files: Seq[String]): DataFrame = {
-    val base = spark.read.option("mergeSchema", "true").parquet(files: _*)
+  /** rows of `files` with `__file`/`__pos` provenance columns */
+  private def withProv(files: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
       // _metadata.file_path is a URI; manifests hold plain paths
       .withColumn("__file",
         regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
       .withColumn("__pos", col("_metadata.row_index"))
-    val dvs = refs.filter(_.kind == "dv").map(_.file)
-    if (dvs.isEmpty) base
-    else {
-      val dv = spark.read.parquet(dvs: _*)
-      base.join(broadcast(dv),
+
+  /** total recorded positions across DV refs (each DV ref's `hi`
+    * carries its footer row count since round 11) — Long.MaxValue when
+    * any ref predates the counter, forcing the broadcast-free path */
+  private def dvPositions(refs: Seq[FileRef]): Long =
+    if (refs.nonEmpty && refs.forall(_.hi >= 0)) refs.map(_.hi).sum
+    else Long.MaxValue
+
+  /** DV-applied rows of `files` with `__file`/`__pos` provenance
+    * columns — the one scan shape every mutation's refinement and
+    * rewrite read through, so merge-on-read deletes are honored by
+    * every later mutation, not just by `read`.
+    *
+    * DV application is ADAPTIVE on the manifest-recorded position
+    * count (zero extra reads): a small DV broadcasts (one cheap
+    * hash-probe per row, no shuffle); past
+    * [[GraftTable.DvBroadcastPositions]] it applies FILE-LOCALLY —
+    * only the files the DV actually targets (the distinct `dv_file`
+    * set, file-count-bounded metadata) enter an un-broadcast shuffled
+    * hash join, and every untargeted file is unioned in untouched.
+    * This removes the one unbounded broadcast the round-10 engine had:
+    * a 0.1% MoR delete of a 100 TB table (~10⁸ positions) now costs a
+    * shuffle of the targeted files' rows plus the DV — never a
+    * driver/executor-memory-bound broadcast of the whole DV. (Delta
+    * and Iceberg reach the same shape with per-file roaring-bitmap
+    * sidecars applied inside each file's reader.) */
+  private def scan(refs: Seq[FileRef], files: Seq[String]): DataFrame = {
+    val dvRefs = refs.filter(_.kind == "dv")
+    if (dvRefs.isEmpty) return withProv(files)
+    val dv = spark.read.parquet(dvRefs.map(_.file): _*)
+    def anti(base: DataFrame, side: DataFrame): DataFrame =
+      base.join(side,
         base("__file") === dv("dv_file") && base("__pos") === dv("dv_pos"),
         "left_anti")
+    if (dvPositions(dvRefs) <= GraftTable.DvBroadcastPositions)
+      anti(withProv(files), broadcast(dv))
+    else {
+      val targets = dv.select(col("dv_file")).distinct()
+        .collect().map(_.getString(0)).toSet // ≤ data-file count rows
+      val (dirty, clean) = files.partition(targets)
+      val applied =
+        if (dirty.isEmpty) None
+        else Some(anti(withProv(dirty), dv.hint("shuffle_hash")))
+      val carried = if (clean.isEmpty) None else Some(withProv(clean))
+      (carried.toSeq ++ applied.toSeq)
+        .reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 
@@ -318,17 +354,24 @@ final class GraftTable private (spark: SparkSession, val root: String,
     }, marker)
   }
 
-  /** stage a deletion-vector sidecar (`dv_file`, `dv_pos` rows) */
+  /** stage a deletion-vector sidecar (`dv_file`, `dv_pos` rows).
+    * Written with the positions frame's NATURAL partitioning — it
+    * comes out of the matched-files scan, so the sidecars land
+    * roughly one per matched data file (Delta's per-file-DV shape)
+    * and a 10⁸-position delete isn't funneled through one writer.
+    * Each ref's `hi` records its footer row count, the plan-time size
+    * estimate `scan`'s adaptive DV application keys on. */
   private def stageDv(df: DataFrame): Staged = {
     new java.io.File(dataDir).mkdirs()
     val uuid = java.util.UUID.randomUUID().toString
     val marker = Paths.get(s"$dataDir/.staging-$uuid")
     Files.createFile(marker)
     val sub = s"$dataDir/$uuid"
-    df.coalesce(1).write.parquet(sub)
+    df.write.parquet(sub)
     val files = new java.io.File(sub).listFiles.toSeq.map(_.getName)
       .filter(_.startsWith("part-")).sorted.map(n => s"$sub/$n")
-    Staged(sub, files.map(FileRef(_, "dv", 0L, -1L)), marker)
+    Staged(sub,
+      files.map(f => FileRef(f, "dv", 0L, FooterStats.rowCount(f))), marker)
   }
 
   private def discardStaged(st: Staged): Unit = {
@@ -648,27 +691,65 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * garbage — the round-9 concurrent-writer race). Markers older than
     * `staleStagingMs` are treated as crashed writers and reclaimed
     * (default: never — retention policy belongs to the operator).
+    *
+    * Ordering against concurrent writers (the round-10 advisor race):
+    * the data listing is snapshotted FIRST — anything staged after it
+    * is simply not a candidate; the retained-file union is read AFTER
+    * the listing and topped up with any version that commits while the
+    * sweep runs (per-directory head re-check); and each directory's
+    * `.staging` marker is re-tested IMMEDIATELY before its physical
+    * deletes, so a stage that began between the listing and the sweep
+    * is seen (markers exist before any data file, and clear only after
+    * publish). The one window left is a writer that stages, commits,
+    * AND clears its marker between a directory's head re-check and its
+    * unlink calls — microseconds against a commit that itself takes a
+    * parquet write; `minAgeMs` (Delta's retention floor, default 7
+    * DAYS there) closes even that by never deleting a file younger
+    * than the floor. The default 0 keeps test-speed semantics;
+    * production sweeps should pass an hours-scale floor.
     * Returns the deleted files. */
-  def expire(keepLast: Int, staleStagingMs: Long = Long.MaxValue): Seq[String] = {
+  def expire(keepLast: Int, staleStagingMs: Long = Long.MaxValue,
+             minAgeMs: Long = 0L): Seq[String] = {
     require(keepLast >= 1,
       s"keepLast must be >= 1 (got $keepLast): expiring every version would vacuum the head snapshot")
-    val h = head
-    val retained = (math.max(1, h - keepLast + 1) to h)
-      .flatMap(v => manifestOf(v).map(_.file)).toSet
     val dd = new java.io.File(dataDir)
     if (!dd.exists) return Seq.empty
+    // 1) snapshot the physical listing first
+    val dirs = dd.listFiles.toSeq.filter(_.isDirectory)
+      .map(sub => sub -> sub.listFiles.toSeq
+        .filter(_.getName.startsWith("part-")))
+    // 2) retained union — read AFTER the listing, topped up on movement
+    var hSeen = head
+    val retained = scala.collection.mutable.Set.empty[String]
+    def topUp(lo: Long, hi: Long): Unit =
+      (math.max(1L, lo) to hi).foreach(v => retained ++= manifestOf(v).map(_.file))
+    topUp(hSeen - keepLast + 1, hSeen)
     val now = System.currentTimeMillis()
-    val inFlight = dd.listFiles.toSeq
-      .filter(f => f.isFile && f.getName.startsWith(".staging-"))
-      .filter(m => now - m.lastModified < staleStagingMs)
-      .map(_.getName.stripPrefix(".staging-")).toSet
-    val all = dd.listFiles.toSeq.filter(_.isDirectory)
-      .filterNot(sub => inFlight(sub.getName))
-      .flatMap(sub => sub.listFiles.toSeq.filter(_.getName.startsWith("part-")))
-      .map(_.getPath)
-    val vacuumed = all.filterNot(retained).sorted
-    vacuumed.foreach(f => Files.deleteIfExists(Paths.get(f)))
-    vacuumed
+    val out = Seq.newBuilder[String]
+    for ((sub, files) <- dirs) {
+      var doomed = files
+        .filter(f => !retained(f.getPath) && now - f.lastModified >= minAgeMs)
+      if (doomed.nonEmpty) {
+        // a commit may have landed since the retained snapshot: its
+        // files were either marker-protected or are now referenced
+        val h1 = head
+        if (h1 != hSeen) {
+          topUp(hSeen + 1, h1); hSeen = h1
+          doomed = doomed.filter(f => !retained(f.getPath))
+        }
+      }
+      if (doomed.nonEmpty) {
+        // 3) marker re-check immediately before the physical deletes
+        val marker = new java.io.File(dd, s".staging-${sub.getName}")
+        val inFlight = marker.exists &&
+          now - marker.lastModified < staleStagingMs
+        if (!inFlight) {
+          doomed.foreach(f => Files.deleteIfExists(f.toPath))
+          out ++= doomed.map(_.getPath)
+        }
+      }
+    }
+    out.result().sorted
   }
 
   /** roll the table back to version `v` AS A NEW COMMIT (Delta's
@@ -751,31 +832,55 @@ final class GraftTable private (spark: SparkSession, val root: String,
       .filterNot(fromDvs).sorted
     val schema = emptyLike((from ++ to).filter(_.kind == "data"),
       spark.emptyDataFrame)
-    val dataCols = schema.columns.toSeq
     // fromV-visible rows the window removed or rewrote...
     val oldRows =
       if (removed.isEmpty) schema
       else scan(from, removed).drop("__file", "__pos")
     // ...plus carried-file rows a new deletion vector erased: visible
-    // at fromV (from's DVs applied by scan), dead at toV
+    // at fromV (from's DVs applied by scan), dead at toV. Only the
+    // carried files the new DVs actually TARGET are read — the
+    // distinct dv_file set is file-count-bounded metadata, so a big
+    // carried snapshot costs nothing when the window's deletes were
+    // localized.
     val dvErased =
       if (newDvs.isEmpty || carried.isEmpty) schema
       else {
+        val newDvRefs = to.filter(r => r.kind == "dv" && newDvs.contains(r.file))
         val dv = spark.read.parquet(newDvs: _*)
-        val c = scan(from, carried)
-        c.join(broadcast(dv),
-            c("__file") === dv("dv_file") && c("__pos") === dv("dv_pos"),
-            "left_semi")
-          .drop("__file", "__pos")
+        val targets = dv.select(col("dv_file")).distinct()
+          .collect().map(_.getString(0)).toSet
+        val hit = carried.filter(targets)
+        if (hit.isEmpty) schema
+        else {
+          val c = scan(from, hit)
+          // same adaptive shape as scan(): a window whose deletes
+          // exceed the broadcast budget semi-joins via shuffle
+          val side =
+            if (dvPositions(newDvRefs) <= GraftTable.DvBroadcastPositions)
+              broadcast(dv)
+            else dv.hint("shuffle_hash")
+          c.join(side,
+              c("__file") === dv("dv_file") && c("__pos") === dv("dv_pos"),
+              "left_semi")
+            .drop("__file", "__pos")
+        }
       }
     // toV-visible rows of the window's new files (toV's DVs applied)
     val newRows =
       if (added.isEmpty) schema
       else scan(to, added).drop("__file", "__pos")
-    val l = oldRows.unionByName(dvErased)
-      .select(dataCols.map(c => col(c).as(s"__l_$c")): _*)
-    val r = newRows
-      .select(dataCols.map(c => col(c).as(s"__r_$c")): _*)
+    // conform BOTH sides to the union schema across the whole window:
+    // a schema-evolution boundary (x35) puts the evolved column on
+    // only one side, and removed files themselves may span schemas —
+    // allowMissingColumns unions fill with NULL, and the limit(0)
+    // cross-union gives each side the other's columns with the types
+    // the owning side declared
+    val l0 = oldRows.unionByName(dvErased, allowMissingColumns = true)
+    val leftC = l0.unionByName(newRows.limit(0), allowMissingColumns = true)
+    val rightC = newRows.unionByName(l0.limit(0), allowMissingColumns = true)
+    val dataCols = leftC.columns.toSeq
+    val l = leftC.select(dataCols.map(c => col(c).as(s"__l_$c")): _*)
+    val r = rightC.select(dataCols.map(c => col(c).as(s"__r_$c")): _*)
     val same = dataCols
       .map(c => col(s"__l_$c") <=> col(s"__r_$c")).reduce(_ && _)
     val classified = l
@@ -818,6 +923,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
 }
 
 object GraftTable {
+  /** DV positions above which `scan` stops broadcasting the deletion
+    * vector and applies it file-locally (≈16 MB of (file, pos) rows —
+    * comfortably under executor budgets, far under where a broadcast
+    * would strain the driver) */
+  private[table] val DvBroadcastPositions: Long = 1L << 20
+
   /** one manifest row: a data file or DV sidecar + its statistics —
     * `lo`/`hi` are the KEY column's range (what `pruneByKeys`' range
     * join consumes); `stats` holds (min, max) for EVERY integral

@@ -480,4 +480,84 @@ class GraftTableSpec extends AnyFunSuite {
     assert(physical.subsetOf(referenced),
       s"orphans: ${(physical -- referenced).toSeq.sorted.take(5)}")
   }
+
+  // ---- round-11 contracts ---------------------------------------------
+
+  test("a DV past the broadcast budget applies per file, with no broadcast") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val n = 1500000L
+    val df = spark.range(n).select(col("id").as("k"), (col("id") % 97).as("g"))
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-bigdv"), "k",
+      df.repartitionByRange(4, col("k")))
+    t.delete(col("g") =!= 0, mode = "mor") // ~98.97% of rows → ~1.48M positions
+    val dvRefs = t.manifestOf(t.head).filter(_.kind == "dv")
+    assert(dvRefs.forall(_.hi >= 0), "DV refs must record footer row counts")
+    assert(dvRefs.map(_.hi).sum > GraftTable.DvBroadcastPositions,
+      s"fixture must exceed the broadcast budget (got ${dvRefs.map(_.hi).sum})")
+    val plan = t.read().queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("BroadcastExchange"),
+      "an unbounded DV must never broadcast — the round-10 scale hazard")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      "the targeted files still anti-join the DV, just shuffled")
+    assert(t.read().count() == (n - 1) / 97 + 1, "MoR semantics unchanged")
+    // a small DV keeps the broadcast fast path (adaptive, not pessimized)
+    val t2 = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-smalldv"), "k", rows(1L to 20L: _*))
+    t2.delete(col("k") === 3, mode = "mor")
+    assert(t2.read().queryExecution.explainString(FormattedMode)
+      .contains("BroadcastExchange"), "small DVs must still broadcast")
+    assert(keys(t2.read()) == (1L to 20L).filterNot(_ == 3L))
+  }
+
+  test("change feed spans a schema-evolution window without dropping columns") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-cdf-evo"), "k", rows(1, 2))
+    t.append(Seq((3L, "s3", 30L)).toDF("k", "v", "w"))     // v2: evolved file
+    // the evolution window's insert feed must CARRY the evolved column
+    val c12 = t.changes(1, 2)
+    assert(c12.columns.contains("w"),
+      "feed must use the union schema of the window, not one file's")
+    val ins = c12.where(col("change_type") === "insert").collect()
+    assert(ins.length == 1 && ins.head.getAs[Long]("k") == 3L &&
+      ins.head.getAs[Long]("w") == 30L)
+    // v3 rewrites files of BOTH schemas at once: the removed-file union
+    // is heterogeneous and must not throw
+    t.delete(col("k") === 1 || col("k") === 3)
+    val del = t.changes(2, 3).where(col("change_type") === "delete")
+      .collect().map(r => (r.getAs[Long]("k"), Option(r.getAs[Any]("w"))))
+      .sortBy(_._1)
+    assert(del.map(_._1).toSeq == Seq(1L, 3L))
+    assert(del(0)._2.isEmpty, "pre-evolution delete preimage has NULL w")
+    assert(del(1)._2.contains(30L), "evolved delete preimage keeps its w")
+    // ...and an applyChanges mirror across the SAME evolved window
+    // stays row-identical (the w21 replication shape the advisor
+    // flagged as diverging)
+    val m = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-cdf-evo-mirror"), "k", t.read(1))
+    (2L to t.head).foreach(v => m.applyChanges(t.changes(v - 1, v), txn = v))
+    assert(m.read().select("k", "v", "w").collect().map(_.toSeq).toSet ==
+      t.read().select("k", "v", "w").collect().map(_.toSeq).toSet)
+  }
+
+  test("expire re-checks markers and head before deleting (advisor race)") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-expire-race"), "k", rows(1, 2))
+    t.delete(col("k") === 1)                     // v2: v1's file unreferenced
+    // a stage completed but not yet committed — the marker alone must
+    // protect it through a concurrent expire sweep...
+    val st = t.stageForTest(rows(9))
+    val gone = t.expire(keepLast = 1)
+    assert(gone.nonEmpty, "v1's superseded file still vacuums")
+    st.refs.foreach(r => assert(new java.io.File(r.file).exists,
+      "marker-protected staged files must survive the sweep"))
+    // ...and adopting the stage afterwards commits files that READ
+    assert(t.adoptForTest(st) == 3L)
+    assert(keys(t.read()) == Seq(2L, 9L))
+    // an age floor never deletes young files no matter what references say
+    t.delete(col("k") === 9)                     // v4: more garbage
+    assert(t.expire(keepLast = 1, minAgeMs = 3600L * 1000).isEmpty,
+      "minAgeMs must veto deleting files younger than the floor")
+    assert(t.expire(keepLast = 1).nonEmpty)
+  }
 }
