@@ -108,12 +108,15 @@ final class GraftTable private (spark: SparkSession, val root: String,
   /** version `v`'s full manifest: data files + DV sidecars + stats */
   private[table] def manifestOf(v: Long): Seq[FileRef] =
     spark.read.parquet(s"$commitsDir/v$v")
-      .select(col("file"), col("kind"), col("lo"), col("hi"), col("stats"))
+      .select(col("file"), col("kind"), col("lo"), col("hi"), col("stats"),
+        col("sstats"))
       .collect()
       .map(r => FileRef(r.getString(0), r.getString(1), r.getLong(2),
         r.getLong(3),
         r.getAs[Map[String, org.apache.spark.sql.Row]](4)
-          .map { case (c, s) => c -> (s.getLong(0), s.getLong(1)) }))
+          .map { case (c, s) => c -> (s.getLong(0), s.getLong(1)) },
+        r.getAs[Map[String, org.apache.spark.sql.Row]](5)
+          .map { case (c, s) => c -> (s.getString(0), s.getString(1)) }))
       .toSeq.sortBy(r => (r.kind, r.file))
 
   /** the exact DATA file set version `v` committed */
@@ -209,22 +212,47 @@ final class GraftTable private (spark: SparkSession, val root: String,
 
   /** files whose key range CAN contain one of `delta`'s keys — a
     * broadcast range join of the delta's keys against manifest stats
-    * rows (metadata-scale; x23Plan's exact template). Falls back to
-    * all files when the key column isn't numeric (stats are vacuous). */
+    * rows (metadata-scale; x23Plan's exact template). Dispatches on
+    * the key's DECLARED type: integral keys range-join the `lo`/`hi`
+    * bounds, STRING keys range-join the lexicographic bounds in
+    * `sstats` (Spark's string comparison is unsigned-UTF-8-byte order,
+    * exactly the order the parquet footers minted the bounds in, so
+    * the join is pruning in the bounds' own order). Any other key type
+    * falls back to all files — its stats are the vacuous sentinel,
+    * never truncated values a planner could wrongly treat as exact
+    * (the advisor's fractional-key bug). */
   private[table] def pruneByKeys(data: Seq[FileRef],
                                  delta: DataFrame): Seq[String] = {
     if (data.isEmpty) return Seq.empty
-    val nonNumeric = delta
-      .where(col(keyCol).isNotNull && col(keyCol).cast("long").isNull)
-      .limit(1).count() > 0
-    if (nonNumeric) return data.map(_.file).sorted
-    val mdf = data.map(r => (r.file, r.lo, r.hi)).toDF("__mfile", "__lo", "__hi")
-    delta.select(col(keyCol).cast("long").as("__k"))
-      .where(col("__k").isNotNull)
-      .join(broadcast(mdf),
-        col("__k") >= col("__lo") && col("__k") <= col("__hi"))
-      .select(col("__mfile")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    delta.schema.fields.find(_.name == keyCol).map(_.dataType) match {
+      case Some(ByteType | ShortType | IntegerType | LongType) =>
+        val mdf = data.map(r => (r.file, r.lo, r.hi))
+          .toDF("__mfile", "__lo", "__hi")
+        delta.select(col(keyCol).cast("long").as("__k"))
+          .where(col("__k").isNotNull)
+          .join(broadcast(mdf),
+            col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+          .select(col("__mfile")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      case Some(StringType) =>
+        // files without string bounds for the key (all-NULL, or a
+        // stats-suppressing writer) stay candidates unconditionally
+        val unbounded = data.collect {
+          case r if !r.sstats.contains(keyCol) => r.file }
+        val bounded = data.flatMap(r =>
+          r.sstats.get(keyCol).map { case (lo, hi) => (r.file, lo, hi) })
+        if (bounded.isEmpty) return data.map(_.file).sorted
+        val mdf = bounded.toDF("__mfile", "__lo", "__hi")
+        val matched = delta.select(col(keyCol).as("__k"))
+          .where(col("__k").isNotNull)
+          .join(broadcast(mdf),
+            col("__k") >= col("__lo") && col("__k") <= col("__hi"))
+          .select(col("__mfile")).distinct()
+          .collect().map(_.getString(0)).toSeq
+        (matched ++ unbounded).distinct.sorted
+      case _ => data.map(_.file).sorted
+    }
   }
 
   /** files whose statistics can satisfy `predicate` — a min/max
@@ -248,6 +276,17 @@ final class GraftTable private (spark: SparkSession, val root: String,
     if (c == keyCol) (r.lo, r.hi)
     else r.stats.getOrElse(c, (Long.MinValue, Long.MaxValue))
 
+  /** string column `c`'s lexicographic (min, max) for file `r` — None
+    * means unbounded (no stats ⇒ always a candidate). Comparisons
+    * against these bounds MUST use [[FooterStats.byteCompare]]
+    * (unsigned-UTF-8-byte order): that is the order the bounds were
+    * minted in and the order Spark's own string filters use;
+    * String.compareTo disagrees on supplementary characters. */
+  private def rangeOfS(r: FileRef, c: String): Option[(String, String)] =
+    r.sstats.get(c)
+
+  private def bc(a: String, b: String): Int = FooterStats.byteCompare(a, b)
+
   /** can ANY row of file `r` satisfy `e`?
     * (true = keep the file as a candidate; Unknown is true) */
   private def mayMatch(e: PredicateTree.Node, r: FileRef): Boolean = {
@@ -266,9 +305,25 @@ final class GraftTable private (spark: SparkSession, val root: String,
           case "="  => lo <= v && v <= hi
           case _    => true
         }
+      case CmpS(c, op, v) => rangeOfS(r, c) match {
+        case None => true
+        case Some((lo, hi)) => op match {
+          case "<"  => bc(lo, v) < 0
+          case "<=" => bc(lo, v) <= 0
+          case ">"  => bc(hi, v) > 0
+          case ">=" => bc(hi, v) >= 0
+          case "="  => bc(lo, v) <= 0 && bc(v, hi) <= 0
+          case _    => true
+        }
+      }
       case In(c, vs) =>
         val (lo, hi) = rangeOf(r, c)
         vs.exists(v => lo <= v && v <= hi)
+      case InS(c, vs) => rangeOfS(r, c) match {
+        case None => true
+        case Some((lo, hi)) =>
+          vs.exists(v => bc(lo, v) <= 0 && bc(v, hi) <= 0)
+      }
       case Unknown => true
     }
   }
@@ -294,20 +349,40 @@ final class GraftTable private (spark: SparkSession, val root: String,
           case "="  => lo == v && hi == v
           case _    => false
         }
+      case CmpS(c, op, v) => rangeOfS(r, c) match {
+        case None => false
+        case Some((lo, hi)) => op match {
+          case "<"  => bc(hi, v) < 0
+          case "<=" => bc(hi, v) <= 0
+          case ">"  => bc(lo, v) > 0
+          case ">=" => bc(lo, v) >= 0
+          case "="  => bc(lo, v) == 0 && bc(hi, v) == 0
+          case _    => false
+        }
+      }
       case _ => false
     }
   }
 
   // ---- write path -----------------------------------------------------
 
-  /** land `df` as immutable files under a fresh uuid dir, collect each
-    * file's per-column (min, max) stats — the key's range plus every
-    * integral column's (Iceberg's inclusive metrics) — in ONE
-    * metadata-scale read-back, and leave a `.staging-<uuid>` marker
-    * until a commit adopts the files. Zero-row or non-numeric-key
-    * files get the conservative full key range, and an all-NULL column
-    * simply records no stats (always a candidate — planning may
-    * weaken, correctness cannot). */
+  /** land `df` as immutable files under a fresh uuid dir, lift each
+    * file's per-column (min, max) stats — every integral column's and
+    * every string column's (Iceberg's inclusive metrics) — FROM THE
+    * PARQUET FOOTERS the write just produced (a few KB per file, no
+    * second pass over the data — the round-10 write path re-read every
+    * staged byte to aggregate the same numbers), and leave a
+    * `.staging-<uuid>` marker until a commit adopts the files.
+    *
+    * The key's `lo`/`hi` range comes from its integral stats; a
+    * NON-INTEGRAL key records the sentinel full range — including
+    * fractional keys, whose truncated cast-to-long bounds would
+    * otherwise be treated as exact by the delete planner and skip
+    * files whose real values straddle a literal (the advisor's
+    * missed-delete bug; a string key instead prunes via its own
+    * lexicographic bounds in `sstats`). An all-NULL column simply
+    * records no stats (always a candidate — planning may weaken,
+    * correctness cannot). */
   private def stage(df: DataFrame): Staged = {
     new java.io.File(dataDir).mkdirs()
     val uuid = java.util.UUID.randomUUID().toString
@@ -317,40 +392,22 @@ final class GraftTable private (spark: SparkSession, val root: String,
     df.write.parquet(sub)
     val files = new java.io.File(sub).listFiles.toSeq.map(_.getName)
       .filter(_.startsWith("part-")).sorted.map(n => s"$sub/$n")
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val intCols = df.schema.fields.collect {
       case f if Seq(ByteType, ShortType, IntegerType, LongType)
                   .contains(f.dataType) => f.name
-    }.toSeq
-    val perFile: Map[String, (Long, Long, Map[String, (Long, Long)])] =
-      if (files.isEmpty) Map.empty
-      else {
-        val aggs = Seq(min(col("__k")).as("__klo"), max(col("__k")).as("__khi")) ++
-          intCols.flatMap(c => Seq(
-            min(col(c)).cast("long").as(s"__lo_$c"),
-            max(col(c)).cast("long").as(s"__hi_$c")))
-        spark.read.parquet(sub)
-          .withColumn("__k", col(keyCol).cast("long"))
-          .withColumn("__f",
-            regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
-          .groupBy(col("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect().map { r =>
-            val key =
-              if (r.isNullAt(1) || r.isNullAt(2)) (Long.MinValue, Long.MaxValue)
-              else (r.getLong(1), r.getLong(2))
-            val colStats = intCols.zipWithIndex.flatMap { case (c, i) =>
-              val (loIdx, hiIdx) = (3 + 2 * i, 4 + 2 * i)
-              if (r.isNullAt(loIdx) || r.isNullAt(hiIdx)) None
-              else Some(c -> (r.getLong(loIdx), r.getLong(hiIdx)))
-            }.toMap
-            r.getString(0) -> (key._1, key._2, colStats)
-          }.toMap
-      }
+    }.toSet
+    val strCols = df.schema.fields.collect {
+      case f if f.dataType == StringType => f.name
+    }.toSet
+    val perFile = FooterStats.readAll(spark, files, intCols, strCols)
     Staged(sub, files.map { f =>
-      val (lo, hi, cs) = perFile.getOrElse(f,
-        (Long.MinValue, Long.MaxValue, Map.empty[String, (Long, Long)]))
-      FileRef(f, "data", lo, hi, cs)
+      val st = perFile.get(f)
+      val (lo, hi) = st.flatMap(_.intStats.get(keyCol))
+        .getOrElse((Long.MinValue, Long.MaxValue))
+      FileRef(f, "data", lo, hi,
+        st.map(_.intStats).getOrElse(Map.empty),
+        st.map(_.strStats).getOrElse(Map.empty))
     }, marker)
   }
 
@@ -387,8 +444,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
   private def tryCommit(expected: Long, refs: Seq[FileRef],
                         txn: Long): Boolean = {
     val tmp = s"$commitsDir/.tmp-${java.util.UUID.randomUUID()}"
-    refs.map(r => (r.file, r.kind, r.lo, r.hi, txn, r.stats))
-      .toDF("file", "kind", "lo", "hi", "txn", "stats")
+    refs.map(r => (r.file, r.kind, r.lo, r.hi, txn, r.stats, r.sstats))
+      .toDF("file", "kind", "lo", "hi", "txn", "stats", "sstats")
       .coalesce(1).write.parquet(tmp)
     val target = Paths.get(s"$commitsDir/v${expected + 1}")
     try {
@@ -931,13 +988,20 @@ object GraftTable {
 
   /** one manifest row: a data file or DV sidecar + its statistics —
     * `lo`/`hi` are the KEY column's range (what `pruneByKeys`' range
-    * join consumes); `stats` holds (min, max) for EVERY integral
-    * column of the file (Iceberg's per-column inclusive metrics), so
-    * predicate pruning is not limited to the clustering key. A column
-    * absent from `stats` (non-integral, or all-NULL in the file)
-    * evaluates against the unbounded range. */
+    * join consumes; the sentinel full range when the key isn't
+    * integral); `stats` holds (min, max) for EVERY integral column of
+    * the file and `sstats` the lexicographic (min, max) for every
+    * STRING column (both Iceberg's per-column inclusive metrics,
+    * lifted from the parquet footers at stage time), so predicate
+    * pruning is not limited to the clustering key and a UUID/email-
+    * keyed table (the GDPR subject shape) keeps mutation pruning. A
+    * column absent from both maps (unsupported type, or all-NULL in
+    * the file) evaluates against the unbounded range. String bounds
+    * order is parquet's unsigned-UTF-8-byte order — the same order
+    * Spark compares strings in. */
   final case class FileRef(file: String, kind: String, lo: Long, hi: Long,
-                           stats: Map[String, (Long, Long)] = Map.empty)
+                           stats: Map[String, (Long, Long)] = Map.empty,
+                           sstats: Map[String, (String, String)] = Map.empty)
 
   /** a staged-but-uncommitted file set and its in-flight marker */
   private[table] final case class Staged(dir: String, refs: Seq[FileRef],

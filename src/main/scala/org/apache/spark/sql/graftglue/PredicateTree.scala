@@ -24,10 +24,16 @@ object PredicateTree {
     * normalized operator with the COLUMN ON THE LEFT (a reversed
     * `lit <= c` arrives as `c >= lit`) */
   final case class Cmp(column: String, op: String, value: Long) extends Node
+  /** comparison between a column and a STRING literal (same
+    * normalization) — evaluators must compare in unsigned-UTF-8-byte
+    * order (parquet's and Spark's string ordering), NOT
+    * String.compareTo */
+  final case class CmpS(column: String, op: String, value: String) extends Node
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
   final case class Not(x: Node) extends Node
   final case class In(column: String, values: Seq[Long]) extends Node
+  final case class InS(column: String, values: Seq[String]) extends Node
   case object Unknown extends Node
 
   /** parse `predicate`'s boolean skeleton (unrecognized sub-trees ⇒
@@ -50,6 +56,14 @@ object PredicateTree {
     case _ => None
   }
 
+  private def litStr(n: ColumnNode): Option[String] = n match {
+    case l: LitNode => l.value match {
+      case s: String => Some(s)
+      case _         => None
+    }
+    case _ => None
+  }
+
   private def flip(op: String): String = op match {
     case "<" => ">"
     case "<=" => ">="
@@ -67,12 +81,21 @@ object PredicateTree {
         (colName(a), litLong(b), colName(b), litLong(a)) match {
           case (Some(c), Some(v), _, _) => Cmp(c, normalize(op), v)
           case (_, _, Some(c), Some(v)) => Cmp(c, flip(normalize(op)), v)
-          case _ => Unknown
+          case _ =>
+            (colName(a), litStr(b), colName(b), litStr(a)) match {
+              case (Some(c), Some(v), _, _) => CmpS(c, normalize(op), v)
+              case (_, _, Some(c), Some(v)) => CmpS(c, flip(normalize(op)), v)
+              case _ => Unknown
+            }
         }
       case ("in", key +: vs)
           if colName(key).isDefined && vs.nonEmpty &&
              vs.forall(litLong(_).isDefined) =>
         In(colName(key).get, vs.map(litLong(_).get))
+      case ("in", key +: vs)
+          if colName(key).isDefined && vs.nonEmpty &&
+             vs.forall(litStr(_).isDefined) =>
+        InS(colName(key).get, vs.map(litStr(_).get))
       case _ => Unknown
     }
     case _ => Unknown
