@@ -170,6 +170,9 @@ object Bench {
     // the standing history a CDC consumer polls — the gate times the
     // change feed and the incremental refresh, not the history rebuild
     graft.operators.ScaleOps.x33Stage(spark, sfDir)
+    // w21's private copy of the same table (its streaming change-feed
+    // source follows the head, so x36's restore must not touch it)
+    graft.operators.StreamingOps.w21Stage(spark, sfDir)
 
     // Gate loop with per-query attribution (round-9 verdict #6: the
     // judge had to RE-RUN d07/d08/d09 to acquit the engine of a 3×
@@ -224,7 +227,9 @@ object Bench {
                      "stream_words_per_sec_skew20" -> skewRuns,
                      "stream_words_per_sec_recovery" -> recoveryRuns)) +
         s""","gate_retry_notes":$retryNotesJson""",
-      sfDir)
+      sfDir,
+      extrasCompact = extrasJson(hdfsRuns, rocksRuns, skewRuns, recoveryRuns,
+                 recoverySec, lat, gateRetries.size, compactSpreads = true))
     // The JSON must reach the driver's parser intact. Round 1 lost it in
     // interleaved Spark shutdown noise (TaskKilled warnings from stopped
     // streaming queries), so: (1) persist it to a well-known file first,
@@ -259,19 +264,35 @@ object Bench {
   private[graft] def extrasJson(hdfs: RunSet, rocks: RunSet, skew: RunSet,
                                 recovery: RunSet, recoverySec: Double,
                                 lat: LatencyStats,
-                                gateRetryCount: Int = 0): String = {
+                                gateRetryCount: Int = 0,
+                                compactSpreads: Boolean = false): String = {
     // the COMPACT line carries only the retry COUNT (fixed width —
     // per-entry notes would breach the ≤1800-char budget and drop
     // per-query detail); the both-readings notes ride the END of the
-    // full line, inside the driver's tail window
+    // full line, inside the driver's tail window.
+    // compactSpreads folds the four per-set spread fields into ONE
+    // "spreads":[hdfs, rocksdb, skew20, recovery] array (~130 chars
+    // back) — the cascade's second-to-last step uses it to keep the
+    // per-query breakdown when the registry outgrows the verbose form
+    // (round 12: 147 queries put the short-prefix line 14 chars over);
+    // the full artifact always carries the verbose fields.
+    val spreads =
+      if (compactSpreads)
+        s""""spreads":[${fmt(hdfs.spread, 2)},${fmt(rocks.spread, 2)},""" +
+          s"""${fmt(skew.spread, 2)},${fmt(recovery.spread, 2)}],"""
+      else ""
+    def spread(name: String, rs: RunSet): String =
+      if (compactSpreads) ""
+      else s""""$name":${fmt(rs.spread, 2)},"""
     s""""stream_words_per_sec":${fmt(hdfs.max, 0)},""" +
-      s""""stream_words_per_sec_spread":${fmt(hdfs.spread, 2)},""" +
+      spread("stream_words_per_sec_spread", hdfs) +
       s""""stream_words_per_sec_rocksdb":${fmt(rocks.max, 0)},""" +
-      s""""stream_words_per_sec_rocksdb_spread":${fmt(rocks.spread, 2)},""" +
+      spread("stream_words_per_sec_rocksdb_spread", rocks) +
       s""""stream_words_per_sec_skew20":${fmt(skew.max, 0)},""" +
-      s""""stream_words_per_sec_skew20_spread":${fmt(skew.spread, 2)},""" +
+      spread("stream_words_per_sec_skew20_spread", skew) +
       s""""stream_words_per_sec_recovery":${fmt(recovery.max, 0)},""" +
-      s""""stream_words_per_sec_recovery_spread":${fmt(recovery.spread, 2)},""" +
+      spread("stream_words_per_sec_recovery_spread", recovery) +
+      spreads +
       s""""stream_recovery_sec":${fmt(recoverySec, 2)},""" +
       s""""latency_ms_p50":${lat.p50},"latency_ms_p95":${lat.p95},""" +
       s""""latency_mean_batch_ms":${fmt(lat.meanBatchMs, 0)},""" +
@@ -439,11 +460,14 @@ object Bench {
   private[graft] def buildLines(results: Seq[(String, Double)],
                                 extras: String,
                                 fullOnlyExtras: String,
-                                sfDir: String): (String, String) = {
+                                sfDir: String,
+                                extrasCompact: String = ""): (String, String) = {
     val total = results.map(_._2).sum
-    def jsonLine(qs: String, extra2: String = ""): String =
+    def jsonLineEx(qs: String, ex: String, extra2: String = ""): String =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,""" +
-        extras + extra2 + s""","sf":"$sfDir"}"""
+        ex + extra2 + s""","sf":"$sfDir"}"""
+    def jsonLine(qs: String, extra2: String = ""): String =
+      jsonLineEx(qs, extras, extra2)
     val full = jsonLine(results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}"),
       if (fullOnlyExtras.isEmpty) "" else "," + fullOnlyExtras)
@@ -483,14 +507,19 @@ object Bench {
       .groupBy(_._1.takeWhile(_.isLetter))
       .map { case (fam, rs) => fam -> rs.map(_._2).sum }
       .toSeq.sortBy(_._1)
+    // second-to-last resort: the shortest per-query keys WITH the
+    // compact-spreads extras variant — keeps the full per-query
+    // breakdown ~130 chars longer than the verbose extras allow
+    val exC = if (extrasCompact.isEmpty) extras else extrasCompact
     val candidates =
-      (results, 2) #:: LazyList.from(
-        Seq(2, 1, 0).map(d => (prefixed, d)) :+
-          ((shortPrefixed, 0)) :+ ((familySums, 1)))
+      (results, 2, extras) #:: LazyList.from(
+        Seq(2, 1, 0).map(d => (prefixed, d, extras)) :+
+          ((shortPrefixed, 0, extras)) :+
+          ((shortPrefixed, 0, exC)) :+ ((familySums, 1, exC)))
     val last = candidates
-      .map { case (rs, d) =>
-        jsonLine(rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, d) }
-          .mkString("{", ",", "}"))
+      .map { case (rs, d, ex) =>
+        jsonLineEx(rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, d) }
+          .mkString("{", ",", "}"), ex)
       }
       .find(_.length <= 1800)
       .getOrElse {

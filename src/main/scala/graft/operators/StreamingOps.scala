@@ -1091,16 +1091,22 @@ object StreamingOps {
 
   /** streaming CDC REPLICATION — the READ side of the change-feed loop
     * (Delta CDF's streaming consumption shape, where stream offsets
-    * ARE table versions): a mirror table follows the source by
-    * consuming `changes(v-1, v)` per arriving version and applying it
-    * with `applyChanges(feed, txn = v)` — inserts/updates as upserts,
-    * deletes as removals, ONE commit per source version, idempotent by
-    * the version-as-txn marker, so a re-delivered version cannot
-    * double-apply (exactly-once replication without distributed
-    * transactions — the txn check re-runs inside the commit CAS loop).
-    * The source is x33's standing mutated table (v2 merge, v3 MoR
-    * delete); the drained mirror must equal the source head, which is
-    * x34's final-state oracle.
+    * ARE table versions): a mirror table follows the source through
+    * the NATIVE `graft-cdf` DSv2 micro-batch source
+    * ([[graft.sources.GraftCdfSourceProvider]]) — each micro-batch is
+    * a version window's NET feed, applied with `applyChanges(batch,
+    * txn = batchId)` — inserts/updates as upserts, deletes as
+    * removals, ONE commit per window, idempotent by the txn marker, so
+    * a re-delivered batch cannot double-apply (exactly-once
+    * replication without distributed transactions — the txn check
+    * re-runs inside the commit CAS loop), and a restarted consumer
+    * resumes from its own checkpointed VERSION offset with no
+    * side-channel coordination (GraftCdfSourceSpec pins the
+    * stop/restart contract). The source is w21's own standing mutated
+    * table (x33's exact build — v2 merge, v3 MoR delete — at a private
+    * root, because a head-following consumer cannot share a table
+    * x36's RESTORE mutates); the drained mirror must equal the source
+    * head, which is x34's final-state oracle.
     *
     * 100 TB shape: per-version cost is the version's own change volume
     * (the feed reads changed files + new DV targets only) plus a
@@ -1108,17 +1114,33 @@ object StreamingOps {
     * keys — the mirror never rescans, the source is never re-read
     * beyond its changes. This is the cross-region replica / dev-fork
     * sync pattern every lakehouse deployment runs. */
+  /** w21's PRIVATE standing source table (same build as x33Stage,
+    * separate root): the graft-cdf source follows the table's HEAD, so
+    * sharing x33's table would let x36's RESTORE (head → v4 ≡ v1)
+    * silently empty the net feed. Bench pre-stages it untimed. */
+  private val w21Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def w21Stage(spark: SparkSession, dir: String): String =
+    w21Staged.computeIfAbsent(dir, _ =>
+      ScaleOps.x33Build(spark, dir, "graft-w21-src"))
+
   private def w21(spark: SparkSession, dir: String): DataFrame = {
-    val src = graft.table.GraftTable.open(spark,
-      ScaleOps.x33Stage(spark, dir), "o_orderkey")
+    val srcRoot = w21Stage(spark, dir)
+    val src = graft.table.GraftTable.open(spark, srcRoot, "o_orderkey")
     val mirror = graft.table.GraftTable.create(spark,
       graft.util.Scratch.dir("graft-w21"), "o_orderkey", src.read(1))
-    import spark.implicits._
-    val stream = stagedStream(spark, Seq(2L, 3L).toDF("version"), files = 2)
+    // the round-12 shape: offsets ARE table versions — the mirror
+    // resumes from its own checkpoint, no side-channel version list
+    val stream = spark.readStream.format("graft-cdf")
+      .option("path", srcRoot)
+      .option("keyCol", "o_orderkey")
+      .option("startingVersion", "1")
+      .load()
     val query = stream.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        b.select(col("version")).collect().map(_.getLong(0)).sorted
-          .foreach(v => mirror.applyChanges(src.changes(v - 1, v), txn = v))
+      .option("checkpointLocation", graft.util.Scratch.dir("graft-w21-ckpt"))
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        mirror.applyChanges(b, txn = batchId)
         ()
       }
       .start()

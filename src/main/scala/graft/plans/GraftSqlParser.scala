@@ -21,14 +21,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT CHANGES '<table root>' KEY <col> FROM <v> TO <v> [WITH PREIMAGES]
   * }}}
   *
-  * Both commands are READ-ONLY metadata/CDC queries, resolved eagerly
-  * at parse time to the corresponding [[graft.table.GraftTable]]
+  * HISTORY and CHANGES are READ-ONLY metadata/CDC queries, resolved
+  * eagerly at parse time to the corresponding [[graft.table.GraftTable]]
   * plan — the route a SQL-only client uses to poll a table's history
-  * or consume its change feed without touching the Scala API. (Mutating
-  * verbs stay Scala-only on purpose: a parser-time side effect would
-  * fire on EXPLAIN/analyze, so commands with effects need a proper
-  * lazily-run Command node — out of scope for the read path this
-  * surfaces.) */
+  * or consume its change feed without touching the Scala API.
+  *
+  * The MUTATING verbs (round 12) parse to lazily-run Command nodes
+  * instead — [[GraftDeleteCommand]] / [[GraftRestoreCommand]] — so the
+  * side effect fires ONLY at execution, never at parse/analyze/EXPLAIN
+  * time (GraftSqlParserSpec pins EXPLAIN's side-effect-freedom):
+  *
+  * {{{
+  * GRAFT DELETE FROM '<root>' KEY <col> [USING MOR] WHERE <predicate>
+  * GRAFT RESTORE '<root>' TO <version>
+  * EXPLAIN [EXTENDED|FORMATTED] GRAFT <any of the above>
+  * }}} */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
@@ -36,6 +43,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+CHANGES\s+'([^']+)'\s+KEY\s+(\w+)\s+FROM\s+(\d+)\s+TO\s+(\d+)(\s+WITH\s+PREIMAGES)?\s*""".r
   private val History =
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*""".r
+  private val Delete =
+    """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+KEY\s+(\w+)\s+(USING\s+MOR\s+)?WHERE\s+(.+?)\s*""".r
+  private val Restore =
+    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+(\d+)\s*""".r
+  private val Explain =
+    """(?is)\s*EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|CODEGEN\s+|COST\s+)?(GRAFT\s.+)""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case Changes(root, key, from, to, pre) =>
@@ -46,6 +59,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // history() never consults the key column
       graft.table.GraftTable.open(session, root, "__unused__")
         .history().queryExecution.logical
+    case Delete(root, key, mor, whereSql) =>
+      GraftDeleteCommand(root, key, whereSql, mor = mor != null)
+    case Restore(root, to) =>
+      GraftRestoreCommand(root, to.toLong)
+    case Explain(mode, inner) =>
+      // Spark's own parser never sees the GRAFT text, so EXPLAIN over
+      // a GRAFT statement is assembled here — the inner plan is built
+      // (a Command node for mutators), never executed
+      import org.apache.spark.sql.execution.command.ExplainCommand
+      import org.apache.spark.sql.execution.{CodegenMode, CostMode, ExtendedMode, FormattedMode, SimpleMode}
+      val m = Option(mode).map(_.trim.toUpperCase).getOrElse("") match {
+        case "EXTENDED"  => ExtendedMode
+        case "FORMATTED" => FormattedMode
+        case "CODEGEN"   => CodegenMode
+        case "COST"      => CostMode
+        case _           => SimpleMode
+      }
+      ExplainCommand(parsePlan(inner), m)
     case _ => delegate.parsePlan(sqlText)
   }
 

@@ -43,7 +43,16 @@ object FooterStats {
 
   /** footer stats of one file: row count plus (min, max) for every
     * top-level INT32/INT64 column in `intCols` and every BINARY(UTF8)
-    * column in `strCols` (names in the file's physical schema). */
+    * column in `strCols` (names in the file's physical schema).
+    *
+    * A row group whose chunk carries NO usable min/max while it may
+    * still hold non-NULL values INVALIDATES the column's bounds for
+    * the whole file (Iceberg does the same): parquet-mr omits binary
+    * min/max from the footer past MAX_STATS_SIZE (4 KB), so a
+    * multi-row-group file with one large-string group would otherwise
+    * report bounds that exclude that group's values and a DELETE/MERGE
+    * planned off them would silently miss rows. Ignoring the group is
+    * sound ONLY when its recorded null count proves every row NULL. */
   def read(file: String, intCols: Set[String], strCols: Set[String],
            conf: Configuration = new Configuration()): FileStat = {
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(file), conf))
@@ -52,11 +61,12 @@ object FooterStats {
       val rows = blocks.map(_.getRowCount.toLong).sum
       var ints = Map.empty[String, (Long, Long)]
       var strs = Map.empty[String, (String, String)]
+      var invalid = Set.empty[String]
       for (b <- blocks; c <- b.getColumns.asScala) {
         // top-level columns only: path depth 1 (nested stats are out
         // of planning scope, same as the manifest's stats map)
         val path = c.getPath.toArray
-        if (path.length == 1) {
+        if (path.length == 1 && (intCols(path(0)) || strCols(path(0)))) {
           val name = path(0)
           val st = c.getStatistics
           if (st != null && !st.isEmpty && st.hasNonNullValue) {
@@ -77,10 +87,17 @@ object FooterStats {
                 strs = mergeS(strs, name, lo, hi)
               case _ => ()
             }
+          } else {
+            // no usable min/max for this group: sound to skip only when
+            // the null count proves the group all-NULL; otherwise the
+            // column's file-level bounds are unknowable — drop them
+            val provablyAllNull = st != null && !st.isEmpty &&
+              st.isNumNullsSet && st.getNumNulls >= b.getRowCount
+            if (b.getRowCount > 0 && !provablyAllNull) invalid += name
           }
         }
       }
-      FileStat(rows, ints, strs)
+      FileStat(rows, ints -- invalid, strs -- invalid)
     } finally r.close()
   }
 

@@ -105,19 +105,36 @@ final class GraftTable private (spark: SparkSession, val root: String,
       .foldLeft(0L)(math.max)
   }
 
-  /** version `v`'s full manifest: data files + DV sidecars + stats */
-  private[table] def manifestOf(v: Long): Seq[FileRef] =
-    spark.read.parquet(s"$commitsDir/v$v")
-      .select(col("file"), col("kind"), col("lo"), col("hi"), col("stats"),
-        col("sstats"))
+  /** version `v`'s full manifest: data files + DV sidecars + stats.
+    * Columns a manifest predates (a pre-string-stats `sstats`, a
+    * pre-v2 `stats`) degrade to the empty map — an upgraded reader
+    * opens any older table, it just plans without the missing
+    * bounds (the same degradation dvPositions uses for pre-counter
+    * DV refs). */
+  private[table] def manifestOf(v: Long): Seq[FileRef] = {
+    val df = spark.read.parquet(s"$commitsDir/v$v")
+    val names = df.schema.fieldNames.toSet
+    val hasStats = names("stats")
+    val hasSStats = names("sstats")
+    val cols = Seq(col("file"), col("kind"), col("lo"), col("hi")) ++
+      (if (hasStats) Seq(col("stats")) else Nil) ++
+      (if (hasSStats) Seq(col("sstats")) else Nil)
+    df.select(cols: _*)
       .collect()
-      .map(r => FileRef(r.getString(0), r.getString(1), r.getLong(2),
-        r.getLong(3),
-        r.getAs[Map[String, org.apache.spark.sql.Row]](4)
-          .map { case (c, s) => c -> (s.getLong(0), s.getLong(1)) },
-        r.getAs[Map[String, org.apache.spark.sql.Row]](5)
-          .map { case (c, s) => c -> (s.getString(0), s.getString(1)) }))
+      .map { r =>
+        val stats =
+          if (!hasStats) Map.empty[String, (Long, Long)]
+          else r.getAs[Map[String, org.apache.spark.sql.Row]]("stats")
+            .map { case (c, s) => c -> (s.getLong(0), s.getLong(1)) }
+        val sstats =
+          if (!hasSStats) Map.empty[String, (String, String)]
+          else r.getAs[Map[String, org.apache.spark.sql.Row]]("sstats")
+            .map { case (c, s) => c -> (s.getString(0), s.getString(1)) }
+        FileRef(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+          stats, sstats)
+      }
       .toSeq.sortBy(r => (r.kind, r.file))
+  }
 
   /** the exact DATA file set version `v` committed */
   def filesOf(v: Long): Seq[String] =
@@ -475,7 +492,20 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * Stage-once mutators (append) pass their files outside the loop and
     * re-compose metadata only. `compose` may return None to abort as a
     * no-op (e.g. an already-committed streaming batch), in which case
-    * the current head is returned. */
+    * the current head is returned.
+    *
+    * TXN CHECKPOINT (Delta's snapshot `txn` actions): every manifest
+    * this loop publishes carries the FULL set of txn ids committed so
+    * far as `kind = "txn"` rows (id in `lo`, plus one `lo = -1`
+    * checkpoint marker), managed HERE — compose's returned txn rows
+    * are discarded and the canonical set (base's ∪ this commit's) is
+    * appended, so cluster/restore can rebuild manifests freely without
+    * forgetting replay guards. [[committedTxns]] then reads ONE
+    * manifest per guarded mutation instead of every manifest in the
+    * log — the round-11 O(versions)-reads-per-streaming-batch cost,
+    * gone. A pre-upgrade base manifest (no marker row) falls back to
+    * the legacy full-log scan exactly once: the next commit writes the
+    * checkpointed form. */
   private def commitLoop(txn: Long = -1L)(
       compose: Seq[FileRef] => Option[(Seq[FileRef], Seq[Staged])]): Long = {
     while (true) {
@@ -483,8 +513,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
       val base = if (h == 0) Seq.empty[FileRef] else manifestOf(h)
       compose(base) match {
         case None => return h
-        case Some((refs, staged)) =>
-          if (tryCommit(h, refs, txn)) {
+        case Some((refs0, staged0)) =>
+          val (refs, staged) = retireDvs(base, refs0, staged0)
+          val txns = txnsIn(base) ++ (if (txn >= 0) Set(txn) else Set.empty)
+          val txnRefs = FileRef("txn:ckpt", "txn", -1L, -1L) +:
+            txns.toSeq.sorted.map(t => FileRef(s"txn:$t", "txn", t, t))
+          if (tryCommit(h, refs.filterNot(_.kind == "txn") ++ txnRefs, txn)) {
             staged.foreach(s => Files.deleteIfExists(s.marker))
             return h + 1
           } else staged.foreach(discardStaged)
@@ -492,6 +526,46 @@ final class GraftTable private (spark: SparkSession, val root: String,
     }
     0L // unreachable
   }
+
+  /** DV RETIREMENT (the round-11 advisor's monotonic-growth fix): a
+    * commit that REMOVES data files (COW merge/delete rewrite, compact
+    * fold) rewrites the carried deletion vectors down to the rows
+    * whose target file survives — a rewritten file already applied its
+    * DV rows, so they are dead weight that would otherwise accumulate
+    * forever, inflate `dvPositions`, and permanently force every scan
+    * onto the shuffle path. Cost: DV-scale (never table-scale), paid
+    * only by file-removing commits on tables that HAVE DVs; a commit
+    * whose DV targets all survive keeps its refs untouched. A DV
+    * emptied entirely just drops. */
+  private def retireDvs(base: Seq[FileRef], refs: Seq[FileRef],
+                        staged: Seq[Staged]): (Seq[FileRef], Seq[Staged]) = {
+    val live = refs.collect { case r if r.kind == "data" => r.file }.toSet
+    val removed = base.collect {
+      case r if r.kind == "data" && !live(r.file) => r.file }.toSet
+    val dvRefs = refs.filter(_.kind == "dv")
+    if (removed.isEmpty || dvRefs.isEmpty) return (refs, staged)
+    val dv = spark.read.parquet(dvRefs.map(_.file): _*)
+    val targets = dv.select(col("dv_file")).distinct()
+      .collect().map(_.getString(0)).toSet // ≤ data-file count rows
+    if (!targets.exists(removed)) return (refs, staged)
+    val noDv = refs.filterNot(_.kind == "dv")
+    if (targets.forall(removed)) return (noDv, staged) // all stale: drop
+    val liveDf = live.intersect(targets).toSeq.toDF("__live_file")
+    val survivors = dv.join(broadcast(liveDf),
+      dv("dv_file") === col("__live_file"), "left_semi")
+    val st = stageDv(survivors)
+    (noDv ++ st.refs, staged :+ st)
+  }
+
+  /** the committed-txn set a manifest's rows witness: its checkpoint
+    * rows when it has them, the legacy full-log scan when it predates
+    * the checkpoint (upgrade path — paid once, the next commit
+    * checkpoints) */
+  private def txnsIn(manifest: Seq[FileRef]): Set[Long] =
+    if (manifest.isEmpty) Set.empty
+    else if (manifest.exists(r => r.kind == "txn" && r.lo == -1L))
+      manifest.collect { case r if r.kind == "txn" && r.lo >= 0 => r.lo }.toSet
+    else legacyTxnScan()
 
   /** append-only commit: new files, every existing file by reference */
   def append(df: DataFrame): Long = {
@@ -522,8 +596,17 @@ final class GraftTable private (spark: SparkSession, val root: String,
     v
   }
 
-  /** every batch id any committed version recorded */
+  /** every batch id any committed version recorded — ONE manifest read
+    * (the head's txn checkpoint rows); legacy pre-checkpoint tables
+    * fall back to the full-log scan until their next commit */
   private def committedTxns(): Set[Long] = {
+    val h = head
+    if (h == 0) Set.empty else txnsIn(manifestOf(h))
+  }
+
+  /** the pre-checkpoint path: union the `txn` column over EVERY
+    * manifest (O(versions) reads — what the checkpoint rows replace) */
+  private def legacyTxnScan(): Set[Long] = {
     val d = new java.io.File(commitsDir)
     if (!d.exists) return Set.empty
     val vs = d.listFiles.toSeq.filter(_.getName.matches("v\\d+")).map(_.getPath)
@@ -550,9 +633,10 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def merge(delta: DataFrame, txn: Long = -1L): Long = {
     if (txn >= 0 && committedTxns().contains(txn)) return head
     val dkeys = delta.select(col(keyCol))
+    val nKeys = dkeys.count() // sizes the key-side joins, once
     commitLoop(txn = txn) { base =>
       if (txn >= 0 && committedTxns().contains(txn)) None
-      else composeApply(base, delta, dkeys)
+      else composeApply(base, delta, dkeys, nKeys)
     }
   }
 
@@ -585,27 +669,40 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val post = feed.where(col("change_type") =!= "delete")
       .drop("change_type")
     val fkeys = feed.select(col(keyCol))
+    val nKeys = fkeys.count() // sizes the key-side joins, once
     commitLoop(txn = txn) { base =>
       if (txn >= 0 && committedTxns().contains(txn)) None
-      else composeApply(base, post, fkeys)
+      else composeApply(base, post, fkeys, nKeys)
     }
   }
+
+  /** the delta-key side of composeApply's two joins, sized ADAPTIVELY
+    * the way `scan` sizes DV application: a feed under the broadcast
+    * budget ships as one cheap hash side; past it the join shuffles
+    * (shuffled-hash, never a driver-memory-bound broadcast) — a day's
+    * CDC backfill of 10⁸ keys against a 100 TB table must not ride
+    * the same unbounded broadcast the round-11 DV fix removed. The
+    * key count is ONE aggregate over the delta (keys-scale, computed
+    * once per mutation, not per CAS attempt). */
+  private def keySide(allKeys: DataFrame, nKeys: Long): DataFrame =
+    if (nKeys <= GraftTable.DvBroadcastPositions) broadcast(allKeys)
+    else allKeys.hint("shuffle_hash")
 
   /** the shared upsert/apply composition: rows keyed by `allKeys`
     * leave (their files rewrite without them), `post` rows come back —
     * `merge` passes post = delta = allKeys' rows (pure upsert),
     * `applyChanges` passes the non-delete postimages against ALL feed
-    * keys (so a delete key leaves and nothing returns). */
+    * keys (so a delete key leaves and nothing returns). `nKeys` is the
+    * feed's key count, precomputed by the caller outside the CAS
+    * loop. */
   private def composeApply(base: Seq[FileRef], post: DataFrame,
-                           allKeys: DataFrame): Option[(Seq[FileRef], Seq[Staged])] = {
+                           allKeys: DataFrame,
+                           nKeys: Long): Option[(Seq[FileRef], Seq[Staged])] = {
       val data = base.filter(_.kind == "data")
       val cand = pruneByKeys(data, allKeys)
       val matched =
         if (cand.isEmpty) Seq.empty[String]
-        else scan(base, cand)
-          .join(broadcast(allKeys), Seq(keyCol))
-          .select(col("__file")).distinct()
-          .collect().map(_.getString(0)).toSeq.sorted
+        else matchedFiles(base, cand, allKeys, nKeys)
       val touched =
         if (matched.isEmpty) emptyLike(data, post)
         else scan(base, matched).drop("__file", "__pos")
@@ -616,12 +713,28 @@ final class GraftTable private (spark: SparkSession, val root: String,
       // on either side (an evolved table merged with a pre-evolution
       // delta, or vice versa) fill with NULL — whole-row replacement,
       // not column-wise patching.
-      val kept = touched.join(broadcast(allKeys), Seq(keyCol), "left_anti")
+      val kept = touched.join(keySide(allKeys, nKeys), Seq(keyCol),
+        "left_anti")
       val st = stage(kept.unionByName(post, allowMissingColumns = true))
       val ms = matched.toSet
       Some((base.filterNot(r => r.kind == "data" && ms(r.file)) ++ st.refs,
             Seq(st)))
   }
+
+  /** matched-file discovery plan: the exact files among `cand`
+    * holding a delta key (the plan exposed separately so the spec can
+    * pin the adaptive key-side shape without running a commit) */
+  private[table] def matchedFilesPlan(base: Seq[FileRef], cand: Seq[String],
+                                      allKeys: DataFrame,
+                                      nKeys: Long): DataFrame =
+    scan(base, cand)
+      .join(keySide(allKeys, nKeys), Seq(keyCol))
+      .select(col("__file")).distinct()
+
+  private def matchedFiles(base: Seq[FileRef], cand: Seq[String],
+                           allKeys: DataFrame, nKeys: Long): Seq[String] =
+    matchedFilesPlan(base, cand, allKeys, nKeys)
+      .collect().map(_.getString(0)).toSeq.sorted
 
   /** row-level DELETE: removes rows where `predicate` is TRUE (SQL
     * three-valued semantics — NULL-evaluating rows always survive).
@@ -801,6 +914,18 @@ final class GraftTable private (spark: SparkSession, val root: String,
         val inFlight = marker.exists &&
           now - marker.lastModified < staleStagingMs
         if (!inFlight) {
+          // 4) with no age floor to absorb it, close the last window (a
+          // writer that staged, committed AND cleared its marker since
+          // the marker read) with one more head re-read — production
+          // sweeps should still pass an hours-scale minAgeMs, like
+          // Delta's 7-day retention default
+          if (minAgeMs == 0L) {
+            val h2 = head
+            if (h2 != hSeen) {
+              topUp(hSeen + 1, h2); hSeen = h2
+              doomed = doomed.filter(f => !retained(f.getPath))
+            }
+          }
           doomed.foreach(f => Files.deleteIfExists(f.toPath))
           out ++= doomed.map(_.getPath)
         }
@@ -820,8 +945,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val h = head
     require(v >= 1 && v <= h, s"need 1 <= v <= $h (got $v)")
     val target = manifestOf(v)
-    target.foreach(r => require(new java.io.File(r.file).exists,
-      s"version $v is not restorable: ${r.file} was vacuumed"))
+    target.filter(r => r.kind == "data" || r.kind == "dv")
+      .foreach(r => require(new java.io.File(r.file).exists,
+        s"version $v is not restorable: ${r.file} was vacuumed"))
     commitLoop() (_ => Some((target, Seq.empty)))
   }
 

@@ -33,6 +33,13 @@ class BenchLineSpec extends AnyFunSuite {
     // compact line carries only the COUNT; the per-query notes ride
     // the full line's tail end (see Bench.main's field-order comment)
     gateRetryCount = 133)
+  private val extrasC = Bench.extrasJson(
+    hdfs = rs(13606060d), rocks = rs(11008300d),
+    skew = rs(13606060d), recovery = rs(11008300d),
+    recoverySec = 12.34,
+    lat = Bench.LatencyStats(p50 = 1509.0, p95 = 1223.0,
+      meanBatchMs = 1234.0, backlogBatches = 123L),
+    gateRetryCount = 133, compactSpreads = true)
   private val fullExtras = Bench.runsJson(Seq(
     "stream_words_per_sec" -> rs(13606060d),
     "stream_words_per_sec_rocksdb" -> rs(11008300d),
@@ -60,7 +67,8 @@ class BenchLineSpec extends AnyFunSuite {
     // line must keep the full per-query breakdown
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 13.57912)
     val (_, last) =
-      Bench.buildLines(results, extras, fullExtras, "/root/testdata/sf0.1")
+      Bench.buildLines(results, extras, fullExtras, "/root/testdata/sf0.1",
+        extrasCompact = extrasC)
     assert(last.length <= 1800, s"compact line ${last.length} chars")
     val node = mapper.readTree(last)
     assert(node.get("queries").size() === results.size,
@@ -75,7 +83,8 @@ class BenchLineSpec extends AnyFunSuite {
     // step is the principled last resort before dropping detail)
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1234.56789)
     val (full, last) =
-      Bench.buildLines(results, extras, fullExtras, "/root/testdata/sf0.1")
+      Bench.buildLines(results, extras, fullExtras, "/root/testdata/sf0.1",
+        extrasCompact = extrasC)
     assert(last.length <= 1800, s"compact line ${last.length} chars")
     val node = mapper.readTree(last)
     assert(node.get("metric").asText() === "total")
@@ -106,7 +115,8 @@ class BenchLineSpec extends AnyFunSuite {
     val names = Seq("q23_alpha_variant", "q23_beta_variant", "q23_gamma") ++
       (1 to 90).map(i => f"zz$i%03d_some_quite_long_query_name")
     val results = names.map(_ -> 9.87)
-    val (_, last) = Bench.buildLines(results, extras, fullExtras, "/sf")
+    val (_, last) = Bench.buildLines(results, extras, fullExtras, "/sf",
+      extrasCompact = extrasC)
     assert(last.length <= 1800)
     val qs = mapper.readTree(last).get("queries")
     assert(qs.size() === results.size, "duplicate prefix dropped a timing")

@@ -69,6 +69,36 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(h.count() == 2)
   }
 
+  test("GRAFT DELETE/RESTORE mutate on execution — and ONLY on execution") {
+    val root = fixture() // v1: {1a 2b 3c}, v2: merge {2→B2, +4d}
+    def tbl = graft.table.GraftTable.open(base, root, "k")
+    // EXPLAIN builds and formats the Command node without running it
+    val plan = ext.sql(s"EXPLAIN GRAFT DELETE FROM '$root' KEY k WHERE k = 2")
+      .head.getString(0)
+    assert(plan.contains("GraftDeleteCommand"),
+      "EXPLAIN must show the lazily-run command node")
+    assert(tbl.head == 2, "EXPLAIN must be side-effect free")
+    assert(tbl.read().count() == 4)
+    // execution mutates and reports the committed version
+    val v = ext.sql(s"GRAFT DELETE FROM '$root' KEY k WHERE k = 2")
+      .head.getLong(0)
+    assert(v == 3 && tbl.head == 3)
+    assert(tbl.read().select(col("k")).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 3L, 4L))
+    // the MoR cost model rides the same verb
+    ext.sql(s"GRAFT DELETE FROM '$root' KEY k USING MOR WHERE v = 'c'")
+    assert(tbl.head == 4 && tbl.deletionVectorsOf(4).nonEmpty)
+    assert(tbl.filesOf(4) == tbl.filesOf(3), "MoR must rewrite nothing")
+    assert(tbl.read().select(col("k")).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 4L))
+    // RESTORE rolls back as a new commit; EXPLAIN of it is also inert
+    ext.sql(s"EXPLAIN FORMATTED GRAFT RESTORE '$root' TO 2").collect()
+    assert(tbl.head == 4)
+    val rv = ext.sql(s"GRAFT RESTORE '$root' TO 2").head.getLong(0)
+    assert(rv == 5 && tbl.read().count() == 4)
+    assert(tbl.read().where(col("k") === 2).head.getString(1) == "B2")
+  }
+
   test("everything else delegates to Spark's parser untouched") {
     assert(ext.sql("SELECT 1 + 1 AS two").head.getInt(0) == 2)
     // the injected functions ride the same extensions entry point

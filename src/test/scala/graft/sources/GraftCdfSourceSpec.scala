@@ -1,0 +1,105 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.table.GraftTable
+
+/** Contracts of the `graft-cdf` streaming source that the gated w21
+  * oracle cannot see: offsets ARE table versions (a restart resumes
+  * from the checkpointed version and re-delivers nothing), the
+  * bootstrap window emits the starting snapshot as inserts, and the
+  * feed rows match the batch `changes()` classification. */
+class GraftCdfSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def rows(ks: Long*) = ks.map(k => (k, s"s$k")).toDF("k", "v")
+
+  /** drain the stream once against `ckpt`, collecting every delivered
+    * (k, change_type) pair */
+  private def drain(root: String, ckpt: String, startingVersion: Long,
+                    seen: ConcurrentLinkedQueue[(Long, String)]): Unit = {
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", root).option("keyCol", "k")
+      .option("startingVersion", startingVersion.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("k"), col("change_type")).collect()
+          .foreach(r => seen.add((r.getLong(0), r.getString(1))))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  private def sortedSeen(q: ConcurrentLinkedQueue[(Long, String)]) = {
+    import scala.jdk.CollectionConverters._
+    q.asScala.toSeq.sorted
+  }
+
+  test("version offsets: net feed delivered once; restart resumes from checkpoint") {
+    val root = graft.util.Scratch.dir("graft-cdf-tbl")
+    val t = GraftTable.create(spark, root, "k",
+      rows(1L to 10L: _*).repartitionByRange(2, col("k"))) // v1
+    t.merge(Seq((2L, "U2"), (11L, "NEW")).toDF("k", "v"))  // v2
+    t.delete(col("k") === 5)                               // v3
+    val ckpt = graft.util.Scratch.dir("graft-cdf-ckpt")
+    val seen = new ConcurrentLinkedQueue[(Long, String)]()
+    drain(root, ckpt, startingVersion = 1L, seen)
+    // the (1, 3] window nets: update 2, insert 11, delete 5
+    assert(sortedSeen(seen) == Seq((2L, "update"), (5L, "delete"),
+      (11L, "insert")))
+    // restart with NO new commits: the checkpointed offset is the
+    // head — nothing re-delivered
+    drain(root, ckpt, startingVersion = 1L, seen)
+    assert(sortedSeen(seen).size == 3, "restart must not re-deliver")
+    // new commits after the restart: ONLY the new window arrives
+    t.merge(Seq((3L, "U3")).toDF("k", "v"))                // v4
+    drain(root, ckpt, startingVersion = 1L, seen)
+    assert(sortedSeen(seen) == Seq((2L, "update"), (3L, "update"),
+      (5L, "delete"), (11L, "insert")))
+  }
+
+  test("startingVersion 0 bootstraps the starting snapshot as inserts") {
+    val root = graft.util.Scratch.dir("graft-cdf-boot")
+    val t = GraftTable.create(spark, root, "k", rows(1, 2, 3)) // v1
+    t.delete(col("k") === 2)                                   // v2
+    val seen = new ConcurrentLinkedQueue[(Long, String)]()
+    drain(root, graft.util.Scratch.dir("graft-cdf-boot-ckpt"),
+      startingVersion = 0L, seen)
+    // the bootstrap window (0, head] is the head snapshot, all inserts
+    assert(sortedSeen(seen) == Seq((1L, "insert"), (3L, "insert")))
+  }
+
+  test("a replicated mirror through the source equals the source head") {
+    val root = graft.util.Scratch.dir("graft-cdf-repl")
+    val t = GraftTable.create(spark, root, "k",
+      rows(1L to 20L: _*).repartitionByRange(3, col("k")))
+    t.merge(Seq((5L, "U5"), (40L, "NEW")).toDF("k", "v"))
+    t.delete(col("k") % 7 === 0, mode = "mor")
+    val mirror = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-cdf-mirror"), "k", t.read(1))
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", root).option("keyCol", "k")
+      .option("startingVersion", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", graft.util.Scratch.dir("graft-cdf-repl-ckpt"))
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        mirror.applyChanges(b, txn = id); ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(mirror.read().collect().map(_.toSeq).toSet ==
+           t.read().collect().map(_.toSeq).toSet,
+      "the streamed mirror must equal the source head row-for-row")
+  }
+}

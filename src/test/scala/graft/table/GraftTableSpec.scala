@@ -115,9 +115,19 @@ class GraftTableSpec extends AnyFunSuite {
     val p2 = t.pruneByPredicate(data, !(col("k") <= 80))
     assert(p2.nonEmpty && p2.size < data.size,
       "NOT over a key comparison must still prune the all-below files")
+    // a STRING-column predicate prunes off the lexicographic sstats
+    // bounds (round 11): kept files are exactly those whose byte-order
+    // bounds can contain the literal, and the file physically holding
+    // the matching row (k = 7) is among them
     val p3 = t.pruneByPredicate(data, col("v") === "s7")
-    assert(p3 == data.map(_.file).sorted,
-      "a non-key predicate must conservatively keep every file")
+    val expect3 = data.filter(_.sstats.get("v").forall { case (lo, hi) =>
+      FooterStats.byteCompare(lo, "s7") <= 0 &&
+      FooterStats.byteCompare("s7", hi) <= 0 }).map(_.file).sorted
+    assert(p3 == expect3, "string pruning must keep exactly the sound subset")
+    assert(p3.size < data.size, "string stats must really prune")
+    val holder = data.filter(r => r.lo <= 7 && 7 <= r.hi).map(_.file)
+    assert(holder.nonEmpty && holder.forall(p3.contains),
+      "the file holding the matching row must survive pruning")
   }
 
   test("a key-localized merge READS only range-overlapping files") {
@@ -510,6 +520,43 @@ class GraftTableSpec extends AnyFunSuite {
     assert(keys(t2.read()) == (1L to 20L).filterNot(_ == 3L))
   }
 
+  test("a delta past the broadcast budget merges with no key-side broadcast") {
+    import org.apache.spark.sql.execution.FormattedMode
+    val n = 2000000L
+    val df = spark.range(n).select(col("id").as("k"),
+      (col("id") % 13).cast("string").as("v"))
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-bigdelta"), "k",
+      df.repartitionByRange(4, col("k")))
+    // a CDC-backfill-sized delta: 1.5M keys > DvBroadcastPositions
+    val delta = spark.range(1500000L)
+      .select((col("id") * 4 / 3).cast("long").as("k"), lit("U").as("v"))
+    val nKeys = delta.count()
+    assert(nKeys > GraftTable.DvBroadcastPositions,
+      "fixture must exceed the broadcast budget")
+    val base = t.manifestOf(1)
+    val cand = t.pruneByKeys(base.filter(_.kind == "data"),
+      delta.select(col("k")))
+    val plan = t.matchedFilesPlan(base, cand, delta.select(col("k")), nKeys)
+      .queryExecution.explainString(FormattedMode)
+    assert(!plan.contains("BroadcastExchange"),
+      "an unbounded delta key set must never broadcast")
+    assert(plan.contains("ShuffledHashJoin") || plan.contains("SortMergeJoin"),
+      "matched-file discovery still joins, just shuffled")
+    // a small delta keeps the broadcast fast path (adaptive, not worse)
+    val small = Seq((7L, "S")).toDF("k", "v")
+    val planS = t.matchedFilesPlan(base, cand, small.select(col("k")), 1L)
+      .queryExecution.explainString(FormattedMode)
+    assert(planS.contains("BroadcastExchange"),
+      "small deltas must still broadcast")
+    // the real merge lands with upsert semantics intact
+    t.merge(delta)
+    assert(t.read().count() == n, "pure-update delta adds no rows")
+    assert(t.read().where(col("v") === "U").count() == 1500000L)
+    assert(t.read().where(col("k") === 4L).head.getString(1) == "U")
+    assert(t.read().where(col("k") === 3L).head.getString(1) == "3")
+  }
+
   test("change feed spans a schema-evolution window without dropping columns") {
     val t = GraftTable.create(spark,
       graft.util.Scratch.dir("graft-tbl-cdf-evo"), "k", rows(1, 2))
@@ -538,6 +585,177 @@ class GraftTableSpec extends AnyFunSuite {
     (2L to t.head).foreach(v => m.applyChanges(t.changes(v - 1, v), txn = v))
     assert(m.read().select("k", "v", "w").collect().map(_.toSeq).toSet ==
       t.read().select("k", "v", "w").collect().map(_.toSeq).toSet)
+  }
+
+  // ---- round-12 contracts: string-key statistics ------------------------
+
+  /** a string-keyed range-clustered table: zero-padded keys make
+    * lexicographic order = numeric order, so pruning is predictable */
+  private def strTable(prefix: String, n: Long = 100L, files: Int = 5) =
+    GraftTable.create(spark, graft.util.Scratch.dir(prefix), "id",
+      (1L to n).map(k => (f"u$k%04d", k)).toDF("id", "n")
+        .repartitionByRange(files, col("id")).sortWithinPartitions("id"))
+
+  test("a STRING-keyed merge READS only lexicographic-range-overlapping files") {
+    val t = strTable("graft-tbl-strkey")
+    val data = t.manifestOf(1).filter(_.kind == "data")
+    assert(data.size >= 4, "fixture needs several range files")
+    assert(data.forall(_.sstats.contains("id")),
+      "every file must carry lexicographic bounds for the string key")
+    val delta = Seq(("u0003", 300L), ("u0007", 700L)).toDF("id", "n")
+    val cand = t.pruneByKeys(data, delta).toSet
+    assert(cand.nonEmpty && cand.size < data.size,
+      s"a key-localized string delta must prune: ${cand.size}/${data.size}")
+    // physically hide every non-candidate file: merge success proves
+    // the pruned files were never OPENED (the strongest read-set pin)
+    val hidden = data.map(_.file).filterNot(cand)
+    hidden.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f), java.nio.file.Paths.get(f + ".hidden")))
+    try t.merge(delta)
+    finally hidden.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f + ".hidden"), java.nio.file.Paths.get(f)))
+    assert(t.head == 2)
+    assert(t.read().count() == 100)
+    assert(t.read().where(col("id") === "u0003").head.getLong(1) == 300L)
+    assert(t.read().where(col("id") === "u0007").head.getLong(1) == 700L)
+    assert(hidden.toSet.subsetOf(t.filesOf(2).toSet),
+      "non-candidate files carry by reference")
+  }
+
+  test("a STRING-predicate delete prunes via CmpS/InS and reads only matches") {
+    val t = strTable("graft-tbl-strpred")
+    val data = t.manifestOf(1).filter(_.kind == "data")
+    // every CmpS operator prunes soundly against the sstats bounds
+    for ((pred, want) <- Seq(
+        (col("id") === "u0042", Seq(42L)),
+        (col("id") < "u0010", 1L to 9L),
+        (col("id") >= "u0095", 95L to 100L),
+        (col("id").isin("u0007", "u0093"), Seq(7L, 93L)),
+        (!(col("id") <= "u0090"), 91L to 100L))) {
+      val cand = t.pruneByPredicate(data, pred)
+      assert(cand.size < data.size, s"$pred must prune: ${cand.size}/${data.size}")
+      val got = spark.read.parquet(cand: _*).where(pred)
+        .select(col("n")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == want.toSeq.sorted,
+        s"$pred: candidates must contain every matching row")
+    }
+    // the GDPR shape end-to-end: hide non-candidates, delete, verify
+    val erase = col("id") <= "u0012"
+    val cand = t.pruneByPredicate(data, erase).toSet
+    assert(cand.nonEmpty && cand.size < data.size)
+    val hidden = data.map(_.file).filterNot(cand)
+    hidden.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f), java.nio.file.Paths.get(f + ".hidden")))
+    try t.delete(erase)
+    finally hidden.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f + ".hidden"), java.nio.file.Paths.get(f)))
+    assert(t.read().select(col("n")).collect().map(_.getLong(0)).sorted.toSeq
+      == (13L to 100L))
+  }
+
+  test("string pruning survives supplementary characters (byte order, not UTF-16)") {
+    // U+1F600 encodes UTF-8-above U+FFFD but UTF-16-below it:
+    // String.compareTo would order these keys wrongly vs the parquet
+    // bounds; byteCompare must agree with the footers' unsigned order
+    val hi = new String(Character.toChars(0x1F600)) // 4-byte UTF-8
+    val mid = "\uFFFD"                        // 3-byte UTF-8
+    assert(FooterStats.byteCompare(hi, mid) > 0 && hi.compareTo(mid) < 0,
+      "fixture must exercise the byteCompare vs String.compareTo split")
+    val df = Seq(("a", 1L), (mid, 2L), (hi, 3L)).toDF("id", "n")
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-supp"), "id",
+      df.repartitionByRange(3, col("id")))
+    val data = t.manifestOf(1).filter(_.kind == "data")
+    // equality on the supplementary key must keep its file...
+    val cand = t.pruneByPredicate(data, col("id") === hi)
+    val got = spark.read.parquet(cand: _*).where(col("id") === hi)
+    assert(got.count() == 1 && got.head.getLong(1) == 3L,
+      "supplementary-char key must survive pruning")
+    // ...and a merge keyed on it updates exactly that row
+    t.merge(Seq((hi, 30L)).toDF("id", "n"))
+    assert(t.read().where(col("id") === hi).head.getLong(1) == 30L)
+    assert(t.read().count() == 3)
+  }
+
+  test("txn replay detection reads ONLY the head manifest (checkpoint rows)") {
+    val t = GraftTable.open(spark,
+      graft.util.Scratch.dir("graft-tbl-txn-ckpt"), "k")
+    t.streamAppend(rows(1, 2), 0L)
+    t.streamAppend(rows(3, 4), 1L)
+    t.merge(Seq((3L, "U3")).toDF("k", "v"), txn = 42L)
+    val h = t.head
+    // physically hide EVERY non-head manifest: any replay check that
+    // still scans the full log would throw — the round-11
+    // O(versions)-reads-per-guarded-mutation cost, pinned gone
+    val hidden = (1L until h).map(v =>
+      new java.io.File(s"${t.root}/commits/v$v"))
+    hidden.foreach(d => assert(d.renameTo(
+      new java.io.File(d.getParent, d.getName + ".hidden"))))
+    try {
+      assert(t.streamAppend(rows(9), 1L) == h, "replayed batch must no-op")
+      assert(t.merge(Seq((9L, "X")).toDF("k", "v"), txn = 42L) == h,
+        "replayed merge txn must no-op")
+      // a NEW txn still commits — also off the head manifest alone
+      assert(t.streamAppend(rows(5), 2L) == h + 1)
+    } finally hidden.foreach(d => new java.io.File(
+      d.getParent, d.getName + ".hidden").renameTo(d))
+    assert(keys(t.read()) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(t.read().where(col("k") === 3).head.getString(1) == "U3")
+  }
+
+  test("pre-checkpoint manifests (no sstats, no txn rows) still open and guard") {
+    // hand-write a v1 manifest in the ROUND-10 schema — no sstats
+    // column, no txn checkpoint rows — exactly what a table created
+    // by the previous release looks like on disk
+    val root = graft.util.Scratch.dir("graft-tbl-legacy")
+    val dataDir = s"$root/data/legacy-uuid"
+    rows(1, 2, 3).coalesce(1).write.parquet(dataDir)
+    val file = new java.io.File(dataDir).listFiles
+      .filter(_.getName.startsWith("part-")).head.getPath
+    import org.apache.spark.sql.functions.typedLit
+    Seq((file, "data", 1L, 3L, 7L))
+      .toDF("file", "kind", "lo", "hi", "txn")
+      .withColumn("stats",
+        typedLit(Map("k" -> (1L, 3L))))
+      .coalesce(1).write.parquet(s"$root/commits/v1")
+    val t = GraftTable.open(spark, root, "k")
+    // reads degrade gracefully: no sstats column ⇒ empty map, no throw
+    assert(keys(t.read()) == Seq(1L, 2L, 3L))
+    assert(t.manifestOf(1).forall(_.sstats.isEmpty))
+    // the legacy txn (column-recorded, pre-checkpoint) still guards...
+    assert(t.streamAppend(rows(9), 7L) == 1, "legacy txn must be seen")
+    // ...and the first new commit writes checkpoint rows going forward
+    assert(t.merge(Seq((2L, "U2")).toDF("k", "v"), txn = 8L) == 2)
+    assert(t.manifestOf(2).exists(r => r.kind == "txn" && r.lo == 7L),
+      "the upgrade commit must carry legacy txns forward")
+    assert(t.merge(Seq((9L, "X")).toDF("k", "v"), txn = 7L) == 2,
+      "a legacy txn replay after upgrade must still no-op")
+    assert(t.read().where(col("k") === 2).head.getString(1) == "U2")
+  }
+
+  test("a rewrite retires the deletion-vector rows it made stale") {
+    val t = rangeTable("graft-tbl-dv-retire", n = 40L, files = 4)
+    t.delete(col("k") % 5 === 0, mode = "mor")         // v2: DV over all files
+    assert(t.deletionVectorsOf(2).nonEmpty)
+    // v3 rewrites ONLY the low file(s): DV rows targeting them are
+    // dead (the rewrite applied them); rows for carried files remain
+    t.merge(Seq((1L, "U1")).toDF("k", "v"))
+    val dv3 = t.deletionVectorsOf(3)
+    assert(dv3.nonEmpty, "carried files' DV rows must survive")
+    val dvRows = spark.read.parquet(dv3: _*)
+    val liveData = t.filesOf(3).toSet
+    val targets = dvRows.select(col("dv_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(targets.forall(liveData),
+      "no DV row may target a removed file after retirement")
+    assert(keys(t.read()) == (1L to 40L).filterNot(_ % 5 == 0),
+      "retirement must not change MoR semantics")
+    assert(t.read().where(col("k") === 1).head.getString(1) == "U1")
+    // folding EVERYTHING drops the DVs entirely (no empty sidecars)
+    t.compact(targetFiles = 1, smallFileBytes = Long.MaxValue)
+    assert(t.deletionVectorsOf(t.head).isEmpty,
+      "a full fold must drop all DV refs")
+    assert(keys(t.read()) == (1L to 40L).filterNot(_ % 5 == 0))
   }
 
   test("expire re-checks markers and head before deleting (advisor race)") {
