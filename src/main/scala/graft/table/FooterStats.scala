@@ -103,16 +103,23 @@ object FooterStats {
 
   /** footer stats for a SET of files, read in parallel on the cluster
     * (a big append stages thousands of files; each footer is a few KB,
-    * but the open() round-trips shouldn't serialize on the driver) */
+    * but the open() round-trips shouldn't serialize on the driver).
+    * Reads go through the SESSION's Hadoop configuration — broadcast
+    * as a [[org.apache.spark.util.SerializableConfiguration]] to the
+    * executor path — so `spark.hadoop.*` / filesystem settings apply
+    * the moment table paths leave the default local FS (the round-11
+    * advisor's bare-`new Configuration()` fix). */
   def readAll(spark: org.apache.spark.sql.SparkSession, files: Seq[String],
               intCols: Set[String], strCols: Set[String])
       : Map[String, FileStat] = {
     if (files.isEmpty) return Map.empty
+    val conf = spark.sessionState.newHadoopConf()
     if (files.size <= 4) // driver-local fast path: no job for tiny commits
-      return files.map(f => f -> read(f, intCols, strCols)).toMap
+      return files.map(f => f -> read(f, intCols, strCols, conf)).toMap
     val slices = math.min(files.size, 32)
+    val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
     spark.sparkContext.parallelize(files, slices)
-      .map(f => f -> read(f, intCols, strCols)) // executor-side Configuration
+      .map(f => f -> read(f, intCols, strCols, sconf.value))
       .collect().toMap
   }
 

@@ -1,7 +1,5 @@
 package graft.table
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftglue.PredicateTree
@@ -96,14 +94,18 @@ final class GraftTable private (spark: SparkSession, val root: String,
   private val commitsDir = s"$root/commits"
   private val dataDir = s"$root/data"
 
+  /** every physical-filesystem operation (listing, markers, sizes,
+    * deletes, the commit publish) goes through the Hadoop FileSystem
+    * seam — local paths, `file:`/`hdfs://` URIs, anything with a
+    * connector; see [[TableIO]] for the commit-rename semantics and
+    * the documented S3 caveat */
+  private val io = new TableIO(spark.sessionState.newHadoopConf())
+
   /** current head version (0 = no commit yet) */
-  def head: Long = {
-    val d = new java.io.File(commitsDir)
-    if (!d.exists) 0L
-    else d.listFiles.toSeq.map(_.getName)
+  def head: Long =
+    io.list(commitsDir).map(_.getPath.getName)
       .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
       .foldLeft(0L)(math.max)
-  }
 
   /** version `v`'s full manifest: data files + DV sidecars + stats.
     * Columns a manifest predates (a pre-string-stats `sstats`, a
@@ -401,14 +403,14 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * records no stats (always a candidate — planning may weaken,
     * correctness cannot). */
   private def stage(df: DataFrame): Staged = {
-    new java.io.File(dataDir).mkdirs()
+    io.mkdirs(dataDir)
     val uuid = java.util.UUID.randomUUID().toString
-    val marker = Paths.get(s"$dataDir/.staging-$uuid")
-    Files.createFile(marker) // BEFORE any data file exists (expire skips it)
+    val marker = s"$dataDir/.staging-$uuid"
+    io.touch(marker) // BEFORE any data file exists (expire skips it)
     val sub = s"$dataDir/$uuid"
     df.write.parquet(sub)
-    val files = new java.io.File(sub).listFiles.toSeq.map(_.getName)
-      .filter(_.startsWith("part-")).sorted.map(n => s"$sub/$n")
+    val files = io.list(sub).map(st => io.canon(st.getPath.toString))
+      .filter(_.split('/').last.startsWith("part-")).sorted
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val intCols = df.schema.fields.collect {
       case f if Seq(ByteType, ShortType, IntegerType, LongType)
@@ -436,52 +438,39 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * Each ref's `hi` records its footer row count, the plan-time size
     * estimate `scan`'s adaptive DV application keys on. */
   private def stageDv(df: DataFrame): Staged = {
-    new java.io.File(dataDir).mkdirs()
+    io.mkdirs(dataDir)
     val uuid = java.util.UUID.randomUUID().toString
-    val marker = Paths.get(s"$dataDir/.staging-$uuid")
-    Files.createFile(marker)
+    val marker = s"$dataDir/.staging-$uuid"
+    io.touch(marker)
     val sub = s"$dataDir/$uuid"
     df.write.parquet(sub)
-    val files = new java.io.File(sub).listFiles.toSeq.map(_.getName)
-      .filter(_.startsWith("part-")).sorted.map(n => s"$sub/$n")
+    val files = io.list(sub).map(st => io.canon(st.getPath.toString))
+      .filter(_.split('/').last.startsWith("part-")).sorted
+    val conf = spark.sessionState.newHadoopConf()
     Staged(sub,
-      files.map(f => FileRef(f, "dv", 0L, FooterStats.rowCount(f))), marker)
+      files.map(f => FileRef(f, "dv", 0L, FooterStats.rowCount(f, conf))),
+      marker)
   }
 
   private def discardStaged(st: Staged): Unit = {
-    graft.util.Scratch.deleteTree(Paths.get(st.dir))
-    Files.deleteIfExists(st.marker)
+    io.deleteTree(st.dir)
+    io.delete(st.marker)
   }
 
   /** one CAS attempt: prepare the manifest at a temp name, publish by
-    * atomic rename onto v{expected+1}. Only the slot-taken races
-    * (FileAlreadyExists / DirectoryNotEmpty — another writer won) are
-    * conflicts; any other I/O failure is rethrown so a broken
-    * filesystem surfaces instead of livelocking the retry loop. */
+    * an atomic no-overwrite rename onto v{expected+1} ([[TableIO
+    * .publish]] — NIO ATOMIC_MOVE on local paths, FileContext rename
+    * with Rename.NONE on DFS URIs). Only the slot-taken race (another
+    * writer won) returns false; any other I/O failure is rethrown so a
+    * broken filesystem surfaces instead of livelocking the retry
+    * loop. */
   private def tryCommit(expected: Long, refs: Seq[FileRef],
                         txn: Long): Boolean = {
     val tmp = s"$commitsDir/.tmp-${java.util.UUID.randomUUID()}"
     refs.map(r => (r.file, r.kind, r.lo, r.hi, txn, r.stats, r.sstats))
       .toDF("file", "kind", "lo", "hi", "txn", "stats", "sstats")
       .coalesce(1).write.parquet(tmp)
-    val target = Paths.get(s"$commitsDir/v${expected + 1}")
-    try {
-      Files.move(Paths.get(tmp), target, StandardCopyOption.ATOMIC_MOVE)
-      true
-    } catch {
-      case e: java.nio.file.AtomicMoveNotSupportedException =>
-        graft.util.Scratch.deleteTree(Paths.get(tmp)); throw e
-      case _: java.nio.file.FileAlreadyExistsException |
-           _: java.nio.file.DirectoryNotEmptyException =>
-        graft.util.Scratch.deleteTree(Paths.get(tmp)); false
-      case e: java.io.IOException =>
-        graft.util.Scratch.deleteTree(Paths.get(tmp))
-        // rename(2) reports a lost slot race as EEXIST or ENOTEMPTY; the
-        // JDK maps the latter to the GENERIC FileSystemException, so the
-        // discriminator between "another writer won" and a genuinely
-        // broken filesystem is whether the slot now exists
-        if (Files.exists(target)) false else throw e
-    }
+    io.publish(tmp, s"$commitsDir/v${expected + 1}")
   }
 
   /** The CAS loop every mutator runs: re-reads the head and re-composes
@@ -519,7 +508,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
           val txnRefs = FileRef("txn:ckpt", "txn", -1L, -1L) +:
             txns.toSeq.sorted.map(t => FileRef(s"txn:$t", "txn", t, t))
           if (tryCommit(h, refs.filterNot(_.kind == "txn") ++ txnRefs, txn)) {
-            staged.foreach(s => Files.deleteIfExists(s.marker))
+            staged.foreach(s => io.delete(s.marker))
             return h + 1
           } else staged.foreach(discardStaged)
       }
@@ -571,7 +560,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def append(df: DataFrame): Long = {
     val st = stage(df)
     val v = commitLoop() (base => Some((base ++ st.refs, Seq.empty)))
-    Files.deleteIfExists(st.marker)
+    io.delete(st.marker)
     v
   }
 
@@ -592,7 +581,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
       if (committedTxns().contains(batchId)) { discardStaged(st); None }
       else Some((base ++ st.refs, Seq.empty))
     }
-    Files.deleteIfExists(st.marker)
+    io.delete(st.marker)
     v
   }
 
@@ -607,9 +596,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
   /** the pre-checkpoint path: union the `txn` column over EVERY
     * manifest (O(versions) reads — what the checkpoint rows replace) */
   private def legacyTxnScan(): Set[Long] = {
-    val d = new java.io.File(commitsDir)
-    if (!d.exists) return Set.empty
-    val vs = d.listFiles.toSeq.filter(_.getName.matches("v\\d+")).map(_.getPath)
+    val vs = io.list(commitsDir)
+      .filter(_.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.toString)
     if (vs.isEmpty) Set.empty
     else spark.read.parquet(vs: _*)
       .select(col("txn")).where(col("txn") >= 0).distinct()
@@ -783,8 +772,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def compact(targetFiles: Int = 1, smallFileBytes: Long = 64L << 20): Long =
     commitLoop() { base =>
       val data = base.filter(_.kind == "data")
-      val small = data.filter(r =>
-        new java.io.File(r.file).length() < smallFileBytes)
+      val small = data.filter(r => io.length(r.file) < smallFileBytes)
       if (small.size <= math.max(1, targetFiles)) Some((base, Seq.empty))
       else {
         val st = stage(scan(base, small.map(_.file)).drop("__file", "__pos")
@@ -882,12 +870,14 @@ final class GraftTable private (spark: SparkSession, val root: String,
              minAgeMs: Long = 0L): Seq[String] = {
     require(keepLast >= 1,
       s"keepLast must be >= 1 (got $keepLast): expiring every version would vacuum the head snapshot")
-    val dd = new java.io.File(dataDir)
-    if (!dd.exists) return Seq.empty
-    // 1) snapshot the physical listing first
-    val dirs = dd.listFiles.toSeq.filter(_.isDirectory)
-      .map(sub => sub -> sub.listFiles.toSeq
-        .filter(_.getName.startsWith("part-")))
+    if (!io.exists(dataDir)) return Seq.empty
+    // 1) snapshot the physical listing first ((name, canon path,
+    // mtime) per candidate file — one FileSystem status read each)
+    val dirs = io.list(dataDir).filter(_.isDirectory)
+      .map(sub => sub.getPath.getName ->
+        io.list(sub.getPath.toString)
+          .filter(_.getPath.getName.startsWith("part-"))
+          .map(f => (io.canon(f.getPath.toString), f.getModificationTime)))
     // 2) retained union — read AFTER the listing, topped up on movement
     var hSeen = head
     val retained = scala.collection.mutable.Set.empty[String]
@@ -896,23 +886,22 @@ final class GraftTable private (spark: SparkSession, val root: String,
     topUp(hSeen - keepLast + 1, hSeen)
     val now = System.currentTimeMillis()
     val out = Seq.newBuilder[String]
-    for ((sub, files) <- dirs) {
+    for ((subName, files) <- dirs) {
       var doomed = files
-        .filter(f => !retained(f.getPath) && now - f.lastModified >= minAgeMs)
+        .filter { case (p, mtime) => !retained(p) && now - mtime >= minAgeMs }
       if (doomed.nonEmpty) {
         // a commit may have landed since the retained snapshot: its
         // files were either marker-protected or are now referenced
         val h1 = head
         if (h1 != hSeen) {
           topUp(hSeen + 1, h1); hSeen = h1
-          doomed = doomed.filter(f => !retained(f.getPath))
+          doomed = doomed.filter { case (p, _) => !retained(p) }
         }
       }
       if (doomed.nonEmpty) {
         // 3) marker re-check immediately before the physical deletes
-        val marker = new java.io.File(dd, s".staging-${sub.getName}")
-        val inFlight = marker.exists &&
-          now - marker.lastModified < staleStagingMs
+        val marker = s"$dataDir/.staging-$subName"
+        val inFlight = io.mtime(marker).exists(m => now - m < staleStagingMs)
         if (!inFlight) {
           // 4) with no age floor to absorb it, close the last window (a
           // writer that staged, committed AND cleared its marker since
@@ -923,11 +912,11 @@ final class GraftTable private (spark: SparkSession, val root: String,
             val h2 = head
             if (h2 != hSeen) {
               topUp(hSeen + 1, h2); hSeen = h2
-              doomed = doomed.filter(f => !retained(f.getPath))
+              doomed = doomed.filter { case (p, _) => !retained(p) }
             }
           }
-          doomed.foreach(f => Files.deleteIfExists(f.toPath))
-          out ++= doomed.map(_.getPath)
+          doomed.foreach { case (p, _) => io.delete(p) }
+          out ++= doomed.map(_._1)
         }
       }
     }
@@ -946,7 +935,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
     require(v >= 1 && v <= h, s"need 1 <= v <= $h (got $v)")
     val target = manifestOf(v)
     target.filter(r => r.kind == "data" || r.kind == "dv")
-      .foreach(r => require(new java.io.File(r.file).exists,
+      .foreach(r => require(io.exists(r.file),
         s"version $v is not restorable: ${r.file} was vacuumed"))
     commitLoop() (_ => Some((target, Seq.empty)))
   }
@@ -1100,7 +1089,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
   private[table] def stageForTest(df: DataFrame): Staged = stage(df)
   private[table] def adoptForTest(st: Staged): Long = {
     val v = commitLoop() (base => Some((base ++ st.refs, Seq.empty)))
-    Files.deleteIfExists(st.marker)
+    io.delete(st.marker)
     v
   }
 }
@@ -1131,13 +1120,13 @@ object GraftTable {
 
   /** a staged-but-uncommitted file set and its in-flight marker */
   private[table] final case class Staged(dir: String, refs: Seq[FileRef],
-                                         marker: java.nio.file.Path)
+                                         marker: String)
 
   /** version 1 = the initial file set */
   def create(spark: SparkSession, root: String, keyCol: String,
              df: DataFrame): GraftTable = {
-    new java.io.File(s"$root/commits").mkdirs()
     val t = new GraftTable(spark, root, keyCol)
+    t.io.mkdirs(s"$root/commits")
     require(t.head == 0, s"table at $root already exists")
     t.append(df)
     t
@@ -1145,7 +1134,8 @@ object GraftTable {
 
   /** open an existing table (or an empty root a stream will populate) */
   def open(spark: SparkSession, root: String, keyCol: String): GraftTable = {
-    new java.io.File(s"$root/commits").mkdirs()
-    new GraftTable(spark, root, keyCol)
+    val t = new GraftTable(spark, root, keyCol)
+    t.io.mkdirs(s"$root/commits")
+    t
   }
 }
