@@ -2045,6 +2045,31 @@ object ScaleOps {
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x42 — the REGISTERED BATCH SOURCE for the table format
+  //       (sources.GraftTableSource): `spark.read.format("graft")` /
+  //       `CREATE TEMPORARY VIEW t USING graft OPTIONS (...)` — a
+  //       BI tool or SQL-only consumer reads the table (DV-applied,
+  //       schema-merged, time-travelable via `versionAsOf`) with no
+  //       Scala handle anywhere. The gated query reads x33's standing
+  //       mutated table AT VERSION 3 through the format route —
+  //       pinning the version makes the read independent of x36's
+  //       later restore commit on the shared fixture — and aggregates
+  //       to x34's final-state oracle: the format route and the handle
+  //       route must be value-identical. GraftTableSourceSpec pins
+  //       the SQL view route, time travel, column pruning reaching
+  //       the inner scan, and filter-pushdown correctness.
+  // ---------------------------------------------------------------------
+  private def x42(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft")
+      .option("path", x33Stage(spark, dir))
+      .option("keyCol", "o_orderkey")
+      .option("versionAsOf", "3")
+      .load()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+
+  // ---------------------------------------------------------------------
   // x29 — DELETE via DELETION VECTORS (merge-on-read — the modern
   //       sibling of x25's copy-on-write, same semantics, same oracle,
   //       different cost model): instead of rewriting every file that
@@ -2431,5 +2456,6 @@ object ScaleOps {
     QuerySpec("x38_api_colstats_delete", x38, Some(x38Sql)),
     QuerySpec("x39_api_zorder_cluster", x39, Some(x39Sql)),
     QuerySpec("x40_string_key_lifecycle", x40, Some(x40Sql)),
-    QuerySpec("x41_sql_mutation_commands", x41, Some(x41Sql)))
+    QuerySpec("x41_sql_mutation_commands", x41, Some(x41Sql)),
+    QuerySpec("x42_format_batch_read", x42, Some(x34Sql)))
 }
