@@ -2070,6 +2070,74 @@ object ScaleOps {
            sum(col("o_price")).cast(DoubleType).as("sum_price"))
 
   // ---------------------------------------------------------------------
+  // x43 — SQL MERGE + maintenance verbs (completing x41's DML story:
+  //       GRAFT MERGE INTO ... KEY ... USING <query> upserts an
+  //       arbitrary SQL source — here pure SQL over the parquet file,
+  //       no DataFrame anywhere — then GRAFT OPTIMIZE folds the
+  //       upsert's file fragments and GRAFT VACUUM reclaims the
+  //       superseded versions; with x42's `USING graft` read route,
+  //       the entire ingest→upsert→reorganize→retain→read loop now
+  //       runs from SQL text alone). OPTIMIZE and VACUUM must never
+  //       change a row, so the oracle is exactly the merged-state
+  //       relational aggregate; the command surface's EXPLAIN
+  //       inertness, TXN replay-idempotency, and CLUSTER BY verb are
+  //       GraftSqlParserSpec's pins.
+  // ---------------------------------------------------------------------
+  private def x43(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x43-sqlmerge")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.repartitionByRange(X23_FILES, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    val parser = new graft.plans.GraftSqlParser(spark,
+      spark.sessionState.sqlParser)
+    def run(sql: String): Unit = {
+      org.apache.spark.sql.graftglue.ColumnBridge
+        .ofRows(spark, parser.parsePlan(sql)).collect()
+      ()
+    }
+    val pq = s"parquet.`$dir/orders.parquet`"
+    run(s"""GRAFT MERGE INTO '$root' KEY o_orderkey USING
+      SELECT o_orderkey, 'U' AS o_orderstatus,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2))
+          AS o_price
+      FROM $pq WHERE o_orderkey % 37 = 0 AND o_orderkey <= ${mx / 4}
+      UNION ALL
+      SELECT $mx + 1 + o_orderkey, 'N',
+        CAST(o_totalprice AS DECIMAL(18,2))
+      FROM $pq WHERE o_orderkey % 97 = 0""")
+    run(s"GRAFT OPTIMIZE '$root' TARGET 4 FILES")
+    run(s"GRAFT VACUUM '$root' KEEP 1")
+    t.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  private val x43Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_price FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 37 = 0 AND o_orderkey <= m.mx // 4
+      |      THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 37 = 0 AND o_orderkey <= m.mx // 4
+      |      THEN CAST(o_price * 2 AS DECIMAL(18,2)) ELSE o_price END
+      |      AS o_price
+      |  FROM base, m
+      |  UNION ALL
+      |  SELECT m.mx + 1 + o_orderkey, 'N', o_price
+      |  FROM base, m WHERE o_orderkey % 97 = 0)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
+      |FROM merged GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x29 — DELETE via DELETION VECTORS (merge-on-read — the modern
   //       sibling of x25's copy-on-write, same semantics, same oracle,
   //       different cost model): instead of rewriting every file that
@@ -2457,5 +2525,6 @@ object ScaleOps {
     QuerySpec("x39_api_zorder_cluster", x39, Some(x39Sql)),
     QuerySpec("x40_string_key_lifecycle", x40, Some(x40Sql)),
     QuerySpec("x41_sql_mutation_commands", x41, Some(x41Sql)),
-    QuerySpec("x42_format_batch_read", x42, Some(x34Sql)))
+    QuerySpec("x42_format_batch_read", x42, Some(x34Sql)),
+    QuerySpec("x43_sql_merge_lifecycle", x43, Some(x43Sql)))
 }

@@ -46,3 +46,55 @@ case class GraftRestoreCommand(root: String, toVersion: Long)
     Seq(Row(t.restore(toVersion)))
   }
 }
+
+/** `GRAFT MERGE INTO '<root>' KEY <col> [TXN <id>] USING <query>` —
+  * keyed upsert of the query's rows ([[graft.table.GraftTable.merge]]:
+  * stats-pruned planning, matched-file-only rewrite; `TXN` makes the
+  * merge idempotent by id for replay-safe ingestion). The source
+  * query text resolves against the session at RUN time — parse,
+  * analysis, and EXPLAIN never execute it. */
+case class GraftMergeCommand(root: String, key: String, txn: Long,
+                             sourceSql: String) extends GraftVersionCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.table.GraftTable.open(session, root, key)
+    Seq(Row(t.merge(session.sql(sourceSql), txn = txn)))
+  }
+}
+
+/** `GRAFT OPTIMIZE '<root>' [TARGET <n> FILES]` — small-file
+  * compaction ([[graft.table.GraftTable.compact]]: files already at
+  * size carry by reference; pending deletion vectors fold in). */
+case class GraftOptimizeCommand(root: String, targetFiles: Int)
+    extends GraftVersionCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.table.GraftTable.open(session, root, "__unused__")
+    Seq(Row(t.compact(targetFiles = targetFiles)))
+  }
+}
+
+/** `GRAFT CLUSTER '<root>' BY (<c1>[, <c2>...]) [TARGET <n> FILES]` —
+  * Z-order reorganization ([[graft.table.GraftTable.cluster]]: Delta's
+  * OPTIMIZE ... ZORDER BY; rows identical, stats go tight on every
+  * clustered dimension). */
+case class GraftClusterCommand(root: String, by: Seq[String],
+                               targetFiles: Int) extends GraftVersionCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.table.GraftTable.open(session, root, "__unused__")
+    Seq(Row(t.cluster(by, targetFiles = targetFiles)))
+  }
+}
+
+/** `GRAFT VACUUM '<root>' KEEP <n>` — expire everything but the last
+  * n versions and physically delete unreferenced files
+  * ([[graft.table.GraftTable.expire]]: staging markers and the
+  * retained union protect concurrent writers). Returns the deleted
+  * file count. */
+case class GraftVacuumCommand(root: String, keepLast: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("deleted_files", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.table.GraftTable.open(session, root, "__unused__")
+    Seq(Row(t.expire(keepLast = keepLast).size.toLong))
+  }
+}

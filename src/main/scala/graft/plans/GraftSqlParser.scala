@@ -33,9 +33,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * {{{
   * GRAFT DELETE FROM '<root>' KEY <col> [USING MOR] WHERE <predicate>
+  * GRAFT MERGE INTO '<root>' KEY <col> [TXN <id>] USING <query>
   * GRAFT RESTORE '<root>' TO <version>
+  * GRAFT OPTIMIZE '<root>' [TARGET <n> FILES]
+  * GRAFT CLUSTER '<root>' BY (<c1>[, <c2>...]) [TARGET <n> FILES]
+  * GRAFT VACUUM '<root>' KEEP <n>
   * EXPLAIN [EXTENDED|FORMATTED] GRAFT <any of the above>
-  * }}} */
+  * }}}
+  *
+  * With the read commands, the registered `graft` batch source, and
+  * the `graft-cdf` streaming source, the ENTIRE table lifecycle —
+  * ingest, upsert, erase, reorganize, retain, time-travel, replicate —
+  * is reachable from SQL text plus format strings alone. */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
@@ -45,8 +54,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*""".r
   private val Delete =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+KEY\s+(\w+)\s+(USING\s+MOR\s+)?WHERE\s+(.+?)\s*""".r
+  private val Merge =
+    """(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'\s+KEY\s+(\w+)\s+(?:TXN\s+(\d+)\s+)?USING\s+(.+?)\s*""".r
   private val Restore =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+(\d+)\s*""".r
+  private val Optimize =
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+)\s+FILES)?\s*""".r
+  private val Cluster =
+    """(?is)\s*GRAFT\s+CLUSTER\s+'([^']+)'\s+BY\s+\(([\w\s,]+)\)(?:\s+TARGET\s+(\d+)\s+FILES)?\s*""".r
+  private val Vacuum =
+    """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*""".r
   private val Explain =
     """(?is)\s*EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|CODEGEN\s+|COST\s+)?(GRAFT\s.+)""".r
 
@@ -61,8 +78,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         .history().queryExecution.logical
     case Delete(root, key, mor, whereSql) =>
       GraftDeleteCommand(root, key, whereSql, mor = mor != null)
+    case Merge(root, key, txn, sourceSql) =>
+      // validate the source query's SYNTAX now (parse only — analysis
+      // and execution stay at run time), so a typo fails at parse like
+      // any SQL statement instead of mid-mutation
+      delegate.parsePlan(sourceSql)
+      GraftMergeCommand(root, key,
+        Option(txn).map(_.toLong).getOrElse(-1L), sourceSql)
     case Restore(root, to) =>
       GraftRestoreCommand(root, to.toLong)
+    case Optimize(root, target) =>
+      GraftOptimizeCommand(root,
+        Option(target).map(_.toInt).getOrElse(1))
+    case Cluster(root, by, target) =>
+      GraftClusterCommand(root,
+        by.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        Option(target).map(_.toInt).getOrElse(16))
+    case Vacuum(root, keep) =>
+      GraftVacuumCommand(root, keep.toInt)
     case Explain(mode, inner) =>
       // Spark's own parser never sees the GRAFT text, so EXPLAIN over
       // a GRAFT statement is assembled here — the inner plan is built

@@ -99,6 +99,39 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(tbl.read().where(col("k") === 2).head.getString(1) == "B2")
   }
 
+  test("MERGE/OPTIMIZE/CLUSTER/VACUUM run the whole lifecycle from SQL") {
+    val root = fixture() // v1 {1a 2b 3c}, v2 merge {2→B2, +4d}
+    def tbl = graft.table.GraftTable.open(base, root, "k")
+    // EXPLAIN of a merge is inert: neither the table nor the source
+    // query executes
+    ext.sql(s"EXPLAIN GRAFT MERGE INTO '$root' KEY k " +
+      "USING SELECT 9L AS k, 'z' AS v").collect()
+    assert(tbl.head == 2, "EXPLAIN GRAFT MERGE must be side-effect free")
+    // the merge source is arbitrary SQL resolved at run time
+    val v = ext.sql(s"GRAFT MERGE INTO '$root' KEY k USING " +
+      "SELECT * FROM VALUES (1L, 'A1'), (9L, 'NEW') AS t(k, v)")
+      .head.getLong(0)
+    assert(v == 3 && tbl.read().count() == 5)
+    assert(tbl.read().where(col("k") === 1).head.getString(1) == "A1")
+    // TXN makes the SQL merge replay-idempotent
+    ext.sql(s"GRAFT MERGE INTO '$root' KEY k TXN 77 USING " +
+      "SELECT 2L AS k, 'T2' AS v").collect()
+    assert(tbl.head == 4)
+    ext.sql(s"GRAFT MERGE INTO '$root' KEY k TXN 77 USING " +
+      "SELECT 2L AS k, 'XX' AS v").collect()
+    assert(tbl.head == 4, "replayed TXN must not commit")
+    assert(tbl.read().where(col("k") === 2).head.getString(1) == "T2")
+    // reorganization + retention verbs: rows never change
+    val rows = tbl.read().collect().map(_.toSeq).toSet
+    ext.sql(s"GRAFT OPTIMIZE '$root' TARGET 1 FILES").collect()
+    assert(tbl.head == 5 && tbl.read().collect().map(_.toSeq).toSet == rows)
+    ext.sql(s"GRAFT CLUSTER '$root' BY (k) TARGET 2 FILES").collect()
+    assert(tbl.head == 6 && tbl.read().collect().map(_.toSeq).toSet == rows)
+    val deleted = ext.sql(s"GRAFT VACUUM '$root' KEEP 1").head.getLong(0)
+    assert(deleted > 0, "superseded files must vacuum")
+    assert(tbl.read().collect().map(_.toSeq).toSet == rows)
+  }
+
   test("everything else delegates to Spark's parser untouched") {
     assert(ext.sql("SELECT 1 + 1 AS two").head.getInt(0) == 2)
     // the injected functions ride the same extensions entry point
