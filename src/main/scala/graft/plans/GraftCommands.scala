@@ -61,6 +61,40 @@ case class GraftMergeCommand(root: String, key: String, txn: Long,
   }
 }
 
+/** `GRAFT CREATE '<root>' KEY <col> [RANGE CLUSTER INTO <n> FILES]
+  * USING <query>` — create a table whose version 1 is the query's
+  * rows. The optional clause range-clusters the layout on the key
+  * (repartitionByRange + sortWithinPartitions), so every later
+  * stats-pruned mutation reads only key-overlapping files — the
+  * clustered-create a SQL-only pipeline otherwise could not ask
+  * for. */
+case class GraftCreateCommand(root: String, key: String,
+                              clusterFiles: Option[Int],
+                              sourceSql: String) extends GraftVersionCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.col
+    val src = session.sql(sourceSql)
+    val laid = clusterFiles match {
+      case Some(n) =>
+        src.repartitionByRange(n, col(key)).sortWithinPartitions(key)
+      case None => src
+    }
+    graft.table.GraftTable.create(session, root, key, laid)
+    Seq(Row(1L))
+  }
+}
+
+/** `GRAFT APPEND INTO '<root>' KEY <col> USING <query>` — append-only
+  * commit of the query's rows (new files; every existing file carries
+  * by reference). */
+case class GraftAppendCommand(root: String, key: String,
+                              sourceSql: String) extends GraftVersionCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.table.GraftTable.open(session, root, key)
+    Seq(Row(t.append(session.sql(sourceSql))))
+  }
+}
+
 /** `GRAFT OPTIMIZE '<root>' [TARGET <n> FILES]` — small-file
   * compaction ([[graft.table.GraftTable.compact]]: files already at
   * size carry by reference; pending deletion vectors fold in). */

@@ -32,6 +32,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * time (GraftSqlParserSpec pins EXPLAIN's side-effect-freedom):
   *
   * {{{
+  * GRAFT CREATE '<root>' KEY <col> [RANGE CLUSTER INTO <n> FILES]
+  *   USING <query>
+  * GRAFT APPEND INTO '<root>' KEY <col> USING <query>
   * GRAFT DELETE FROM '<root>' KEY <col> [USING MOR] WHERE <predicate>
   * GRAFT MERGE INTO '<root>' KEY <col> [TXN <id>] USING <query>
   * GRAFT RESTORE '<root>' TO <version>
@@ -56,6 +59,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+KEY\s+(\w+)\s+(USING\s+MOR\s+)?WHERE\s+(.+?)\s*""".r
   private val Merge =
     """(?is)\s*GRAFT\s+MERGE\s+INTO\s+'([^']+)'\s+KEY\s+(\w+)\s+(?:TXN\s+(\d+)\s+)?USING\s+(.+?)\s*""".r
+  private val Create =
+    """(?is)\s*GRAFT\s+CREATE\s+'([^']+)'\s+KEY\s+(\w+)\s+(?:RANGE\s+CLUSTER\s+INTO\s+(\d+)\s+FILES\s+)?USING\s+(.+?)\s*""".r
+  private val Append =
+    """(?is)\s*GRAFT\s+APPEND\s+INTO\s+'([^']+)'\s+KEY\s+(\w+)\s+USING\s+(.+?)\s*""".r
   private val Restore =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+(\d+)\s*""".r
   private val Optimize =
@@ -85,6 +92,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       delegate.parsePlan(sourceSql)
       GraftMergeCommand(root, key,
         Option(txn).map(_.toLong).getOrElse(-1L), sourceSql)
+    case Create(root, key, cluster, sourceSql) =>
+      delegate.parsePlan(sourceSql)
+      GraftCreateCommand(root, key, Option(cluster).map(_.toInt), sourceSql)
+    case Append(root, key, sourceSql) =>
+      delegate.parsePlan(sourceSql)
+      GraftAppendCommand(root, key, sourceSql)
     case Restore(root, to) =>
       GraftRestoreCommand(root, to.toLong)
     case Optimize(root, target) =>

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.UnsafeRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -26,8 +26,9 @@ import graft.table.GraftTable
   * {{{
   * spark.readStream.format("graft-cdf")
   *   .option("path", tableRoot).option("keyCol", "id")
-  *   .option("startingVersion", "1")   // 0 = initial snapshot as inserts
-  *   .load()                           // table columns + change_type
+  *   .option("startingVersion", "1")    // 0 = initial snapshot as inserts
+  *   .option("maxVersionsPerBatch", "8") // bounded catch-up windows
+  *   .load()                            // table columns + change_type
   * }}}
   *
   * Each micro-batch covers a version window `(startV, endV]` and emits
@@ -107,6 +108,8 @@ private[sources] class GraftCdfTable(schema0: StructType,
             root = GraftCdfSourceProvider.path(options),
             keyCol = GraftCdfSourceProvider.keyCol(options),
             startingVersion = options.getLong("startingVersion", 0L),
+            maxVersionsPerBatch =
+              options.getLong("maxVersionsPerBatch", Long.MaxValue),
             schema = schema0,
             checkpointLocation = checkpointLocation)
       }
@@ -119,7 +122,9 @@ private[sources] case class GraftVersionOffset(v: Long) extends Offset {
 
 private[sources] class GraftCdfMicroBatchStream(
     root: String, keyCol: String, startingVersion: Long,
-    schema: StructType, checkpointLocation: String) extends MicroBatchStream {
+    maxVersionsPerBatch: Long, schema: StructType,
+    checkpointLocation: String)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
   private def table = GraftTable.open(spark, root, keyCol)
@@ -129,10 +134,27 @@ private[sources] class GraftCdfMicroBatchStream(
 
   override def initialOffset(): Offset = {
     require(startingVersion >= 0, "startingVersion must be >= 0")
+    require(maxVersionsPerBatch >= 1, "maxVersionsPerBatch must be >= 1")
     GraftVersionOffset(startingVersion)
   }
 
   override def latestOffset(): Offset = GraftVersionOffset(table.head)
+
+  /** admission control (Delta's maxFilesPerTrigger analog, in the
+    * source's own unit): a consumer that fell far behind catches up in
+    * BOUNDED version windows — each batch commits its own checkpoint,
+    * so a crash mid-catch-up loses one window, not the whole replay.
+    * The windows stay NET per batch (a row upserted in v5 and deleted
+    * in v9 flows through both batches), landing at the same final
+    * state with change-proportional work per trigger. */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val s = startOffset.asInstanceOf[GraftVersionOffset].v
+    val h = table.head
+    if (maxVersionsPerBatch == Long.MaxValue) GraftVersionOffset(h)
+    else GraftVersionOffset(math.min(h, s + maxVersionsPerBatch))
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
   override def deserializeOffset(json: String): Offset =
     GraftVersionOffset(json.toLong)

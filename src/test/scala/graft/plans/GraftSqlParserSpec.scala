@@ -132,6 +132,31 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(tbl.read().collect().map(_.toSeq).toSet == rows)
   }
 
+  test("CREATE/APPEND ingest from SQL; USING graft reads back — zero Scala") {
+    val root = graft.util.Scratch.dir("graft-sql-create")
+    // EXPLAIN of CREATE on a fresh root is inert: no version appears
+    ext.sql(s"EXPLAIN GRAFT CREATE '$root' KEY k USING SELECT 1L AS k")
+      .collect()
+    assert(graft.table.GraftTable.open(base, root, "k").head == 0,
+      "EXPLAIN GRAFT CREATE must not create anything")
+    // the whole ingest-and-read loop in SQL text + a format string
+    val v1 = ext.sql(s"GRAFT CREATE '$root' KEY k " +
+      "RANGE CLUSTER INTO 2 FILES USING " +
+      "SELECT * FROM VALUES (1L,'a'),(2L,'b'),(3L,'c'),(4L,'d') AS t(k,v)")
+      .head.getLong(0)
+    assert(v1 == 1)
+    val t = graft.table.GraftTable.open(base, root, "k")
+    assert(t.filesOf(1).size == 2, "RANGE CLUSTER must lay out 2 files")
+    val v2 = ext.sql(s"GRAFT APPEND INTO '$root' KEY k USING " +
+      "SELECT 5L AS k, 'e' AS v").head.getLong(0)
+    assert(v2 == 2)
+    ext.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_sql_loop
+      USING graft OPTIONS (path '$root', keyCol 'k')""")
+    assert(ext.sql("SELECT COUNT(*) AS n FROM graft_sql_loop")
+      .head.getLong(0) == 5)
+    ext.sql("DROP VIEW graft_sql_loop")
+  }
+
   test("everything else delegates to Spark's parser untouched") {
     assert(ext.sql("SELECT 1 + 1 AS two").head.getInt(0) == 2)
     // the injected functions ride the same extensions entry point

@@ -79,6 +79,38 @@ class GraftCdfSourceSpec extends AnyFunSuite {
     assert(sortedSeen(seen) == Seq((1L, "insert"), (3L, "insert")))
   }
 
+  test("maxVersionsPerBatch bounds catch-up windows, one checkpoint each") {
+    val root = graft.util.Scratch.dir("graft-cdf-admission")
+    val t = GraftTable.create(spark, root, "k", rows(1, 2))  // v1
+    t.merge(Seq((3L, "s3")).toDF("k", "v"))                  // v2
+    t.merge(Seq((2L, "U2")).toDF("k", "v"))                  // v3
+    t.delete(col("k") === 1)                                 // v4
+    val batches = new ConcurrentLinkedQueue[Seq[(Long, String)]]()
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", root).option("keyCol", "k")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation",
+        graft.util.Scratch.dir("graft-cdf-admission-ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches.add(b.select(col("k"), col("change_type")).collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toSeq
+    // one window per version, each the version's OWN net change
+    assert(got == Seq(
+      Seq((3L, "insert")),
+      Seq((2L, "update")),
+      Seq((1L, "delete"))),
+      s"bounded windows must arrive one version at a time: $got")
+  }
+
   test("a replicated mirror through the source equals the source head") {
     val root = graft.util.Scratch.dir("graft-cdf-repl")
     val t = GraftTable.create(spark, root, "k",
