@@ -181,6 +181,24 @@ final class GraftTable private (spark: SparkSession, val root: String,
     if (refs.nonEmpty && refs.forall(_.hi >= 0)) refs.map(_.hi).sum
     else Long.MaxValue
 
+  /** the distinct data files a DV sidecar list targets. DV files are
+    * immutable once committed, so the set for a given list never
+    * changes — memoized (single entry, key = the sorted list) because
+    * one mutation past the DV broadcast budget otherwise re-pays this
+    * collect for each of its scans (candidate refinement, touched
+    * read, rewrite) plus retirement (the round-11 advisor's note). */
+  @volatile private var dvTargetsCache: (Seq[String], Set[String]) = null
+  private def dvTargets(dvFiles: Seq[String]): Set[String] = {
+    val key = dvFiles.sorted
+    val c = dvTargetsCache
+    if (c != null && c._1 == key) return c._2
+    val t = spark.read.parquet(key: _*)
+      .select(col("dv_file")).distinct()
+      .collect().map(_.getString(0)).toSet // ≤ data-file count rows
+    dvTargetsCache = (key, t)
+    t
+  }
+
   /** DV-applied rows of `files` with `__file`/`__pos` provenance
     * columns — the one scan shape every mutation's refinement and
     * rewrite read through, so merge-on-read deletes are honored by
@@ -210,8 +228,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
     if (dvPositions(dvRefs) <= GraftTable.DvBroadcastPositions)
       anti(withProv(files), broadcast(dv))
     else {
-      val targets = dv.select(col("dv_file")).distinct()
-        .collect().map(_.getString(0)).toSet // ≤ data-file count rows
+      val targets = dvTargets(dvRefs.map(_.file))
       val (dirty, clean) = files.partition(targets)
       val applied =
         if (dirty.isEmpty) None
@@ -534,8 +551,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val dvRefs = refs.filter(_.kind == "dv")
     if (removed.isEmpty || dvRefs.isEmpty) return (refs, staged)
     val dv = spark.read.parquet(dvRefs.map(_.file): _*)
-    val targets = dv.select(col("dv_file")).distinct()
-      .collect().map(_.getString(0)).toSet // ≤ data-file count rows
+    val targets = dvTargets(dvRefs.map(_.file))
     if (!targets.exists(removed)) return (refs, staged)
     val noDv = refs.filterNot(_.kind == "dv")
     if (targets.forall(removed)) return (noDv, staged) // all stale: drop
@@ -1019,8 +1035,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
       else {
         val newDvRefs = to.filter(r => r.kind == "dv" && newDvs.contains(r.file))
         val dv = spark.read.parquet(newDvs: _*)
-        val targets = dv.select(col("dv_file")).distinct()
-          .collect().map(_.getString(0)).toSet
+        val targets = dvTargets(newDvs)
         val hit = carried.filter(targets)
         if (hit.isEmpty) schema
         else {
