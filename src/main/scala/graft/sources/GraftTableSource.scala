@@ -58,8 +58,17 @@ private[sources] class GraftTableRelation(
     override val sqlContext: SQLContext, root: String, keyCol: String,
     version: Long) extends BaseRelation with PrunedFilteredScan {
 
+  /** the version is PINNED at relation creation (load/view time):
+    * a DataFrame is an immutable snapshot, so re-executing it after
+    * concurrent commits re-reads the SAME version, never a newer
+    * head — Delta pins its snapshot at analysis the same way */
+  private val pinnedVersion: Long =
+    if (version >= 0) version
+    else GraftTable.open(sqlContext.sparkSession, root, keyCol).head
+
   private def snapshot =
-    GraftTable.open(sqlContext.sparkSession, root, keyCol).read(version)
+    GraftTable.open(sqlContext.sparkSession, root, keyCol)
+      .read(pinnedVersion)
 
   override val schema: StructType = snapshot.schema
 

@@ -57,6 +57,17 @@ class GraftTableSourceSpec extends AnyFunSuite {
     spark.sql("DROP VIEW graft_src_view")
   }
 
+  test("a loaded DataFrame is a pinned snapshot across concurrent commits") {
+    val t = fixture()
+    val df = read(t)                      // relation pins head = v3 here
+    val before = df.collect().map(_.toSeq).toSet
+    t.merge(Seq((999L, 0L, "LATE")).toDF("k", "g", "v")) // v4 after load
+    assert(df.collect().map(_.toSeq).toSet == before,
+      "re-executing a loaded DataFrame must re-read the pinned version")
+    assert(read(t).where(col("k") === 999).count() == 1,
+      "a FRESH load sees the new head")
+  }
+
   test("column pruning reaches the inner scan; filters stay correct") {
     val t = fixture()
     // a 1-column projection must not read the other columns: the inner
