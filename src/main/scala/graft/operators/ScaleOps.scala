@@ -2138,6 +2138,47 @@ object ScaleOps {
       |FROM merged GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x44 — METADATA-ONLY COUNT (the Delta/Iceberg `SELECT COUNT(*)`
+  //       fast path): manifests record every data file's footer row
+  //       count and every DV sidecar's position count at stage time,
+  //       so `t.count(v)` = Σ data rows − Σ DV positions is answered
+  //       from ONE manifest read — no data file opened
+  //       (GraftTableSpec proves it by physically hiding every data
+  //       file; pre-counter manifests and pre-retirement stale DVs
+  //       are DETECTED and fall back to an exact scan). The gated
+  //       query counts the table before and after a MoR delete
+  //       through the metadata path against the plain relational
+  //       COUNT oracle.
+  //
+  //       100 TB shape: the single most common BI/monitoring query
+  //       costs one manifest read instead of a full scan; history()
+  //       rides the same counts for per-version live-row totals.
+  // ---------------------------------------------------------------------
+  private def x44(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x44-metacount")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.repartitionByRange(X23_FILES, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    t.delete(col("o_orderkey") % 53 === 0 && col("o_orderkey") <= mx / 4,
+      mode = "mor")
+    import spark.implicits._
+    Seq((1L, t.count(1)), (2L, t.count(2))).toDF("version", "n_rows")
+  }
+
+  private val x44Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+      |SELECT CAST(1 AS BIGINT) AS version,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+      |FROM orders, m
+      |WHERE NOT (o_orderkey % 53 = 0 AND o_orderkey <= m.mx // 4)""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x29 — DELETE via DELETION VECTORS (merge-on-read — the modern
   //       sibling of x25's copy-on-write, same semantics, same oracle,
   //       different cost model): instead of rewriting every file that
@@ -2526,5 +2567,6 @@ object ScaleOps {
     QuerySpec("x40_string_key_lifecycle", x40, Some(x40Sql)),
     QuerySpec("x41_sql_mutation_commands", x41, Some(x41Sql)),
     QuerySpec("x42_format_batch_read", x42, Some(x34Sql)),
-    QuerySpec("x43_sql_merge_lifecycle", x43, Some(x43Sql)))
+    QuerySpec("x43_sql_merge_lifecycle", x43, Some(x43Sql)),
+    QuerySpec("x44_metadata_count", x44, Some(x44Sql)))
 }

@@ -118,9 +118,11 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val names = df.schema.fieldNames.toSet
     val hasStats = names("stats")
     val hasSStats = names("sstats")
+    val hasCounts = names("rows") && names("bytes")
     val cols = Seq(col("file"), col("kind"), col("lo"), col("hi")) ++
       (if (hasStats) Seq(col("stats")) else Nil) ++
-      (if (hasSStats) Seq(col("sstats")) else Nil)
+      (if (hasSStats) Seq(col("sstats")) else Nil) ++
+      (if (hasCounts) Seq(col("rows"), col("bytes")) else Nil)
     df.select(cols: _*)
       .collect()
       .map { r =>
@@ -133,7 +135,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
           else r.getAs[Map[String, org.apache.spark.sql.Row]]("sstats")
             .map { case (c, s) => c -> (s.getString(0), s.getString(1)) }
         FileRef(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-          stats, sstats)
+          stats, sstats,
+          rows = if (hasCounts) r.getAs[Long]("rows") else -1L,
+          bytes = if (hasCounts) r.getAs[Long]("bytes") else -1L)
       }
       .toSeq.sortBy(r => (r.kind, r.file))
   }
@@ -162,6 +166,37 @@ final class GraftTable private (spark: SparkSession, val root: String,
     else if (!refs.exists(_.kind == "dv"))
       spark.read.option("mergeSchema", "true").parquet(data: _*)
     else scan(refs, data).drop("__file", "__pos")
+  }
+
+  /** row count of a version — FROM THE MANIFEST when possible (the
+    * Delta/Iceberg `SELECT COUNT(*)` fast path: per-file footer row
+    * counts are recorded at stage time, DV refs carry their position
+    * counts, and round-12 DV retirement guarantees new commits' DV
+    * rows all target live files, so `Σ data rows − Σ dv positions` is
+    * exact): a 100 TB table answers in one manifest read, no data file
+    * opened (spec-pinned by physically hiding every data file).
+    * Falls back to a real scan-count only when a pre-counter manifest
+    * lacks the numbers or a pre-retirement DV targets a removed file
+    * (both detected, never guessed). */
+  def count(version: Long = -1L): Long = {
+    val v = if (version < 0) head else version
+    if (v == 0) return 0L
+    val refs = manifestOf(v)
+    val data = refs.filter(_.kind == "data")
+    val dvs = refs.filter(_.kind == "dv")
+    val counted = data.forall(_.rows >= 0L) && dvs.forall(_.hi >= 0L)
+    if (!counted) return read(v).count()
+    val dataRows = data.map(_.rows).sum
+    if (dvs.isEmpty) dataRows
+    else {
+      // a DV position is counted iff its target file is in THIS
+      // version (retirement maintains that for new commits; positions
+      // are disjoint across DVs because deletes match DV-applied rows)
+      val live = data.map(_.file).toSet
+      if (dvTargets(dvs.map(_.file)).forall(live))
+        dataRows - dvs.map(_.hi).sum
+      else read(v).count() // stale pre-retirement DV: exact fallback
+    }
   }
 
   // ---- read plumbing --------------------------------------------------
@@ -426,8 +461,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
     io.touch(marker) // BEFORE any data file exists (expire skips it)
     val sub = s"$dataDir/$uuid"
     df.write.parquet(sub)
-    val files = io.list(sub).map(st => io.canon(st.getPath.toString))
-      .filter(_.split('/').last.startsWith("part-")).sorted
+    val listed = io.list(sub)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(st => io.canon(st.getPath.toString) -> st.getLen)
+      .sortBy(_._1)
+    val files = listed.map(_._1)
+    val sizes = listed.toMap
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val intCols = df.schema.fields.collect {
       case f if Seq(ByteType, ShortType, IntegerType, LongType)
@@ -443,7 +482,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
         .getOrElse((Long.MinValue, Long.MaxValue))
       FileRef(f, "data", lo, hi,
         st.map(_.intStats).getOrElse(Map.empty),
-        st.map(_.strStats).getOrElse(Map.empty))
+        st.map(_.strStats).getOrElse(Map.empty),
+        rows = st.map(_.rows).getOrElse(-1L),
+        bytes = sizes.getOrElse(f, -1L))
     }, marker)
   }
 
@@ -461,11 +502,16 @@ final class GraftTable private (spark: SparkSession, val root: String,
     io.touch(marker)
     val sub = s"$dataDir/$uuid"
     df.write.parquet(sub)
-    val files = io.list(sub).map(st => io.canon(st.getPath.toString))
-      .filter(_.split('/').last.startsWith("part-")).sorted
+    val listed = io.list(sub)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(st => io.canon(st.getPath.toString) -> st.getLen)
+      .sortBy(_._1)
     val conf = spark.sessionState.newHadoopConf()
     Staged(sub,
-      files.map(f => FileRef(f, "dv", 0L, FooterStats.rowCount(f, conf))),
+      listed.map { case (f, len) =>
+        val n = FooterStats.rowCount(f, conf)
+        FileRef(f, "dv", 0L, n, rows = n, bytes = len)
+      },
       marker)
   }
 
@@ -484,8 +530,10 @@ final class GraftTable private (spark: SparkSession, val root: String,
   private def tryCommit(expected: Long, refs: Seq[FileRef],
                         txn: Long): Boolean = {
     val tmp = s"$commitsDir/.tmp-${java.util.UUID.randomUUID()}"
-    refs.map(r => (r.file, r.kind, r.lo, r.hi, txn, r.stats, r.sstats))
-      .toDF("file", "kind", "lo", "hi", "txn", "stats", "sstats")
+    refs.map(r => (r.file, r.kind, r.lo, r.hi, txn, r.stats, r.sstats,
+        r.rows, r.bytes))
+      .toDF("file", "kind", "lo", "hi", "txn", "stats", "sstats",
+        "rows", "bytes")
       .coalesce(1).write.parquet(tmp)
     io.publish(tmp, s"$commitsDir/v${expected + 1}")
   }
@@ -962,19 +1010,36 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def history(): DataFrame = {
     val h = head
     if (h == 0)
-      return Seq.empty[(Long, Int, Int, Long)]
-        .toDF("version", "n_data_files", "n_dv_files", "txn")
+      return Seq.empty[(Long, Int, Int, Long, Option[Long], Option[Long])]
+        .toDF("version", "n_data_files", "n_dv_files", "txn",
+          "n_rows", "bytes")
     val vs = (1L to h).map(v => s"$commitsDir/v$v")
-    spark.read.parquet(vs: _*)
+    val raw = spark.read.option("mergeSchema", "true").parquet(vs: _*)
+    // per-version live-row/byte totals off the manifest counts (NULL
+    // for versions whose manifests predate the counters); DV rows
+    // subtract — each recorded position kills one live row
+    val withCounts =
+      if (raw.columns.contains("rows")) raw
+      else raw.withColumn("rows", lit(null).cast("long"))
+        .withColumn("bytes", lit(null).cast("long"))
+    withCounts
       .withColumn("version",
         regexp_extract(col("_metadata.file_path"), "/v(\\d+)/", 1)
           .cast("long"))
       .groupBy(col("version"))
-      .agg(count(when(col("kind") === "data", 1)).cast("int")
+      // functions.count qualified: the handle's own `count(version)`
+      // shadows it inside this class
+      .agg(org.apache.spark.sql.functions.count(
+             when(col("kind") === "data", 1)).cast("int")
              .as("n_data_files"),
-           count(when(col("kind") === "dv", 1)).cast("int")
+           org.apache.spark.sql.functions.count(
+             when(col("kind") === "dv", 1)).cast("int")
              .as("n_dv_files"),
-           max(col("txn")).as("txn"))
+           max(col("txn")).as("txn"),
+           (sum(when(col("kind") === "data", col("rows")))
+             - coalesce(sum(when(col("kind") === "dv", col("rows"))),
+                 lit(0L))).as("n_rows"),
+           sum(when(col("kind") =!= "txn", col("bytes"))).as("bytes"))
       .orderBy(col("version"))
   }
 
@@ -1131,7 +1196,8 @@ object GraftTable {
     * Spark compares strings in. */
   final case class FileRef(file: String, kind: String, lo: Long, hi: Long,
                            stats: Map[String, (Long, Long)] = Map.empty,
-                           sstats: Map[String, (String, String)] = Map.empty)
+                           sstats: Map[String, (String, String)] = Map.empty,
+                           rows: Long = -1L, bytes: Long = -1L)
 
   /** a staged-but-uncommitted file set and its in-flight marker */
   private[table] final case class Staged(dir: String, refs: Seq[FileRef],

@@ -65,8 +65,12 @@ class GraftSqlParserSpec extends AnyFunSuite {
     val root = fixture()
     val h = ext.sql(s"GRAFT HISTORY '$root'")
     assert(h.columns.toSeq ==
-      Seq("version", "n_data_files", "n_dv_files", "txn"))
+      Seq("version", "n_data_files", "n_dv_files", "txn",
+        "n_rows", "bytes"))
     assert(h.count() == 2)
+    // round-12 manifest counts surface as per-version live-row totals
+    assert(h.orderBy("version").collect().map(_.getAs[Long]("n_rows"))
+      .toSeq == Seq(3L, 4L))
   }
 
   test("GRAFT DELETE/RESTORE mutate on execution — and ONLY on execution") {

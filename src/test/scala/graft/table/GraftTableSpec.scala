@@ -731,6 +731,10 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.merge(Seq((9L, "X")).toDF("k", "v"), txn = 7L) == 2,
       "a legacy txn replay after upgrade must still no-op")
     assert(t.read().where(col("k") === 2).head.getString(1) == "U2")
+    // a pre-counter manifest can't answer count() from metadata: the
+    // detected fallback scans and stays exact
+    assert(t.count(1) == 3, "legacy count must fall back to a scan")
+    assert(t.count() == t.read().count())
   }
 
   test("a rewrite retires the deletion-vector rows it made stale") {
@@ -756,6 +760,30 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.deletionVectorsOf(t.head).isEmpty,
       "a full fold must drop all DV refs")
     assert(keys(t.read()) == (1L to 40L).filterNot(_ % 5 == 0))
+  }
+
+  test("count() answers from the manifest — no data file opened") {
+    val t = rangeTable("graft-tbl-metacount")      // 100 rows, 5 files
+    t.delete(col("k") % 10 === 0, mode = "mor")    // 10 rows dead via DV
+    assert(t.count() == 90 && t.count(1) == 100)
+    // hide EVERY data file: the metadata count must not notice (DV
+    // sidecars stay visible — their target check is metadata-scale)
+    val data = t.manifestOf(t.head).filter(_.kind == "data").map(_.file)
+    data.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f), java.nio.file.Paths.get(f + ".hidden")))
+    try {
+      assert(t.count() == 90, "head count must come from the manifest")
+      assert(t.count(1) == 100, "time-travel count too")
+    } finally data.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f + ".hidden"), java.nio.file.Paths.get(f)))
+    assert(t.count() == t.read().count(), "metadata ≡ scan")
+    // a COW rewrite retires the overlapping DV rows; counts stay exact
+    t.delete(col("k") === 1)
+    assert(t.count() == 89 && t.count() == t.read().count())
+    // history surfaces per-version live-row totals off the same counts
+    val hist = t.history().orderBy("version").collect()
+    assert(hist.map(_.getAs[Long]("n_rows")).toSeq == Seq(100L, 90L, 89L))
+    assert(hist.forall(_.getAs[Long]("bytes") > 0L))
   }
 
   test("expire re-checks markers and head before deleting (advisor race)") {
