@@ -1151,6 +1151,34 @@ object StreamingOps {
            sum(col("o_price")).cast(DoubleType).as("sum_price"))
   }
 
+  /** w19 with the Scala lambda GONE — the registered `graft` format is
+    * now a declarative streaming SINK, so ingest is pure configuration:
+    * `stream.writeStream.format("graft").option("path", ...)` and the
+    * batch read-back is `spark.read.format("graft")` — no handle, no
+    * foreachBatch, the exact shape `writeStream.format("delta")` gives
+    * Delta users. Exactly-once comes from the same streamAppend txn
+    * protocol (the sink passes each micro-batch's id as the
+    * idempotency token; GraftStreamSinkSpec pins the replay no-op and
+    * the kill/restart resume). Oracle: the plain batch aggregate —
+    * however the stream was sliced, the committed table IS the input. */
+  private def w22(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-w22")
+    val input = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val query = stagedStream(spark, input, files = 3)
+      .writeStream.format("graft")
+      .option("path", root).option("keyCol", "o_orderkey")
+      .option("checkpointLocation", graft.util.Scratch.dir("graft-w22-ckpt"))
+      .start()
+    try query.processAllAvailable() finally query.stop()
+    spark.read.format("graft")
+      .option("path", root).option("keyCol", "o_orderkey").load()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
   private val w20Sql =
     """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
       |base AS (
@@ -1189,5 +1217,6 @@ object StreamingOps {
     QuerySpec("w18_stream_table_ingest", w18, Some(w18Sql)),
     QuerySpec("w19_stream_table_api_ingest", w19, Some(w18Sql)),
     QuerySpec("w20_stream_merge_upsert", w20, Some(w20Sql)),
-    QuerySpec("w21_stream_cdc_replication", w21, Some(ScaleOps.x34Sql)))
+    QuerySpec("w21_stream_cdc_replication", w21, Some(ScaleOps.x34Sql)),
+    QuerySpec("w22_format_stream_sink", w22, Some(w18Sql)))
 }

@@ -1,9 +1,11 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, Row, SQLContext}
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.table.GraftTable
@@ -30,28 +32,85 @@ import graft.table.GraftTable
   * pushable filters apply inside the inner plan (declared UNHANDLED so
   * Spark re-checks them above the scan — pushdown here is an
   * optimization, never a correctness dependency). Writes stay on the
-  * transactional handle (append/merge/delete/streamAppend): a
-  * format-level blind `save()` could not express keyed upserts or
-  * txn-guarded commits, and pretending otherwise invites silent
-  * non-transactional writes — the same reason Delta routes mutations
-  * through its own API/SQL verbs. */
+  * transactional BATCH handle (append/merge/delete): a format-level
+  * blind `save()` could not express keyed upserts or txn-guarded
+  * commits, and pretending otherwise invites silent non-transactional
+  * writes — the same reason Delta routes batch mutations through its
+  * own API/SQL verbs.
+  *
+  * STREAMING writes, by contrast, ARE expressible declaratively —
+  * append-only micro-batches with the batch id as the idempotency
+  * token — so the format registers a streaming SINK too:
+  *
+  * {{{
+  * stream.writeStream.format("graft")
+  *   .option("path", root).option("keyCol", "id")
+  *   .option("checkpointLocation", ckpt)
+  *   .start()
+  * }}}
+  *
+  * Each micro-batch commits through `GraftTable.streamAppend(b,
+  * batchId)`: the manifest records the batch id as a `txn` marker, so
+  * the batch Spark re-delivers after a failure between sink commit and
+  * checkpoint write is detected and skipped (the check re-runs inside
+  * the commit CAS loop) — exactly-once table contents from
+  * at-least-once delivery, the same contract Delta's sink implements.
+  * Append output mode only: Update/Complete would require keyed
+  * rewrites per batch, which belong to the merge API. */
 class GraftTableSourceProvider extends RelationProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft"
+
+  // V1 passes options case-insensitively lowercased on some paths;
+  // accept both spellings
+  private def opt(parameters: Map[String, String], k: String)
+      : Option[String] =
+    parameters.get(k).orElse(parameters.get(k.toLowerCase))
+  private def required(parameters: Map[String, String], k: String): String =
+    opt(parameters, k).getOrElse(
+      throw new IllegalArgumentException(s"graft requires option '$k'"))
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
-    // V1 passes options case-insensitively lowercased on some paths;
-    // accept both spellings
-    def opt(k: String): Option[String] =
-      parameters.get(k).orElse(parameters.get(k.toLowerCase))
-    val root = opt("path").getOrElse(
-      throw new IllegalArgumentException("graft requires option 'path'"))
-    val key = opt("keyCol").getOrElse(
-      throw new IllegalArgumentException("graft requires option 'keyCol'"))
-    val version = opt("versionAsOf").map(_.toLong).getOrElse(-1L)
+    val root = required(parameters, "path")
+    val key = required(parameters, "keyCol")
+    val version = opt(parameters, "versionAsOf").map(_.toLong).getOrElse(-1L)
     new GraftTableRelation(sqlContext, root, key, version)
   }
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft sink is append-only ingest; got $outputMode — keyed " +
+        "upserts stream through foreachBatch + merge(b, txn = batchId)")
+    require(partitionColumns.isEmpty,
+      "graft manages its own file layout (key-range clustering); " +
+        "partitionBy is not supported")
+    new GraftStreamSink(sqlContext, required(parameters, "path"),
+      required(parameters, "keyCol"))
+  }
+}
+
+/** the V1 streaming sink: one `streamAppend` commit per micro-batch,
+  * idempotent by batch id (see provider doc) */
+private[sources] class GraftStreamSink(sqlContext: SQLContext,
+    root: String, keyCol: String) extends Sink {
+  // one handle for the query's lifetime: reuses its memoized
+  // metadata (DV target sets) across batches
+  private val table =
+    GraftTable.open(sqlContext.sparkSession, root, keyCol)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the incoming frame is the incremental plan (isStreaming leaves);
+    // re-batch it Delta-style before handing it to the table's writer
+    val batch = org.apache.spark.sql.graftglue.ColumnBridge.rebatch(data)
+    table.streamAppend(batch, batchId)
+    ()
+  }
+
+  override def toString: String = s"GraftSink[$root]"
 }
 
 private[sources] class GraftTableRelation(

@@ -35,6 +35,21 @@ object ColumnBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Re-wrap the micro-batch DataFrame a V1 streaming Sink receives as
+    * a BATCH frame (its logical plan carries isStreaming leaves, so
+    * `df.write`/reuse would throw "must be executed with
+    * writeStream.start()"). Runs the already-planned incremental
+    * physical plan once via `queryExecution.toRdd` — the same
+    * re-batching Delta's DeltaSink does — with no extra shuffle and no
+    * driver materialization. */
+  def rebatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[
+      org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Eagerly unload every loaded state-store provider (they otherwise
     * stay resident until the ~60 s maintenance cycle — between a
     * stopped streaming query and a latency-sensitive batch phase that

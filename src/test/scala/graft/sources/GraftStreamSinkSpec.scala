@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.table.GraftTable
+
+/** Contracts of the `graft` STREAMING SINK the gated w22 hash cannot
+  * see: exactly-once contents across stop/restart on one checkpoint,
+  * the replayed-batch no-op (batch id as the txn idempotency token),
+  * and the declarative-surface guardrails (append-only, no
+  * partitionBy). */
+class GraftStreamSinkSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def rows(ks: Range) = ks.map(k => (k.toLong, s"s$k")).toDF("k", "v")
+
+  /** drain the staged dir into the graft table once (one file per
+    * micro-batch), against a fixed checkpoint */
+  private def drain(staged: String, ckpt: String, root: String): Unit = {
+    val q = spark.readStream
+      .schema(rows(1 to 1).schema)
+      .option("maxFilesPerTrigger", 1).parquet(staged)
+      .writeStream.format("graft")
+      .option("path", root).option("keyCol", "k")
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  test("stream → graft sink: every row exactly once across restarts") {
+    val staged = graft.util.Scratch.dir("graft-sink-staged")
+    val ckpt = graft.util.Scratch.dir("graft-sink-ckpt")
+    val root = graft.util.Scratch.dir("graft-sink-tbl")
+    rows(1 to 30).repartition(3).write.mode("append").parquet(staged)
+    drain(staged, ckpt, root)
+    val t = GraftTable.open(spark, root, "k")
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq ==
+      (1L to 30L), "each staged row lands exactly once")
+    val headAfterFirst = t.head
+    assert(headAfterFirst >= 1)
+
+    // restart with NO new input: the checkpoint already covers every
+    // file — nothing re-committed, head unchanged
+    drain(staged, ckpt, root)
+    assert(t.head == headAfterFirst, "an empty restart must not commit")
+
+    // new input after the restart: ONLY the new rows append
+    rows(31 to 40).coalesce(1).write.mode("append").parquet(staged)
+    drain(staged, ckpt, root)
+    assert(t.read().select("k").as[Long].collect().sorted.toSeq ==
+      (1L to 40L), "a resumed stream appends only the new window")
+  }
+
+  test("a re-delivered batch id commits once (sink-level idempotency)") {
+    val root = graft.util.Scratch.dir("graft-sink-replay")
+    val sink = new GraftStreamSink(spark.sqlContext, root, "k")
+    sink.addBatch(0L, rows(1 to 5))
+    val t = GraftTable.open(spark, root, "k")
+    val head = t.head
+    // Spark re-delivers the last batch after a failure between sink
+    // commit and checkpoint write: same id, same (or equal) data
+    sink.addBatch(0L, rows(1 to 5))
+    assert(t.head == head, "the replayed batch must not commit again")
+    assert(t.read().count() == 5)
+    sink.addBatch(1L, rows(6 to 8))
+    assert(t.read().count() == 8, "the NEXT id commits normally")
+  }
+
+  test("append-only surface: Update/Complete and partitionBy rejected") {
+    val p = new GraftTableSourceProvider
+    val opts = Map("path" -> graft.util.Scratch.dir("graft-sink-opts"),
+      "keyCol" -> "k")
+    intercept[IllegalArgumentException] {
+      p.createSink(spark.sqlContext, opts, Nil, OutputMode.Complete())
+    }
+    intercept[IllegalArgumentException] {
+      p.createSink(spark.sqlContext, opts, Nil, OutputMode.Update())
+    }
+    intercept[IllegalArgumentException] {
+      p.createSink(spark.sqlContext, opts, Seq("v"), OutputMode.Append())
+    }
+    // the happy path constructs
+    p.createSink(spark.sqlContext, opts, Nil, OutputMode.Append())
+  }
+}
