@@ -2138,6 +2138,128 @@ object ScaleOps {
       |FROM merged GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x45 — BLOOM FILE INDEX (Delta's bloom-filter index / Iceberg's
+  //       puffin blobs): `indexBloom(cols)` makes every staged file
+  //       carry a per-column bloom filter in a sidecar (kind="bloom"
+  //       manifest rows, the DV pattern), and EQUALITY constraints on
+  //       an indexed column prune files whose filter proves the value
+  //       absent — the pruning modality min/max stats cannot provide
+  //       on a high-cardinality UNSORTED column (UUID, email, content
+  //       hash): every file's bounds span the domain, but its bloom
+  //       answers point lookups. The gated query is the GDPR shape:
+  //       orders keyed by o_orderkey with a scattered md5 token,
+  //       erase one subject BY TOKEN (the delete plans off the
+  //       index), then point-look-up a probe set through readWhere.
+  //
+  //       100 TB shape: a point lookup opens the handful of files
+  //       whose filters might contain the value instead of the whole
+  //       table; refinement evaluates ON EXECUTORS next to the bloom
+  //       bytes (only pruned file NAMES reach the driver), sidecars
+  //       retire with the files they target (BloomIndexSpec pins
+  //       strict pruning by physically hiding the pruned files, plus
+  //       Or/Not soundness, retirement, and missing-sidecar
+  //       degradation).
+  // ---------------------------------------------------------------------
+  private def x45(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("graft-x45-bloom")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .withColumn("token", md5(col("o_orderkey").cast("string")))
+    val t = graft.table.GraftTable.open(spark, root, "o_orderkey")
+    t.indexBloom(Seq("token"))
+    t.append(o.repartitionByRange(X23_FILES, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey"))
+    // the probe set: the 6 smallest subjects' tokens (driver-side
+    // scalars, metadata-scale)
+    val probes = o.orderBy(col("o_orderkey")).limit(6)
+      .select(col("token")).as[String].collect().toSeq
+    t.delete(col("token") === probes.head) // GDPR erase BY TOKEN
+    t.readWhere(col("token").isin(probes: _*)) // point lookups
+      .select(col("o_orderkey"), col("token"), col("o_orderstatus"))
+  }
+
+  private val x45Sql =
+    """WITH probes AS (SELECT o_orderkey FROM orders
+      |               ORDER BY o_orderkey LIMIT 6),
+      |mn AS (SELECT MIN(o_orderkey) AS m FROM orders)
+      |SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS token,
+      |  o_orderstatus
+      |FROM orders, mn
+      |WHERE o_orderkey IN (SELECT o_orderkey FROM probes)
+      |  AND o_orderkey <> mn.m""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x46 — TIMESTAMP TIME TRAVEL (Delta's TIMESTAMP AS OF): every
+  //       commit writes a strictly-monotonic IN-COMMIT timestamp into
+  //       its manifest (Delta's inCommitTimestamps — robust to clock
+  //       skew and same-millisecond commits, unlike raw file mtimes,
+  //       which remain the documented fallback for pre-ICT
+  //       manifests), and `readAsOf(ts)` / the batch source's
+  //       `timestampAsOf` option binary-search O(log versions)
+  //       manifests to the version current at that instant. The gated
+  //       query builds create → merge → delete, reads the v1 and v3
+  //       states back BY TIMESTAMP (the stamps come from the
+  //       manifests themselves), and aggregates both — so the
+  //       timestamp resolution sits inside the hash-checked result.
+  //
+  //       100 TB shape: resolution is O(log versions) manifest
+  //       footer-reads, zero data reads; the "what did the table look
+  //       like when the pipeline ran last night" question every
+  //       incident review asks.
+  // ---------------------------------------------------------------------
+  private def x46(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x46-ts")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.repartitionByRange(X23_FILES, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    val upd = o
+      .where(col("o_orderkey") % 37 === 0 && col("o_orderkey") <= mx / 4)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+              (col("o_price") * 2).cast(DecimalType(18, 2)).as("o_price"))
+    t.merge(upd)                                                   // v2
+    t.delete(col("o_orderkey") % 53 === 0 &&
+             col("o_orderkey") <= mx / 4)                          // v3
+    def agg(v: Int): DataFrame =
+      t.readAsOf(t.commitTimestampOf(v)) // BY TIMESTAMP, not version
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("o_price")).cast(DoubleType).as("sum_price"))
+        .select(lit(v.toLong).as("version"), col("o_orderstatus"),
+                col("n_rows"), col("sum_price"))
+    agg(1).unionByName(agg(3))
+  }
+
+  private val x46Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_price FROM orders),
+      |merged AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 37 = 0 AND o_orderkey <= m.mx // 4
+      |      THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN o_orderkey % 37 = 0 AND o_orderkey <= m.mx // 4
+      |      THEN CAST(o_price * 2 AS DECIMAL(18,2)) ELSE o_price END
+      |      AS o_price
+      |  FROM base, m),
+      |v3 AS (
+      |  SELECT merged.* FROM merged, m
+      |  WHERE NOT (o_orderkey % 53 = 0 AND o_orderkey <= m.mx // 4))
+      |SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
+      |FROM base GROUP BY 2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT), o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT), CAST(SUM(o_price) AS DOUBLE)
+      |FROM v3 GROUP BY 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x44 — METADATA-ONLY COUNT (the Delta/Iceberg `SELECT COUNT(*)`
   //       fast path): manifests record every data file's footer row
   //       count and every DV sidecar's position count at stage time,
@@ -2568,5 +2690,7 @@ object ScaleOps {
     QuerySpec("x41_sql_mutation_commands", x41, Some(x41Sql)),
     QuerySpec("x42_format_batch_read", x42, Some(x34Sql)),
     QuerySpec("x43_sql_merge_lifecycle", x43, Some(x43Sql)),
-    QuerySpec("x44_metadata_count", x44, Some(x44Sql)))
+    QuerySpec("x44_metadata_count", x44, Some(x44Sql)),
+    QuerySpec("x45_bloom_index_lookup", x45, Some(x45Sql)),
+    QuerySpec("x46_timestamp_time_travel", x46, Some(x46Sql)))
 }

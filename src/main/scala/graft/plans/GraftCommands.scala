@@ -118,6 +118,23 @@ case class GraftClusterCommand(root: String, by: Seq[String],
   }
 }
 
+/** `GRAFT INDEX '<root>' BLOOM (<c1>[, <c2>...]) [FPP <p>]` — declare
+  * a bloom file index ([[graft.table.GraftTable.indexBloom]]): every
+  * file staged from now on carries a per-column bloom filter sidecar,
+  * and equality constraints on an indexed column prune files at
+  * mutation/readWhere planning. A table property write, not a commit —
+  * returns the number of indexed columns. */
+case class GraftIndexCommand(root: String, cols: Seq[String],
+                             fpp: Double) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("indexed_columns", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.table.GraftTable.open(session, root, "__unused__")
+    t.indexBloom(cols, fpp = fpp)
+    Seq(Row(cols.size.toLong))
+  }
+}
+
 /** `GRAFT VACUUM '<root>' KEEP <n>` — expire everything but the last
   * n versions and physically delete unreferenced files
   * ([[graft.table.GraftTable.expire]]: staging markers and the

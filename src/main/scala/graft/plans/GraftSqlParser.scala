@@ -41,6 +41,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT OPTIMIZE '<root>' [TARGET <n> FILES]
   * GRAFT CLUSTER '<root>' BY (<c1>[, <c2>...]) [TARGET <n> FILES]
   * GRAFT VACUUM '<root>' KEEP <n>
+  * GRAFT INDEX '<root>' BLOOM (<c1>[, <c2>...]) [FPP <p>]
   * EXPLAIN [EXTENDED|FORMATTED] GRAFT <any of the above>
   * }}}
   *
@@ -71,6 +72,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+CLUSTER\s+'([^']+)'\s+BY\s+\(([\w\s,]+)\)(?:\s+TARGET\s+(\d+)\s+FILES)?\s*""".r
   private val Vacuum =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*""".r
+  private val Index =
+    """(?is)\s*GRAFT\s+INDEX\s+'([^']+)'\s+BLOOM\s+\(([\w\s,]+)\)(?:\s+FPP\s+([0-9.]+))?\s*""".r
   private val Explain =
     """(?is)\s*EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|CODEGEN\s+|COST\s+)?(GRAFT\s.+)""".r
 
@@ -109,6 +112,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         Option(target).map(_.toInt).getOrElse(16))
     case Vacuum(root, keep) =>
       GraftVacuumCommand(root, keep.toInt)
+    case Index(root, cols, fpp) =>
+      GraftIndexCommand(root,
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        Option(fpp).map(_.toDouble).getOrElse(0.01))
     case Explain(mode, inner) =>
       // Spark's own parser never sees the GRAFT text, so EXPLAIN over
       // a GRAFT statement is assembled here — the inner plan is built

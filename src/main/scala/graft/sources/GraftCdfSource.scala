@@ -103,15 +103,28 @@ private[sources] class GraftCdfTable(schema0: StructType,
     new ScanBuilder {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = schema0
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          val root = GraftCdfSourceProvider.path(options)
+          val key = GraftCdfSourceProvider.keyCol(options)
+          // startingTimestamp (Delta CDF parity): epoch millis resolved
+          // once at stream start to the version current at that
+          // instant — "follow changes since last night's run" without
+          // a version number in hand. startingVersion wins when both
+          // are set; the checkpointed offset wins over both on restart.
+          val startV = Option(options.get("startingVersion")).map(_.toLong)
+            .orElse(Option(options.get("startingTimestamp")).map(ms =>
+              GraftTable.open(SparkSession.active, root, key)
+                .versionAt(ms.toLong)))
+            .getOrElse(0L)
           new GraftCdfMicroBatchStream(
-            root = GraftCdfSourceProvider.path(options),
-            keyCol = GraftCdfSourceProvider.keyCol(options),
-            startingVersion = options.getLong("startingVersion", 0L),
+            root = root,
+            keyCol = key,
+            startingVersion = startV,
             maxVersionsPerBatch =
               options.getLong("maxVersionsPerBatch", Long.MaxValue),
             schema = schema0,
             checkpointLocation = checkpointLocation)
+        }
       }
     }
 }

@@ -74,7 +74,14 @@ class GraftTableSourceProvider extends RelationProvider
                               parameters: Map[String, String]): BaseRelation = {
     val root = required(parameters, "path")
     val key = required(parameters, "keyCol")
-    val version = opt(parameters, "versionAsOf").map(_.toLong).getOrElse(-1L)
+    val version = opt(parameters, "versionAsOf").map(_.toLong)
+      .orElse(opt(parameters, "timestampAsOf").map { ms =>
+        // epoch millis → the version current at that instant (Delta's
+        // TIMESTAMP AS OF, resolved once at load time)
+        GraftTable.open(sqlContext.sparkSession, root, key)
+          .versionAt(ms.toLong)
+      })
+      .getOrElse(-1L)
     new GraftTableRelation(sqlContext, root, key, version)
   }
 

@@ -119,10 +119,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val hasStats = names("stats")
     val hasSStats = names("sstats")
     val hasCounts = names("rows") && names("bytes")
+    val hasTs = names("ts")
     val cols = Seq(col("file"), col("kind"), col("lo"), col("hi")) ++
       (if (hasStats) Seq(col("stats")) else Nil) ++
       (if (hasSStats) Seq(col("sstats")) else Nil) ++
-      (if (hasCounts) Seq(col("rows"), col("bytes")) else Nil)
+      (if (hasCounts) Seq(col("rows"), col("bytes")) else Nil) ++
+      (if (hasTs) Seq(col("ts")) else Nil)
     df.select(cols: _*)
       .collect()
       .map { r =>
@@ -137,7 +139,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
         FileRef(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
           stats, sstats,
           rows = if (hasCounts) r.getAs[Long]("rows") else -1L,
-          bytes = if (hasCounts) r.getAs[Long]("bytes") else -1L)
+          bytes = if (hasCounts) r.getAs[Long]("bytes") else -1L,
+          ts = if (hasTs) r.getAs[Long]("ts") else -1L)
       }
       .toSeq.sortBy(r => (r.kind, r.file))
   }
@@ -149,6 +152,10 @@ final class GraftTable private (spark: SparkSession, val root: String,
   /** version `v`'s deletion-vector sidecar files (empty when none) */
   def deletionVectorsOf(v: Long): Seq[String] =
     manifestOf(v).filter(_.kind == "dv").map(_.file).sorted
+
+  /** version `v`'s bloom-index sidecar files (empty when none) */
+  def bloomSidecarsOf(v: Long): Seq[String] =
+    manifestOf(v).filter(_.kind == "bloom").map(_.file).sorted
 
   /** snapshot read — head by default, any retained version by number.
     * DV-applied: positions recorded by merge-on-read deletes are
@@ -198,6 +205,42 @@ final class GraftTable private (spark: SparkSession, val root: String,
       else read(v).count() // stale pre-retirement DV: exact fallback
     }
   }
+
+  /** version `v`'s commit timestamp (epoch millis): the manifest's
+    * IN-COMMIT stamp when it has one (strictly monotonic across
+    * versions — Delta's inCommitTimestamps), else the commit slot's
+    * filesystem mtime (Delta's own pre-ICT fallback; approximately
+    * monotonic, exactly as approximate there) */
+  def commitTimestampOf(v: Long): Long = {
+    val stamped = manifestOf(v).foldLeft(-1L)((m, r) => math.max(m, r.ts))
+    if (stamped >= 0) stamped
+    else io.mtime(s"$commitsDir/v$v").getOrElse(
+      throw new IllegalArgumentException(s"version $v does not exist"))
+  }
+
+  /** the version current AS OF `tsMillis` — the greatest version whose
+    * commit timestamp is <= the probe (Delta's TIMESTAMP AS OF
+    * resolution): a binary search over O(log versions) manifest
+    * reads, sound because in-commit stamps are strictly monotonic. */
+  def versionAt(tsMillis: Long): Long = {
+    val h = head
+    require(h > 0, "empty table has no versions")
+    require(tsMillis >= commitTimestampOf(1),
+      s"timestamp $tsMillis predates version 1 " +
+        s"(committed ${commitTimestampOf(1)})")
+    var lo = 1L
+    var hi = h
+    while (lo < hi) { // invariant: ts(lo) <= probe
+      val mid = (lo + hi + 1) / 2
+      if (commitTimestampOf(mid) <= tsMillis) lo = mid else hi = mid - 1
+    }
+    lo
+  }
+
+  /** snapshot read AS OF a wall-clock instant — `read(versionAt(ts))`
+    * (Delta's `timestampAsOf`; also reachable as the batch source's
+    * `timestampAsOf` option) */
+  def readAsOf(tsMillis: Long): DataFrame = read(versionAt(tsMillis))
 
   // ---- read plumbing --------------------------------------------------
 
@@ -341,99 +384,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
     data.filter(r => mayMatch(tree, r)).map(_.file).sorted
   }
 
-  /** column `c`'s (min, max) for file `r` — the key column's dedicated
-    * range, any other column's stats-map entry, unbounded otherwise */
-  private def rangeOf(r: FileRef, c: String): (Long, Long) =
-    if (c == keyCol) (r.lo, r.hi)
-    else r.stats.getOrElse(c, (Long.MinValue, Long.MaxValue))
+  /** the per-file stats+bloom evaluator — a serializable value (see
+    * [[StatsEval]]) so bloom refinement can evaluate it NEXT TO the
+    * bloom bytes on executors */
+  private val eval = StatsEval(keyCol)
 
-  /** string column `c`'s lexicographic (min, max) for file `r` — None
-    * means unbounded (no stats ⇒ always a candidate). Comparisons
-    * against these bounds MUST use [[FooterStats.byteCompare]]
-    * (unsigned-UTF-8-byte order): that is the order the bounds were
-    * minted in and the order Spark's own string filters use;
-    * String.compareTo disagrees on supplementary characters. */
-  private def rangeOfS(r: FileRef, c: String): Option[(String, String)] =
-    r.sstats.get(c)
-
-  private def bc(a: String, b: String): Int = FooterStats.byteCompare(a, b)
-
-  /** can ANY row of file `r` satisfy `e`?
-    * (true = keep the file as a candidate; Unknown is true) */
-  private def mayMatch(e: PredicateTree.Node, r: FileRef): Boolean = {
-    import PredicateTree._
-    e match {
-      case And(a, b) => mayMatch(a, r) && mayMatch(b, r)
-      case Or(a, b)  => mayMatch(a, r) || mayMatch(b, r)
-      case Not(x)    => !allMatch(x, r)
-      case Cmp(c, op, v) =>
-        val (lo, hi) = rangeOf(r, c)
-        op match {
-          case "<"  => lo < v
-          case "<=" => lo <= v
-          case ">"  => hi > v
-          case ">=" => hi >= v
-          case "="  => lo <= v && v <= hi
-          case _    => true
-        }
-      case CmpS(c, op, v) => rangeOfS(r, c) match {
-        case None => true
-        case Some((lo, hi)) => op match {
-          case "<"  => bc(lo, v) < 0
-          case "<=" => bc(lo, v) <= 0
-          case ">"  => bc(hi, v) > 0
-          case ">=" => bc(hi, v) >= 0
-          case "="  => bc(lo, v) <= 0 && bc(v, hi) <= 0
-          case _    => true
-        }
-      }
-      case In(c, vs) =>
-        val (lo, hi) = rangeOf(r, c)
-        vs.exists(v => lo <= v && v <= hi)
-      case InS(c, vs) => rangeOfS(r, c) match {
-        case None => true
-        case Some((lo, hi)) =>
-          vs.exists(v => bc(lo, v) <= 0 && bc(v, hi) <= 0)
-      }
-      case Unknown => true
-    }
-  }
-
-  /** does EVERY row of `r` that evaluates `e` non-NULL satisfy it? (an
-    * under-approximation — false when unknown — used only to evaluate
-    * `NOT` soundly: ¬x can match unless x provably matches all rows;
-    * NULL-valued rows evaluate ¬x to NULL, which a delete never
-    * selects, so quantifying over the non-NULL rows suffices) */
-  private def allMatch(e: PredicateTree.Node, r: FileRef): Boolean = {
-    import PredicateTree._
-    e match {
-      case And(a, b) => allMatch(a, r) && allMatch(b, r)
-      case Or(a, b)  => allMatch(a, r) || allMatch(b, r)
-      case Not(x)    => !mayMatch(x, r)
-      case Cmp(c, op, v) =>
-        val (lo, hi) = rangeOf(r, c)
-        op match {
-          case "<"  => hi < v
-          case "<=" => hi <= v
-          case ">"  => lo > v
-          case ">=" => lo >= v
-          case "="  => lo == v && hi == v
-          case _    => false
-        }
-      case CmpS(c, op, v) => rangeOfS(r, c) match {
-        case None => false
-        case Some((lo, hi)) => op match {
-          case "<"  => bc(hi, v) < 0
-          case "<=" => bc(hi, v) <= 0
-          case ">"  => bc(lo, v) > 0
-          case ">=" => bc(lo, v) >= 0
-          case "="  => bc(lo, v) == 0 && bc(hi, v) == 0
-          case _    => false
-        }
-      }
-      case _ => false
-    }
-  }
+  private def mayMatch(e: PredicateTree.Node, r: FileRef): Boolean =
+    eval.mayMatch(e, r)
 
   // ---- write path -----------------------------------------------------
 
@@ -476,7 +433,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
       case f if f.dataType == StringType => f.name
     }.toSet
     val perFile = FooterStats.readAll(spark, files, intCols, strCols)
-    Staged(sub, files.map { f =>
+    val dataStaged = Staged(sub, files.map { f =>
       val st = perFile.get(f)
       val (lo, hi) = st.flatMap(_.intStats.get(keyCol))
         .getOrElse((Long.MinValue, Long.MaxValue))
@@ -486,6 +443,17 @@ final class GraftTable private (spark: SparkSession, val root: String,
         rows = st.map(_.rows).getOrElse(-1L),
         bytes = sizes.getOrElse(f, -1L))
     }, marker)
+    bloomConfig() match {
+      case Some((cols, fpp)) =>
+        val rowsByFile = dataStaged.refs.map(r => r.file -> r.rows).toMap
+        stageBloomSidecar(files, rowsByFile, cols, fpp, df.schema) match {
+          case Some(bs) =>
+            dataStaged.copy(refs = dataStaged.refs ++ bs.refs,
+              extra = Seq(bs))
+          case None => dataStaged
+        }
+      case None => dataStaged
+    }
   }
 
   /** stage a deletion-vector sidecar (`dv_file`, `dv_pos` rows).
@@ -515,9 +483,234 @@ final class GraftTable private (spark: SparkSession, val root: String,
       marker)
   }
 
+  // ---- bloom file index -----------------------------------------------
+
+  private def bloomConfPath = s"$root/bloom.conf"
+
+  /** declare a BLOOM FILE INDEX on `cols` (Delta's bloom-filter index /
+    * Iceberg's puffin blobs): every file staged FROM NOW ON gets a
+    * per-file bloom filter per indexed column, committed as a sidecar
+    * (`kind = "bloom"` manifest rows, the DV pattern), and every
+    * mutation/readWhere EQUALITY constraint on an indexed column
+    * prunes files whose filter proves the value absent. This is the
+    * pruning modality min/max stats can't provide: a high-cardinality
+    * UNSORTED column (UUID, email, content hash) has near-full-range
+    * bounds in every file, but its bloom answers point lookups — the
+    * GDPR-erase / dedup-probe shape at 100 TB.
+    *
+    * Existing files are not indexed retroactively; a `compact()` or
+    * `cluster(...)` rewrite (re-)indexes whatever it stages, exactly
+    * like Delta. The filter is sized from each file's footer row count
+    * at `fpp`; values hash as widened longs (integral columns) or
+    * UTF-8 strings. Config is a table property (last writer wins) —
+    * it changes FUTURE writes only, so concurrent readers are
+    * unaffected. */
+  def indexBloom(cols: Seq[String], fpp: Double = 0.01): Unit = {
+    require(cols.nonEmpty, "indexBloom needs at least one column")
+    require(cols.forall(c => c.nonEmpty && !c.contains(",")),
+      s"column names must be non-empty and comma-free: $cols")
+    require(fpp > 0.0 && fpp < 0.5, s"fpp must be in (0, 0.5): $fpp")
+    io.writeUtf8(bloomConfPath, s"cols=${cols.mkString(",")}\nfpp=$fpp\n")
+  }
+
+  /** the persisted bloom-index config — (columns, fpp), None when the
+    * table isn't indexed */
+  def bloomConfig(): Option[(Seq[String], Double)] =
+    io.readUtf8(bloomConfPath).flatMap { s =>
+      val kv = s.linesIterator.map(_.trim).filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+      kv.get("cols")
+        .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .filter(_.nonEmpty)
+        .map(cols => (cols, kv.get("fpp").map(_.toDouble).getOrElse(0.01)))
+    }
+
+  /** build the bloom sidecar for freshly staged `files`: one filter
+    * per (file, indexed column), sized from the file's footer row
+    * count. One column-pruned pass over the staged files; partial
+    * filters build per PARTITION and merge per (file, column) — the
+    * shuffle moves KB-scale filter bytes, never rows (a file split
+    * across input partitions produces compatible partials:
+    * BloomFilter.create derives its geometry from (n, fpp) alone). */
+  private def stageBloomSidecar(files: Seq[String],
+                                rowsByFile: Map[String, Long],
+                                cols: Seq[String], fpp: Double,
+                                schema: org.apache.spark.sql.types.StructType)
+      : Option[Staged] = {
+    import org.apache.spark.sql.types._
+    val typed = cols.flatMap(c =>
+      schema.fields.find(_.name == c).map(f => c -> f.dataType)).collect {
+      case (c, t @ (ByteType | ShortType | IntegerType | LongType |
+                    StringType)) => c -> (t == StringType)
+    }
+    // footer counts size the filters; a stats-suppressed write simply
+    // isn't indexed (pruning weakens, correctness can't)
+    if (typed.isEmpty || files.isEmpty || rowsByFile.exists(_._2 < 0))
+      return None
+    val names = typed.map(_._1)
+    val isStr = typed.map(_._2).toArray
+    val fileIdx = names.size
+    val nByFile = spark.sparkContext.broadcast(rowsByFile)
+    val fppL = fpp
+    val src = spark.read.parquet(files: _*)
+      .select(names.map(col) :+
+        regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
+          .as("__file"): _*)
+    import spark.implicits._
+    val namesL = names.toArray
+    val partials = src.mapPartitions { rows =>
+      val acc = scala.collection.mutable.HashMap
+        .empty[(String, Int), org.apache.spark.util.sketch.BloomFilter]
+      rows.foreach { r =>
+        val f = r.getString(fileIdx)
+        var i = 0
+        while (i < fileIdx) {
+          if (!r.isNullAt(i)) {
+            val b = acc.getOrElseUpdate((f, i),
+              org.apache.spark.util.sketch.BloomFilter.create(
+                math.max(nByFile.value.getOrElse(f, 1L), 1L), fppL))
+            if (isStr(i)) b.putString(r.getString(i))
+            else b.putLong(r.get(i) match {
+              case x: java.lang.Byte    => x.toLong
+              case x: java.lang.Short   => x.toLong
+              case x: java.lang.Integer => x.toLong
+              case x: java.lang.Long    => x.longValue
+            })
+          }
+          i += 1
+        }
+      }
+      acc.iterator.map { case ((f, i), b) =>
+        val bos = new java.io.ByteArrayOutputStream()
+        b.writeTo(bos)
+        (f, namesL(i), bos.toByteArray)
+      }
+    }
+    val merged = partials.groupByKey(t => (t._1, t._2))
+      .reduceGroups { (a, b) =>
+        val ba = org.apache.spark.util.sketch.BloomFilter.readFrom(a._3)
+        ba.mergeInPlace(
+          org.apache.spark.util.sketch.BloomFilter.readFrom(b._3))
+        val bos = new java.io.ByteArrayOutputStream()
+        ba.writeTo(bos)
+        (a._1, a._2, bos.toByteArray)
+      }
+      .map(_._2)
+      .toDF("data_file", "idx_col", "bloom")
+    Some(stageSidecarDf(merged))
+  }
+
+  /** stage a bloom sidecar parquet of (data_file, idx_col, bloom) rows
+    * under its own uuid dir + staging marker (vacuum-safe like any
+    * stage) */
+  private def stageSidecarDf(df: DataFrame): Staged = {
+    io.mkdirs(dataDir)
+    val uuid = java.util.UUID.randomUUID().toString
+    val marker = s"$dataDir/.staging-$uuid"
+    io.touch(marker)
+    val sub = s"$dataDir/$uuid"
+    df.write.parquet(sub)
+    val listed = io.list(sub)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(st => io.canon(st.getPath.toString) -> st.getLen)
+      .sortBy(_._1)
+    Staged(sub, listed.map { case (f, len) =>
+      FileRef(f, "bloom", 0L, 0L, bytes = len) }, marker)
+  }
+
+  /** BLOOM RETIREMENT (the DV-retirement pattern): a commit that
+    * removes data files rewrites carried bloom sidecars down to rows
+    * whose target file survives — stale rows would otherwise
+    * accumulate forever and inflate every refinement read. Cost:
+    * sidecar-scale, paid only by file-removing commits on indexed
+    * tables. */
+  private def retireBlooms(base: Seq[FileRef], refs: Seq[FileRef],
+                           staged: Seq[Staged]): (Seq[FileRef], Seq[Staged]) = {
+    val live = refs.collect { case r if r.kind == "data" => r.file }.toSet
+    val removed = base.collect {
+      case r if r.kind == "data" && !live(r.file) => r.file }.toSet
+    val bRefs = refs.filter(_.kind == "bloom")
+    if (removed.isEmpty || bRefs.isEmpty) return (refs, staged)
+    val rows = spark.read.parquet(bRefs.map(_.file): _*)
+    val targets = rows.select(col("data_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (!targets.exists(removed)) return (refs, staged)
+    val noBloom = refs.filterNot(_.kind == "bloom")
+    if (targets.forall(removed)) return (noBloom, staged)
+    val liveDf = live.intersect(targets).toSeq.toDF("__live_file")
+    val survivors = rows.join(broadcast(liveDf),
+      rows("data_file") === col("__live_file"), "left_semi")
+    val st = stageSidecarDf(survivors)
+    (noBloom ++ st.refs, staged :+ st)
+  }
+
+  /** drop candidate files whose bloom filters prove the predicate's
+    * equality constraints can't match. Evaluation happens ON EXECUTORS
+    * next to the bloom bytes (the predicate tree, the candidates'
+    * manifest rows, and the [[StatsEval]] broadcast out; only pruned
+    * file NAMES come back) — at 100 TB the candidate set is ~10⁵
+    * files × ~100 KB of filter, which must never funnel through the
+    * driver. Missing/vacuumed sidecars and files without bloom rows
+    * degrade to stats-only pruning (weaker, never wrong). */
+  private[table] def bloomRefine(base: Seq[FileRef], data: Seq[FileRef],
+                                 cand: Seq[String],
+                                 tree: PredicateTree.Node): Seq[String] = {
+    if (cand.isEmpty) return cand
+    val eqCols = PredicateTree.equalityColumns(tree)
+    if (eqCols.isEmpty) return cand
+    val sidecars = base.collect { case r if r.kind == "bloom" => r.file }
+      .filter(io.exists)
+    if (sidecars.isEmpty) return cand
+    val candSet = cand.toSet
+    val refByFile = data.collect {
+      case r if candSet(r.file) => r.file -> r }.toMap
+    val ctx = spark.sparkContext.broadcast((tree, refByFile, eval))
+    import spark.implicits._
+    val dropped = spark.read.parquet(sidecars: _*)
+      .where(col("idx_col").isin(eqCols.toSeq: _*))
+      .select(col("data_file"), col("idx_col"), col("bloom"))
+      .as[(String, String, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroups { (f, it) =>
+        val (t, refs, ev) = ctx.value
+        refs.get(f) match {
+          case None => Iterator.empty // not a candidate file
+          case Some(r) =>
+            val blooms = it.map(x => x._2 ->
+              org.apache.spark.util.sketch.BloomFilter.readFrom(x._3)).toMap
+            if (ev.mayMatch(t, r, blooms)) Iterator.empty
+            else Iterator.single(f)
+        }
+      }
+      .collect().toSet
+    if (dropped.isEmpty) cand else cand.filterNot(dropped)
+  }
+
+  /** snapshot read RESTRICTED BY `predicate`, planned off the
+    * manifest: only stats- and bloom-pruned candidate files open, then
+    * the predicate re-applies row-level (pruning is an optimization,
+    * never a correctness dependency — an opened false-positive file
+    * just contributes zero rows). The 100 TB point-lookup path: a
+    * `WHERE token = '...'` over a bloom-indexed column opens the
+    * handful of files whose filters might contain the value instead
+    * of the whole table. */
+  def readWhere(predicate: Column, version: Long = -1L): DataFrame = {
+    val v = if (version < 0) head else version
+    if (v == 0) return spark.emptyDataFrame
+    val refs = manifestOf(v)
+    val data = refs.filter(_.kind == "data")
+    val tree = PredicateTree.parse(predicate)
+    val cand0 = data.filter(r => eval.mayMatch(tree, r)).map(_.file).sorted
+    val cand = bloomRefine(refs, data, cand0, tree)
+    if (cand.isEmpty) read(v).limit(0).where(predicate)
+    else scan(refs, cand).drop("__file", "__pos").where(predicate)
+  }
+
   private def discardStaged(st: Staged): Unit = {
     io.deleteTree(st.dir)
     io.delete(st.marker)
+    st.extra.foreach(discardStaged)
   }
 
   /** one CAS attempt: prepare the manifest at a temp name, publish by
@@ -528,12 +721,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * broken filesystem surfaces instead of livelocking the retry
     * loop. */
   private def tryCommit(expected: Long, refs: Seq[FileRef],
-                        txn: Long): Boolean = {
+                        txn: Long, ts: Long): Boolean = {
     val tmp = s"$commitsDir/.tmp-${java.util.UUID.randomUUID()}"
     refs.map(r => (r.file, r.kind, r.lo, r.hi, txn, r.stats, r.sstats,
-        r.rows, r.bytes))
+        r.rows, r.bytes, ts))
       .toDF("file", "kind", "lo", "hi", "txn", "stats", "sstats",
-        "rows", "bytes")
+        "rows", "bytes", "ts")
       .coalesce(1).write.parquet(tmp)
     io.publish(tmp, s"$commitsDir/v${expected + 1}")
   }
@@ -568,12 +761,19 @@ final class GraftTable private (spark: SparkSession, val root: String,
       compose(base) match {
         case None => return h
         case Some((refs0, staged0)) =>
-          val (refs, staged) = retireDvs(base, refs0, staged0)
+          val (refs1, staged1) = retireDvs(base, refs0, staged0)
+          val (refs, staged) = retireBlooms(base, refs1, staged1)
           val txns = txnsIn(base) ++ (if (txn >= 0) Set(txn) else Set.empty)
           val txnRefs = FileRef("txn:ckpt", "txn", -1L, -1L) +:
             txns.toSeq.sorted.map(t => FileRef(s"txn:$t", "txn", t, t))
-          if (tryCommit(h, refs.filterNot(_.kind == "txn") ++ txnRefs, txn)) {
-            staged.foreach(s => io.delete(s.marker))
+          // IN-COMMIT TIMESTAMP (Delta's ICT): strictly monotonic past
+          // the base's stamp, so timestamp time travel binary-searches
+          // soundly even under clock skew or same-millisecond commits
+          val ts = math.max(System.currentTimeMillis(),
+            base.foldLeft(0L)((m, r) => math.max(m, r.ts)) + 1)
+          if (tryCommit(h, refs.filterNot(_.kind == "txn") ++ txnRefs,
+                        txn, ts)) {
+            staged.foreach(s => s.markers.foreach(io.delete))
             return h + 1
           } else staged.foreach(discardStaged)
       }
@@ -624,7 +824,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def append(df: DataFrame): Long = {
     val st = stage(df)
     val v = commitLoop() (base => Some((base ++ st.refs, Seq.empty)))
-    io.delete(st.marker)
+    st.markers.foreach(io.delete)
     v
   }
 
@@ -645,7 +845,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
       if (committedTxns().contains(batchId)) { discardStaged(st); None }
       else Some((base ++ st.refs, Seq.empty))
     }
-    io.delete(st.marker)
+    st.markers.foreach(io.delete)
     v
   }
 
@@ -805,7 +1005,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
     require(mode == "cow" || mode == "mor", s"unknown delete mode: $mode")
     commitLoop() { base =>
       val data = base.filter(_.kind == "data")
-      val cand = pruneByPredicate(data, predicate)
+      val tree = PredicateTree.parse(predicate)
+      val cand = bloomRefine(base, data,
+        data.filter(r => eval.mayMatch(tree, r)).map(_.file).sorted, tree)
       val matched =
         if (cand.isEmpty) Seq.empty[String]
         else scan(base, cand).where(predicate)
@@ -1010,18 +1212,22 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def history(): DataFrame = {
     val h = head
     if (h == 0)
-      return Seq.empty[(Long, Int, Int, Long, Option[Long], Option[Long])]
+      return Seq.empty[(Long, Int, Int, Long, Option[Long], Option[Long],
+          Option[Long])]
         .toDF("version", "n_data_files", "n_dv_files", "txn",
-          "n_rows", "bytes")
+          "n_rows", "bytes", "commit_ts")
     val vs = (1L to h).map(v => s"$commitsDir/v$v")
     val raw = spark.read.option("mergeSchema", "true").parquet(vs: _*)
     // per-version live-row/byte totals off the manifest counts (NULL
     // for versions whose manifests predate the counters); DV rows
     // subtract — each recorded position kills one live row
-    val withCounts =
+    val withCounts0 =
       if (raw.columns.contains("rows")) raw
       else raw.withColumn("rows", lit(null).cast("long"))
         .withColumn("bytes", lit(null).cast("long"))
+    val withCounts =
+      if (withCounts0.columns.contains("ts")) withCounts0
+      else withCounts0.withColumn("ts", lit(null).cast("long"))
     withCounts
       .withColumn("version",
         regexp_extract(col("_metadata.file_path"), "/v(\\d+)/", 1)
@@ -1039,7 +1245,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
            (sum(when(col("kind") === "data", col("rows")))
              - coalesce(sum(when(col("kind") === "dv", col("rows"))),
                  lit(0L))).as("n_rows"),
-           sum(when(col("kind") =!= "txn", col("bytes"))).as("bytes"))
+           sum(when(col("kind") =!= "txn", col("bytes"))).as("bytes"),
+           max(when(col("ts") >= 0, col("ts"))).as("commit_ts"))
       .orderBy(col("version"))
   }
 
@@ -1169,7 +1376,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
   private[table] def stageForTest(df: DataFrame): Staged = stage(df)
   private[table] def adoptForTest(st: Staged): Long = {
     val v = commitLoop() (base => Some((base ++ st.refs, Seq.empty)))
-    io.delete(st.marker)
+    st.markers.foreach(io.delete)
     v
   }
 }
@@ -1197,11 +1404,19 @@ object GraftTable {
   final case class FileRef(file: String, kind: String, lo: Long, hi: Long,
                            stats: Map[String, (Long, Long)] = Map.empty,
                            sstats: Map[String, (String, String)] = Map.empty,
-                           rows: Long = -1L, bytes: Long = -1L)
+                           rows: Long = -1L, bytes: Long = -1L,
+                           ts: Long = -1L)
 
-  /** a staged-but-uncommitted file set and its in-flight marker */
+  /** a staged-but-uncommitted file set and its in-flight marker.
+    * `extra` carries companion sidecar stages (a data stage's bloom
+    * sidecar) so a discard or a marker sweep covers every directory
+    * the stage produced; `refs` on the OUTER value already includes
+    * the extras' refs. */
   private[table] final case class Staged(dir: String, refs: Seq[FileRef],
-                                         marker: String)
+                                         marker: String,
+                                         extra: Seq[Staged] = Nil) {
+    def markers: Seq[String] = marker +: extra.flatMap(_.markers)
+  }
 
   /** version 1 = the initial file set */
   def create(spark: SparkSession, root: String, keyCol: String,

@@ -82,6 +82,32 @@ private[table] final class TableIO(conf: Configuration) {
   /** create an empty marker file (parents created as needed) */
   def touch(p: String): Unit = fs(p).create(new Path(p), true).close()
 
+  /** write a small UTF-8 config file (overwrite) — table properties
+    * like the bloom-index config, never data */
+  def writeUtf8(p: String, s: String): Unit = {
+    val out = fs(p).create(new Path(p), true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** read a small UTF-8 file, None when absent */
+  def readUtf8(p: String): Option[String] = {
+    val f = fs(p)
+    val pp = new Path(p)
+    if (!f.exists(pp)) None
+    else {
+      val in = f.open(pp)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        Some(new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    }
+  }
+
   def delete(p: String): Unit = { fs(p).delete(new Path(p), false); () }
 
   def deleteTree(p: String): Unit = { fs(p).delete(new Path(p), true); () }

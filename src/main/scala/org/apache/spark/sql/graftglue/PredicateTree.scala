@@ -40,6 +40,22 @@ object PredicateTree {
     * Unknown) */
   def parse(predicate: Column): Node = walk(predicate.node)
 
+  /** every column an EQUALITY constraint (=, IN) tests anywhere in the
+    * tree — the columns a bloom-filter refinement could consult.
+    * Over-approximate (includes columns under NOT, which blooms never
+    * prune through): loading an unused filter is harmless, missing a
+    * used one isn't. */
+  def equalityColumns(n: Node): Set[String] = n match {
+    case And(a, b)     => equalityColumns(a) ++ equalityColumns(b)
+    case Or(a, b)      => equalityColumns(a) ++ equalityColumns(b)
+    case Not(x)        => equalityColumns(x)
+    case Cmp(c, "=", _)  => Set(c)
+    case CmpS(c, "=", _) => Set(c)
+    case In(c, _)      => Set(c)
+    case InS(c, _)     => Set(c)
+    case _             => Set.empty
+  }
+
   private def colName(n: ColumnNode): Option[String] = n match {
     case a: UnresolvedAttribute => a.nameParts.lastOption
     case _ => None

@@ -66,7 +66,7 @@ class GraftSqlParserSpec extends AnyFunSuite {
     val h = ext.sql(s"GRAFT HISTORY '$root'")
     assert(h.columns.toSeq ==
       Seq("version", "n_data_files", "n_dv_files", "txn",
-        "n_rows", "bytes"))
+        "n_rows", "bytes", "commit_ts"))
     assert(h.count() == 2)
     // round-12 manifest counts surface as per-version live-row totals
     assert(h.orderBy("version").collect().map(_.getAs[Long]("n_rows"))
@@ -159,6 +159,25 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(ext.sql("SELECT COUNT(*) AS n FROM graft_sql_loop")
       .head.getLong(0) == 5)
     ext.sql("DROP VIEW graft_sql_loop")
+  }
+
+  test("GRAFT INDEX declares a bloom index; point lookups prune through it") {
+    val root = graft.util.Scratch.dir("graft-sql-index")
+    // EXPLAIN is inert: no config appears
+    ext.sql(s"EXPLAIN GRAFT INDEX '$root' BLOOM (tok)").collect()
+    assert(graft.table.GraftTable.open(base, root, "k")
+      .bloomConfig().isEmpty, "EXPLAIN GRAFT INDEX must not write config")
+    assert(ext.sql(s"GRAFT INDEX '$root' BLOOM (tok) FPP 0.02")
+      .head.getLong(0) == 1L)
+    ext.sql(s"GRAFT CREATE '$root' KEY k USING " +
+      "SELECT id AS k, md5(CAST(id AS STRING)) AS tok FROM range(1, 101)")
+    val t = graft.table.GraftTable.open(base, root, "k")
+    assert(t.bloomConfig().contains((Seq("tok"), 0.02)))
+    assert(t.bloomSidecarsOf(1).nonEmpty,
+      "the SQL-created table must stage a bloom sidecar")
+    val tok7 = java.security.MessageDigest.getInstance("MD5")
+      .digest("7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(t.readWhere(col("tok") === tok7).count() == 1)
   }
 
   test("everything else delegates to Spark's parser untouched") {

@@ -111,6 +111,30 @@ class GraftCdfSourceSpec extends AnyFunSuite {
       s"bounded windows must arrive one version at a time: $got")
   }
 
+  test("startingTimestamp resolves to the version current at that instant") {
+    val root = graft.util.Scratch.dir("graft-cdf-ts")
+    val t = GraftTable.create(spark, root, "k", rows(1, 2, 3)) // v1
+    t.merge(Seq((2L, "U2"), (4L, "NEW")).toDF("k", "v"))       // v2
+    t.delete(col("k") === 1)                                   // v3
+    val seen = new ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", root).option("keyCol", "k")
+      .option("startingTimestamp", t.commitTimestampOf(1).toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", graft.util.Scratch.dir("graft-cdf-ts-ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("k"), col("change_type")).collect()
+          .foreach(r => seen.add((r.getLong(0), r.getString(1))))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // "since v1's commit instant" = the (1, 3] window's net feed
+    assert(sortedSeen(seen) == Seq((1L, "delete"), (2L, "update"),
+      (4L, "insert")))
+  }
+
   test("a replicated mirror through the source equals the source head") {
     val root = graft.util.Scratch.dir("graft-cdf-repl")
     val t = GraftTable.create(spark, root, "k",

@@ -735,6 +735,12 @@ class GraftTableSpec extends AnyFunSuite {
     // detected fallback scans and stays exact
     assert(t.count(1) == 3, "legacy count must fall back to a scan")
     assert(t.count() == t.read().count())
+    // a pre-ICT manifest has no commit stamp: timestamp travel falls
+    // back to the commit slot's mtime (Delta's own pre-ICT behavior)
+    // and the upgrade commit's in-commit stamp still orders after it
+    assert(t.commitTimestampOf(1) > 0, "mtime fallback must answer")
+    assert(t.commitTimestampOf(2) >= t.commitTimestampOf(1))
+    assert(t.versionAt(t.commitTimestampOf(2)) == 2)
   }
 
   test("a rewrite retires the deletion-vector rows it made stale") {
@@ -760,6 +766,35 @@ class GraftTableSpec extends AnyFunSuite {
     assert(t.deletionVectorsOf(t.head).isEmpty,
       "a full fold must drop all DV refs")
     assert(keys(t.read()) == (1L to 40L).filterNot(_ % 5 == 0))
+  }
+
+  test("timestamp time travel: in-commit stamps are monotonic and resolve exactly") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-ts"), "k", rows(1, 2, 3)) // v1
+    t.merge(Seq((2L, "U2")).toDF("k", "v"))                       // v2
+    t.delete(col("k") === 1)                                      // v3
+    val ts = (1L to 3L).map(t.commitTimestampOf)
+    assert(ts == ts.sorted && ts.distinct == ts,
+      s"in-commit stamps must be strictly monotonic: $ts")
+    // exact stamps resolve to their own version; any instant between
+    // two commits resolves to the earlier one; the head stamp + slack
+    // resolves to head
+    (1L to 3L).foreach { v =>
+      assert(t.versionAt(ts(v.toInt - 1)) == v)
+      assert(keys(t.readAsOf(ts(v.toInt - 1))) == keys(t.read(v)))
+    }
+    assert(t.versionAt(ts(1) - 1) == 1, "instants between commits round down")
+    assert(t.versionAt(ts(2) + 60000) == 3)
+    intercept[IllegalArgumentException] { t.versionAt(ts(0) - 1) }
+    // history surfaces the same stamps
+    val hist = t.history().orderBy("version").collect()
+    assert(hist.map(_.getAs[Long]("commit_ts")).toSeq == ts)
+    // the batch source resolves timestampAsOf to the same snapshot
+    val viaFormat = spark.read.format("graft")
+      .option("path", t.root).option("keyCol", "k")
+      .option("timestampAsOf", ts(1).toString).load()
+    assert(viaFormat.select(col("k")).collect().map(_.getLong(0)).sorted
+      .toSeq == keys(t.read(2)))
   }
 
   test("count() answers from the manifest — no data file opened") {
