@@ -2190,6 +2190,50 @@ object ScaleOps {
       |  AND o_orderkey <> mn.m""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x47 — CHECK CONSTRAINTS (Delta's ALTER TABLE ... ADD CONSTRAINT
+  //       CHECK): `addCheck(name, expr)` / `GRAFT CONSTRAINT ... ADD
+  //       ... CHECK (...)` persist boolean row predicates every later
+  //       mutation must satisfy — a violating batch ABORTS before any
+  //       manifest exists (staged files discard, table untouched, the
+  //       error names the constraint and one offending row).
+  //       Validation reads the just-staged files back, so the cost is
+  //       one scan of the STAGED delta — mutation-proportional, never
+  //       table-proportional: the write-time data-quality gate a
+  //       100 TB ingest needs (a bad upstream batch must fail fast,
+  //       not poison the table). The gated query appends the valid
+  //       corpus, then attempts a corrupted batch (negated prices) —
+  //       the catch is folded into the hash-checked result, so
+  //       enforcement itself is oracle-verified.
+  // ---------------------------------------------------------------------
+  private def x47(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x47-check")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val t = graft.table.GraftTable.open(spark, root, "o_orderkey")
+    t.addCheck("price_nonneg", "o_price >= 0")
+    t.append(o.repartitionByRange(X23_FILES, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey"))
+    val corrupted = o.where(col("o_orderkey") % 11 === 0)
+      .withColumn("o_price", (-col("o_price")).cast(DecimalType(18, 2)))
+    val rejected =
+      try { t.append(corrupted); 0L }
+      catch { case _: IllegalArgumentException => 1L }
+    t.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+      .withColumn("rejected_batches", lit(rejected))
+  }
+
+  private val x47Sql =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  CAST(1 AS BIGINT) AS rejected_batches
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x46 — TIMESTAMP TIME TRAVEL (Delta's TIMESTAMP AS OF): every
   //       commit writes a strictly-monotonic IN-COMMIT timestamp into
   //       its manifest (Delta's inCommitTimestamps — robust to clock
@@ -2692,5 +2736,6 @@ object ScaleOps {
     QuerySpec("x43_sql_merge_lifecycle", x43, Some(x43Sql)),
     QuerySpec("x44_metadata_count", x44, Some(x44Sql)),
     QuerySpec("x45_bloom_index_lookup", x45, Some(x45Sql)),
-    QuerySpec("x46_timestamp_time_travel", x46, Some(x46Sql)))
+    QuerySpec("x46_timestamp_time_travel", x46, Some(x46Sql)),
+    QuerySpec("x47_check_constraints", x47, Some(x47Sql)))
 }

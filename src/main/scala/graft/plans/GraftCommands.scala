@@ -135,6 +135,26 @@ case class GraftIndexCommand(root: String, cols: Seq[String],
   }
 }
 
+/** `GRAFT CONSTRAINT '<root>' ADD <name> CHECK (<expr>)` /
+  * `GRAFT CONSTRAINT '<root>' DROP <name>` — manage CHECK constraints
+  * ([[graft.table.GraftTable.addCheck]]): every later staged row must
+  * satisfy the expression or the mutation aborts untouched. Returns
+  * the table's constraint count after the change. */
+case class GraftConstraintCommand(root: String, name: String,
+                                  checkExpr: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("constraints", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.table.GraftTable.open(session, root, "__unused__")
+    checkExpr match {
+      case Some(e) => t.addCheck(name, e)
+      case None    => t.dropCheck(name)
+    }
+    Seq(Row(t.checks().size.toLong))
+  }
+}
+
 /** `GRAFT VACUUM '<root>' KEEP <n>` — expire everything but the last
   * n versions and physically delete unreferenced files
   * ([[graft.table.GraftTable.expire]]: staging markers and the

@@ -42,6 +42,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT CLUSTER '<root>' BY (<c1>[, <c2>...]) [TARGET <n> FILES]
   * GRAFT VACUUM '<root>' KEEP <n>
   * GRAFT INDEX '<root>' BLOOM (<c1>[, <c2>...]) [FPP <p>]
+  * GRAFT CONSTRAINT '<root>' ADD <name> CHECK (<expr>)
+  * GRAFT CONSTRAINT '<root>' DROP <name>
   * EXPLAIN [EXTENDED|FORMATTED] GRAFT <any of the above>
   * }}}
   *
@@ -74,6 +76,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*""".r
   private val Index =
     """(?is)\s*GRAFT\s+INDEX\s+'([^']+)'\s+BLOOM\s+\(([\w\s,]+)\)(?:\s+FPP\s+([0-9.]+))?\s*""".r
+  private val ConstraintAdd =
+    """(?is)\s*GRAFT\s+CONSTRAINT\s+'([^']+)'\s+ADD\s+(\w+)\s+CHECK\s+\((.+)\)\s*""".r
+  private val ConstraintDrop =
+    """(?is)\s*GRAFT\s+CONSTRAINT\s+'([^']+)'\s+DROP\s+(\w+)\s*""".r
   private val Explain =
     """(?is)\s*EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|CODEGEN\s+|COST\s+)?(GRAFT\s.+)""".r
 
@@ -116,6 +122,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftIndexCommand(root,
         cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         Option(fpp).map(_.toDouble).getOrElse(0.01))
+    case ConstraintAdd(root, name, check) =>
+      // validate the expression's SYNTAX at parse time, like any SQL
+      delegate.parseExpression(check)
+      GraftConstraintCommand(root, name, Some(check))
+    case ConstraintDrop(root, name) =>
+      GraftConstraintCommand(root, name, None)
     case Explain(mode, inner) =>
       // Spark's own parser never sees the GRAFT text, so EXPLAIN over
       // a GRAFT statement is assembled here — the inner plan is built

@@ -145,10 +145,19 @@ private[sources] class GraftTableRelation(
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val pruned = snapshot.select(requiredColumns.toSeq.map(col): _*)
-    val filtered = filters.flatMap(toColumn)
-      .foldLeft(pruned)((d, c) => d.where(c))
-    filtered.rdd
+    // pushed filters route through readWhere, so the FORMAT read gets
+    // manifest FILE SKIPPING — min/max stats plus any bloom index —
+    // before row-level filtering: a `WHERE token = '...'` against a
+    // `USING graft` view opens candidate files only, exactly like the
+    // Scala readWhere path. Spark re-checks every filter above the
+    // scan (unhandledFilters), so pruning stays an optimization.
+    val base = filters.flatMap(toColumn).reduceOption(_ && _) match {
+      case Some(pred) =>
+        GraftTable.open(sqlContext.sparkSession, root, keyCol)
+          .readWhere(pred, pinnedVersion)
+      case None => snapshot
+    }
+    base.select(requiredColumns.toSeq.map(col): _*).rdd
   }
 
   /** translate the pushable subset of source filters to Columns —

@@ -432,6 +432,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val strCols = df.schema.fields.collect {
       case f if f.dataType == StringType => f.name
     }.toSet
+    // CHECK constraints gate the commit HERE: a violation discards the
+    // staged files (vacuum-safe — marker cleared after the delete) and
+    // throws before any manifest exists
+    try validateChecks(files, df.schema)
+    catch { case e: Throwable =>
+      io.deleteTree(sub); io.delete(marker); throw e
+    }
     val perFile = FooterStats.readAll(spark, files, intCols, strCols)
     val dataStaged = Staged(sub, files.map { f =>
       val st = perFile.get(f)
@@ -484,6 +491,86 @@ final class GraftTable private (spark: SparkSession, val root: String,
   }
 
   // ---- bloom file index -----------------------------------------------
+
+  // ---- CHECK constraints ------------------------------------------------
+
+  private def checksConfPath = s"$root/checks.conf"
+
+  /** declare a CHECK CONSTRAINT (Delta's `ALTER TABLE ... ADD
+    * CONSTRAINT ... CHECK`): every row a mutation stages FROM NOW ON
+    * must satisfy `exprSql` (a boolean SQL expression over the row's
+    * columns; SQL-standard semantics — NULL passes, only a strict
+    * FALSE violates). A violating commit ABORTS before any manifest is
+    * written: the staged files discard, the table is untouched, and
+    * the error names the constraint and one offending row. Validation
+    * reads the just-staged files back (column/constraint-pruned, no
+    * recompute of the caller's plan), so the cost is one scan of the
+    * STAGED delta — mutation-proportional, never table-proportional:
+    * exactly where Delta pays it, and the shape that holds when a
+    * 100 TB table ingests a GB batch. Existing rows are not
+    * re-validated (add constraints before data, or validate
+    * retroactively with `readWhere(!expr)`). */
+  def addCheck(name: String, exprSql: String): Unit = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+      s"constraint names are [A-Za-z0-9_]+: '$name'")
+    require(!exprSql.contains("\n") && exprSql.nonEmpty,
+      "constraint expression must be one non-empty line")
+    // fail loudly NOW on a syntax error, not mid-ingest (Spark 4's
+    // functions.expr defers parsing to analysis — call the parser)
+    spark.sessionState.sqlParser.parseExpression(exprSql)
+    val kept = checks().filterNot(_._1 == name)
+    io.writeUtf8(checksConfPath,
+      (kept.toSeq :+ (name -> exprSql)).sortBy(_._1)
+        .map { case (n, e) => s"$n=$e" }.mkString("", "\n", "\n"))
+  }
+
+  /** drop a CHECK constraint by name (no-op when absent) */
+  def dropCheck(name: String): Unit = {
+    val kept = checks().filterNot(_._1 == name).toSeq.sortBy(_._1)
+    if (kept.isEmpty) io.delete(checksConfPath)
+    else io.writeUtf8(checksConfPath,
+      kept.map { case (n, e) => s"$n=$e" }.mkString("", "\n", "\n"))
+  }
+
+  /** the table's CHECK constraints, name → boolean SQL expression */
+  def checks(): Map[String, String] =
+    io.readUtf8(checksConfPath).map { s =>
+      s.linesIterator.map(_.trim).filter(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+        .toMap
+    }.getOrElse(Map.empty)
+
+  /** validate freshly staged files against every constraint whose
+    * columns the staged schema carries (a delta narrower than the
+    * table — a DV sidecar, a pre-evolution feed — skips constraints it
+    * cannot express, matching Delta's per-write scoping); throws with
+    * the constraint name and one offending row on violation */
+  private def validateChecks(files: Seq[String],
+                             schema: org.apache.spark.sql.types.StructType)
+      : Unit = {
+    val cs = checks()
+    if (cs.isEmpty || files.isEmpty) return
+    val names = schema.fieldNames.toSet
+    // pre-analysis reference collection: walk the PARSED (unresolved)
+    // expression for attribute names — Spark 4 Columns carry
+    // ColumnNodes, and Expression.references is undefined pre-analysis
+    def refs(e: String): Seq[String] =
+      spark.sessionState.sqlParser.parseExpression(e).collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.nameParts.head
+      }
+    val applicable = cs.filter { case (_, e) => refs(e).forall(names) }
+    if (applicable.isEmpty) return
+    val staged = spark.read.parquet(files: _*)
+    applicable.foreach { case (n, e) =>
+      // SQL CHECK semantics: only a strict FALSE violates (NULL passes)
+      val bad = staged.where(coalesce(expr(e), lit(true)) === false)
+        .limit(1).collect()
+      if (bad.nonEmpty)
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$n' ($e) violated by staged row: ${bad.head}")
+    }
+  }
 
   private def bloomConfPath = s"$root/bloom.conf"
 

@@ -180,6 +180,30 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(t.readWhere(col("tok") === tok7).count() == 1)
   }
 
+  test("GRAFT CONSTRAINT gates SQL ingest; DROP re-opens it") {
+    val root = graft.util.Scratch.dir("graft-sql-check")
+    assert(ext.sql(
+      s"GRAFT CONSTRAINT '$root' ADD amt_nonneg CHECK (amt >= 0)")
+      .head.getLong(0) == 1L)
+    ext.sql(s"GRAFT CREATE '$root' KEY k USING " +
+      "SELECT id AS k, id * 10 AS amt FROM range(1, 11)")
+    intercept[IllegalArgumentException] {
+      ext.sql(s"GRAFT APPEND INTO '$root' KEY k USING " +
+        "SELECT 99L AS k, -1L AS amt").collect()
+    }
+    val t = graft.table.GraftTable.open(base, root, "k")
+    assert(t.head == 1, "the violating SQL append must not commit")
+    assert(ext.sql(s"GRAFT CONSTRAINT '$root' DROP amt_nonneg")
+      .head.getLong(0) == 0L)
+    ext.sql(s"GRAFT APPEND INTO '$root' KEY k USING " +
+      "SELECT 99L AS k, -1L AS amt").collect()
+    assert(t.head == 2)
+    // bad expression syntax fails AT PARSE, like any SQL statement
+    intercept[Exception] {
+      ext.sql(s"GRAFT CONSTRAINT '$root' ADD broken CHECK (amt >=)")
+    }
+  }
+
   test("everything else delegates to Spark's parser untouched") {
     assert(ext.sql("SELECT 1 + 1 AS two").head.getInt(0) == 2)
     // the injected functions ride the same extensions entry point

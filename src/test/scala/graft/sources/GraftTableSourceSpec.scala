@@ -68,6 +68,53 @@ class GraftTableSourceSpec extends AnyFunSuite {
       "a FRESH load sees the new head")
   }
 
+  test("pushed filters FILE-SKIP through the format — stats and bloom") {
+    val t = GraftTable.open(spark,
+      graft.util.Scratch.dir("graft-batch-src-skip"), "k")
+    t.indexBloom(Seq("tok"))
+    t.append((1L to 200L).map(k => (k, md5hex(k.toString))).toDF("k", "tok")
+      .repartitionByRange(5, col("k")).sortWithinPartitions("k"))
+    val files = t.filesOf(1)
+    // key-range pruning: a k <= 10 query needs only the first file —
+    // hide every other data file and the format read must not notice
+    def hidden(fs: Seq[String])(body: => Unit): Unit = {
+      import java.nio.file.{Files, Paths}
+      fs.foreach(f => Files.move(Paths.get(f), Paths.get(f + ".h")))
+      try body finally fs.foreach(f =>
+        Files.move(Paths.get(f + ".h"), Paths.get(f)))
+    }
+    // load (schema resolution reads every footer) BEFORE hiding; only
+    // the pruned EXECUTION runs with files gone
+    val q = spark.read.format("graft")
+      .option("path", t.root).option("keyCol", "k").load()
+      .where(col("k") <= 10)
+    hidden(files.drop(1)) { assert(q.count() == 10) }
+    // bloom pruning: a token point lookup through PURE SQL opens only
+    // the files whose filters might contain it
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_skip_view
+      USING graft OPTIONS (path '${t.root}', keyCol 'k')""")
+    val tok7 = md5hex("7")
+    // hide everything EXCEPT the single file holding k=7 and the
+    // query must still answer (the bloom pruned the rest)
+    val holdingFile = {
+      import org.apache.spark.sql.functions.input_file_name
+      spark.read.parquet(files: _*).withColumn("__f", input_file_name())
+        .where(col("k") === 7).head.getString(2)
+        .replaceFirst("^file:(//)?", "")
+    }
+    hidden(files.filterNot(_ == holdingFile)) {
+      val got = spark.sql(
+        s"SELECT k FROM graft_skip_view WHERE tok = '$tok7'")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(7L), s"bloom file skip through SQL: $got")
+    }
+    spark.sql("DROP VIEW graft_skip_view")
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("column pruning reaches the inner scan; filters stay correct") {
     val t = fixture()
     // a 1-column projection must not read the other columns: the inner
