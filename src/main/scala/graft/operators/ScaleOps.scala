@@ -2190,6 +2190,53 @@ object ScaleOps {
       |  AND o_orderkey <> mn.m""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x48 — MERGE BLOOM PUSHDOWN (Delta's small-source predicate
+  //       pushdown): a content-hash-keyed table (md5 of the orderkey —
+  //       the GDPR-subject shape, where every file's lexicographic key
+  //       bounds span nearly the whole hex space and the sstats range
+  //       join can't prune) with the KEY bloom-indexed; a small merge
+  //       collects its delta keys into an IN constraint and the bloom
+  //       refinement opens only files that might hold one. The gated
+  //       query upserts 6 subjects by hash and reads the table back —
+  //       BloomIndexSpec pins the read-set claim by physically hiding
+  //       every non-holding file through a merge.
+  //
+  //       100 TB shape: a CDC trickle against a hash-keyed table
+  //       rewrites only the files holding touched subjects AND only
+  //       READS those files to find them; past the 10k-key budget the
+  //       pushdown skips (bounded driver state by construction).
+  // ---------------------------------------------------------------------
+  private def x48(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("graft-x48-mergebloom")
+    val o = Tables.orders(spark, dir)
+      .select(md5(col("o_orderkey").cast("string")).as("subject"),
+              col("o_orderkey"), col("o_orderstatus"))
+    val t = graft.table.GraftTable.open(spark, root, "subject")
+    t.indexBloom(Seq("subject"))
+    t.append(o.repartitionByRange(X23_FILES, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey"))
+    // 6 smallest subjects by orderkey, upserted to an erased status
+    val delta = o.orderBy(col("o_orderkey")).limit(6)
+      .select(col("subject"), col("o_orderkey"),
+              lit("X").as("o_orderstatus"))
+    t.merge(delta)
+    t.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           min(col("o_orderkey")).as("min_key"))
+  }
+
+  private val x48Sql =
+    """WITH probes AS (SELECT o_orderkey FROM orders
+      |               ORDER BY o_orderkey LIMIT 6)
+      |SELECT CASE WHEN o_orderkey IN (SELECT o_orderkey FROM probes)
+      |         THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(o_orderkey) AS min_key
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x47 — CHECK CONSTRAINTS (Delta's ALTER TABLE ... ADD CONSTRAINT
   //       CHECK): `addCheck(name, expr)` / `GRAFT CONSTRAINT ... ADD
   //       ... CHECK (...)` persist boolean row predicates every later
@@ -2737,5 +2784,6 @@ object ScaleOps {
     QuerySpec("x44_metadata_count", x44, Some(x44Sql)),
     QuerySpec("x45_bloom_index_lookup", x45, Some(x45Sql)),
     QuerySpec("x46_timestamp_time_travel", x46, Some(x46Sql)),
-    QuerySpec("x47_check_constraints", x47, Some(x47Sql)))
+    QuerySpec("x47_check_constraints", x47, Some(x47Sql)),
+    QuerySpec("x48_merge_bloom_pushdown", x48, Some(x48Sql)))
 }

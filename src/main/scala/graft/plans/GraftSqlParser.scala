@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * {{{
   * GRAFT HISTORY '<table root>'
+  * GRAFT DETAIL '<table root>'
   * GRAFT CHANGES '<table root>' KEY <col> FROM <v> TO <v> [WITH PREIMAGES]
   * }}}
   *
@@ -58,6 +59,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+CHANGES\s+'([^']+)'\s+KEY\s+(\w+)\s+FROM\s+(\d+)\s+TO\s+(\d+)(\s+WITH\s+PREIMAGES)?\s*""".r
   private val History =
     """(?is)\s*GRAFT\s+HISTORY\s+'([^']+)'\s*""".r
+  private val Detail =
+    """(?is)\s*GRAFT\s+DETAIL\s+'([^']+)'\s*""".r
   private val Delete =
     """(?is)\s*GRAFT\s+DELETE\s+FROM\s+'([^']+)'\s+KEY\s+(\w+)\s+(USING\s+MOR\s+)?WHERE\s+(.+?)\s*""".r
   private val Merge =
@@ -92,6 +95,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       // history() never consults the key column
       graft.table.GraftTable.open(session, root, "__unused__")
         .history().queryExecution.logical
+    case Detail(root) =>
+      graft.table.GraftTable.open(session, root, "__unused__")
+        .detail().queryExecution.logical
     case Delete(root, key, mor, whereSql) =>
       GraftDeleteCommand(root, key, whereSql, mor = mor != null)
     case Merge(root, key, txn, sourceSql) =>

@@ -242,6 +242,26 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * `timestampAsOf` option) */
   def readAsOf(tsMillis: Long): DataFrame = read(versionAt(tsMillis))
 
+  /** one-row metadata summary of the head (Delta's DESCRIBE DETAIL) —
+    * everything from the manifest and table properties, no data file
+    * opened (rows ride [[count]]'s metadata path; a pre-counter
+    * manifest falls back to its exact scan) */
+  def detail(): DataFrame = {
+    val h = head
+    val refs = if (h == 0) Seq.empty[FileRef] else manifestOf(h)
+    val data = refs.filter(_.kind == "data")
+    Seq((root, h, data.size,
+        refs.count(_.kind == "dv"), refs.count(_.kind == "bloom"),
+        if (h == 0) 0L else count(h),
+        data.map(_.bytes).filter(_ >= 0).sum,
+        if (h == 0) -1L else commitTimestampOf(h),
+        bloomConfig().map(_._1.mkString(",")).getOrElse(""),
+        checks().keys.toSeq.sorted.mkString(",")))
+      .toDF("root", "version", "n_data_files", "n_dv_files",
+        "n_bloom_sidecars", "n_rows", "bytes", "commit_ts",
+        "bloom_columns", "check_constraints")
+  }
+
   // ---- read plumbing --------------------------------------------------
 
   /** rows of `files` with `__file`/`__pos` provenance columns */
@@ -1039,7 +1059,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
                            allKeys: DataFrame,
                            nKeys: Long): Option[(Seq[FileRef], Seq[Staged])] = {
       val data = base.filter(_.kind == "data")
-      val cand = pruneByKeys(data, allKeys)
+      val cand = bloomRefineKeys(base, data,
+        pruneByKeys(data, allKeys), allKeys, nKeys)
       val matched =
         if (cand.isEmpty) Seq.empty[String]
         else matchedFiles(base, cand, allKeys, nKeys)
@@ -1059,6 +1080,41 @@ final class GraftTable private (spark: SparkSession, val root: String,
       val ms = matched.toSet
       Some((base.filterNot(r => r.kind == "data" && ms(r.file)) ++ st.refs,
             Seq(st)))
+  }
+
+  /** bloom refinement of a MERGE's key-pruned candidates — Delta's
+    * small-source predicate pushdown: a delta under
+    * [[GraftTable.BloomKeyPushdown]] keys collects them (bounded, the
+    * budget is the documented cap) into an IN constraint over the KEY
+    * column and runs the same executor-side bloom refinement reads
+    * use, so a scattered-key upsert against a bloom-indexed key opens
+    * only files that might hold a delta key. Bigger deltas skip (the
+    * range join already pruned; collecting 10⁸ keys to build a
+    * predicate would be the unbounded-driver-state mistake). No-op
+    * unless the key column is bloom-indexed. */
+  private def bloomRefineKeys(base: Seq[FileRef], data: Seq[FileRef],
+                              cand: Seq[String], allKeys: DataFrame,
+                              nKeys: Long): Seq[String] = {
+    if (cand.isEmpty || nKeys > GraftTable.BloomKeyPushdown ||
+        !base.exists(_.kind == "bloom")) return cand
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val tree = allKeys.schema.fields.find(_.name == keyCol)
+      .map(_.dataType) match {
+      case Some(ByteType | ShortType | IntegerType | LongType) =>
+        val ks = allKeys.select(col(keyCol).cast("long"))
+          .where(col(keyCol).isNotNull)
+          .collect().map(_.getLong(0)).toSeq // <= BloomKeyPushdown rows
+        if (ks.isEmpty) return cand
+        PredicateTree.In(keyCol, ks)
+      case Some(StringType) =>
+        val ks = allKeys.select(col(keyCol))
+          .where(col(keyCol).isNotNull)
+          .collect().map(_.getString(0)).toSeq
+        if (ks.isEmpty) return cand
+        PredicateTree.InS(keyCol, ks)
+      case _ => return cand
+    }
+    bloomRefine(base, data, cand, tree)
   }
 
   /** matched-file discovery plan: the exact files among `cand`
@@ -1474,6 +1530,11 @@ object GraftTable {
     * comfortably under executor budgets, far under where a broadcast
     * would strain the driver) */
   private[table] val DvBroadcastPositions: Long = 1L << 20
+
+  /** delta-key count up to which a merge collects its keys into an IN
+    * constraint for bloom refinement (Delta's small-source predicate
+    * pushdown); past it the range-join pruning stands alone */
+  private[table] val BloomKeyPushdown: Long = 10000L
 
   /** one manifest row: a data file or DV sidecar + its statistics —
     * `lo`/`hi` are the KEY column's range (what `pruneByKeys`' range

@@ -161,6 +161,17 @@ class GraftSqlParserSpec extends AnyFunSuite {
     ext.sql("DROP VIEW graft_sql_loop")
   }
 
+  test("GRAFT DETAIL summarizes the head from metadata") {
+    val root = fixture()
+    val d = ext.sql(s"GRAFT DETAIL '$root'").head
+    assert(d.getAs[String]("root") == root)
+    assert(d.getAs[Long]("version") == 2L)
+    assert(d.getAs[Long]("n_rows") == 4L)
+    assert(d.getAs[Long]("bytes") > 0L)
+    assert(d.getAs[Long]("commit_ts") > 0L)
+    assert(d.getAs[String]("check_constraints") == "")
+  }
+
   test("GRAFT INDEX declares a bloom index; point lookups prune through it") {
     val root = graft.util.Scratch.dir("graft-sql-index")
     // EXPLAIN is inert: no config appears

@@ -147,6 +147,34 @@ class BloomIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.indexBloom(Seq("a"), fpp = 0.9) }
   }
 
+  test("a small merge bloom-prunes its read set on an indexed string key") {
+    // a SCATTERED string key: every file's lexicographic bounds span
+    // nearly the whole hex space, so the sstats range join keeps all
+    // files — only the key's bloom can narrow the merge's read set
+    val t = GraftTable.open(spark, graft.util.Scratch.dir("graft-bloom-mergekey"), "id")
+    t.indexBloom(Seq("id"))
+    t.append((1L to 200L).map(k => (md5Hex(k.toString), k))
+      .toDF("id", "payload")
+      .repartitionByRange(5, col("payload")).sortWithinPartitions("payload"))
+    val files = t.filesOf(1)
+    val delta = Seq((md5Hex("7"), 7000L)).toDF("id", "payload")
+    // the file that actually holds the key
+    val holding = spark.read.parquet(files: _*)
+      .withColumn("__f", input_file_name())
+      .where(col("payload") === 7).head.getString(2)
+      .replaceFirst("^file:(//)?", "")
+    // hide every OTHER data file: the merge must plan, read, and
+    // commit without noticing (bloom pushdown pruned them)
+    hide(files.filterNot(_ == holding)) {
+      assert(t.merge(delta) == 2)
+    }
+    assert(t.read().where(col("id") === md5Hex("7"))
+      .head.getLong(1) == 7000L)
+    assert(t.read().count() == 200)
+    // untouched files carried by reference
+    assert(t.filesOf(2).count(files.contains) == 4)
+  }
+
   test("the full mutation lifecycle stays correct on an indexed table") {
     val t = fixture("graft-bloom-life")
     t.merge(Seq((7L, "REPLACED", 42L)).toDF("k", "tok", "h"))
