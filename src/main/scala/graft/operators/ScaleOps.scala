@@ -2190,6 +2190,47 @@ object ScaleOps {
       |  AND o_orderkey <> mn.m""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
+  //       null_value_counts): stage() lifts every tracked column's
+  //       exact per-file NULL COUNT from the parquet footers into the
+  //       manifest, and IS [NOT] NULL predicates evaluate against
+  //       them — so the most common data-cleaning mutation, `DELETE
+  //       WHERE col IS NULL`, opens only files that HAVE nulls
+  //       (NullStatsSpec proves it by hiding every null-free file
+  //       through the delete). The gated query nulls a column for the
+  //       upper key half, cleans it, and aggregates the survivors.
+  //
+  //       100 TB shape: null distribution is usually SKEWED to an
+  //       ingest era or source — the cleaning delete reads those
+  //       files, not the table; a file with zero nulls is untouchable
+  //       by construction (exact counts, not estimates).
+  // ---------------------------------------------------------------------
+  private def x49(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x49-nulls")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.withColumn("note",
+          when(col("o_orderkey") > mx / 2, lit(null).cast("string"))
+            .otherwise(lit("ok")))
+        .repartitionByRange(X23_FILES, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    t.delete(col("note").isNull) // opens only null-bearing files
+    t.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           max(col("o_orderkey")).as("max_key"))
+  }
+
+  private val x49Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MAX(o_orderkey) AS max_key
+      |FROM orders, m WHERE o_orderkey <= m.mx // 2
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x48 — MERGE BLOOM PUSHDOWN (Delta's small-source predicate
   //       pushdown): a content-hash-keyed table (md5 of the orderkey —
   //       the GDPR-subject shape, where every file's lexicographic key
@@ -2785,5 +2826,6 @@ object ScaleOps {
     QuerySpec("x45_bloom_index_lookup", x45, Some(x45Sql)),
     QuerySpec("x46_timestamp_time_travel", x46, Some(x46Sql)),
     QuerySpec("x47_check_constraints", x47, Some(x47Sql)),
-    QuerySpec("x48_merge_bloom_pushdown", x48, Some(x48Sql)))
+    QuerySpec("x48_merge_bloom_pushdown", x48, Some(x48Sql)),
+    QuerySpec("x49_null_pruned_cleaning", x49, Some(x49Sql)))
 }

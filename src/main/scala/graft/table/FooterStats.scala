@@ -29,10 +29,14 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
   */
 object FooterStats {
 
-  /** one file's footer-derived statistics */
+  /** one file's footer-derived statistics. `nulls` carries a column's
+    * EXACT null count only when every row group recorded one (a single
+    * group without a count makes the file's total unknowable — the
+    * column is simply absent, and planning treats it as unbounded). */
   final case class FileStat(rows: Long,
                             intStats: Map[String, (Long, Long)],
-                            strStats: Map[String, (String, String)])
+                            strStats: Map[String, (String, String)],
+                            nulls: Map[String, Long] = Map.empty)
 
   /** total row count of one parquet file — footer metadata only */
   def rowCount(file: String, conf: Configuration = new Configuration()): Long = {
@@ -62,6 +66,8 @@ object FooterStats {
       var ints = Map.empty[String, (Long, Long)]
       var strs = Map.empty[String, (String, String)]
       var invalid = Set.empty[String]
+      var nulls = Map.empty[String, Long]
+      var nullsUnknown = Set.empty[String]
       for (b <- blocks; c <- b.getColumns.asScala) {
         // top-level columns only: path depth 1 (nested stats are out
         // of planning scope, same as the manifest's stats map)
@@ -69,6 +75,12 @@ object FooterStats {
         if (path.length == 1 && (intCols(path(0)) || strCols(path(0)))) {
           val name = path(0)
           val st = c.getStatistics
+          // exact per-column NULL COUNTS (Iceberg's null_value_counts):
+          // valid only when every row group recorded one
+          if (st != null && !st.isEmpty && st.isNumNullsSet)
+            nulls = nulls.updated(name,
+              nulls.getOrElse(name, 0L) + st.getNumNulls)
+          else nullsUnknown += name
           if (st != null && !st.isEmpty && st.hasNonNullValue) {
             c.getPrimitiveType.getPrimitiveTypeName match {
               case PrimitiveTypeName.INT32 if intCols(name) =>
@@ -97,7 +109,8 @@ object FooterStats {
           }
         }
       }
-      FileStat(rows, ints -- invalid, strs -- invalid)
+      FileStat(rows, ints -- invalid, strs -- invalid,
+        nulls -- nullsUnknown)
     } finally r.close()
   }
 

@@ -120,11 +120,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val hasSStats = names("sstats")
     val hasCounts = names("rows") && names("bytes")
     val hasTs = names("ts")
+    val hasNStats = names("nstats")
     val cols = Seq(col("file"), col("kind"), col("lo"), col("hi")) ++
       (if (hasStats) Seq(col("stats")) else Nil) ++
       (if (hasSStats) Seq(col("sstats")) else Nil) ++
       (if (hasCounts) Seq(col("rows"), col("bytes")) else Nil) ++
-      (if (hasTs) Seq(col("ts")) else Nil)
+      (if (hasTs) Seq(col("ts")) else Nil) ++
+      (if (hasNStats) Seq(col("nstats")) else Nil)
     df.select(cols: _*)
       .collect()
       .map { r =>
@@ -140,7 +142,10 @@ final class GraftTable private (spark: SparkSession, val root: String,
           stats, sstats,
           rows = if (hasCounts) r.getAs[Long]("rows") else -1L,
           bytes = if (hasCounts) r.getAs[Long]("bytes") else -1L,
-          ts = if (hasTs) r.getAs[Long]("ts") else -1L)
+          ts = if (hasTs) r.getAs[Long]("ts") else -1L,
+          nstats =
+            if (!hasNStats || r.isNullAt(r.fieldIndex("nstats"))) Map.empty
+            else r.getAs[Map[String, Long]]("nstats"))
       }
       .toSeq.sortBy(r => (r.kind, r.file))
   }
@@ -156,6 +161,16 @@ final class GraftTable private (spark: SparkSession, val root: String,
   /** version `v`'s bloom-index sidecar files (empty when none) */
   def bloomSidecarsOf(v: Long): Seq[String] =
     manifestOf(v).filter(_.kind == "bloom").map(_.file).sorted
+
+  /** version `v`'s data bytes off the manifest counters — one manifest
+    * read, no data file opened; −1 when a pre-counter manifest can't
+    * say (callers keep their conservative default) */
+  def bytesOf(version: Long = -1L): Long = {
+    val v = if (version < 0) head else version
+    if (v == 0) return 0L
+    val sizes = manifestOf(v).filter(_.kind == "data").map(_.bytes)
+    if (sizes.exists(_ < 0)) -1L else sizes.sum
+  }
 
   /** snapshot read — head by default, any retained version by number.
     * DV-applied: positions recorded by merge-on-read deletes are
@@ -432,6 +447,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * records no stats (always a candidate — planning may weaken,
     * correctness cannot). */
   private def stage(df: DataFrame): Staged = {
+    enforceSchema(df) // BEFORE the write: nothing to clean up
     io.mkdirs(dataDir)
     val uuid = java.util.UUID.randomUUID().toString
     val marker = s"$dataDir/.staging-$uuid"
@@ -468,7 +484,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
         st.map(_.intStats).getOrElse(Map.empty),
         st.map(_.strStats).getOrElse(Map.empty),
         rows = st.map(_.rows).getOrElse(-1L),
-        bytes = sizes.getOrElse(f, -1L))
+        bytes = sizes.getOrElse(f, -1L),
+        nstats = st.map(_.nulls).getOrElse(Map.empty))
     }, marker)
     bloomConfig() match {
       case Some((cols, fpp)) =>
@@ -589,6 +606,72 @@ final class GraftTable private (spark: SparkSession, val root: String,
       if (bad.nonEmpty)
         throw new IllegalArgumentException(
           s"CHECK constraint '$n' ($e) violated by staged row: ${bad.head}")
+    }
+  }
+
+  // ---- schema mode ------------------------------------------------------
+
+  private def schemaModePath = s"$root/schema.conf"
+
+  /** set the table's SCHEMA MODE (Delta's schema enforcement):
+    *  - `"evolve"` (the default, and the pre-existing behavior): any
+    *    staged schema commits; readers union schemas and fill NULL —
+    *    x27/x35's O(metadata) column add;
+    *  - `"enforce"`: a mutation whose staged schema differs from the
+    *    RECORDED one — missing columns, new columns, or a changed
+    *    type — ABORTS before any manifest exists, exactly like the
+    *    CHECK gate. The recorded schema is captured HERE from the
+    *    head snapshot (or by the first enforced write on an empty
+    *    table) and kept as a table property, so per-mutation
+    *    validation is one small property read — never a footer sweep
+    *    (Delta keeps the schema in its log for the same reason). The
+    *    accidental-drift protection Delta turns on by default; here
+    *    it is opt-in because evolution-by-append is a first-class
+    *    workflow this engine ships. */
+  def setSchemaMode(mode: String): Unit = {
+    require(mode == "evolve" || mode == "enforce",
+      s"schema mode is 'evolve' or 'enforce' (got '$mode')")
+    if (mode == "evolve") io.delete(schemaModePath)
+    else {
+      val h = head
+      val json = if (h == 0) "" else read(h).schema.json
+      io.writeUtf8(schemaModePath, "enforce\n" + json)
+    }
+  }
+
+  /** the persisted schema mode — "evolve" unless set */
+  def schemaMode(): String =
+    if (io.readUtf8(schemaModePath).exists(_.startsWith("enforce")))
+      "enforce"
+    else "evolve"
+
+  /** under `enforce`, reject a staged schema that differs from the
+    * recorded one (names AND types; column order is immaterial —
+    * readers are name-based) */
+  private def enforceSchema(df: DataFrame): Unit = {
+    val confOpt = io.readUtf8(schemaModePath)
+    if (!confOpt.exists(_.startsWith("enforce"))) return
+    val conf = confOpt.get
+    val json = conf.linesIterator.drop(1).mkString("\n").trim
+    if (json.isEmpty) { // empty table at set time: this write defines it
+      io.writeUtf8(schemaModePath, "enforce\n" + df.schema.json)
+      return
+    }
+    val want = org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fields.map(f => f.name -> f.dataType).toMap
+    val got = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    if (want != got) {
+      val missing = want.keySet -- got.keySet
+      val extra = got.keySet -- want.keySet
+      val changed = (want.keySet & got.keySet)
+        .filter(c => want(c) != got(c))
+      throw new IllegalArgumentException(
+        s"schema mode 'enforce' rejects this write: " +
+          s"missing=${missing.toSeq.sorted.mkString(",")} " +
+          s"extra=${extra.toSeq.sorted.mkString(",")} " +
+          s"changed=${changed.toSeq.sorted.mkString(",")} — " +
+          "setSchemaMode(\"evolve\") to allow schema drift")
     }
   }
 
@@ -831,9 +914,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
                         txn: Long, ts: Long): Boolean = {
     val tmp = s"$commitsDir/.tmp-${java.util.UUID.randomUUID()}"
     refs.map(r => (r.file, r.kind, r.lo, r.hi, txn, r.stats, r.sstats,
-        r.rows, r.bytes, ts))
+        r.rows, r.bytes, ts, r.nstats))
       .toDF("file", "kind", "lo", "hi", "txn", "stats", "sstats",
-        "rows", "bytes", "ts")
+        "rows", "bytes", "ts", "nstats")
       .coalesce(1).write.parquet(tmp)
     io.publish(tmp, s"$commitsDir/v${expected + 1}")
   }
@@ -1184,8 +1267,17 @@ final class GraftTable private (spark: SparkSession, val root: String,
       val small = data.filter(r => io.length(r.file) < smallFileBytes)
       if (small.size <= math.max(1, targetFiles)) Some((base, Seq.empty))
       else {
-        val st = stage(scan(base, small.map(_.file)).drop("__file", "__pos")
-          .coalesce(math.max(1, targetFiles)))
+        // folded files stay KEY-SORTED: the bigger file's parquet
+        // row-group stats keep point lookups cheap inside it, and its
+        // manifest key range stays as tight as the inputs' union
+        // (skipped for key-less handles — SQL OPTIMIZE opens with a
+        // sentinel key the frame doesn't carry)
+        val folded = scan(base, small.map(_.file)).drop("__file", "__pos")
+          .coalesce(math.max(1, targetFiles))
+        val st = stage(
+          if (folded.columns.contains(keyCol))
+            folded.sortWithinPartitions(keyCol)
+          else folded)
         val ss = small.map(_.file).toSet
         Some((base.filterNot(r => r.kind == "data" && ss(r.file)) ++ st.refs,
               Seq(st)))
@@ -1274,9 +1366,11 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * DAYS there) closes even that by never deleting a file younger
     * than the floor. The default 0 keeps test-speed semantics;
     * production sweeps should pass an hours-scale floor.
-    * Returns the deleted files. */
+    * Returns the deleted files — or, with `dryRun = true` (Delta's
+    * VACUUM DRY RUN), the files a real sweep would delete, with every
+    * safety re-check exercised and nothing touched. */
   def expire(keepLast: Int, staleStagingMs: Long = Long.MaxValue,
-             minAgeMs: Long = 0L): Seq[String] = {
+             minAgeMs: Long = 0L, dryRun: Boolean = false): Seq[String] = {
     require(keepLast >= 1,
       s"keepLast must be >= 1 (got $keepLast): expiring every version would vacuum the head snapshot")
     if (!io.exists(dataDir)) return Seq.empty
@@ -1324,7 +1418,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
               doomed = doomed.filter { case (p, _) => !retained(p) }
             }
           }
-          doomed.foreach { case (p, _) => io.delete(p) }
+          // dryRun (Delta's VACUUM DRY RUN): report what WOULD delete,
+          // all safety re-checks included, without touching a byte
+          if (!dryRun) doomed.foreach { case (p, _) => io.delete(p) }
           out ++= doomed.map(_._1)
         }
       }
@@ -1553,7 +1649,8 @@ object GraftTable {
                            stats: Map[String, (Long, Long)] = Map.empty,
                            sstats: Map[String, (String, String)] = Map.empty,
                            rows: Long = -1L, bytes: Long = -1L,
-                           ts: Long = -1L)
+                           ts: Long = -1L,
+                           nstats: Map[String, Long] = Map.empty)
 
   /** a staged-but-uncommitted file set and its in-flight marker.
     * `extra` carries companion sidecar stages (a data stage's bloom

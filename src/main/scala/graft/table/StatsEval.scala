@@ -92,6 +92,14 @@ private[table] final case class StatsEval(keyCol: String) {
           vs.exists(v => bc(lo, v) <= 0 && bc(v, hi) <= 0 &&
             mightContainStr(c, v))
       }
+      case NullTest(c, isNull) => r.nstats.get(c) match {
+        case None => true // no recorded count: unbounded
+        case Some(n) =>
+          // IS NULL can match iff the file HAS nulls; IS NOT NULL iff
+          // it has non-null rows (exact counts — Iceberg's metrics)
+          if (isNull) n > 0
+          else r.rows < 0 || n < r.rows
+      }
       case Unknown => true
     }
   }
@@ -128,6 +136,13 @@ private[table] final case class StatsEval(keyCol: String) {
           case "="  => bc(lo, v) == 0 && bc(hi, v) == 0
           case _    => false
         }
+      }
+      case NullTest(c, isNull) => r.nstats.get(c) match {
+        // a NULL test never evaluates to NULL, so "all rows satisfy"
+        // is the literal universal here
+        case Some(n) if isNull  => r.rows >= 0 && n == r.rows
+        case Some(n) if !isNull => n == 0
+        case _ => false
       }
       case _ => false
     }

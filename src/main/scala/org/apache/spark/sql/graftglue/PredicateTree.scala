@@ -34,6 +34,9 @@ object PredicateTree {
   final case class Not(x: Node) extends Node
   final case class In(column: String, values: Seq[Long]) extends Node
   final case class InS(column: String, values: Seq[String]) extends Node
+  /** `column IS [NOT] NULL` — evaluable against per-file null counts
+    * (Iceberg's null_value_counts) */
+  final case class NullTest(column: String, isNull: Boolean) extends Node
   case object Unknown extends Node
 
   /** parse `predicate`'s boolean skeleton (unrecognized sub-trees ⇒
@@ -112,6 +115,12 @@ object PredicateTree {
           if colName(key).isDefined && vs.nonEmpty &&
              vs.forall(litStr(_).isDefined) =>
         InS(colName(key).get, vs.map(litStr(_).get))
+      case (fn, Seq(a)) if fn.equalsIgnoreCase("isnull") &&
+          colName(a).isDefined =>
+        NullTest(colName(a).get, isNull = true)
+      case (fn, Seq(a)) if fn.equalsIgnoreCase("isnotnull") &&
+          colName(a).isDefined =>
+        NullTest(colName(a).get, isNull = false)
       case _ => Unknown
     }
     case _ => Unknown

@@ -115,6 +115,19 @@ class GraftTableSourceSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("the relation reports manifest bytes, so small views broadcast") {
+    val t = fixture()
+    val view = read(t)
+    val big = spark.range(0, 200000).toDF("k")
+    val plan = big.join(view, "k")
+      .queryExecution.explainString(FormattedMode)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a KB-scale graft view must broadcast, not shuffle:\n$plan")
+    val expect = t.filesOf(t.head).map(f =>
+      new java.io.File(f).length).sum
+    assert(t.bytesOf() == expect, "bytesOf must equal the on-disk sum")
+  }
+
   test("column pruning reaches the inner scan; filters stay correct") {
     val t = fixture()
     // a 1-column projection must not read the other columns: the inner
