@@ -35,15 +35,19 @@ case class GraftDeleteCommand(root: String, key: String, whereSql: String,
   }
 }
 
-/** `GRAFT RESTORE '<root>' TO <version>` — roll the table back to a
-  * retained version AS A NEW COMMIT ([[graft.table.GraftTable.restore]]:
-  * pure metadata, history preserved, vacuumed versions refuse). */
-case class GraftRestoreCommand(root: String, toVersion: Long)
+/** `GRAFT RESTORE '<root>' TO <version>` /
+  * `GRAFT RESTORE '<root>' TO TIMESTAMP <epoch millis>` — roll the
+  * table back to a retained version AS A NEW COMMIT
+  * ([[graft.table.GraftTable.restore]]: pure metadata, history
+  * preserved, vacuumed versions refuse). The timestamp form resolves
+  * through the in-commit stamps at run time. */
+case class GraftRestoreCommand(root: String, toVersion: Long,
+                               toTimestamp: Option[Long] = None)
     extends GraftVersionCommand {
   override def run(session: SparkSession): Seq[Row] = {
     // restore never consults the key column
     val t = graft.table.GraftTable.open(session, root, "__unused__")
-    Seq(Row(t.restore(toVersion)))
+    Seq(Row(t.restore(toTimestamp.map(t.versionAt).getOrElse(toVersion))))
   }
 }
 

@@ -71,6 +71,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+APPEND\s+INTO\s+'([^']+)'\s+KEY\s+(\w+)\s+USING\s+(.+?)\s*""".r
   private val Restore =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+(\d+)\s*""".r
+  private val RestoreTs =
+    """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+(\d+)\s*""".r
   private val Optimize =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+)\s+FILES)?\s*""".r
   private val Cluster =
@@ -113,6 +115,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case Append(root, key, sourceSql) =>
       delegate.parsePlan(sourceSql)
       GraftAppendCommand(root, key, sourceSql)
+    case RestoreTs(root, ms) => // before Restore: TIMESTAMP <n> would
+      GraftRestoreCommand(root, -1L, Some(ms.toLong)) // half-match TO <n>
     case Restore(root, to) =>
       GraftRestoreCommand(root, to.toLong)
     case Optimize(root, target) =>

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext}
 import org.apache.spark.sql.execution.streaming.Sink
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
@@ -74,6 +74,20 @@ class GraftTableSourceProvider extends RelationProvider
                               parameters: Map[String, String]): BaseRelation = {
     val root = required(parameters, "path")
     val key = required(parameters, "keyCol")
+    // BATCH CHANGE-FEED read (Delta's readChangeFeed): the net
+    // row-level feed over a version window, as a relation — the
+    // catch-up/audit shape; the graft-cdf stream is the follow shape
+    if (opt(parameters, "readChangeFeed").exists(_.toBoolean)) {
+      val t = GraftTable.open(sqlContext.sparkSession, root, key)
+      val from = opt(parameters, "startingVersion").map(_.toLong)
+        .orElse(opt(parameters, "startingTimestamp")
+          .map(ms => t.versionAt(ms.toLong)))
+        .getOrElse(0L)
+      val to = opt(parameters, "endingVersion").map(_.toLong)
+        .getOrElse(t.head)
+      val pre = opt(parameters, "preimages").exists(_.toBoolean)
+      return new GraftChangesRelation(sqlContext, root, key, from, to, pre)
+    }
     val version = opt(parameters, "versionAsOf").map(_.toLong)
       .orElse(opt(parameters, "timestampAsOf").map { ms =>
         // epoch millis → the version current at that instant (Delta's
@@ -118,6 +132,23 @@ private[sources] class GraftStreamSink(sqlContext: SQLContext,
   }
 
   override def toString: String = s"GraftSink[$root]"
+}
+
+/** the batch change-feed relation: `changes(from, to)` as a scan —
+  * `startingVersion = 0` bootstraps the `to` snapshot as pure inserts
+  * (the stream source's initial-snapshot semantics, batch-shaped) */
+private[sources] class GraftChangesRelation(
+    override val sqlContext: SQLContext, root: String, keyCol: String,
+    fromV: Long, toV: Long, preimages: Boolean)
+    extends BaseRelation with TableScan {
+  private def feed = {
+    val t = GraftTable.open(sqlContext.sparkSession, root, keyCol)
+    if (fromV == 0L)
+      t.read(toV).withColumn("change_type", lit("insert"))
+    else t.changes(fromV, toV, preimages = preimages)
+  }
+  override val schema: StructType = feed.schema
+  override def buildScan(): RDD[Row] = feed.rdd
 }
 
 private[sources] class GraftTableRelation(

@@ -191,6 +191,17 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(t.readWhere(col("tok") === tok7).count() == 1)
   }
 
+  test("GRAFT RESTORE TO TIMESTAMP resolves through the commit stamps") {
+    val root = fixture() // v1 create, v2 merge
+    val t = graft.table.GraftTable.open(base, root, "k")
+    val ts1 = t.commitTimestampOf(1)
+    assert(ext.sql(s"GRAFT RESTORE '$root' TO TIMESTAMP $ts1")
+      .head.getLong(0) == 3L, "the restore commits a NEW version")
+    assert(t.read().collect().map(_.toSeq).toSet ==
+           t.read(1).collect().map(_.toSeq).toSet,
+      "the head must equal the as-of snapshot")
+  }
+
   test("GRAFT CONSTRAINT gates SQL ingest; DROP re-opens it") {
     val root = graft.util.Scratch.dir("graft-sql-check")
     assert(ext.sql(

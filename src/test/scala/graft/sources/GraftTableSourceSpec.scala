@@ -115,6 +115,30 @@ class GraftTableSourceSpec extends AnyFunSuite {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  test("readChangeFeed serves the batch net feed through the format") {
+    val t = fixture() // v1 create, v2 merge (U3), v3 MoR delete k%10
+    def feed(extra: (String, String)*) = {
+      val base = spark.read.format("graft")
+        .option("path", t.root).option("keyCol", "k")
+        .option("readChangeFeed", "true")
+      extra.foldLeft(base)((r, kv) => r.option(kv._1, kv._2)).load()
+    }
+    val net = feed("startingVersion" -> "1")
+      .select(col("k"), col("change_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(net == Seq((3L, "update"), (10L, "delete"), (20L, "delete"),
+      (30L, "delete"), (40L, "delete"), (50L, "delete")),
+      s"the (1, head] net window through the format: $net")
+    // bootstrap window: the endingVersion snapshot as inserts
+    val boot = feed("endingVersion" -> "1")
+    assert(boot.where(col("change_type") =!= "insert").count() == 0)
+    assert(boot.count() == 50)
+    // startingTimestamp resolves through the in-commit stamps
+    val viaTs = feed("startingTimestamp" ->
+      GraftTable.open(spark, t.root, "k").commitTimestampOf(1).toString)
+    assert(viaTs.count() == net.size)
+  }
+
   test("the relation reports manifest bytes, so small views broadcast") {
     val t = fixture()
     val view = read(t)
