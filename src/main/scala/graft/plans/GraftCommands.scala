@@ -99,14 +99,18 @@ case class GraftAppendCommand(root: String, key: String,
   }
 }
 
-/** `GRAFT OPTIMIZE '<root>' [TARGET <n> FILES]` — small-file
-  * compaction ([[graft.table.GraftTable.compact]]: files already at
-  * size carry by reference; pending deletion vectors fold in). */
-case class GraftOptimizeCommand(root: String, targetFiles: Int)
+/** `GRAFT OPTIMIZE '<root>' [TARGET <n> FILES] [WHERE <pred>]` —
+  * small-file compaction ([[graft.table.GraftTable.compact]]: files
+  * already at size carry by reference; pending deletion vectors fold
+  * in; a WHERE clause scopes the fold to stats-overlapping files —
+  * Delta's OPTIMIZE ... WHERE). */
+case class GraftOptimizeCommand(root: String, targetFiles: Int,
+                                whereSql: Option[String] = None)
     extends GraftVersionCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val t = graft.table.GraftTable.open(session, root, "__unused__")
-    Seq(Row(t.compact(targetFiles = targetFiles)))
+    Seq(Row(t.compact(targetFiles = targetFiles,
+      where = whereSql.map(expr))))
   }
 }
 

@@ -74,7 +74,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val RestoreTs =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+(\d+)\s*""".r
   private val Optimize =
-    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+)\s+FILES)?\s*""".r
+    """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+)\s+FILES)?(?:\s+WHERE\s+(.+?))?\s*""".r
   private val Cluster =
     """(?is)\s*GRAFT\s+CLUSTER\s+'([^']+)'\s+BY\s+\(([\w\s,]+)\)(?:\s+TARGET\s+(\d+)\s+FILES)?\s*""".r
   private val Vacuum =
@@ -119,9 +119,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftRestoreCommand(root, -1L, Some(ms.toLong)) // half-match TO <n>
     case Restore(root, to) =>
       GraftRestoreCommand(root, to.toLong)
-    case Optimize(root, target) =>
+    case Optimize(root, target, whereSql) =>
+      Option(whereSql).foreach(delegate.parseExpression) // syntax now
       GraftOptimizeCommand(root,
-        Option(target).map(_.toInt).getOrElse(1))
+        Option(target).map(_.toInt).getOrElse(1), Option(whereSql))
     case Cluster(root, by, target) =>
       GraftClusterCommand(root,
         by.split(",").map(_.trim).filter(_.nonEmpty).toSeq,

@@ -1261,10 +1261,23 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * call). Folding applies pending DVs to the folded files, so
     * compaction also physically reclaims MoR-deleted rows. Always
     * commits a version (mutator contract), even when nothing folds. */
-  def compact(targetFiles: Int = 1, smallFileBytes: Long = 64L << 20): Long =
+  def compact(targetFiles: Int = 1, smallFileBytes: Long = 64L << 20,
+              where: Option[Column] = None): Long =
     commitLoop() { base =>
       val data = base.filter(_.kind == "data")
-      val small = data.filter(r => io.length(r.file) < smallFileBytes)
+      // predicate-scoped compaction (Delta's OPTIMIZE ... WHERE): fold
+      // only small files whose STATS overlap the predicate — an
+      // operator reorganizes the hot key range without paying for the
+      // cold 99% of a 100 TB table. Stats-pruned, so the scope check
+      // is manifest-only; folding a stats-overlapping file that holds
+      // no matching rows is harmless (rows are unchanged either way).
+      val scoped = where match {
+        case Some(p) =>
+          val keep = pruneByPredicate(data, p).toSet
+          data.filter(r => keep(r.file))
+        case None => data
+      }
+      val small = scoped.filter(r => io.length(r.file) < smallFileBytes)
       if (small.size <= math.max(1, targetFiles)) Some((base, Seq.empty))
       else {
         // folded files stay KEY-SORTED: the bigger file's parquet

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftglue
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.internal.{ColumnNode, UnresolvedAttribute, UnresolvedFunction, Literal => LitNode}
+import org.apache.spark.sql.internal.{ColumnNode, SqlExpression, UnresolvedAttribute, UnresolvedFunction, Literal => LitNode}
 
 /** A Column predicate reduced to the boolean skeleton a min/max file-
   * pruning evaluator can reason about (Iceberg's inclusive-metrics
@@ -123,7 +123,72 @@ object PredicateTree {
         NullTest(colName(a).get, isNull = false)
       case _ => Unknown
     }
+    // a predicate supplied as SQL TEXT (functions.expr — what the
+    // GRAFT DELETE/OPTIMIZE WHERE commands carry): parse it with the
+    // active session's parser and walk the catalyst skeleton, so
+    // SQL-text predicates prune exactly like Column-built ones
+    case s: SqlExpression =>
+      try walkCatalyst(org.apache.spark.sql.SparkSession.active
+        .sessionState.sqlParser.parseExpression(s.expression))
+      catch { case scala.util.control.NonFatal(_) => Unknown }
     case _ => Unknown
+  }
+
+  /** the catalyst-side walk (UNRESOLVED expressions, straight from the
+    * parser — same shape discipline as the ColumnNode walk: anything
+    * unrecognized folds to Unknown) */
+  private def walkCatalyst(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Node = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => UA}
+    def cn(x: ce.Expression): Option[String] = x match {
+      case u: UA => u.nameParts.lastOption
+      case _ => None
+    }
+    def ll(x: ce.Expression): Option[Long] = x match {
+      case ce.Literal(v: Byte, _)  => Some(v.toLong)
+      case ce.Literal(v: Short, _) => Some(v.toLong)
+      case ce.Literal(v: Int, _)   => Some(v.toLong)
+      case ce.Literal(v: Long, _)  => Some(v)
+      case _ => None
+    }
+    def ls(x: ce.Expression): Option[String] = x match {
+      case ce.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Some(v.toString)
+      case ce.Literal(v: String, _) => Some(v)
+      case _ => None
+    }
+    def cmp(a: ce.Expression, b: ce.Expression, op: String): Node =
+      (cn(a), ll(b), cn(b), ll(a)) match {
+        case (Some(c), Some(v), _, _) => Cmp(c, op, v)
+        case (_, _, Some(c), Some(v)) => Cmp(c, flip(op), v)
+        case _ => (cn(a), ls(b), cn(b), ls(a)) match {
+          case (Some(c), Some(v), _, _) => CmpS(c, op, v)
+          case (_, _, Some(c), Some(v)) => CmpS(c, flip(op), v)
+          case _ => Unknown
+        }
+      }
+    e match {
+      case ce.And(a, b) => And(walkCatalyst(a), walkCatalyst(b))
+      case ce.Or(a, b)  => Or(walkCatalyst(a), walkCatalyst(b))
+      case ce.Not(x)    => Not(walkCatalyst(x))
+      case ce.EqualTo(a, b)            => cmp(a, b, "=")
+      case ce.LessThan(a, b)           => cmp(a, b, "<")
+      case ce.LessThanOrEqual(a, b)    => cmp(a, b, "<=")
+      case ce.GreaterThan(a, b)        => cmp(a, b, ">")
+      case ce.GreaterThanOrEqual(a, b) => cmp(a, b, ">=")
+      case ce.In(key, vs) if cn(key).isDefined && vs.nonEmpty &&
+          vs.forall(ll(_).isDefined) =>
+        In(cn(key).get, vs.map(ll(_).get))
+      case ce.In(key, vs) if cn(key).isDefined && vs.nonEmpty &&
+          vs.forall(ls(_).isDefined) =>
+        InS(cn(key).get, vs.map(ls(_).get))
+      case ce.IsNull(a) if cn(a).isDefined =>
+        NullTest(cn(a).get, isNull = true)
+      case ce.IsNotNull(a) if cn(a).isDefined =>
+        NullTest(cn(a).get, isNull = false)
+      case _ => Unknown
+    }
   }
 
   private def normalize(op: String): String = if (op == "==") "=" else op

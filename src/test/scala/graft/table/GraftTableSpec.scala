@@ -768,6 +768,49 @@ class GraftTableSpec extends AnyFunSuite {
     assert(keys(t.read()) == (1L to 40L).filterNot(_ % 5 == 0))
   }
 
+  test("SQL-text predicates (functions.expr) prune like Column-built ones") {
+    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.graftglue.PredicateTree
+    import PredicateTree._
+    spark // the SqlExpression walk parses via the active session
+    assert(PredicateTree.parse(expr("k <= 10")) == Cmp("k", "<=", 10L))
+    assert(PredicateTree.parse(expr("v = 's7' OR k IN (1, 2)")) ==
+      Or(CmpS("v", "=", "s7"), In("k", Seq(1L, 2L))))
+    assert(PredicateTree.parse(expr("NOT (10 < k)")) ==
+      Not(Cmp("k", ">", 10L)))
+    assert(PredicateTree.parse(expr("v IS NULL")) ==
+      NullTest("v", isNull = true))
+    assert(PredicateTree.parse(expr("k + 1 = 2")) == Unknown,
+      "arithmetic folds to Unknown, exactly like the Column walk")
+    // end-to-end: the SQL-text delete's planning prunes — hide the
+    // file it cannot need
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-sqlpred"), "k",
+      rows(1L to 20L: _*).repartitionByRange(2, col("k"))
+        .sortWithinPartitions("k"))
+    val files = t.filesOf(1).sorted
+    import java.nio.file.{Files, Paths}
+    Files.move(Paths.get(files.last), Paths.get(files.last + ".h"))
+    try assert(t.delete(expr("k <= 5")) == 2)
+    finally Files.move(Paths.get(files.last + ".h"), Paths.get(files.last))
+    assert(keys(t.read()) == (6L to 20L))
+  }
+
+  test("compact WHERE scopes the fold to stats-overlapping files") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-optwhere"), "k",
+      rows(1L to 40L: _*).repartitionByRange(4, col("k"))
+        .sortWithinPartitions("k"))
+    val v1 = t.filesOf(1)
+    t.compact(targetFiles = 1, smallFileBytes = Long.MaxValue,
+      where = Some(col("k") <= 25))
+    val v2 = t.filesOf(2)
+    assert(v2.size < v1.size, "overlapping small files must fold")
+    assert(v1.exists(v2.contains),
+      "files outside the WHERE scope carry by reference")
+    assert(keys(t.read()) == (1L to 40L), "rows unchanged")
+  }
+
   test("timestamp time travel: in-commit stamps are monotonic and resolve exactly") {
     val t = GraftTable.create(spark,
       graft.util.Scratch.dir("graft-tbl-ts"), "k", rows(1, 2, 3)) // v1
