@@ -809,6 +809,22 @@ final class GraftTable private (spark: SparkSession, val root: String,
       FileRef(f, "bloom", 0L, 0L, bytes = len) }, marker)
   }
 
+  /** SIDECAR DEFRAGMENTATION, compact()'s bloom half: every commit on
+    * an indexed table stages its own sidecar, so an append-heavy table
+    * accumulates one tiny sidecar per commit and refinement pays one
+    * file-open each. Past [[GraftTable.BloomFoldSidecars]] sidecars,
+    * compact folds them into ONE (the retirement read re-staged) —
+    * sidecar-scale work, rows untouched, same OPTIMIZE cadence that
+    * already owns small-file hygiene. */
+  private def foldBloomSidecars(refs: Seq[FileRef], staged: Seq[Staged])
+      : (Seq[FileRef], Seq[Staged]) = {
+    val bRefs = refs.filter(_.kind == "bloom")
+    if (bRefs.size <= GraftTable.BloomFoldSidecars) return (refs, staged)
+    val rows = spark.read.parquet(bRefs.map(_.file): _*).coalesce(1)
+    val st = stageSidecarDf(rows)
+    (refs.filterNot(_.kind == "bloom") ++ st.refs, staged :+ st)
+  }
+
   /** BLOOM RETIREMENT (the DV-retirement pattern): a commit that
     * removes data files rewrites carried bloom sidecars down to rows
     * whose target file survives — stale rows would otherwise
@@ -1278,7 +1294,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
         case None => data
       }
       val small = scoped.filter(r => io.length(r.file) < smallFileBytes)
-      if (small.size <= math.max(1, targetFiles)) Some((base, Seq.empty))
+      if (small.size <= math.max(1, targetFiles))
+        Some(foldBloomSidecars(base, Seq.empty))
       else {
         // folded files stay KEY-SORTED: the bigger file's parquet
         // row-group stats keep point lookups cheap inside it, and its
@@ -1292,8 +1309,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
             folded.sortWithinPartitions(keyCol)
           else folded)
         val ss = small.map(_.file).toSet
-        Some((base.filterNot(r => r.kind == "data" && ss(r.file)) ++ st.refs,
-              Seq(st)))
+        Some(foldBloomSidecars(
+          base.filterNot(r => r.kind == "data" && ss(r.file)) ++ st.refs,
+          Seq(st)))
       }
     }
 
@@ -1644,6 +1662,9 @@ object GraftTable {
     * constraint for bloom refinement (Delta's small-source predicate
     * pushdown); past it the range-join pruning stands alone */
   private[table] val BloomKeyPushdown: Long = 10000L
+
+  /** bloom sidecar count above which compact() folds them into one */
+  private[table] val BloomFoldSidecars: Int = 8
 
   /** one manifest row: a data file or DV sidecar + its statistics —
     * `lo`/`hi` are the KEY column's range (what `pruneByKeys`' range

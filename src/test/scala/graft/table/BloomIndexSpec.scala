@@ -175,6 +175,25 @@ class BloomIndexSpec extends AnyFunSuite {
     assert(t.filesOf(2).count(files.contains) == 4)
   }
 
+  test("compact defragments accumulated bloom sidecars into one") {
+    val t = GraftTable.open(spark,
+      graft.util.Scratch.dir("graft-bloom-fold"), "k")
+    t.indexBloom(Seq("tok"))
+    // one sidecar per append: 10 commits → 10 sidecars
+    (0 until 10).foreach { i =>
+      t.append((1L to 20L).map(j => (i * 20L + j, md5Hex((i * 20 + j).toString)))
+        .toDF("k", "tok").coalesce(1))
+    }
+    assert(t.bloomSidecarsOf(t.head).size == 10)
+    t.compact(targetFiles = 2, smallFileBytes = Long.MaxValue)
+    assert(t.bloomSidecarsOf(t.head).size == 1,
+      "compact must fold the sidecars")
+    // the consolidated index still answers and still prunes
+    assert(t.readWhere(col("tok") === md5Hex("37")).select("k").as[Long]
+      .collect().toSeq == Seq(37L))
+    assert(t.read().count() == 200)
+  }
+
   test("the full mutation lifecycle stays correct on an indexed table") {
     val t = fixture("graft-bloom-life")
     t.merge(Seq((7L, "REPLACED", 42L)).toDF("k", "tok", "h"))
