@@ -114,15 +114,20 @@ case class GraftOptimizeCommand(root: String, targetFiles: Int,
   }
 }
 
-/** `GRAFT CLUSTER '<root>' BY (<c1>[, <c2>...]) [TARGET <n> FILES]` —
-  * Z-order reorganization ([[graft.table.GraftTable.cluster]]: Delta's
-  * OPTIMIZE ... ZORDER BY; rows identical, stats go tight on every
-  * clustered dimension). */
+/** `GRAFT CLUSTER '<root>' BY (<c1>[, <c2>...]) [TARGET <n> FILES]
+  * [INCREMENTAL]` — Z-order reorganization
+  * ([[graft.table.GraftTable.cluster]]: Delta's OPTIMIZE ... ZORDER
+  * BY; rows identical, stats go tight on every clustered dimension;
+  * INCREMENTAL rewrites only files the spec hasn't stamped — the
+  * liquid-clustering cadence). */
 case class GraftClusterCommand(root: String, by: Seq[String],
-                               targetFiles: Int) extends GraftVersionCommand {
+                               targetFiles: Int,
+                               incremental: Boolean = false)
+    extends GraftVersionCommand {
   override def run(session: SparkSession): Seq[Row] = {
     val t = graft.table.GraftTable.open(session, root, "__unused__")
-    Seq(Row(t.cluster(by, targetFiles = targetFiles)))
+    Seq(Row(t.cluster(by, targetFiles = targetFiles,
+      incremental = incremental)))
   }
 }
 

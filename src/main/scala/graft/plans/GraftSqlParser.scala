@@ -76,7 +76,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   private val Optimize =
     """(?is)\s*GRAFT\s+OPTIMIZE\s+'([^']+)'(?:\s+TARGET\s+(\d+)\s+FILES)?(?:\s+WHERE\s+(.+?))?\s*""".r
   private val Cluster =
-    """(?is)\s*GRAFT\s+CLUSTER\s+'([^']+)'\s+BY\s+\(([\w\s,]+)\)(?:\s+TARGET\s+(\d+)\s+FILES)?\s*""".r
+    """(?is)\s*GRAFT\s+CLUSTER\s+'([^']+)'\s+BY\s+\(([\w\s,]+)\)(?:\s+TARGET\s+(\d+)\s+FILES)?(\s+INCREMENTAL)?\s*""".r
   private val Vacuum =
     """(?is)\s*GRAFT\s+VACUUM\s+'([^']+)'\s+KEEP\s+(\d+)\s*""".r
   private val Index =
@@ -123,10 +123,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       Option(whereSql).foreach(delegate.parseExpression) // syntax now
       GraftOptimizeCommand(root,
         Option(target).map(_.toInt).getOrElse(1), Option(whereSql))
-    case Cluster(root, by, target) =>
+    case Cluster(root, by, target, incr) =>
       GraftClusterCommand(root,
         by.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
-        Option(target).map(_.toInt).getOrElse(16))
+        Option(target).map(_.toInt).getOrElse(16),
+        incremental = incr != null)
     case Vacuum(root, keep) =>
       GraftVacuumCommand(root, keep.toInt)
     case Index(root, cols, fpp) =>

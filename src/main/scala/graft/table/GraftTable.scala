@@ -121,12 +121,14 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val hasCounts = names("rows") && names("bytes")
     val hasTs = names("ts")
     val hasNStats = names("nstats")
+    val hasZgen = names("zgen")
     val cols = Seq(col("file"), col("kind"), col("lo"), col("hi")) ++
       (if (hasStats) Seq(col("stats")) else Nil) ++
       (if (hasSStats) Seq(col("sstats")) else Nil) ++
       (if (hasCounts) Seq(col("rows"), col("bytes")) else Nil) ++
       (if (hasTs) Seq(col("ts")) else Nil) ++
-      (if (hasNStats) Seq(col("nstats")) else Nil)
+      (if (hasNStats) Seq(col("nstats")) else Nil) ++
+      (if (hasZgen) Seq(col("zgen")) else Nil)
     df.select(cols: _*)
       .collect()
       .map { r =>
@@ -145,7 +147,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
           ts = if (hasTs) r.getAs[Long]("ts") else -1L,
           nstats =
             if (!hasNStats || r.isNullAt(r.fieldIndex("nstats"))) Map.empty
-            else r.getAs[Map[String, Long]]("nstats"))
+            else r.getAs[Map[String, Long]]("nstats"),
+          zgen = if (hasZgen) r.getAs[Long]("zgen") else -1L)
       }
       .toSeq.sortBy(r => (r.kind, r.file))
   }
@@ -930,9 +933,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
                         txn: Long, ts: Long): Boolean = {
     val tmp = s"$commitsDir/.tmp-${java.util.UUID.randomUUID()}"
     refs.map(r => (r.file, r.kind, r.lo, r.hi, txn, r.stats, r.sstats,
-        r.rows, r.bytes, ts, r.nstats))
+        r.rows, r.bytes, ts, r.nstats, r.zgen))
       .toDF("file", "kind", "lo", "hi", "txn", "stats", "sstats",
-        "rows", "bytes", "ts", "nstats")
+        "rows", "bytes", "ts", "nstats", "zgen")
       .coalesce(1).write.parquet(tmp)
     io.publish(tmp, s"$commitsDir/v${expected + 1}")
   }
@@ -1332,11 +1335,23 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * commit. The payoff is every subsequent stats-pruned mutation and
     * read. Rows are bit-identical to the pre-cluster snapshot
     * (spec-pinned); only the layout and the stats tightness change. */
-  def cluster(zorderBy: Seq[String], targetFiles: Int = 16): Long = {
+  def cluster(zorderBy: Seq[String], targetFiles: Int = 16,
+              incremental: Boolean = false): Long = {
     require(zorderBy.nonEmpty && zorderBy.size <= 4,
       s"1..4 z-order columns (got ${zorderBy.size}: 16 bits each interleave into a 64-bit key)")
+    val gen = GraftTable.zgenOf(zorderBy)
     commitLoop() { base =>
-      val data = base.filter(_.kind == "data")
+      val all = base.filter(_.kind == "data")
+      // INCREMENTAL clustering (Delta liquid's cadence): rewrite only
+      // files not already stamped with this spec's generation — a
+      // scheduled `cluster(cols, incremental = true)` after a day's
+      // appends z-orders the NEW files and carries the clustered bulk
+      // by reference, so the reorganization is append-proportional,
+      // not table-proportional. New files' rectangles normalize over
+      // their OWN bounds (mild drift vs a full rewrite — each file's
+      // stats still prune exactly; OPTIMIZE-FULL semantics remain the
+      // default incremental=false).
+      val data = if (incremental) all.filter(_.zgen != gen) else all
       if (data.isEmpty) Some((base, Seq.empty))
       else {
         val snap = scan(base, data.map(_.file)).drop("__file", "__pos")
@@ -1367,9 +1382,18 @@ final class GraftTable private (spark: SparkSession, val root: String,
           .repartitionByRange(math.max(1, targetFiles), col("__zv"))
           .sortWithinPartitions("__zv")
           .drop("__zv"))
-        // the rewrite is the whole live row set with DVs applied: the
-        // new manifest is exactly the staged files
-        Some((st.refs, Seq(st)))
+        // staged data files carry this spec's generation stamp, so a
+        // later incremental pass knows to leave them alone
+        val stamped = st.refs.map(r =>
+          if (r.kind == "data") r.copy(zgen = gen) else r)
+        if (incremental) {
+          val rewritten = data.map(_.file).toSet
+          Some((base.filterNot(r =>
+            r.kind == "data" && rewritten(r.file)) ++ stamped, Seq(st)))
+        } else
+          // the full rewrite is the whole live row set with DVs
+          // applied: the new manifest is exactly the staged files
+          Some((stamped, Seq(st)))
       }
     }
   }
@@ -1666,6 +1690,15 @@ object GraftTable {
   /** bloom sidecar count above which compact() folds them into one */
   private[table] val BloomFoldSidecars: Int = 8
 
+  /** a z-order spec's stable generation stamp (murmur3 of the column
+    * list — deterministic across JVMs; −1 is the "unclustered"
+    * sentinel, so a colliding hash is nudged off it) */
+  private[table] def zgenOf(cols: Seq[String]): Long = {
+    val h = scala.util.hashing.MurmurHash3
+      .stringHash(cols.mkString(",")).toLong
+    if (h == -1L) -2L else h
+  }
+
   /** one manifest row: a data file or DV sidecar + its statistics —
     * `lo`/`hi` are the KEY column's range (what `pruneByKeys`' range
     * join consumes; the sentinel full range when the key isn't
@@ -1684,7 +1717,8 @@ object GraftTable {
                            sstats: Map[String, (String, String)] = Map.empty,
                            rows: Long = -1L, bytes: Long = -1L,
                            ts: Long = -1L,
-                           nstats: Map[String, Long] = Map.empty)
+                           nstats: Map[String, Long] = Map.empty,
+                           zgen: Long = -1L)
 
   /** a staged-but-uncommitted file set and its in-flight marker.
     * `extra` carries companion sidecar stages (a data stage's bloom

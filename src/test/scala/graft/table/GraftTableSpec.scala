@@ -796,6 +796,31 @@ class GraftTableSpec extends AnyFunSuite {
     assert(keys(t.read()) == (6L to 20L))
   }
 
+  test("incremental cluster rewrites only files the spec hasn't stamped") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-liquid"), "k",
+      (1L to 100L).map(k => (k, k % 10)).toDF("k", "g")
+        .repartitionByRange(4, col("k")))
+    t.cluster(Seq("k", "g"), targetFiles = 4)            // v2: full
+    val clustered = t.filesOf(2)
+    t.append((101L to 120L).map(k => (k, k % 10)).toDF("k", "g")
+      .coalesce(1))                                      // v3: 1 new file
+    t.cluster(Seq("k", "g"), targetFiles = 2,
+      incremental = true)                                // v4
+    val v4 = t.filesOf(4)
+    assert(clustered.forall(v4.contains),
+      "the clustered bulk must carry by reference")
+    assert(keys(t.read()) == (1L to 120L), "rows unchanged")
+    // a repeat pass finds nothing unstamped: same file set
+    t.cluster(Seq("k", "g"), incremental = true)         // v5
+    assert(t.filesOf(5) == v4)
+    // a DIFFERENT spec re-clusters everything (new generation)
+    t.cluster(Seq("g"), targetFiles = 2, incremental = true) // v6
+    assert(t.filesOf(6).intersect(v4).isEmpty,
+      "a spec change invalidates every stamp")
+    assert(keys(t.read()) == (1L to 120L))
+  }
+
   test("compact WHERE scopes the fold to stats-overlapping files") {
     val t = GraftTable.create(spark,
       graft.util.Scratch.dir("graft-tbl-optwhere"), "k",
