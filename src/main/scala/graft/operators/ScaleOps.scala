@@ -2190,6 +2190,52 @@ object ScaleOps {
       |  AND o_orderkey <> mn.m""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x50 — LIQUID-CADENCE CLUSTERING LIFECYCLE: full z-order once, then
+  //       keep the layout with INCREMENTAL passes that rewrite only
+  //       files the spec hasn't stamped (manifest `zgen` generation —
+  //       Delta liquid's cadence), so steady-state reorganization is
+  //       append-proportional; a delete on the SECOND clustered
+  //       dimension then prunes off the tightened per-file rectangles.
+  //       GraftTableSpec pins the carried-by-reference bulk and the
+  //       no-op repeat pass; the gated query runs the full loop —
+  //       create → cluster → append → incremental cluster → 2nd-dim
+  //       delete — against the plain relational oracle.
+  //
+  //       100 TB shape: the nightly OPTIMIZE touches last night's
+  //       ingest, never the clustered 99%; mutation pruning on every
+  //       clustered dimension is what the layout buys.
+  // ---------------------------------------------------------------------
+  private def x50(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x50-liquid")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val cut = mx / 4 * 3
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.where(col("o_orderkey") <= cut)
+        .repartitionByRange(X23_FILES, col("o_orderkey")))        // v1
+    t.cluster(Seq("o_orderkey", "o_custkey"),
+      targetFiles = X23_FILES)                                    // v2
+    t.append(o.where(col("o_orderkey") > cut)
+      .repartitionByRange(2, col("o_orderkey")))                  // v3
+    t.cluster(Seq("o_orderkey", "o_custkey"), targetFiles = 2,
+      incremental = true)                                         // v4
+    t.delete(col("o_custkey") % 19 === 0)                         // v5
+    t.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  private val x50Sql =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders WHERE NOT (o_custkey % 19 = 0)
+      |GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -2827,5 +2873,6 @@ object ScaleOps {
     QuerySpec("x46_timestamp_time_travel", x46, Some(x46Sql)),
     QuerySpec("x47_check_constraints", x47, Some(x47Sql)),
     QuerySpec("x48_merge_bloom_pushdown", x48, Some(x48Sql)),
-    QuerySpec("x49_null_pruned_cleaning", x49, Some(x49Sql)))
+    QuerySpec("x49_null_pruned_cleaning", x49, Some(x49Sql)),
+    QuerySpec("x50_liquid_clustering", x50, Some(x50Sql)))
 }
