@@ -101,6 +101,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       graft.table.GraftTable.open(session, root, "__unused__")
         .detail().queryExecution.logical
     case Delete(root, key, mor, whereSql) =>
+      // validate the predicate's SYNTAX at parse time like the other
+      // verbs — an unparsable WHERE would otherwise surface only at
+      // execution (and fold to Unknown in PredicateTree, silently
+      // disabling pruning before the analysis error fired)
+      delegate.parseExpression(whereSql)
       GraftDeleteCommand(root, key, whereSql, mor = mor != null)
     case Merge(root, key, txn, sourceSql) =>
       // validate the source query's SYNTAX now (parse only — analysis

@@ -101,6 +101,25 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * the documented S3 caveat */
   private val io = new TableIO(spark.sessionState.newHadoopConf())
 
+  /** the publish protocol this root declares (lazy: the property may
+    * be set after open but before the first commit) — rename-CAS by
+    * default, conditional-put for object stores; see [[CommitArbiter]] */
+  private lazy val arbiter: CommitArbiter = CommitArbiter.forRoot(io, root)
+
+  /** select the COMMIT PUBLISH protocol for this table root (Delta's
+    * per-store LogStore choice, as a table property): `"rename"` (the
+    * default — atomic no-overwrite rename, correct on POSIX/HDFS) or
+    * `"cput"` (single-object manifests via atomic create-if-absent —
+    * the S3 `If-None-Match` / GCS-precondition shape, the correct
+    * protocol where rename is copy+delete). Set it BEFORE concurrent
+    * writers race the root; handles read it once, at first commit. */
+  def setCommitArbiter(mode: String): Unit = {
+    require(mode == "rename" || mode == "cput",
+      s"commit arbiter is 'rename' or 'cput' (got '$mode')")
+    if (mode == "rename") io.delete(s"$root/commit.conf")
+    else io.writeUtf8(s"$root/commit.conf", "arbiter=cput\n")
+  }
+
   /** current head version (0 = no commit yet) */
   def head: Long =
     io.list(commitsDir).map(_.getPath.getName)
@@ -122,13 +141,19 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val hasTs = names("ts")
     val hasNStats = names("nstats")
     val hasZgen = names("zgen")
+    val hasSchema = names("schema_json")
     val cols = Seq(col("file"), col("kind"), col("lo"), col("hi")) ++
       (if (hasStats) Seq(col("stats")) else Nil) ++
       (if (hasSStats) Seq(col("sstats")) else Nil) ++
       (if (hasCounts) Seq(col("rows"), col("bytes")) else Nil) ++
       (if (hasTs) Seq(col("ts")) else Nil) ++
       (if (hasNStats) Seq(col("nstats")) else Nil) ++
-      (if (hasZgen) Seq(col("zgen")) else Nil)
+      (if (hasZgen) Seq(col("zgen")) else Nil) ++
+      (if (hasSchema) Seq(col("schema_json")) else Nil)
+    // intern the per-file schema strings: a snapshot has a handful of
+    // DISTINCT schemas (one per evolution step) across up to 10⁵-10⁶
+    // refs — the driver must hold one copy each, not one per row
+    val interned = scala.collection.mutable.HashMap.empty[String, String]
     df.select(cols: _*)
       .collect()
       .map { r =>
@@ -148,7 +173,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
           nstats =
             if (!hasNStats || r.isNullAt(r.fieldIndex("nstats"))) Map.empty
             else r.getAs[Map[String, Long]]("nstats"),
-          zgen = if (hasZgen) r.getAs[Long]("zgen") else -1L)
+          zgen = if (hasZgen) r.getAs[Long]("zgen") else -1L,
+          schemaJson =
+            if (!hasSchema || r.isNullAt(r.fieldIndex("schema_json"))) ""
+            else {
+              val s = r.getAs[String]("schema_json")
+              interned.getOrElseUpdate(s, s)
+            })
       }
       .toSeq.sortBy(r => (r.kind, r.file))
   }
@@ -188,10 +219,50 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val refs = manifestOf(v)
     val data = refs.filter(_.kind == "data").map(_.file)
     if (data.isEmpty) spark.emptyDataFrame
-    else if (!refs.exists(_.kind == "dv"))
-      spark.read.option("mergeSchema", "true").parquet(data: _*)
+    else if (!refs.exists(_.kind == "dv")) readFiles(refs, data)
     else scan(refs, data).drop("__file", "__pos")
   }
+
+  /** the snapshot schema a manifest's data refs witness — the
+    * name-based union of their recorded per-file schemas, resolved in
+    * O(distinct schemas) off the MANIFEST ALONE (Delta records the
+    * schema in its log's metaData action for the same reason: at
+    * 10⁵-10⁶ files, a mergeSchema footer sweep is a distributed job
+    * before every query, and it grows with the table, not the query).
+    * None — and the reader falls back to the legacy footer sweep —
+    * when any ref predates the recorded schema, or two files disagree
+    * on a column's TYPE (evolution here is add-a-column; a type
+    * rewrite is what mergeSchema's widening rules are for). */
+  private[table] def schemaOf(refs: Seq[FileRef])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    val data = refs.filter(_.kind == "data")
+    if (data.isEmpty || data.exists(_.schemaJson.isEmpty)) return None
+    val fields =
+      scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    for (json <- data.map(_.schemaJson).distinct) {
+      val st = schemaCache.computeIfAbsent(json,
+        j => DataType.fromJson(j).asInstanceOf[StructType])
+      for (f <- st.fields) fields.get(f.name) match {
+        // every field reads nullable: a file that predates a column
+        // fills NULL, exactly as the mergeSchema read did
+        case None => fields(f.name) = f.copy(nullable = true)
+        case Some(g) =>
+          if (g.dataType != f.dataType) return None // type conflict
+      }
+    }
+    Some(StructType(fields.values.toSeq))
+  }
+
+  /** rows of `files` under the manifest-resolved snapshot schema —
+    * ZERO footer reads on a current-format table; `mergeSchema` only
+    * as the pre-schema-manifest legacy fallback */
+  private def readFiles(refs: Seq[FileRef], files: Seq[String]): DataFrame =
+    schemaOf(refs) match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
+    }
 
   /** row count of a version — FROM THE MANIFEST when possible (the
     * Delta/Iceberg `SELECT COUNT(*)` fast path: per-file footer row
@@ -239,13 +310,26 @@ final class GraftTable private (spark: SparkSession, val root: String,
   /** the version current AS OF `tsMillis` — the greatest version whose
     * commit timestamp is <= the probe (Delta's TIMESTAMP AS OF
     * resolution): a binary search over O(log versions) manifest
-    * reads, sound because in-commit stamps are strictly monotonic. */
+    * reads, sound because in-commit stamps are strictly monotonic.
+    *
+    * A table with PRE-ICT versions (their timestamp is the commit
+    * slot's filesystem mtime — clock skew or a copied/restored commit
+    * dir can make those NON-monotonic) falls back to a linear
+    * max-version-with-ts<=probe scan instead: O(versions) mtime
+    * reads, but never a silently wrong resolution (the round-13
+    * advisor's case). Because every post-upgrade commit stamps
+    * `max(now, base.max + 1)`, stamps — once present — are present
+    * and monotonic in every later version, so "version 1 is stamped"
+    * certifies the whole log for the fast path. */
   def versionAt(tsMillis: Long): Long = {
     val h = head
     require(h > 0, "empty table has no versions")
     require(tsMillis >= commitTimestampOf(1),
       s"timestamp $tsMillis predates version 1 " +
         s"(committed ${commitTimestampOf(1)})")
+    val allStamped = manifestOf(1).exists(_.ts >= 0)
+    if (!allStamped)
+      return (1L to h).filter(commitTimestampOf(_) <= tsMillis).max
     var lo = 1L
     var hi = h
     while (lo < hi) { // invariant: ts(lo) <= probe
@@ -282,9 +366,17 @@ final class GraftTable private (spark: SparkSession, val root: String,
 
   // ---- read plumbing --------------------------------------------------
 
-  /** rows of `files` with `__file`/`__pos` provenance columns */
-  private def withProv(files: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(files: _*)
+  /** parsed-schema cache for [[schemaOf]] — a handle resolves the same
+    * distinct schema strings on every read */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  /** rows of `files` with `__file`/`__pos` provenance columns, read
+    * under `refs`' manifest-resolved schema (a SUBSET scan — a
+    * mutation's candidates — still resolves against the full
+    * snapshot, so rewrites stage under the unified schema) */
+  private def withProv(refs: Seq[FileRef], files: Seq[String]): DataFrame =
+    readFiles(refs, files)
       // _metadata.file_path is a URI; manifests hold plain paths
       .withColumn("__file",
         regexp_replace(col("_metadata.file_path"), "^file:(//)?", ""))
@@ -335,30 +427,38 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * sidecars applied inside each file's reader.) */
   private def scan(refs: Seq[FileRef], files: Seq[String]): DataFrame = {
     val dvRefs = refs.filter(_.kind == "dv")
-    if (dvRefs.isEmpty) return withProv(files)
+    if (dvRefs.isEmpty) return withProv(refs, files)
     val dv = spark.read.parquet(dvRefs.map(_.file): _*)
     def anti(base: DataFrame, side: DataFrame): DataFrame =
       base.join(side,
         base("__file") === dv("dv_file") && base("__pos") === dv("dv_pos"),
         "left_anti")
     if (dvPositions(dvRefs) <= GraftTable.DvBroadcastPositions)
-      anti(withProv(files), broadcast(dv))
+      anti(withProv(refs, files), broadcast(dv))
     else {
       val targets = dvTargets(dvRefs.map(_.file))
       val (dirty, clean) = files.partition(targets)
       val applied =
         if (dirty.isEmpty) None
-        else Some(anti(withProv(dirty), dv.hint("shuffle_hash")))
-      val carried = if (clean.isEmpty) None else Some(withProv(clean))
+        else Some(anti(withProv(refs, dirty), dv.hint("shuffle_hash")))
+      val carried = if (clean.isEmpty) None else Some(withProv(refs, clean))
       (carried.toSeq ++ applied.toSeq)
         .reduce(_.unionByName(_, allowMissingColumns = true))
     }
   }
 
-  /** zero-row frame with the table's schema (for all-insert merges) */
+  /** zero-row frame with the table's schema (for all-insert merges) —
+    * built from the manifest-recorded schema when present, so an
+    * insert-only merge against a current-format table opens NO file */
   private def emptyLike(data: Seq[FileRef], fallback: DataFrame): DataFrame =
-    if (data.isEmpty) fallback.limit(0)
-    else spark.read.parquet(data.head.file).limit(0)
+    schemaOf(data) match {
+      case Some(s) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None =>
+        if (data.isEmpty) fallback.limit(0)
+        else spark.read.parquet(data.head.file).limit(0)
+    }
 
   // ---- mutation planning ----------------------------------------------
 
@@ -479,6 +579,11 @@ final class GraftTable private (spark: SparkSession, val root: String,
       io.deleteTree(sub); io.delete(marker); throw e
     }
     val perFile = FooterStats.readAll(spark, files, intCols, strCols)
+    // each data ref records the schema it was WRITTEN under, so every
+    // later read resolves the snapshot schema from the manifest alone
+    // (merge of the distinct per-file schemas — Delta's metaData
+    // action, per-file-provenanced) instead of sweeping every footer
+    val schemaJson = df.schema.json
     val dataStaged = Staged(sub, files.map { f =>
       val st = perFile.get(f)
       val (lo, hi) = st.flatMap(_.intStats.get(keyCol))
@@ -488,7 +593,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
         st.map(_.strStats).getOrElse(Map.empty),
         rows = st.map(_.rows).getOrElse(-1L),
         bytes = sizes.getOrElse(f, -1L),
-        nstats = st.map(_.nulls).getOrElse(Map.empty))
+        nstats = st.map(_.nulls).getOrElse(Map.empty),
+        schemaJson = schemaJson)
     }, marker)
     bloomConfig() match {
       case Some((cols, fpp)) =>
@@ -601,7 +707,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
       }
     val applicable = cs.filter { case (_, e) => refs(e).forall(names) }
     if (applicable.isEmpty) return
-    val staged = spark.read.parquet(files: _*)
+    // the staged schema is in hand — no footer re-read
+    val staged = spark.read.schema(schema).parquet(files: _*)
     applicable.foreach { case (n, e) =>
       // SQL CHECK semantics: only a strict FALSE violates (NULL passes)
       val bad = staged.where(coalesce(expr(e), lit(true)) === false)
@@ -746,7 +853,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val fileIdx = names.size
     val nByFile = spark.sparkContext.broadcast(rowsByFile)
     val fppL = fpp
-    val src = spark.read.parquet(files: _*)
+    val src = spark.read.schema(schema).parquet(files: _*)
       .select(names.map(col) :+
         regexp_replace(col("_metadata.file_path"), "^file:(//)?", "")
           .as("__file"): _*)
@@ -791,7 +898,23 @@ final class GraftTable private (spark: SparkSession, val root: String,
       }
       .map(_._2)
       .toDF("data_file", "idx_col", "bloom")
-    Some(stageSidecarDf(merged))
+    // each row records the kind it hashed with, so refinement only
+    // consults a filter whose probes hash the same way (a coerced
+    // literal of the other kind must NOT see "definitely absent")
+    val kindByCol = typed.toMap.map { case (c, s) =>
+      c -> (if (s) "str" else "long") }
+    Some(stageSidecarDf(merged.withColumn("hash_kind",
+      element_at(typedLit(kindByCol), col("idx_col")))))
+  }
+
+  /** sidecar rows under the CURRENT schema: pre-`hash_kind` rows (a
+    * legacy sidecar, or a fold that mixed them in) read with a NULL
+    * kind, which refinement never consults — degradation is
+    * weaker pruning, never a wrong prune */
+  private def readSidecars(files: Seq[String]): DataFrame = {
+    val df = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    if (df.columns.contains("hash_kind")) df
+    else df.withColumn("hash_kind", lit(null).cast("string"))
   }
 
   /** stage a bloom sidecar parquet of (data_file, idx_col, bloom) rows
@@ -823,7 +946,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
       : (Seq[FileRef], Seq[Staged]) = {
     val bRefs = refs.filter(_.kind == "bloom")
     if (bRefs.size <= GraftTable.BloomFoldSidecars) return (refs, staged)
-    val rows = spark.read.parquet(bRefs.map(_.file): _*).coalesce(1)
+    val rows = readSidecars(bRefs.map(_.file)).coalesce(1)
     val st = stageSidecarDf(rows)
     (refs.filterNot(_.kind == "bloom") ++ st.refs, staged :+ st)
   }
@@ -841,7 +964,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
       case r if r.kind == "data" && !live(r.file) => r.file }.toSet
     val bRefs = refs.filter(_.kind == "bloom")
     if (removed.isEmpty || bRefs.isEmpty) return (refs, staged)
-    val rows = spark.read.parquet(bRefs.map(_.file): _*)
+    val rows = readSidecars(bRefs.map(_.file))
     val targets = rows.select(col("data_file")).distinct()
       .collect().map(_.getString(0)).toSet
     if (!targets.exists(removed)) return (refs, staged)
@@ -876,18 +999,23 @@ final class GraftTable private (spark: SparkSession, val root: String,
       case r if candSet(r.file) => r.file -> r }.toMap
     val ctx = spark.sparkContext.broadcast((tree, refByFile, eval))
     import spark.implicits._
-    val dropped = spark.read.parquet(sidecars: _*)
+    val dropped = readSidecars(sidecars)
       .where(col("idx_col").isin(eqCols.toSeq: _*))
-      .select(col("data_file"), col("idx_col"), col("bloom"))
-      .as[(String, String, Array[Byte])]
+      .select(col("data_file"), col("idx_col"), col("bloom"),
+        col("hash_kind"))
+      .as[(String, String, Array[Byte], Option[String])]
       .groupByKey(_._1)
       .flatMapGroups { (f, it) =>
         val (t, refs, ev) = ctx.value
         refs.get(f) match {
           case None => Iterator.empty // not a candidate file
           case Some(r) =>
-            val blooms = it.map(x => x._2 ->
-              org.apache.spark.util.sketch.BloomFilter.readFrom(x._3)).toMap
+            // rows without a recorded hash kind (legacy sidecars) are
+            // never consulted — they might answer cross-kind probes
+            val blooms = it.collect { case (_, c, bytes, Some(kind)) =>
+              c -> (kind,
+                org.apache.spark.util.sketch.BloomFilter.readFrom(bytes))
+            }.toMap
             if (ev.mayMatch(t, r, blooms)) Iterator.empty
             else Iterator.single(f)
         }
@@ -933,11 +1061,11 @@ final class GraftTable private (spark: SparkSession, val root: String,
                         txn: Long, ts: Long): Boolean = {
     val tmp = s"$commitsDir/.tmp-${java.util.UUID.randomUUID()}"
     refs.map(r => (r.file, r.kind, r.lo, r.hi, txn, r.stats, r.sstats,
-        r.rows, r.bytes, ts, r.nstats, r.zgen))
+        r.rows, r.bytes, ts, r.nstats, r.zgen, r.schemaJson))
       .toDF("file", "kind", "lo", "hi", "txn", "stats", "sstats",
-        "rows", "bytes", "ts", "nstats", "zgen")
+        "rows", "bytes", "ts", "nstats", "zgen", "schema_json")
       .coalesce(1).write.parquet(tmp)
-    io.publish(tmp, s"$commitsDir/v${expected + 1}")
+    arbiter.publish(tmp, s"$commitsDir/v${expected + 1}")
   }
 
   /** The CAS loop every mutator runs: re-reads the head and re-composes
@@ -1296,7 +1424,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
           data.filter(r => keep(r.file))
         case None => data
       }
-      val small = scoped.filter(r => io.length(r.file) < smallFileBytes)
+      // size off the manifest's byte counters — zero FileSystem RPCs
+      // for post-counter tables (one length() round trip per file per
+      // OPTIMIZE adds up on object stores); only pre-counter refs
+      // still ask the filesystem
+      val small = scoped.filter(r =>
+        (if (r.bytes >= 0) r.bytes else io.length(r.file)) < smallFileBytes)
       if (small.size <= math.max(1, targetFiles))
         Some(foldBloomSidecars(base, Seq.empty))
       else {
@@ -1355,6 +1488,28 @@ final class GraftTable private (spark: SparkSession, val root: String,
       if (data.isEmpty) Some((base, Seq.empty))
       else {
         val snap = scan(base, data.map(_.file)).drop("__file", "__pos")
+        // fail LOUDLY on a column the curve can't normalize (the
+        // advisor's string-UUID case: cast-to-long yields NULL for
+        // every row → coalesce(-1) → one giant output file with no
+        // clustering and no error). Delta rejects non-eligible ZORDER
+        // columns the same way.
+        zorderBy.foreach { c =>
+          val f = snap.schema.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"z-order column '$c' does not exist " +
+                s"(columns: ${snap.columns.mkString(", ")})"))
+          import org.apache.spark.sql.types._
+          val ok = f.dataType match {
+            case _: NumericType | DateType | TimestampType |
+                 TimestampNTZType | BooleanType => true
+            case _ => false
+          }
+          if (!ok) throw new IllegalArgumentException(
+            s"z-order column '$c' has type ${f.dataType.simpleString}, " +
+              "which the Morton curve cannot normalize — cluster on " +
+              "numeric/date/timestamp/boolean columns (a string key " +
+              "would z-map every row to NULL and collapse the layout)")
+        }
         val aggs = zorderBy.flatMap(c =>
           Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
         val mm = snap.agg(aggs.head, aggs.tail: _*).head()
@@ -1524,7 +1679,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
       else withCounts0.withColumn("ts", lit(null).cast("long"))
     withCounts
       .withColumn("version",
-        regexp_extract(col("_metadata.file_path"), "/v(\\d+)/", 1)
+        // a slot is a DIRECTORY (rename publish: .../vN/part-*.parquet)
+        // or a single FILE (conditional-put publish: .../vN) — match both
+        regexp_extract(col("_metadata.file_path"), "/v(\\d+)(/|$)", 1)
           .cast("long"))
       .groupBy(col("version"))
       // functions.count qualified: the handle's own `count(version)`
@@ -1718,7 +1875,8 @@ object GraftTable {
                            rows: Long = -1L, bytes: Long = -1L,
                            ts: Long = -1L,
                            nstats: Map[String, Long] = Map.empty,
-                           zgen: Long = -1L)
+                           zgen: Long = -1L,
+                           schemaJson: String = "")
 
   /** a staged-but-uncommitted file set and its in-flight marker.
     * `extra` carries companion sidecar stages (a data stage's bloom

@@ -22,12 +22,24 @@ import graft.table.GraftTable.FileRef
   * logic, and min/max over the non-NULL rows bounds exactly the rows
   * a comparison can select.
   *
-  * `blooms` (per-file: column → filter) refines EQUALITY nodes only —
-  * a bloom's "definitely absent" makes `c = v` (and each IN member)
-  * false for the whole file. Blooms carry only non-NULL values, and
-  * equality never selects NULL rows, so the refinement is sound; it
-  * is consulted only under `mayMatch` (never `allMatch` — absence
-  * proves nothing about "every row matches").
+  * `blooms` (per-file: column → (hash kind, filter)) refines EQUALITY
+  * nodes only — a bloom's "definitely absent" makes `c = v` (and each
+  * IN member) false for the whole file. Blooms carry only non-NULL
+  * values, and equality never selects NULL rows, so the refinement is
+  * sound; it is consulted only under `mayMatch` (never `allMatch` —
+  * absence proves nothing about "every row matches").
+  *
+  * KIND-MATCHED PROBES (round-13 advisor fix): a filter built with
+  * `putLong` answers NOTHING about `mightContainString` probes and
+  * vice versa — they hash differently, so a cross-kind probe returns
+  * a false "definitely absent" and pruning silently drops files that
+  * DO hold matching rows (the GDPR-erase shape: `WHERE int_col =
+  * '42'` folds to a string node against a long-built filter). Each
+  * sidecar row records the kind it hashed with (`"long"` /
+  * `"str"`); a probe consults the filter only when the node's
+  * literal kind matches, and otherwise keeps the file as a
+  * candidate — exactly the conservative answer the pre-bloom stats
+  * gave these coerced predicates.
   *
   * String bounds compare in [[FooterStats.byteCompare]]'s unsigned
   * UTF-8 byte order — the order the parquet footers minted them in
@@ -51,12 +63,17 @@ private[table] final case class StatsEval(keyCol: String) {
   /** can ANY row of file `r` satisfy `e`?
     * (true = keep the file as a candidate; Unknown is true) */
   def mayMatch(e: PredicateTree.Node, r: FileRef,
-               blooms: Map[String, BloomFilter] = Map.empty): Boolean = {
+               blooms: Map[String, (String, BloomFilter)] = Map.empty)
+      : Boolean = {
     import PredicateTree._
+    // consult only a KIND-MATCHED filter; a cross-kind probe (coerced
+    // literal) keeps the file — see the class doc
     def mightContainLong(c: String, v: Long): Boolean =
-      blooms.get(c).forall(_.mightContainLong(v))
+      blooms.get(c).forall { case (k, b) =>
+        k != "long" || b.mightContainLong(v) }
     def mightContainStr(c: String, v: String): Boolean =
-      blooms.get(c).forall(_.mightContainString(v))
+      blooms.get(c).forall { case (k, b) =>
+        k != "str" || b.mightContainString(v) }
     e match {
       case And(a, b) => mayMatch(a, r, blooms) && mayMatch(b, r, blooms)
       case Or(a, b)  => mayMatch(a, r, blooms) || mayMatch(b, r, blooms)

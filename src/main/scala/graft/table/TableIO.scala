@@ -32,15 +32,19 @@ import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
   *    way, losing a slot race surfaces as "the target now exists"
   *    and the caller retries.
   *
-  * S3 CAVEAT (documented, not silently wrong): object stores have NO
-  * atomic rename — s3a implements rename as copy+delete and
-  * FileContext's existence check is check-then-act, so two writers
-  * can both "win" a slot. Running GraftTable directly against s3a://
-  * therefore has the same undefined multi-writer behavior as raw
-  * Delta on S3 without a LogStore; production use there needs an
-  * external arbiter (a DynamoDB-style lock table or a single-writer
-  * deployment), exactly as Delta documents for S3SingleDriverLogStore.
-  * HDFS, local, and any rename-atomic DFS are safe as-is. */
+  * OBJECT STORES (S3 and peers) have NO atomic rename — s3a
+  * implements rename as copy+delete and FileContext's existence check
+  * is check-then-act, so two writers can both "win" a slot through
+  * THIS primitive. Tables on such stores switch the publish step to
+  * the CONDITIONAL-PUT protocol instead
+  * ([[CommitArbiter.ConditionalPut]], selected per table via
+  * `GraftTable.setCommitArbiter("cput")`): the manifest publishes as
+  * ONE object written with [[createExclusive]] — atomic
+  * create-if-absent, the primitive S3's `If-None-Match` PUT, GCS's
+  * generation preconditions, and Azure's etag writes all provide
+  * natively (and HDFS serializes in the NameNode). CommitArbiterSpec
+  * proves the protocol with a 6-writer race on a fake store whose
+  * rename silently overwrites. */
 private[table] final class TableIO(conf: Configuration) {
 
   private def fs(p: String): FileSystem = new Path(p).getFileSystem(conf)
@@ -136,6 +140,46 @@ private[table] final class TableIO(conf: Configuration) {
           if (exists(target)) false else throw e
       }
     }
+
+  /** the whole content of a (small) file — manifest-scale, never data */
+  def readBytes(p: String): Array[Byte] = {
+    val in = fs(p).open(new Path(p))
+    try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      var n = in.read(tmp)
+      while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toByteArray
+    } finally in.close()
+  }
+
+  /** atomic CREATE-IF-ABSENT single-object write — the conditional-put
+    * commit primitive (see the class doc). Returns false when the
+    * object already exists (a lost slot race); rethrows real I/O
+    * failures. Local paths use `CREATE_NEW` (O_EXCL — kernel-atomic);
+    * other schemes use the store's own `create(overwrite = false)`,
+    * whose atomicity is the store's contract: NameNode-serialized on
+    * HDFS, `If-None-Match` on capable S3 connectors. */
+  def createExclusive(p: String, bytes: Array[Byte]): Boolean =
+    if (isLocal(p))
+      try {
+        Files.write(Paths.get(canon(p)), bytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      }
+    else
+      try {
+        val out = fs(p).create(new Path(p), false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+             _: java.nio.file.FileAlreadyExistsException => false
+        case e: java.io.IOException =>
+          if (exists(p)) false else throw e
+      }
 
   /** the proven scheme-less-local CAS: java.nio ATOMIC_MOVE */
   private def publishNio(tmp: String, target: String): Boolean =

@@ -224,6 +224,12 @@ class GraftSqlParserSpec extends AnyFunSuite {
     intercept[Exception] {
       ext.sql(s"GRAFT CONSTRAINT '$root' ADD broken CHECK (amt >=)")
     }
+    // ...and so does a DELETE predicate typo (an unparsable WHERE
+    // would otherwise fold to Unknown in PredicateTree and surface
+    // only at execution, after pruning was already disabled)
+    intercept[Exception] {
+      ext.sql(s"GRAFT DELETE FROM '$root' KEY k WHERE amt >=")
+    }
   }
 
   test("everything else delegates to Spark's parser untouched") {

@@ -95,6 +95,28 @@ class BloomIndexSpec extends AnyFunSuite {
       .collect().sorted.toSeq == Seq(3L, 150L))
   }
 
+  test("a type-mismatched literal never consults the bloom (kind-matched probes)") {
+    val t = fixture("graft-bloom-kind")
+    // STRING literal against the long-hashed 'h' index: the predicate
+    // folds to a string node, which must NOT probe the putLong-built
+    // filter (different hash → false 'definitely absent' → files with
+    // real matches would silently prune — the GDPR-erase hole)
+    val h7 = (7L * 2654435761L) % 1000003L
+    val (stats, refined) = refine(t, col("h") === lit(h7.toString))
+    assert(refined == stats, "a string probe of a long-built bloom must not prune")
+    assert(t.readWhere(col("h") === lit(h7.toString))
+      .select("k").as[Long].collect().toSeq == Seq(7L),
+      "the coerced lookup must still find its row")
+    // LONG literal against the string-hashed 'tok' index: same rule,
+    // other direction
+    val (s2, r2) = refine(t, col("tok") === lit(42L))
+    assert(r2 == s2, "a long probe of a string-built bloom must not prune")
+    // and kind-MATCHED probes still prune (the fix must not disable
+    // the index)
+    val (s3, r3) = refine(t, col("h") === lit(h7))
+    assert(r3.size < s3.size)
+  }
+
   test("an OR with a non-indexed disjunct keeps that disjunct's files") {
     val t = fixture("graft-bloom-or")
     // tok = md5("7") OR k >= 190: the k-range disjunct must keep the

@@ -1,0 +1,68 @@
+package graft.table
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FSDataOutputStream, Path, RawLocalFileSystem}
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** A local-backed filesystem that models an OBJECT STORE's semantics
+  * (registered under the `fakeobj://` scheme by CommitArbiterSpec):
+  *
+  *  - `rename` onto an EXISTING destination directory "succeeds" by
+  *    moving the source INSIDE it (the HDFS-style fallback s3a and
+  *    the Hadoop local connector both emulate — RawLocalFileSystem's
+  *    native behavior, kept deliberately): two writers racing a
+  *    version slot through rename BOTH return true, and the loser's
+  *    manifest lands as nested garbage — rename is NOT a usable
+  *    commit CAS here, exactly the round-12 proven local-connector
+  *    hazard;
+  *  - `create(overwrite = false)` is a CONDITIONAL PUT with S3's two
+  *    defining properties: the if-absent check is ATOMIC (a JVM-global
+  *    lock — store-side serialization), and visibility is WHOLE-OBJECT
+  *    (bytes buffer until close; the object materializes atomically,
+  *    so a concurrent reader sees the complete manifest or no file,
+  *    never a half-written one). This is the primitive
+  *    [[CommitArbiter.ConditionalPut]] builds on.
+  *
+  * Everything else behaves like the local filesystem, so Spark can
+  * write parquet through it unmodified. */
+class FakeObjectStoreFs extends RawLocalFileSystem {
+  override def getScheme: String = "fakeobj"
+  override def getUri: URI = URI.create("fakeobj:///")
+
+  override def create(f: Path, permission: FsPermission,
+                      overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream =
+    if (overwrite)
+      super.create(f, permission, true, bufferSize, replication,
+        blockSize, progress)
+    else {
+      // conditional PUT: buffer the object; the absent-check and the
+      // materialization happen together at close, atomically — as a
+      // real If-None-Match PUT resolves at request completion
+      val target = pathToFile(f)
+      val buf = new java.io.ByteArrayOutputStream() {
+        override def close(): Unit = FakeObjectStoreFs.putLock.synchronized {
+          if (target.exists())
+            throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+              s"conditional put lost: $f exists")
+          target.getParentFile.mkdirs()
+          val tmp = java.io.File.createTempFile(
+            ".fakeobj-put", ".tmp", target.getParentFile)
+          java.nio.file.Files.write(tmp.toPath, toByteArray)
+          // whole-object visibility: readers see all bytes or no file
+          java.nio.file.Files.move(tmp.toPath, target.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
+      }
+      new FSDataOutputStream(buf, null)
+    }
+}
+
+object FakeObjectStoreFs {
+  /** serializes conditional puts across the JVM's racing writers —
+    * the store-side atomicity S3's conditional PUT provides */
+  val putLock = new Object
+}

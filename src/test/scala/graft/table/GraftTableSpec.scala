@@ -865,6 +865,97 @@ class GraftTableSpec extends AnyFunSuite {
       .toSeq == keys(t.read(2)))
   }
 
+  /** swap each file's CONTENT for garbage (same name, same existence):
+    * any footer read now throws, while listings and existence checks
+    * pass — the strongest "no footer is opened" pin available */
+  private def junked(files: Seq[String])(body: => Unit): Unit = {
+    import java.nio.file.{Files, Paths}
+    files.foreach { f =>
+      Files.move(Paths.get(f), Paths.get(f + ".bak"))
+      Files.write(Paths.get(f), "not a parquet file".getBytes)
+    }
+    try body finally files.foreach { f =>
+      Files.delete(Paths.get(f))
+      Files.move(Paths.get(f + ".bak"), Paths.get(f))
+    }
+  }
+
+  test("schema resolves from the manifest — zero footer reads on the current format") {
+    val t = rangeTable("graft-tbl-schema-manifest")          // v1: (k, v)
+    t.append(Seq((1000L, "s1000", 7L)).toDF("k", "v", "w")) // v2: evolved
+    val data = t.manifestOf(t.head).filter(_.kind == "data").map(_.file)
+    junked(data) {
+      // read(): schema + physical plan, no footer opened
+      val df = t.read()
+      assert(df.schema.fieldNames.toSeq == Seq("k", "v", "w"))
+      df.queryExecution.executedPlan // force full planning
+      // time travel resolves the AS-OF schema, also from the manifest
+      assert(t.read(1).schema.fieldNames.toSeq == Seq("k", "v"))
+      // the `graft` V1 relation resolves its schema at load time
+      val rel = spark.read.format("graft")
+        .option("path", t.root).option("keyCol", "k").load()
+      assert(rel.schema.fieldNames.toSeq == Seq("k", "v", "w"))
+      // an INSERT-ONLY merge (keys beyond every range) plans, stages,
+      // and commits without opening a single existing file
+      assert(t.merge(Seq((5000L, "s5000")).toDF("k", "v")) == 3)
+      // an empty change-feed window plans and executes empty
+      assert(t.changes(3, 3).count() == 0)
+    }
+    // execution restored: the junked files read fine again, the merge
+    // landed, and evolution semantics are unchanged (NULL backfill)
+    val got = t.read()
+    assert(got.count() == 102)
+    assert(got.where(col("k") === 5000L).head.getString(1) == "s5000")
+    assert(got.where(col("w").isNotNull).count() == 1)
+    // a LEGACY manifest (pre-schema rows) still opens via the footer
+    // fallback: schemaOf declines, read() merges footers
+    assert(t.schemaOf(t.manifestOf(t.head)
+      .map(r => if (r.kind == "data") r.copy(schemaJson = "") else r))
+      .isEmpty)
+  }
+
+  test("versionAt on a pre-ICT (mtime-stamped) log scans linearly, never mis-bisects") {
+    // hand-write LEGACY manifests (no ts column) whose slot mtimes are
+    // NON-monotonic — clock skew, or a copied/restored commit dir. A
+    // binary search over these silently resolves to the wrong version;
+    // the fallback must return the GREATEST version with ts <= probe.
+    val root = graft.util.Scratch.dir("graft-tbl-preict")
+    val commits = s"$root/commits"
+    (1 to 3).foreach { v =>
+      Seq((s"f$v", "data", 0L, 0L, -1L))
+        .toDF("file", "kind", "lo", "hi", "txn")
+        .coalesce(1).write.parquet(s"$commits/v$v")
+    }
+    val now = System.currentTimeMillis()
+    def setMtime(v: Int, ts: Long): Unit =
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(s"$commits/v$v"),
+        java.nio.file.attribute.FileTime.fromMillis(ts))
+    setMtime(1, now - 1000000) // v2 newer than v3: non-monotonic
+    setMtime(2, now - 100000)
+    setMtime(3, now - 500000)
+    val t = GraftTable.open(spark, root, "k")
+    // probe between v3's and v2's stamps: versions with ts <= probe
+    // are {1, 3} → greatest = 3 (a binary search would probe v2,
+    // see ts > probe, and wrongly collapse to 1)
+    assert(t.versionAt(now - 300000) == 3)
+    assert(t.versionAt(now - 600000) == 1)
+    assert(t.versionAt(now) == 3)
+  }
+
+  test("cluster rejects a column the Morton curve cannot normalize") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-zbad"), "k", rows(1, 2, 3))
+    // a string column would z-map every row to NULL → one output file,
+    // no clustering, no error — fail loudly instead (the advisor's
+    // string-UUID case)
+    val e = intercept[IllegalArgumentException] { t.cluster(Seq("v")) }
+    assert(e.getMessage.contains("cannot normalize"))
+    intercept[IllegalArgumentException] { t.cluster(Seq("nope")) }
+    assert(t.head == 1, "a rejected cluster must not commit a version")
+    assert(t.cluster(Seq("k")) == 2, "numeric columns still cluster")
+  }
+
   test("count() answers from the manifest — no data file opened") {
     val t = rangeTable("graft-tbl-metacount")      // 100 rows, 5 files
     t.delete(col("k") % 10 === 0, mode = "mor")    // 10 rows dead via DV
