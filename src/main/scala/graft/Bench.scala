@@ -20,6 +20,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // box load at run START (and again at line-build time below): a
+    // reader classifying a 0.8-spread run needs the co-tenant evidence
+    // IN the artifact, not in the builder's notes (round-12 verdict #5)
+    val loadStart = loadavg()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -226,6 +230,11 @@ object Bench {
                      "stream_words_per_sec_rocksdb" -> rocksRuns,
                      "stream_words_per_sec_skew20" -> skewRuns,
                      "stream_words_per_sec_recovery" -> recoveryRuns)) +
+        // loadavg start/end ride near the END of the full line (inside
+        // the driver's tail window), so a hot-box run is classifiable
+        // from the artifact alone; retry notes stay last (see above)
+        s""","loadavg_start":${jstr(loadStart)}""" +
+        s""","loadavg_end":${jstr(loadavg())}""" +
         s""","gate_retry_notes":$retryNotesJson""",
       sfDir,
       extrasCompact = extrasJson(hdfsRuns, rocksRuns, skewRuns, recoveryRuns,
@@ -529,6 +538,23 @@ object Bench {
       }
     (full, last)
   }
+
+  /** the box's 1/5/15-minute load averages ("0.42 1.73 2.10") —
+    * /proc/loadavg on Linux, the MXBean 1-minute figure elsewhere,
+    * "unavailable" when neither answers. Full-artifact evidence only:
+    * a throughput row with spread 0.8 and loadavg 30 on a 32-way box
+    * reads as co-tenant noise; the same row at loadavg 2 reads as an
+    * engine problem. */
+  private[graft] def loadavg(): String = try {
+    val p = java.nio.file.Paths.get("/proc/loadavg")
+    if (Files.exists(p))
+      Files.readString(p).trim.split("\\s+").take(3).mkString(" ")
+    else {
+      val l = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      if (l < 0) "unavailable" else f"$l%.2f"
+    }
+  } catch { case _: Throwable => "unavailable" }
 
   /** Fixed-width decimal formatting for the compact JSON line (no
     * scientific notation, no 15-digit doubles). */

@@ -61,6 +61,23 @@ class BenchLineSpec extends AnyFunSuite {
     assert(Bench.priorTimeFor(prior, "zz99_not_a_query").isEmpty)
   }
 
+  test("loadavg is captured and parseable in the full artifact line") {
+    val la = Bench.loadavg()
+    // this sandbox is Linux: expect the three /proc/loadavg figures
+    if (new java.io.File("/proc/loadavg").exists) {
+      val parts = la.split(" ")
+      assert(parts.length == 3 && parts.forall(_.toDouble >= 0.0), la)
+    } else assert(la == "unavailable" || la.toDouble >= 0.0)
+    // the full line (main's composition) carries both fields as JSON
+    val fullOnly = fullExtras +
+      s""","loadavg_start":"$la","loadavg_end":"$la""""
+    val (full, _) =
+      Bench.buildLines(Seq("q01_x" -> 1.0), extras, fullOnly, "/sf")
+    val node = mapper.readTree(full)
+    assert(node.get("loadavg_start").asText() == la)
+    assert(node.get("loadavg_end").asText() == la)
+  }
+
   test("last line carries EVERY query at realistic widths") {
     // realistic worst case: every gated query simultaneously at 2-digit
     // seconds (the slowest real query to date is ~14 s) — the compact
