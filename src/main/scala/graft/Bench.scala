@@ -149,6 +149,7 @@ object Bench {
     // query, not index construction (round-7 verdict item 1)
     graft.operators.Similarity.s07Stage(spark, sfDir)
     graft.operators.Similarity.s08Stage(spark, sfDir)
+    graft.operators.Similarity.s14Stage(spark, sfDir)
     // x14's materialized aggregate base and x16's standing SCD2 history:
     // both model a table maintained across days, so the gate times the
     // delta-merge refresh, not the one-off base build

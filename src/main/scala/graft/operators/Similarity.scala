@@ -868,25 +868,34 @@ object Similarity {
     * number 0..255, stored exactly, so the staged path hash-matches the
     * recompute-from-floats oracle. scale = 0 (constant vector) needs no
     * branch on read: code·0 vanishes and qmin IS every element. */
+  /** add the SQ8 ingestion columns (`qmin`, `scale`, `codes`, `rn`)
+    * derived from `emb` — ONE definition shared by the scratch-staged
+    * index (s08), the standing graft-table index CREATE (s14) and its
+    * incremental refresh, so every path quantizes identically */
+  private[operators] def sq8Cols(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.ByteType
+    df.withColumn("qmin", array_min(col("emb")))
+      .withColumn("scale",
+        (array_max(col("emb")) - col("qmin")) / lit(255.0))
+      .withColumn("codes",
+        when(col("scale") === 0.0,
+          transform(col("emb"), _ => lit(-128).cast(ByteType)))
+        .otherwise(transform(col("emb"), x =>
+          (least(greatest(floor((x - col("qmin")) / col("scale") + lit(0.5)),
+                          lit(0.0)), lit(255.0)) - 128.0).cast(ByteType))))
+      .withColumn("rn",
+        norm(recon8(col("emb"), col("qmin"), col("scale"))))
+  }
+
   private[graft] def s08Stage(spark: SparkSession, dir: String): String =
     s08Staged.computeIfAbsent(dir, _ => {
-      import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType}
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
       val path = s"${graft.util.Scratch.dir("graft-s08-index")}/codes"
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"),
-          col("embedding").cast(ArrayType(DoubleType)).as("emb"))
-        .withColumn("qmin", array_min(col("emb")))
-        .withColumn("scale",
-          (array_max(col("emb")) - col("qmin")) / lit(255.0))
-        .withColumn("codes",
-          when(col("scale") === 0.0,
-            transform(col("emb"), _ => lit(-128).cast(ByteType)))
-          .otherwise(transform(col("emb"), x =>
-            (least(greatest(floor((x - col("qmin")) / col("scale") + lit(0.5)),
-                            lit(0.0)), lit(255.0)) - 128.0).cast(ByteType))))
-        .withColumn("remb", recon8(col("emb"), col("qmin"), col("scale")))
+      sq8Cols(Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            col("embedding").cast(ArrayType(DoubleType)).as("emb")))
         .select(col("vec_id").as("neighbor_id"), col("qmin"), col("scale"),
-                col("codes"), norm(col("remb")).as("rn"))
+                col("codes"), col("rn"))
         .write.mode("overwrite").parquet(path)
       path
     })
@@ -939,6 +948,190 @@ object Similarity {
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
        |  FROM embeddings),
+       |p AS (
+       |  SELECT vec_id, emb, list_min(emb) AS qmin,
+       |    (list_max(emb) - list_min(emb)) / 255.0 AS scale
+       |  FROM e),
+       |r AS (
+       |  SELECT vec_id AS neighbor_id,
+       |    ${sqlRecon8("emb", "qmin", "scale")} AS remb
+       |  FROM p),
+       |q AS (SELECT vec_id AS query_id, emb AS qv FROM e
+       |      WHERE vec_id < $N_QUERIES),
+       |approx AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${cosE("qv", "remb")} AS ac
+       |  FROM q JOIN r ON neighbor_id <> query_id),
+       |cand AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY ac DESC, neighbor_id) AS rn
+       |    FROM approx) t WHERE rn <= $SQ_CAND),
+       |exact AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${cosE("qv", "emb")} AS cos
+       |  FROM cand c JOIN q USING (query_id)
+       |  JOIN e ON e.vec_id = c.neighbor_id)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 4) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM exact) t
+       |WHERE rnk <= $TOP_K""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // s14 — STANDING ANN INDEX AS A MAINTAINED GRAFT TABLE (round-13
+  //       verdict #2, closing "What's missing #3"): s08's SQ8 code
+  //       column materialized as a graft TABLE — durable, versioned,
+  //       vacuumable — and maintained INCREMENTALLY off the base
+  //       table's native change feed: a `graft-cdf` stream delivers
+  //       each mutation window's net feed, the SQ8 ingestion kernel
+  //       (sq8Cols — the same expressions the CREATE used) recomputes
+  //       codes for the CHANGED keys only, and `applyChanges(feed,
+  //       txn = batchId)` lands them as one exactly-once commit that
+  //       rewrites only the index files holding affected keys
+  //       (spec-pinned by hiding every other index file during a
+  //       refresh). The gated query then serves the SQ8+rerank
+  //       pipeline from the STANDING index AFTER a merge + delete —
+  //       against the recompute-from-floats oracle over the final
+  //       corpus.
+  //
+  //       100 TB shape: this is what a production vector corpus runs —
+  //       quantization is write-once work maintained at CHANGE
+  //       velocity (the feed), never recomputed per query and never
+  //       rebuilt per mutation; index and corpus stay transactionally
+  //       versioned together (time travel works on both), and a
+  //       crashed maintainer resumes from its checkpointed version
+  //       offset with no double-apply.
+  // ---------------------------------------------------------------------
+  private val s14Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** run the index maintainer once: follow `baseRoot`'s change feed
+    * from the index's checkpointed offset and fold each window into
+    * the index table — callable repeatedly (each call drains whatever
+    * versions appeared since the last), restart-safe (the checkpoint
+    * lives with the index), replay-safe (txn = batch id) */
+  private[graft] def s14Refresh(spark: SparkSession, baseRoot: String,
+                                idxRoot: String): Unit = {
+    val idx = graft.table.GraftTable.open(spark, idxRoot, "neighbor_id")
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", baseRoot).option("keyCol", "vec_id")
+      .option("startingVersion", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$idxRoot/maint-ckpt")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        // requantize the changed keys only — the batch IS the window's
+        // net feed; delete rows carry preimage-derived codes that the
+        // apply never reads
+        idx.applyChanges(
+          sq8Cols(b)
+            .select(col("vec_id").as("neighbor_id"), col("qmin"),
+                    col("scale"), col("codes"), col("rn"),
+                    col("change_type")),
+          txn = id)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** build the standing pair once per (JVM, dir): base table (v1 =
+    * the corpus), index table (v1 codes), then the day's mutations —
+    * a merge (negated updates + reversed-vector inserts) and a delete,
+    * all DETERMINISTIC functions of embeddings.parquet so the DuckDB
+    * oracle reconstructs the final corpus — followed by one
+    * incremental refresh run. Returns (baseRoot, indexRoot). */
+  private[graft] def s14Stage(spark: SparkSession, dir: String)
+      : (String, String) =
+    s14Staged.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val baseRoot = graft.util.Scratch.dir("graft-s14-base")
+      val idxRoot = graft.util.Scratch.dir("graft-s14-index")
+      val e = Tables.embeddings(spark, dir).select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+      val base = graft.table.GraftTable.create(spark, baseRoot, "vec_id",
+        e.repartitionByRange(4, col("vec_id"))
+          .sortWithinPartitions("vec_id"))
+      graft.table.GraftTable.create(spark, idxRoot, "neighbor_id",
+        sq8Cols(base.read(1))
+          .select(col("vec_id").as("neighbor_id"), col("qmin"),
+                  col("scale"), col("codes"), col("rn"))
+          .repartitionByRange(4, col("neighbor_id"))
+          .sortWithinPartitions("neighbor_id"))
+      val mx = e.agg(max(col("vec_id"))).head.getLong(0)
+      val upd = e.where(col("vec_id") % 13 === 2)
+        .select(col("vec_id"), transform(col("emb"), x => -x).as("emb"))
+      val ins = e.where(col("vec_id") % 29 === 0)
+        .select((lit(mx + 1) + col("vec_id")).as("vec_id"),
+                reverse(col("emb")).as("emb"))
+      base.merge(upd.unionByName(ins))                          // v2
+      base.delete(col("vec_id") % 17 === 3 &&
+        col("vec_id") >= N_QUERIES)                             // v3
+      s14Refresh(spark, baseRoot, idxRoot)
+      (baseRoot, idxRoot)
+    })
+
+  /** the s08 pipeline served from the STANDING tables: approximate
+    * pass over the maintained index's codes, exact rerank over the
+    * base table head — both AFTER the mutations */
+  private def s14(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val (baseRoot, idxRoot) = s14Stage(spark, dir)
+    val e = graft.table.GraftTable.open(spark, baseRoot, "vec_id").read()
+      .select(col("vec_id"), col("emb"))
+    val recon = graft.table.GraftTable.open(spark, idxRoot, "neighbor_id")
+      .read()
+      .withColumn("remb", transform(col("codes"), c =>
+        col("qmin") + (c.cast(DoubleType) + 128.0) * col("scale")))
+      .select(col("neighbor_id"), col("remb"), col("rn"))
+    val q = e.where(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("query_id"), col("emb").as("qv"),
+              norm(col("emb")).as("qn"))
+    val approx = broadcast(q)
+      .join(recon, col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        cosinePrenormed(col("qv"), col("remb"), col("qn"), col("rn")))
+    val cand = topKN(spark, approx, SQ_CAND)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = e.select(col("vec_id").as("neighbor_id"),
+        col("emb").as("nv"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos",
+        cosinePrenormed(col("qv"), col("nv"), col("qn"),
+                        norm(col("nv"))))
+    topK(spark, exact)
+  }
+
+  /** s08Sql over the RECONSTRUCTED final corpus: the deterministic
+    * mutations replayed in SQL (negated %13 updates, reversed-vector
+    * inserts above max id, the %17 delete), then the identical
+    * quantize → candidate → rerank pipeline */
+  private val s14Sql = {
+    def dotE(x: String, y: String) =
+      s"""list_sum(list_transform(generate_series(1, len($x)), i ->
+         |  $x[i] * $y[i]))""".stripMargin
+    def cosE(x: String, y: String) =
+      s"(${dotE(x, y)} / (sqrt(${dotE(x, x)}) * sqrt(${dotE(y, y)})))"
+    s"""WITH e0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |m AS (SELECT MAX(vec_id) AS mx FROM e0),
+       |merged AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 13 = 2
+       |      THEN list_transform(emb, x -> -x) ELSE emb END AS emb
+       |  FROM e0
+       |  UNION ALL
+       |  SELECT m.mx + 1 + vec_id, list_reverse(emb)
+       |  FROM e0, m WHERE vec_id % 29 = 0),
+       |e AS (SELECT vec_id, emb FROM merged
+       |      WHERE NOT (vec_id % 17 = 3 AND vec_id >= $N_QUERIES)),
        |p AS (
        |  SELECT vec_id, emb, list_min(emb) AS qmin,
        |    (list_max(emb) - list_min(emb)) / 255.0 AS scale
@@ -1333,5 +1526,6 @@ object Similarity {
     QuerySpec("s10_ann_recall", s10, Some(s10Sql)),
     QuerySpec("s11_recall_sweep", s11, Some(s11Sql)),
     QuerySpec("s12_ivf_operating_curve", s12, Some(s12Sql)),
-    QuerySpec("s13_knn_matryoshka", s13, Some(s13Sql)))
+    QuerySpec("s13_knn_matryoshka", s13, Some(s13Sql)),
+    QuerySpec("s14_knn_standing_index", s14, Some(s14Sql)))
 }

@@ -42,6 +42,71 @@ class SimilarityProbeSpec extends AnyFunSuite {
     assert(rows(gated) == rows(probe1))
   }
 
+  test("s14 standing-index refresh touches only changed-key code rows") {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a LOCALIZED fixture: 100 vectors in 5 key-range files on both
+    // tables, then a merge confined to keys 96..100 — the refresh
+    // must plan off the index manifest and rewrite ONLY the file
+    // holding those keys (proven the house way: hide every other
+    // index data file during the refresh)
+    val baseRoot = graft.util.Scratch.dir("graft-s14spec-base")
+    val idxRoot = graft.util.Scratch.dir("graft-s14spec-idx")
+    def vec(k: Column) = array(k.cast("double"),
+      (k * 2).cast("double"), lit(1.0))
+    val e = spark.range(1, 101).toDF("vec_id")
+      .select(col("vec_id"), vec(col("vec_id")).as("emb"))
+    val base = graft.table.GraftTable.create(spark, baseRoot, "vec_id",
+      e.repartitionByRange(5, col("vec_id")).sortWithinPartitions("vec_id"))
+    val idx0 = graft.table.GraftTable.create(spark, idxRoot, "neighbor_id",
+      Similarity.sq8Cols(e)
+        .select(col("vec_id").as("neighbor_id"), col("qmin"),
+                col("scale"), col("codes"), col("rn"))
+        .repartitionByRange(5, col("neighbor_id"))
+        .sortWithinPartitions("neighbor_id"))
+    val idxFilesV1 = idx0.filesOf(1)
+    assert(idxFilesV1.size == 5)
+    // localized mutation: only keys 96..100 change
+    base.merge(spark.range(96, 101).toDF("vec_id")
+      .select(col("vec_id"), vec(col("vec_id") + 1000).as("emb")))
+    // hide every index file EXCEPT the one holding the changed keys
+    val holder = spark.read.parquet(idxFilesV1: _*)
+      .withColumn("__f",
+        regexp_replace(input_file_name(), "^file:(//)?", ""))
+      .where(col("neighbor_id") >= 96)
+      .select("__f").distinct().as[String].collect().toSeq
+    val others = idxFilesV1.filterNot(holder.contains)
+    assert(others.size == 4, s"expected 4 untouched files, got $others")
+    import java.nio.file.{Files, Paths}
+    others.foreach(f => Files.move(Paths.get(f), Paths.get(f + ".hidden")))
+    try Similarity.s14Refresh(spark, baseRoot, idxRoot)
+    finally others.foreach(f =>
+      Files.move(Paths.get(f + ".hidden"), Paths.get(f)))
+    // untouched files carried by reference; the refreshed index serves
+    // the new codes for exactly the changed keys
+    val idxFilesV2 = idx0.filesOf(idx0.head)
+    assert(others.forall(idxFilesV2.contains),
+      "untouched index files must carry by reference")
+    assert(!holder.forall(idxFilesV2.contains),
+      "the changed-key file must have been rewritten")
+    val refreshed = idx0.read()
+    assert(refreshed.count() == 100)
+    val want = Similarity.sq8Cols(
+        spark.range(96, 101).toDF("vec_id")
+          .select(col("vec_id"), vec(col("vec_id") + 1000).as("emb")))
+      .select(col("vec_id").as("neighbor_id"), col("qmin"),
+              col("scale"), col("codes"), col("rn"))
+    val got = refreshed.where(col("neighbor_id") >= 96)
+    assert(rows(got) == rows(want),
+      "refreshed code rows must equal a fresh requantization")
+    // a second refresh run with nothing new delivers nothing (the
+    // checkpointed version offset) and commits nothing
+    val head = idx0.head
+    Similarity.s14Refresh(spark, baseRoot, idxRoot)
+    assert(idx0.head == head, "an empty window must not commit")
+  }
+
   test("s13 matryoshka prefilter recalls well above chance vs exact") {
     import org.apache.spark.sql.functions.col
     // untrained-embedding regime: a random half-dimension prefix
