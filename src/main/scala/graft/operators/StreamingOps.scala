@@ -1179,6 +1179,100 @@ object StreamingOps {
            sum(col("o_price")).cast(DoubleType).as("sum_price"))
   }
 
+  /** per-status signed-delta fold: ValueState (n, cents, seq) — `n`
+    * and `cents` are the standing COUNT/SUM the feed maintains
+    * (+1/+cents for insert/update_postimage rows, −1/−cents for
+    * delete/update_preimage — SUM and COUNT are abelian-group
+    * aggregates, so subtract-pre + add-post is EXACT); `seq` counts
+    * this key's updates so the drain can pick each key's FINAL state
+    * from the update-mode emissions with one max_by. */
+  private class SignedAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long, Long), (String, Long, Long, Long)] {
+    @transient private var st: org.apache.spark.sql.streaming.ValueState[
+      (Long, Long, Long)] = _
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("agg",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(
+        key: String, rows: Iterator[(String, Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[(String, Long, Long, Long)] = {
+      var (n, c, seq) = if (st.exists()) st.get() else (0L, 0L, 0L)
+      rows.foreach { r => n += r._2; c += r._2 * r._3 }
+      seq += 1
+      st.update((n, c, seq))
+      Iterator.single((key, n, c, seq))
+    }
+  }
+
+  /** w23 — STREAMING STANDING-AGGREGATE MAINTENANCE through the native
+    * feed (round-13 verdict #4): x34's exact pre/post-image refresh
+    * run CONTINUOUSLY. `readStream.format("graft-cdf")` with
+    * `preimages = true` (Delta CDF's update_preimage/update_postimage
+    * split) feeds `transformWithState`, which folds each row's signed
+    * contribution into per-status ValueState — `startingVersion = 0`
+    * bootstraps the state from the v1 snapshot (the initial-snapshot
+    * window, all inserts), then `maxVersionsPerBatch = 1` delivers the
+    * merge and the MoR delete as separate micro-batches, so the fold
+    * crosses batch boundaries through checkpointed state. The drained
+    * final state must equal the flat recompute of the head (x34's
+    * oracle); GraftCdfSourceSpec pins the restart half — a resumed
+    * stream continues from its checkpointed version offset and cannot
+    * double-apply a window.
+    *
+    * 100 TB shape: the dashboard that never rescans — per-trigger cost
+    * is one version's change volume + state the size of the GROUP BY
+    * key space; the base table is read once, at bootstrap (and a
+    * production bootstrap of a pre-existing aggregate would seed state
+    * via transformWithState's initial-state overload instead). */
+  private def w23(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val srcRoot = w21Stage(spark, dir) // read-only follower: shareable
+    val stream = spark.readStream.format("graft-cdf")
+      .option("path", srcRoot)
+      .option("keyCol", "o_orderkey")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerBatch", "1")
+      .option("preimages", "true")
+      .load()
+    val signed = stream.select(
+        col("o_orderstatus"),
+        when(col("change_type").isin("insert", "update_postimage"), lit(1L))
+          .otherwise(lit(-1L)).as("sign"),
+        // exact cents: o_price is DECIMAL(18,2), ×100 is integral
+        (col("o_price") * 100).cast("long").as("cents"))
+      .as[(String, Long, Long)]
+    val folded = signed.groupByKey(_._1)
+      .transformWithState(new SignedAggProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("o_orderstatus", "n", "cents", "seq")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.get(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val emitted =
+      try runComplete(spark, folded, "w23_", mode = "update")
+      finally spark.conf.set(providerKey, saved)
+    // each key's FINAL state is its max-seq emission; exact cents
+    // reconstruct the decimal sum, double-cast only at the edge
+    emitted.groupBy(col("o_orderstatus"))
+      .agg(max_by(struct(col("n"), col("cents")), col("seq")).as("f"))
+      .select(col("o_orderstatus"),
+        col("f.n").as("n_rows"),
+        (col("f.cents").cast(DecimalType(20, 0)) / 100)
+          .cast(DecimalType(18, 2)).cast(DoubleType).as("sum_price"))
+      .where(col("n_rows") > 0)
+  }
+
   private val w20Sql =
     """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
       |base AS (
@@ -1218,5 +1312,6 @@ object StreamingOps {
     QuerySpec("w19_stream_table_api_ingest", w19, Some(w18Sql)),
     QuerySpec("w20_stream_merge_upsert", w20, Some(w20Sql)),
     QuerySpec("w21_stream_cdc_replication", w21, Some(ScaleOps.x34Sql)),
-    QuerySpec("w22_format_stream_sink", w22, Some(w18Sql)))
+    QuerySpec("w22_format_stream_sink", w22, Some(w18Sql)),
+    QuerySpec("w23_stream_incremental_aggregate", w23, Some(ScaleOps.x34Sql)))
 }

@@ -56,6 +56,17 @@ import graft.table.GraftTable
   * production), which is why the shuttle files live there. `commit`
   * prunes windows at or below the committed version.
   *
+  * COST OF THE SHUTTLE (deliberate trade): each window's feed is
+  * written once and read once, so a large catch-up window pays ~2×
+  * its change volume in I/O — the price of replay-stable batches
+  * (the alternative, recomputing `changes()` per replay, can observe
+  * a DIFFERENT result after a concurrent compact/restore moves the
+  * manifest). `maxVersionsPerBatch` bounds the per-window volume;
+  * steady-state windows are one version's changes, where the double
+  * write is noise. A future direct `planInputPartitions` over the
+  * feed's own parquet files could elide the copy for windows whose
+  * file set is provably stable (never across compaction).
+  *
   * `startingVersion = 0` bootstraps a from-scratch mirror: the first
   * window emits the starting snapshot as pure inserts (Delta's
   * initial-snapshot semantics), then follows the log. The schema is
@@ -122,6 +133,10 @@ private[sources] class GraftCdfTable(schema0: StructType,
             startingVersion = startV,
             maxVersionsPerBatch =
               options.getLong("maxVersionsPerBatch", Long.MaxValue),
+            // Delta CDF's update_preimage/update_postimage split — what
+            // a downstream signed-delta fold (w23) consumes; default
+            // false keeps the net replication shape (w21)
+            preimages = options.getBoolean("preimages", false),
             schema = schema0,
             checkpointLocation = checkpointLocation)
         }
@@ -135,7 +150,7 @@ private[sources] case class GraftVersionOffset(v: Long) extends Offset {
 
 private[sources] class GraftCdfMicroBatchStream(
     root: String, keyCol: String, startingVersion: Long,
-    maxVersionsPerBatch: Long, schema: StructType,
+    maxVersionsPerBatch: Long, preimages: Boolean, schema: StructType,
     checkpointLocation: String)
     extends MicroBatchStream with SupportsAdmissionControl {
 
@@ -179,7 +194,7 @@ private[sources] class GraftCdfMicroBatchStream(
     val raw =
       if (startV == 0L)
         table.read(endV).withColumn("change_type", lit("insert"))
-      else table.changes(startV, endV)
+      else table.changes(startV, endV, preimages = preimages)
     // conform to the schema fixed at stream start: missing columns
     // (pre-evolution windows) fill NULL, extra columns are an error a
     // restart resolves, exactly like Delta CDF

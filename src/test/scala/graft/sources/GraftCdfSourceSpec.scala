@@ -135,6 +135,50 @@ class GraftCdfSourceSpec extends AnyFunSuite {
       (4L, "insert")))
   }
 
+  test("preimages feed folds exactly; restart resumes without double-apply") {
+    val root = graft.util.Scratch.dir("graft-cdf-pre")
+    val t = GraftTable.create(spark, root, "k",
+      (1L to 4L).map(k => (k, 10L)).toDF("k", "x"))          // v1: sum 40
+    t.merge(Seq((2L, 25L)).toDF("k", "x"))                   // v2: sum 55
+    val ckpt = graft.util.Scratch.dir("graft-cdf-pre-ckpt")
+    val seen = new ConcurrentLinkedQueue[(Long, String, Long)]()
+    def drainPre(): Unit = {
+      val q = spark.readStream.format("graft-cdf")
+        .option("path", root).option("keyCol", "k")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerBatch", "1")
+        .option("preimages", "true")
+        .load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          b.select(col("k"), col("change_type"), col("x")).collect()
+            .foreach(r => seen.add((r.getLong(0), r.getString(1),
+              r.getLong(2))))
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainPre()
+    import scala.jdk.CollectionConverters._
+    def signedSum = seen.asScala.map { case (_, ct, x) =>
+      if (ct == "insert" || ct == "update_postimage") x else -x }.sum
+    // the update arrived SPLIT, Delta-CDF style
+    assert(seen.asScala.toSeq.filter(_._1 == 2L).map(_._2).sorted ==
+      Seq("insert", "update_postimage", "update_preimage"))
+    assert(signedSum == 55L, "signed fold must equal the head sum")
+    // restart: the checkpointed version offset re-delivers NOTHING —
+    // a folded aggregate cannot double-apply
+    drainPre()
+    assert(signedSum == 55L, "restart must not re-deliver any window")
+    // a new commit after restart delivers only its own window
+    t.delete(col("k") === 1)                                 // v3: sum 45
+    drainPre()
+    assert(signedSum == 45L)
+    assert(seen.asScala.count(_._2 == "delete") == 1)
+  }
+
   test("a replicated mirror through the source equals the source head") {
     val root = graft.util.Scratch.dir("graft-cdf-repl")
     val t = GraftTable.create(spark, root, "k",
