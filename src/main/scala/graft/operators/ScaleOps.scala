@@ -2236,6 +2236,54 @@ object ScaleOps {
       |GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x51 — OBJECT-STORE COMMIT LIFECYCLE (round-13 CommitArbiter): the
+  //       same ingest → merge → MoR delete → compact loop, with every
+  //       commit published through the CONDITIONAL-PUT protocol
+  //       instead of the rename CAS — single-object manifests via
+  //       atomic create-if-absent (the S3 If-None-Match / GCS
+  //       precondition shape; `setCommitArbiter("cput")`), so version
+  //       slots are FILES with whole-object visibility. The gated
+  //       query proves the whole mutation surface — stats pruning, DV
+  //       application and retirement, txn checkpoints, fold — reads
+  //       and writes identically through file-shaped slots, against
+  //       the same final-state oracle as the rename-published x33/x34
+  //       tables. CommitArbiterSpec pins the concurrency half (the
+  //       6-writer race on the fake object store).
+  //
+  //       100 TB shape: THE commit protocol for a table living on an
+  //       object store — rename there is copy+delete and not a CAS,
+  //       so the rename-published log silently loses racing commits;
+  //       conditional put is what Delta 4/Iceberg use on S3 today.
+  // ---------------------------------------------------------------------
+  private def x51(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x51-cput")
+    val t = graft.table.GraftTable.open(spark, root, "o_orderkey")
+    t.setCommitArbiter("cput")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    t.append(o.repartitionByRange(X23_FILES, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey"))                        // v1
+    val upd = o
+      .where(col("o_orderkey") % 37 === 0 && col("o_orderkey") <= mx / 4)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+              (col("o_price") * 2).cast(DecimalType(18, 2)).as("o_price"))
+    val ins = o
+      .where(col("o_orderkey") % 97 === 0)
+      .select((lit(mx + 1) + col("o_orderkey")).as("o_orderkey"),
+              lit("N").as("o_orderstatus"), col("o_price"))
+    t.merge(upd.unionByName(ins))                                 // v2
+    t.delete(col("o_orderkey") <= mx / 4 && col("o_orderkey") % 53 === 0,
+      mode = "mor")                                               // v3
+    t.compact(targetFiles = 2, smallFileBytes = Long.MaxValue)    // v4
+    t.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -2874,5 +2922,6 @@ object ScaleOps {
     QuerySpec("x47_check_constraints", x47, Some(x47Sql)),
     QuerySpec("x48_merge_bloom_pushdown", x48, Some(x48Sql)),
     QuerySpec("x49_null_pruned_cleaning", x49, Some(x49Sql)),
-    QuerySpec("x50_liquid_clustering", x50, Some(x50Sql)))
+    QuerySpec("x50_liquid_clustering", x50, Some(x50Sql)),
+    QuerySpec("x51_object_store_commits", x51, Some(x34Sql)))
 }

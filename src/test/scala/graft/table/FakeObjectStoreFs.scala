@@ -31,6 +31,28 @@ class FakeObjectStoreFs extends RawLocalFileSystem {
   override def getScheme: String = "fakeobj"
   override def getUri: URI = URI.create("fakeobj:///")
 
+  /** conditional PUT: buffer the object; the absent-check and the
+    * materialization happen together at close, atomically — as a
+    * real If-None-Match PUT resolves at request completion */
+  private def conditionalPut(f: Path): FSDataOutputStream = {
+    val target = pathToFile(f)
+    val buf = new java.io.ByteArrayOutputStream() {
+      override def close(): Unit = FakeObjectStoreFs.putLock.synchronized {
+        if (target.exists())
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"conditional put lost: $f exists")
+        target.getParentFile.mkdirs()
+        val tmp = java.io.File.createTempFile(
+          ".fakeobj-put", ".tmp", target.getParentFile)
+        java.nio.file.Files.write(tmp.toPath, toByteArray)
+        // whole-object visibility: readers see all bytes or no file
+        java.nio.file.Files.move(tmp.toPath, target.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    new FSDataOutputStream(buf, null)
+  }
+
   override def create(f: Path, permission: FsPermission,
                       overwrite: Boolean, bufferSize: Int,
                       replication: Short, blockSize: Long,
@@ -38,27 +60,32 @@ class FakeObjectStoreFs extends RawLocalFileSystem {
     if (overwrite)
       super.create(f, permission, true, bufferSize, replication,
         blockSize, progress)
-    else {
-      // conditional PUT: buffer the object; the absent-check and the
-      // materialization happen together at close, atomically — as a
-      // real If-None-Match PUT resolves at request completion
-      val target = pathToFile(f)
-      val buf = new java.io.ByteArrayOutputStream() {
-        override def close(): Unit = FakeObjectStoreFs.putLock.synchronized {
-          if (target.exists())
-            throw new org.apache.hadoop.fs.FileAlreadyExistsException(
-              s"conditional put lost: $f exists")
-          target.getParentFile.mkdirs()
-          val tmp = java.io.File.createTempFile(
-            ".fakeobj-put", ".tmp", target.getParentFile)
-          java.nio.file.Files.write(tmp.toPath, toByteArray)
-          // whole-object visibility: readers see all bytes or no file
-          java.nio.file.Files.move(tmp.toPath, target.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-        }
-      }
-      new FSDataOutputStream(buf, null)
-    }
+    else conditionalPut(f)
+
+  /** `FileSystem.create(path, overwrite)` funnels through THIS
+    * signature (RawLocalFileSystem overrides it past the FsPermission
+    * variant above) — without this override the conditional put
+    * silently degraded to RawLocal's check-then-create, a TOCTOU the
+    * 6-writer race duly caught: two racers both passed the exists
+    * check, wrote the same slot file (the corrupt "1AR1" parquet
+    * tail), and one commit was lost (head 6 of 7). Every no-overwrite
+    * create on this scheme must be store-side atomic. */
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream =
+    if (overwrite)
+      super.create(f, overwrite, bufferSize, replication, blockSize,
+        progress)
+    else conditionalPut(f)
+
+  override def createNonRecursive(f: Path, permission: FsPermission,
+                                  overwrite: Boolean, bufferSize: Int,
+                                  replication: Short, blockSize: Long,
+                                  progress: Progressable): FSDataOutputStream =
+    if (overwrite)
+      super.createNonRecursive(f, permission, true, bufferSize,
+        replication, blockSize, progress)
+    else conditionalPut(f)
 }
 
 object FakeObjectStoreFs {
