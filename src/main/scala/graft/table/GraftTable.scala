@@ -29,8 +29,16 @@ import org.apache.spark.sql.graftglue.PredicateTree
   *
   * Storage model (the x18/x28 layout): immutable data files under
   * `root/data/<uuid>/part-*`, one manifest parquet per version under
-  * `root/commits/v{N}`. A manifest row is `(file, kind, lo, hi, txn,
-  * stats)`: `kind` is `data` or `dv` (an x29-style deletion-vector
+  * `root/commits/v{N}`. A slot is either a FULL manifest (v1, legacy
+  * tables, and every MaxManifestChain-cadence checkpoint) or a DELTA
+  * against the previous version — adds + `rm` rows + the complete txn
+  * checkpoint set + a `delta` marker — so steady-state commit I/O is
+  * O(change), not O(files), and readers fold back at most
+  * MaxManifestChain slots to the nearest checkpoint (Delta's
+  * JSON-actions-plus-checkpoint log, expressed in slot files; see
+  * [[manifestSnap]]/[[tryCommit]]). A manifest row is `(file, kind,
+  * lo, hi, txn, stats)`: `kind` is `data` or `dv` (an x29-style
+  * deletion-vector
   * sidecar of `(dv_file, dv_pos)` positions readers anti-join),
   * `lo`/`hi` are the file's key range and `stats` maps EVERY integral
   * column to its per-file (min, max) — Iceberg's inclusive metrics,
@@ -126,13 +134,27 @@ final class GraftTable private (spark: SparkSession, val root: String,
       .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
       .foldLeft(0L)(math.max)
 
-  /** version `v`'s full manifest: data files + DV sidecars + stats.
-    * Columns a manifest predates (a pre-string-stats `sstats`, a
-    * pre-v2 `stats`) degrade to the empty map — an upgraded reader
-    * opens any older table, it just plans without the missing
-    * bounds (the same degradation dvPositions uses for pre-counter
-    * DV refs). */
-  private[table] def manifestOf(v: Long): Seq[FileRef] = {
+  /** version `v`'s full manifest: data files + DV sidecars + stats,
+    * FOLDED when the slot is delta-encoded (see [[manifestSnap]]). */
+  private[table] def manifestOf(v: Long): Seq[FileRef] = manifestSnap(v).refs
+
+  /** the slot's PHYSICAL rows (delta slots: adds + `rm`/`delta` marker
+    * rows; full slots: the whole manifest), plus the commit-level txn
+    * id and in-commit stamp every row carries. Columns a manifest
+    * predates (a pre-string-stats `sstats`, a pre-v2 `stats`) degrade
+    * to the empty map — an upgraded reader opens any older table, it
+    * just plans without the missing bounds (the same degradation
+    * dvPositions uses for pre-counter DV refs). Memoized per handle:
+    * slots are immutable per (root, version). */
+  private def rawSlotRows(v: Long): (Seq[FileRef], Long, Long) = {
+    val hit = rawCache.get(v)
+    if (hit != null) return hit
+    val out = readSlot(v)
+    rawCache.put(v, out)
+    out
+  }
+
+  private def readSlot(v: Long): (Seq[FileRef], Long, Long) = {
     val df = spark.read.parquet(s"$commitsDir/v$v")
     val names = df.schema.fieldNames.toSet
     val hasStats = names("stats")
@@ -142,7 +164,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val hasNStats = names("nstats")
     val hasZgen = names("zgen")
     val hasSchema = names("schema_json")
+    val hasTxn = names("txn")
     val cols = Seq(col("file"), col("kind"), col("lo"), col("hi")) ++
+      (if (hasTxn) Seq(col("txn")) else Nil) ++
       (if (hasStats) Seq(col("stats")) else Nil) ++
       (if (hasSStats) Seq(col("sstats")) else Nil) ++
       (if (hasCounts) Seq(col("rows"), col("bytes")) else Nil) ++
@@ -154,9 +178,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
     // DISTINCT schemas (one per evolution step) across up to 10⁵-10⁶
     // refs — the driver must hold one copy each, not one per row
     val interned = scala.collection.mutable.HashMap.empty[String, String]
-    df.select(cols: _*)
-      .collect()
-      .map { r =>
+    val collected = df.select(cols: _*).collect()
+    val refs = collected.map { r =>
         val stats =
           if (!hasStats) Map.empty[String, (Long, Long)]
           else r.getAs[Map[String, org.apache.spark.sql.Row]]("stats")
@@ -182,7 +205,57 @@ final class GraftTable private (spark: SparkSession, val root: String,
             })
       }
       .toSeq.sortBy(r => (r.kind, r.file))
+    val commitTxn =
+      if (!hasTxn || collected.isEmpty) -1L
+      else collected.iterator.map(_.getAs[Long]("txn")).max
+    val commitTs = refs.foldLeft(-1L)((m, r) => math.max(m, r.ts))
+    (refs, commitTxn, commitTs)
   }
+
+  /** the folded snapshot a version denotes, plus its delta-chain depth
+    * and commit-level (txn id, in-commit stamp) — the read half of the
+    * DELTA-ENCODED manifest format (Delta's log-of-actions idea,
+    * folded into the slot files; see [[tryCommit]] for the writer):
+    * a slot is either FULL (the entire manifest — v1, legacy slots,
+    * and every [[GraftTable.MaxManifestChain]]-cadence or
+    * bigger-than-half-rewrite checkpoint) or a DELTA against the
+    * previous version — added refs, `kind = "rm"` rows naming removed
+    * files, the canonical txn-checkpoint rows (always complete, so
+    * replay guards stay one-slot reads), and one `kind = "delta"`
+    * marker carrying (base version, chain depth). Folding walks back
+    * at most MaxManifestChain slots to the nearest full one; each
+    * fold along the walk is memoized, so a handle pays each slot read
+    * once. Removes apply before adds: a ref whose fields changed for
+    * the same file (a re-stamped zgen, a rewritten stats row) encodes
+    * as rm + add and folds to the new ref. */
+  private[table] def manifestSnap(v: Long): GraftTable.Snap = {
+    val hit = snapCache.get(v)
+    if (hit != null) return hit
+    val (rows, cTxn, cTs) = rawSlotRows(v)
+    val snap = rows.find(_.kind == "delta") match {
+      case None =>
+        GraftTable.Snap(rows, 0L, cTxn, cTs)
+      case Some(marker) =>
+        val parent = manifestSnap(marker.lo)
+        val rm = rows.iterator.filter(_.kind == "rm").map(_.file).toSet
+        val carried = parent.refs.filter(r => r.kind != "txn" && !rm(r.file))
+        val fresh = rows.filter(r => r.kind != "rm" && r.kind != "delta")
+        GraftTable.Snap((carried ++ fresh).sortBy(r => (r.kind, r.file)),
+          marker.hi, cTxn, cTs)
+    }
+    snapCache.put(v, snap)
+    snap
+  }
+
+  /** folded-manifest memo (slots are immutable per version, so entries
+    * never go stale within a handle's life) + the raw-slot-rows memo
+    * behind it */
+  private val snapCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long,
+      GraftTable.Snap]()
+  private val rawCache =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long,
+      (Seq[FileRef], Long, Long)]()
 
   /** the exact DATA file set version `v` committed */
   def filesOf(v: Long): Seq[String] =
@@ -1056,16 +1129,51 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * with Rename.NONE on DFS URIs). Only the slot-taken race (another
     * writer won) returns false; any other I/O failure is rethrown so a
     * broken filesystem surfaces instead of livelocking the retry
-    * loop. */
+    * loop.
+    *
+    * DELTA-ENCODED when it pays: a commit whose change is small
+    * relative to the snapshot writes only its adds, its `rm` rows,
+    * the canonical txn rows, and a `delta` marker — O(change) manifest
+    * I/O per commit instead of O(files) (the write-side twin of the
+    * round-12 schema-sweep fix: a full-manifest-per-commit log makes
+    * every APPEND cost grow with the table, not the change; Delta's
+    * JSON actions + periodic checkpoint solve exactly this).
+    * Checkpoints (full slots) land every [[GraftTable
+    * .MaxManifestChain]] commits — bounding every reader's fold walk —
+    * and whenever the delta wouldn't be smaller than half the full
+    * manifest (compact, restore, cluster rewrites), so the heuristic
+    * never writes a delta LARGER than the checkpoint it replaces. */
   private def tryCommit(expected: Long, refs: Seq[FileRef],
-                        txn: Long, ts: Long): Boolean = {
+                        txn: Long, ts: Long,
+                        base: GraftTable.Snap): Boolean = {
     val tmp = s"$commitsDir/.tmp-${java.util.UUID.randomUUID()}"
-    refs.map(r => (r.file, r.kind, r.lo, r.hi, txn, r.stats, r.sstats,
+    encodeSlot(expected, refs, base)
+      .map(r => (r.file, r.kind, r.lo, r.hi, txn, r.stats, r.sstats,
         r.rows, r.bytes, ts, r.nstats, r.zgen, r.schemaJson))
       .toDF("file", "kind", "lo", "hi", "txn", "stats", "sstats",
         "rows", "bytes", "ts", "nstats", "zgen", "schema_json")
       .coalesce(1).write.parquet(tmp)
     arbiter.publish(tmp, s"$commitsDir/v${expected + 1}")
+  }
+
+  /** the delta-vs-checkpoint choice (see [[tryCommit]]) — `refs` is
+    * the commit's FULL manifest (txn rows included); returns the rows
+    * the slot physically stores */
+  private def encodeSlot(expected: Long, refs: Seq[FileRef],
+                         base: GraftTable.Snap): Seq[FileRef] = {
+    if (expected == 0 || base == null) return refs
+    val txnRows = refs.filter(_.kind == "txn")
+    val fresh = refs.filterNot(_.kind == "txn")
+    val baseRows = base.refs.filterNot(_.kind == "txn")
+    val freshSet = fresh.toSet
+    val baseSet = baseRows.toSet
+    val adds = fresh.filterNot(baseSet)
+    val rms = baseRows.filterNot(freshSet)
+      .map(r => FileRef(r.file, "rm", -1L, -1L))
+    if (base.depth + 1 > GraftTable.MaxManifestChain ||
+        2 * (adds.size + rms.size) >= fresh.size) refs
+    else (adds ++ rms ++ txnRows) :+
+      FileRef("delta:base", "delta", expected, base.depth + 1)
   }
 
   /** The CAS loop every mutator runs: re-reads the head and re-composes
@@ -1094,7 +1202,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
       compose: Seq[FileRef] => Option[(Seq[FileRef], Seq[Staged])]): Long = {
     while (true) {
       val h = head
-      val base = if (h == 0) Seq.empty[FileRef] else manifestOf(h)
+      val baseSnap = if (h == 0) null else manifestSnap(h)
+      val base = if (h == 0) Seq.empty[FileRef] else baseSnap.refs
       compose(base) match {
         case None => return h
         case Some((refs0, staged0)) =>
@@ -1109,7 +1218,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
           val ts = math.max(System.currentTimeMillis(),
             base.foldLeft(0L)((m, r) => math.max(m, r.ts)) + 1)
           if (tryCommit(h, refs.filterNot(_.kind == "txn") ++ txnRefs,
-                        txn, ts)) {
+                        txn, ts, baseSnap)) {
             staged.foreach(s => s.markers.foreach(io.delete))
             return h + 1
           } else staged.foreach(discardStaged)
@@ -1186,12 +1295,14 @@ final class GraftTable private (spark: SparkSession, val root: String,
     v
   }
 
-  /** every batch id any committed version recorded — ONE manifest read
-    * (the head's txn checkpoint rows); legacy pre-checkpoint tables
-    * fall back to the full-log scan until their next commit */
+  /** every batch id any committed version recorded — ONE slot read
+    * (every slot, delta or full, carries the COMPLETE txn checkpoint
+    * row set, so replay detection never folds the chain); legacy
+    * pre-checkpoint tables fall back to the full-log scan until their
+    * next commit */
   private def committedTxns(): Set[Long] = {
     val h = head
-    if (h == 0) Set.empty else txnsIn(manifestOf(h))
+    if (h == 0) Set.empty else txnsIn(rawSlotRows(h)._1)
   }
 
   /** the pre-checkpoint path: union the `txn` column over EVERY
@@ -1656,8 +1767,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
   }
 
   /** one row per committed version: the audit/debug view (Delta's
-    * DESCRIBE HISTORY shape) — ONE read over all manifests with the
-    * version recovered from the slot path, not a job per version */
+    * DESCRIBE HISTORY shape) — per-version SNAPSHOT totals off the
+    * folded manifests, built driver-side in one ascending walk that
+    * reads each slot exactly once (the per-handle fold memo), never a
+    * job per version. A counter a version's manifest predates (`rows`,
+    * `bytes`, `ts`) surfaces NULL, exactly as the pre-fold
+    * mergeSchema read did. */
   def history(): DataFrame = {
     val h = head
     if (h == 0)
@@ -1665,39 +1780,25 @@ final class GraftTable private (spark: SparkSession, val root: String,
           Option[Long])]
         .toDF("version", "n_data_files", "n_dv_files", "txn",
           "n_rows", "bytes", "commit_ts")
-    val vs = (1L to h).map(v => s"$commitsDir/v$v")
-    val raw = spark.read.option("mergeSchema", "true").parquet(vs: _*)
-    // per-version live-row/byte totals off the manifest counts (NULL
-    // for versions whose manifests predate the counters); DV rows
-    // subtract — each recorded position kills one live row
-    val withCounts0 =
-      if (raw.columns.contains("rows")) raw
-      else raw.withColumn("rows", lit(null).cast("long"))
-        .withColumn("bytes", lit(null).cast("long"))
-    val withCounts =
-      if (withCounts0.columns.contains("ts")) withCounts0
-      else withCounts0.withColumn("ts", lit(null).cast("long"))
-    withCounts
-      .withColumn("version",
-        // a slot is a DIRECTORY (rename publish: .../vN/part-*.parquet)
-        // or a single FILE (conditional-put publish: .../vN) — match both
-        regexp_extract(col("_metadata.file_path"), "/v(\\d+)(/|$)", 1)
-          .cast("long"))
-      .groupBy(col("version"))
-      // functions.count qualified: the handle's own `count(version)`
-      // shadows it inside this class
-      .agg(org.apache.spark.sql.functions.count(
-             when(col("kind") === "data", 1)).cast("int")
-             .as("n_data_files"),
-           org.apache.spark.sql.functions.count(
-             when(col("kind") === "dv", 1)).cast("int")
-             .as("n_dv_files"),
-           max(col("txn")).as("txn"),
-           (sum(when(col("kind") === "data", col("rows")))
-             - coalesce(sum(when(col("kind") === "dv", col("rows"))),
-                 lit(0L))).as("n_rows"),
-           sum(when(col("kind") =!= "txn", col("bytes"))).as("bytes"),
-           max(when(col("ts") >= 0, col("ts"))).as("commit_ts"))
+    val out = (1L to h).map { v =>
+      val snap = manifestSnap(v)
+      val data = snap.refs.filter(_.kind == "data")
+      val dvs = snap.refs.filter(_.kind == "dv")
+      // live rows = Σ data rows − Σ dv positions, NULL when every data
+      // counter predates the column (SQL SUM-over-NULLs semantics)
+      val dataRows = data.map(_.rows).filter(_ >= 0)
+      val nRows: Option[Long] =
+        if (dataRows.isEmpty) None
+        else Some(dataRows.sum - dvs.map(_.rows).filter(_ >= 0).sum)
+      val byteVals = snap.refs.filter(_.kind != "txn")
+        .map(_.bytes).filter(_ >= 0)
+      val bytes: Option[Long] =
+        if (byteVals.isEmpty) None else Some(byteVals.sum)
+      (v, data.size, dvs.size, snap.commitTxn, nRows, bytes,
+        if (snap.commitTs >= 0) Some(snap.commitTs) else None)
+    }
+    out.toDF("version", "n_data_files", "n_dv_files", "txn",
+        "n_rows", "bytes", "commit_ts")
       .orderBy(col("version"))
   }
 
@@ -1846,6 +1947,16 @@ object GraftTable {
 
   /** bloom sidecar count above which compact() folds them into one */
   private[table] val BloomFoldSidecars: Int = 8
+
+  /** longest delta-slot chain before a commit is forced to write a
+    * full (checkpoint) manifest — bounds every reader's fold walk
+    * (Delta's checkpointInterval; its default is 10) */
+  private[table] val MaxManifestChain: Long = 8L
+
+  /** a version's FOLDED manifest + its delta-chain depth (0 = the slot
+    * is a full checkpoint) and commit-level txn id / in-commit stamp */
+  private[table] final case class Snap(refs: Seq[FileRef], depth: Long,
+                                       commitTxn: Long, commitTs: Long)
 
   /** a z-order spec's stable generation stamp (murmur3 of the column
     * list — deterministic across JVMs; −1 is the "unclustered"

@@ -691,14 +691,20 @@ class GraftTableSpec extends AnyFunSuite {
       new java.io.File(s"${t.root}/commits/v$v"))
     hidden.foreach(d => assert(d.renameTo(
       new java.io.File(d.getParent, d.getName + ".hidden"))))
+    // a COLD handle (no fold memo): replay detection must work off the
+    // head slot's PHYSICAL rows alone — delta slots carry the COMPLETE
+    // txn checkpoint set precisely so the guard never folds the chain
+    val t2 = GraftTable.open(spark, t.root, "k")
     try {
-      assert(t.streamAppend(rows(9), 1L) == h, "replayed batch must no-op")
-      assert(t.merge(Seq((9L, "X")).toDF("k", "v"), txn = 42L) == h,
+      assert(t2.streamAppend(rows(9), 1L) == h, "replayed batch must no-op")
+      assert(t2.merge(Seq((9L, "X")).toDF("k", "v"), txn = 42L) == h,
         "replayed merge txn must no-op")
-      // a NEW txn still commits — also off the head manifest alone
-      assert(t.streamAppend(rows(5), 2L) == h + 1)
     } finally hidden.foreach(d => new java.io.File(
       d.getParent, d.getName + ".hidden").renameTo(d))
+    // a NEW txn commits once the chain is visible (commit COMPOSITION
+    // folds the delta chain — its checkpoint bound is pinned in
+    // DeltaManifestSpec's hidden-prefix test)
+    assert(t2.streamAppend(rows(5), 2L) == h + 1)
     assert(keys(t.read()) == Seq(1L, 2L, 3L, 4L, 5L))
     assert(t.read().where(col("k") === 3).head.getString(1) == "U3")
   }
