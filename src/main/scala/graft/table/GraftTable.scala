@@ -134,6 +134,16 @@ final class GraftTable private (spark: SparkSession, val root: String,
       .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
       .foldLeft(0L)(math.max)
 
+  /** the OLDEST version slot still in the log (= head when the table
+    * has one version; > 1 after `expire` GC'd the pre-checkpoint
+    * prefix — Delta's logRetentionDuration cleanup). Versions below it
+    * are gone from history/time-travel entirely. */
+  def oldestVersion: Long = {
+    val vs = io.list(commitsDir).map(_.getPath.getName)
+      .filter(_.matches("v\\d+")).map(_.drop(1).toLong)
+    if (vs.isEmpty) 0L else vs.min
+  }
+
   /** version `v`'s full manifest: data files + DV sidecars + stats,
     * FOLDED when the slot is delta-encoded (see [[manifestSnap]]). */
   private[table] def manifestOf(v: Long): Seq[FileRef] = manifestSnap(v).refs
@@ -397,13 +407,14 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def versionAt(tsMillis: Long): Long = {
     val h = head
     require(h > 0, "empty table has no versions")
-    require(tsMillis >= commitTimestampOf(1),
-      s"timestamp $tsMillis predates version 1 " +
-        s"(committed ${commitTimestampOf(1)})")
-    val allStamped = manifestOf(1).exists(_.ts >= 0)
+    val v0 = oldestVersion // > 1 after log GC: older stamps are gone
+    require(tsMillis >= commitTimestampOf(v0),
+      s"timestamp $tsMillis predates the oldest retained version $v0 " +
+        s"(committed ${commitTimestampOf(v0)})")
+    val allStamped = manifestOf(v0).exists(_.ts >= 0)
     if (!allStamped)
-      return (1L to h).filter(commitTimestampOf(_) <= tsMillis).max
-    var lo = 1L
+      return (v0 to h).filter(commitTimestampOf(_) <= tsMillis).max
+    var lo = v0
     var hi = h
     while (lo < hi) { // invariant: ts(lo) <= probe
       val mid = (lo + hi + 1) / 2
@@ -1689,7 +1700,15 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * production sweeps should pass an hours-scale floor.
     * Returns the deleted files — or, with `dryRun = true` (Delta's
     * VACUUM DRY RUN), the files a real sweep would delete, with every
-    * safety re-check exercised and nothing touched. */
+    * safety re-check exercised and nothing touched.
+    *
+    * LOG RETENTION: the sweep also GC's version SLOTS below the newest
+    * checkpoint at-or-below the retention cutoff (Delta's
+    * logRetentionDuration cleanup) — without it the commits dir grows
+    * O(all-time commits). Time travel, `history()`, and `versionAt`
+    * then start at [[oldestVersion]]; `restore` below it fails with
+    * "expired from the log". Legacy pre-checkpoint tables keep their
+    * full log until a post-upgrade commit checkpoints the txn set. */
   def expire(keepLast: Int, staleStagingMs: Long = Long.MaxValue,
              minAgeMs: Long = 0L, dryRun: Boolean = false): Seq[String] = {
     require(keepLast >= 1,
@@ -1704,9 +1723,10 @@ final class GraftTable private (spark: SparkSession, val root: String,
           .map(f => (io.canon(f.getPath.toString), f.getModificationTime)))
     // 2) retained union — read AFTER the listing, topped up on movement
     var hSeen = head
+    val ov = oldestVersion // a prior sweep may have GC'd the log prefix
     val retained = scala.collection.mutable.Set.empty[String]
     def topUp(lo: Long, hi: Long): Unit =
-      (math.max(1L, lo) to hi).foreach(v => retained ++= manifestOf(v).map(_.file))
+      (math.max(ov, lo) to hi).foreach(v => retained ++= manifestOf(v).map(_.file))
     topUp(hSeen - keepLast + 1, hSeen)
     val now = System.currentTimeMillis()
     val out = Seq.newBuilder[String]
@@ -1746,6 +1766,31 @@ final class GraftTable private (spark: SparkSession, val root: String,
         }
       }
     }
+    // LOG RETENTION (Delta's logRetentionDuration cleanup): version
+    // slots below the newest CHECKPOINT at-or-below the retention
+    // cutoff serve no retained fold — without GC the log grows
+    // O(all-time commits) and every head listing pays for it. The
+    // anchor is exact: cutoff's fold walks back exactly `depth` slots,
+    // so every retained version's chain stays intact; slots in
+    // [anchor, cutoff) remain readable as a bonus until the next
+    // sweep. The same `minAgeMs` floor guards an in-flight reader of
+    // a just-expired version, and dryRun touches nothing.
+    if (!dryRun && hSeen > 0) {
+      val cutoff = hSeen - keepLast + 1
+      // a LEGACY head (no txn checkpoint rows) means replay guards
+      // still scan the full log — GC only after a post-upgrade commit
+      // has checkpointed the txn set into the head slot
+      val headCkpted = rawSlotRows(hSeen)._1
+        .exists(r => r.kind == "txn" && r.lo == -1L)
+      if (cutoff > ov && headCkpted) {
+        val anchor = cutoff - manifestSnap(cutoff).depth
+        (ov until anchor).foreach { v =>
+          val slot = s"$commitsDir/v$v"
+          val old = io.mtime(slot).forall(m => now - m >= minAgeMs)
+          if (old) io.deleteTree(slot)
+        }
+      }
+    }
     out.result().sorted
   }
 
@@ -1759,6 +1804,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def restore(v: Long): Long = {
     val h = head
     require(v >= 1 && v <= h, s"need 1 <= v <= $h (got $v)")
+    require(v >= oldestVersion,
+      s"version $v expired from the log (oldest retained: $oldestVersion)")
     val target = manifestOf(v)
     target.filter(r => r.kind == "data" || r.kind == "dv")
       .foreach(r => require(io.exists(r.file),
@@ -1780,7 +1827,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
           Option[Long])]
         .toDF("version", "n_data_files", "n_dv_files", "txn",
           "n_rows", "bytes", "commit_ts")
-    val out = (1L to h).map { v =>
+    val out = (oldestVersion to h).map { v =>
       val snap = manifestSnap(v)
       val data = snap.refs.filter(_.kind == "data")
       val dvs = snap.refs.filter(_.kind == "dv")
@@ -2014,6 +2061,37 @@ object GraftTable {
   def open(spark: SparkSession, root: String, keyCol: String): GraftTable = {
     val t = new GraftTable(spark, root, keyCol)
     t.io.mkdirs(s"$root/commits")
+    t
+  }
+
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE src`): a
+    * new table at `root` whose v1 manifest REFERENCES the source's
+    * data/DV/bloom files at `version` (head by default) — ZERO data
+    * bytes copied, O(manifest) work. Mutations copy-on-write into the
+    * clone's OWN data dir, so the source never changes through the
+    * clone; the clone's `expire` lists only its own data dir, so it
+    * can never vacuum a source file. Table properties (bloom index,
+    * CHECK constraints, schema mode) copy; the source's txn replay
+    * guards do NOT (batch-id idempotency is per table), and the
+    * commit-arbiter choice stays a per-root deployment decision.
+    * The dev/test-on-production shape at 100 TB: an experiment table
+    * in seconds, paying only for its own divergence. Caveat (same as
+    * Delta's): vacuuming the SOURCE below the cloned version breaks
+    * the clone — clones share retention policy with their source. */
+  def shallowClone(spark: SparkSession, srcRoot: String, keyCol: String,
+                   root: String, version: Long = -1L): GraftTable = {
+    val src = open(spark, srcRoot, keyCol)
+    val v = if (version < 0) src.head else version
+    require(v >= 1, s"source table at $srcRoot has no committed version")
+    val refs = src.manifestOf(v).filterNot(_.kind == "txn")
+    val t = new GraftTable(spark, root, keyCol)
+    t.io.mkdirs(s"$root/commits")
+    require(t.head == 0, s"table at $root already exists")
+    Seq("bloom.conf", "checks.conf", "schema.conf").foreach { p =>
+      src.io.readUtf8(s"$srcRoot/$p")
+        .foreach(s => t.io.writeUtf8(s"$root/$p", s))
+    }
+    t.commitLoop() (_ => Some((refs, Seq.empty)))
     t
   }
 }

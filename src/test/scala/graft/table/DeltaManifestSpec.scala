@@ -120,6 +120,43 @@ class DeltaManifestSpec extends AnyFunSuite {
     assert(keys(t.read()) == ((0L to 12L) :+ 100L))
   }
 
+  test("expire GC's the log prefix behind the checkpoint anchor") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-dm-logttl"), "k", rows(0).coalesce(1))
+    (1L to 12L).foreach(k => t.append(rows(k).coalesce(1)))
+    assert(t.manifestSnap(11).depth == 0 && t.manifestSnap(12).depth == 1)
+    def slotExists(v: Long) =
+      new java.io.File(s"${t.root}/commits/v$v").exists
+    // dryRun and a young-slot age floor both leave the log intact
+    t.expire(keepLast = 2, dryRun = true)
+    assert((1L to 13L).forall(slotExists))
+    t.expire(keepLast = 2, minAgeMs = 3600L * 1000)
+    assert((1L to 13L).forall(slotExists))
+    // the real sweep: cutoff v12 folds from the v11 checkpoint, so
+    // slots v1-v10 serve no retained version and GC
+    t.expire(keepLast = 2)
+    assert((1L to 10L).forall(v => !slotExists(v)), "prefix GC'd")
+    assert((11L to 13L).forall(slotExists), "checkpoint suffix retained")
+    assert(t.oldestVersion == 11)
+    // a COLD handle: reads, history, timestamp travel, restore all
+    // start at the oldest retained version
+    val cold = GraftTable.open(spark, t.root, "k")
+    assert(keys(cold.read()) == (0L to 12L))
+    assert(keys(cold.read(11)) == (0L to 10L))
+    val hist = cold.history().orderBy("version").collect()
+    assert(hist.map(_.getLong(0)).toSeq == Seq(11L, 12L, 13L))
+    assert(cold.versionAt(cold.commitTimestampOf(13)) == 13)
+    intercept[IllegalArgumentException] {
+      cold.versionAt(cold.commitTimestampOf(11) - 1)
+    }
+    intercept[IllegalArgumentException] { cold.restore(5) }
+    assert(cold.restore(12) == 14)
+    assert(keys(cold.read()) == (0L to 11L))
+    // a second sweep on the already-GC'd log is a clean no-op shape
+    cold.expire(keepLast = 2)
+    assert(cold.oldestVersion >= 11 && keys(cold.read()) == (0L to 11L))
+  }
+
   test("the whole mutation surface folds: lifecycle snapshots replay exactly") {
     val t = GraftTable.open(spark,
       graft.util.Scratch.dir("graft-dm-life"), "k")
