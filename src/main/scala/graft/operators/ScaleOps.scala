@@ -2284,6 +2284,95 @@ object ScaleOps {
   }
 
   // ---------------------------------------------------------------------
+  // x52 — SHALLOW CLONE (round 13; Delta's zero-copy CLONE): an
+  //       experiment table whose v1 manifest REFERENCES the source's
+  //       files — zero data bytes copied — then diverges by
+  //       copy-on-write mutations while the source stays byte-frozen.
+  //       The gated query reads BOTH heads after the clone's merge +
+  //       delete and tags each side, so the oracle checks divergence
+  //       itself: the source must still show its own state, the clone
+  //       its own. CloneSpec pins the physical promises (no bytes at
+  //       clone time, source bytes untouched, clone vacuum unable to
+  //       name a source file, per-table txn guards).
+  //
+  //       100 TB shape: dev/test-on-production — an experiment table
+  //       in O(manifest) seconds that pays only for its own
+  //       divergence, the workflow Delta ships shallow clones for.
+  // ---------------------------------------------------------------------
+  private def x52(spark: SparkSession, dir: String): DataFrame = {
+    val srcRoot = graft.util.Scratch.dir("graft-x52-src")
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val src = graft.table.GraftTable.create(spark, srcRoot, "o_orderkey",
+      o.repartitionByRange(6, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))
+    src.merge(o.where(col("o_orderkey") % 41 === 0)
+      .select(col("o_orderkey"), lit("S").as("o_orderstatus"),
+              (col("o_price") * 3).cast(DecimalType(18, 2))
+                .as("o_price")))                                  // src v2
+    val clone = graft.table.GraftTable.shallowClone(spark, srcRoot,
+      "o_orderkey", graft.util.Scratch.dir("graft-x52-clone"))
+    val upd = o.where(col("o_orderkey") % 23 === 0)
+      .select(col("o_orderkey"), lit("C").as("o_orderstatus"),
+              (col("o_price") + 10).cast(DecimalType(18, 2)).as("o_price"))
+    val ins = o.where(col("o_orderkey") % 89 === 0)
+      .select((lit(mx + 1) + col("o_orderkey")).as("o_orderkey"),
+              lit("I").as("o_orderstatus"), col("o_price"))
+    clone.merge(upd.unionByName(ins))                             // clone v2
+    clone.delete(col("o_orderkey") % 31 === 0 &&
+      col("o_orderkey") <= mx / 2)                                // clone v3
+    def tagged(t: graft.table.GraftTable, side: String) =
+      t.read().groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("o_price")).cast(DoubleType).as("sum_price"))
+        .withColumn("side", lit(side))
+    tagged(src, "src").unionByName(tagged(clone, "clone"))
+      .select(col("side"), col("o_orderstatus"),
+              col("n_rows"), col("sum_price"))
+  }
+
+  private val x52Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |src AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 41 = 0 THEN 'S'
+      |         ELSE o_orderstatus END AS o_orderstatus,
+      |    CAST(CASE WHEN o_orderkey % 41 = 0
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) * 3
+      |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+      |      AS DECIMAL(18,2)) AS p
+      |  FROM orders),
+      |cl0 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 23 = 0 THEN 'C'
+      |         WHEN o_orderkey % 41 = 0 THEN 'S'
+      |         ELSE o_orderstatus END AS o_orderstatus,
+      |    CAST(CASE WHEN o_orderkey % 23 = 0
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10
+      |      WHEN o_orderkey % 41 = 0
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) * 3
+      |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+      |      AS DECIMAL(18,2)) AS p
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT m.mx + 1 + o_orderkey, 'I',
+      |    CAST(o_totalprice AS DECIMAL(18,2))
+      |  FROM orders, m WHERE o_orderkey % 89 = 0),
+      |cl AS (
+      |  SELECT cl0.* FROM cl0, m
+      |  WHERE NOT (o_orderkey % 31 = 0 AND o_orderkey <= m.mx // 2))
+      |SELECT 'src' AS side, o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price
+      |FROM src GROUP BY 2
+      |UNION ALL
+      |SELECT 'clone', o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT), CAST(SUM(p) AS DOUBLE)
+      |FROM cl GROUP BY 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -2923,5 +3012,6 @@ object ScaleOps {
     QuerySpec("x48_merge_bloom_pushdown", x48, Some(x48Sql)),
     QuerySpec("x49_null_pruned_cleaning", x49, Some(x49Sql)),
     QuerySpec("x50_liquid_clustering", x50, Some(x50Sql)),
-    QuerySpec("x51_object_store_commits", x51, Some(x34Sql)))
+    QuerySpec("x51_object_store_commits", x51, Some(x34Sql)),
+    QuerySpec("x52_shallow_clone", x52, Some(x52Sql)))
 }
