@@ -239,7 +239,9 @@ object Bench {
         s""","gate_retry_notes":$retryNotesJson""",
       sfDir,
       extrasCompact = extrasJson(hdfsRuns, rocksRuns, skewRuns, recoveryRuns,
-                 recoverySec, lat, gateRetries.size, compactSpreads = true))
+                 recoverySec, lat, gateRetries.size, compactSpreads = true),
+      extrasUltra = extrasJson(hdfsRuns, rocksRuns, skewRuns, recoveryRuns,
+                 recoverySec, lat, gateRetries.size, compactStreams = true))
     // The JSON must reach the driver's parser intact. Round 1 lost it in
     // interleaved Spark shutdown noise (TaskKilled warnings from stopped
     // streaming queries), so: (1) persist it to a well-known file first,
@@ -275,7 +277,24 @@ object Bench {
                                 recovery: RunSet, recoverySec: Double,
                                 lat: LatencyStats,
                                 gateRetryCount: Int = 0,
-                                compactSpreads: Boolean = false): String = {
+                                compactSpreads: Boolean = false,
+                                compactStreams: Boolean = false): String = {
+    // ULTRA-COMPACT form (the cascade's final per-query step, round
+    // 13: 161 realistic-width queries outgrew the compact-spreads
+    // step): the four throughput maxima fold into "wps":[hdfs,
+    // rocksdb, skew20, recovery] and the four latency figures into
+    // "lat":[p50, p95, mean_batch_ms, backlog_batches] — ~200 chars
+    // back, so the full per-query breakdown survives ~20 more
+    // queries. The verbose names always ride the full artifact.
+    if (compactStreams)
+      return s""""wps":[${fmt(hdfs.max, 0)},${fmt(rocks.max, 0)},""" +
+        s"""${fmt(skew.max, 0)},${fmt(recovery.max, 0)}],""" +
+        s""""spreads":[${fmt(hdfs.spread, 2)},${fmt(rocks.spread, 2)},""" +
+        s"""${fmt(skew.spread, 2)},${fmt(recovery.spread, 2)}],""" +
+        s""""rec_s":${fmt(recoverySec, 2)},""" +
+        s""""lat":[${fmt(lat.p50, 0)},${fmt(lat.p95, 0)},""" +
+        s"""${fmt(lat.meanBatchMs, 0)},${lat.backlogBatches}],""" +
+        s""""gate_retries":$gateRetryCount"""
     // the COMPACT line carries only the retry COUNT (fixed width —
     // per-entry notes would breach the ≤1800-char budget and drop
     // per-query detail); the both-readings notes ride the END of the
@@ -471,7 +490,8 @@ object Bench {
                                 extras: String,
                                 fullOnlyExtras: String,
                                 sfDir: String,
-                                extrasCompact: String = ""): (String, String) = {
+                                extrasCompact: String = "",
+                                extrasUltra: String = ""): (String, String) = {
     val total = results.map(_._2).sum
     def jsonLineEx(qs: String, ex: String, extra2: String = ""): String =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,""" +
@@ -521,11 +541,13 @@ object Bench {
     // compact-spreads extras variant — keeps the full per-query
     // breakdown ~130 chars longer than the verbose extras allow
     val exC = if (extrasCompact.isEmpty) extras else extrasCompact
+    val exU = if (extrasUltra.isEmpty) exC else extrasUltra
     val candidates =
       (results, 2, extras) #:: LazyList.from(
         Seq(2, 1, 0).map(d => (prefixed, d, extras)) :+
           ((shortPrefixed, 0, extras)) :+
-          ((shortPrefixed, 0, exC)) :+ ((familySums, 1, exC)))
+          ((shortPrefixed, 0, exC)) :+
+          ((shortPrefixed, 0, exU)) :+ ((familySums, 1, exC)))
     val last = candidates
       .map { case (rs, d, ex) =>
         jsonLineEx(rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, d) }

@@ -40,6 +40,13 @@ class BenchLineSpec extends AnyFunSuite {
     lat = Bench.LatencyStats(p50 = 1509.0, p95 = 1223.0,
       meanBatchMs = 1234.0, backlogBatches = 123L),
     gateRetryCount = 133, compactSpreads = true)
+  private val extrasU = Bench.extrasJson(
+    hdfs = rs(13606060d), rocks = rs(11008300d),
+    skew = rs(13606060d), recovery = rs(11008300d),
+    recoverySec = 12.34,
+    lat = Bench.LatencyStats(p50 = 1509.0, p95 = 1223.0,
+      meanBatchMs = 1234.0, backlogBatches = 123L),
+    gateRetryCount = 133, compactStreams = true)
   private val fullExtras = Bench.runsJson(Seq(
     "stream_words_per_sec" -> rs(13606060d),
     "stream_words_per_sec_rocksdb" -> rs(11008300d),
@@ -85,11 +92,22 @@ class BenchLineSpec extends AnyFunSuite {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 13.57912)
     val (_, last) =
       Bench.buildLines(results, extras, fullExtras, "/root/testdata/sf0.1",
-        extrasCompact = extrasC)
+        extrasCompact = extrasC, extrasUltra = extrasU)
     assert(last.length <= 1800, s"compact line ${last.length} chars")
     val node = mapper.readTree(last)
     assert(node.get("queries").size() === results.size,
       "a timing was lost to a duplicate key or a premature cascade step")
+    // whichever extras step fired, the throughput maxima are present —
+    // verbose keys or the ultra-compact "wps" array (round 13: 161
+    // realistic-width queries need the folded form)
+    assert(node.has("stream_words_per_sec") || node.has("wps"),
+      "throughput figures must ride the tail line in some form")
+    if (node.has("wps")) {
+      assert(node.get("wps").size() === 4)
+      assert(node.get("wps").get(1).asLong() === 11008300L)
+      assert(node.get("lat").size() === 4)
+      assert(node.get("spreads").size() === 4)
+    }
   }
 
   test("last line fits the driver's tail window for all registered queries") {
@@ -101,7 +119,7 @@ class BenchLineSpec extends AnyFunSuite {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1234.56789)
     val (full, last) =
       Bench.buildLines(results, extras, fullExtras, "/root/testdata/sf0.1",
-        extrasCompact = extrasC)
+        extrasCompact = extrasC, extrasUltra = extrasU)
     assert(last.length <= 1800, s"compact line ${last.length} chars")
     val node = mapper.readTree(last)
     assert(node.get("metric").asText() === "total")
