@@ -51,6 +51,20 @@ case class GraftRestoreCommand(root: String, toVersion: Long,
   }
 }
 
+/** `GRAFT CLONE '<src>' KEY <col> INTO '<dst>' [VERSION <v>]` —
+  * zero-copy SHALLOW CLONE ([[graft.table.GraftTable.shallowClone]]):
+  * the destination's v1 manifest references the source's files at the
+  * given (default: head) version; mutations then copy-on-write into
+  * the clone's own data dir. Returns the clone's head (1). */
+case class GraftCloneCommand(srcRoot: String, key: String, dstRoot: String,
+                             version: Long) extends GraftVersionCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.table.GraftTable.shallowClone(session, srcRoot, key,
+      dstRoot, version)
+    Seq(Row(t.head))
+  }
+}
+
 /** `GRAFT MERGE INTO '<root>' KEY <col> [TXN <id>] USING <query>` —
   * keyed upsert of the query's rows ([[graft.table.GraftTable.merge]]:
   * stats-pruned planning, matched-file-only rewrite; `TXN` makes the

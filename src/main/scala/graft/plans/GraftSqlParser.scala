@@ -39,6 +39,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT DELETE FROM '<root>' KEY <col> [USING MOR] WHERE <predicate>
   * GRAFT MERGE INTO '<root>' KEY <col> [TXN <id>] USING <query>
   * GRAFT RESTORE '<root>' TO <version>
+  * GRAFT CLONE '<src root>' KEY <col> INTO '<dst root>' [VERSION <v>]
   * GRAFT OPTIMIZE '<root>' [TARGET <n> FILES]
   * GRAFT CLUSTER '<root>' BY (<c1>[, <c2>...]) [TARGET <n> FILES]
   * GRAFT VACUUM '<root>' KEEP <n>
@@ -71,6 +72,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+APPEND\s+INTO\s+'([^']+)'\s+KEY\s+(\w+)\s+USING\s+(.+?)\s*""".r
   private val Restore =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+(\d+)\s*""".r
+  private val Clone =
+    """(?is)\s*GRAFT\s+CLONE\s+'([^']+)'\s+KEY\s+(\w+)\s+INTO\s+'([^']+)'(?:\s+VERSION\s+(\d+))?\s*""".r
   private val RestoreTs =
     """(?is)\s*GRAFT\s+RESTORE\s+'([^']+)'\s+TO\s+TIMESTAMP\s+(\d+)\s*""".r
   private val Optimize =
@@ -124,6 +127,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftRestoreCommand(root, -1L, Some(ms.toLong)) // half-match TO <n>
     case Restore(root, to) =>
       GraftRestoreCommand(root, to.toLong)
+    case Clone(src, key, dst, version) =>
+      GraftCloneCommand(src, key, dst,
+        Option(version).map(_.toLong).getOrElse(-1L))
     case Optimize(root, target, whereSql) =>
       Option(whereSql).foreach(delegate.parseExpression) // syntax now
       GraftOptimizeCommand(root,

@@ -436,15 +436,15 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val h = head
     val refs = if (h == 0) Seq.empty[FileRef] else manifestOf(h)
     val data = refs.filter(_.kind == "data")
-    Seq((root, h, data.size,
+    Seq((root, h, oldestVersion, data.size,
         refs.count(_.kind == "dv"), refs.count(_.kind == "bloom"),
         if (h == 0) 0L else count(h),
         data.map(_.bytes).filter(_ >= 0).sum,
         if (h == 0) -1L else commitTimestampOf(h),
         bloomConfig().map(_._1.mkString(",")).getOrElse(""),
         checks().keys.toSeq.sorted.mkString(",")))
-      .toDF("root", "version", "n_data_files", "n_dv_files",
-        "n_bloom_sidecars", "n_rows", "bytes", "commit_ts",
+      .toDF("root", "version", "oldest_version", "n_data_files",
+        "n_dv_files", "n_bloom_sidecars", "n_rows", "bytes", "commit_ts",
         "bloom_columns", "check_constraints")
   }
 

@@ -161,11 +161,35 @@ class GraftSqlParserSpec extends AnyFunSuite {
     ext.sql("DROP VIEW graft_sql_loop")
   }
 
+  test("GRAFT CLONE forks a zero-copy table; EXPLAIN stays side-effect-free") {
+    val root = fixture()
+    val dst = graft.util.Scratch.dir("graft-sqlparser-clone")
+    graft.util.Scratch.deleteTree(java.nio.file.Paths.get(dst))
+    ext.sql(s"EXPLAIN GRAFT CLONE '$root' KEY k INTO '$dst'").collect()
+    assert(!new java.io.File(s"$dst/commits/v1").exists,
+      "EXPLAIN must not create the clone")
+    assert(ext.sql(s"GRAFT CLONE '$root' KEY k INTO '$dst'")
+      .head.getLong(0) == 1)
+    // read back through the graft source: the clone serves the
+    // source-head state by reference
+    ext.sql(s"""CREATE OR REPLACE TEMP VIEW graft_clone_view
+      USING graft OPTIONS (path '$dst', keyCol 'k')""")
+    val rows = ext.sql("SELECT k, v FROM graft_clone_view ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+    // clone of the older version through the VERSION clause
+    val dst2 = graft.util.Scratch.dir("graft-sqlparser-clone2")
+    graft.util.Scratch.deleteTree(java.nio.file.Paths.get(dst2))
+    ext.sql(s"GRAFT CLONE '$root' KEY k INTO '$dst2' VERSION 1")
+    assert(graft.table.GraftTable.open(ext, dst2, "k").read().count() == 3)
+  }
+
   test("GRAFT DETAIL summarizes the head from metadata") {
     val root = fixture()
     val d = ext.sql(s"GRAFT DETAIL '$root'").head
     assert(d.getAs[String]("root") == root)
     assert(d.getAs[Long]("version") == 2L)
+    assert(d.getAs[Long]("oldest_version") == 1L)
     assert(d.getAs[Long]("n_rows") == 4L)
     assert(d.getAs[Long]("bytes") > 0L)
     assert(d.getAs[Long]("commit_ts") > 0L)
