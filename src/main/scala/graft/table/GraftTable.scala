@@ -1879,6 +1879,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val h = head
     require(fromV >= 1 && fromV <= toV && toV <= h,
       s"need 1 <= fromV <= toV <= $h (got $fromV, $toV)")
+    // loud, not a path error out of a slot read: a feed consumer that
+    // fell behind log retention must re-bootstrap (Delta CDF's
+    // earliest-available-version error has the same shape)
+    require(fromV >= oldestVersion,
+      s"changes($fromV, $toV): version $fromV expired from the log " +
+        s"(oldest retained: $oldestVersion) — re-bootstrap the consumer")
     val from = manifestOf(fromV)
     val to = manifestOf(toV)
     val fromData = from.filter(_.kind == "data").map(_.file).toSet
