@@ -299,6 +299,11 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def read(version: Long = -1L): DataFrame = {
     val v = if (version < 0) head else version
     if (v == 0) return spark.emptyDataFrame
+    // explicit time travel below log retention fails loudly (the
+    // head path never pays the extra listing: head >= oldest always)
+    if (version >= 0)
+      require(v >= oldestVersion,
+        s"version $v expired from the log (oldest retained: $oldestVersion)")
     val refs = manifestOf(v)
     val data = refs.filter(_.kind == "data").map(_.file)
     if (data.isEmpty) spark.emptyDataFrame

@@ -151,6 +151,7 @@ class DeltaManifestSpec extends AnyFunSuite {
     }
     intercept[IllegalArgumentException] { cold.restore(5) }
     intercept[IllegalArgumentException] { cold.changes(5, 13) }
+    intercept[IllegalArgumentException] { cold.read(5) }
     assert(cold.restore(12) == 14)
     assert(keys(cold.read()) == (0L to 11L))
     // a second sweep on the already-GC'd log is a clean no-op shape
