@@ -120,12 +120,37 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * `"cput"` (single-object manifests via atomic create-if-absent —
     * the S3 `If-None-Match` / GCS-precondition shape, the correct
     * protocol where rename is copy+delete). Set it BEFORE concurrent
-    * writers race the root; handles read it once, at first commit. */
+    * writers race the root; handles read it once, at first commit.
+    *
+    * Selecting `"cput"` PROBES the root's connector for a store-side
+    * conditional-create primitive first (round-14 advisor: stock s3a
+    * without conditional-write support implements no-overwrite create
+    * as a client-side HEAD + PUT — check-then-act, which can hand one
+    * version slot to two racing writers, the exact hazard the arbiter
+    * exists to prevent) and fails LOUDLY when the capability is
+    * absent. Local paths and HDFS pass outright (O_EXCL /
+    * NameNode-serialized); object stores must advertise it via
+    * `hasPathCapability` — on s3a that means Hadoop 3.4.1+ with
+    * `fs.s3a.create.conditional.enabled` (HADOOP-19256). A connector
+    * that implements-but-doesn't-advertise can still opt in by
+    * writing `commit.conf` by hand; the probe guards the API path. */
   def setCommitArbiter(mode: String): Unit = {
     require(mode == "rename" || mode == "cput",
       s"commit arbiter is 'rename' or 'cput' (got '$mode')")
     if (mode == "rename") io.delete(s"$root/commit.conf")
-    else io.writeUtf8(s"$root/commit.conf", "arbiter=cput\n")
+    else {
+      require(io.supportsConditionalCreate(s"$root/commits"),
+        s"setCommitArbiter(\"cput\"): the connector for $root does not " +
+          "advertise an atomic conditional-create primitive " +
+          s"(probed ${TableIO.ConditionalCreateCapabilities.mkString(", ")}" +
+          "); without store-side If-None-Match semantics two racing " +
+          "writers can both win a version slot. On s3a, upgrade to " +
+          "Hadoop 3.4.1+ and set fs.s3a.create.conditional.enabled; a " +
+          "connector that implements the primitive without advertising " +
+          "it can opt in by writing '<root>/commit.conf' with " +
+          "'arbiter=cput' directly")
+      io.writeUtf8(s"$root/commit.conf", "arbiter=cput\n")
+    }
   }
 
   /** current head version (0 = no commit yet) */
@@ -259,13 +284,19 @@ final class GraftTable private (spark: SparkSession, val root: String,
 
   /** folded-manifest memo (slots are immutable per version, so entries
     * never go stale within a handle's life) + the raw-slot-rows memo
-    * behind it */
-  private val snapCache =
-    new java.util.concurrent.ConcurrentHashMap[java.lang.Long,
-      GraftTable.Snap]()
-  private val rawCache =
-    new java.util.concurrent.ConcurrentHashMap[java.lang.Long,
-      (Seq[FileRef], Long, Long)]()
+    * behind it. BOUNDED (round-14 advisor): the round-13 unbounded
+    * maps pinned O(versions × files) Seq entries in driver memory on
+    * any handle that walked many versions — history() folds every
+    * retained version through them, and at the 10⁵-file scale the
+    * manifest docs target that is the driver heap. An access-ordered
+    * LRU sized past a full fold walk (MaxManifestChain) keeps the
+    * common shapes memoized — repeated head reads, the ascending
+    * history walk (each fold consumes its immediate parent), short
+    * time-travel hops — while a long walk holds ~capacity snapshots,
+    * not every one it ever touched; an evicted fold re-reads at most
+    * MaxManifestChain slots. */
+  private val snapCache = new GraftTable.Lru[GraftTable.Snap](32)
+  private val rawCache = new GraftTable.Lru[(Seq[FileRef], Long, Long)](64)
 
   /** the exact DATA file set version `v` committed */
   def filesOf(v: Long): Seq[String] =
@@ -317,10 +348,25 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * schema in its log's metaData action for the same reason: at
     * 10⁵-10⁶ files, a mergeSchema footer sweep is a distributed job
     * before every query, and it grows with the table, not the query).
+    *
+    * TYPE WIDENING (round-14 verdict #2, Delta's type-widening table
+    * feature): two files that declare the same column at different
+    * widths resolve to the WIDER type when the promotion is lossless
+    * (byte→short→int→long, float→double) — Spark 4's parquet readers
+    * upcast physically narrower values under the requested schema in
+    * both the vectorized and parquet-mr paths, so an `append` of a
+    * widened frame is an O(metadata) evolution exactly like adding a
+    * column; old files never rewrite. The per-file schemas the
+    * manifest records ARE the resolution record: every reader derives
+    * the same widened snapshot schema from the same rows.
+    *
     * None — and the reader falls back to the legacy footer sweep —
-    * when any ref predates the recorded schema, or two files disagree
-    * on a column's TYPE (evolution here is add-a-column; a type
-    * rewrite is what mergeSchema's widening rules are for). */
+    * when any ref predates the recorded schema. A TRUE type conflict
+    * (no lossless widening, e.g. string vs long) also returns None
+    * but now logs LOUDLY first: silently re-entering the O(files)
+    * sweep was the round-13 latent scale hazard, and the sweep's
+    * mergeSchema will reject the merge anyway — the log line names
+    * the column and both types so the operator sees WHY. */
   private[table] def schemaOf(refs: Seq[FileRef])
       : Option[org.apache.spark.sql.types.StructType] = {
     import org.apache.spark.sql.types.{DataType, StructField, StructType}
@@ -335,8 +381,20 @@ final class GraftTable private (spark: SparkSession, val root: String,
         // every field reads nullable: a file that predates a column
         // fills NULL, exactly as the mergeSchema read did
         case None => fields(f.name) = f.copy(nullable = true)
+        case Some(g) if g.dataType == f.dataType => ()
         case Some(g) =>
-          if (g.dataType != f.dataType) return None // type conflict
+          GraftTable.widen(g.dataType, f.dataType) match {
+            case Some(w) => fields(f.name) = g.copy(dataType = w)
+            case None =>
+              GraftTable.log.warn(
+                s"table $root: column '${f.name}' has IRRECONCILABLE " +
+                  s"per-file types ${g.dataType.simpleString} vs " +
+                  s"${f.dataType.simpleString} — no lossless widening; " +
+                  "falling back to the O(files) mergeSchema footer " +
+                  "sweep, which will reject the same conflict. Rewrite " +
+                  "the offending files to one type.")
+              return None // true conflict
+          }
       }
     }
     Some(StructType(fields.values.toSeq))
@@ -640,6 +698,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * correctness cannot). */
   private def stage(df: DataFrame): Staged = {
     enforceSchema(df) // BEFORE the write: nothing to clean up
+    stageCounter.incrementAndGet()
     io.mkdirs(dataDir)
     val uuid = java.util.UUID.randomUUID().toString
     val marker = s"$dataDir/.staging-$uuid"
@@ -706,6 +765,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * Each ref's `hi` records its footer row count, the plan-time size
     * estimate `scan`'s adaptive DV application keys on. */
   private def stageDv(df: DataFrame): Staged = {
+    stageCounter.incrementAndGet()
     io.mkdirs(dataDir)
     val uuid = java.util.UUID.randomUUID().toString
     val marker = s"$dataDir/.staging-$uuid"
@@ -1243,6 +1303,128 @@ final class GraftTable private (spark: SparkSession, val root: String,
     0L // unreachable
   }
 
+  /** The CAS loop for RE-STAGING mutators (merge / applyChanges /
+    * delete), with LOGICAL CONFLICT DETECTION on lost slot races
+    * (round-14 verdict #1 — Delta's conflict checker, the
+    * ConcurrentAppend / ConcurrentDeleteRead taxonomy): a loser that
+    * re-ran its whole mutation per attempt pays O(matched-file bytes)
+    * of COW rewrite per lost race, which is the WRONG cost model for
+    * the multi-writer norm (a streaming ingester racing a nightly
+    * GDPR delete — every night, the delete re-reads and re-writes its
+    * matched files once per interleaved append). Instead, `compose`
+    * now returns the mutation's LOGICAL footprint — the files it
+    * removes, the refs it adds, the files whose CONTENT its staged
+    * output depends on, and a predicate over foreign ADDED files —
+    * and a loser checks the commits that landed since its base:
+    *
+    *  - a winner REMOVED/REWROTE a file this mutation read or removes
+    *    → real conflict (our staged rows embed that file's old
+    *    content) → discard and fully re-compose;
+    *  - a winner ADDED a data file whose stats overlap this
+    *    mutation's keys/predicate → real conflict (an upsert could
+    *    duplicate a key, a delete could miss matching rows);
+    *  - a winner ADDED a deletion vector targeting a file this
+    *    mutation read → real conflict (our rewrite would resurrect
+    *    the winner's deleted rows);
+    *  - otherwise the mutations are DISJOINT: re-compose the manifest
+    *    against the new base METADATA-ONLY — the staged files are
+    *    re-pointed, never deleted and re-computed. `stage()` runs
+    *    once however many disjoint writers land first (spec-pinned by
+    *    the per-handle stage counter).
+    *
+    * The footprint check diffs the ORIGINAL compose base against the
+    * CURRENT head in one shot, so transient state (a file added by
+    * one interleaved commit and compacted away by another) is judged
+    * by what actually survives — sound for upsert/delete semantics
+    * because staged output depends only on the content of
+    * `readFiles`, and key-duplication/missed-match hazards live
+    * entirely in the files present at the final base. The txn replay
+    * guard re-checks each attempt: a batch id committed by a racing
+    * delivery aborts as a no-op, exactly as on the compose path. */
+  private def commitLoopMutate(txn: Long = -1L)(
+      compose: Seq[FileRef] => Option[GraftTable.Mutation]): Long = {
+    var m: GraftTable.Mutation = null
+    var myBase: Seq[FileRef] = null // the base `m` was composed against
+    var myBaseV = -1L
+    while (true) {
+      val h = head
+      val baseSnap = if (h == 0) null else manifestSnap(h)
+      val base = if (h == 0) Seq.empty[FileRef] else baseSnap.refs
+      if (m != null && h != myBaseV) {
+        // lost the slot: a replayed txn that landed via another writer
+        // aborts; a logically overlapping winner forces re-compose;
+        // a disjoint winner costs this check only
+        if (txn >= 0 && txnsIn(base).contains(txn)) {
+          m.staged.foreach(discardStaged)
+          return h
+        }
+        if (!canRebase(myBase, base, m)) {
+          m.staged.foreach(discardStaged)
+          m = null; myBase = null
+        }
+      }
+      if (m == null) {
+        compose(base) match {
+          case None => return h
+          case Some(mm) => m = mm; myBase = base; myBaseV = h
+        }
+      }
+      val refs0 = base.filterNot(r =>
+        r.kind == "data" && m.removed(r.file)) ++ m.added
+      val (refs1, staged1) = retireDvs(base, refs0, m.staged)
+      val (refs, stagedAll) = retireBlooms(base, refs1, staged1)
+      val txns = txnsIn(base) ++ (if (txn >= 0) Set(txn) else Set.empty)
+      val txnRefs = FileRef("txn:ckpt", "txn", -1L, -1L) +:
+        txns.toSeq.sorted.map(t => FileRef(s"txn:$t", "txn", t, t))
+      val ts = math.max(System.currentTimeMillis(),
+        base.foldLeft(0L)((mx, r) => math.max(mx, r.ts)) + 1)
+      beforePublishHook()
+      if (tryCommit(h, refs.filterNot(_.kind == "txn") ++ txnRefs,
+                    txn, ts, baseSnap)) {
+        stagedAll.foreach(s => s.markers.foreach(io.delete))
+        return h + 1
+      } else
+        // retire* staged per-attempt sidecar rewrites against THIS
+        // base — discard those, keep the mutation's own staged files
+        // for the rebase check at the top of the next attempt
+        stagedAll.filterNot(m.staged.contains).foreach(discardStaged)
+    }
+    0L // unreachable
+  }
+
+  /** test seam: runs immediately before every commitLoopMutate publish
+    * attempt, so a spec can deterministically interleave a competing
+    * commit into the race window */
+  private[table] var beforePublishHook: () => Unit = () => ()
+
+  /** per-handle count of data/DV staging passes — the spec's witness
+    * that a disjoint lost race re-points staged files instead of
+    * re-running the mutation */
+  private[table] val stageCounter =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** is `m` (composed against `oldBase`) logically disjoint from
+    * everything that committed between `oldBase` and `newBase`? See
+    * [[commitLoopMutate]] for the three hazard classes. */
+  private def canRebase(oldBase: Seq[FileRef], newBase: Seq[FileRef],
+                        m: GraftTable.Mutation): Boolean = {
+    val oldDataF = oldBase.iterator.filter(_.kind == "data")
+      .map(_.file).toSet
+    val newData = newBase.filter(_.kind == "data")
+    val newDataF = newData.iterator.map(_.file).toSet
+    val depends = (f: String) => m.readFiles(f) || m.removed(f)
+    // winner removed/rewrote a file whose content our staged rows embed
+    if (oldDataF.exists(f => !newDataF(f) && depends(f))) return false
+    // winner added files that may hold our keys / match our predicate
+    val wAdded = newData.filterNot(r => oldDataF(r.file))
+    if (wAdded.nonEmpty && m.addConflicts(wAdded)) return false
+    // winner's new deletion vectors may erase rows of files we read
+    val oldDvF = oldBase.iterator.filter(_.kind == "dv").map(_.file).toSet
+    val wNewDvs = newBase.collect {
+      case r if r.kind == "dv" && !oldDvF(r.file) => r.file }
+    wNewDvs.isEmpty || !dvTargets(wNewDvs).exists(depends)
+  }
+
   /** DV RETIREMENT (the round-11 advisor's monotonic-growth fix): a
     * commit that REMOVES data files (COW merge/delete rewrite, compact
     * fold) rewrites the carried deletion vectors down to the rows
@@ -1351,7 +1533,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
     if (txn >= 0 && committedTxns().contains(txn)) return head
     val dkeys = delta.select(col(keyCol))
     val nKeys = dkeys.count() // sizes the key-side joins, once
-    commitLoop(txn = txn) { base =>
+    commitLoopMutate(txn = txn) { base =>
       if (txn >= 0 && committedTxns().contains(txn)) None
       else composeApply(base, delta, dkeys, nKeys)
     }
@@ -1387,7 +1569,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
       .drop("change_type")
     val fkeys = feed.select(col(keyCol))
     val nKeys = fkeys.count() // sizes the key-side joins, once
-    commitLoop(txn = txn) { base =>
+    commitLoopMutate(txn = txn) { base =>
       if (txn >= 0 && committedTxns().contains(txn)) None
       else composeApply(base, post, fkeys, nKeys)
     }
@@ -1414,7 +1596,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * loop. */
   private def composeApply(base: Seq[FileRef], post: DataFrame,
                            allKeys: DataFrame,
-                           nKeys: Long): Option[(Seq[FileRef], Seq[Staged])] = {
+                           nKeys: Long): Option[GraftTable.Mutation] = {
       val data = base.filter(_.kind == "data")
       val cand = bloomRefineKeys(base, data,
         pruneByKeys(data, allKeys), allKeys, nKeys)
@@ -1435,8 +1617,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
         "left_anti")
       val st = stage(kept.unionByName(post, allowMissingColumns = true))
       val ms = matched.toSet
-      Some((base.filterNot(r => r.kind == "data" && ms(r.file)) ++ st.refs,
-            Seq(st)))
+      // footprint for the lost-race rebase check: content dependency =
+      // the matched files (their unmatched rows ride our rewrite);
+      // foreign adds conflict when their key stats could hold one of
+      // OUR keys (a kept foreign file with a delta key would duplicate
+      // it against our staged upsert row)
+      Some(GraftTable.Mutation(ms, st.refs, Seq(st), ms,
+        wAdded => pruneByKeys(wAdded, allKeys).nonEmpty))
   }
 
   /** bloom refinement of a MERGE's key-pruned candidates — Delta's
@@ -1503,9 +1690,16 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * files to find matches. */
   def delete(predicate: Column, mode: String = "cow"): Long = {
     require(mode == "cow" || mode == "mor", s"unknown delete mode: $mode")
-    commitLoop() { base =>
+    val tree = PredicateTree.parse(predicate)
+    // foreign-add conflict = a winner's file whose stats may satisfy
+    // the predicate (our delete, serialized LAST, would have to cover
+    // its rows); the stats evaluator is the same one candidate
+    // pruning trusts, so a false "may match" costs a re-stage, never
+    // a wrong rebase
+    val addConflicts = (wAdded: Seq[FileRef]) =>
+      wAdded.exists(r => eval.mayMatch(tree, r))
+    commitLoopMutate() { base =>
       val data = base.filter(_.kind == "data")
-      val tree = PredicateTree.parse(predicate)
       val cand = bloomRefine(base, data,
         data.filter(r => eval.mayMatch(tree, r)).map(_.file).sorted, tree)
       val matched =
@@ -1513,17 +1707,24 @@ final class GraftTable private (spark: SparkSession, val root: String,
         else scan(base, cand).where(predicate)
           .select(col("__file")).distinct()
           .collect().map(_.getString(0)).toSeq.sorted
-      if (matched.isEmpty) Some((base, Seq.empty))
+      val ms = matched.toSet
+      if (matched.isEmpty)
+        // commits an empty version (mutator contract); its only
+        // rebase dependency is that no foreign add matches
+        Some(GraftTable.Mutation(Set.empty, Seq.empty, Seq.empty,
+          Set.empty, addConflicts))
       else if (mode == "cow") {
         val st = stage(scan(base, matched).drop("__file", "__pos")
           .where(coalesce(!predicate, lit(true))))
-        val ms = matched.toSet
-        Some((base.filterNot(r => r.kind == "data" && ms(r.file)) ++ st.refs,
-              Seq(st)))
+        Some(GraftTable.Mutation(ms, st.refs, Seq(st), ms, addConflicts))
       } else {
         val st = stageDv(scan(base, matched).where(predicate)
           .select(col("__file").as("dv_file"), col("__pos").as("dv_pos")))
-        Some((base ++ st.refs, Seq(st)))
+        // MoR removes nothing, but its DV positions are row indexes
+        // INTO the matched files — any winner that rewrites them
+        // invalidates the positions, hence readFiles = matched
+        Some(GraftTable.Mutation(Set.empty, st.refs, Seq(st), ms,
+          addConflicts))
       }
     }
   }
@@ -1728,11 +1929,25 @@ final class GraftTable private (spark: SparkSession, val root: String,
           .map(f => (io.canon(f.getPath.toString), f.getModificationTime)))
     // 2) retained union — read AFTER the listing, topped up on movement
     var hSeen = head
+    val hSweep = hSeen // the sweep-epoch head: log GC below keys on it
     val ov = oldestVersion // a prior sweep may have GC'd the log prefix
     val retained = scala.collection.mutable.Set.empty[String]
     def topUp(lo: Long, hi: Long): Unit =
-      (math.max(ov, lo) to hi).foreach(v => retained ++= manifestOf(v).map(_.file))
-    topUp(hSeen - keepLast + 1, hSeen)
+      (math.max(math.max(1L, ov), lo) to hi)
+        .foreach(v => retained ++= manifestOf(v).map(_.file))
+    // data retention reaches down to the LOG-GC ANCHOR, not just the
+    // version-retention cutoff (round-14 advisor): log GC keeps slots
+    // in [anchor, cutoff) — the cutoff's own fold chain — so those
+    // versions remain time-travel-readable, which means their
+    // exclusively-referenced data files must survive this same sweep
+    // (the old [cutoff, head] union could vacuum them, reproducing
+    // the quiet mid-scan missing-file failure on a version the loud
+    // "expired from the log" guard still admits)
+    val cutoff = hSeen - keepLast + 1
+    val anchor =
+      if (hSeen == 0 || cutoff <= ov) ov
+      else cutoff - manifestSnap(cutoff).depth
+    topUp(anchor, hSeen)
     val now = System.currentTimeMillis()
     val out = Seq.newBuilder[String]
     for ((subName, files) <- dirs) {
@@ -1777,18 +1992,25 @@ final class GraftTable private (spark: SparkSession, val root: String,
     // O(all-time commits) and every head listing pays for it. The
     // anchor is exact: cutoff's fold walks back exactly `depth` slots,
     // so every retained version's chain stays intact; slots in
-    // [anchor, cutoff) remain readable as a bonus until the next
-    // sweep. The same `minAgeMs` floor guards an in-flight reader of
-    // a just-expired version, and dryRun touches nothing.
-    if (!dryRun && hSeen > 0) {
-      val cutoff = hSeen - keepLast + 1
+    // [anchor, cutoff) stay FULLY EXECUTABLE until the next sweep —
+    // the data-retention union above reaches down to the same anchor,
+    // so a version the log still serves never scans into a vacuumed
+    // file (round-14 advisor). The same `minAgeMs` floor guards an
+    // in-flight reader of a just-expired version, and dryRun touches
+    // nothing.
+    // keyed on the SWEEP-EPOCH head (hSweep), not the topped-up one:
+    // the data-retention union above covers [anchor(hSweep), head], so
+    // the anchor the slots GC down to is exactly the floor whose data
+    // this sweep preserved — a head that moved mid-sweep must not
+    // shift the anchor past files already vacuumed (or below files
+    // never retained)
+    if (!dryRun && hSweep > 0 && cutoff > ov) {
       // a LEGACY head (no txn checkpoint rows) means replay guards
       // still scan the full log — GC only after a post-upgrade commit
       // has checkpointed the txn set into the head slot
-      val headCkpted = rawSlotRows(hSeen)._1
+      val headCkpted = rawSlotRows(hSweep)._1
         .exists(r => r.kind == "txn" && r.lo == -1L)
-      if (cutoff > ov && headCkpted) {
-        val anchor = cutoff - manifestSnap(cutoff).depth
+      if (headCkpted) {
         (ov until anchor).foreach { v =>
           val slot = s"$commitsDir/v$v"
           val old = io.mtime(slot).forall(m => now - m >= minAgeMs)
@@ -1992,6 +2214,36 @@ final class GraftTable private (spark: SparkSession, val root: String,
 }
 
 object GraftTable {
+  private[table] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[GraftTable])
+
+  /** the LOSSLESS type promotion lattice (Delta's type widening, the
+    * same pairs Spark 4's parquet readers upcast natively): integral
+    * widths promote up the byte→short→int→long chain, float promotes
+    * to double. Anything else — including int→double, whose 2⁵³
+    * boundary makes it lossy for longs and which Spark's vectorized
+    * reader only gained behind the type-widening feature — is a true
+    * conflict here. */
+  private[table] def widen(a: org.apache.spark.sql.types.DataType,
+                           b: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    def rank(t: DataType): Int = t match {
+      case ByteType => 1
+      case ShortType => 2
+      case IntegerType => 3
+      case LongType => 4
+      case _ => -1
+    }
+    val (ra, rb) = (rank(a), rank(b))
+    if (ra > 0 && rb > 0) Some(if (ra >= rb) a else b)
+    else (a, b) match {
+      case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      case _ => None
+    }
+  }
+
   /** DV positions above which `scan` stops broadcasting the deletion
     * vector and applies it file-locally (≈16 MB of (file, pos) rows —
     * comfortably under executor budgets, far under where a broadcast
@@ -2015,6 +2267,33 @@ object GraftTable {
     * is a full checkpoint) and commit-level txn id / in-commit stamp */
   private[table] final case class Snap(refs: Seq[FileRef], depth: Long,
                                        commitTxn: Long, commitTs: Long)
+
+  /** a re-staging mutation's LOGICAL footprint (see
+    * [[GraftTable.commitLoopMutate]]): `removed` = the base data files
+    * it drops, `added` = the refs it contributes (its staged data/DV/
+    * bloom rows), `staged` = this composition's staged directories,
+    * `readFiles` = the data files whose CONTENT the staged output
+    * embeds (a merge's matched files — their unmatched rows ride the
+    * rewrite), `addConflicts` = does a set of FOREIGN added data refs
+    * overlap this mutation's keys/predicate (stats-level — inclusive
+    * bounds make a false positive a harmless re-stage, never a wrong
+    * rebase). */
+  private[table] final case class Mutation(
+      removed: Set[String], added: Seq[FileRef], staged: Seq[Staged],
+      readFiles: Set[String], addConflicts: Seq[FileRef] => Boolean)
+
+  /** tiny synchronized access-ordered LRU for the per-handle manifest
+    * memos (null = absent, matching the ConcurrentHashMap contract the
+    * call sites were written against) */
+  private[table] final class Lru[V <: AnyRef](cap: Int) {
+    private val m =
+      new java.util.LinkedHashMap[java.lang.Long, V](cap * 2, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[java.lang.Long, V]): Boolean = size > cap
+      }
+    def get(k: Long): V = m.synchronized(m.get(k))
+    def put(k: Long, v: V): Unit = m.synchronized { m.put(k, v); () }
+  }
 
   /** a z-order spec's stable generation stamp (murmur3 of the column
     * list — deterministic across JVMs; −1 is the "unclustered"

@@ -159,7 +159,23 @@ private[table] final class TableIO(conf: Configuration) {
     * failures. Local paths use `CREATE_NEW` (O_EXCL — kernel-atomic);
     * other schemes use the store's own `create(overwrite = false)`,
     * whose atomicity is the store's contract: NameNode-serialized on
-    * HDFS, `If-None-Match` on capable S3 connectors. */
+    * HDFS, `If-None-Match` on capable S3 connectors (see
+    * [[supportsConditionalCreate]] — `GraftTable.setCommitArbiter`
+    * refuses "cput" on connectors that don't advertise it).
+    *
+    * LOST RACE vs TORN WRITE (round-14 advisor — the old single catch
+    * conflated them): FileAlreadyExistsException is the only outcome
+    * that MEANS "another writer won", whether it surfaces at create
+    * (visible-create stores) or at close (stores that resolve the
+    * conditional PUT at request completion — S3's If-None-Match
+    * shape). Any OTHER I/O failure after a successful create is a
+    * failed write of OURS: on an HDFS-like store the path is already
+    * visible, so returning "lost race" would leave a TORN object as
+    * the slot that every reader and retrier then folds. Instead the
+    * handler inspects the slot: absent → rethrow; torn (cput slots
+    * are single parquet manifests — no `PAR1` tail means incomplete)
+    * → delete our partial and rethrow; complete → a racing writer's
+    * finished object, a genuine loss. */
   def createExclusive(p: String, bytes: Array[Byte]): Boolean =
     if (isLocal(p))
       try {
@@ -169,17 +185,68 @@ private[table] final class TableIO(conf: Configuration) {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
-    else
-      try {
-        val out = fs(p).create(new Path(p), false)
-        try out.write(bytes) finally out.close()
-        true
-      } catch {
+    else {
+      val out =
+        try fs(p).create(new Path(p), false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+               _: java.nio.file.FileAlreadyExistsException => return false
+          case e: java.io.IOException =>
+            // some connectors wrap the exists-collision in a generic
+            // IOException; the slot existing is the discriminator —
+            // our create made nothing visible, so an existing object
+            // is another writer's
+            if (exists(p)) return false else throw e
+        }
+      try { out.write(bytes); out.close(); true }
+      catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.nio.file.FileAlreadyExistsException => false
+             _: java.nio.file.FileAlreadyExistsException =>
+          // the PUT resolved at completion and lost — nothing of ours
+          // became visible
+          try out.close() catch { case _: java.io.IOException => () }
+          false
         case e: java.io.IOException =>
-          if (exists(p)) false else throw e
+          try out.close() catch { case _: java.io.IOException => () }
+          if (!exists(p)) throw e // clean failure, nothing landed
+          else if (completeParquet(p)) false // the other writer's win
+          else { delete(p); throw e } // OUR torn partial: never a slot
       }
+    }
+
+  /** is the (small) object at `p` a structurally complete parquet
+    * file? The cheap completeness witness for commit slots — every
+    * cput slot is a one-part parquet manifest, and parquet's trailing
+    * `PAR1` magic is written last, so a torn upload can't carry it */
+  private def completeParquet(p: String): Boolean =
+    try {
+      val b = readBytes(p)
+      b.length >= 8 && b(b.length - 4) == 'P' && b(b.length - 3) == 'A' &&
+        b(b.length - 2) == 'R' && b(b.length - 1) == '1'
+    } catch { case _: java.io.IOException => false }
+
+  /** does `p`'s connector advertise an atomic conditional-create
+    * (create-if-absent) primitive? True outright for local paths
+    * (O_EXCL) and `hdfs` (NameNode-serialized namespace ops); other
+    * schemes are probed via `hasPathCapability` against the published
+    * conditional-create capability keys (s3a advertises conditional
+    * writes from Hadoop 3.4.1+, HADOOP-19256, gated by
+    * `fs.s3a.create.conditional.enabled`). A store-side conditional
+    * PUT is the ONE primitive the cput commit protocol rests on —
+    * stock s3a WITHOUT it implements `create(overwrite = false)` as a
+    * client-side HEAD then PUT (check-then-act), which can hand the
+    * same version slot to two racing writers. */
+  def supportsConditionalCreate(p: String): Boolean = {
+    val scheme = new Path(p).toUri.getScheme
+    if (isLocal(p) || scheme == "hdfs") return true
+    val f = fs(p)
+    val pp = new Path(p)
+    TableIO.ConditionalCreateCapabilities.exists { cap =>
+      try f.hasPathCapability(pp, cap)
+      catch { case _: IllegalArgumentException |
+                   _: java.io.IOException => false }
+    }
+  }
 
   /** the proven scheme-less-local CAS: java.nio ATOMIC_MOVE */
   private def publishNio(tmp: String, target: String): Boolean =
@@ -197,4 +264,18 @@ private[table] final class TableIO(conf: Configuration) {
         graft.util.Scratch.deleteTree(Paths.get(tmp))
         if (Files.exists(Paths.get(target))) false else throw e
     }
+}
+
+private[table] object TableIO {
+  /** the capability keys a conditional-create-capable connector may
+    * advertise through `hasPathCapability`. Hadoop 3.4.2's
+    * CommonPathCapabilities publishes no generic key yet, so this list
+    * carries the s3a-specific name HADOOP-19256 ships (Hadoop 3.4.1+,
+    * enabled with `fs.s3a.create.conditional.enabled`) plus the
+    * generic spelling proposed with it; a connector that implements
+    * conditional create without advertising either can write
+    * `commit.conf` by hand (the probe guards the API path only). */
+  private[table] val ConditionalCreateCapabilities: Seq[String] = Seq(
+    "fs.capability.create.conditional",
+    "fs.s3a.capability.conditional.create")
 }

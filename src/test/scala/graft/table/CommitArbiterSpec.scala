@@ -99,6 +99,43 @@ class CommitArbiterSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { t.setCommitArbiter("zookeeper") }
   }
 
+  test("cput refuses a store that doesn't advertise conditional create") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.dumbobj.impl", classOf[NonAdvertisingStoreFs].getName)
+    val root = "dumbobj://" + graft.util.Scratch.dir("graft-arb-noadv")
+    val t = GraftTable.open(spark, root, "k")
+    val e = intercept[IllegalArgumentException] { t.setCommitArbiter("cput") }
+    assert(e.getMessage.contains("conditional-create"),
+      s"the refusal must name the missing primitive: ${e.getMessage}")
+    assert(e.getMessage.contains("commit.conf"),
+      "...and the manual opt-in escape hatch")
+    // the capable fake store and local/hdfs-style roots still pass
+    val io = new TableIO(spark.sparkContext.hadoopConfiguration)
+    assert(io.supportsConditionalCreate(
+      fakeRoot("graft-arb-cap") + "/commits"))
+    assert(io.supportsConditionalCreate(
+      graft.util.Scratch.dir("graft-arb-cap-local")))
+  }
+
+  test("a mid-write failure on a visible-create store never fakes a lost race") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.tornwrite.impl", classOf[TornWriteStoreFs].getName)
+    val root = "tornwrite://" + graft.util.Scratch.dir("graft-arb-torn")
+    val io = new TableIO(spark.sparkContext.hadoopConfiguration)
+    val slot = s"$root/commits/v1"
+    io.mkdirs(s"$root/commits")
+    // the claim succeeds (path visible), the byte stream dies — the
+    // old conflated catch saw "target exists" and returned false
+    // ("another writer won"), leaving 4 torn bytes as the slot every
+    // reader and retry would then fold
+    val e = intercept[java.io.IOException] {
+      io.createExclusive(slot, Array.fill[Byte](1024)(7))
+    }
+    assert(e.getMessage.contains("simulated mid-write failure"))
+    assert(!io.exists(slot),
+      "the partial slot object must be removed, not reported as a win")
+  }
+
   test("a table may switch publish protocols mid-life (local root)") {
     // cput is correct on ANY store (create-if-absent is atomic locally
     // via O_EXCL); rename is the default. Readers never care which

@@ -159,6 +159,61 @@ class DeltaManifestSpec extends AnyFunSuite {
     assert(cold.oldestVersion >= 11 && keys(cold.read()) == (0L to 11L))
   }
 
+  test("every version the GC'd log still serves stays EXECUTABLE (anchor retention)") {
+    // versions that REWRITE files are the dangerous shape (round-14
+    // advisor): the log GC keeps the cutoff's whole fold chain
+    // [anchor, cutoff), but the old data sweep retained only
+    // [cutoff, head]'s files — so a version the loud expired-from-log
+    // guard still admits could scan into a vacuumed file. Twelve
+    // single-file merges give head=13 with checkpoint v10 and chain
+    // v11-v13: after expire(keepLast=1), v10-v12 survive the log GC
+    // and must read COMPLETELY, including the pre-rewrite files only
+    // they reference.
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-dm-anchor"), "k",
+      rows(0L to 5L: _*).repartitionByRange(6, col("k"))
+        .sortWithinPartitions("k"))
+    (1L to 12L).foreach(i =>
+      t.merge(Seq((i % 6, s"u$i")).toDF("k", "v")))
+    assert(t.head == 13)
+    assert(t.manifestSnap(10).depth == 0, "checkpoint at v10")
+    assert(t.manifestSnap(13).depth == 3)
+    def values(v: Long): Map[Long, String] =
+      t.read(v).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val before = (10L to 13L).map(v => v -> values(v)).toMap
+    val gone = t.expire(keepLast = 1)
+    assert(gone.nonEmpty, "pre-anchor rewrite fossils must vacuum")
+    assert(t.oldestVersion == 10)
+    val cold = GraftTable.open(spark, t.root, "k")
+    (10L to 13L).foreach { v =>
+      val got = cold.read(v).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got == before(v),
+        s"version $v survived the log GC but lost data files")
+    }
+    intercept[IllegalArgumentException] { cold.read(9) }
+  }
+
+  test("a long ascending fold walk stays bounded (LRU memo) and exact") {
+    // 36 appends outgrow the 32-entry snapshot memo: history() and the
+    // spot reads below force evictions mid-walk; correctness must not
+    // depend on every fold staying resident
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-dm-lru"), "k", rows(0).coalesce(1))
+    (1L to 35L).foreach(k => t.append(rows(k).coalesce(1)))
+    assert(t.head == 36)
+    val cold = GraftTable.open(spark, t.root, "k")
+    val hist = cold.history().orderBy("version").collect()
+    assert(hist.length == 36)
+    assert(hist.map(_.getLong(0)).toSeq == (1L to 36L))
+    // n_rows off the folded counters, every version exact
+    assert(hist.map(_.getAs[Long]("n_rows")).toSeq == (1L to 36L))
+    // random-order travel across evicted folds
+    Seq(36L, 3L, 20L, 9L, 33L, 1L).foreach { v =>
+      assert(keys(cold.read(v)) == (0L until v), s"version $v")
+    }
+  }
+
   test("the whole mutation surface folds: lifecycle snapshots replay exactly") {
     val t = GraftTable.open(spark,
       graft.util.Scratch.dir("graft-dm-life"), "k")

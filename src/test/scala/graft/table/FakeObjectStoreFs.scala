@@ -78,6 +78,14 @@ class FakeObjectStoreFs extends RawLocalFileSystem {
         progress)
     else conditionalPut(f)
 
+  /** the store ADVERTISES its conditional-create primitive, the way a
+    * conditional-write-enabled s3a does (HADOOP-19256) — what
+    * `setCommitArbiter("cput")`'s capability probe (round-14 advisor)
+    * checks before accepting the protocol on a non-local scheme */
+  override def hasPathCapability(path: Path, capability: String): Boolean =
+    if (TableIO.ConditionalCreateCapabilities.contains(capability)) true
+    else super.hasPathCapability(path, capability)
+
   override def createNonRecursive(f: Path, permission: FsPermission,
                                   overwrite: Boolean, bufferSize: Int,
                                   replication: Short, blockSize: Long,
@@ -92,4 +100,52 @@ object FakeObjectStoreFs {
   /** serializes conditional puts across the JVM's racing writers —
     * the store-side atomicity S3's conditional PUT provides */
   val putLock = new Object
+}
+
+/** a store that does NOT advertise conditional create (a stock s3a
+  * below Hadoop 3.4.1, or one with conditional writes disabled) —
+  * `setCommitArbiter("cput")`'s probe must refuse it loudly */
+class NonAdvertisingStoreFs extends RawLocalFileSystem {
+  override def getScheme: String = "dumbobj"
+  override def getUri: URI = URI.create("dumbobj:///")
+}
+
+/** an HDFS-like store where `create` makes the path VISIBLE before
+  * close and the byte stream then dies mid-write — the round-14
+  * advisor's torn-slot case: the old createExclusive mapped the
+  * failure to "lost race" because the (partial) target existed,
+  * leaving a corrupt slot every reader would fold */
+class TornWriteStoreFs extends RawLocalFileSystem {
+  override def getScheme: String = "tornwrite"
+  override def getUri: URI = URI.create("tornwrite:///")
+
+  private def torn(f: Path, real: FSDataOutputStream): FSDataOutputStream =
+    new FSDataOutputStream(new java.io.OutputStream {
+      override def write(b: Int): Unit = real.write(b)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        // a few bytes land (the path is already visible), then the
+        // connection dies
+        real.write(b, off, math.min(len, 4))
+        real.close()
+        throw new java.io.IOException(s"simulated mid-write failure: $f")
+      }
+      override def close(): Unit = ()
+    }, null)
+
+  override def create(f: Path, permission: FsPermission,
+                      overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val real = super.create(f, permission, overwrite, bufferSize,
+      replication, blockSize, progress)
+    if (overwrite) real else torn(f, real)
+  }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val real = super.create(f, overwrite, bufferSize, replication,
+      blockSize, progress)
+    if (overwrite) real else torn(f, real)
+  }
 }

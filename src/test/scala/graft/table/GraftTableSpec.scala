@@ -920,6 +920,44 @@ class GraftTableSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("type widening (int→long, float→double) resolves from the manifest, zero footer reads") {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-widen"), "k",
+      Seq((1L, 7, 1.5f)).toDF("k", "n", "x"))        // int, float
+    t.append(Seq((2L, 9L, 2.5d)).toDF("k", "n", "x")) // long, double
+    val data = t.manifestOf(t.head).filter(_.kind == "data").map(_.file)
+    junked(data) {
+      // the widened snapshot schema resolves from manifest rows alone
+      val df = t.read()
+      assert(df.schema("n").dataType == LongType)
+      assert(df.schema("x").dataType == DoubleType)
+      df.queryExecution.executedPlan // force full planning
+      // time travel sees the PRE-widening schema of its own manifest
+      assert(t.read(1).schema("n").dataType == IntegerType)
+      assert(t.read(1).schema("x").dataType == FloatType)
+    }
+    // execution: the narrow file's values upcast losslessly
+    val got = t.read().orderBy("k").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(7L, 9L))
+    assert(got.map(_.getDouble(2)).toSeq == Seq(1.5, 2.5))
+    // mutations read/write through the widened schema (the rewrite
+    // stages wide, so widening converges toward one physical type)
+    t.merge(Seq((1L, 70L, 10.0d)).toDF("k", "n", "x"))
+    val r1 = t.read().where(col("k") === 1).head
+    assert(r1.getLong(1) == 70L && r1.getDouble(2) == 10.0)
+    assert(t.count() == 2)
+    // a TRUE conflict (string vs long) declines to the legacy sweep —
+    // loudly logged, and the sweep itself then rejects the merge, so
+    // the conflict can never silently serve wrong data
+    val c = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-widen-bad"), "k",
+      Seq((1L, 7L)).toDF("k", "n"))
+    c.append(Seq((2L, "oops")).toDF("k", "n"))
+    assert(c.schemaOf(c.manifestOf(c.head)).isEmpty)
+    intercept[Exception] { c.read().collect() }
+  }
+
   test("versionAt on a pre-ICT (mtime-stamped) log scans linearly, never mis-bisects") {
     // hand-write LEGACY manifests (no ts column) whose slot mtimes are
     // NON-monotonic — clock skew, or a copied/restored commit dir. A
