@@ -2244,6 +2244,25 @@ object GraftTable {
     }
   }
 
+  /** parse `kind = "col"` manifest rows into (logical, physical) name
+    * pairs — the COLUMN MAPPING (Delta's columnMapping table feature,
+    * x53): `logical == ""` marks a DROPPED physical column. Tables
+    * that never renamed/dropped have no rows and every path
+    * short-circuits to identity. */
+  private[table] def parseColRows(refs: Seq[FileRef]): Seq[(String, String)] =
+    refs.collect { case r if r.kind == "col" =>
+      val s = r.file.stripPrefix("col:")
+      val i = s.indexOf(':')
+      (s.take(i), s.drop(i + 1))
+    }
+
+  private[table] def colRow(logical: String, physical: String): FileRef =
+    FileRef(s"col:$logical:$physical", "col", -1L, -1L)
+
+  /** rename/drop work on identifier-shaped names only (the `col:` row
+    * encoding and the projection both depend on it) */
+  private[table] val ColIdent = "[A-Za-z_][A-Za-z0-9_]*"
+
   /** DV positions above which `scan` stops broadcasting the deletion
     * vector and applies it file-locally (≈16 MB of (file, pos) rows —
     * comfortably under executor budgets, far under where a broadcast

@@ -43,6 +43,21 @@ object PredicateTree {
     * Unknown) */
   def parse(predicate: Column): Node = walk(predicate.node)
 
+  /** rename every column reference through `f` — the column-mapping
+    * bridge: a predicate written over LOGICAL names evaluates against
+    * PHYSICAL-name-keyed per-file statistics (GraftTable x53) */
+  def mapColumns(n: Node, f: String => String): Node = n match {
+    case Cmp(c, op, v)  => Cmp(f(c), op, v)
+    case CmpS(c, op, v) => CmpS(f(c), op, v)
+    case And(l, r)      => And(mapColumns(l, f), mapColumns(r, f))
+    case Or(l, r)       => Or(mapColumns(l, f), mapColumns(r, f))
+    case Not(x)         => Not(mapColumns(x, f))
+    case In(c, vs)      => In(f(c), vs)
+    case InS(c, vs)     => InS(f(c), vs)
+    case NullTest(c, b) => NullTest(f(c), b)
+    case Unknown        => Unknown
+  }
+
   /** every column an EQUALITY constraint (=, IN) tests anywhere in the
     * tree — the columns a bloom-filter refinement could consult.
     * Over-approximate (includes columns under NOT, which blooms never
