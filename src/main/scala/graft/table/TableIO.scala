@@ -168,14 +168,9 @@ private[table] final class TableIO(conf: Configuration) {
     * that MEANS "another writer won", whether it surfaces at create
     * (visible-create stores) or at close (stores that resolve the
     * conditional PUT at request completion — S3's If-None-Match
-    * shape). Any OTHER I/O failure after a successful create is a
-    * failed write of OURS: on an HDFS-like store the path is already
-    * visible, so returning "lost race" would leave a TORN object as
-    * the slot that every reader and retrier then folds. Instead the
-    * handler inspects the slot: absent → rethrow; torn (cput slots
-    * are single parquet manifests — no `PAR1` tail means incomplete)
-    * → delete our partial and rethrow; complete → a racing writer's
-    * finished object, a genuine loss. */
+    * shape). Any OTHER I/O failure — at create or after it — hands
+    * off to [[resolveFailedSlot]], which classifies by what is
+    * actually AT the slot rather than by the failure's shape. */
   def createExclusive(p: String, bytes: Array[Byte]): Boolean =
     if (isLocal(p))
       try {
@@ -193,10 +188,10 @@ private[table] final class TableIO(conf: Configuration) {
                _: java.nio.file.FileAlreadyExistsException => return false
           case e: java.io.IOException =>
             // some connectors wrap the exists-collision in a generic
-            // IOException; the slot existing is the discriminator —
-            // our create made nothing visible, so an existing object
-            // is another writer's
-            if (exists(p)) return false else throw e
+            // IOException; others (visible-create stores) can fail
+            // AFTER making our own empty/partial object visible — the
+            // slot's own content is the only sound discriminator
+            return resolveFailedSlot(p, bytes, e, wrote = false)
         }
       try { out.write(bytes); out.close(); true }
       catch {
@@ -208,22 +203,53 @@ private[table] final class TableIO(conf: Configuration) {
           false
         case e: java.io.IOException =>
           try out.close() catch { case _: java.io.IOException => () }
-          if (!exists(p)) throw e // clean failure, nothing landed
-          else if (completeParquet(p)) false // the other writer's win
-          else { delete(p); throw e } // OUR torn partial: never a slot
+          resolveFailedSlot(p, bytes, e, wrote = true)
       }
     }
 
-  /** is the (small) object at `p` a structurally complete parquet
-    * file? The cheap completeness witness for commit slots — every
-    * cput slot is a one-part parquet manifest, and parquet's trailing
-    * `PAR1` magic is written last, so a torn upload can't carry it */
-  private def completeParquet(p: String): Boolean =
-    try {
-      val b = readBytes(p)
-      b.length >= 8 && b(b.length - 4) == 'P' && b(b.length - 3) == 'A' &&
-        b(b.length - 2) == 'R' && b(b.length - 1) == '1'
-    } catch { case _: java.io.IOException => false }
+  /** Classify the version slot at `p` after OUR create/write failed
+    * with `e` (round-15 advisor + round-14 verdict — the previous
+    * handler had two mis-classifications here):
+    *
+    *  - slot ABSENT → clean failure, nothing landed: rethrow;
+    *  - slot UNREADABLE (the probe's own GET fails) → rethrow WITHOUT
+    *    deleting — PUT and GET failures are correlated under
+    *    throttling, and the unreadable object may be a RACING WRITER'S
+    *    COMMITTED manifest: deleting it would lose an acknowledged
+    *    commit and hole the delta-fold chain (the old completeness
+    *    probe swallowed its own IOException as "torn" and deleted);
+    *  - positively read but NO trailing `PAR1` magic → a torn partial
+    *    (ours on a visible-create store; whole-object stores never
+    *    expose partials): delete it and rethrow — a torn object must
+    *    never stand as a slot every reader folds;
+    *  - complete and BYTE-IDENTICAL to what we wrote → OUR commit
+    *    fully landed and only `close()` failed: report the WIN — the
+    *    old handler conceded "the other writer's object" here, and a
+    *    txn-less retrier would then commit its rows twice;
+    *  - complete and different → the racing writer's finished object,
+    *    a genuine lost race. */
+  private def resolveFailedSlot(p: String, ours: Array[Byte],
+                                e: java.io.IOException,
+                                wrote: Boolean): Boolean = {
+    if (!exists(p)) throw e
+    val slot =
+      try readBytes(p)
+      catch {
+        case probe: java.io.IOException =>
+          e.addSuppressed(probe)
+          throw e // never classify an UNREADABLE slot — see above
+      }
+    if (!completeParquet(slot)) { delete(p); throw e }
+    else wrote && java.util.Arrays.equals(slot, ours)
+  }
+
+  /** are `b`ytes a structurally complete parquet file? The cheap
+    * completeness witness for commit slots — every cput slot is a
+    * one-part parquet manifest, and parquet's trailing `PAR1` magic is
+    * written last, so a torn upload can't carry it */
+  private def completeParquet(b: Array[Byte]): Boolean =
+    b.length >= 8 && b(b.length - 4) == 'P' && b(b.length - 3) == 'A' &&
+      b(b.length - 2) == 'R' && b(b.length - 1) == '1'
 
   /** does `p`'s connector advertise an atomic conditional-create
     * (create-if-absent) primitive? True outright for local paths

@@ -136,6 +136,74 @@ class CommitArbiterSpec extends AnyFunSuite {
       "the partial slot object must be removed, not reported as a win")
   }
 
+  test("a close failure after a fully-landed write is OUR win, not a lost race") {
+    // round-14 verdict's own-complete-slot case: bytes all durable,
+    // close() throws. The old handler saw a complete object and
+    // conceded "the other writer's win" → a txn-less plain append
+    // would retry against its own committed manifest and land its
+    // rows TWICE. The fixed handler compares the slot's bytes to ours
+    // and reports the win — commit acknowledged exactly once.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.closefail.impl", classOf[CloseFailStoreFs].getName)
+    val root = "closefail://" + graft.util.Scratch.dir("graft-arb-closefail")
+    val t = GraftTable.open(spark, root, "k")
+    t.setCommitArbiter("cput")
+    t.append(rows(1, 2, 3)) // EVERY cput publish hits the failing close
+    t.append(rows(4))
+    assert(t.head == 2, "each append must claim exactly one slot")
+    assert(keys(t.read()) == Seq(1L, 2L, 3L, 4L),
+      "rows must commit exactly once — a conceded win duplicates them")
+    assert(t.read().count() == 4)
+  }
+
+  test("an UNREADABLE slot under correlated throttling is never deleted") {
+    // round-15 advisor (high): the winner's COMMITTED manifest sits at
+    // the slot; our PUT fails with a generic IOException and the
+    // completeness probe's GET fails too (throttling hits both). The
+    // old probe swallowed its read failure as "torn" and DELETED the
+    // winner's acknowledged commit. Now: rethrow, slot untouched.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.throttled.impl", classOf[ThrottledStoreFs].getName)
+    val root = "throttled://" + graft.util.Scratch.dir("graft-arb-throttle")
+    val io = new TableIO(spark.sparkContext.hadoopConfiguration)
+    io.mkdirs(s"$root/commits")
+    val slot = s"$root/commits/v1"
+    val winner = "PAR1-winner-manifest-PAR1".getBytes
+    io.writeUtf8(slot, new String(winner)) // overwrite=true path works
+    ThrottledStoreFs.failReads.set(true)
+    try {
+      val e = intercept[java.io.IOException] {
+        io.createExclusive(slot, "PAR1-our-manifest-bytes-PAR1".getBytes)
+      }
+      assert(e.getMessage.contains("simulated PUT throttle"))
+      assert(e.getSuppressed.exists(
+        _.getMessage.contains("simulated GET throttle")),
+        "the probe's own failure must ride along, not be swallowed")
+    } finally ThrottledStoreFs.failReads.set(false)
+    assert(io.exists(slot), "the winner's committed slot must survive")
+    assert(io.readBytes(slot).sameElements(winner),
+      "...byte-for-byte — deleting it loses an acknowledged commit")
+  }
+
+  test("a create-time failure that left our empty object visible cleans up") {
+    // round-15 advisor (low): visible-create store, create() throws
+    // AFTER the path became visible as an empty object. The old
+    // `if (exists) return false` reported our own abandoned partial as
+    // another writer's slot; now it is deleted and the failure surfaces.
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.createfail.impl", classOf[CreateFailStoreFs].getName)
+    val root = "createfail://" + graft.util.Scratch.dir("graft-arb-createfail")
+    val io = new TableIO(spark.sparkContext.hadoopConfiguration)
+    io.mkdirs(s"$root/commits")
+    val slot = s"$root/commits/v1"
+    val e = intercept[java.io.IOException] {
+      io.createExclusive(slot, "PAR1-manifest-PAR1".getBytes)
+    }
+    assert(e.getMessage.contains("simulated create failure"))
+    assert(!io.exists(slot),
+      "our empty partial must not stand as a slot readers would fold")
+  }
+
   test("a table may switch publish protocols mid-life (local root)") {
     // cput is correct on ANY store (create-if-absent is atomic locally
     // via O_EXCL); rename is the default. Readers never care which

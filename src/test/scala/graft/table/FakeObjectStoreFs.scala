@@ -149,3 +149,134 @@ class TornWriteStoreFs extends RawLocalFileSystem {
     if (overwrite) real else torn(f, real)
   }
 }
+
+/** an HDFS-like store where the no-overwrite create's bytes ALL land
+  * but `close()` then throws (a connection reset after the last
+  * packet) — the round-14 verdict's own-complete-slot case: the old
+  * handler saw a complete object at the slot and conceded "the other
+  * writer's win", so a txn-less retrier would commit its rows TWICE.
+  * The fixed handler compares the slot's bytes to ours and reports
+  * the win. Advertises conditional create so `setCommitArbiter
+  * ("cput")` accepts the scheme. */
+class CloseFailStoreFs extends RawLocalFileSystem {
+  override def getScheme: String = "closefail"
+  override def getUri: URI = URI.create("closefail:///")
+
+  /** fail only COMMIT-SLOT creates (`v<N>` under commits/) — parquet's
+    * own data-file writes also open with overwrite = false, and the
+    * scenario under test is the publish PUT, not the data upload */
+  private def isSlot(f: Path): Boolean = f.getName.matches("v\\d+")
+
+  private def closeFail(f: Path,
+                        real: FSDataOutputStream): FSDataOutputStream =
+    new FSDataOutputStream(new java.io.OutputStream {
+      override def write(b: Int): Unit = real.write(b)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        real.write(b, off, len)
+      override def close(): Unit = {
+        real.close() // every byte is durably at the slot...
+        throw new java.io.IOException(s"simulated close failure: $f")
+      }
+    }, null)
+
+  override def create(f: Path, permission: FsPermission,
+                      overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val real = super.create(f, permission, overwrite, bufferSize,
+      replication, blockSize, progress)
+    if (overwrite || !isSlot(f)) real else closeFail(f, real)
+  }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val real = super.create(f, overwrite, bufferSize, replication,
+      blockSize, progress)
+    if (overwrite || !isSlot(f)) real else closeFail(f, real)
+  }
+
+  override def hasPathCapability(path: Path, capability: String): Boolean =
+    if (TableIO.ConditionalCreateCapabilities.contains(capability)) true
+    else super.hasPathCapability(path, capability)
+}
+
+/** a store under THROTTLING: the no-overwrite create (the conditional
+  * PUT) fails with a generic IOException, and — while
+  * [[ThrottledStoreFs.failReads]] is set — so does every `open` (the
+  * GET the completeness probe issues). PUT and GET failures correlate
+  * under exactly the object-store conditions the cput protocol
+  * targets; the round-15 advisor's case is a RACING WRITER'S
+  * COMMITTED manifest already at the slot: the old probe swallowed
+  * its own read failure as "torn" and DELETED the winner's
+  * acknowledged commit. The fixed handler rethrows without touching
+  * an unreadable slot. */
+class ThrottledStoreFs extends RawLocalFileSystem {
+  override def getScheme: String = "throttled"
+  override def getUri: URI = URI.create("throttled:///")
+
+  private def throttle(f: Path): Nothing =
+    throw new java.io.IOException(s"simulated PUT throttle: $f")
+
+  override def create(f: Path, permission: FsPermission,
+                      overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream =
+    if (overwrite)
+      super.create(f, permission, true, bufferSize, replication,
+        blockSize, progress)
+    else throttle(f)
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream =
+    if (overwrite)
+      super.create(f, overwrite, bufferSize, replication, blockSize,
+        progress)
+    else throttle(f)
+
+  override def open(f: Path, bufferSize: Int)
+      : org.apache.hadoop.fs.FSDataInputStream =
+    if (ThrottledStoreFs.failReads.get())
+      throw new java.io.IOException(s"simulated GET throttle: $f")
+    else super.open(f, bufferSize)
+}
+
+object ThrottledStoreFs {
+  /** toggled by the spec: true = GETs fail too (correlated throttling) */
+  val failReads = new java.util.concurrent.atomic.AtomicBoolean(false)
+}
+
+/** a visible-create store whose no-overwrite create makes the path
+  * visible as an EMPTY object and then throws a generic IOException —
+  * the round-15 advisor's create-time case: the old handler's
+  * `if (exists(p)) return false` reported OUR abandoned empty object
+  * as "another writer's slot", leaving it to be folded by every
+  * reader. The fixed handler reads the slot, sees no `PAR1` tail,
+  * deletes our partial, and rethrows. */
+class CreateFailStoreFs extends RawLocalFileSystem {
+  override def getScheme: String = "createfail"
+  override def getUri: URI = URI.create("createfail:///")
+
+  private def visibleThenFail(f: Path, real: FSDataOutputStream): Nothing = {
+    real.close() // the empty object is now visible at the path
+    throw new java.io.IOException(s"simulated create failure: $f")
+  }
+
+  override def create(f: Path, permission: FsPermission,
+                      overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val real = super.create(f, permission, overwrite, bufferSize,
+      replication, blockSize, progress)
+    if (overwrite) real else visibleThenFail(f, real)
+  }
+
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    val real = super.create(f, overwrite, bufferSize, replication,
+      blockSize, progress)
+    if (overwrite) real else visibleThenFail(f, real)
+  }
+}
