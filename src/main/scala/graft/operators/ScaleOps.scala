@@ -2373,6 +2373,100 @@ object ScaleOps {
       |FROM cl GROUP BY 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x53 — COLUMN MAPPING: RENAME/DROP COLUMN as O(metadata) commits
+  //       (round 15; Delta's columnMapping table feature). Data files
+  //       are immutable and keep their original PHYSICAL column names;
+  //       a `kind = "col"` manifest row maps physical → LOGICAL, so a
+  //       rename touches zero data bytes — at 100 TB exactly as at
+  //       100 MB — and, being a manifest row, is VERSIONED: time
+  //       travel below the rename reads under the old name. The gated
+  //       query creates the table, renames its KEY and its measure,
+  //       drops a column, then runs the full mutation lifecycle
+  //       THROUGH THE NEW NAMES — merge, append, delete (each
+  //       converting logical→physical at the staging boundary and
+  //       pruning against physical-name-keyed stats) — and aggregates
+  //       both the head and the pre-rename v1 read, so the mapping,
+  //       the time travel across it, and the renamed-key mutations all
+  //       sit inside the hash-checked result. ColumnMappingSpec pins
+  //       what the hash can't: files byte-identical across
+  //       rename/drop, retired-name rejection, and (file-hiding
+  //       witness) that renamed-key mutations never open an
+  //       out-of-range file.
+  // ---------------------------------------------------------------------
+  private def x53(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x53-colmap")
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"), col("o_custkey"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.repartitionByRange(X23_FILES, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))                        // v1
+    t.renameColumn("o_orderkey", "order_id")                        // v2
+    t.renameColumn("o_price", "o_amount")                           // v3
+    t.dropColumn("o_custkey")                                       // v4
+    val t2 = graft.table.GraftTable.open(spark, root, "order_id")
+    val upd = o
+      .where(col("o_orderkey") % 37 === 0 && col("o_orderkey") <= mx / 4)
+      .select(col("o_orderkey").as("order_id"),
+              lit("U").as("o_orderstatus"),
+              (col("o_price") * 2).cast(DecimalType(18, 2)).as("o_amount"))
+    t2.merge(upd)                                                   // v5
+    val app = o.where(col("o_orderkey") % 41 === 0)
+      .select((col("o_orderkey") + mx).as("order_id"),
+              lit("A").as("o_orderstatus"), col("o_price").as("o_amount"))
+    t2.append(app)                                                  // v6
+    t2.delete(col("order_id") % 53 === 0 && col("order_id") <= mx / 4) // v7
+    val v1 = t2.read(1) // pre-rename names, across the mapping boundary
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_amount"),
+           sum(col("o_custkey")).as("sum_cust"))
+      .select(lit(1L).as("version"), col("o_orderstatus"),
+              col("n_rows"), col("sum_amount"), col("sum_cust"))
+    val hd = t2.read() // logical names: order_id / o_amount, no custkey
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_amount")).cast(DoubleType).as("sum_amount"))
+      .select(lit(7L).as("version"), col("o_orderstatus"),
+              col("n_rows"), col("sum_amount"),
+              lit(-1L).as("sum_cust")) // the column is dropped at head
+    v1.unionByName(hd)
+  }
+
+  private val x53Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_orderkey AS order_id, o_orderstatus, o_custkey,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+      |  FROM orders),
+      |merged AS (
+      |  SELECT order_id,
+      |    CASE WHEN order_id % 37 = 0 AND order_id <= m.mx // 4
+      |      THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      |    CASE WHEN order_id % 37 = 0 AND order_id <= m.mx // 4
+      |      THEN CAST(amt * 2 AS DECIMAL(18,2)) ELSE amt END AS amt
+      |  FROM base, m),
+      |appended AS (
+      |  SELECT b.order_id + m.mx AS order_id, 'A' AS o_orderstatus,
+      |    b.amt
+      |  FROM base b, m WHERE b.order_id % 41 = 0),
+      |headstate AS (
+      |  SELECT h.* FROM (
+      |    SELECT order_id, o_orderstatus, amt FROM merged
+      |    UNION ALL SELECT * FROM appended) h, m
+      |  WHERE NOT (h.order_id % 53 = 0 AND h.order_id <= m.mx // 4))
+      |SELECT CAST(1 AS BIGINT) AS version, o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(amt) AS DOUBLE) AS sum_amount,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_cust
+      |FROM base GROUP BY 2
+      |UNION ALL
+      |SELECT CAST(7 AS BIGINT), o_orderstatus, CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(amt) AS DOUBLE), CAST(-1 AS BIGINT)
+      |FROM headstate GROUP BY 2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -3013,5 +3107,6 @@ object ScaleOps {
     QuerySpec("x49_null_pruned_cleaning", x49, Some(x49Sql)),
     QuerySpec("x50_liquid_clustering", x50, Some(x50Sql)),
     QuerySpec("x51_object_store_commits", x51, Some(x34Sql)),
-    QuerySpec("x52_shallow_clone", x52, Some(x52Sql)))
+    QuerySpec("x52_shallow_clone", x52, Some(x52Sql)),
+    QuerySpec("x53_column_mapping", x53, Some(x53Sql)))
 }

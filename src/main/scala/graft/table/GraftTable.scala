@@ -336,6 +336,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
       require(v >= oldestVersion,
         s"version $v expired from the log (oldest retained: $oldestVersion)")
     val refs = manifestOf(v)
+    toLogical(refs, readPhysical(refs))
+  }
+
+  /** the snapshot under its PHYSICAL (storage) column names — what
+    * every internal scan, stage, and stats row is keyed by; `read`
+    * wraps it in the version's logical projection (x53) */
+  private def readPhysical(refs: Seq[FileRef]): DataFrame = {
     val data = refs.filter(_.kind == "data").map(_.file)
     if (data.isEmpty) spark.emptyDataFrame
     else if (!refs.exists(_.kind == "dv")) readFiles(refs, data)
@@ -511,6 +518,169 @@ final class GraftTable private (spark: SparkSession, val root: String,
         "bloom_columns", "check_constraints")
   }
 
+  // ---- column mapping (x53) --------------------------------------------
+  //
+  // RENAME/DROP COLUMN as O(metadata) commits — Delta's columnMapping
+  // table feature, re-derived over the manifest-row vocabulary: data
+  // files are IMMUTABLE and always carry their original (PHYSICAL)
+  // column names; a `kind = "col"` manifest row maps one physical name
+  // to the LOGICAL name users see (`logical = ""` marks a dropped
+  // column). Because the rows live in the manifest, the mapping is
+  // VERSIONED: time travel to a pre-rename version reads under the old
+  // name, restore reverts it, shallow clones inherit it, and the
+  // delta-encoded log carries a rename as one rm + one add row.
+  //
+  // The conversion discipline: user-facing frames (read output,
+  // mutation inputs, predicates) speak LOGICAL; everything under them —
+  // staged files, manifest stats/sstats/nstats keys, bloom sidecars,
+  // deletion vectors, provenance — speaks PHYSICAL, where names never
+  // change. `toLogical`/`toPhysical` convert at exactly that boundary,
+  // and predicate skeletons cross it via `PredicateTree.mapColumns`,
+  // so a merge/delete on a RENAMED key still prunes against the
+  // physical-name-keyed per-file statistics. Tables that never
+  // renamed/dropped have no `col` rows and every path short-circuits
+  // to identity.
+  //
+  // Known limits (documented, Delta-shaped): CHECK constraints and the
+  // bloom-index config bind to PHYSICAL names (they predate the rename;
+  // re-declare them to re-bind), and a retired physical name cannot be
+  // reused as a fresh logical column (Delta reserves dropped physical
+  // names the same way).
+
+  private def colRows(refs: Seq[FileRef]): Seq[(String, String)] =
+    GraftTable.parseColRows(refs)
+
+  /** logical→physical name resolution under `refs`' mapping — identity
+    * for every unmapped name */
+  private def physicalOf(refs: Seq[FileRef]): String => String = {
+    val m = colRows(refs).collect {
+      case (l, p) if l.nonEmpty => (l, p) }.toMap
+    if (m.isEmpty) identity[String] _ else (n => m.getOrElse(n, n))
+  }
+
+  /** the key column's PHYSICAL (storage) name — what manifest `lo`/`hi`
+    * ranges, stats maps, and staged files key on. Physical names are
+    * immutable, so this is stable across versions. */
+  private def physKeyOf(refs: Seq[FileRef]): String =
+    physicalOf(refs)(keyCol)
+
+  /** the head manifest (empty when no commit yet) — the mapping every
+    * NEW write converts through */
+  private def headRefs: Seq[FileRef] = {
+    val h = head
+    if (h == 0) Seq.empty else manifestOf(h)
+  }
+
+  /** physical frame → the user-visible logical frame: renamed physical
+    * columns alias to their logical names, dropped physical columns
+    * project OUT, everything else (`__file`/`__pos` provenance
+    * included) passes through untouched */
+  private def toLogical(refs: Seq[FileRef], df: DataFrame): DataFrame = {
+    val rows = colRows(refs)
+    if (rows.isEmpty) return df
+    val byPhys = rows.map { case (l, p) => p -> l }.toMap
+    val cols = df.columns.toSeq.flatMap { c =>
+      byPhys.get(c) match {
+        case Some("") => None // dropped
+        case Some(l)  => Some(col(c).as(l))
+        case None     => Some(col(c))
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** logical frame → PHYSICAL column names for staging. Rejects a
+    * frame column that collides with a RETIRED physical name (the
+    * storage name behind a rename, or a dropped column's) — new files
+    * carrying it would silently render under the other column's
+    * logical name or vanish under the drop row. */
+  private def toPhysical(refs: Seq[FileRef], df: DataFrame): DataFrame = {
+    val rows = colRows(refs)
+    if (rows.isEmpty) return df
+    val toPhys = rows.collect {
+      case (l, p) if l.nonEmpty => (l, p) }.toMap
+    val reserved = rows.map(_._2).toSet
+    val cols = df.columns.toSeq.map { c =>
+      toPhys.get(c) match {
+        case Some(p) => col(c).as(p)
+        case None =>
+          require(!reserved(c),
+            s"column name '$c' is retired (it is the physical storage " +
+              "name behind a rename or drop on this table) — write " +
+              "under the current logical name, or pick a fresh one")
+          col(c)
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** the LOGICAL column names of a manifest's snapshot — the physical
+    * schema (manifest-recorded; legacy fallback resolves lazily, no
+    * job) with the mapping applied */
+  private def logicalCols(refs: Seq[FileRef]): Seq[String] = {
+    val data = refs.filter(_.kind == "data")
+    if (data.isEmpty) return Seq.empty
+    val phys = schemaOf(refs).map(_.fieldNames.toSeq).getOrElse(
+      readFiles(refs, data.map(_.file)).schema.fieldNames.toSeq)
+    val byPhys = colRows(refs).map { case (l, p) => p -> l }.toMap
+    phys.flatMap(c => byPhys.get(c) match {
+      case Some("") => None
+      case Some(l)  => Some(l)
+      case None     => Some(c)
+    })
+  }
+
+  /** RENAME a column (Delta's `ALTER TABLE ... RENAME COLUMN`): an
+    * O(metadata) commit writing the `kind = "col"` mapping row — ZERO
+    * data files touched, at 100 TB exactly as at 100 MB. Pre-rename
+    * files read through the new name immediately; time travel below
+    * this commit still serves the old one. Renaming back to the
+    * column's own physical name drops the row (identity restored). */
+  def renameColumn(oldName: String, newName: String): Long = {
+    require(oldName.matches(GraftTable.ColIdent) &&
+            newName.matches(GraftTable.ColIdent),
+      s"column names are identifiers ([A-Za-z_][A-Za-z0-9_]*): " +
+        s"'$oldName' -> '$newName'")
+    commitLoop() { base =>
+      val lcols = logicalCols(base)
+      require(lcols.contains(oldName),
+        s"column '$oldName' does not exist " +
+          s"(columns: ${lcols.mkString(", ")})")
+      require(oldName == newName || !lcols.contains(newName),
+        s"column '$newName' already exists")
+      val p = physicalOf(base)(oldName)
+      require(newName == p || !colRows(base).exists(_._2 == newName),
+        s"'$newName' is a retired physical name on this table")
+      val kept = base.filterNot(r => r.kind == "col" &&
+        GraftTable.parseColRows(Seq(r)).exists(_._2 == p))
+      val added =
+        if (newName == p) Seq.empty
+        else Seq(GraftTable.colRow(newName, p))
+      Some((kept ++ added, Seq.empty))
+    }
+  }
+
+  /** DROP a column (Delta's `ALTER TABLE ... DROP COLUMN` under column
+    * mapping): an O(metadata) commit — old files keep their bytes
+    * untouched, the column simply stops projecting; time travel below
+    * this commit still reads it. New writes must not reuse the retired
+    * physical name. The key column cannot drop. */
+  def dropColumn(name: String): Long = {
+    require(name.matches(GraftTable.ColIdent),
+      s"column names are identifiers: '$name'")
+    commitLoop() { base =>
+      val lcols = logicalCols(base)
+      require(lcols.contains(name),
+        s"column '$name' does not exist (columns: ${lcols.mkString(", ")})")
+      val p = physicalOf(base)(name)
+      require(p != physKeyOf(base),
+        s"cannot drop '$name': it is the table's key column")
+      val kept = base.filterNot(r => r.kind == "col" &&
+        GraftTable.parseColRows(Seq(r)).exists(_._2 == p))
+      Some((kept :+ GraftTable.colRow("", p), Seq.empty))
+    }
+  }
+
   // ---- read plumbing --------------------------------------------------
 
   /** parsed-schema cache for [[schemaOf]] — a handle resolves the same
@@ -620,9 +790,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * falls back to all files — its stats are the vacuous sentinel,
     * never truncated values a planner could wrongly treat as exact
     * (the advisor's fractional-key bug). */
-  private[table] def pruneByKeys(data: Seq[FileRef],
-                                 delta: DataFrame): Seq[String] = {
+  private[table] def pruneByKeys(data: Seq[FileRef], delta: DataFrame,
+                                 physKey: String = null): Seq[String] = {
     if (data.isEmpty) return Seq.empty
+    // manifest sstats are keyed by the key's PHYSICAL name; the delta
+    // frame carries the LOGICAL one (identity on unmapped tables)
+    val pk = if (physKey == null) keyCol else physKey
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     delta.schema.fields.find(_.name == keyCol).map(_.dataType) match {
       case Some(ByteType | ShortType | IntegerType | LongType) =>
@@ -638,9 +811,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
         // files without string bounds for the key (all-NULL, or a
         // stats-suppressing writer) stay candidates unconditionally
         val unbounded = data.collect {
-          case r if !r.sstats.contains(keyCol) => r.file }
+          case r if !r.sstats.contains(pk) => r.file }
         val bounded = data.flatMap(r =>
-          r.sstats.get(keyCol).map { case (lo, hi) => (r.file, lo, hi) })
+          r.sstats.get(pk).map { case (lo, hi) => (r.file, lo, hi) })
         if (bounded.isEmpty) return data.map(_.file).sorted
         val mdf = bounded.toDF("__mfile", "__lo", "__hi")
         val matched = delta.select(col(keyCol).as("__k"))
@@ -732,9 +905,10 @@ final class GraftTable private (spark: SparkSession, val root: String,
     // (merge of the distinct per-file schemas — Delta's metaData
     // action, per-file-provenanced) instead of sweeping every footer
     val schemaJson = df.schema.json
+    val pk = physKeyOf(headRefs) // staged frames are PHYSICAL (x53)
     val dataStaged = Staged(sub, files.map { f =>
       val st = perFile.get(f)
-      val (lo, hi) = st.flatMap(_.intStats.get(keyCol))
+      val (lo, hi) = st.flatMap(_.intStats.get(pk))
         .getOrElse((Long.MinValue, Long.MaxValue))
       FileRef(f, "data", lo, hi,
         st.map(_.intStats).getOrElse(Map.empty),
@@ -893,7 +1067,10 @@ final class GraftTable private (spark: SparkSession, val root: String,
     if (mode == "evolve") io.delete(schemaModePath)
     else {
       val h = head
-      val json = if (h == 0) "" else read(h).schema.json
+      // recorded under PHYSICAL names: enforcement compares against
+      // staged frames, which stage physically (renames don't drift it)
+      val json =
+        if (h == 0) "" else readPhysical(manifestOf(h)).schema.json
       io.writeUtf8(schemaModePath, "enforce\n" + json)
     }
   }
@@ -1186,11 +1363,15 @@ final class GraftTable private (spark: SparkSession, val root: String,
     if (v == 0) return spark.emptyDataFrame
     val refs = manifestOf(v)
     val data = refs.filter(_.kind == "data")
-    val tree = PredicateTree.parse(predicate)
+    // the predicate arrives over LOGICAL names; stats/sstats/bloom
+    // rows are keyed physically — map the skeleton across (x53)
+    val tree = PredicateTree.mapColumns(
+      PredicateTree.parse(predicate), physicalOf(refs))
     val cand0 = data.filter(r => eval.mayMatch(tree, r)).map(_.file).sorted
     val cand = bloomRefine(refs, data, cand0, tree)
     if (cand.isEmpty) read(v).limit(0).where(predicate)
-    else scan(refs, cand).drop("__file", "__pos").where(predicate)
+    else toLogical(refs, scan(refs, cand).drop("__file", "__pos"))
+      .where(predicate)
   }
 
   private def discardStaged(st: Staged): Unit = {
@@ -1466,7 +1647,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
 
   /** append-only commit: new files, every existing file by reference */
   def append(df: DataFrame): Long = {
-    val st = stage(df)
+    val st = stage(toPhysical(headRefs, df))
     val v = commitLoop() (base => Some((base ++ st.refs, Seq.empty)))
     st.markers.foreach(io.delete)
     v
@@ -1484,7 +1665,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def streamAppend(df: DataFrame, batchId: Long): Long = {
     require(batchId >= 0, "batchId must be >= 0")
     if (committedTxns().contains(batchId)) return head
-    val st = stage(df)
+    val st = stage(toPhysical(headRefs, df))
     val v = commitLoop(txn = batchId) { base =>
       if (committedTxns().contains(batchId)) { discardStaged(st); None }
       else Some((base ++ st.refs, Seq.empty))
@@ -1598,14 +1779,17 @@ final class GraftTable private (spark: SparkSession, val root: String,
                            allKeys: DataFrame,
                            nKeys: Long): Option[GraftTable.Mutation] = {
       val data = base.filter(_.kind == "data")
+      val pk = physKeyOf(base)
       val cand = bloomRefineKeys(base, data,
-        pruneByKeys(data, allKeys), allKeys, nKeys)
+        pruneByKeys(data, allKeys, pk), allKeys, nKeys, pk)
       val matched =
         if (cand.isEmpty) Seq.empty[String]
         else matchedFiles(base, cand, allKeys, nKeys)
-      val touched =
+      // rewrites compute in LOGICAL space (the caller's delta/post
+      // frames speak it) and stage back physically (x53)
+      val touched = toLogical(base,
         if (matched.isEmpty) emptyLike(data, post)
-        else scan(base, matched).drop("__file", "__pos")
+        else scan(base, matched).drop("__file", "__pos"))
       // kept ∪ post IS the mutation: post rows replace matched keys and
       // supply the inserts (a key absent from every candidate file is
       // absent from the table — stats containment); a key with no
@@ -1615,7 +1799,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
       // not column-wise patching.
       val kept = touched.join(keySide(allKeys, nKeys), Seq(keyCol),
         "left_anti")
-      val st = stage(kept.unionByName(post, allowMissingColumns = true))
+      val st = stage(toPhysical(base,
+        kept.unionByName(post, allowMissingColumns = true)))
       val ms = matched.toSet
       // footprint for the lost-race rebase check: content dependency =
       // the matched files (their unmatched rows ride our rewrite);
@@ -1623,7 +1808,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
       // OUR keys (a kept foreign file with a delta key would duplicate
       // it against our staged upsert row)
       Some(GraftTable.Mutation(ms, st.refs, Seq(st), ms,
-        wAdded => pruneByKeys(wAdded, allKeys).nonEmpty))
+        wAdded => pruneByKeys(wAdded, allKeys, pk).nonEmpty))
   }
 
   /** bloom refinement of a MERGE's key-pruned candidates — Delta's
@@ -1638,9 +1823,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * unless the key column is bloom-indexed. */
   private def bloomRefineKeys(base: Seq[FileRef], data: Seq[FileRef],
                               cand: Seq[String], allKeys: DataFrame,
-                              nKeys: Long): Seq[String] = {
+                              nKeys: Long,
+                              physKey: String = null): Seq[String] = {
     if (cand.isEmpty || nKeys > GraftTable.BloomKeyPushdown ||
         !base.exists(_.kind == "bloom")) return cand
+    // the IN skeleton probes bloom sidecars + stats, both keyed by the
+    // key's PHYSICAL name (identity on unmapped tables)
+    val pk = if (physKey == null) keyCol else physKey
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val tree = allKeys.schema.fields.find(_.name == keyCol)
       .map(_.dataType) match {
@@ -1649,13 +1838,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
           .where(col(keyCol).isNotNull)
           .collect().map(_.getLong(0)).toSeq // <= BloomKeyPushdown rows
         if (ks.isEmpty) return cand
-        PredicateTree.In(keyCol, ks)
+        PredicateTree.In(pk, ks)
       case Some(StringType) =>
         val ks = allKeys.select(col(keyCol))
           .where(col(keyCol).isNotNull)
           .collect().map(_.getString(0)).toSeq
         if (ks.isEmpty) return cand
-        PredicateTree.InS(keyCol, ks)
+        PredicateTree.InS(pk, ks)
       case _ => return cand
     }
     bloomRefine(base, data, cand, tree)
@@ -1667,7 +1856,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
   private[table] def matchedFilesPlan(base: Seq[FileRef], cand: Seq[String],
                                       allKeys: DataFrame,
                                       nKeys: Long): DataFrame =
-    scan(base, cand)
+    toLogical(base, scan(base, cand)) // provenance passes through (x53)
       .join(keySide(allKeys, nKeys), Seq(keyCol))
       .select(col("__file")).distinct()
 
@@ -1690,21 +1879,25 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * files to find matches. */
   def delete(predicate: Column, mode: String = "cow"): Long = {
     require(mode == "cow" || mode == "mor", s"unknown delete mode: $mode")
-    val tree = PredicateTree.parse(predicate)
-    // foreign-add conflict = a winner's file whose stats may satisfy
-    // the predicate (our delete, serialized LAST, would have to cover
-    // its rows); the stats evaluator is the same one candidate
-    // pruning trusts, so a false "may match" costs a re-stage, never
-    // a wrong rebase
-    val addConflicts = (wAdded: Seq[FileRef]) =>
-      wAdded.exists(r => eval.mayMatch(tree, r))
+    val tree0 = PredicateTree.parse(predicate)
     commitLoopMutate() { base =>
+      // the predicate speaks LOGICAL names: its skeleton maps to
+      // physical for stats/bloom pruning, and row evaluation happens
+      // on the logically-projected scan (x53)
+      val tree = PredicateTree.mapColumns(tree0, physicalOf(base))
+      // foreign-add conflict = a winner's file whose stats may satisfy
+      // the predicate (our delete, serialized LAST, would have to cover
+      // its rows); the stats evaluator is the same one candidate
+      // pruning trusts, so a false "may match" costs a re-stage, never
+      // a wrong rebase
+      val addConflicts = (wAdded: Seq[FileRef]) =>
+        wAdded.exists(r => eval.mayMatch(tree, r))
       val data = base.filter(_.kind == "data")
       val cand = bloomRefine(base, data,
         data.filter(r => eval.mayMatch(tree, r)).map(_.file).sorted, tree)
       val matched =
         if (cand.isEmpty) Seq.empty[String]
-        else scan(base, cand).where(predicate)
+        else toLogical(base, scan(base, cand)).where(predicate)
           .select(col("__file")).distinct()
           .collect().map(_.getString(0)).toSeq.sorted
       val ms = matched.toSet
@@ -1714,11 +1907,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
         Some(GraftTable.Mutation(Set.empty, Seq.empty, Seq.empty,
           Set.empty, addConflicts))
       else if (mode == "cow") {
-        val st = stage(scan(base, matched).drop("__file", "__pos")
-          .where(coalesce(!predicate, lit(true))))
+        val st = stage(toPhysical(base,
+          toLogical(base, scan(base, matched).drop("__file", "__pos"))
+            .where(coalesce(!predicate, lit(true)))))
         Some(GraftTable.Mutation(ms, st.refs, Seq(st), ms, addConflicts))
       } else {
-        val st = stageDv(scan(base, matched).where(predicate)
+        val st = stageDv(toLogical(base, scan(base, matched))
+          .where(predicate)
           .select(col("__file").as("dv_file"), col("__pos").as("dv_pos")))
         // MoR removes nothing, but its DV positions are row indexes
         // INTO the matched files — any winner that rewrites them
@@ -1748,8 +1943,10 @@ final class GraftTable private (spark: SparkSession, val root: String,
       // no matching rows is harmless (rows are unchanged either way).
       val scoped = where match {
         case Some(p) =>
-          val keep = pruneByPredicate(data, p).toSet
-          data.filter(r => keep(r.file))
+          // logical predicate vs physical-name-keyed stats (x53)
+          val tree = PredicateTree.mapColumns(
+            PredicateTree.parse(p), physicalOf(base))
+          data.filter(r => eval.mayMatch(tree, r))
         case None => data
       }
       // size off the manifest's byte counters — zero FileSystem RPCs
@@ -1768,9 +1965,10 @@ final class GraftTable private (spark: SparkSession, val root: String,
         // sentinel key the frame doesn't carry)
         val folded = scan(base, small.map(_.file)).drop("__file", "__pos")
           .coalesce(math.max(1, targetFiles))
+        val pk = physKeyOf(base) // folded frames are physical (x53)
         val st = stage(
-          if (folded.columns.contains(keyCol))
-            folded.sortWithinPartitions(keyCol)
+          if (folded.columns.contains(pk))
+            folded.sortWithinPartitions(pk)
           else folded)
         val ss = small.map(_.file).toSet
         Some(foldBloomSidecars(
@@ -1800,7 +1998,11 @@ final class GraftTable private (spark: SparkSession, val root: String,
               incremental: Boolean = false): Long = {
     require(zorderBy.nonEmpty && zorderBy.size <= 4,
       s"1..4 z-order columns (got ${zorderBy.size}: 16 bits each interleave into a 64-bit key)")
-    val gen = GraftTable.zgenOf(zorderBy)
+    // the spec resolves to PHYSICAL names (x53): the rewrite reads and
+    // sorts physical frames, and the generation stamp stays stable
+    // across renames (physical names never change)
+    val zPhys = zorderBy.map(physicalOf(headRefs))
+    val gen = GraftTable.zgenOf(zPhys)
     commitLoop() { base =>
       val all = base.filter(_.kind == "data")
       // INCREMENTAL clustering (Delta liquid's cadence): rewrite only
@@ -1821,7 +2023,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
         // every row → coalesce(-1) → one giant output file with no
         // clustering and no error). Delta rejects non-eligible ZORDER
         // columns the same way.
-        zorderBy.foreach { c =>
+        zPhys.foreach { c =>
           val f = snap.schema.fields.find(_.name == c).getOrElse(
             throw new IllegalArgumentException(
               s"z-order column '$c' does not exist " +
@@ -1838,15 +2040,15 @@ final class GraftTable private (spark: SparkSession, val root: String,
               "numeric/date/timestamp/boolean columns (a string key " +
               "would z-map every row to NULL and collapse the layout)")
         }
-        val aggs = zorderBy.flatMap(c =>
+        val aggs = zPhys.flatMap(c =>
           Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
         val mm = snap.agg(aggs.head, aggs.tail: _*).head()
-        val bounds = zorderBy.indices.map { j =>
+        val bounds = zPhys.indices.map { j =>
           if (mm.isNullAt(2 * j) || mm.isNullAt(2 * j + 1)) (0L, 0L)
           else (mm.getLong(2 * j), mm.getLong(2 * j + 1))
         }
-        val n = zorderBy.size
-        val normed = zorderBy.zip(bounds).map { case (c, (lo, hi)) =>
+        val n = zPhys.size
+        val normed = zPhys.zip(bounds).map { case (c, (lo, hi)) =>
           // normalize to [0, 65535]: double ratio then truncate —
           // products stay far under 2^53, so exact-deterministic
           ((col(c).cast("double") - lit(lo.toDouble)) * lit(65535.0) /
@@ -2170,33 +2372,44 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val leftC = l0.unionByName(newRows.limit(0), allowMissingColumns = true)
     val rightC = newRows.unionByName(l0.limit(0), allowMissingColumns = true)
     val dataCols = leftC.columns.toSeq
+    // the diff computes under PHYSICAL names (stable across renames —
+    // a feed window spanning a rename boundary still joins); output
+    // rows project to toV's LOGICAL mapping, dropped columns omitted
+    val pk = physKeyOf(to)
+    val byPhys = colRows(to).map { case (lg, p) => p -> lg }.toMap
+    val outCols: Seq[(String, String)] = dataCols.flatMap(c =>
+      byPhys.get(c) match {
+        case Some("") => None
+        case Some(lg) => Some(c -> lg)
+        case None     => Some(c -> c)
+      })
     val l = leftC.select(dataCols.map(c => col(c).as(s"__l_$c")): _*)
     val r = rightC.select(dataCols.map(c => col(c).as(s"__r_$c")): _*)
     val same = dataCols
       .map(c => col(s"__l_$c") <=> col(s"__r_$c")).reduce(_ && _)
     val classified = l
-      .join(r, col(s"__l_$keyCol") === col(s"__r_$keyCol"), "full_outer")
+      .join(r, col(s"__l_$pk") === col(s"__r_$pk"), "full_outer")
       .withColumn("change_type",
-        when(col(s"__l_$keyCol").isNull, lit("insert"))
-          .when(col(s"__r_$keyCol").isNull, lit("delete"))
+        when(col(s"__l_$pk").isNull, lit("insert"))
+          .when(col(s"__r_$pk").isNull, lit("delete"))
           .when(same, lit("unchanged"))
           .otherwise(lit("update")))
       .where(col("change_type") =!= "unchanged")
     if (!preimages)
-      classified.select(dataCols.map(c =>
-        coalesce(col(s"__r_$c"), col(s"__l_$c")).as(c)) :+
+      classified.select(outCols.map { case (c, lg) =>
+        coalesce(col(s"__r_$c"), col(s"__l_$c")).as(lg) } :+
         col("change_type"): _*)
     else {
       // Delta-CDF shape: one row per side of an update
       val nonUpdate = classified.where(col("change_type") =!= "update")
-        .select(dataCols.map(c =>
-          coalesce(col(s"__r_$c"), col(s"__l_$c")).as(c)) :+
+        .select(outCols.map { case (c, lg) =>
+          coalesce(col(s"__r_$c"), col(s"__l_$c")).as(lg) } :+
           col("change_type"): _*)
       val pre = classified.where(col("change_type") === "update")
-        .select(dataCols.map(c => col(s"__l_$c").as(c)) :+
+        .select(outCols.map { case (c, lg) => col(s"__l_$c").as(lg) } :+
           lit("update_preimage").as("change_type"): _*)
       val post = classified.where(col("change_type") === "update")
-        .select(dataCols.map(c => col(s"__r_$c").as(c)) :+
+        .select(outCols.map { case (c, lg) => col(s"__r_$c").as(lg) } :+
           lit("update_postimage").as("change_type"): _*)
       nonUpdate.unionByName(pre).unionByName(post)
     }
