@@ -150,6 +150,7 @@ object Bench {
     graft.operators.Similarity.s07Stage(spark, sfDir)
     graft.operators.Similarity.s08Stage(spark, sfDir)
     graft.operators.Similarity.s14Stage(spark, sfDir)
+    graft.operators.Similarity.s15Stage(spark, sfDir)
     // x14's materialized aggregate base and x16's standing SCD2 history:
     // both model a table maintained across days, so the gate times the
     // delta-merge refresh, not the one-off base build

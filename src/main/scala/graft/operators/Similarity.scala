@@ -1166,6 +1166,250 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------------
+  // s15 — STANDING IVF INDEX AS A MAINTAINED GRAFT TABLE (round-15
+  //       verdict #2, s14's sibling): s04's inverted cell lists
+  //       materialized as a CLUSTER-KEYED graft table — one row per
+  //       cell, `members` = its vectors — and maintained
+  //       CHANGE-PROPORTIONALLY off the base table's `graft-cdf`
+  //       PREIMAGES feed. The IVF-specific maintenance problem (vs
+  //       s14's per-key codes) is that a changed vector MOVES CELLS:
+  //       its OLD cell re-derives from the update's PREIMAGE vector
+  //       against the FIXED training-time centroids (a pure function
+  //       of the batch — no forward index, crash-replay safe), the new
+  //       cell from the postimage, and one `applyChanges(txn =
+  //       batchId)` commit rewrites exactly the AFFECTED cells' rows —
+  //       the delete-from-old-cell + insert-into-new-cell dance, as
+  //       one exactly-once commit. Refresh reads ONLY the affected
+  //       cells' prior lists (key-stats-pruned to their files;
+  //       spec-pinned by hiding every other cell file during a
+  //       refresh) plus the batch. The gated query serves the
+  //       nprobe=1 cell probe FROM THE STANDING INDEX after a base
+  //       merge + delete, against the replayed-mutations oracle.
+  //
+  //       100 TB shape: cell lists are write-once work maintained at
+  //       change velocity; a probe reads the probed cells' files only
+  //       (cluster is the table key, so the manifest's lo/hi ranges
+  //       prune the probe exactly); index and corpus version together.
+  // ---------------------------------------------------------------------
+  private val s15Staged =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** nearest-centroid assignment (s04's reduceGroups argmax — map-side
+    * partial, no window sort) of (vec_id, emb) rows against the
+    * broadcast centroid set; returns (vec_id, emb, rn, cluster) */
+  private def assignCells(spark: SparkSession, df: DataFrame,
+                          cents: DataFrame): DataFrame = {
+    import spark.implicits._
+    df.select(col("vec_id"), col("emb"), norm(col("emb")).as("rn"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+              cosinePrenormed(col("emb"), col("cv"),
+                              col("rn"), col("cn")).as("cos_c"),
+              col("emb"), col("rn"))
+      .as[(Long, Long, Double, Array[Double], Double)]
+      .groupByKey(_._1)
+      .reduceGroups { (a, b) =>
+        if (a._3 > b._3 || (a._3 == b._3 && a._2 < b._2)) a else b
+      }
+      .map { case (_, (vecId, cid, _, emb, rn)) => (vecId, emb, rn, cid) }
+      .toDF("vec_id", "emb", "rn", "cluster")
+  }
+
+  /** fold ONE preimages-feed window into the cell-list table: old
+    * cells from preimage/delete vectors, new cells from postimage/
+    * insert vectors, prior lists of affected cells only, one
+    * replay-guarded commit. The `affected` collect is ≤ 2× the window's
+    * key count (cluster ids, never vectors) — change-scale by
+    * construction. */
+  private[graft] def s15Fold(spark: SparkSession, b: DataFrame, id: Long,
+                             cellRoot: String): Unit = {
+    import spark.implicits._
+    val cells = graft.table.GraftTable.open(spark, cellRoot, "cluster")
+    val cents = spark.read.parquet(s"$cellRoot/centroids")
+    val rm = assignCells(spark,
+      b.where(col("change_type").isin("delete", "update_preimage"))
+        .select(col("vec_id"), col("emb")), cents)
+      .select(col("vec_id"), col("cluster"))
+    val add = assignCells(spark,
+      b.where(col("change_type").isin("insert", "update_postimage"))
+        .select(col("vec_id"), col("emb")), cents)
+    val affected = rm.select(col("cluster"))
+      .union(add.select(col("cluster"))).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    if (affected.isEmpty) return
+    // prior members of the AFFECTED cells only — the cluster key's
+    // manifest ranges prune the read to exactly their files
+    val prior = cells.readWhere(col("cluster").isin(affected: _*))
+      .select(col("cluster"), explode(col("members")).as("m"))
+      .select(col("cluster"), col("m.vec_id").as("vec_id"),
+              col("m.emb").as("emb"), col("m.rn").as("rn"))
+    // a changed vector leaves its old cell (by key)...
+    val kept = prior.join(broadcast(rm.select(col("vec_id"))),
+      Seq("vec_id"), "left_anti")
+    // ...and its postimage joins the new one
+    val next = kept.select(col("cluster"), col("vec_id"), col("emb"),
+        col("rn"))
+      .unionByName(add.select(col("cluster"), col("vec_id"), col("emb"),
+        col("rn")))
+    val rebuilt = next.groupBy(col("cluster"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("emb"),
+        col("rn")))).as("members"))
+    val membersType = rebuilt.schema("members").dataType
+    // cells the window emptied entirely delete their row
+    val emptied = affected.toDF("cluster")
+      .join(rebuilt.select(col("cluster")), Seq("cluster"), "left_anti")
+      .select(col("cluster"), lit(null).cast(membersType).as("members"))
+    val feed = rebuilt.withColumn("change_type", lit("update"))
+      .unionByName(emptied.withColumn("change_type", lit("delete")))
+    cells.applyChanges(feed, txn = id)
+    ()
+  }
+
+  /** run the IVF maintainer once: drain the base's preimages feed from
+    * the index's checkpointed offset — restart-safe, replay-safe */
+  private[graft] def s15Refresh(spark: SparkSession, baseRoot: String,
+                                cellRoot: String): Unit = {
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", baseRoot).option("keyCol", "vec_id")
+      .option("startingVersion", "1")
+      .option("preimages", "true")
+      .load()
+      .writeStream
+      .option("checkpointLocation", s"$cellRoot/maint-ckpt")
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        s15Fold(spark, b, id, cellRoot)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** build the standing pair once per (JVM, dir): base corpus table,
+    * training-time centroids persisted beside the index (K = s04's
+    * √n rule on the v1 count), v1 cell lists, then the day's
+    * DETERMINISTIC mutations (negated %11 updates, reversed-vector
+    * inserts above max id, a %19 delete) and one refresh run */
+  private[graft] def s15Stage(spark: SparkSession, dir: String)
+      : (String, String) =
+    s15Staged.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      val baseRoot = graft.util.Scratch.dir("graft-s15-base")
+      val cellRoot = graft.util.Scratch.dir("graft-s15-cells")
+      val e = Tables.embeddings(spark, dir).select(col("vec_id"),
+        col("embedding").cast(ArrayType(DoubleType)).as("emb"))
+      val base = graft.table.GraftTable.create(spark, baseRoot, "vec_id",
+        e.repartitionByRange(4, col("vec_id"))
+          .sortWithinPartitions("vec_id"))
+      val k = centroidsFor(Tables.cachedCount(spark, dir, "embeddings"))
+      // centroids are TRAINED ONCE (v1 corpus) and immutable — exactly
+      // how production IVF treats its coarse quantizer; later updates
+      // to a centroid-id vector change the corpus, never the quantizer
+      e.where(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("emb").as("cv"),
+                norm(col("emb")).as("cn"))
+        .coalesce(1).write.parquet(s"$cellRoot/centroids")
+      val cents = spark.read.parquet(s"$cellRoot/centroids")
+      graft.table.GraftTable.create(spark, cellRoot, "cluster",
+        assignCells(spark, base.read(1), cents)
+          .groupBy(col("cluster"))
+          .agg(sort_array(collect_list(struct(col("vec_id"), col("emb"),
+            col("rn")))).as("members"))
+          .repartitionByRange(4, col("cluster"))
+          .sortWithinPartitions("cluster"))
+      val mx = e.agg(max(col("vec_id"))).head.getLong(0)
+      val upd = e.where(col("vec_id") % 11 === 4)
+        .select(col("vec_id"), transform(col("emb"), x => -x).as("emb"))
+      val ins = e.where(col("vec_id") % 31 === 0)
+        .select((lit(mx + 1) + col("vec_id")).as("vec_id"),
+                reverse(col("emb")).as("emb"))
+      base.merge(upd.unionByName(ins))                          // v2
+      base.delete(col("vec_id") % 19 === 5 &&
+        col("vec_id") >= N_QUERIES)                             // v3
+      s15Refresh(spark, baseRoot, cellRoot)
+      (baseRoot, cellRoot)
+    })
+
+  /** the nprobe=1 cell probe served FROM THE STANDING INDEX after the
+    * mutations: each query's cell from its (post-mutation) vector vs
+    * the fixed centroids, members read from the probed cells' rows
+    * only, exact cosine over the members' stored vectors */
+  private def s15(spark: SparkSession, dir: String): DataFrame = {
+    val (baseRoot, cellRoot) = s15Stage(spark, dir)
+    val cents = spark.read.parquet(s"$cellRoot/centroids")
+    val base = graft.table.GraftTable.open(spark, baseRoot, "vec_id")
+    val qcell = assignCells(spark,
+      base.read().where(col("vec_id") < N_QUERIES)
+        .select(col("vec_id"), col("emb")), cents)
+      .select(col("vec_id").as("query_id"), col("emb").as("qv"),
+              col("rn").as("qn"), col("cluster"))
+    val probed = qcell.select(col("cluster")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted // <= N_QUERIES ids
+    val members = graft.table.GraftTable.open(spark, cellRoot, "cluster")
+      .readWhere(col("cluster").isin(probed: _*)) // probed files only
+      .select(col("cluster"), explode(col("members")).as("m"))
+      .select(col("cluster"), col("m.vec_id").as("neighbor_id"),
+              col("m.emb").as("nv"), col("m.rn").as("nn"))
+    val scored = broadcast(qcell).join(members, Seq("cluster"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos",
+        cosinePrenormed(col("qv"), col("nv"), col("qn"), col("nn")))
+    topK(spark, scored)
+  }
+
+  /** s04Sql over the REPLAYED final corpus: centroids from the
+    * ORIGINAL table (trained at v1, K from the v1 count), assignment
+    * and probe over the mutated corpus */
+  private val s15Sql = {
+    def dotE(x: String, y: String) =
+      s"""list_sum(list_transform(generate_series(1, len($x)), i ->
+         |  $x[i] * $y[i]))""".stripMargin
+    def cosE(x: String, y: String) =
+      s"(${dotE(x, y)} / (sqrt(${dotE(x, x)}) * sqrt(${dotE(y, y)})))"
+    s"""WITH k_t AS (
+       |  SELECT COALESCE(
+       |    (SELECT MIN(k) FROM generate_series($CENTROIDS_MIN, $CENTROIDS_MAX) t(k)
+       |     WHERE k * k >= (SELECT count(*) FROM embeddings)),
+       |    $CENTROIDS_MAX) AS nk),
+       |e0 AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings),
+       |m AS (SELECT MAX(vec_id) AS mx FROM e0),
+       |merged AS (
+       |  SELECT vec_id,
+       |    CASE WHEN vec_id % 11 = 4
+       |      THEN list_transform(emb, x -> -x) ELSE emb END AS emb
+       |  FROM e0
+       |  UNION ALL
+       |  SELECT m.mx + 1 + vec_id, list_reverse(emb)
+       |  FROM e0, m WHERE vec_id % 31 = 0),
+       |e AS (SELECT vec_id, emb FROM merged
+       |      WHERE NOT (vec_id % 19 = 5 AND vec_id >= $N_QUERIES)),
+       |c AS (SELECT vec_id AS cid, emb AS cv FROM e0
+       |      WHERE vec_id < (SELECT nk FROM k_t)),
+       |assigned AS (
+       |  SELECT vec_id, emb, cluster FROM (
+       |    SELECT e.vec_id, e.emb, c.cid AS cluster,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosE("e.emb", "c.cv")} DESC, c.cid) AS arn
+       |    FROM e CROSS JOIN c) t
+       |  WHERE arn = 1),
+       |q AS (
+       |  SELECT vec_id AS query_id, emb AS qv, cluster FROM assigned
+       |  WHERE vec_id < $N_QUERIES),
+       |scored AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    ${cosE("qv", "a.emb")} AS cos
+       |  FROM q JOIN assigned a USING (cluster)
+       |  WHERE a.vec_id <> query_id)
+       |SELECT query_id, neighbor_id, rnk, round(cos, 4) AS cos_sim FROM (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM scored) t
+       |WHERE rnk <= $TOP_K""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // s13 — MATRYOSHKA truncated-dimension prefilter + exact rerank
   //        (MRL, Kusupati et al., NeurIPS'22): matryoshka-trained
   //        embeddings rank usefully under PREFIX truncation, so the
@@ -1527,5 +1771,6 @@ object Similarity {
     QuerySpec("s11_recall_sweep", s11, Some(s11Sql)),
     QuerySpec("s12_ivf_operating_curve", s12, Some(s12Sql)),
     QuerySpec("s13_knn_matryoshka", s13, Some(s13Sql)),
-    QuerySpec("s14_knn_standing_index", s14, Some(s14Sql)))
+    QuerySpec("s14_knn_standing_index", s14, Some(s14Sql)),
+    QuerySpec("s15_knn_standing_ivf", s15, Some(s15Sql)))
 }

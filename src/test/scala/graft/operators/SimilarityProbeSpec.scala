@@ -142,6 +142,73 @@ class SimilarityProbeSpec extends AnyFunSuite {
       f"PQ-ADC mean recall@5 $recall%.2f fell below the pinned floor")
   }
 
+  test("s15 IVF refresh touches only the AFFECTED cells' files; moves track cells") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.VectorFunctions.norm
+    // a CONTROLLED quantizer: 4 fixed centroids, vector k lives in
+    // cell k % 4 by construction (a scaled copy of its centroid), one
+    // cell-list row per cell across 4 key-ranged files
+    val baseRoot = graft.util.Scratch.dir("graft-s15spec-base")
+    val cellRoot = graft.util.Scratch.dir("graft-s15spec-cells")
+    val cvs = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0),
+                  Seq(0.0, 0.0, 1.0), Seq(1.0, 1.0, 1.0))
+    cvs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("cid", "cv")
+      .select(col("cid"), col("cv"), norm(col("cv")).as("cn"))
+      .coalesce(1).write.parquet(s"$cellRoot/centroids")
+    def vecOf(k: Long): Seq[Double] =
+      cvs((k % 4).toInt).map(_ * (k + 1))
+    val e = (1L to 100L).map(k => (k, vecOf(k))).toDF("vec_id", "emb")
+    val base = graft.table.GraftTable.create(spark, baseRoot, "vec_id",
+      e.repartitionByRange(5, col("vec_id")).sortWithinPartitions("vec_id"))
+    val cells = graft.table.GraftTable.create(spark, cellRoot, "cluster",
+      e.withColumn("cluster", col("vec_id") % 4)
+        .withColumn("rn", norm(col("emb")))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("emb"),
+          col("rn")))).as("members"))
+        .repartitionByRange(4, col("cluster"))
+        .sortWithinPartitions("cluster"))
+    // vector 97 (cell 1) moves to cell 2: affected cells = {1, 2};
+    // hide every cell file holding NEITHER — the refresh must never
+    // open them (the cluster key's manifest ranges prune the read)
+    base.merge(Seq((97L, Seq(0.0, 0.0, 55.0))).toDF("vec_id", "emb"))
+    val fileClusters = cells.filesOf(1).map(f =>
+      f -> spark.read.parquet(f).select(col("cluster"))
+        .collect().map(_.getLong(0)).toSet)
+    val unaffected = fileClusters.collect {
+      case (f, cs) if !cs.contains(1L) && !cs.contains(2L) => f }
+    assert(unaffected.nonEmpty, s"fixture must isolate cells: $fileClusters")
+    import java.nio.file.{Files, Paths}
+    unaffected.foreach(f => Files.move(Paths.get(f), Paths.get(f + ".h")))
+    try Similarity.s15Refresh(spark, baseRoot, cellRoot)
+    finally unaffected.foreach(f =>
+      Files.move(Paths.get(f + ".h"), Paths.get(f)))
+    assert(unaffected.forall(cells.filesOf(cells.head).contains),
+      "unaffected cell files must carry by reference")
+    def membersOf(c: Long): Map[Long, Seq[Double]] =
+      cells.read().where(col("cluster") === c)
+        .select(explode(col("members")).as("m"))
+        .select(col("m.vec_id"), col("m.emb"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(!membersOf(1L).contains(97L),
+      "the moved vector must leave its OLD cell's list")
+    assert(membersOf(2L).get(97L).contains(Seq(0.0, 0.0, 55.0)),
+      "...and join its NEW cell with the postimage vector")
+    // an empty window neither reads nor commits
+    val h = cells.head
+    Similarity.s15Refresh(spark, baseRoot, cellRoot)
+    assert(cells.head == h, "an empty window must not commit")
+    // delete and insert paths: 96 (cell 0) leaves; 200 (cell 3 by its
+    // vector) arrives — one more window, two more affected cells
+    base.delete(col("vec_id") === 96)
+    base.merge(Seq((200L, cvs(3).map(_ * 7.0))).toDF("vec_id", "emb"))
+    Similarity.s15Refresh(spark, baseRoot, cellRoot)
+    assert(!membersOf(0L).contains(96L), "a deleted vector leaves its cell")
+    assert(membersOf(3L).contains(200L), "an inserted vector joins its cell")
+  }
+
   test("gated s02 is the nflips=0 (single-bucket) configuration") {
     val gated = SparkEntry.queries("s02_knn_lsh")(spark, sfDir)
     val probe0 = Similarity.s02Probe(spark, sfDir, nflips = 0)
