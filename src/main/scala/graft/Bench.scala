@@ -88,14 +88,32 @@ object Bench {
     // short ones plus a spread field can (the max is the engine's
     // demonstrated capability; a large spread says the box, not the
     // plan, produced the low readings).
-    val hdfsRuns = bestOf(spark, runs = 3) {
+    // AUTO-REQUEUE (round-14 verdict #3): a throughput set whose
+    // readings scream co-tenant load — high spread or a dead run —
+    // WHILE the box is demonstrably loaded earns one bounded back-off
+    // (wait for the 1-min loadavg to drop, capped) and one extra
+    // measured run, merged into the set. Round 14 published a 2.75 M
+    // w/s HDFS row at spread 1.00 that the quiet box measures at
+    // ~12 M; the requeue is the artifact healing itself instead of a
+    // judge re-running by hand. Both readings and both loadavg
+    // snapshots land in `requeue_notes`.
+    val rqThreshold = requeueThreshold(cpus.toInt)
+    val requeueNotes =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def requeued(name: String, rs: RunSet)(run: => Double): RunSet =
+      requeueWith(spark, name, (rs, Option.empty[Unit]), rqThreshold,
+        requeueNotes) { (run, ()) }._1
+    val hdfsRuns = requeued("hdfs", bestOf(spark, runs = 3) {
+      streamWordsPerSec(spark, measureSec = 10, rowsPerBatch = 200000)
+    }) {
       streamWordsPerSec(spark, measureSec = 10, rowsPerBatch = 200000)
     }
     settle(spark)
-    val rocksRuns = bestOf(spark, runs = 3) {
+    def rocksOnce() =
       streamWordsPerSec(spark, measureSec = 10, rowsPerBatch = 200000,
         providerClass = Some(rocksDbProvider))
-    }
+    val rocksRuns = requeued("rocksdb",
+      bestOf(spark, runs = 3) { rocksOnce() }) { rocksOnce() }
     settle(spark)
     // the reference's skew experiment (RandomSentenceGenerator.java:47-53):
     // 20% of sentences are the all-"skew" hot key. Spark's hash agg does
@@ -106,10 +124,11 @@ object Bench {
     // Best-of-3 like the backends above: the round-7 verdict flagged
     // this row as the round-to-round swinger with no spread evidence
     // (5.6M → 4.0M → 2.2M across r5-r7 on single 20 s windows).
-    val skewRuns = bestOf(spark, runs = 3) {
+    def skewOnce() =
       streamWordsPerSec(spark, measureSec = 10, rowsPerBatch = 200000,
         skewPercent = 20)
-    }
+    val skewRuns = requeued("skew20",
+      bestOf(spark, runs = 3) { skewOnce() }) { skewOnce() }
     settle(spark)
     // the reference's failure experiment (run_job.sh:77-83 +
     // kill_worker.sh): kill a worker mid-measurement, restart from the
@@ -119,9 +138,9 @@ object Bench {
     // recovered-commit and recovered steady-state words/s. Best-of-2
     // (each attempt is a full kill+recover cycle, ~40 s): the reported
     // recovery_sec is the one from the best-throughput attempt.
-    val (recoveryRuns, recoverySecOpt) = bestOfWith(spark, runs = 2) {
-      streamRecovery(spark)
-    }
+    val (recoveryRuns, recoverySecOpt) = requeueWith(spark, "recovery",
+      bestOfWith(spark, runs = 2) { streamRecovery(spark) },
+      rqThreshold, requeueNotes) { streamRecovery(spark) }
     val recoverySec = recoverySecOpt.getOrElse(-1.0)
 
     // ...and before the gated loop, pay whatever residue remains on an
@@ -192,6 +211,12 @@ object Bench {
     val gateRetries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val gateRetryNotes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val gateGc = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // a retry on a STILL-loaded box re-measures the load, not the
+    // engine (round 14: x50's retry burned 28 s and kept a 3×-inflated
+    // reading anyway) — so a firing retry first waits for the 1-min
+    // loadavg to drop below the threshold, under one shared bounded
+    // budget so a permanently-busy box can't stall the gate
+    var gateBackoffBudgetMs = 180000L
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): (Double, Long) = {
         val gc0 = gcMillis()
@@ -203,13 +228,20 @@ object Bench {
       val p = priorTimeFor(prior, name)
       val kept =
         if (p.exists(pv => s1 > 3.0 * math.max(pv, 1.0))) {
+          val loadNote =
+            if (loadavg1() > rqThreshold && gateBackoffBudgetMs > 0) {
+              val (w, lb, la) = backOff(
+                math.min(60000L, gateBackoffBudgetMs), rqThreshold)
+              gateBackoffBudgetMs -= w
+              f", loadavg $lb%.2f->$la%.2f after ${w / 1000}s backoff"
+            } else f", loadavg ${loadavg1()}%.2f"
           settle(spark, 1000)
           val (s2, g2) = once()
           val pfx = name.takeWhile(_ != '_')
           gateRetries += pfx -> f"$s1%.1fs>$s2%.1fs"
           gateRetryNotes += pfx ->
             (f"run1 $s1%.2fs gc ${g1}ms, retry $s2%.2fs gc ${g2}ms, " +
-             f"prior ${p.get}%.1fs, kept ${math.min(s1, s2)}%.2fs")
+             f"prior ${p.get}%.1fs, kept ${math.min(s1, s2)}%.2fs" + loadNote)
           gateGc += pfx -> (if (s2 <= s1) g2 else g1)
           math.min(s1, s2)
         } else { gateGc += name.takeWhile(_ != '_') -> g1; s1 }
@@ -224,25 +256,32 @@ object Bench {
     // field a reader needs exactly when a gate query ran hot — sit
     // LAST, after the streaming run stats; the bulky per-query GC map
     // goes first (full-artifact readers only)
+    val requeueNotesJson =
+      jmap(requeueNotes.toSeq.map { case (k, v) => k -> jstr(v) })
     val (full, last) = buildLines(results,
       extrasJson(hdfsRuns, rocksRuns, skewRuns, recoveryRuns,
-                 recoverySec, lat, gateRetries.size),
+                 recoverySec, lat, gateRetries.size, requeueNotes.size),
       s""""gate_gc_ms":$gateGcJson,""" +
         runsJson(Seq("stream_words_per_sec" -> hdfsRuns,
                      "stream_words_per_sec_rocksdb" -> rocksRuns,
                      "stream_words_per_sec_skew20" -> skewRuns,
                      "stream_words_per_sec_recovery" -> recoveryRuns)) +
-        // loadavg start/end ride near the END of the full line (inside
-        // the driver's tail window), so a hot-box run is classifiable
-        // from the artifact alone; retry notes stay last (see above)
+        // loadavg start/end and the requeue evidence ride near the END
+        // of the full line (inside the driver's tail window), so a
+        // hot-box run is classifiable from the artifact alone; retry
+        // notes stay last (see above)
+        s""","requeue_threshold":${fmt(rqThreshold, 1)}""" +
+        s""","requeue_notes":$requeueNotesJson""" +
         s""","loadavg_start":${jstr(loadStart)}""" +
         s""","loadavg_end":${jstr(loadavg())}""" +
         s""","gate_retry_notes":$retryNotesJson""",
       sfDir,
       extrasCompact = extrasJson(hdfsRuns, rocksRuns, skewRuns, recoveryRuns,
-                 recoverySec, lat, gateRetries.size, compactSpreads = true),
+                 recoverySec, lat, gateRetries.size, requeueNotes.size,
+                 compactSpreads = true),
       extrasUltra = extrasJson(hdfsRuns, rocksRuns, skewRuns, recoveryRuns,
-                 recoverySec, lat, gateRetries.size, compactStreams = true))
+                 recoverySec, lat, gateRetries.size, requeueNotes.size,
+                 compactStreams = true))
     // The JSON must reach the driver's parser intact. Round 1 lost it in
     // interleaved Spark shutdown noise (TaskKilled warnings from stopped
     // streaming queries), so: (1) persist it to a well-known file first,
@@ -278,6 +317,7 @@ object Bench {
                                 recovery: RunSet, recoverySec: Double,
                                 lat: LatencyStats,
                                 gateRetryCount: Int = 0,
+                                requeueCount: Int = 0,
                                 compactSpreads: Boolean = false,
                                 compactStreams: Boolean = false): String = {
     // ULTRA-COMPACT form (the cascade's final per-query step, round
@@ -295,7 +335,7 @@ object Bench {
         s""""rec_s":${fmt(recoverySec, 2)},""" +
         s""""lat":[${fmt(lat.p50, 0)},${fmt(lat.p95, 0)},""" +
         s"""${fmt(lat.meanBatchMs, 0)},${lat.backlogBatches}],""" +
-        s""""gate_retries":$gateRetryCount"""
+        s""""gate_retries":$gateRetryCount,"requeues":$requeueCount"""
     // the COMPACT line carries only the retry COUNT (fixed width —
     // per-entry notes would breach the ≤1800-char budget and drop
     // per-query detail); the both-readings notes ride the END of the
@@ -327,7 +367,7 @@ object Bench {
       s""""latency_ms_p50":${lat.p50},"latency_ms_p95":${lat.p95},""" +
       s""""latency_mean_batch_ms":${fmt(lat.meanBatchMs, 0)},""" +
       s""""latency_backlog_batches":${lat.backlogBatches},""" +
-      s""""gate_retries":$gateRetryCount"""
+      s""""gate_retries":$gateRetryCount,"requeues":$requeueCount"""
   }
 
   /** The previous round's per-query gate times, read from the newest
@@ -579,6 +619,82 @@ object Bench {
       if (l < 0) "unavailable" else f"$l%.2f"
     }
   } catch { case _: Throwable => "unavailable" }
+
+  /** the 1-minute load average as a number, −1.0 when unavailable —
+    * what the requeue/backoff decisions key on */
+  private[graft] def loadavg1(): Double = {
+    val s = loadavg()
+    if (s == "unavailable") -1.0
+    else try s.split("\\s+")(0).toDouble catch { case _: Throwable => -1.0 }
+  }
+
+  /** the 1-min loadavg above which a suspicious reading earns a
+    * bounded back-off + requeue instead of standing as-is. Scaled off
+    * the worker count but floored: round 14's 3×-inflated gate rows
+    * ran at loadavg ~7-8 on this 32-way box, and the quiet box sits
+    * near 2 — co-tenant damage here is I/O + scheduler contention, not
+    * CPU saturation, so the threshold is deliberately far below the
+    * core count. */
+  private[graft] def requeueThreshold(cpus: Int): Double =
+    math.max(3.0, cpus / 8.0)
+
+  /** wait (bounded by `maxWaitMs`, polling) for the 1-min loadavg to
+    * drop to the threshold; returns (waitedMs, loadBefore, loadAfter).
+    * Never spins on a box that won't quiet — the caller records both
+    * readings so a still-loaded requeue is classifiable. */
+  private def backOff(maxWaitMs: Long, threshold: Double): (Long, Double, Double) = {
+    val before = loadavg1()
+    var waited = 0L
+    while (waited < maxWaitMs &&
+           { val l = loadavg1(); l >= 0 && l > threshold }) {
+      Thread.sleep(5000); waited += 5000
+    }
+    (waited, before, loadavg1())
+  }
+
+  /** AUTO-REQUEUE of one throughput set (round-14 verdict #3): when the
+    * completed set looks load-damaged — a dead run or spread > 0.5 —
+    * AND the box is loaded past `threshold`, back off (bounded) and run
+    * ONE more attempt, merged into the set exactly like a fourth
+    * bestOf run (max/spread recomputed over all attempts, the new
+    * run's stats/causes appended). Both loadavg snapshots, the wait,
+    * and both readings land in `notes` for the artifact. A quiet box
+    * or a clean set costs one loadavg read and nothing else. */
+  private[graft] def requeueWith[A](spark: SparkSession, name: String,
+                             prior: (RunSet, Option[A]),
+                             threshold: Double,
+                             notes: scala.collection.mutable.ArrayBuffer[(String, String)],
+                             maxWaitMs: Long = 120000L)
+                            (run: => (Double, A)): (RunSet, Option[A]) = {
+    val (rs, payload) = prior
+    val load = loadavg1()
+    val suspicious = rs.max < 0 || rs.spread > 0.5 || rs.causes.nonEmpty
+    if (!suspicious || load <= threshold) return prior
+    val (waitedMs, lb, la) = backOff(maxWaitMs, threshold)
+    settle(spark)
+    lastFailureCause.set(null)
+    lastRunStats.set(null)
+    val (v, p2) = run
+    val i = rs.runs.size + 1
+    val cause =
+      if (v > 0) None
+      else Some(s"run$i (requeue): ${Option(lastFailureCause.get())
+        .getOrElse("failed (no cause recorded)")}")
+    val stat = s"run$i (requeue): ${Option(lastRunStats.get()).getOrElse("n/a")}"
+    val runs = rs.runs :+ v
+    val ok = runs.filter(_ > 0)
+    val merged =
+      if (ok.isEmpty) RunSet(-1.0, -1.0, runs, rs.causes ++ cause,
+        rs.stats :+ stat)
+      else RunSet(ok.max, (ok.max - runs.map(_ max 0.0).min) / ok.max,
+        runs, rs.causes ++ cause, rs.stats :+ stat)
+    notes += name ->
+      (f"spread ${rs.spread}%.2f max ${fmt(rs.max, 0)} at loadavg " +
+       f"$lb%.2f: backed off ${waitedMs / 1000}s to $la%.2f, requeue " +
+       f"read ${fmt(v, 0)}, kept max ${fmt(merged.max, 0)} " +
+       f"spread ${merged.spread}%.2f")
+    (merged, if (v > 0 && v >= rs.max) Some(p2) else payload)
+  }
 
   /** Fixed-width decimal formatting for the compact JSON line (no
     * scientific notation, no 15-digit doubles). */

@@ -30,23 +30,24 @@ class BenchLineSpec extends AnyFunSuite {
     recoverySec = 12.34,
     lat = Bench.LatencyStats(p50 = 1509.0, p95 = 1223.0,
       meanBatchMs = 1234.0, backlogBatches = 123L),
-    // compact line carries only the COUNT; the per-query notes ride
-    // the full line's tail end (see Bench.main's field-order comment)
-    gateRetryCount = 133)
+    // compact line carries only the COUNTS (gate retries, requeues);
+    // the per-query notes ride the full line's tail end (see
+    // Bench.main's field-order comment)
+    gateRetryCount = 133, requeueCount = 4)
   private val extrasC = Bench.extrasJson(
     hdfs = rs(13606060d), rocks = rs(11008300d),
     skew = rs(13606060d), recovery = rs(11008300d),
     recoverySec = 12.34,
     lat = Bench.LatencyStats(p50 = 1509.0, p95 = 1223.0,
       meanBatchMs = 1234.0, backlogBatches = 123L),
-    gateRetryCount = 133, compactSpreads = true)
+    gateRetryCount = 133, requeueCount = 4, compactSpreads = true)
   private val extrasU = Bench.extrasJson(
     hdfs = rs(13606060d), rocks = rs(11008300d),
     skew = rs(13606060d), recovery = rs(11008300d),
     recoverySec = 12.34,
     lat = Bench.LatencyStats(p50 = 1509.0, p95 = 1223.0,
       meanBatchMs = 1234.0, backlogBatches = 123L),
-    gateRetryCount = 133, compactStreams = true)
+    gateRetryCount = 133, requeueCount = 4, compactStreams = true)
   private val fullExtras = Bench.runsJson(Seq(
     "stream_words_per_sec" -> rs(13606060d),
     "stream_words_per_sec_rocksdb" -> rs(11008300d),
@@ -83,6 +84,74 @@ class BenchLineSpec extends AnyFunSuite {
     val node = mapper.readTree(full)
     assert(node.get("loadavg_start").asText() == la)
     assert(node.get("loadavg_end").asText() == la)
+  }
+
+  test("requeue fields ride every line form; threshold sits below core count") {
+    // round-14 verdict #3: the requeue machinery must be visible in the
+    // artifact — the COUNT on whichever compact step fires, the notes
+    // (both readings + both loadavg snapshots) on the full line's tail
+    for (ex <- Seq(extras, extrasC, extrasU))
+      assert(mapper.readTree(s"{$ex}").get("requeues").asInt() === 4, ex)
+    val fullOnly = fullExtras +
+      s""","requeue_threshold":4.0,"requeue_notes":{"hdfs":""" +
+      """"spread 1.00 max 2750000 at loadavg 7.91: backed off 45s to """ +
+      """2.10, requeue read 12100000, kept max 12100000 spread 0.77"}"""
+    val (full, _) =
+      Bench.buildLines(Seq("q01_x" -> 1.0), extras, fullOnly, "/sf")
+    val node = mapper.readTree(full)
+    assert(node.get("requeue_notes").get("hdfs").asText()
+      .contains("backed off"))
+    assert(node.get("requeue_threshold").asDouble() === 4.0)
+    // threshold: floored at 3, scaled off the worker count, and always
+    // far below the core count (co-tenant damage is contention, not
+    // CPU saturation)
+    assert(Bench.requeueThreshold(8) === 3.0)
+    assert(Bench.requeueThreshold(32) === 4.0)
+    assert(Bench.requeueThreshold(256) === 32.0)
+    // the numeric 1-min loadavg parses on this box
+    if (new java.io.File("/proc/loadavg").exists)
+      assert(Bench.loadavg1() >= 0.0)
+  }
+
+  test("requeue merges like a fourth bestOf run and skips clean/quiet sets") {
+    val spark = SparkTestSession.spark
+    val notes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // suspicious set (dead run, spread 0.87) + "loaded box" (threshold
+    // below any real loadavg; zero wait so backOff returns instantly):
+    // the extra reading becomes run4 and max/spread recompute over all
+    val bad = rs(2750000d)
+    val (merged, payload) = Bench.requeueWith(spark, "hdfs",
+      (bad, Some("old")), threshold = -2.0, notes, maxWaitMs = 0L) {
+      (12100000d, "new")
+    }
+    assert(merged.max === 12100000d)
+    assert(merged.runs.size === 4 && merged.runs.last === 12100000d)
+    assert(merged.stats.size === 4 &&
+      merged.stats.last.startsWith("run4 (requeue):"))
+    assert(payload.contains("new"), "the better attempt's payload wins")
+    assert(notes.size === 1 && notes.head._1 == "hdfs" &&
+      notes.head._2.contains("backed off"))
+    // a worse requeue reading keeps the prior max AND payload
+    val (kept, keptPayload) = Bench.requeueWith(spark, "skew20",
+      (bad, Some("old")), threshold = -2.0,
+      scala.collection.mutable.ArrayBuffer.empty, maxWaitMs = 0L) {
+      (1000d, "worse")
+    }
+    assert(kept.max === bad.max && keptPayload.contains("old"))
+    // a clean set (no failures, tight spread) never requeues...
+    val clean = Bench.RunSet(9e6, 0.05, Seq(9e6, 8.7e6, 8.9e6),
+      Seq.empty, Seq("run1: ok", "run2: ok", "run3: ok"))
+    val (same, _) = Bench.requeueWith(spark, "x", (clean, None),
+      threshold = -2.0, notes, maxWaitMs = 0L) {
+      fail("a clean set must not re-run"); (0d, ())
+    }
+    assert(same eq clean)
+    // ...and neither does a suspicious set on a QUIET box
+    val (sameQuiet, _) = Bench.requeueWith(spark, "x", (bad, None),
+      threshold = 1e9, notes, maxWaitMs = 0L) {
+      fail("a quiet box must not re-run"); (0d, ())
+    }
+    assert(sameQuiet eq bad)
   }
 
   test("last line carries EVERY query at realistic widths") {
