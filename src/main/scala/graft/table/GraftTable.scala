@@ -987,19 +987,53 @@ final class GraftTable private (spark: SparkSession, val root: String,
     // fail loudly NOW on a syntax error, not mid-ingest (Spark 4's
     // functions.expr defers parsing to analysis — call the parser)
     spark.sessionState.sqlParser.parseExpression(exprSql)
-    val kept = checks().filterNot(_._1 == name)
-    io.writeUtf8(checksConfPath,
-      (kept.toSeq :+ (name -> exprSql)).sortBy(_._1)
-        .map { case (n, e) => s"$n=$e" }.mkString("", "\n", "\n"))
+    val before = checks()
+    val kept = before.filterNot(_._1 == name)
+    val content = (kept.toSeq :+ (name -> exprSql)).sortBy(_._1)
+      .map { case (n, e) => s"$n=$e" }.mkString("", "\n", "\n")
+    io.writeUtf8(checksConfPath, content)
+    if (before.get(name) != Some(exprSql)) commitPropStamp("checks", content)
   }
 
   /** drop a CHECK constraint by name (no-op when absent) */
   def dropCheck(name: String): Unit = {
-    val kept = checks().filterNot(_._1 == name).toSeq.sortBy(_._1)
-    if (kept.isEmpty) io.delete(checksConfPath)
-    else io.writeUtf8(checksConfPath,
-      kept.map { case (n, e) => s"$n=$e" }.mkString("", "\n", "\n"))
+    val before = checks()
+    if (!before.contains(name)) return // nothing changes, nothing stamps
+    val kept = before.filterNot(_._1 == name).toSeq.sortBy(_._1)
+    val content =
+      if (kept.isEmpty) { io.delete(checksConfPath); "" }
+      else {
+        val c = kept.map { case (n, e) => s"$n=$e" }.mkString("", "\n", "\n")
+        io.writeUtf8(checksConfPath, c)
+        c
+      }
+    commitPropStamp("checks", content)
   }
+
+  /** VERSION a metadata property change into the manifest (round-15
+    * verdict #7 — the rebase-vs-metadata-commits hole): constraints
+    * and the schema mode live in side files that stage() validates
+    * against, so a constraint added between a racing writer's stage
+    * and its publish was invisible to the commit race — the loser's
+    * already-validated rows would rebase in un-revalidated (Delta
+    * versions its metadata in the log exactly to close this). Each
+    * change now also commits a `kind = "prop"` fingerprint row: the
+    * change claims a version slot, every in-flight writer therefore
+    * LOSES its CAS race, and [[canRebase]] treats a fingerprint
+    * difference as a real conflict — the forced re-compose re-stages
+    * and re-validates against the new set. No-op on an empty table
+    * (nothing can be in flight against no base; the conf file alone
+    * governs, exactly as before). */
+  private def commitPropStamp(kind: String, content: String): Unit =
+    if (head > 0) {
+      val stamp = GraftTable.propRow(kind, content)
+      commitLoop() { base =>
+        val kept = base.filterNot(r => r.kind == "prop" &&
+          r.file.startsWith(s"prop:$kind:"))
+        Some((kept :+ stamp, Seq.empty))
+      }
+      ()
+    }
 
   /** the table's CHECK constraints, name → boolean SQL expression */
   def checks(): Map[String, String] =
@@ -1064,14 +1098,18 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def setSchemaMode(mode: String): Unit = {
     require(mode == "evolve" || mode == "enforce",
       s"schema mode is 'evolve' or 'enforce' (got '$mode')")
-    if (mode == "evolve") io.delete(schemaModePath)
-    else {
+    if (mode == "evolve") {
+      val had = io.readUtf8(schemaModePath).isDefined
+      io.delete(schemaModePath)
+      if (had) commitPropStamp("schema", "")
+    } else {
       val h = head
       // recorded under PHYSICAL names: enforcement compares against
       // staged frames, which stage physically (renames don't drift it)
       val json =
         if (h == 0) "" else readPhysical(manifestOf(h)).schema.json
       io.writeUtf8(schemaModePath, "enforce\n" + json)
+      commitPropStamp("schema", "enforce\n" + json)
     }
   }
 
@@ -1589,6 +1627,15 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * [[commitLoopMutate]] for the three hazard classes. */
   private def canRebase(oldBase: Seq[FileRef], newBase: Seq[FileRef],
                         m: GraftTable.Mutation): Boolean = {
+    // a METADATA commit (constraint added/dropped, schema mode flipped)
+    // landed in the window: our staged rows were validated against the
+    // OLD set — force the full re-compose, whose stage() re-validates
+    // against the new one (round-15 verdict #7)
+    val oldProps = oldBase.iterator.filter(_.kind == "prop")
+      .map(_.file).toSet
+    val newProps = newBase.iterator.filter(_.kind == "prop")
+      .map(_.file).toSet
+    if (oldProps != newProps) return false
     val oldDataF = oldBase.iterator.filter(_.kind == "data")
       .map(_.file).toSet
     val newData = newBase.filter(_.kind == "data")
@@ -2077,8 +2124,11 @@ final class GraftTable private (spark: SparkSession, val root: String,
             r.kind == "data" && rewritten(r.file)) ++ stamped, Seq(st)))
         } else
           // the full rewrite is the whole live row set with DVs
-          // applied: the new manifest is exactly the staged files
-          Some((stamped, Seq(st)))
+          // applied: the new manifest is the staged files plus the
+          // table-level metadata rows (column mapping, property
+          // fingerprints), which describe the table, not its files
+          Some((base.filter(r => GraftTable.CarriedKinds(r.kind)) ++
+            stamped, Seq(st)))
       }
     }
   }
@@ -2471,6 +2521,21 @@ object GraftTable {
 
   private[table] def colRow(logical: String, physical: String): FileRef =
     FileRef(s"col:$logical:$physical", "col", -1L, -1L)
+
+  /** a metadata-property fingerprint row (`kind = "prop"`) — the
+    * manifest-versioned witness of the checks/schema-mode side files,
+    * so racing writers see property changes as commit conflicts (see
+    * `commitPropStamp`) */
+  private[table] def propRow(kind: String, content: String): FileRef =
+    FileRef(s"prop:$kind:${java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(content))}", "prop",
+      -1L, -1L)
+
+  /** manifest row kinds that CARRY through whole-snapshot rewrites
+    * (cluster's full rewrite replaces every data/DV/bloom ref, but
+    * column-mapping and property-fingerprint rows describe the TABLE,
+    * not its files) */
+  private[table] val CarriedKinds: Set[String] = Set("col", "prop")
 
   /** rename/drop work on identifier-shaped names only (the `col:` row
     * encoding and the projection both depend on it) */

@@ -239,11 +239,14 @@ class GraftSqlParserSpec extends AnyFunSuite {
     }
     val t = graft.table.GraftTable.open(base, root, "k")
     assert(t.head == 1, "the violating SQL append must not commit")
+    // the drop is a VERSIONED metadata commit (round 15: racing
+    // writers must see constraint changes as commit conflicts) — v2
     assert(ext.sql(s"GRAFT CONSTRAINT '$root' DROP amt_nonneg")
       .head.getLong(0) == 0L)
+    assert(t.head == 2, "a constraint change claims a version slot")
     ext.sql(s"GRAFT APPEND INTO '$root' KEY k USING " +
       "SELECT 99L AS k, -1L AS amt").collect()
-    assert(t.head == 2)
+    assert(t.head == 3)
     // bad expression syntax fails AT PARSE, like any SQL statement
     intercept[Exception] {
       ext.sql(s"GRAFT CONSTRAINT '$root' ADD broken CHECK (amt >=)")

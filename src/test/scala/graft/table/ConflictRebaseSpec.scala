@@ -140,6 +140,44 @@ class ConflictRebaseSpec extends AnyFunSuite {
     assertNoOrphans(t)
   }
 
+  test("a constraint added mid-race rejects a rebasing writer's violating rows") {
+    // round-15 verdict #7: constraints live in a side file stage()
+    // validates against, so a constraint added between a racing
+    // writer's stage and its publish used to rebase the loser's
+    // already-validated (now-violating) rows in silently. addCheck is
+    // now a VERSIONED metadata commit (a `prop` fingerprint row): the
+    // loser loses the slot race, canRebase sees the fingerprint
+    // change, and the forced re-compose re-validates — the violating
+    // merge aborts loudly, the table keeps only the constraint commit.
+    val (t, other) = fixture("graft-race-check-add")
+    armRace(t) { other.addCheck("v_no_bad", "v NOT LIKE 'BAD%'") }
+    val ex = intercept[IllegalArgumentException] {
+      t.merge(rows(Seq(3L), "BAD"))
+    }
+    t.beforePublishHook = () => ()
+    assert(ex.getMessage.contains("v_no_bad"),
+      s"the abort must name the mid-race constraint: ${ex.getMessage}")
+    assert(t.head == 2, "only the constraint's metadata commit may land")
+    val got = kv(t.read())
+    assert(got.size == 60 && got(3L) == "s3",
+      "nothing of the violating merge may be visible")
+    assertNoOrphans(t)
+  }
+
+  test("a COMPLIANT mutation racing a constraint add re-stages (never rebases past it)") {
+    val (t, other) = fixture("graft-race-check-ok")
+    armRace(t) { other.addCheck("v_nonempty", "length(v) > 0") }
+    t.stageCounter.set(0)
+    val v = t.merge(rows(Seq(1000L), "ok")) // disjoint keys, valid rows
+    t.beforePublishHook = () => ()
+    assert(v == 3, "constraint commit = v2, re-composed merge = v3")
+    assert(t.stageCounter.get == 2,
+      "a metadata change must force the full re-compose (re-validate), " +
+        "even for a key-disjoint loser")
+    assert(kv(t.read())(1000L) == "ok1000")
+    assertNoOrphans(t)
+  }
+
   test("rebase survives a CHAIN of disjoint winners (multi-loss window)") {
     val (t, other) = fixture("graft-race-chain")
     var fires = 0

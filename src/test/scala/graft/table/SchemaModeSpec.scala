@@ -19,7 +19,7 @@ class SchemaModeSpec extends AnyFunSuite {
   test("enforce rejects extra/missing/changed columns; evolve re-opens") {
     val t = GraftTable.create(spark,
       graft.util.Scratch.dir("graft-schema-enforce"), "k", rows(1, 2))
-    t.setSchemaMode("enforce")
+    t.setSchemaMode("enforce") // v2: mode changes are versioned (r15)
     assert(t.schemaMode() == "enforce")
     // extra column
     val exExtra = intercept[IllegalArgumentException] {
@@ -35,17 +35,18 @@ class SchemaModeSpec extends AnyFunSuite {
       t.append(Seq((5L, 5)).toDF("k", "v"))
     }
     assert(exType.getMessage.contains("changed=v"))
-    assert(t.head == 1, "no rejected write may commit")
+    assert(t.head == 2, "no rejected write may commit")
     // the conforming write (any column ORDER) still lands
     assert(t.append(Seq(("s6", 6L)).toDF("v", "k")
-      .select(col("v"), col("k"))) == 2)
+      .select(col("v"), col("k"))) == 3)
     // a merge with a NARROWER delta passes: whole-row replacement
     // fills missing columns with NULL, so the staged schema is the
     // table's
-    assert(t.merge(Seq(Tuple1(2L)).toDF("k")) == 3)
-    // back to evolve: the wider frame commits (x27's workflow)
+    assert(t.merge(Seq(Tuple1(2L)).toDF("k")) == 4)
+    // back to evolve (v5: the flip is versioned): the wider frame
+    // commits (x27's workflow)
     t.setSchemaMode("evolve")
-    assert(t.append(Seq((7L, "s7", 9L)).toDF("k", "v", "w")) == 4)
+    assert(t.append(Seq((7L, "s7", 9L)).toDF("k", "v", "w")) == 6)
     assert(t.read().columns.toSet == Set("k", "v", "w"))
   }
 
