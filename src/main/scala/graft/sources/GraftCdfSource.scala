@@ -56,16 +56,25 @@ import graft.table.GraftTable
   * production), which is why the shuttle files live there. `commit`
   * prunes windows at or below the committed version.
   *
-  * COST OF THE SHUTTLE (deliberate trade): each window's feed is
-  * written once and read once, so a large catch-up window pays ~2×
-  * its change volume in I/O — the price of replay-stable batches
-  * (the alternative, recomputing `changes()` per replay, can observe
-  * a DIFFERENT result after a concurrent compact/restore moves the
-  * manifest). `maxVersionsPerBatch` bounds the per-window volume;
-  * steady-state windows are one version's changes, where the double
-  * write is noise. A future direct `planInputPartitions` over the
-  * feed's own parquet files could elide the copy for windows whose
-  * file set is provably stable (never across compaction).
+  * SMALL WINDOWS GO DIRECT (round-15 verdict #5 — the steady-state
+  * shape): a ONE-version window whose manifest-estimated change
+  * volume ([[GraftTable.changeVolumeBytes]], zero data reads) fits
+  * [[GraftCdfMicroBatchStream.DirectWindowBytes]] skips the shuttle
+  * entirely — the feed's UnsafeRows are computed at plan time and
+  * shipped INLINE in the input partitions (one job, zero files,
+  * bounded driver memory by the same budget). This is replay-safe
+  * without materialization because the recompute is a pure function
+  * of IMMUTABLE inputs: committed manifests never change (compact/
+  * restore commit NEW versions), data files never rewrite in place,
+  * and a vacuum past the window fails the replay LOUDLY ("expired
+  * from the log") rather than yielding different bytes.
+  *
+  * COST OF THE SHUTTLE (deliberate trade, now catch-up-only): each
+  * bigger window's feed is written once and read once, so a large
+  * catch-up window pays ~2× its change volume in I/O — the price of
+  * not holding an unbounded window on the driver.
+  * `maxVersionsPerBatch` bounds the per-window volume; steady-state
+  * windows are one version's changes, served direct.
   *
   * `startingVersion = 0` bootstraps a from-scratch mirror: the first
   * window emits the starting snapshot as pure inserts (Delta's
@@ -205,6 +214,41 @@ private[sources] class GraftCdfMicroBatchStream(
     val s = start.asInstanceOf[GraftVersionOffset].v
     val e = end.asInstanceOf[GraftVersionOffset].v
     if (e <= s) return Array.empty
+    // DIRECT path for the steady-state window (see the class doc): one
+    // version, change volume provably small — serve the feed's rows
+    // inline, zero shuttle files
+    if (e - s == 1 && s >= 1) {
+      val vol = table.changeVolumeBytes(s, e)
+      if (vol >= 0 &&
+          vol <= GraftCdfMicroBatchStream.DirectWindowBytes) {
+        val sch = schema
+        val rows = feedFor(s, e).queryExecution.toRdd
+          .mapPartitions { rs =>
+            val proj = UnsafeProjection.create(sch)
+            rs.map { r =>
+              val u = proj(r)
+              util.Arrays.copyOf(u.getBytes, u.getSizeInBytes)
+            }
+          }.collect() // bounded by DirectWindowBytes via the estimate
+        // chunk to task-message-friendly partitions (~4 MB each)
+        val chunks = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[Array[Byte]]]
+        var cur = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var curBytes = 0L
+        for (b <- rows) {
+          if (curBytes > 0 && curBytes + b.length > (4L << 20)) {
+            chunks += cur
+            cur = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+            curBytes = 0L
+          }
+          cur += b; curBytes += b.length
+        }
+        if (cur.nonEmpty) chunks += cur
+        return chunks.map(c =>
+          GraftCdfInlinePartition(c.toArray, schema.size): InputPartition)
+          .toArray
+      }
+    }
     val dir = s"$cacheRoot/$s-$e"
     val conf = hconf
     val fs = new Path(dir).getFileSystem(conf.value)
@@ -260,13 +304,40 @@ private[sources] class GraftCdfMicroBatchStream(
   override def stop(): Unit = ()
 }
 
+private[sources] object GraftCdfMicroBatchStream {
+  /** manifest-estimated change volume up to which a one-version window
+    * serves DIRECT (inline rows, no shuttle files). Bounds the
+    * plan-time collect; windows past it — or whose pre-counter
+    * manifests can't size themselves — take the shuttle. */
+  private[sources] val DirectWindowBytes: Long = 32L << 20
+}
+
 private[sources] case class GraftCdfPartition(file: String, numFields: Int)
     extends InputPartition
 
+/** a direct (shuttle-free) window's rows, shipped inline: each element
+  * is one UnsafeRow's backing bytes */
+private[sources] case class GraftCdfInlinePartition(
+    rows: Array[Array[Byte]], numFields: Int) extends InputPartition
+
 private[sources] class GraftCdfReaderFactory(conf: SerializableConfiguration)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftCdfPartition]
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = partition match {
+    case ip: GraftCdfInlinePartition =>
+      new PartitionReader[InternalRow] {
+        private var i = -1
+        override def next(): Boolean = { i += 1; i < ip.rows.length }
+        override def get(): InternalRow = {
+          val row = new UnsafeRow(ip.numFields)
+          row.pointTo(ip.rows(i), ip.rows(i).length)
+          row
+        }
+        override def close(): Unit = ()
+      }
+    case other => createFileReader(other.asInstanceOf[GraftCdfPartition])
+  }
+
+  private def createFileReader(p: GraftCdfPartition): PartitionReader[InternalRow] = {
     new PartitionReader[InternalRow] {
       private val path = new Path(p.file)
       private val in = new java.io.DataInputStream(

@@ -2465,6 +2465,27 @@ final class GraftTable private (spark: SparkSession, val root: String,
     }
   }
 
+  /** the window `(fromV, toV]`'s physical CHANGE VOLUME, from the
+    * manifests alone (zero data reads): bytes of data files the window
+    * removed plus added, plus its new DV sidecars — the size estimate
+    * the cdf source's direct-vs-shuttle choice keys on (an upper-bound
+    * proxy for the net feed: changed rows live in exactly those
+    * files). −1 when any involved ref predates the byte counters —
+    * callers must then take the conservative (shuttle) path. */
+  def changeVolumeBytes(fromV: Long, toV: Long): Long = {
+    val from = manifestOf(fromV)
+    val to = manifestOf(toV)
+    val f = from.collect { case r if r.kind == "data" => r.file -> r.bytes }
+      .toMap
+    val t = to.collect { case r if r.kind == "data" => r.file -> r.bytes }
+      .toMap
+    val fdv = from.collect { case r if r.kind == "dv" => r.file }.toSet
+    val vols = (f.keySet -- t.keySet).toSeq.map(f) ++
+      (t.keySet -- f.keySet).toSeq.map(t) ++
+      to.collect { case r if r.kind == "dv" && !fdv(r.file) => r.bytes }
+    if (vols.exists(_ < 0)) -1L else vols.sum
+  }
+
   // test seam: a completed-but-uncommitted stage IS the mid-commit state
   // the vacuum-safety race is about (stage() returns, tryCommit hasn't
   // run) — exposed so the spec can hold a table in exactly that state

@@ -111,6 +111,50 @@ class GraftCdfSourceSpec extends AnyFunSuite {
       s"bounded windows must arrive one version at a time: $got")
   }
 
+  test("one-version windows plan INLINE partitions: zero shuttle files; catch-up shuttles") {
+    // round-15 verdict #5: the steady-state window (one version, small
+    // manifest-estimated change volume) must not pay the
+    // write-once-read-once shuttle — its feed ships inline in the
+    // partitions. Catch-up windows (multi-version) keep the shuttle.
+    val root = graft.util.Scratch.dir("graft-cdf-direct")
+    val t = GraftTable.create(spark, root, "k",
+      rows(1L to 10L: _*).repartitionByRange(2, col("k"))) // v1
+    t.merge(Seq((2L, "U2")).toDF("k", "v"))                // v2
+    t.delete(col("k") === 5)                               // v3
+    val ckpt = graft.util.Scratch.dir("graft-cdf-direct-ckpt")
+    val schema = t.read().schema
+      .add("change_type", org.apache.spark.sql.types.StringType,
+        nullable = false)
+    val stream = new GraftCdfMicroBatchStream(root, "k",
+      startingVersion = 1L, maxVersionsPerBatch = Long.MaxValue,
+      preimages = false, schema = schema, checkpointLocation = ckpt)
+    val direct = stream.planInputPartitions(
+      GraftVersionOffset(1), GraftVersionOffset(2))
+    assert(direct.nonEmpty &&
+      direct.forall(_.isInstanceOf[GraftCdfInlinePartition]),
+      "a one-version window must serve inline partitions")
+    assert(!new java.io.File(s"$ckpt/graft-cdf-cache").exists,
+      "the direct path must write ZERO shuttle files")
+    // the inline rows decode to exactly the window's net change
+    val factory = stream.createReaderFactory()
+    val got = direct.flatMap { p =>
+      val r = factory.createReader(p)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+      while (r.next()) {
+        val row = r.get()
+        out += ((row.getLong(0), row.getUTF8String(2).toString))
+      }
+      r.close(); out
+    }
+    assert(got.toSet == Set((2L, "update")))
+    // the (1, 3] catch-up window spans two versions: shuttle + _DONE
+    val shuttle = stream.planInputPartitions(
+      GraftVersionOffset(1), GraftVersionOffset(3))
+    assert(shuttle.forall(_.isInstanceOf[GraftCdfPartition]),
+      "multi-version windows must keep the replay-stable shuttle")
+    assert(new java.io.File(s"$ckpt/graft-cdf-cache/1-3/_DONE").exists)
+  }
+
   test("startingTimestamp resolves to the version current at that instant") {
     val root = graft.util.Scratch.dir("graft-cdf-ts")
     val t = GraftTable.create(spark, root, "k", rows(1, 2, 3)) // v1
