@@ -182,6 +182,34 @@ case class GraftConstraintCommand(root: String, name: String,
   }
 }
 
+/** `GRAFT ALTER '<root>' RENAME COLUMN <old> TO <new>` — column
+  * mapping's rename verb ([[graft.table.GraftTable.renameColumn]],
+  * x53): an O(metadata) versioned commit, zero data files touched;
+  * pre-rename files read through the new name, time travel below the
+  * commit serves the old one. Returns the new version. */
+case class GraftRenameColumnCommand(root: String, oldName: String,
+                                    newName: String)
+    extends GraftVersionCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.table.GraftTable.open(session, root, "__unused__")
+    Seq(Row(t.renameColumn(oldName, newName)))
+  }
+}
+
+/** `GRAFT ALTER '<root>' KEY <col> DROP COLUMN <name>` — column
+  * mapping's drop verb ([[graft.table.GraftTable.dropColumn]]): the
+  * column stops projecting, old files keep their bytes, the retired
+  * physical name refuses reuse. KEY is required so the
+  * cannot-drop-the-key guard binds to the real key column. Returns
+  * the new version. */
+case class GraftDropColumnCommand(root: String, key: String, name: String)
+    extends GraftVersionCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.table.GraftTable.open(session, root, key)
+    Seq(Row(t.dropColumn(name)))
+  }
+}
+
 /** `GRAFT VACUUM '<root>' KEEP <n>` — expire everything but the last
   * n versions and physically delete unreferenced files
   * ([[graft.table.GraftTable.expire]]: staging markers and the

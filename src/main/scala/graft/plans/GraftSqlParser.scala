@@ -46,6 +46,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT INDEX '<root>' BLOOM (<c1>[, <c2>...]) [FPP <p>]
   * GRAFT CONSTRAINT '<root>' ADD <name> CHECK (<expr>)
   * GRAFT CONSTRAINT '<root>' DROP <name>
+  * GRAFT ALTER '<root>' RENAME COLUMN <old> TO <new>
+  * GRAFT ALTER '<root>' KEY <col> DROP COLUMN <name>
   * EXPLAIN [EXTENDED|FORMATTED] GRAFT <any of the above>
   * }}}
   *
@@ -88,6 +90,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+CONSTRAINT\s+'([^']+)'\s+ADD\s+(\w+)\s+CHECK\s+\((.+)\)\s*""".r
   private val ConstraintDrop =
     """(?is)\s*GRAFT\s+CONSTRAINT\s+'([^']+)'\s+DROP\s+(\w+)\s*""".r
+  private val RenameColumn =
+    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+  private val DropColumn =
+    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+KEY\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
   private val Explain =
     """(?is)\s*EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|CODEGEN\s+|COST\s+)?(GRAFT\s.+)""".r
 
@@ -151,6 +157,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftConstraintCommand(root, name, Some(check))
     case ConstraintDrop(root, name) =>
       GraftConstraintCommand(root, name, None)
+    case RenameColumn(root, oldName, newName) =>
+      GraftRenameColumnCommand(root, oldName, newName)
+    case DropColumn(root, key, name) =>
+      GraftDropColumnCommand(root, key, name)
     case Explain(mode, inner) =>
       // Spark's own parser never sees the GRAFT text, so EXPLAIN over
       // a GRAFT statement is assembled here — the inner plan is built

@@ -259,6 +259,32 @@ class GraftSqlParserSpec extends AnyFunSuite {
     }
   }
 
+  test("GRAFT ALTER renames/drops columns from SQL; the key guard binds") {
+    val root = graft.util.Scratch.dir("graft-sql-colmap")
+    ext.sql(s"GRAFT CREATE '$root' KEY k USING " +
+      "SELECT id AS k, CAST(id AS STRING) AS v, id * 2 AS extra " +
+      "FROM range(1, 6)")
+    // rename: a versioned metadata commit; reads serve the new name
+    assert(ext.sql(s"GRAFT ALTER '$root' RENAME COLUMN v TO label")
+      .head.getLong(0) == 2L)
+    val t = graft.table.GraftTable.open(base, root, "k")
+    assert(t.read().columns.toSeq == Seq("k", "label", "extra"))
+    assert(t.read(1).columns.toSeq == Seq("k", "v", "extra"),
+      "time travel below the rename serves the old name")
+    // drop: the column stops projecting; the KEY clause binds the guard
+    assert(ext.sql(s"GRAFT ALTER '$root' KEY k DROP COLUMN extra")
+      .head.getLong(0) == 3L)
+    assert(t.read().columns.toSeq == Seq("k", "label"))
+    intercept[IllegalArgumentException] {
+      ext.sql(s"GRAFT ALTER '$root' KEY k DROP COLUMN k")
+    }
+    // EXPLAIN over the mutating form stays side-effect-free
+    val h = t.head
+    ext.sql(s"EXPLAIN GRAFT ALTER '$root' RENAME COLUMN label TO v")
+      .collect()
+    assert(t.head == h, "EXPLAIN must not run the rename")
+  }
+
   test("everything else delegates to Spark's parser untouched") {
     assert(ext.sql("SELECT 1 + 1 AS two").head.getInt(0) == 2)
     // the injected functions ride the same extensions entry point
