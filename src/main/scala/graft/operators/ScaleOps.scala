@@ -2467,6 +2467,106 @@ object ScaleOps {
       |FROM headstate GROUP BY 2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x54 — row-level UPDATE (round 15; Delta's `UPDATE ... SET ...
+  //       WHERE`, the DML verb between merge-by-key and
+  //       delete-by-predicate — the fix-one-field backfill every
+  //       production table runs): rows matching the predicate get
+  //       their assignments applied with OLD-ROW right-hand-side
+  //       semantics, every other row carries verbatim, and planning is
+  //       the same stats-pruned matched-file COW as DELETE — only
+  //       files holding qualifying rows rewrite. The gated query
+  //       updates a key-range slice (status flag + doubled price off
+  //       the OLD price) and aggregates, so the update semantics sit
+  //       inside the hash-checked result; UpdateOverwriteSpec pins the
+  //       partial rewrite, the old-row swap semantics, and NULL-
+  //       predicate rows surviving unchanged.
+  // ---------------------------------------------------------------------
+  private def x54(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x54-update")
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.repartitionByRange(X23_FILES, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))                        // v1
+    t.update(
+      col("o_orderkey") % 37 === 0 && col("o_orderkey") <= mx / 2,
+      Map("o_orderstatus" -> lit("U"),
+          "o_price" -> (col("o_price") * 2).cast(DecimalType(18, 2)))) // v2
+    t.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  private val x54Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |u AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 37 = 0 AND o_orderkey <= m.mx // 2
+      |      THEN 'U' ELSE o_orderstatus END AS o_orderstatus,
+      |    CAST(CASE WHEN o_orderkey % 37 = 0 AND o_orderkey <= m.mx // 2
+      |      THEN CAST(o_totalprice AS DECIMAL(18,2)) * 2
+      |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END
+      |      AS DECIMAL(18,2)) AS o_price
+      |  FROM orders, m)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
+      |FROM u GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x55 — OVERWRITE WHERE (round 15; Delta's `replaceWhere`, the
+  //       BACKFILL verb): one atomic commit deletes every row in the
+  //       predicate's window and inserts the replacement — a reader
+  //       sees the old window or the new one, never neither/both, and
+  //       replacement rows are VALIDATED to stay inside the window
+  //       (a row outside it would silently survive the next backfill).
+  //       The gated query backfills the low key quarter with a
+  //       recomputed slice that also DROPS half its keys — replace
+  //       semantics, not update — and aggregates the final state.
+  //       100 TB shape: the daily partition re-run — stats-pruned to
+  //       the window's files, the rest of the table carried by
+  //       reference (spec-pinned).
+  // ---------------------------------------------------------------------
+  private def x55(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x55-replace")
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.repartitionByRange(X23_FILES, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))                        // v1
+    val repl = o
+      .where(col("o_orderkey") <= mx / 4 && col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), lit("B").as("o_orderstatus"),
+              (col("o_price") + 100).cast(DecimalType(18, 2)).as("o_price"))
+    t.overwriteWhere(col("o_orderkey") <= mx / 4, repl)             // v2
+    t.read()
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
+  private val x55Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_orderkey, o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_price FROM orders),
+      |repl AS (
+      |  SELECT o_orderkey, 'B' AS o_orderstatus,
+      |    CAST(o_price + 100 AS DECIMAL(18,2)) AS o_price
+      |  FROM base, m
+      |  WHERE o_orderkey <= m.mx // 4 AND o_orderkey % 2 = 0),
+      |kept AS (
+      |  SELECT b.* FROM base b, m WHERE NOT (b.o_orderkey <= m.mx // 4)),
+      |final AS (SELECT * FROM kept UNION ALL SELECT * FROM repl)
+      |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(o_price) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -3108,5 +3208,7 @@ object ScaleOps {
     QuerySpec("x50_liquid_clustering", x50, Some(x50Sql)),
     QuerySpec("x51_object_store_commits", x51, Some(x34Sql)),
     QuerySpec("x52_shallow_clone", x52, Some(x52Sql)),
-    QuerySpec("x53_column_mapping", x53, Some(x53Sql)))
+    QuerySpec("x53_column_mapping", x53, Some(x53Sql)),
+    QuerySpec("x54_row_update", x54, Some(x54Sql)),
+    QuerySpec("x55_overwrite_where", x55, Some(x55Sql)))
 }

@@ -182,6 +182,39 @@ case class GraftConstraintCommand(root: String, name: String,
   }
 }
 
+/** `GRAFT UPDATE '<root>' KEY <col> SET <c> = <expr>[, ...] WHERE
+  * <pred>` — row-level UPDATE ([[graft.table.GraftTable.update]],
+  * x54): matched rows get the assignments (old-row RHS semantics),
+  * planning is the stats-pruned matched-file COW. Returns the new
+  * version. */
+case class GraftUpdateCommand(root: String, key: String,
+                              assignments: Seq[(String, String)],
+                              whereSql: String)
+    extends GraftVersionCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.table.GraftTable.open(session, root, key)
+    Seq(Row(t.update(org.apache.spark.sql.functions.expr(whereSql),
+      assignments.map { case (c, e) =>
+        c -> org.apache.spark.sql.functions.expr(e) }.toMap)))
+  }
+}
+
+/** `GRAFT OVERWRITE '<root>' KEY <col> WHERE <pred> USING <query>` —
+  * the backfill verb ([[graft.table.GraftTable.overwriteWhere]],
+  * x55): one atomic commit replaces the predicate's window with the
+  * query's rows, which must all satisfy the predicate. Returns the
+  * new version. */
+case class GraftOverwriteCommand(root: String, key: String,
+                                 whereSql: String, sourceSql: String)
+    extends GraftVersionCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.table.GraftTable.open(session, root, key)
+    Seq(Row(t.overwriteWhere(
+      org.apache.spark.sql.functions.expr(whereSql),
+      session.sql(sourceSql))))
+  }
+}
+
 /** `GRAFT ALTER '<root>' RENAME COLUMN <old> TO <new>` — column
   * mapping's rename verb ([[graft.table.GraftTable.renameColumn]],
   * x53): an O(metadata) versioned commit, zero data files touched;

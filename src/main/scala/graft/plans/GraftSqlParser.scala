@@ -48,6 +48,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT CONSTRAINT '<root>' DROP <name>
   * GRAFT ALTER '<root>' RENAME COLUMN <old> TO <new>
   * GRAFT ALTER '<root>' KEY <col> DROP COLUMN <name>
+  * GRAFT UPDATE '<root>' KEY <col> SET <c> = <expr>[, ...] WHERE <pred>
+  * GRAFT OVERWRITE '<root>' KEY <col> WHERE <pred> USING <query>
   * EXPLAIN [EXTENDED|FORMATTED] GRAFT <any of the above>
   * }}}
   *
@@ -94,6 +96,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
   private val DropColumn =
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+KEY\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
+  // greedy SET blob + the LAST "WHERE": a scalar assignment expression
+  // never contains WHERE, the predicate may not either — same shape
+  // discipline as Delete's
+  private val Update =
+    """(?is)\s*GRAFT\s+UPDATE\s+'([^']+)'\s+KEY\s+(\w+)\s+SET\s+(.+)\s+WHERE\s+(.+?)\s*""".r
+  private val Overwrite =
+    """(?is)\s*GRAFT\s+OVERWRITE\s+'([^']+)'\s+KEY\s+(\w+)\s+WHERE\s+(.+?)\s+USING\s+(.+?)\s*""".r
   private val Explain =
     """(?is)\s*EXPLAIN\s+(EXTENDED\s+|FORMATTED\s+|CODEGEN\s+|COST\s+)?(GRAFT\s.+)""".r
 
@@ -161,6 +170,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftRenameColumnCommand(root, oldName, newName)
     case DropColumn(root, key, name) =>
       GraftDropColumnCommand(root, key, name)
+    case Update(root, key, setBlob, whereSql) =>
+      val assignments = splitAssignments(setBlob)
+      // validate every RHS and the predicate's SYNTAX at parse time,
+      // like the other mutating verbs
+      assignments.foreach { case (_, e) => delegate.parseExpression(e) }
+      delegate.parseExpression(whereSql)
+      GraftUpdateCommand(root, key, assignments, whereSql)
+    case Overwrite(root, key, whereSql, sourceSql) =>
+      delegate.parseExpression(whereSql)
+      delegate.parsePlan(sourceSql)
+      GraftOverwriteCommand(root, key, whereSql, sourceSql)
     case Explain(mode, inner) =>
       // Spark's own parser never sees the GRAFT text, so EXPLAIN over
       // a GRAFT statement is assembled here — the inner plan is built
@@ -176,6 +196,30 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       }
       ExplainCommand(parsePlan(inner), m)
     case _ => delegate.parsePlan(sqlText)
+  }
+
+  /** split a SET blob on TOP-LEVEL commas (commas inside function-call
+    * parens belong to their expression) into (column, expression)
+    * pairs; malformed assignments fail at parse like any SQL */
+  private def splitAssignments(blob: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    blob.foreach { c =>
+      if (c == ',' && depth == 0) { parts += cur.toString; cur.clear() }
+      else {
+        if (c == '(') depth += 1 else if (c == ')') depth -= 1
+        cur += c
+      }
+    }
+    parts += cur.toString
+    val One = """(?s)\s*(\w+)\s*=\s*(.+?)\s*""".r
+    parts.toSeq.map {
+      case One(c, e) => (c, e)
+      case bad => throw new IllegalArgumentException(
+        s"GRAFT UPDATE: malformed SET assignment '$bad' " +
+          "(expected <column> = <expression>)")
+    }
   }
 
   override def parseQuery(sqlText: String): LogicalPlan =

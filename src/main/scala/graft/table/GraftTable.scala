@@ -1971,6 +1971,108 @@ final class GraftTable private (spark: SparkSession, val root: String,
     }
   }
 
+  /** row-level UPDATE (Delta's `UPDATE ... SET ... WHERE`, the DML
+    * verb between merge-by-key and delete-by-predicate): rows where
+    * `predicate` is TRUE get each `set` assignment applied; every
+    * other row — NULL-evaluating rows included, SQL semantics —
+    * carries verbatim. COW: the same stats/bloom-pruned candidate →
+    * exactly-matched-files planning as [[delete]], so only files
+    * holding qualifying rows rewrite (the 100 TB shape: a
+    * fix-one-field backfill touches the matched key range's files,
+    * never the table).
+    *
+    * All right-hand sides evaluate against the OLD row (SQL UPDATE
+    * semantics — `SET a = b, b = a` swaps), assignments must target
+    * existing non-key columns, and CHECK constraints re-validate the
+    * rewritten files at stage time like every mutation. */
+  def update(predicate: Column, set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "UPDATE needs at least one SET assignment")
+    val tree0 = PredicateTree.parse(predicate)
+    commitLoopMutate() { base =>
+      val tree = PredicateTree.mapColumns(tree0, physicalOf(base))
+      val addConflicts = (wAdded: Seq[FileRef]) =>
+        wAdded.exists(r => eval.mayMatch(tree, r))
+      val data = base.filter(_.kind == "data")
+      val lcols = logicalCols(base)
+      set.keys.foreach { c =>
+        require(lcols.contains(c),
+          s"SET targets unknown column '$c' (columns: ${lcols.mkString(", ")})")
+        require(c != keyCol, s"cannot UPDATE the key column '$c' — " +
+          "use merge() to move rows between keys")
+      }
+      val cand = bloomRefine(base, data,
+        data.filter(r => eval.mayMatch(tree, r)).map(_.file).sorted, tree)
+      val matched =
+        if (cand.isEmpty) Seq.empty[String]
+        else toLogical(base, scan(base, cand)).where(predicate)
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      val ms = matched.toSet
+      if (matched.isEmpty)
+        Some(GraftTable.Mutation(Set.empty, Seq.empty, Seq.empty,
+          Set.empty, addConflicts))
+      else {
+        val touched = toLogical(base,
+          scan(base, matched).drop("__file", "__pos"))
+        // ONE select evaluates every RHS against the old row; a NULL
+        // predicate leaves the row unchanged (only strict TRUE updates)
+        val updated = touched.select(touched.columns.toSeq.map { c =>
+          set.get(c) match {
+            case Some(e) => when(predicate, e).otherwise(col(c)).as(c)
+            case None    => col(c)
+          }
+        }: _*)
+        val st = stage(toPhysical(base, updated))
+        Some(GraftTable.Mutation(ms, st.refs, Seq(st), ms, addConflicts))
+      }
+    }
+  }
+
+  /** OVERWRITE WHERE (Delta's `replaceWhere` — the backfill verb): ONE
+    * atomic commit that deletes every row matching `predicate` and
+    * inserts `df` in its place, so a reader sees the old partition or
+    * the new one, never neither/both. `df`'s rows must ALL satisfy the
+    * predicate (Delta's replaceWhere constraint) — a row outside the
+    * window would silently survive the next backfill of the same
+    * window; violations abort before any manifest exists. Planning is
+    * the stats-pruned matched-file rewrite of [[delete]]; the
+    * replacement stages as new files alongside. */
+  def overwriteWhere(predicate: Column, df: DataFrame): Long = {
+    val tree0 = PredicateTree.parse(predicate)
+    // the replaceWhere constraint: one scan of the REPLACEMENT (delta-
+    // scale), before anything stages
+    val violating = df.where(coalesce(!predicate, lit(true))).count()
+    require(violating == 0,
+      s"overwriteWhere: $violating replacement row(s) do not satisfy " +
+        "the predicate — a backfill must stay inside its own window")
+    commitLoopMutate() { base =>
+      val tree = PredicateTree.mapColumns(tree0, physicalOf(base))
+      val addConflicts = (wAdded: Seq[FileRef]) =>
+        wAdded.exists(r => eval.mayMatch(tree, r))
+      val data = base.filter(_.kind == "data")
+      val cand = bloomRefine(base, data,
+        data.filter(r => eval.mayMatch(tree, r)).map(_.file).sorted, tree)
+      val matched =
+        if (cand.isEmpty) Seq.empty[String]
+        else toLogical(base, scan(base, cand)).where(predicate)
+          .select(col("__file")).distinct()
+          .collect().map(_.getString(0)).toSeq.sorted
+      val ms = matched.toSet
+      val kept =
+        if (matched.isEmpty) None
+        else Some(toLogical(base, scan(base, matched).drop("__file", "__pos"))
+          .where(coalesce(!predicate, lit(true))))
+      val staged = kept match {
+        case Some(k) =>
+          stage(toPhysical(base,
+            k.unionByName(df, allowMissingColumns = true)))
+        case None => stage(toPhysical(base, df))
+      }
+      Some(GraftTable.Mutation(ms, staged.refs, Seq(staged), ms,
+        addConflicts))
+    }
+  }
+
   /** small-file compaction (OPTIMIZE): bin-packs only files under
     * `smallFileBytes` into ~`targetFiles` right-sized files — files
     * already at target size carry between versions BY REFERENCE (x19's

@@ -285,6 +285,40 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(t.head == h, "EXPLAIN must not run the rename")
   }
 
+  test("GRAFT UPDATE/OVERWRITE run the row-update and backfill verbs from SQL") {
+    val root = graft.util.Scratch.dir("graft-sql-update")
+    ext.sql(s"GRAFT CREATE '$root' KEY k USING " +
+      "SELECT id AS k, id * 10 AS a, id * 100 AS b FROM range(1, 21)")
+    // multi-assignment with a top-level-comma-safe function call; RHS
+    // reads the OLD row (b = a + greatest(a, b) uses pre-update a)
+    assert(ext.sql(s"GRAFT UPDATE '$root' KEY k " +
+      "SET a = b, b = a + greatest(a, b) WHERE k = 3").head.getLong(0) == 2L)
+    val t = graft.table.GraftTable.open(base, root, "k")
+    val r3 = t.read().where(col("k") === 3).head
+    assert(r3.getLong(1) == 300L && r3.getLong(2) == 330L)
+    // the backfill: replace keys <= 5 with a recomputed even-key slice
+    assert(ext.sql(s"GRAFT OVERWRITE '$root' KEY k WHERE k <= 5 USING " +
+      "SELECT id AS k, id AS a, id AS b FROM range(2, 6, 2)")
+      .head.getLong(0) == 3L)
+    val keys = t.read().select(col("k")).collect().map(_.getLong(0)).sorted
+    assert(keys.toSeq == (Seq(2L, 4L) ++ (6L to 20L)))
+    // a replacement row outside the window aborts, table untouched
+    intercept[IllegalArgumentException] {
+      ext.sql(s"GRAFT OVERWRITE '$root' KEY k WHERE k <= 5 USING " +
+        "SELECT 99L AS k, 0L AS a, 0L AS b").collect()
+    }
+    assert(t.head == 3)
+    // parse-time validation: a malformed assignment and a bad RHS both
+    // fail AT PARSE, side-effect-free
+    intercept[Exception] {
+      ext.sql(s"GRAFT UPDATE '$root' KEY k SET a WHERE k = 1")
+    }
+    intercept[Exception] {
+      ext.sql(s"GRAFT UPDATE '$root' KEY k SET a = (b + WHERE k = 1")
+    }
+    assert(t.head == 3)
+  }
+
   test("everything else delegates to Spark's parser untouched") {
     assert(ext.sql("SELECT 1 + 1 AS two").head.getInt(0) == 2)
     // the injected functions ride the same extensions entry point
