@@ -2567,13 +2567,18 @@ final class GraftTable private (spark: SparkSession, val root: String,
     }
   }
 
-  /** the window `(fromV, toV]`'s physical CHANGE VOLUME, from the
+  /** the window `(fromV, toV]`'s CHANGE VOLUME estimate, from the
     * manifests alone (zero data reads): bytes of data files the window
-    * removed plus added, plus its new DV sidecars — the size estimate
-    * the cdf source's direct-vs-shuttle choice keys on (an upper-bound
-    * proxy for the net feed: changed rows live in exactly those
-    * files). −1 when any involved ref predates the byte counters —
-    * callers must then take the conservative (shuttle) path. */
+    * removed plus added, plus — for its new DV sidecars — the ERASED
+    * ROWS they denote, priced as positions × the snapshot's average
+    * data-row width (a DV file itself is ~16 bytes/position, but the
+    * feed a consumer reads carries the erased rows at FULL width — the
+    * sidecar's own size would under-estimate a big MoR delete by the
+    * row-width factor). The cdf source's direct-vs-shuttle choice keys
+    * on this as an upper-bound proxy for the net feed: changed rows
+    * live in exactly those files/positions. −1 when any involved ref
+    * predates the byte/row counters — callers must then take the
+    * conservative (shuttle) path. */
   def changeVolumeBytes(fromV: Long, toV: Long): Long = {
     val from = manifestOf(fromV)
     val to = manifestOf(toV)
@@ -2582,9 +2587,18 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val t = to.collect { case r if r.kind == "data" => r.file -> r.bytes }
       .toMap
     val fdv = from.collect { case r if r.kind == "dv" => r.file }.toSet
+    val toData = to.filter(_.kind == "data")
+    val dataBytes = toData.map(_.bytes)
+    val dataRows = toData.map(_.rows)
+    val avgRowBytes =
+      if (dataBytes.exists(_ < 0) || dataRows.exists(_ < 0)) -1L
+      else math.max(64L, dataBytes.sum / math.max(1L, dataRows.sum))
+    val newDvPositions = to.collect {
+      case r if r.kind == "dv" && !fdv(r.file) => r.hi } // footer counts
     val vols = (f.keySet -- t.keySet).toSeq.map(f) ++
       (t.keySet -- f.keySet).toSeq.map(t) ++
-      to.collect { case r if r.kind == "dv" && !fdv(r.file) => r.bytes }
+      newDvPositions.map(p =>
+        if (p < 0 || avgRowBytes < 0) -1L else p * avgRowBytes)
     if (vols.exists(_ < 0)) -1L else vols.sum
   }
 

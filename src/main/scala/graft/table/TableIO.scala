@@ -239,8 +239,14 @@ private[table] final class TableIO(conf: Configuration) {
           e.addSuppressed(probe)
           throw e // never classify an UNREADABLE slot — see above
       }
-    if (!completeParquet(slot)) { delete(p); throw e }
-    else wrote && java.util.Arrays.equals(slot, ours)
+    if (!completeParquet(slot)) {
+      // cleanup best-effort: a failed delete must not mask the write
+      // failure (the torn slot stays loud either way — readers crash
+      // on the missing PAR1 tail rather than folding silent garbage)
+      try delete(p)
+      catch { case del: java.io.IOException => e.addSuppressed(del) }
+      throw e
+    } else wrote && java.util.Arrays.equals(slot, ours)
   }
 
   /** are `b`ytes a structurally complete parquet file? The cheap
