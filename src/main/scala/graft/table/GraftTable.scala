@@ -1174,7 +1174,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
     require(cols.forall(c => c.nonEmpty && !c.contains(",")),
       s"column names must be non-empty and comma-free: $cols")
     require(fpp > 0.0 && fpp < 0.5, s"fpp must be in (0, 0.5): $fpp")
-    io.writeUtf8(bloomConfPath, s"cols=${cols.mkString(",")}\nfpp=$fpp\n")
+    // sidecars key on PHYSICAL column names (staged frames and the
+    // mapped predicate skeletons both speak physical — x53), so a
+    // LOGICAL name resolves here, once, at declaration time; without
+    // this a post-rename indexBloom("new_name") would silently build
+    // no filters (the staged frame has no such column)
+    val phys = cols.map(physicalOf(headRefs))
+    io.writeUtf8(bloomConfPath, s"cols=${phys.mkString(",")}\nfpp=$fpp\n")
   }
 
   /** the persisted bloom-index config — (columns, fpp), None when the

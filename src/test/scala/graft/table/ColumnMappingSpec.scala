@@ -149,6 +149,23 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(t.read(2).columns.toSeq == Seq("k", "label"))
   }
 
+  test("indexBloom on a RENAMED column resolves to the physical name") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-colmap-bloom"), "k", rows(1L, 2L))
+    t.renameColumn("v", "label")
+    val t2 = GraftTable.open(spark, t.root, "k")
+    // declared by the LOGICAL name; sidecars must key on the PHYSICAL
+    // one, or every staged frame would silently skip the filter build
+    t2.indexBloom(Seq("label"))
+    assert(t2.bloomConfig().map(_._1) == Some(Seq("v")))
+    t2.append((3L to 20L).map(k => (k, s"s$k")).toDF("k", "label"))
+    assert(t2.bloomSidecarsOf(t2.head).nonEmpty,
+      "the appended files must carry bloom sidecars")
+    // the logical-name equality probe flows through the mapped skeleton
+    assert(t2.readWhere(col("label") === "s7")
+      .select(col("k")).head.getLong(0) == 7L)
+  }
+
   test("readWhere through a renamed column prunes and filters logically") {
     val t = GraftTable.create(spark,
       graft.util.Scratch.dir("graft-colmap-where"), "k",
