@@ -166,6 +166,20 @@ class ColumnMappingSpec extends AnyFunSuite {
       .select(col("k")).head.getLong(0) == 7L)
   }
 
+  test("the USING graft SQL view serves a renamed table logically") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-colmap-view"), "k", rows(1L to 20L: _*))
+    t.renameColumn("v", "label")
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW colmap_view
+      USING graft OPTIONS (path '${t.root}', keyCol 'k')""")
+    // schema, projection, and the pushed filter all speak LOGICAL
+    val r = spark.sql("SELECT label FROM colmap_view WHERE k = 7")
+    assert(r.columns.toSeq == Seq("label"))
+    assert(r.head.getString(0) == "s7")
+    assert(spark.sql("SELECT count(*) AS n FROM colmap_view")
+      .head.getLong(0) == 20L)
+  }
+
   test("readWhere through a renamed column prunes and filters logically") {
     val t = GraftTable.create(spark,
       graft.util.Scratch.dir("graft-colmap-where"), "k",
