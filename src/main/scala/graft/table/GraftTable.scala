@@ -877,7 +877,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val marker = s"$dataDir/.staging-$uuid"
     io.touch(marker) // BEFORE any data file exists (expire skips it)
     val sub = s"$dataDir/$uuid"
-    df.write.parquet(sub)
+    // a FAILED write (an ANSI cast mid-job, a dead executor) must not
+    // leave the marker + partial dir as staging orphans until a
+    // stale-staging sweep — clean up like a checks violation does
+    try df.write.parquet(sub)
+    catch { case e: Throwable =>
+      io.deleteTree(sub); io.delete(marker); throw e
+    }
     val listed = io.list(sub)
       .filter(_.getPath.getName.startsWith("part-"))
       .map(st => io.canon(st.getPath.toString) -> st.getLen)
@@ -945,7 +951,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val marker = s"$dataDir/.staging-$uuid"
     io.touch(marker)
     val sub = s"$dataDir/$uuid"
-    df.write.parquet(sub)
+    // a FAILED write (an ANSI cast mid-job, a dead executor) must not
+    // leave the marker + partial dir as staging orphans until a
+    // stale-staging sweep — clean up like a checks violation does
+    try df.write.parquet(sub)
+    catch { case e: Throwable =>
+      io.deleteTree(sub); io.delete(marker); throw e
+    }
     val listed = io.list(sub)
       .filter(_.getPath.getName.startsWith("part-"))
       .map(st => io.canon(st.getPath.toString) -> st.getLen)
@@ -1296,7 +1308,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val marker = s"$dataDir/.staging-$uuid"
     io.touch(marker)
     val sub = s"$dataDir/$uuid"
-    df.write.parquet(sub)
+    // a FAILED write (an ANSI cast mid-job, a dead executor) must not
+    // leave the marker + partial dir as staging orphans until a
+    // stale-staging sweep — clean up like a checks violation does
+    try df.write.parquet(sub)
+    catch { case e: Throwable =>
+      io.deleteTree(sub); io.delete(marker); throw e
+    }
     val listed = io.list(sub)
       .filter(_.getPath.getName.startsWith("part-"))
       .map(st => io.canon(st.getPath.toString) -> st.getLen)
@@ -2020,12 +2038,19 @@ final class GraftTable private (spark: SparkSession, val root: String,
       else {
         val touched = toLogical(base,
           scan(base, matched).drop("__file", "__pos"))
+        val types = touched.schema.fields.map(f => f.name -> f.dataType)
+          .toMap
         // ONE select evaluates every RHS against the old row; a NULL
-        // predicate leaves the row unchanged (only strict TRUE updates)
+        // predicate leaves the row unchanged (only strict TRUE
+        // updates). Each RHS CASTS to the column's EXISTING type
+        // (Delta's UPDATE semantics — ANSI, so a lossy value throws
+        // loudly): without the cast, `when` would coerce the WHOLE
+        // column to the RHS's type and poison the staged schema.
         val updated = touched.select(touched.columns.toSeq.map { c =>
           set.get(c) match {
-            case Some(e) => when(predicate, e).otherwise(col(c)).as(c)
-            case None    => col(c)
+            case Some(e) =>
+              when(predicate, e.cast(types(c))).otherwise(col(c)).as(c)
+            case None => col(c)
           }
         }: _*)
         val st = stage(toPhysical(base, updated))

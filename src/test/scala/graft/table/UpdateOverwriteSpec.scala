@@ -59,6 +59,30 @@ class UpdateOverwriteSpec extends AnyFunSuite {
     }
   }
 
+  test("UPDATE casts the RHS to the column's type; never retypes it") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-upd-types"), "k",
+      rows(1L to 5L))
+    // a STRING literal on a LONG column: without the cast, `when`
+    // would coerce the whole column to string in the staged files
+    t.update(col("k") === 2, Map("a" -> lit("77")))
+    assert(t.read().schema("a").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "the column's type must survive the update")
+    assert(t.read().where(col("k") === 2).head.getLong(1) == 77L)
+    // an UNCASTABLE value fails loudly (ANSI), never silently retypes
+    intercept[Exception] {
+      t.update(col("k") === 3, Map("a" -> lit("not a number")))
+    }
+    assert(t.read().where(col("k") === 3).head.getLong(1) == 30L,
+      "the failed update must leave the table untouched")
+    // ...and no staging orphans either: the failed WRITE cleans its
+    // marker + partial dir like a checks violation does
+    val leftover = new java.io.File(s"${t.root}/data").listFiles()
+    assert(!leftover.exists(_.getName.startsWith(".staging-")),
+      "a failed stage write must clear its marker")
+  }
+
   test("UPDATE flows through a renamed column (x53 interaction)") {
     val t = GraftTable.create(spark,
       graft.util.Scratch.dir("graft-upd-renamed"), "k",
