@@ -1273,6 +1273,115 @@ object StreamingOps {
       .where(col("n_rows") > 0)
   }
 
+  /** w24 — STREAMING HEAVY HITTERS: the Misra–Gries frequent-items
+    * summary (the other classic bounded-state streaming sketch beside
+    * w16's KMV) maintained continuously over the word stream — "which
+    * terms dominate the feed right now" with state capped at
+    * [[MG_CAPACITY]] counters per shard FOREVER, however many billions
+    * of tokens pass. Sharded by word hash across [[MG_SHARDS]] state
+    * groups (each word lives in exactly one shard, so shard summaries
+    * union losslessly and the state machine parallelizes like any
+    * keyed aggregation); the final answer is the global top
+    * [[MG_TOP]] by tracked count.
+    *
+    * EXACTNESS REGIME (what makes the oracle a hash-match and the
+    * emission batch-split-insensitive): while a shard tracks fewer
+    * than MG_CAPACITY distinct words, Misra–Gries never decrements —
+    * every tracked count is the exact count and the fold is a plain
+    * sum, independent of batch slicing. The documents fixture has ~31
+    * distinct words, far under 64×8, so the gated query runs in that
+    * regime and must reproduce the exact batch top-k. At production
+    * vocabulary the SAME operator degrades gracefully to the classic
+    * guarantee instead (count underestimates by at most
+    * stream_len/CAPACITY per shard; every true heavy hitter above
+    * that threshold stays tracked) — the knob is capacity, not the
+    * operator. */
+  private val MG_CAPACITY = 64
+  private val MG_SHARDS = 8
+  private val MG_TOP = 10
+
+  private def w24(spark: SparkSession, dir: String): DataFrame =
+    // global top-k over the union of shard summaries — ≤ shards ×
+    // capacity rows BY CONSTRUCTION (the sketch's whole point), so one
+    // bounded sort_array fold ranks them without an unpartitioned
+    // window (negated count makes the ascending struct order
+    // n desc, word asc)
+    w24Probe(spark, dir, MG_CAPACITY, MG_SHARDS)
+      .select(struct((-col("n")).as("negn"), col("word"),
+        col("n")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("all"))
+      .select(posexplode(slice(col("all"), 1, MG_TOP)))
+      .select(col("col.word").as("word"), (col("pos") + 1).as("rnk"),
+              col("col.n").as("n_occurrences"))
+
+  /** the sketch with tunable capacity/shards (the probe knob, s04Probe
+    * style): returns every shard's FINAL tracked (shard, word, n) —
+    * the gated w24 takes the global top-k; HeavyHittersSpec runs a
+    * starved capacity to pin the degraded regime's invariants */
+  private[graft] def w24Probe(spark: SparkSession, dir: String,
+                              capacity: Int, shards: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val stream = stagedStream(spark,
+      Tables.documents(spark, dir).select(col("text")), files = 3)
+    val sentences = stream
+      .select(lit(-1L).as("ts"), col("text").as("sentence"),
+              lit(0).as("sourceId")).as[Sentence]
+    val words = WordCountPipeline.tokenize(sentences)
+      .select(pmod(hash(col("word")), lit(shards)).as("shard"),
+              col("word"))
+      .as[(Int, String)]
+    val perShard = words.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (shard: Int, rows: Iterator[(Int, String)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Map[String, Long])]) => {
+          val (seq, prior) = state.getOption.getOrElse((0L, Map.empty[String, Long]))
+          // Misra–Gries fold: tracked → +1; room → track at 1; full →
+          // decrement every counter, dropping zeros (never taken in
+          // the exact regime — see the class doc)
+          var counters = prior
+          rows.foreach { case (_, w) =>
+            counters.get(w) match {
+              case Some(n) => counters = counters.updated(w, n + 1)
+              case None if counters.size < capacity =>
+                counters = counters.updated(w, 1L)
+              case None =>
+                counters = counters.iterator
+                  .map { case (k, n) => k -> (n - 1) }
+                  .filter(_._2 > 0).toMap
+            }
+          }
+          state.update((seq + 1, counters))
+          // emit the shard's whole (bounded) summary, stamped with the
+          // update sequence so the drain picks each shard's FINAL one
+          counters.iterator.map { case (w, n) => (shard, seq + 1, w, n) }
+        })
+      .toDF("shard", "upd_seq", "word", "n")
+    val emitted = runComplete(spark, perShard, "w24_", mode = "update")
+    // final state per shard = its max-seq emission
+    emitted
+      .withColumn("mx", max(col("upd_seq"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))))
+      .where(col("upd_seq") === col("mx"))
+      .select(col("shard"), col("word"), col("n"))
+  }
+
+  /** the exact batch top-k over q14's tokenization — valid as the
+    * oracle because the fixture runs the sketch in its exact regime */
+  private val w24Sql =
+    s"""WITH tok AS (
+       |  SELECT unnest(string_split_regex(text, '\\W+')) AS word
+       |  FROM documents),
+       |c AS (
+       |  SELECT word, COUNT(*) AS n FROM tok
+       |  WHERE length(word) > 0 GROUP BY word)
+       |SELECT word, rnk, CAST(n AS BIGINT) AS n_occurrences FROM (
+       |  SELECT word, n,
+       |    ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk
+       |  FROM c) t
+       |WHERE rnk <= $MG_TOP""".stripMargin
+
   private val w20Sql =
     """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
       |base AS (
@@ -1313,5 +1422,6 @@ object StreamingOps {
     QuerySpec("w20_stream_merge_upsert", w20, Some(w20Sql)),
     QuerySpec("w21_stream_cdc_replication", w21, Some(ScaleOps.x34Sql)),
     QuerySpec("w22_format_stream_sink", w22, Some(w18Sql)),
-    QuerySpec("w23_stream_incremental_aggregate", w23, Some(ScaleOps.x34Sql)))
+    QuerySpec("w23_stream_incremental_aggregate", w23, Some(ScaleOps.x34Sql)),
+    QuerySpec("w24_stream_heavy_hitters", w24, Some(w24Sql)))
 }
