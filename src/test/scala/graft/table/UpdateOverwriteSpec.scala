@@ -115,6 +115,21 @@ class UpdateOverwriteSpec extends AnyFunSuite {
       "files outside the window must carry by reference")
   }
 
+  test("the change feed nets an OVERWRITE WHERE correctly (CDC through backfill)") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-ow-cdc"), "k",
+      rows(1L to 10L).repartitionByRange(2, col("k"))
+        .sortWithinPartitions("k"))
+    // replace keys <= 4: evens get a += 1, odds DROP
+    t.overwriteWhere(col("k") <= 4,
+      rows(Seq(2L, 4L)).select(col("k"), (col("a") + 1).as("a"), col("b")))
+    val ch = t.changes(1, 2).select(col("k"), col("change_type"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ch == Map(1L -> "delete", 3L -> "delete",
+      2L -> "update", 4L -> "update"),
+      s"a downstream mirror must net the backfill exactly: $ch")
+  }
+
   test("OVERWRITE WHERE rejects replacement rows outside the window") {
     val t = GraftTable.create(spark,
       graft.util.Scratch.dir("graft-ow-guard"), "k", rows(1L to 20L))
