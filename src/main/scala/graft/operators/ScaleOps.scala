@@ -2567,6 +2567,83 @@ object ScaleOps {
       |FROM final GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x56 — ADD COLUMN with a write-time DEFAULT (round 15; Delta's
+  //       `ALTER TABLE ... ADD COLUMN` + column defaults, completing
+  //       the rename/drop/add evolution verb set): the declaration is
+  //       an O(metadata) commit — zero data files touched at any table
+  //       size — with Delta's non-retroactive semantics: pre-add rows
+  //       read NULL, post-add inserts that OMIT the column get the
+  //       default materialized at write time, and explicit values win.
+  //       The gated lifecycle declares `o_tier STRING DEFAULT 'std'`,
+  //       appends without it (default fills), merges WITH it (explicit
+  //       'gold' wins), deletes THROUGH it (predicate on the added
+  //       column: NULL pre-add rows survive per SQL three-valued
+  //       logic, and post-add file pruning uses the column's recorded
+  //       string stats), and reads both head (grouped by tier) and
+  //       version 1 (pre-declaration schema) across the boundary.
+  // ---------------------------------------------------------------------
+  private def x56(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x56-addcol")
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val mx = o.agg(max(col("o_orderkey"))).head.getLong(0)
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.repartitionByRange(X23_FILES, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"))                        // v1
+    t.addColumn("o_tier", StringType, Some("'std'"))                // v2
+    t.append(o.where(col("o_orderkey") % 41 === 0)
+      .select((col("o_orderkey") + mx).as("o_orderkey"),
+              col("o_orderstatus"), col("o_price")))                // v3
+    t.merge(o
+      .where(col("o_orderkey") % 37 === 0 && col("o_orderkey") <= mx / 4)
+      .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+              (col("o_price") * 2).cast(DecimalType(18, 2)).as("o_price"),
+              lit("gold").as("o_tier")))                            // v4
+    t.delete(col("o_tier") === "gold" && col("o_orderkey") % 3 === 0) // v5
+    val hd = t.read()
+      .groupBy(coalesce(col("o_tier"), lit("none")).as("tier_group"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+    val v1 = t.read(1) // pre-declaration schema: no o_tier column
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+      .select(lit("__v1__").as("tier_group"), col("n_rows"),
+              col("sum_price"))
+    hd.unionByName(v1)
+  }
+
+  private val x56Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS amt FROM orders),
+      |merged AS (
+      |  SELECT k,
+      |    CASE WHEN k % 37 = 0 AND k <= m.mx // 4 THEN 'U' ELSE st END
+      |      AS st,
+      |    CASE WHEN k % 37 = 0 AND k <= m.mx // 4
+      |      THEN CAST(amt * 2 AS DECIMAL(18,2)) ELSE amt END AS amt,
+      |    CASE WHEN k % 37 = 0 AND k <= m.mx // 4
+      |      THEN 'gold' ELSE NULL END AS tier
+      |  FROM base, m),
+      |appended AS (
+      |  SELECT b.k + m.mx AS k, b.st, b.amt, 'std' AS tier
+      |  FROM base b, m WHERE b.k % 41 = 0),
+      |headstate AS (
+      |  SELECT * FROM (SELECT * FROM merged
+      |                 UNION ALL SELECT * FROM appended) h
+      |  WHERE COALESCE(NOT (h.tier = 'gold' AND h.k % 3 = 0), TRUE))
+      |SELECT COALESCE(tier, 'none') AS tier_group,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(amt) AS DOUBLE) AS sum_price
+      |FROM headstate GROUP BY 1
+      |UNION ALL
+      |SELECT '__v1__', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(amt) AS DOUBLE)
+      |FROM base""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -3210,5 +3287,6 @@ object ScaleOps {
     QuerySpec("x52_shallow_clone", x52, Some(x52Sql)),
     QuerySpec("x53_column_mapping", x53, Some(x53Sql)),
     QuerySpec("x54_row_update", x54, Some(x54Sql)),
-    QuerySpec("x55_overwrite_where", x55, Some(x55Sql)))
+    QuerySpec("x55_overwrite_where", x55, Some(x55Sql)),
+    QuerySpec("x56_add_column", x56, Some(x56Sql)))
 }

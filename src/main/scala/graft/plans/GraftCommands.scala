@@ -243,6 +243,22 @@ case class GraftDropColumnCommand(root: String, key: String, name: String)
   }
 }
 
+/** `GRAFT ALTER '<root>' ADD COLUMN <name> <type> [DEFAULT <expr>]` —
+  * the declaration verb completing the evolution set
+  * ([[graft.table.GraftTable.addColumn]], x56): an O(metadata)
+  * versioned commit, zero data files touched; existing rows read
+  * NULL, the DEFAULT (a constant expression) materializes into
+  * post-add inserts that omit the column. Returns the new version. */
+case class GraftAddColumnCommand(root: String, name: String,
+                                 typeDdl: String, defaultSql: Option[String])
+    extends GraftVersionCommand {
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.table.GraftTable.open(session, root, "__unused__")
+    Seq(Row(t.addColumn(name,
+      session.sessionState.sqlParser.parseDataType(typeDdl), defaultSql)))
+  }
+}
+
 /** `GRAFT VACUUM '<root>' KEEP <n>` — expire everything but the last
   * n versions and physically delete unreferenced files
   * ([[graft.table.GraftTable.expire]]: staging markers and the

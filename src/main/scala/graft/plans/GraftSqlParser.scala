@@ -48,6 +48,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT CONSTRAINT '<root>' DROP <name>
   * GRAFT ALTER '<root>' RENAME COLUMN <old> TO <new>
   * GRAFT ALTER '<root>' KEY <col> DROP COLUMN <name>
+  * GRAFT ALTER '<root>' ADD COLUMN <name> <type> [DEFAULT <expr>]
   * GRAFT UPDATE '<root>' KEY <col> SET <c> = <expr>[, ...] WHERE <pred>
   * GRAFT OVERWRITE '<root>' KEY <col> WHERE <pred> USING <query>
   * EXPLAIN [EXTENDED|FORMATTED] GRAFT <any of the above>
@@ -96,6 +97,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
   private val DropColumn =
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+KEY\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*""".r
+  // the type is a DDL fragment (possibly parenthesized: DECIMAL(18,2));
+  // lazy so an optional DEFAULT tail never folds into it
+  private val AddColumn =
+    """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+([\w(),\s]+?)(?:\s+DEFAULT\s+(.+?))?\s*""".r
   // greedy SET blob + the LAST "WHERE": a scalar assignment expression
   // never contains WHERE, the predicate may not either — same shape
   // discipline as Delete's
@@ -170,6 +175,13 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftRenameColumnCommand(root, oldName, newName)
     case DropColumn(root, key, name) =>
       GraftDropColumnCommand(root, key, name)
+    case AddColumn(root, name, typeDdl, defaultSql) =>
+      // validate the TYPE and the default's SYNTAX at parse time, like
+      // the other verbs (the constant-expression check runs at execute)
+      delegate.parseDataType(typeDdl)
+      Option(defaultSql).foreach(delegate.parseExpression)
+      GraftAddColumnCommand(root, name, typeDdl.trim,
+        Option(defaultSql).map(_.trim))
     case Update(root, key, setBlob, whereSql) =>
       val assignments = splitAssignments(setBlob)
       // validate every RHS and the predicate's SYNTAX at parse time,

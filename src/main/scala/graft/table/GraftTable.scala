@@ -344,7 +344,17 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * wraps it in the version's logical projection (x53) */
   private def readPhysical(refs: Seq[FileRef]): DataFrame = {
     val data = refs.filter(_.kind == "data").map(_.file)
-    if (data.isEmpty) spark.emptyDataFrame
+    if (data.isEmpty) {
+      // a data-less snapshot still has a schema if columns were
+      // DECLARED (addColumn on an empty table): an empty typed frame
+      val declared = GraftTable.parseAddColRows(refs)
+      if (declared.isEmpty) spark.emptyDataFrame
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(declared.map(a =>
+          org.apache.spark.sql.types.StructField(
+            a.name, a.dataType, nullable = true))))
+    }
     else if (!refs.exists(_.kind == "dv")) readFiles(refs, data)
     else scan(refs, data).drop("__file", "__pos")
   }
@@ -404,6 +414,29 @@ final class GraftTable private (spark: SparkSession, val root: String,
           }
       }
     }
+    // DECLARED columns (x56 ADD COLUMN): part of the snapshot schema
+    // even before any file carries them (readers fill NULL, exactly
+    // like a file that predates an evolved column); a file written
+    // AFTER the declaration carries the column physically and must
+    // agree with (or losslessly widen against) the declared type
+    for (a <- GraftTable.parseAddColRows(refs))
+      fields.get(a.name) match {
+        case None =>
+          fields(a.name) = StructField(a.name, a.dataType, nullable = true)
+        case Some(g) if g.dataType == a.dataType => ()
+        case Some(g) =>
+          GraftTable.widen(g.dataType, a.dataType) match {
+            case Some(w) => fields(a.name) = g.copy(dataType = w)
+            case None =>
+              GraftTable.log.warn(
+                s"table $root: declared column '${a.name}' " +
+                  s"(${a.dataType.simpleString}) conflicts with a " +
+                  s"file-recorded type ${g.dataType.simpleString} — " +
+                  "no lossless widening; falling back to the O(files) " +
+                  "mergeSchema footer sweep.")
+              return None
+          }
+      }
     Some(StructType(fields.values.toSeq))
   }
 
@@ -614,6 +647,34 @@ final class GraftTable private (spark: SparkSession, val root: String,
     df.select(cols: _*)
   }
 
+  /** materialize declared-column WRITE-TIME DEFAULTS (x56) into an
+    * insert-shaped LOGICAL frame that omits them — the one transform
+    * every user-facing insert path (`append`, a merge/apply delta, an
+    * `overwriteWhere` replacement) runs before composing/staging.
+    * Only default-bearing declarations fill (a no-default added column
+    * stays absent: the reader's NULL fill is identical and the file
+    * stays narrower); explicit values always win; a dropped
+    * declaration never resurrects. Identity on tables that never
+    * declared a column. */
+  private def fillDefaults(refs: Seq[FileRef], df: DataFrame): DataFrame = {
+    val added = GraftTable.parseAddColRows(refs)
+    if (added.isEmpty) return df
+    val byPhys = colRows(refs).map { case (l, p) => p -> l }.toMap
+    added.foldLeft(df) { (out, a) =>
+      val logicalName = byPhys.get(a.name) match {
+        case Some("") => None // dropped since: nothing to fill
+        case Some(l)  => Some(l)
+        case None     => Some(a.name)
+      }
+      logicalName match {
+        case Some(ln) if a.defaultSql.isDefined &&
+            !out.columns.contains(ln) =>
+          out.withColumn(ln, expr(a.defaultSql.get).cast(a.dataType))
+        case _ => out
+      }
+    }
+  }
+
   /** the LOGICAL column names of a manifest's snapshot — the physical
     * schema (manifest-recorded; legacy fallback resolves lazily, no
     * job) with the mapping applied */
@@ -679,6 +740,66 @@ final class GraftTable private (spark: SparkSession, val root: String,
         GraftTable.parseColRows(Seq(r)).exists(_._2 == p))
       Some((kept :+ GraftTable.colRow("", p), Seq.empty))
     }
+  }
+
+  /** ADD a column (Delta's `ALTER TABLE ... ADD COLUMN`, completing
+    * the rename/drop/add evolution verb set): an O(metadata) commit
+    * writing a `kind = "addcol"` declaration row — ZERO data files
+    * touched at any table size. Existing rows read NULL (Delta's
+    * non-retroactive semantics: defaults are never backfilled);
+    * `defaultSql` — a constant SQL expression — materializes at WRITE
+    * time into any insert-shaped frame (`append`, a merge/applyChanges
+    * delta, an `overwriteWhere` replacement) that omits the column, so
+    * post-add ingest gets the default while explicit values always
+    * win. Time travel below this commit serves the old schema; the new
+    * column renames/drops like any other. The declaration is
+    * manifest-versioned, so a mid-race add costs every in-flight
+    * writer its CAS race and forces the full re-compose (whose
+    * write-time fill sees the new default) — same discipline as the
+    * constraint/schema-mode stamps. */
+  def addColumn(name: String,
+                dataType: org.apache.spark.sql.types.DataType,
+                defaultSql: Option[String] = None): Long = {
+    require(name.matches(GraftTable.ColIdent),
+      s"column names are identifiers ([A-Za-z_][A-Za-z0-9_]*): '$name'")
+    defaultSql.foreach { d =>
+      require(!d.contains("\n") && d.nonEmpty,
+        "default must be one non-empty line")
+      // fail loudly NOW, not mid-ingest: the default must parse, be
+      // CONSTANT (no column references), and cast to the declared type
+      val parsed = spark.sessionState.sqlParser.parseExpression(d)
+      val attrs = parsed.collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.sql
+      }
+      require(attrs.isEmpty,
+        s"default for '$name' must be a constant expression; it " +
+          s"references: ${attrs.mkString(", ")}")
+      spark.range(1).select(expr(d).cast(dataType)).collect()
+    }
+    val v = commitLoop() { base =>
+      val lcols = logicalCols(base)
+      require(!lcols.contains(name), s"column '$name' already exists " +
+        s"(columns: ${lcols.mkString(", ")})")
+      require(!colRows(base).exists(_._2 == name),
+        s"'$name' is a retired physical name on this table (the " +
+          "storage name behind a rename or drop) — pick a fresh one")
+      require(!GraftTable.parseAddColRows(base).exists(_.name == name),
+        s"column '$name' is already declared")
+      val data = base.filter(_.kind == "data")
+      require(data.forall(_.schemaJson.nonEmpty),
+        "addColumn requires manifest-recorded per-file schemas; this " +
+          "table has pre-schema-manifest files — compact() once to " +
+          "rewrite them under the recorded schema")
+      Some((base :+ GraftTable.addColRow(
+        GraftTable.AddedCol(name, dataType, defaultSql)), Seq.empty))
+    }
+    // an enforce-mode table's recorded schema must gain the column, or
+    // every post-add write would be rejected as drift; re-capturing
+    // from the head snapshot (which now includes the declaration) also
+    // re-stamps the property fingerprint
+    if (schemaMode() == "enforce") setSchemaMode("enforce")
+    v
   }
 
   // ---- read plumbing --------------------------------------------------
@@ -1651,15 +1772,15 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * [[commitLoopMutate]] for the three hazard classes. */
   private def canRebase(oldBase: Seq[FileRef], newBase: Seq[FileRef],
                         m: GraftTable.Mutation): Boolean = {
-    // a METADATA commit (constraint added/dropped, schema mode flipped)
-    // landed in the window: our staged rows were validated against the
-    // OLD set — force the full re-compose, whose stage() re-validates
-    // against the new one (round-15 verdict #7)
-    val oldProps = oldBase.iterator.filter(_.kind == "prop")
+    // a METADATA commit (constraint added/dropped, schema mode flipped,
+    // column declared) landed in the window: our staged rows were
+    // validated/filled against the OLD set — force the full
+    // re-compose, whose stage() re-validates against the new one
+    // (round-15 verdict #7) and whose fill sees the new default (x56)
+    val meta = (rs: Seq[FileRef]) => rs.iterator
+      .filter(r => r.kind == "prop" || r.kind == "addcol")
       .map(_.file).toSet
-    val newProps = newBase.iterator.filter(_.kind == "prop")
-      .map(_.file).toSet
-    if (oldProps != newProps) return false
+    if (meta(oldBase) != meta(newBase)) return false
     val oldDataF = oldBase.iterator.filter(_.kind == "data")
       .map(_.file).toSet
     val newData = newBase.filter(_.kind == "data")
@@ -1718,7 +1839,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
 
   /** append-only commit: new files, every existing file by reference */
   def append(df: DataFrame): Long = {
-    val st = stage(toPhysical(headRefs, df))
+    val hr = headRefs
+    val st = stage(toPhysical(hr, fillDefaults(hr, df)))
     val v = commitLoop() (base => Some((base ++ st.refs, Seq.empty)))
     st.markers.foreach(io.delete)
     v
@@ -1736,7 +1858,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def streamAppend(df: DataFrame, batchId: Long): Long = {
     require(batchId >= 0, "batchId must be >= 0")
     if (committedTxns().contains(batchId)) return head
-    val st = stage(toPhysical(headRefs, df))
+    val hr = headRefs
+    val st = stage(toPhysical(hr, fillDefaults(hr, df)))
     val v = commitLoop(txn = batchId) { base =>
       if (committedTxns().contains(batchId)) { discardStaged(st); None }
       else Some((base ++ st.refs, Seq.empty))
@@ -1867,11 +1990,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
       // postimage (a delete) simply never comes back. Missing columns
       // on either side (an evolved table merged with a pre-evolution
       // delta, or vice versa) fill with NULL — whole-row replacement,
-      // not column-wise patching.
+      // not column-wise patching — except declared write-time defaults
+      // (x56), which materialize into the incoming side first.
       val kept = touched.join(keySide(allKeys, nKeys), Seq(keyCol),
         "left_anti")
       val st = stage(toPhysical(base,
-        kept.unionByName(post, allowMissingColumns = true)))
+        kept.unionByName(fillDefaults(base, post),
+          allowMissingColumns = true)))
       val ms = matched.toSet
       // footprint for the lost-race rebase check: content dependency =
       // the matched files (their unmatched rows ride our rewrite);
@@ -2093,11 +2218,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
         if (matched.isEmpty) None
         else Some(toLogical(base, scan(base, matched).drop("__file", "__pos"))
           .where(coalesce(!predicate, lit(true))))
+      val df2 = fillDefaults(base, df) // write-time defaults (x56)
       val staged = kept match {
         case Some(k) =>
           stage(toPhysical(base,
-            k.unionByName(df, allowMissingColumns = true)))
-        case None => stage(toPhysical(base, df))
+            k.unionByName(df2, allowMissingColumns = true)))
+        case None => stage(toPhysical(base, df2))
       }
       Some(GraftTable.Mutation(ms, staged.refs, Seq(staged), ms,
         addConflicts))
@@ -2699,11 +2825,46 @@ object GraftTable {
       scala.util.hashing.MurmurHash3.stringHash(content))}", "prop",
       -1L, -1L)
 
+  /** a DECLARED column (`kind = "addcol"` manifest row — Delta's
+    * `ALTER TABLE ... ADD COLUMN`, x56): `name` is the column's
+    * PHYSICAL storage name (it is born unmapped; a later rename adds a
+    * `col` row over it), `dataType` the declared type, `defaultSql`
+    * the write-time default — a constant SQL expression materialized
+    * into any INSERT-shaped frame that omits the column. Rows that
+    * predate the declaration read NULL (Delta's documented
+    * non-retroactive default semantics: `existing rows are not
+    * backfilled`). */
+  private[table] final case class AddedCol(
+      name: String, dataType: org.apache.spark.sql.types.DataType,
+      defaultSql: Option[String])
+
+  /** parse `kind = "addcol"` rows — base64 keeps the type JSON and the
+    * default expression colon-free inside the row encoding */
+  private[table] def parseAddColRows(refs: Seq[FileRef]): Seq[AddedCol] =
+    refs.collect { case r if r.kind == "addcol" =>
+      val s = r.file.stripPrefix("addcol:")
+      val Array(name, tB64, dB64) = s.split(":", 3)
+      val dec = java.util.Base64.getDecoder
+      val t = org.apache.spark.sql.types.DataType.fromJson(
+        new String(dec.decode(tB64), java.nio.charset.StandardCharsets.UTF_8))
+      val d = new String(dec.decode(dB64),
+        java.nio.charset.StandardCharsets.UTF_8)
+      AddedCol(name, t, if (d.isEmpty) None else Some(d))
+    }
+
+  private[table] def addColRow(c: AddedCol): FileRef = {
+    val enc = java.util.Base64.getEncoder
+    def b64(s: String) = enc.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    FileRef(s"addcol:${c.name}:${b64(c.dataType.json)}:" +
+      b64(c.defaultSql.getOrElse("")), "addcol", -1L, -1L)
+  }
+
   /** manifest row kinds that CARRY through whole-snapshot rewrites
     * (cluster's full rewrite replaces every data/DV/bloom ref, but
-    * column-mapping and property-fingerprint rows describe the TABLE,
-    * not its files) */
-  private[table] val CarriedKinds: Set[String] = Set("col", "prop")
+    * column-mapping, declared-column, and property-fingerprint rows
+    * describe the TABLE, not its files) */
+  private[table] val CarriedKinds: Set[String] = Set("col", "addcol", "prop")
 
   /** rename/drop work on identifier-shaped names only (the `col:` row
     * encoding and the projection both depend on it) */

@@ -285,6 +285,37 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(t.head == h, "EXPLAIN must not run the rename")
   }
 
+  test("GRAFT ALTER ADD COLUMN declares with a type and optional default") {
+    val root = graft.util.Scratch.dir("graft-sql-addcol")
+    ext.sql(s"GRAFT CREATE '$root' KEY k USING " +
+      "SELECT id AS k, CAST(id AS STRING) AS v FROM range(1, 4)")
+    assert(ext.sql(
+      s"GRAFT ALTER '$root' ADD COLUMN tier STRING DEFAULT 'std'")
+      .head.getLong(0) == 2L)
+    ext.sql(s"GRAFT APPEND INTO '$root' KEY k USING " +
+      "SELECT id AS k, CAST(id AS STRING) AS v FROM range(10, 12)")
+    val t = graft.table.GraftTable.open(base, root, "k")
+    assert(t.read().columns.toSeq == Seq("k", "v", "tier"))
+    val byK = t.read().collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(byK(1L) == null && byK(10L) == "std")
+    // a parenthesized DDL type parses; DEFAULT stays optional
+    assert(ext.sql(
+      s"GRAFT ALTER '$root' ADD COLUMN amt DECIMAL(18,2)")
+      .head.getLong(0) > 2L)
+    assert(t.read().columns.toSeq == Seq("k", "v", "tier", "amt"))
+    // type typos fail AT PARSE, like any SQL
+    intercept[Exception] {
+      ext.sql(s"GRAFT ALTER '$root' ADD COLUMN bad NOTATYPE")
+    }
+    // EXPLAIN stays side-effect-free
+    val h = t.head
+    ext.sql(s"EXPLAIN GRAFT ALTER '$root' ADD COLUMN e2 INT DEFAULT 7")
+      .collect()
+    assert(t.head == h, "EXPLAIN must not run the add")
+  }
+
   test("GRAFT UPDATE/OVERWRITE run the row-update and backfill verbs from SQL") {
     val root = graft.util.Scratch.dir("graft-sql-update")
     ext.sql(s"GRAFT CREATE '$root' KEY k USING " +
