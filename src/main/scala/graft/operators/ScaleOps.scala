@@ -2644,6 +2644,51 @@ object ScaleOps {
       |FROM base""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x57 — AUTO-COMPACTION (round 15; Delta's `autoCompact` table
+  //       property — the built-in answer to the streaming small-file
+  //       problem): with the policy set, every ingest commit checks
+  //       ONE manifest (zero FileSystem RPCs) and, past the small-file
+  //       threshold, folds the small files inline with the existing
+  //       bin-packing compact. The gated lifecycle ingests 8 slices
+  //       (each a 2-file micro-batch) under a 6-file threshold, so the
+  //       fold fires repeatedly mid-stream; the result aggregates the
+  //       final table (contents must be untouched by folding) and
+  //       carries a files_bounded witness — without the policy the
+  //       table would end at 16+ files, with it ≤ 6.
+  //
+  //       100 TB shape: a row re-folds only while its file is under
+  //       smallFileBytes — O(log(smallFileBytes/batch)) amortized
+  //       rewrites per row (the LSM bound) — while the MANIFEST stays
+  //       at O(threshold + big files) instead of one entry per
+  //       micro-batch forever; unbounded manifest growth is what
+  //       actually kills a year-old streaming table.
+  // ---------------------------------------------------------------------
+  private def x57(spark: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.Scratch.dir("graft-x57-autocompact")
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey"), col("o_orderstatus"),
+      col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val t = graft.table.GraftTable.create(spark, root, "o_orderkey",
+      o.where(col("o_orderkey") % 8 === 0).repartition(2))         // v1
+    t.setAutoCompact(minSmallFiles = 6, smallFileBytes = 1L << 30,
+      targetFiles = 2)
+    (1 to 7).foreach(i =>
+      t.append(o.where(col("o_orderkey") % 8 === i).repartition(2)))
+    val bounded = t.filesOf(t.head).size <= 6
+    t.read().groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+      .withColumn("files_bounded", lit(bounded))
+  }
+
+  private val x57Sql =
+    """SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  TRUE AS files_bounded
+      |FROM orders GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -3288,5 +3333,6 @@ object ScaleOps {
     QuerySpec("x53_column_mapping", x53, Some(x53Sql)),
     QuerySpec("x54_row_update", x54, Some(x54Sql)),
     QuerySpec("x55_overwrite_where", x55, Some(x55Sql)),
-    QuerySpec("x56_add_column", x56, Some(x56Sql)))
+    QuerySpec("x56_add_column", x56, Some(x56Sql)),
+    QuerySpec("x57_auto_compact", x57, Some(x57Sql)))
 }

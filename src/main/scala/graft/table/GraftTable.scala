@@ -1843,6 +1843,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val st = stage(toPhysical(hr, fillDefaults(hr, df)))
     val v = commitLoop() (base => Some((base ++ st.refs, Seq.empty)))
     st.markers.foreach(io.delete)
+    maybeAutoCompact() // may advance head past the returned version
     v
   }
 
@@ -1865,6 +1866,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
       else Some((base ++ st.refs, Seq.empty))
     }
     st.markers.foreach(io.delete)
+    maybeAutoCompact() // may advance head past the returned version
     v
   }
 
@@ -2282,6 +2284,61 @@ final class GraftTable private (spark: SparkSession, val root: String,
           Seq(st)))
       }
     }
+
+  // ---- auto-compaction ----------------------------------------------
+
+  private def autoCompactConfPath = s"$root/autocompact.conf"
+
+  /** enable AUTO-COMPACTION (Delta's `autoCompact` table property —
+    * the built-in answer to the streaming small-file problem): after
+    * every `append`/`streamAppend` commit, if the head manifest holds
+    * at least `minSmallFiles` data files under `smallFileBytes`, an
+    * inline bin-packing [[compact]] folds them to `targetFiles`. The
+    * policy is pure maintenance — it never changes table CONTENTS, so
+    * unlike checks/schema-mode it needs no manifest fingerprint stamp
+    * (a racing writer's staged rows are valid under either setting);
+    * the compaction itself is an ordinary CAS-looped commit.
+    *
+    * 100 TB cost shape: each fold is O(small-file bytes) — never
+    * table-scale — and a row re-folds only while its file is still
+    * under `smallFileBytes`, so a b-byte micro-batch ingest pays
+    * O(log(smallFileBytes / b)) amortized rewrites per row (the
+    * LSM-merge bound) while the manifest stays at
+    * O(minSmallFiles + big files) instead of growing one entry per
+    * micro-batch forever — unbounded manifest growth is what actually
+    * kills a year-old streaming table. */
+  def setAutoCompact(minSmallFiles: Int, smallFileBytes: Long = 64L << 20,
+                     targetFiles: Int = 1): Unit = {
+    require(minSmallFiles >= 2 && smallFileBytes > 0 && targetFiles >= 1,
+      s"need minSmallFiles >= 2, smallFileBytes > 0, targetFiles >= 1")
+    io.writeUtf8(autoCompactConfPath,
+      s"$minSmallFiles $smallFileBytes $targetFiles")
+  }
+
+  def clearAutoCompact(): Unit = io.delete(autoCompactConfPath)
+
+  /** the policy, if set: (minSmallFiles, smallFileBytes, targetFiles) */
+  def autoCompact(): Option[(Int, Long, Int)] =
+    io.readUtf8(autoCompactConfPath).map { s =>
+      val a = s.trim.split("\\s+")
+      (a(0).toInt, a(1).toLong, a(2).toInt)
+    }
+
+  /** post-ingest hook: ONE manifest scan (zero FileSystem RPCs on
+    * post-counter tables) decides; a no-op without the policy or
+    * below threshold. Never recursive — compact() has no hook. */
+  private def maybeAutoCompact(): Unit = autoCompact() match {
+    case Some((minSmall, smallBytes, target)) =>
+      val small = headRefs.count(r => r.kind == "data" &&
+        (if (r.bytes >= 0) r.bytes else io.length(r.file)) < smallBytes)
+      // `small > target` too: compact() always commits a version
+      // (mutator contract), and a fold that cannot shrink anything
+      // would be pure version churn re-armed on every append
+      if (small >= minSmall && small > target) {
+        compact(target, smallBytes); ()
+      }
+    case None => ()
+  }
 
   /** Z-ORDER the table (Delta's `OPTIMIZE ... ZORDER BY`): rewrite the
     * snapshot clustered on the Morton interleave of up to four
@@ -3003,7 +3060,8 @@ object GraftTable {
     val t = new GraftTable(spark, root, keyCol)
     t.io.mkdirs(s"$root/commits")
     require(t.head == 0, s"table at $root already exists")
-    Seq("bloom.conf", "checks.conf", "schema.conf").foreach { p =>
+    Seq("bloom.conf", "checks.conf", "schema.conf",
+        "autocompact.conf").foreach { p =>
       src.io.readUtf8(s"$srcRoot/$p")
         .foreach(s => t.io.writeUtf8(s"$root/$p", s))
     }
