@@ -1382,6 +1382,132 @@ object StreamingOps {
        |  FROM c) t
        |WHERE rnk <= $MG_TOP""".stripMargin
 
+  /** w25 — STREAMING QUANTILES: the Ben-Haim/Tom-Tov streaming
+    * histogram (the mergeable bounded-state quantile summary — the
+    * classic sketch behind Spark's own approx decision-tree splits;
+    * "A Streaming Parallel Decision Tree Algorithm", JMLR 2010)
+    * maintained continuously over the token-length stream — "what do
+    * the stream's length quantiles look like right now" with state
+    * capped at [[QS_CAPACITY]] (value, count) bins per shard FOREVER.
+    * Values shard by hash (each distinct value lives in exactly one
+    * shard, so shard histograms union losslessly); the final answer
+    * reads the union — ≤ shards × capacity rows BY CONSTRUCTION —
+    * with one bounded cumulative pass.
+    *
+    * EXACTNESS REGIME (same gating discipline as w24): while a shard
+    * holds fewer than QS_CAPACITY distinct values, no bins ever
+    * merge — the histogram IS the exact value-count map and the
+    * emission is batch-split-insensitive, so the gated query (token
+    * lengths: ~15 distinct values, far under 64×4) must reproduce the
+    * exact discrete quantiles (smallest value whose cumulative count
+    * reaches ⌈q·N⌉ — percentile_disc semantics, computed identically
+    * in both engines). At production cardinality the SAME operator
+    * degrades gracefully: a full shard merges its two CLOSEST bins
+    * into a count-weighted centroid (the BT update), preserving total
+    * count exactly and value order monotonically — the knob is
+    * capacity, not the operator. QuantileSketchSpec pins the starved
+    * regime's invariants (bins bounded, mass preserved, quantiles
+    * monotone and in-range). */
+  private val QS_CAPACITY = 64
+  private val QS_SHARDS = 4
+  private val QS_QUANTILES = Seq(0.25, 0.5, 0.75, 0.9)
+
+  private def w25(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hist = w25Probe(spark, dir, QS_CAPACITY, QS_SHARDS)
+    // union the shard histograms (bounded), then one cumulative pass;
+    // the summary is ≤ shards × capacity rows, so the unpartitioned
+    // window is a constant-size fold, not a data-scale sort
+    val merged = hist.groupBy(col("value"))
+      .agg(sum(col("n")).as("n"))
+    val cum = merged.select(col("value"), col("n"),
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("value"))).as("cum"),
+        sum(col("n")).over().as("tot"))
+    val qs = QS_QUANTILES.toDF("q")
+    qs.crossJoin(cum)
+      .where(col("cum") >= ceil(col("q") * col("tot")))
+      .groupBy(col("q"))
+      .agg(min(col("value")).cast("long").as("value"),
+           max(col("tot")).as("n_total"))
+  }
+
+  /** the sketch with tunable capacity/shards (probe knob): returns
+    * every shard's FINAL (value, n) bins — the gated w25 computes
+    * quantiles over their union; the spec starves capacity to pin the
+    * degraded (merging) regime */
+  private[graft] def w25Probe(spark: SparkSession, dir: String,
+                              capacity: Int, shards: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val stream = stagedStream(spark,
+      Tables.documents(spark, dir).select(col("text")), files = 3)
+    val sentences = stream
+      .select(lit(-1L).as("ts"), col("text").as("sentence"),
+              lit(0).as("sourceId")).as[Sentence]
+    val lens = WordCountPipeline.tokenize(sentences)
+      .select(length(col("word")).cast("double").as("v"))
+      .select(pmod(hash(col("v")), lit(shards)).as("shard"), col("v"))
+      .as[(Int, Double)]
+    val perShard = lens.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+        (shard: Int, rows: Iterator[(Int, Double)],
+         state: org.apache.spark.sql.streaming.GroupState[(Long, Map[Double, Long])]) => {
+          val (seq, prior) = state.getOption
+            .getOrElse((0L, Map.empty[Double, Long]))
+          var bins = prior
+          rows.foreach { case (_, v) =>
+            bins.get(v) match {
+              case Some(n) => bins = bins.updated(v, n + 1)
+              case None =>
+                bins = bins.updated(v, 1L)
+                // BT update: past capacity, fold the two CLOSEST bins
+                // into their count-weighted centroid (never taken in
+                // the exact regime — see the class doc)
+                if (bins.size > capacity) {
+                  val s = bins.toSeq.sortBy(_._1)
+                  val i = s.indices.init
+                    .minBy(j => s(j + 1)._1 - s(j)._1)
+                  val (v1, n1) = s(i); val (v2, n2) = s(i + 1)
+                  val c = (v1 * n1 + v2 * n2) / (n1 + n2)
+                  bins = (bins - v1 - v2).updated(c,
+                    bins.getOrElse(c, 0L) + n1 + n2)
+                }
+            }
+          }
+          state.update((seq + 1, bins))
+          bins.iterator.map { case (v, n) => (shard, seq + 1, v, n) }
+        })
+      .toDF("shard", "upd_seq", "value", "n")
+    val emitted = runComplete(spark, perShard, "w25_", mode = "update")
+    emitted
+      .withColumn("mx", max(col("upd_seq"))
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))))
+      .where(col("upd_seq") === col("mx"))
+      .select(col("shard"), col("value"), col("n"))
+  }
+
+  /** exact discrete quantiles over the same tokenization — valid as
+    * the oracle because the fixture runs the sketch in its exact
+    * regime; the ⌈q·N⌉ rule is spelled out identically in both
+    * engines (never a built-in whose rounding could differ) */
+  private val w25Sql =
+    """WITH tok AS (
+      |  SELECT length(unnest(string_split_regex(text, '\W+'))) AS len
+      |  FROM documents),
+      |c AS (
+      |  SELECT len, COUNT(*) AS n FROM tok WHERE len > 0 GROUP BY len),
+      |cum AS (
+      |  SELECT len, SUM(n) OVER (ORDER BY len) AS cum,
+      |    (SELECT SUM(n) FROM c) AS tot FROM c)
+      |SELECT CAST(q AS DOUBLE) AS q, CAST(MIN(len) AS BIGINT) AS value,
+      |  CAST(MAX(tot) AS BIGINT) AS n_total
+      |FROM (VALUES (0.25), (0.5), (0.75), (0.9)) qs(q), cum
+      |WHERE cum >= CEIL(q * tot)
+      |GROUP BY 1""".stripMargin
+
   private val w20Sql =
     """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
       |base AS (
@@ -1423,5 +1549,6 @@ object StreamingOps {
     QuerySpec("w21_stream_cdc_replication", w21, Some(ScaleOps.x34Sql)),
     QuerySpec("w22_format_stream_sink", w22, Some(w18Sql)),
     QuerySpec("w23_stream_incremental_aggregate", w23, Some(ScaleOps.x34Sql)),
-    QuerySpec("w24_stream_heavy_hitters", w24, Some(w24Sql)))
+    QuerySpec("w24_stream_heavy_hitters", w24, Some(w24Sql)),
+    QuerySpec("w25_stream_quantile_sketch", w25, Some(w25Sql)))
 }
