@@ -162,6 +162,28 @@ case class GraftIndexCommand(root: String, cols: Seq[String],
   }
 }
 
+/** `GRAFT AUTOCOMPACT '<root>' MIN <n> [SMALL <bytes>] [TARGET <m>]` /
+  * `GRAFT AUTOCOMPACT '<root>' OFF` — manage the ingest-time
+  * auto-compaction policy ([[graft.table.GraftTable.setAutoCompact]],
+  * x57). Returns 1 when the policy is armed after the change, 0 when
+  * cleared. */
+case class GraftAutoCompactCommand(root: String, minSmallFiles: Option[Int],
+                                   smallFileBytes: Option[Long],
+                                   targetFiles: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("armed", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val t = graft.table.GraftTable.open(session, root, "__unused__")
+    minSmallFiles match {
+      case Some(n) => t.setAutoCompact(n,
+        smallFileBytes.getOrElse(64L << 20), targetFiles.getOrElse(1))
+      case None => t.clearAutoCompact()
+    }
+    Seq(Row(if (t.autoCompact().isDefined) 1L else 0L))
+  }
+}
+
 /** `GRAFT CONSTRAINT '<root>' ADD <name> CHECK (<expr>)` /
   * `GRAFT CONSTRAINT '<root>' DROP <name>` — manage CHECK constraints
   * ([[graft.table.GraftTable.addCheck]]): every later staged row must

@@ -49,6 +49,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * GRAFT ALTER '<root>' RENAME COLUMN <old> TO <new>
   * GRAFT ALTER '<root>' KEY <col> DROP COLUMN <name>
   * GRAFT ALTER '<root>' ADD COLUMN <name> <type> [DEFAULT <expr>]
+  * GRAFT AUTOCOMPACT '<root>' MIN <n> [SMALL <bytes>] [TARGET <m>]
+  * GRAFT AUTOCOMPACT '<root>' OFF
   * GRAFT UPDATE '<root>' KEY <col> SET <c> = <expr>[, ...] WHERE <pred>
   * GRAFT OVERWRITE '<root>' KEY <col> WHERE <pred> USING <query>
   * EXPLAIN [EXTENDED|FORMATTED] GRAFT <any of the above>
@@ -101,6 +103,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   // lazy so an optional DEFAULT tail never folds into it
   private val AddColumn =
     """(?is)\s*GRAFT\s+ALTER\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+([\w(),\s]+?)(?:\s+DEFAULT\s+(.+?))?\s*""".r
+  private val AutoCompact =
+    """(?is)\s*GRAFT\s+AUTOCOMPACT\s+'([^']+)'\s+MIN\s+(\d+)(?:\s+SMALL\s+(\d+))?(?:\s+TARGET\s+(\d+))?\s*""".r
+  private val AutoCompactOff =
+    """(?is)\s*GRAFT\s+AUTOCOMPACT\s+'([^']+)'\s+OFF\s*""".r
   // greedy SET blob + the LAST "WHERE": a scalar assignment expression
   // never contains WHERE, the predicate may not either — same shape
   // discipline as Delete's
@@ -175,6 +181,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       GraftRenameColumnCommand(root, oldName, newName)
     case DropColumn(root, key, name) =>
       GraftDropColumnCommand(root, key, name)
+    case AutoCompact(root, minN, small, target) =>
+      GraftAutoCompactCommand(root, Some(minN.toInt),
+        Option(small).map(_.toLong), Option(target).map(_.toInt))
+    case AutoCompactOff(root) =>
+      GraftAutoCompactCommand(root, None, None, None)
     case AddColumn(root, name, typeDdl, defaultSql) =>
       // validate the TYPE and the default's SYNTAX at parse time, like
       // the other verbs (the constant-expression check runs at execute)

@@ -316,6 +316,25 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(t.head == h, "EXPLAIN must not run the add")
   }
 
+  test("GRAFT AUTOCOMPACT arms and disarms the ingest policy") {
+    val root = graft.util.Scratch.dir("graft-sql-autocompact")
+    ext.sql(s"GRAFT CREATE '$root' KEY k USING " +
+      "SELECT id AS k, CAST(id AS STRING) AS v FROM range(1, 4)")
+    assert(ext.sql(s"GRAFT AUTOCOMPACT '$root' MIN 3 TARGET 1")
+      .head.getLong(0) == 1L)
+    val t = graft.table.GraftTable.open(base, root, "k")
+    assert(t.autoCompact().contains((3, 64L << 20, 1)))
+    // two more 1-file appends cross the threshold: the fold commits
+    ext.sql(s"GRAFT APPEND INTO '$root' KEY k USING " +
+      "SELECT 10 AS k, 'a' AS v")
+    ext.sql(s"GRAFT APPEND INTO '$root' KEY k USING " +
+      "SELECT 11 AS k, 'b' AS v")
+    assert(t.filesOf(t.head).size <= 2,
+      "the policy must have folded (unfolded would be 4+ files)")
+    assert(ext.sql(s"GRAFT AUTOCOMPACT '$root' OFF").head.getLong(0) == 0L)
+    assert(t.autoCompact().isEmpty)
+  }
+
   test("GRAFT UPDATE/OVERWRITE run the row-update and backfill verbs from SQL") {
     val root = graft.util.Scratch.dir("graft-sql-update")
     ext.sql(s"GRAFT CREATE '$root' KEY k USING " +
