@@ -204,17 +204,39 @@ private[sources] class GraftCdfMicroBatchStream(
     GraftVersionOffset(json.toLong)
 
   /** the window's NET feed, conformed to the stream's fixed schema —
-    * the `(0, endV]` bootstrap window is the endV snapshot as inserts */
+    * the `(0, endV]` bootstrap window is the endV snapshot as inserts.
+    *
+    * Schema-evolution boundaries (x53/x56 landing mid-stream or inside
+    * a catch-up range) conform by POLICY, never by accident:
+    *  - window columns ⊂ pinned (a catch-up window below an ADD
+    *    COLUMN): the missing column genuinely did not exist in those
+    *    versions — fill typed NULL;
+    *  - pinned columns ⊂ window (an ADD landed after the stream
+    *    pinned): the new column projects OUT until a restart re-pins,
+    *    Delta CDF's behavior;
+    *  - BOTH sets differ (a RENAME boundary): filling NULL would emit
+    *    silent nulls for data that exists under the other name — fail
+    *    LOUDLY naming both sides; restarting the stream re-pins and
+    *    resumes from the checkpointed version. */
   private def feedFor(startV: Long, endV: Long)
       : org.apache.spark.sql.DataFrame = {
     val raw =
       if (startV == 0L)
         table.read(endV).withColumn("change_type", lit("insert"))
       else table.changes(startV, endV, preimages = preimages)
-    // conform to the schema fixed at stream start: missing columns
-    // (pre-evolution windows) fill NULL, extra columns are an error a
-    // restart resolves, exactly like Delta CDF
-    raw.select(schema.fieldNames.toSeq.map(col): _*)
+    val have = raw.columns.toSet
+    val missing = schema.fieldNames.filterNot(have)
+    val extra = raw.columns.filterNot(schema.fieldNames.toSet)
+    if (missing.nonEmpty && extra.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-cdf($root): window ($startV, $endV] columns differ from " +
+          s"the stream's pinned schema in BOTH directions (window has " +
+          s"${extra.mkString(", ")}; pinned has ${missing.mkString(", ")})" +
+          " — a column rename crossed the stream. Restart the query to " +
+          "re-pin the schema; it resumes from the checkpointed version.")
+    raw.select(schema.fields.toSeq.map(f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {

@@ -68,6 +68,60 @@ class GraftCdfSourceSpec extends AnyFunSuite {
       (5L, "delete"), (11L, "insert")))
   }
 
+  test("schema evolution boundaries: adds NULL-fill/project by policy; a rename fails loudly") {
+    val root = graft.util.Scratch.dir("graft-cdf-evolve")
+    val t = GraftTable.create(spark, root, "k", rows(1, 2))   // v1
+    t.merge(rows(3))                                          // v2
+    t.addColumn("tier", org.apache.spark.sql.types.StringType,
+      Some("'std'"))                                          // v3
+    t.append(rows(4))                                         // v4 (tier=std)
+    // stream pinned at the POST-add head schema, catching up one
+    // version per window: windows below the add NULL-fill tier, the
+    // window above carries the default
+    val got = new ConcurrentLinkedQueue[(Long, String)]()
+    val q = spark.readStream.format("graft-cdf")
+      .option("path", root).option("keyCol", "k")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerBatch", "1")
+      .load()
+      .writeStream
+      .option("checkpointLocation", graft.util.Scratch.dir("cdf-ev-ckpt"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.select(col("k"), coalesce(col("tier"), lit("-")).as("t"))
+          .collect().foreach(r => got.add((r.getLong(0), r.getString(1))))
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val byK = got.asScala.toMap
+    assert(byK(3L) == "-", "a window below the add NULL-fills the column")
+    assert(byK(4L) == "std", "a window above the add carries the default")
+    // a RENAME boundary inside a catch-up range makes both column sets
+    // differ (per-version windows below the rename speak the old name,
+    // the pinned schema the new): loud failure telling the operator to
+    // restart, never silent NULLs
+    t.renameColumn("v", "label")                              // v5
+    t.merge(Seq((5L, "s5")).toDF("k", "label"))               // v6
+    val e = intercept[Exception] {
+      val q2 = spark.readStream.format("graft-cdf")
+        .option("path", root).option("keyCol", "k")
+        .option("startingVersion", "1")
+        .option("maxVersionsPerBatch", "1")
+        .load()
+        .writeStream
+        .option("checkpointLocation", graft.util.Scratch.dir("cdf-ev-ckpt2"))
+        .foreachBatch { (b: DataFrame, _: Long) => b.count(); () }
+        .start()
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    assert(msgs(e).exists(_.contains("Restart the query")),
+      s"want the rename-boundary message, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("startingVersion 0 bootstraps the starting snapshot as inserts") {
     val root = graft.util.Scratch.dir("graft-cdf-boot")
     val t = GraftTable.create(spark, root, "k", rows(1, 2, 3)) // v1
