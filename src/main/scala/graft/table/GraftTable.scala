@@ -278,6 +278,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
         GraftTable.Snap((carried ++ fresh).sortBy(r => (r.kind, r.file)),
           marker.hi, cTxn, cTs)
     }
+    // reader feature gate: validated once per version per handle (the
+    // memo carries the verdict); see GraftTable.requireReadable
+    GraftTable.requireReadable(root, v, snap.refs)
     snapCache.put(v, snap)
     snap
   }
@@ -717,9 +720,17 @@ final class GraftTable private (spark: SparkSession, val root: String,
       val added =
         if (newName == p) Seq.empty
         else Seq(GraftTable.colRow(newName, p))
-      Some((kept ++ added, Seq.empty))
+      Some((withFeature(kept, "colmap") ++ added, Seq.empty))
     }
   }
+
+  /** `rows` plus the feature flag (idempotent) — every verb that makes
+    * the table depend on a reader capability stamps it (see
+    * [[GraftTable.requireReadable]]) */
+  private def withFeature(rows: Seq[FileRef], f: String): Seq[FileRef] =
+    if (rows.exists(r => r.kind == "feature" &&
+          r.file == s"feature:$f")) rows
+    else rows :+ GraftTable.featureRow(f)
 
   /** DROP a column (Delta's `ALTER TABLE ... DROP COLUMN` under column
     * mapping): an O(metadata) commit — old files keep their bytes
@@ -738,7 +749,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
         s"cannot drop '$name': it is the table's key column")
       val kept = base.filterNot(r => r.kind == "col" &&
         GraftTable.parseColRows(Seq(r)).exists(_._2 == p))
-      Some((kept :+ GraftTable.colRow("", p), Seq.empty))
+      Some((withFeature(kept, "colmap") :+ GraftTable.colRow("", p),
+        Seq.empty))
     }
   }
 
@@ -791,7 +803,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
         "addColumn requires manifest-recorded per-file schemas; this " +
           "table has pre-schema-manifest files — compact() once to " +
           "rewrite them under the recorded schema")
-      Some((base :+ GraftTable.addColRow(
+      Some((withFeature(base, "addcol") :+ GraftTable.addColRow(
         GraftTable.AddedCol(name, dataType, defaultSql)), Seq.empty))
     }
     // an enforce-mode table's recorded schema must gain the column, or
@@ -2919,9 +2931,57 @@ object GraftTable {
 
   /** manifest row kinds that CARRY through whole-snapshot rewrites
     * (cluster's full rewrite replaces every data/DV/bloom ref, but
-    * column-mapping, declared-column, and property-fingerprint rows
-    * describe the TABLE, not its files) */
-  private[table] val CarriedKinds: Set[String] = Set("col", "addcol", "prop")
+    * column-mapping, declared-column, property-fingerprint, and
+    * feature-flag rows describe the TABLE, not its files) */
+  private[table] val CarriedKinds: Set[String] =
+    Set("col", "addcol", "prop", "feature")
+
+  /** READER FEATURE FLAGS (Delta's protocol/table-features,
+    * Iceberg's format-version): the first commit that makes a table
+    * depend on a reader capability also writes a `kind = "feature"`
+    * row naming it, and every reader validates a snapshot's flags
+    * against [[SupportedFeatures]] BEFORE serving it — an older
+    * binary opening a newer table fails with the feature's name
+    * instead of silently mis-projecting (a pre-x53 reader would
+    * resurrect dropped columns and show physical names; a pre-x56 one
+    * would lose declared columns). Unknown row KINDS fail the same
+    * way: a future feature always lands as new-kind rows + its flag,
+    * so the closed-world check is the defense-in-depth layer.
+    * Validation is per-version and memoized with the snapshot
+    * (zero cost on the read path); flags are manifest rows, so time
+    * travel below the feature's introduction still reads, restore
+    * below it drops the requirement, and clones inherit it. */
+  private[table] val SupportedFeatures: Set[String] = Set("colmap", "addcol")
+
+  /** every row kind this binary understands — final-snapshot kinds
+    * plus the slot-encoding markers (`delta`/`rm`) consumed during
+    * the fold */
+  private[table] val KnownKinds: Set[String] =
+    Set("data", "dv", "bloom", "txn", "col", "addcol", "prop", "feature",
+        "delta", "rm")
+
+  private[table] def featureRow(name: String): FileRef =
+    FileRef(s"feature:$name", "feature", -1L, -1L)
+
+  /** fail loudly if snapshot `v` needs capabilities this reader lacks */
+  private[table] def requireReadable(root: String, v: Long,
+                                     refs: Seq[FileRef]): Unit =
+    refs.foreach { r =>
+      if (!KnownKinds(r.kind))
+        throw new IllegalStateException(
+          s"table $root version $v carries manifest rows of unknown " +
+            s"kind '${r.kind}' — written by a newer engine without a " +
+            "feature flag this reader recognizes; upgrade the reader")
+      if (r.kind == "feature") {
+        val f = r.file.stripPrefix("feature:")
+        if (!SupportedFeatures(f))
+          throw new IllegalStateException(
+            s"table $root version $v requires reader feature '$f' " +
+              s"(supported here: ${SupportedFeatures.toSeq.sorted
+                .mkString(", ")}) — upgrade the reader, or time-travel " +
+              "below the version that introduced it")
+      }
+    }
 
   /** rename/drop work on identifier-shaped names only (the `col:` row
     * encoding and the projection both depend on it) */
