@@ -2689,6 +2689,88 @@ object ScaleOps {
       |FROM orders GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x58 — DSv2 TABLE CATALOG (round 15; Delta's catalog shape): graft
+  //       tables addressable from PURE SQL through a registered
+  //       TableCatalog — CREATE TABLE ... TBLPROPERTIES ('key'=...),
+  //       INSERT INTO (the transactional append), ANSI ALTER TABLE
+  //       RENAME/ADD COLUMN mapping onto the metadata-only evolution
+  //       commits (x53/x56), and NATIVE `VERSION AS OF` time travel
+  //       resolved by the catalog. Reads ride Spark's V1Scan shim over
+  //       the existing snapshot plan, so DV application, column
+  //       mapping, declared defaults, and manifest file pruning all
+  //       carry; identifiers resolve through a metastore-style pointer
+  //       (the storage location is immutable because manifests hold
+  //       absolute paths — renames move the pointer only). The gated
+  //       lifecycle creates, ingests two halves, renames a column,
+  //       declares one with a default, ingests through the new shape,
+  //       and reads BOTH head and VERSION AS OF 2 across the rename
+  //       boundary — all via spark.sql text.
+  // ---------------------------------------------------------------------
+  private def x58(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_x58",
+      classOf[graft.sources.GraftCatalog].getName)
+    // the catalog instantiates once per session with the FIRST
+    // warehouse value: set it only if unset, and drop/recreate the
+    // table so re-runs in one JVM stay deterministic
+    if (spark.conf.getOption("spark.sql.catalog.graft_x58.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_x58.warehouse",
+        graft.util.Scratch.dir("graft-x58-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_x58.orders_sql")
+    spark.sql("CREATE TABLE graft_x58.orders_sql (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_price DECIMAL(18,2)) " +
+      "TBLPROPERTIES ('key' = 'o_orderkey')")
+    Tables.orders(spark, dir).createOrReplaceTempView("x58_src")
+    spark.sql("INSERT INTO graft_x58.orders_sql " +
+      "SELECT o_orderkey, o_orderstatus, " +
+      "CAST(o_totalprice AS DECIMAL(18,2)) FROM x58_src " +
+      "WHERE o_orderkey % 2 = 0")                                   // v1
+    spark.sql("INSERT INTO graft_x58.orders_sql " +
+      "SELECT o_orderkey, o_orderstatus, " +
+      "CAST(o_totalprice AS DECIMAL(18,2)) FROM x58_src " +
+      "WHERE o_orderkey % 2 = 1")                                   // v2
+    spark.sql("ALTER TABLE graft_x58.orders_sql " +
+      "RENAME COLUMN o_price TO amount")                            // v3
+    spark.sql("ALTER TABLE graft_x58.orders_sql " +
+      "ADD COLUMN tier STRING DEFAULT 'std'")                       // v4
+    spark.sql("INSERT INTO graft_x58.orders_sql " +
+      "SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM x58_src), " +
+      "'A', CAST(o_totalprice AS DECIMAL(18,2)), 'gold' " +
+      "FROM x58_src WHERE o_orderkey % 41 = 0")                     // v5
+    val hd = spark.sql(
+      "SELECT COALESCE(tier, 'none') AS tier_group, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(amount) AS DOUBLE) AS sum_amount " +
+        "FROM graft_x58.orders_sql GROUP BY 1")
+    val v2 = spark.sql(
+      "SELECT '__v2__' AS tier_group, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_price) AS DOUBLE) AS sum_amount " +
+        "FROM graft_x58.orders_sql VERSION AS OF 2")
+    hd.unionByName(v2)
+  }
+
+  private val x58Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS amt FROM orders),
+      |added AS (
+      |  SELECT b.k + m.mx AS k, 'A' AS st, b.amt, 'gold' AS tier
+      |  FROM base b, m WHERE b.k % 41 = 0),
+      |head AS (
+      |  SELECT k, st, amt, NULL AS tier FROM base
+      |  UNION ALL SELECT * FROM added)
+      |SELECT COALESCE(tier, 'none') AS tier_group,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(amt) AS DOUBLE) AS sum_amount
+      |FROM head GROUP BY 1
+      |UNION ALL
+      |SELECT '__v2__', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(amt) AS DOUBLE)
+      |FROM base""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -3334,5 +3416,6 @@ object ScaleOps {
     QuerySpec("x54_row_update", x54, Some(x54Sql)),
     QuerySpec("x55_overwrite_where", x55, Some(x55Sql)),
     QuerySpec("x56_add_column", x56, Some(x56Sql)),
-    QuerySpec("x57_auto_compact", x57, Some(x57Sql)))
+    QuerySpec("x57_auto_compact", x57, Some(x57Sql)),
+    QuerySpec("x58_sql_catalog", x58, Some(x58Sql)))
 }

@@ -1,0 +1,307 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SQLContext}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.table.GraftTable
+
+/** A DataSourceV2 [[TableCatalog]] over a warehouse directory of
+  * graft tables — the pure-SQL front door (Delta's catalog shape):
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft_cat",
+  *   "graft.sources.GraftCatalog")
+  * spark.conf.set("spark.sql.catalog.graft_cat.warehouse", "/data/wh")
+  *
+  * CREATE TABLE graft_cat.events (id BIGINT, v STRING)
+  *   TBLPROPERTIES ('key' = 'id');
+  * INSERT INTO graft_cat.events SELECT ...;          -- append commit
+  * INSERT OVERWRITE graft_cat.events SELECT ...;     -- one-commit replace
+  * SELECT * FROM graft_cat.events;                   -- head snapshot
+  * SELECT * FROM graft_cat.events VERSION AS OF 3;   -- native time travel
+  * SELECT * FROM graft_cat.events TIMESTAMP AS OF '...';
+  * ALTER TABLE graft_cat.events RENAME COLUMN v TO label;  -- x53
+  * ALTER TABLE graft_cat.events ADD COLUMN t STRING DEFAULT 'std'; -- x56
+  * ALTER TABLE graft_cat.events DROP COLUMN label;
+  * }}}
+  *
+  * Identifiers map to a pointer directory `<warehouse>/<ns...>/<name>`
+  * whose `catalog.conf` records the key column, the declared schema,
+  * and the table's STORAGE LOCATION under `<warehouse>/.store/` —
+  * the metastore indirection every managed-table catalog uses, and
+  * here a hard requirement: graft manifests and DV sidecars hold
+  * absolute file paths (immutable once committed), so the storage
+  * directory can never move; RENAME TO moves only the pointer. Reads reuse the
+  * battle-tested V1 snapshot plan through Spark's [[V1Scan]] shim —
+  * DV application, column mapping, declared defaults, manifest
+  * stats/bloom file pruning all ride along; pushed filters route to
+  * `readWhere` (file skipping) with Spark re-checking every filter
+  * above the scan, and required-column pruning reaches the inner
+  * parquet scan. Writes ride [[V1Write]]: INSERT INTO is the
+  * transactional `append` (declared defaults fill), INSERT OVERWRITE
+  * is `overwriteAll` — one atomic commit, zero reads of the old data.
+  * ANSI ALTER TABLE column verbs map onto the metadata-only evolution
+  * commits; everything else (MERGE/DELETE/UPDATE/OPTIMIZE/VACUUM)
+  * stays on the GRAFT SQL verbs, which carry the key/txn semantics a
+  * blind catalog write cannot express. Time-travel tables are
+  * read-only (no write capabilities), exactly like Delta's `@v`
+  * reads. */
+class GraftCatalog extends TableCatalog {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String,
+                          options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = options.get("warehouse")
+    require(warehouse != null && warehouse.nonEmpty,
+      s"catalog '$name' requires option " +
+        s"'spark.sql.catalog.$name.warehouse'")
+  }
+
+  override def name(): String = catalogName
+
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  private def spark = SparkSession.active
+  private def rootOf(ident: Identifier): String =
+    (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+  private def confPath(root: String) = s"$root/catalog.conf"
+
+  private def fs(path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  /** (keyCol, storage location, declared schema) persisted at CREATE */
+  private def readConf(root: String): Option[(String, String, StructType)] = {
+    val (f, p) = fs(confPath(root))
+    if (!f.exists(p)) return None
+    val len = f.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = f.open(p)
+    try in.readFully(0L, bytes) finally in.close()
+    val s = new String(bytes, "UTF-8")
+    val lines = s.linesIterator.toSeq
+    Some((lines.head.trim, lines(1).trim,
+      DataType.fromJson(lines.drop(2).mkString("\n"))
+        .asInstanceOf[StructType]))
+  }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = (warehouse +: namespace.toSeq).mkString("/")
+    val (f, p) = fs(dir)
+    if (!f.exists(p)) return Array.empty
+    f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => readConf(s"$dir/$n").isDefined)
+      .map(n => Identifier.of(namespace, n))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    readConf(rootOf(ident)).isDefined
+
+  override def loadTable(ident: Identifier): Table =
+    loadVersioned(ident, -1L)
+
+  /** `VERSION AS OF <v>` (Spark calls this with the literal text) */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    require(version.forall(_.isDigit),
+      s"graft versions are numeric (got '$version')")
+    loadVersioned(ident, version.toLong)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark passes MICROseconds */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val (key, loc, _) = readConf(rootOf(ident))
+      .getOrElse(throw new NoSuchTableException(ident))
+    val t = GraftTable.open(spark, loc, key)
+    loadVersioned(ident, t.versionAt(timestampMicros / 1000L))
+  }
+
+  private def loadVersioned(ident: Identifier, version: Long): Table = {
+    val (key, loc, declared) = readConf(rootOf(ident))
+      .getOrElse(throw new NoSuchTableException(ident))
+    new GraftSqlTable(s"$catalogName.${ident.name()}", loc, key,
+      declared, version)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft manages its own layout (key-range clustering; GRAFT " +
+        "CLUSTER to reorganize) — PARTITIONED BY is not supported")
+    val key = Option(properties.get("key")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft tables need a key column: CREATE TABLE ... " +
+          "TBLPROPERTIES ('key' = '<column>')"))
+    require(schema.fieldNames.contains(key),
+      s"key column '$key' is not in the schema " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val root = rootOf(ident)
+    // storage indirection: manifests/DV sidecars hold absolute paths,
+    // so the data location is immutable — renames move the pointer
+    val loc = s"$warehouse/.store/${ident.name()}-${
+      java.util.UUID.randomUUID().toString.take(8)}"
+    val (f, p) = fs(confPath(root))
+    f.mkdirs(new org.apache.hadoop.fs.Path(loc, "commits"))
+    val out = f.create(p, false)
+    try out.write(s"$key\n$loc\n${schema.json}".getBytes("UTF-8"))
+    finally out.close()
+    loadTable(ident)
+  }
+
+  /** ANSI ALTER TABLE column verbs → the metadata-only evolution
+    * commits (x53/x56); anything else names its GRAFT verb */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val (key, loc, _) = readConf(rootOf(ident))
+      .getOrElse(throw new NoSuchTableException(ident))
+    val t = GraftTable.open(spark, loc, key)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested columns not supported")
+        t.renameColumn(r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested columns not supported")
+        t.dropColumn(d.fieldNames.head)
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1, "nested columns not supported")
+        t.addColumn(a.fieldNames.head, a.dataType,
+          Option(a.defaultValue()).map(_.getSql))
+      case other => throw new UnsupportedOperationException(
+        s"graft ALTER supports column add/rename/drop; for $other use " +
+          "the GRAFT SQL verbs (CONSTRAINT, INDEX, AUTOCOMPACT, ...)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    readConf(rootOf(ident)) match {
+      case None => false
+      case Some((_, loc, _)) =>
+        val (f, p) = fs(rootOf(ident))
+        f.delete(new org.apache.hadoop.fs.Path(loc), true)
+        f.delete(p, true)
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    // the pointer directory moves; the storage location (absolute
+    // paths in manifests and DV sidecars) never does
+    val (f, op) = fs(rootOf(oldIdent))
+    val np = new org.apache.hadoop.fs.Path(rootOf(newIdent))
+    if (np.getParent != null) f.mkdirs(np.getParent)
+    require(f.rename(op, np),
+      s"rename ${oldIdent} -> ${newIdent} failed at the filesystem")
+  }
+}
+
+/** a catalog table: reads through the V1 snapshot plan (V1Scan shim),
+  * writes through the transactional handle (V1Write) */
+private[sources] class GraftSqlTable(ident: String, root: String,
+                                     keyCol: String, declared: StructType,
+                                     version: Long)
+    extends Table with SupportsRead with SupportsWrite {
+
+  private def spark = SparkSession.active
+  private def table = GraftTable.open(spark, root, keyCol)
+
+  override def name(): String =
+    if (version < 0) ident else s"$ident@v$version"
+
+  /** declared schema until the first commit; the snapshot's schema
+    * (column mapping + declarations applied) afterwards */
+  override def schema(): StructType = {
+    val t = table
+    if (t.head == 0) declared
+    else t.read(version).schema
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    if (version >= 0) util.EnumSet.of(TableCapability.BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters
+        with SupportsPushDownRequiredColumns {
+      private var pushed: Array[Filter] = Array.empty
+      private var required: Option[StructType] = None
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = filters
+        filters // every filter re-checked above: pushdown is pruning only
+      }
+      override def pushedFilters(): Array[Filter] =
+        pushed.filter(f => GraftFilterBridge.toColumn(f).isDefined)
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = Some(requiredSchema)
+
+      override def build(): Scan = new V1Scan {
+        private val outSchema = required.getOrElse(schema())
+        override def readSchema(): StructType = outSchema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T = {
+          val pred = pushed.flatMap(GraftFilterBridge.toColumn)
+            .reduceOption(_ && _)
+          val cols = outSchema.fieldNames.toSeq
+          new BaseRelation with TableScan {
+            override val sqlContext: SQLContext = context
+            override val schema: StructType = outSchema
+            override def sizeInBytes: Long = {
+              val b = table.bytesOf(
+                if (version < 0) table.head else version)
+              if (b < 0) super.sizeInBytes else b
+            }
+            override def buildScan(): RDD[Row] = {
+              val t = table
+              // readWhere = manifest stats/bloom FILE SKIPPING plus the
+              // exact row filter; Spark still re-checks every filter
+              // above the scan (pushFilters declared them unhandled)
+              val base = pred match {
+                case Some(p) => t.readWhere(p,
+                  if (version < 0) -1L else version)
+                case None => t.read(version)
+              }
+              // select() with zero columns IS the COUNT(*) projection
+              base.select(cols.map(col): _*).rdd
+            }
+          }.asInstanceOf[T]
+        }
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
+              val t = table
+              if (overwrite || legacyOverwrite) t.overwriteAll(data)
+              else t.append(data)
+              ()
+            }
+          }
+      }
+    }
+}

@@ -203,10 +203,17 @@ private[sources] class GraftTableRelation(
     base.select(requiredColumns.toSeq.map(col): _*).rdd
   }
 
-  /** translate the pushable subset of source filters to Columns —
-    * anything untranslatable is simply not applied here (Spark
-    * re-applies every filter anyway) */
-  private def toColumn(f: Filter): Option[Column] = f match {
+  private def toColumn(f: Filter): Option[Column] =
+    GraftFilterBridge.toColumn(f)
+}
+
+/** translate the pushable subset of V1 source filters to Columns —
+  * anything untranslatable is simply not applied (callers re-check
+  * every filter above the scan, so pushdown stays an optimization).
+  * Shared by the `USING graft` relation and the [[GraftCatalog]]
+  * scan. */
+private[sources] object GraftFilterBridge {
+  def toColumn(f: Filter): Option[Column] = f match {
     case EqualTo(a, v)            => Some(col(a) === v)
     case GreaterThan(a, v)        => Some(col(a) > v)
     case GreaterThanOrEqual(a, v) => Some(col(a) >= v)

@@ -2244,6 +2244,27 @@ final class GraftTable private (spark: SparkSession, val root: String,
     }
   }
 
+  /** FULL OVERWRITE in one commit (SQL's `INSERT OVERWRITE`, Delta's
+    * `mode("overwrite")`): the snapshot's data/DV/bloom refs are
+    * replaced by the staged replacement — readers see old-or-new,
+    * never both — while table-describing rows (column mapping,
+    * declarations, property stamps, feature flags) and the txn replay
+    * guards carry. Zero reads of the old data: unlike
+    * `overwriteWhere(lit(true), df)` this never scans for matches,
+    * so a 100 TB table overwrites at the cost of writing the
+    * replacement. Old files remain owned by their versions for time
+    * travel until `expire`. */
+  def overwriteAll(df: DataFrame): Long = {
+    val hr = headRefs
+    val st = stage(toPhysical(hr, fillDefaults(hr, df)))
+    val v = commitLoop() { base =>
+      val carried = base.filter(r => GraftTable.CarriedKinds(r.kind))
+      Some((carried ++ st.refs, Seq.empty))
+    }
+    st.markers.foreach(io.delete)
+    v
+  }
+
   /** small-file compaction (OPTIMIZE): bin-packs only files under
     * `smallFileBytes` into ~`targetFiles` right-sized files — files
     * already at target size carry between versions BY REFERENCE (x19's

@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.table.GraftTable
+
+/** The DSv2 catalog contract (GraftCatalog): CREATE/INSERT/SELECT,
+  * native VERSION AS OF / TIMESTAMP AS OF time travel, ANSI ALTER
+  * TABLE column verbs mapping onto the metadata-only evolution
+  * commits, INSERT OVERWRITE as one atomic replace, and table
+  * management (list/drop/rename) — all through plain spark.sql
+  * against a warehouse directory. */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.gcat",
+      classOf[GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gcat.warehouse",
+      graft.util.Scratch.dir("graft-catalog-wh"))
+    s
+  }
+
+  /** a table's storage location, read from its pointer conf */
+  private def locationOf(name: String): String = {
+    val wh = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    val lines = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$wh/$name/catalog.conf")).linesIterator
+    lines.next(); lines.next().trim
+  }
+
+  test("create/insert/select with version and timestamp time travel") {
+    spark.sql("DROP TABLE IF EXISTS gcat.t1")
+    spark.sql("CREATE TABLE gcat.t1 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    assert(spark.sql("SELECT * FROM gcat.t1").count() == 0,
+      "a created-but-empty table reads as empty under its declared schema")
+    spark.sql("INSERT INTO gcat.t1 VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql("INSERT INTO gcat.t1 VALUES (3, 'c')")           // v2
+    assert(spark.sql("SELECT * FROM gcat.t1").count() == 3)
+    assert(spark.sql("SELECT * FROM gcat.t1 VERSION AS OF 1").count() == 2)
+    // TIMESTAMP AS OF: v1's commit stamp resolves to v1
+    val t = GraftTable.open(spark, locationOf("t1"), "k")
+    val ts = java.time.Instant.ofEpochMilli(t.commitTimestampOf(1))
+    assert(spark.sql(
+      s"SELECT * FROM gcat.t1 TIMESTAMP AS OF '$ts'").count() == 2)
+    // filters and projections flow through (readWhere underneath)
+    assert(spark.sql("SELECT v FROM gcat.t1 WHERE k = 2")
+      .head.getString(0) == "b")
+    // the DataFrame route reads the same table
+    assert(spark.table("gcat.t1").count() == 3)
+  }
+
+  test("INSERT OVERWRITE replaces in one commit; history stays readable") {
+    spark.sql("DROP TABLE IF EXISTS gcat.t2")
+    spark.sql("CREATE TABLE gcat.t2 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.t2 VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql("INSERT OVERWRITE gcat.t2 VALUES (9, 'z')")      // v2
+    assert(spark.sql("SELECT * FROM gcat.t2").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "z")))
+    assert(spark.sql("SELECT * FROM gcat.t2 VERSION AS OF 1").count() == 2,
+      "the overwrite is a new version, not a rewrite of history")
+    assert(GraftTable.open(spark, locationOf("t2"), "k").head == 2,
+      "INSERT OVERWRITE must be exactly one commit")
+  }
+
+  test("ANSI ALTER TABLE column verbs map onto the evolution commits") {
+    spark.sql("DROP TABLE IF EXISTS gcat.t3")
+    spark.sql("CREATE TABLE gcat.t3 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.t3 VALUES (1, 'a')")             // v1
+    spark.sql("ALTER TABLE gcat.t3 RENAME COLUMN v TO label")    // v2
+    assert(spark.table("gcat.t3").columns.toSeq == Seq("k", "label"))
+    spark.sql("ALTER TABLE gcat.t3 ADD COLUMN tier STRING DEFAULT 'std'") // v3
+    spark.sql("INSERT INTO gcat.t3 VALUES (2, 'b', 'gold')")     // v4
+    val byK = spark.table("gcat.t3").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) null else r.getString(2))).toMap
+    assert(byK(1L) == null && byK(2L) == "gold")
+    spark.sql("ALTER TABLE gcat.t3 DROP COLUMN tier")            // v5
+    assert(spark.table("gcat.t3").columns.toSeq == Seq("k", "label"))
+    // the rename/add really were metadata-only commits
+    val t = GraftTable.open(spark, locationOf("t3"), "k")
+    assert(t.filesOf(1) == t.filesOf(3),
+      "ALTER verbs must not touch a data file")
+    // unsupported changes name the GRAFT verb escape hatch
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.t3 SET TBLPROPERTIES ('x' = 'y')")
+    }
+    assert(e.getMessage.contains("GRAFT"))
+  }
+
+  test("table management: exists, list, drop, rename") {
+    spark.sql("DROP TABLE IF EXISTS gcat.m1")
+    spark.sql("DROP TABLE IF EXISTS gcat.m2")
+    spark.sql("CREATE TABLE gcat.m1 (k BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO gcat.m1 VALUES (1)")
+    assert(spark.sql("SHOW TABLES IN gcat").collect()
+      .map(_.getString(1)).contains("m1"))
+    spark.sql("ALTER TABLE gcat.m1 RENAME TO m2")
+    assert(spark.table("gcat.m2").count() == 1)
+    intercept[Exception] { spark.table("gcat.m1").count() }
+    spark.sql("DROP TABLE gcat.m2")
+    assert(!spark.sql("SHOW TABLES IN gcat").collect()
+      .map(_.getString(1)).contains("m2"))
+    // guards: a keyless CREATE and a partitioned one fail loudly
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.bad1 (k BIGINT)")
+    }
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.bad2 (k BIGINT, d STRING) " +
+        "PARTITIONED BY (d) TBLPROPERTIES ('key'='k')")
+    }
+  }
+}
