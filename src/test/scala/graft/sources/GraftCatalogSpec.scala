@@ -93,6 +93,19 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("GRAFT"))
   }
 
+  test("manifest sizeInBytes flows through the shim: small catalog tables broadcast") {
+    spark.sql("DROP TABLE IF EXISTS gcat.dim")
+    spark.sql("CREATE TABLE gcat.dim (k BIGINT, nm STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.dim VALUES (1, 'a'), (2, 'b')")
+    val fact = spark.range(0, 100000)
+      .selectExpr("id % 3 AS k", "id AS x")
+    val plan = fact.join(spark.table("gcat.dim"), "k")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"a 2-row catalog table must broadcast, got:\n$plan")
+  }
+
   test("table management: exists, list, drop, rename") {
     spark.sql("DROP TABLE IF EXISTS gcat.m1")
     spark.sql("DROP TABLE IF EXISTS gcat.m2")
