@@ -223,16 +223,23 @@ private[sources] class GraftSqlTable(ident: String, root: String,
   private def spark = SparkSession.active
   private def table = GraftTable.open(spark, root, keyCol)
 
+  /** the version READS serve, resolved ONCE at load time: a query's
+    * analysis and its (lazy) execution must see the same snapshot
+    * even if commits land in between — the same pinning discipline as
+    * the `USING graft` relation. Writes always target the head (the
+    * commit CAS re-reads it); an INSERT INTO t SELECT FROM t
+    * self-feed therefore reads the pre-insert snapshot, per SQL. */
+  private val pinnedVersion: Long =
+    if (version >= 0) version else table.head
+
   override def name(): String =
     if (version < 0) ident else s"$ident@v$version"
 
   /** declared schema until the first commit; the snapshot's schema
     * (column mapping + declarations applied) afterwards */
-  override def schema(): StructType = {
-    val t = table
-    if (t.head == 0) declared
-    else t.read(version).schema
-  }
+  override def schema(): StructType =
+    if (pinnedVersion == 0) declared
+    else table.read(pinnedVersion).schema
 
   override def capabilities(): util.Set[TableCapability] =
     if (version >= 0) util.EnumSet.of(TableCapability.BATCH_READ)
@@ -266,19 +273,24 @@ private[sources] class GraftSqlTable(ident: String, root: String,
             override val sqlContext: SQLContext = context
             override val schema: StructType = outSchema
             override def sizeInBytes: Long = {
-              val b = table.bytesOf(
-                if (version < 0) table.head else version)
+              val b =
+                if (pinnedVersion == 0) 0L
+                else table.bytesOf(pinnedVersion)
               if (b < 0) super.sizeInBytes else b
             }
             override def buildScan(): RDD[Row] = {
+              // a declared-but-empty table has no snapshot to plan:
+              // an empty typed frame (read(0) has no columns to select)
+              if (pinnedVersion == 0)
+                return spark.createDataFrame(
+                  spark.sparkContext.emptyRDD[Row], outSchema).rdd
               val t = table
               // readWhere = manifest stats/bloom FILE SKIPPING plus the
               // exact row filter; Spark still re-checks every filter
               // above the scan (pushFilters declared them unhandled)
               val base = pred match {
-                case Some(p) => t.readWhere(p,
-                  if (version < 0) -1L else version)
-                case None => t.read(version)
+                case Some(p) => t.readWhere(p, pinnedVersion)
+                case None => t.read(pinnedVersion)
               }
               // select() with zero columns IS the COUNT(*) projection
               base.select(cols.map(col): _*).rdd

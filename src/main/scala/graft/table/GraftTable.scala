@@ -548,10 +548,15 @@ final class GraftTable private (spark: SparkSession, val root: String,
         data.map(_.bytes).filter(_ >= 0).sum,
         if (h == 0) -1L else commitTimestampOf(h),
         bloomConfig().map(_._1.mkString(",")).getOrElse(""),
-        checks().keys.toSeq.sorted.mkString(",")))
+        checks().keys.toSeq.sorted.mkString(","),
+        refs.collect { case r if r.kind == "feature" =>
+          r.file.stripPrefix("feature:") }.sorted.mkString(","),
+        autoCompact().map { case (n, b, t) => s"min=$n small=$b target=$t" }
+          .getOrElse("")))
       .toDF("root", "version", "oldest_version", "n_data_files",
         "n_dv_files", "n_bloom_sidecars", "n_rows", "bytes", "commit_ts",
-        "bloom_columns", "check_constraints")
+        "bloom_columns", "check_constraints", "reader_features",
+        "auto_compact")
   }
 
   // ---- column mapping (x53) --------------------------------------------

@@ -194,6 +194,8 @@ class GraftSqlParserSpec extends AnyFunSuite {
     assert(d.getAs[Long]("bytes") > 0L)
     assert(d.getAs[Long]("commit_ts") > 0L)
     assert(d.getAs[String]("check_constraints") == "")
+    assert(d.getAs[String]("reader_features") == "")
+    assert(d.getAs[String]("auto_compact") == "")
   }
 
   test("GRAFT INDEX declares a bloom index; point lookups prune through it") {

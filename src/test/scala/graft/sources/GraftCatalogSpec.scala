@@ -93,6 +93,21 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e.getMessage.contains("GRAFT"))
   }
 
+  test("snapshot pinning: a loaded DataFrame re-executes against ITS version") {
+    spark.sql("DROP TABLE IF EXISTS gcat.tp")
+    spark.sql("CREATE TABLE gcat.tp (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    // an EMPTY table serves its declared schema with real columns
+    assert(spark.sql("SELECT v FROM gcat.tp").count() == 0)
+    spark.sql("INSERT INTO gcat.tp VALUES (1, 'a')")
+    val pinned = spark.table("gcat.tp")
+    assert(pinned.count() == 1)
+    spark.sql("INSERT INTO gcat.tp VALUES (2, 'b')")
+    assert(pinned.count() == 1,
+      "re-executing a loaded frame must read the SAME snapshot")
+    assert(spark.table("gcat.tp").count() == 2, "a fresh load sees the head")
+  }
+
   test("manifest sizeInBytes flows through the shim: small catalog tables broadcast") {
     spark.sql("DROP TABLE IF EXISTS gcat.dim")
     spark.sql("CREATE TABLE gcat.dim (k BIGINT, nm STRING) " +
