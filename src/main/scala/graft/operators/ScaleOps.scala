@@ -2703,7 +2703,7 @@ object ScaleOps {
   //       absolute paths — renames move the pointer only). The gated
   //       lifecycle creates, ingests two halves, renames a column,
   //       declares one with a default, ingests through the new shape,
-  //       and reads BOTH head and VERSION AS OF 2 across the rename
+  //       and reads BOTH head and VERSION AS OF 3 across the rename
   //       boundary — all via spark.sql text.
   // ---------------------------------------------------------------------
   private def x58(spark: SparkSession, dir: String): DataFrame = {
@@ -2724,19 +2724,19 @@ object ScaleOps {
     spark.sql("INSERT INTO graft_x58.orders_sql " +
       "SELECT o_orderkey, o_orderstatus, " +
       "CAST(o_totalprice AS DECIMAL(18,2)) FROM x58_src " +
-      "WHERE o_orderkey % 2 = 0")                                   // v1
+      "WHERE o_orderkey % 2 = 0")                                   // v2
     spark.sql("INSERT INTO graft_x58.orders_sql " +
       "SELECT o_orderkey, o_orderstatus, " +
       "CAST(o_totalprice AS DECIMAL(18,2)) FROM x58_src " +
-      "WHERE o_orderkey % 2 = 1")                                   // v2
+      "WHERE o_orderkey % 2 = 1")                                   // v3
     spark.sql("ALTER TABLE graft_x58.orders_sql " +
-      "RENAME COLUMN o_price TO amount")                            // v3
+      "RENAME COLUMN o_price TO amount")                            // v4
     spark.sql("ALTER TABLE graft_x58.orders_sql " +
-      "ADD COLUMN tier STRING DEFAULT 'std'")                       // v4
+      "ADD COLUMN tier STRING DEFAULT 'std'")                       // v5
     spark.sql("INSERT INTO graft_x58.orders_sql " +
       "SELECT o_orderkey + (SELECT MAX(o_orderkey) FROM x58_src), " +
       "'A', CAST(o_totalprice AS DECIMAL(18,2)), 'gold' " +
-      "FROM x58_src WHERE o_orderkey % 41 = 0")                     // v5
+      "FROM x58_src WHERE o_orderkey % 41 = 0")                     // v6
     val hd = spark.sql(
       "SELECT COALESCE(tier, 'none') AS tier_group, " +
         "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
@@ -2746,7 +2746,7 @@ object ScaleOps {
       "SELECT '__v2__' AS tier_group, " +
         "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
         "CAST(SUM(o_price) AS DOUBLE) AS sum_amount " +
-        "FROM graft_x58.orders_sql VERSION AS OF 2")
+        "FROM graft_x58.orders_sql VERSION AS OF 3")
     hd.unionByName(v2)
   }
 

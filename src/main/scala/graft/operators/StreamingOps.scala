@@ -1471,8 +1471,11 @@ object StreamingOps {
                     .minBy(j => s(j + 1)._1 - s(j)._1)
                   val (v1, n1) = s(i); val (v2, n2) = s(i + 1)
                   val c = (v1 * n1 + v2 * n2) / (n1 + n2)
-                  bins = (bins - v1 - v2).updated(c,
-                    bins.getOrElse(c, 0L) + n1 + n2)
+                  // look up c in the map AFTER removing the merged
+                  // bins: the centroid can round exactly onto v1/v2,
+                  // and the stale lookup would double-count its mass
+                  val rest = bins - v1 - v2
+                  bins = rest.updated(c, rest.getOrElse(c, 0L) + n1 + n2)
                 }
             }
           }

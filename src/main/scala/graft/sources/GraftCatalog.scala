@@ -163,6 +163,10 @@ class GraftCatalog extends TableCatalog {
     val out = f.create(p, false)
     try out.write(s"$key\n$loc\n${schema.json}".getBytes("UTF-8"))
     finally out.close()
+    // bootstrap the declared schema INTO the table (one metadata
+    // commit): reads serve a typed empty frame and ALTER TABLE verbs
+    // resolve against the declarations before any data lands
+    GraftTable.open(spark, loc, key).declareColumns(schema)
     loadTable(ident)
   }
 
@@ -221,7 +225,10 @@ private[sources] class GraftSqlTable(ident: String, root: String,
     extends Table with SupportsRead with SupportsWrite {
 
   private def spark = SparkSession.active
-  private def table = GraftTable.open(spark, root, keyCol)
+  /** ONE handle per loaded table: Spark calls schema()/stats many
+    * times during analysis, and a fresh handle per call would re-fold
+    * the manifest each time */
+  private lazy val table = GraftTable.open(spark, root, keyCol)
 
   /** the version READS serve, resolved ONCE at load time: a query's
     * analysis and its (lazy) execution must see the same snapshot
@@ -236,10 +243,13 @@ private[sources] class GraftSqlTable(ident: String, root: String,
     if (version < 0) ident else s"$ident@v$version"
 
   /** declared schema until the first commit; the snapshot's schema
-    * (column mapping + declarations applied) afterwards */
-  override def schema(): StructType =
+    * (column mapping + declarations applied) afterwards — resolved
+    * once per loaded table */
+  private lazy val resolvedSchema: StructType =
     if (pinnedVersion == 0) declared
     else table.read(pinnedVersion).schema
+
+  override def schema(): StructType = resolvedSchema
 
   override def capabilities(): util.Set[TableCapability] =
     if (version >= 0) util.EnumSet.of(TableCapability.BATCH_READ)

@@ -675,8 +675,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
         case None     => Some(a.name)
       }
       logicalName match {
+        // presence check is CASE-INSENSITIVE to match withColumn's
+        // resolution (default spark.sql.caseSensitive=false): an
+        // explicit "Tier" column must count as supplying "tier", or
+        // the fill would silently overwrite the caller's values
         case Some(ln) if a.defaultSql.isDefined &&
-            !out.columns.contains(ln) =>
+            !out.columns.exists(_.equalsIgnoreCase(ln)) =>
           out.withColumn(ln, expr(a.defaultSql.get).cast(a.dataType))
         case _ => out
       }
@@ -688,9 +692,15 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * job) with the mapping applied */
   private def logicalCols(refs: Seq[FileRef]): Seq[String] = {
     val data = refs.filter(_.kind == "data")
-    if (data.isEmpty) return Seq.empty
-    val phys = schemaOf(refs).map(_.fieldNames.toSeq).getOrElse(
-      readFiles(refs, data.map(_.file)).schema.fieldNames.toSeq)
+    // a data-less snapshot's columns are its DECLARATIONS (a catalog
+    // CREATE TABLE bootstrap, or addColumn before the first ingest) —
+    // evolution verbs must resolve against them like any other schema
+    val phys: Seq[String] =
+      if (data.nonEmpty)
+        schemaOf(refs).map(_.fieldNames.toSeq).getOrElse(
+          readFiles(refs, data.map(_.file)).schema.fieldNames.toSeq)
+      else GraftTable.parseAddColRows(refs).map(_.name)
+    if (phys.isEmpty) return Seq.empty
     val byPhys = colRows(refs).map { case (l, p) => p -> l }.toMap
     phys.flatMap(c => byPhys.get(c) match {
       case Some("") => None
@@ -725,9 +735,32 @@ final class GraftTable private (spark: SparkSession, val root: String,
       val added =
         if (newName == p) Seq.empty
         else Seq(GraftTable.colRow(newName, p))
-      Some((withFeature(kept, "colmap") ++ added, Seq.empty))
+      // an identity-restoring rename adds no mapping row — don't
+      // stamp a reader requirement the snapshot doesn't exercise
+      // (any pre-existing flag rides `kept` untouched)
+      val stamped =
+        if (added.isEmpty) kept else withFeature(kept, "colmap")
+      Some((stamped ++ added, Seq.empty))
     }
   }
+
+  /** DECLARE every column of `schema` in ONE metadata commit — the
+    * catalog's CREATE TABLE bootstrap (x58): an empty table gains a
+    * real schema (reads serve a typed empty frame, evolution verbs
+    * resolve against it) before any data lands. No defaults; only
+    * valid as the very first commit. */
+  def declareColumns(schema: org.apache.spark.sql.types.StructType): Long =
+    commitLoop() { base =>
+      require(base.isEmpty,
+        "declareColumns bootstraps an EMPTY table; declare more " +
+          "columns one at a time with addColumn")
+      schema.fieldNames.foreach(n => require(n.matches(GraftTable.ColIdent),
+        s"column names are identifiers: '$n'"))
+      Some((withFeature(schema.fields.toSeq.zipWithIndex.map {
+        case (f, i) => GraftTable.addColRow(GraftTable.AddedCol(
+          f.name, f.dataType, None), ordinal = i.toLong)
+      }, "addcol"), Seq.empty))
+    }
 
   /** `rows` plus the feature flag (idempotent) — every verb that makes
     * the table depend on a reader capability stamps it (see
@@ -792,6 +825,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
       require(attrs.isEmpty,
         s"default for '$name' must be a constant expression; it " +
           s"references: ${attrs.mkString(", ")}")
+      // a scalar subquery hides its column references inside a nested
+      // plan the expression walk above cannot see — and re-evaluates
+      // per fill, which is exactly not a constant
+      require(!parsed.exists(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+        s"default for '$name' must be a constant expression, not a " +
+          "subquery")
       spark.range(1).select(expr(d).cast(dataType)).collect()
     }
     val v = commitLoop() { base =>
@@ -808,8 +848,10 @@ final class GraftTable private (spark: SparkSession, val root: String,
         "addColumn requires manifest-recorded per-file schemas; this " +
           "table has pre-schema-manifest files — compact() once to " +
           "rewrite them under the recorded schema")
+      val ord = base.iterator.filter(_.kind == "addcol")
+        .map(_.lo).foldLeft(-1L)(math.max) + 1
       Some((withFeature(base, "addcol") :+ GraftTable.addColRow(
-        GraftTable.AddedCol(name, dataType, defaultSql)), Seq.empty))
+        GraftTable.AddedCol(name, dataType, defaultSql), ord), Seq.empty))
     }
     // an enforce-mode table's recorded schema must gain the column, or
     // every post-add write would be rejected as drift; re-capturing
@@ -1674,6 +1716,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
           // soundly even under clock skew or same-millisecond commits
           val ts = math.max(System.currentTimeMillis(),
             base.foldLeft(0L)((m, r) => math.max(m, r.ts)) + 1)
+          beforePublishHook()
           if (tryCommit(h, refs.filterNot(_.kind == "txn") ++ txnRefs,
                         txn, ts, baseSnap)) {
             staged.foreach(s => s.markers.foreach(io.delete))
@@ -1794,10 +1837,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
     // validated/filled against the OLD set — force the full
     // re-compose, whose stage() re-validates against the new one
     // (round-15 verdict #7) and whose fill sees the new default (x56)
-    val meta = (rs: Seq[FileRef]) => rs.iterator
-      .filter(r => r.kind == "prop" || r.kind == "addcol")
-      .map(_.file).toSet
-    if (meta(oldBase) != meta(newBase)) return false
+    if (metaStamp(oldBase) != metaStamp(newBase)) return false
     val oldDataF = oldBase.iterator.filter(_.kind == "data")
       .map(_.file).toSet
     val newData = newBase.filter(_.kind == "data")
@@ -1855,13 +1895,38 @@ final class GraftTable private (spark: SparkSession, val root: String,
     else legacyTxnScan()
 
   /** append-only commit: new files, every existing file by reference */
+  /** the write-relevant METADATA a staged frame was prepared against:
+    * declared defaults (addcol rows, materialized by `fillDefaults`)
+    * and the constraint/schema-mode fingerprints (validated by
+    * `stage`). A stage-once writer whose base grew a DIFFERENT set
+    * must re-stage — its fills and validation ran against the old
+    * one. Same set [[canRebase]] treats as a forced re-compose. */
+  private def metaStamp(refs: Seq[FileRef]): Set[String] =
+    refs.iterator.filter(r => r.kind == "prop" || r.kind == "addcol")
+      .map(_.file).toSet
+
   def append(df: DataFrame): Long = {
-    val hr = headRefs
-    val st = stage(toPhysical(hr, fillDefaults(hr, df)))
-    val v = commitLoop() (base => Some((base ++ st.refs, Seq.empty)))
-    st.markers.foreach(io.delete)
-    maybeAutoCompact() // may advance head past the returned version
-    v
+    while (true) {
+      val hr = headRefs
+      val stamp = metaStamp(hr)
+      val st = stage(toPhysical(hr, fillDefaults(hr, df)))
+      var stale = false
+      val v = commitLoop() { base =>
+        // a metadata commit (new declared default, new constraint)
+        // landed after our stage: discard and re-stage against it —
+        // committing the pre-staged frame would skip the new default
+        // and bypass the new validation
+        if (metaStamp(base) != stamp) { stale = true; None }
+        else Some((base ++ st.refs, Seq.empty))
+      }
+      if (!stale) {
+        st.markers.foreach(io.delete)
+        maybeAutoCompact() // may advance head past the returned version
+        return v
+      }
+      discardStaged(st)
+    }
+    0L // unreachable
   }
 
   /** `append` with exactly-once batch-id idempotency — the w18 streaming
@@ -1876,15 +1941,26 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def streamAppend(df: DataFrame, batchId: Long): Long = {
     require(batchId >= 0, "batchId must be >= 0")
     if (committedTxns().contains(batchId)) return head
-    val hr = headRefs
-    val st = stage(toPhysical(hr, fillDefaults(hr, df)))
-    val v = commitLoop(txn = batchId) { base =>
-      if (committedTxns().contains(batchId)) { discardStaged(st); None }
-      else Some((base ++ st.refs, Seq.empty))
+    while (true) {
+      val hr = headRefs
+      val stamp = metaStamp(hr)
+      val st = stage(toPhysical(hr, fillDefaults(hr, df)))
+      var stale = false
+      var replayed = false
+      val v = commitLoop(txn = batchId) { base =>
+        if (committedTxns().contains(batchId)) { replayed = true; None }
+        else if (metaStamp(base) != stamp) { stale = true; None }
+        else Some((base ++ st.refs, Seq.empty))
+      }
+      if (replayed) { discardStaged(st); return v }
+      if (!stale) {
+        st.markers.foreach(io.delete)
+        maybeAutoCompact() // may advance head past the returned version
+        return v
+      }
+      discardStaged(st)
     }
-    st.markers.foreach(io.delete)
-    maybeAutoCompact() // may advance head past the returned version
-    v
+    0L // unreachable
   }
 
   /** every batch id any committed version recorded — ONE slot read
@@ -2260,14 +2336,22 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * replacement. Old files remain owned by their versions for time
     * travel until `expire`. */
   def overwriteAll(df: DataFrame): Long = {
-    val hr = headRefs
-    val st = stage(toPhysical(hr, fillDefaults(hr, df)))
-    val v = commitLoop() { base =>
-      val carried = base.filter(r => GraftTable.CarriedKinds(r.kind))
-      Some((carried ++ st.refs, Seq.empty))
+    while (true) {
+      val hr = headRefs
+      val stamp = metaStamp(hr)
+      val st = stage(toPhysical(hr, fillDefaults(hr, df)))
+      var stale = false
+      val v = commitLoop() { base =>
+        if (metaStamp(base) != stamp) { stale = true; None }
+        else {
+          val carried = base.filter(r => GraftTable.CarriedKinds(r.kind))
+          Some((carried ++ st.refs, Seq.empty))
+        }
+      }
+      if (!stale) { st.markers.foreach(io.delete); return v }
+      discardStaged(st)
     }
-    st.markers.foreach(io.delete)
-    v
+    0L // unreachable
   }
 
   /** small-file compaction (OPTIMIZE): bin-packs only files under
@@ -2933,8 +3017,11 @@ object GraftTable {
       name: String, dataType: org.apache.spark.sql.types.DataType,
       defaultSql: Option[String])
 
-  /** parse `kind = "addcol"` rows — base64 keeps the type JSON and the
-    * default expression colon-free inside the row encoding */
+  /** parse `kind = "addcol"` rows in DECLARATION ORDER (`lo` carries
+    * the ordinal — manifest folds sort rows by (kind, file), which
+    * would otherwise alphabetize a declared-only schema) — base64
+    * keeps the type JSON and the default expression colon-free inside
+    * the row encoding */
   private[table] def parseAddColRows(refs: Seq[FileRef]): Seq[AddedCol] =
     refs.collect { case r if r.kind == "addcol" =>
       val s = r.file.stripPrefix("addcol:")
@@ -2944,15 +3031,15 @@ object GraftTable {
         new String(dec.decode(tB64), java.nio.charset.StandardCharsets.UTF_8))
       val d = new String(dec.decode(dB64),
         java.nio.charset.StandardCharsets.UTF_8)
-      AddedCol(name, t, if (d.isEmpty) None else Some(d))
-    }
+      (r.lo, AddedCol(name, t, if (d.isEmpty) None else Some(d)))
+    }.sortBy(_._1).map(_._2)
 
-  private[table] def addColRow(c: AddedCol): FileRef = {
+  private[table] def addColRow(c: AddedCol, ordinal: Long = -1L): FileRef = {
     val enc = java.util.Base64.getEncoder
     def b64(s: String) = enc.encodeToString(
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     FileRef(s"addcol:${c.name}:${b64(c.dataType.json)}:" +
-      b64(c.defaultSql.getOrElse("")), "addcol", -1L, -1L)
+      b64(c.defaultSql.getOrElse("")), "addcol", ordinal, -1L)
   }
 
   /** manifest row kinds that CARRY through whole-snapshot rewrites

@@ -37,13 +37,14 @@ class GraftCatalogSpec extends AnyFunSuite {
       "TBLPROPERTIES ('key' = 'k')")
     assert(spark.sql("SELECT * FROM gcat.t1").count() == 0,
       "a created-but-empty table reads as empty under its declared schema")
-    spark.sql("INSERT INTO gcat.t1 VALUES (1, 'a'), (2, 'b')") // v1
-    spark.sql("INSERT INTO gcat.t1 VALUES (3, 'c')")           // v2
+    // v1 is the CREATE-time declaration commit (schema, no data)
+    spark.sql("INSERT INTO gcat.t1 VALUES (1, 'a'), (2, 'b')") // v2
+    spark.sql("INSERT INTO gcat.t1 VALUES (3, 'c')")           // v3
     assert(spark.sql("SELECT * FROM gcat.t1").count() == 3)
-    assert(spark.sql("SELECT * FROM gcat.t1 VERSION AS OF 1").count() == 2)
-    // TIMESTAMP AS OF: v1's commit stamp resolves to v1
+    assert(spark.sql("SELECT * FROM gcat.t1 VERSION AS OF 2").count() == 2)
+    // TIMESTAMP AS OF: the first insert's stamp resolves to it
     val t = GraftTable.open(spark, locationOf("t1"), "k")
-    val ts = java.time.Instant.ofEpochMilli(t.commitTimestampOf(1))
+    val ts = java.time.Instant.ofEpochMilli(t.commitTimestampOf(2))
     assert(spark.sql(
       s"SELECT * FROM gcat.t1 TIMESTAMP AS OF '$ts'").count() == 2)
     // filters and projections flow through (readWhere underneath)
@@ -57,13 +58,13 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS gcat.t2")
     spark.sql("CREATE TABLE gcat.t2 (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('key' = 'k')")
-    spark.sql("INSERT INTO gcat.t2 VALUES (1, 'a'), (2, 'b')") // v1
-    spark.sql("INSERT OVERWRITE gcat.t2 VALUES (9, 'z')")      // v2
+    spark.sql("INSERT INTO gcat.t2 VALUES (1, 'a'), (2, 'b')") // v2
+    spark.sql("INSERT OVERWRITE gcat.t2 VALUES (9, 'z')")      // v3
     assert(spark.sql("SELECT * FROM gcat.t2").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((9L, "z")))
-    assert(spark.sql("SELECT * FROM gcat.t2 VERSION AS OF 1").count() == 2,
+    assert(spark.sql("SELECT * FROM gcat.t2 VERSION AS OF 2").count() == 2,
       "the overwrite is a new version, not a rewrite of history")
-    assert(GraftTable.open(spark, locationOf("t2"), "k").head == 2,
+    assert(GraftTable.open(spark, locationOf("t2"), "k").head == 3,
       "INSERT OVERWRITE must be exactly one commit")
   }
 
@@ -71,26 +72,42 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS gcat.t3")
     spark.sql("CREATE TABLE gcat.t3 (k BIGINT, v STRING) " +
       "TBLPROPERTIES ('key' = 'k')")
-    spark.sql("INSERT INTO gcat.t3 VALUES (1, 'a')")             // v1
-    spark.sql("ALTER TABLE gcat.t3 RENAME COLUMN v TO label")    // v2
+    spark.sql("INSERT INTO gcat.t3 VALUES (1, 'a')")             // v2
+    spark.sql("ALTER TABLE gcat.t3 RENAME COLUMN v TO label")    // v3
     assert(spark.table("gcat.t3").columns.toSeq == Seq("k", "label"))
-    spark.sql("ALTER TABLE gcat.t3 ADD COLUMN tier STRING DEFAULT 'std'") // v3
-    spark.sql("INSERT INTO gcat.t3 VALUES (2, 'b', 'gold')")     // v4
+    spark.sql("ALTER TABLE gcat.t3 ADD COLUMN tier STRING DEFAULT 'std'") // v4
+    spark.sql("INSERT INTO gcat.t3 VALUES (2, 'b', 'gold')")     // v5
     val byK = spark.table("gcat.t3").collect()
       .map(r => r.getLong(0) ->
         (if (r.isNullAt(2)) null else r.getString(2))).toMap
     assert(byK(1L) == null && byK(2L) == "gold")
-    spark.sql("ALTER TABLE gcat.t3 DROP COLUMN tier")            // v5
+    spark.sql("ALTER TABLE gcat.t3 DROP COLUMN tier")            // v6
     assert(spark.table("gcat.t3").columns.toSeq == Seq("k", "label"))
     // the rename/add really were metadata-only commits
     val t = GraftTable.open(spark, locationOf("t3"), "k")
-    assert(t.filesOf(1) == t.filesOf(3),
+    assert(t.filesOf(2) == t.filesOf(4),
       "ALTER verbs must not touch a data file")
     // unsupported changes name the GRAFT verb escape hatch
     val e = intercept[Exception] {
       spark.sql("ALTER TABLE gcat.t3 SET TBLPROPERTIES ('x' = 'y')")
     }
     assert(e.getMessage.contains("GRAFT"))
+  }
+
+  test("ALTER works before the first INSERT (declared-schema bootstrap)") {
+    spark.sql("DROP TABLE IF EXISTS gcat.t4")
+    spark.sql("CREATE TABLE gcat.t4 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    // both verbs resolve against the CREATE-time declarations — no
+    // data file exists yet
+    spark.sql("ALTER TABLE gcat.t4 RENAME COLUMN v TO label")
+    spark.sql("ALTER TABLE gcat.t4 ADD COLUMN tier STRING DEFAULT 'std'")
+    assert(spark.table("gcat.t4").columns.toSeq ==
+      Seq("k", "label", "tier"))
+    spark.sql("INSERT INTO gcat.t4 VALUES (1, 'a', 'gold')")
+    val r = spark.table("gcat.t4").head
+    assert(r.getLong(0) == 1 && r.getString(1) == "a" &&
+      r.getString(2) == "gold")
   }
 
   test("snapshot pinning: a loaded DataFrame re-executes against ITS version") {
