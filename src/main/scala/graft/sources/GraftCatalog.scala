@@ -218,11 +218,21 @@ class GraftCatalog extends TableCatalog {
 }
 
 /** a catalog table: reads through the V1 snapshot plan (V1Scan shim),
-  * writes through the transactional handle (V1Write) */
+  * writes through the transactional handle (V1Write); TRUNCATE is one
+  * `overwriteAll` commit of the empty typed frame — history stays
+  * time-travelable, exactly like INSERT OVERWRITE of nothing */
 private[sources] class GraftSqlTable(ident: String, root: String,
                                      keyCol: String, declared: StructType,
                                      version: Long)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+
+  override def truncateTable(): Boolean = {
+    require(version < 0, "cannot truncate a time-travel table")
+    table.overwriteAll(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema()))
+    true
+  }
 
   private def spark = SparkSession.active
   /** ONE handle per loaded table: Spark calls schema()/stats many

@@ -138,6 +138,21 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"a 2-row catalog table must broadcast, got:\n$plan")
   }
 
+  test("CTAS creates and loads in one statement; TRUNCATE empties in one commit") {
+    spark.sql("DROP TABLE IF EXISTS gcat.ctas")
+    spark.sql("CREATE TABLE gcat.ctas TBLPROPERTIES ('key' = 'k') AS " +
+      "SELECT id AS k, CAST(id AS STRING) AS v FROM range(1, 6)")
+    assert(spark.table("gcat.ctas").count() == 5)
+    assert(spark.table("gcat.ctas").columns.toSeq == Seq("k", "v"))
+    val t = GraftTable.open(spark, locationOf("ctas"), "k")
+    val h = t.head
+    spark.sql("TRUNCATE TABLE gcat.ctas")
+    assert(spark.table("gcat.ctas").count() == 0)
+    assert(t.head == h + 1, "TRUNCATE is exactly one commit")
+    assert(spark.sql(s"SELECT * FROM gcat.ctas VERSION AS OF $h")
+      .count() == 5, "history survives the truncate")
+  }
+
   test("table management: exists, list, drop, rename") {
     spark.sql("DROP TABLE IF EXISTS gcat.m1")
     spark.sql("DROP TABLE IF EXISTS gcat.m2")
