@@ -264,6 +264,7 @@ private[sources] class GraftSqlTable(ident: String, root: String,
   override def capabilities(): util.Set[TableCapability] =
     if (version >= 0) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -284,6 +285,24 @@ private[sources] class GraftSqlTable(ident: String, root: String,
       override def build(): Scan = new V1Scan {
         private val outSchema = required.getOrElse(schema())
         override def readSchema(): StructType = outSchema
+
+        /** `spark.readStream.table(...)` — Delta's streaming-source
+          * semantics over the graft-cdf machinery: offsets ARE table
+          * versions, the first window is the current snapshot, later
+          * windows are its appends, and an update/delete in a window
+          * fails loudly (insertsOnly). Column pruning carries: the
+          * stream conforms each window to this scan's readSchema. */
+        override def toMicroBatchStream(
+            checkpointLocation: String): org.apache.spark.sql.connector
+              .read.streaming.MicroBatchStream =
+          new GraftCdfMicroBatchStream(
+            root = root, keyCol = keyCol, startingVersion = 0L,
+            maxVersionsPerBatch =
+              Option(options.get("maxVersionsPerBatch"))
+                .map(_.toLong).getOrElse(Long.MaxValue),
+            preimages = false, schema = outSchema,
+            checkpointLocation = checkpointLocation,
+            insertsOnly = true)
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T = {
           val pred = pushed.flatMap(GraftFilterBridge.toColumn)

@@ -160,7 +160,7 @@ private[sources] case class GraftVersionOffset(v: Long) extends Offset {
 private[sources] class GraftCdfMicroBatchStream(
     root: String, keyCol: String, startingVersion: Long,
     maxVersionsPerBatch: Long, preimages: Boolean, schema: StructType,
-    checkpointLocation: String)
+    checkpointLocation: String, insertsOnly: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   private def spark = SparkSession.active
@@ -220,10 +220,28 @@ private[sources] class GraftCdfMicroBatchStream(
     *    resumes from the checkpointed version. */
   private def feedFor(startV: Long, endV: Long)
       : org.apache.spark.sql.DataFrame = {
-    val raw =
+    val raw0 =
       if (startV == 0L)
         table.read(endV).withColumn("change_type", lit("insert"))
       else table.changes(startV, endV, preimages = preimages)
+    // STREAMING TABLE READS (`readStream.table`, Delta's streaming
+    // source semantics): rows stream as APPENDS; a window carrying an
+    // update/delete means the table is not append-only for this
+    // consumer — fail loudly naming the alternative, never silently
+    // drop or double-emit (the check is one limit-1 probe of the
+    // window's change-proportional feed)
+    val raw =
+      if (!insertsOnly) raw0
+      else {
+        val bad = raw0.where(col("change_type") =!= "insert")
+          .limit(1).collect()
+        if (bad.nonEmpty) throw new IllegalStateException(
+          s"graft($root): version window ($startV, $endV] contains a " +
+            s"'${bad.head.getAs[String]("change_type")}' change — " +
+            "readStream.table streams APPENDS only; consume updates/" +
+            "deletes through the graft-cdf change-feed source instead")
+        raw0
+      }
     val have = raw.columns.toSet
     val missing = schema.fieldNames.filterNot(have)
     val extra = raw.columns.filterNot(schema.fieldNames.toSet)

@@ -153,6 +153,41 @@ class GraftCatalogSpec extends AnyFunSuite {
       .count() == 5, "history survives the truncate")
   }
 
+  test("readStream.table follows appends with version offsets; mutations fail loudly") {
+    spark.sql("DROP TABLE IF EXISTS gcat.st")
+    spark.sql("CREATE TABLE gcat.st (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.st VALUES (1, 'a'), (2, 'b')")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = graft.util.Scratch.dir("graft-cat-stream-ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.table("gcat.st")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.select(col("k")).collect().foreach(r => seen.add(r.getLong(0)))
+            ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // bootstrap: the current snapshot streams as the first batch
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted == Seq(1L, 2L))
+    spark.sql("INSERT INTO gcat.st VALUES (3, 'c')")
+    drain() // restart resumes from the checkpointed version: only v3
+    assert(seen.asScala.toSeq.sorted == Seq(1L, 2L, 3L))
+    // a row-level mutation makes the table non-append-only for this
+    // consumer: the crossing window fails loudly, naming the remedy
+    GraftTable.open(spark, locationOf("st"), "k").delete(col("k") === 1)
+    def msgs(x: Throwable): Seq[String] =
+      if (x == null) Seq.empty
+      else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+    val e = intercept[Exception] { drain() }
+    assert(msgs(e).exists(_.contains("APPENDS only")),
+      s"want the appends-only failure, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("table management: exists, list, drop, rename") {
     spark.sql("DROP TABLE IF EXISTS gcat.m1")
     spark.sql("DROP TABLE IF EXISTS gcat.m2")
