@@ -220,18 +220,35 @@ class GraftCatalog extends TableCatalog {
 /** a catalog table: reads through the V1 snapshot plan (V1Scan shim),
   * writes through the transactional handle (V1Write); TRUNCATE is one
   * `overwriteAll` commit of the empty typed frame — history stays
-  * time-travelable, exactly like INSERT OVERWRITE of nothing */
+  * time-travelable, exactly like INSERT OVERWRITE of nothing; ANSI
+  * `DELETE FROM ... WHERE` routes translatable predicates to the
+  * stats-pruned copy-on-write `delete` commit (untranslatable ones
+  * refuse via canDeleteWhere — a blind full-scan delete is exactly
+  * what the GRAFT verb surface exists to avoid) */
 private[sources] class GraftSqlTable(ident: String, root: String,
                                      keyCol: String, declared: StructType,
                                      version: Long)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.TruncatableTable {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def truncateTable(): Boolean = {
     require(version < 0, "cannot truncate a time-travel table")
     table.overwriteAll(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema()))
     true
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    version < 0 &&
+      filters.forall(f => GraftFilterBridge.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(version < 0, "cannot delete from a time-travel table")
+    val pred = filters.flatMap(GraftFilterBridge.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    table.delete(pred)
+    ()
   }
 
   private def spark = SparkSession.active

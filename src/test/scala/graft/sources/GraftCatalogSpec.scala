@@ -153,6 +153,24 @@ class GraftCatalogSpec extends AnyFunSuite {
       .count() == 5, "history survives the truncate")
   }
 
+  test("ANSI DELETE FROM routes to the stats-pruned COW delete commit") {
+    spark.sql("DROP TABLE IF EXISTS gcat.del")
+    spark.sql("CREATE TABLE gcat.del (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.del SELECT id, CAST(id AS STRING) " +
+      "FROM range(1, 11)")
+    val t = GraftTable.open(spark, locationOf("del"), "k")
+    val h = t.head
+    spark.sql("DELETE FROM gcat.del WHERE k >= 8")
+    assert(t.head == h + 1, "DELETE is exactly one commit")
+    assert(spark.table("gcat.del").count() == 7)
+    assert(spark.sql(s"SELECT * FROM gcat.del VERSION AS OF $h")
+      .count() == 10, "history survives the delete")
+    // NULL three-valued semantics ride the underlying verb
+    spark.sql("DELETE FROM gcat.del WHERE v = 'nope'")
+    assert(spark.table("gcat.del").count() == 7)
+  }
+
   test("readStream.table follows appends with version offsets; mutations fail loudly") {
     spark.sql("DROP TABLE IF EXISTS gcat.st")
     spark.sql("CREATE TABLE gcat.st (k BIGINT, v STRING) " +
