@@ -152,6 +152,14 @@ class GraftCatalog extends TableCatalog {
     require(schema.fieldNames.contains(key),
       s"key column '$key' is not in the schema " +
         s"(${schema.fieldNames.mkString(", ")})")
+    // validate BEFORE any state lands: a failure after catalog.conf
+    // exists would register a bootstrap-less table that blocks retries
+    // with TableAlreadyExists until a manual DROP (a CTAS of an
+    // unaliased aggregate — column "count(1)" — hits exactly this)
+    schema.fieldNames.foreach(n =>
+      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"column names must be identifiers: '$n' — alias the column " +
+          "in the query"))
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val root = rootOf(ident)
     // storage indirection: manifests/DV sidecars hold absolute paths,
@@ -165,31 +173,65 @@ class GraftCatalog extends TableCatalog {
     finally out.close()
     // bootstrap the declared schema INTO the table (one metadata
     // commit): reads serve a typed empty frame and ALTER TABLE verbs
-    // resolve against the declarations before any data lands
-    GraftTable.open(spark, loc, key).declareColumns(schema)
+    // resolve against the declarations before any data lands. If it
+    // fails anyway, unregister the half-created table.
+    try GraftTable.open(spark, loc, key).declareColumns(schema)
+    catch { case e: Throwable =>
+      f.delete(p, false)
+      f.delete(new org.apache.hadoop.fs.Path(loc), true)
+      throw e
+    }
     loadTable(ident)
   }
 
   /** ANSI ALTER TABLE column verbs → the metadata-only evolution
-    * commits (x53/x56); anything else names its GRAFT verb */
+    * commits (x53/x56); anything else names its GRAFT verb. Each
+    * change is its own commit, so the whole batch is PRE-VALIDATED
+    * against a simulated column list first — a mid-statement failure
+    * must not leave earlier changes half-applied (the common causes:
+    * duplicates, unknown columns, the key column, NOT NULL). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val (key, loc, _) = readConf(rootOf(ident))
       .getOrElse(throw new NoSuchTableException(ident))
-    val t = GraftTable.open(spark, loc, key)
+    var cols = loadVersioned(ident, -1L).schema().fieldNames.toSeq
     changes.foreach {
-      case r: TableChange.RenameColumn =>
-        require(r.fieldNames.length == 1, "nested columns not supported")
-        t.renameColumn(r.fieldNames.head, r.newName)
-      case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1, "nested columns not supported")
-        t.dropColumn(d.fieldNames.head)
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested columns not supported")
-        t.addColumn(a.fieldNames.head, a.dataType,
-          Option(a.defaultValue()).map(_.getSql))
+        require(a.isNullable,
+          "NOT NULL columns are not supported: readers NULL-fill rows " +
+            "that predate the add — declare a CHECK constraint instead")
+        require(a.position() == null,
+          "column positions are not supported (columns append)")
+        val n = a.fieldNames.head
+        require(!cols.contains(n), s"column '$n' already exists")
+        cols :+= n
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1, "nested columns not supported")
+        val o = r.fieldNames.head
+        require(cols.contains(o), s"column '$o' does not exist")
+        require(!cols.contains(r.newName),
+          s"column '${r.newName}' already exists")
+        cols = cols.map(c => if (c == o) r.newName else c)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1, "nested columns not supported")
+        val n = d.fieldNames.head
+        require(cols.contains(n), s"column '$n' does not exist")
+        require(n != key, s"cannot drop the key column '$n'")
+        cols = cols.filterNot(_ == n)
       case other => throw new UnsupportedOperationException(
         s"graft ALTER supports column add/rename/drop; for $other use " +
           "the GRAFT SQL verbs (CONSTRAINT, INDEX, AUTOCOMPACT, ...)")
+    }
+    val t = GraftTable.open(spark, loc, key)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        t.renameColumn(r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        t.dropColumn(d.fieldNames.head)
+      case a: TableChange.AddColumn =>
+        t.addColumn(a.fieldNames.head, a.dataType,
+          Option(a.defaultValue()).map(_.getSql))
+      case _ => ()
     }
     loadTable(ident)
   }

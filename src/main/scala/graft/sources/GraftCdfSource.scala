@@ -228,23 +228,38 @@ private[sources] class GraftCdfMicroBatchStream(
     // source semantics): rows stream as APPENDS; a window carrying an
     // update/delete means the table is not append-only for this
     // consumer — fail loudly naming the alternative, never silently
-    // drop or double-emit (the check is one limit-1 probe of the
-    // window's change-proportional feed)
+    // drop or double-emit. The MANIFEST answers the common case for
+    // free: a window that removes no data file and adds no deletion
+    // vector cannot carry an update or delete — only then (compaction
+    // windows, MoR deletes) does the limit-1 probe of the
+    // change-proportional feed run.
     val raw =
-      if (!insertsOnly) raw0
+      if (!insertsOnly || startV == 0L) raw0
       else {
-        val bad = raw0.where(col("change_type") =!= "insert")
-          .limit(1).collect()
-        if (bad.nonEmpty) throw new IllegalStateException(
-          s"graft($root): version window ($startV, $endV] contains a " +
-            s"'${bad.head.getAs[String]("change_type")}' change — " +
-            "readStream.table streams APPENDS only; consume updates/" +
-            "deletes through the graft-cdf change-feed source instead")
+        val fFrom = table.filesOf(startV).toSet
+        val pureAppend =
+          fFrom.subsetOf(table.filesOf(endV).toSet) &&
+            table.deletionVectorsOf(endV).toSet ==
+              table.deletionVectorsOf(startV).toSet
+        if (!pureAppend) {
+          val bad = raw0.where(col("change_type") =!= "insert")
+            .limit(1).collect()
+          if (bad.nonEmpty) throw new IllegalStateException(
+            s"graft($root): version window ($startV, $endV] contains a " +
+              s"'${bad.head.getAs[String]("change_type")}' change — " +
+              "readStream.table streams APPENDS only; consume updates/" +
+              "deletes through the graft-cdf change-feed source instead")
+        }
         raw0
       }
     val have = raw.columns.toSet
+    // change_type is the feed's own column, not the table's: an
+    // insertsOnly stream pins the TABLE schema, so it must never
+    // count as "extra" in the rename-boundary check below (it is
+    // projected out by the conform select either way)
     val missing = schema.fieldNames.filterNot(have)
-    val extra = raw.columns.filterNot(schema.fieldNames.toSet)
+    val extra = raw.columns.filterNot(c =>
+      schema.fieldNames.contains(c) || c == "change_type")
     if (missing.nonEmpty && extra.nonEmpty)
       throw new IllegalStateException(
         s"graft-cdf($root): window ($startV, $endV] columns differ from " +

@@ -1905,29 +1905,45 @@ final class GraftTable private (spark: SparkSession, val root: String,
     refs.iterator.filter(r => r.kind == "prop" || r.kind == "addcol")
       .map(_.file).toSet
 
-  def append(df: DataFrame): Long = {
+  /** the STAGE-ONCE commit loop append/streamAppend/overwriteAll
+    * share: fill declared defaults against the head, stage once,
+    * commit metadata-only — EXCEPT when a metadata commit (new
+    * declared default, new constraint, schema-mode flip) lands after
+    * our stage, in which case the staged frame was filled/validated
+    * against the old set: discard and re-stage against the new one
+    * (the stage-once twin of the mutators' canRebase metadata check).
+    * `alreadyDone` aborts as a no-op inside the CAS loop (streaming
+    * batch replay); `compose` builds the new manifest from (base,
+    * staged refs). */
+  private def stageOnceCommit(df: DataFrame, txn: Long = -1L,
+      alreadyDone: () => Boolean = () => false,
+      autoCompactAfter: Boolean = false)(
+      compose: (Seq[FileRef], Seq[FileRef]) => Seq[FileRef]): Long = {
     while (true) {
       val hr = headRefs
       val stamp = metaStamp(hr)
       val st = stage(toPhysical(hr, fillDefaults(hr, df)))
       var stale = false
-      val v = commitLoop() { base =>
-        // a metadata commit (new declared default, new constraint)
-        // landed after our stage: discard and re-stage against it —
-        // committing the pre-staged frame would skip the new default
-        // and bypass the new validation
-        if (metaStamp(base) != stamp) { stale = true; None }
-        else Some((base ++ st.refs, Seq.empty))
+      var done = false
+      val v = commitLoop(txn) { base =>
+        if (alreadyDone()) { done = true; None }
+        else if (metaStamp(base) != stamp) { stale = true; None }
+        else Some((compose(base, st.refs), Seq.empty))
       }
+      if (done) { discardStaged(st); return v }
       if (!stale) {
         st.markers.foreach(io.delete)
-        maybeAutoCompact() // may advance head past the returned version
+        if (autoCompactAfter)
+          maybeAutoCompact() // may advance head past the returned version
         return v
       }
       discardStaged(st)
     }
     0L // unreachable
   }
+
+  def append(df: DataFrame): Long =
+    stageOnceCommit(df, autoCompactAfter = true)(_ ++ _)
 
   /** `append` with exactly-once batch-id idempotency — the w18 streaming
     * commit protocol behind the handle. Drive it from foreachBatch:
@@ -1941,26 +1957,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def streamAppend(df: DataFrame, batchId: Long): Long = {
     require(batchId >= 0, "batchId must be >= 0")
     if (committedTxns().contains(batchId)) return head
-    while (true) {
-      val hr = headRefs
-      val stamp = metaStamp(hr)
-      val st = stage(toPhysical(hr, fillDefaults(hr, df)))
-      var stale = false
-      var replayed = false
-      val v = commitLoop(txn = batchId) { base =>
-        if (committedTxns().contains(batchId)) { replayed = true; None }
-        else if (metaStamp(base) != stamp) { stale = true; None }
-        else Some((base ++ st.refs, Seq.empty))
-      }
-      if (replayed) { discardStaged(st); return v }
-      if (!stale) {
-        st.markers.foreach(io.delete)
-        maybeAutoCompact() // may advance head past the returned version
-        return v
-      }
-      discardStaged(st)
-    }
-    0L // unreachable
+    stageOnceCommit(df, txn = batchId,
+      alreadyDone = () => committedTxns().contains(batchId),
+      autoCompactAfter = true)(_ ++ _)
   }
 
   /** every batch id any committed version recorded — ONE slot read
@@ -2335,24 +2334,10 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * so a 100 TB table overwrites at the cost of writing the
     * replacement. Old files remain owned by their versions for time
     * travel until `expire`. */
-  def overwriteAll(df: DataFrame): Long = {
-    while (true) {
-      val hr = headRefs
-      val stamp = metaStamp(hr)
-      val st = stage(toPhysical(hr, fillDefaults(hr, df)))
-      var stale = false
-      val v = commitLoop() { base =>
-        if (metaStamp(base) != stamp) { stale = true; None }
-        else {
-          val carried = base.filter(r => GraftTable.CarriedKinds(r.kind))
-          Some((carried ++ st.refs, Seq.empty))
-        }
-      }
-      if (!stale) { st.markers.foreach(io.delete); return v }
-      discardStaged(st)
+  def overwriteAll(df: DataFrame): Long =
+    stageOnceCommit(df) { (base, staged) =>
+      base.filter(r => GraftTable.CarriedKinds(r.kind)) ++ staged
     }
-    0L // unreachable
-  }
 
   /** small-file compaction (OPTIMIZE): bin-packs only files under
     * `smallFileBytes` into ~`targetFiles` right-sized files — files
