@@ -143,6 +143,30 @@ class AddColumnSpec extends AnyFunSuite {
       "the re-composed insert must see the mid-race default")
   }
 
+  test("a mid-race declaration re-stages a racing APPEND (stage-once staleness)") {
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-addcol-appendrace"), "k",
+      rows(1L to 4L: _*))
+    val t2 = GraftTable.open(spark, t.root, "k")
+    // t2's append stages against the pre-add metadata; the declaration
+    // lands inside the publish window — the stage-once loop must
+    // discard and re-stage so the committed rows carry the default
+    var fired = false
+    t2.beforePublishHook = () => {
+      if (!fired) { fired = true
+        t.addColumn("tier", StringType, Some("'std'")) }
+    }
+    t2.stageCounter.set(0)
+    t2.append(rows(10))
+    t2.beforePublishHook = () => ()
+    assert(t2.stageCounter.get() >= 2,
+      "a metadata commit after our stage must force a re-stage")
+    assert(t2.read().where(col("k") === 10).head.getString(2) == "std",
+      "the re-staged append must materialize the mid-race default")
+    assert(t2.read().where(col("k") === 1).head.isNullAt(2),
+      "pre-add rows stay NULL")
+  }
+
   test("changes() spans the declaration boundary; count() stays metadata-only") {
     val t = GraftTable.create(spark,
       graft.util.Scratch.dir("graft-addcol-cdf"), "k", rows(1, 2)) // v1
