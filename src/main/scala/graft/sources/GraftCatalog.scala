@@ -157,7 +157,7 @@ class GraftCatalog extends TableCatalog {
     // with TableAlreadyExists until a manual DROP (a CTAS of an
     // unaliased aggregate — column "count(1)" — hits exactly this)
     schema.fieldNames.foreach(n =>
-      require(n.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      require(n.matches(graft.table.GraftTable.ColIdent),
         s"column names must be identifiers: '$n' — alias the column " +
           "in the query"))
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
@@ -176,25 +176,32 @@ class GraftCatalog extends TableCatalog {
     // resolve against the declarations before any data lands. If it
     // fails anyway, unregister the half-created table.
     try GraftTable.open(spark, loc, key).declareColumns(schema)
-    catch { case e: Throwable =>
-      f.delete(p, false)
-      f.delete(new org.apache.hadoop.fs.Path(loc), true)
+    catch { case scala.util.control.NonFatal(e) =>
+      try {
+        f.delete(p, false)
+        f.delete(new org.apache.hadoop.fs.Path(loc), true)
+      } catch {
+        case scala.util.control.NonFatal(c) => e.addSuppressed(c)
+      }
       throw e
     }
     loadTable(ident)
   }
 
-  /** ANSI ALTER TABLE column verbs → the metadata-only evolution
-    * commits (x53/x56); anything else names its GRAFT verb. Each
-    * change is its own commit, so the whole batch is PRE-VALIDATED
-    * against a simulated column list first — a mid-statement failure
-    * must not leave earlier changes half-applied (the common causes:
-    * duplicates, unknown columns, the key column, NOT NULL). */
+  /** ANSI ALTER TABLE column verbs → ONE atomic
+    * [[GraftTable.alterColumns]] commit carrying the full per-verb
+    * guard set (x53/x56): the batch commits entirely or not at all —
+    * a mid-statement guard failure or a lost commit race can never
+    * half-apply. NOT NULL and positioned adds reject (readers
+    * NULL-fill pre-add rows; columns append); renaming the KEY column
+    * re-points the catalog's persisted key name after the commit.
+    * Anything else names its GRAFT verb. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val (key, loc, _) = readConf(rootOf(ident))
+    val root = rootOf(ident)
+    val (key, loc, declared) = readConf(root)
       .getOrElse(throw new NoSuchTableException(ident))
-    var cols = loadVersioned(ident, -1L).schema().fieldNames.toSeq
-    changes.foreach {
+    var newKey = key
+    val colChanges: Seq[graft.table.GraftTable.ColChange] = changes.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested columns not supported")
         require(a.isNullable,
@@ -202,36 +209,27 @@ class GraftCatalog extends TableCatalog {
             "that predate the add — declare a CHECK constraint instead")
         require(a.position() == null,
           "column positions are not supported (columns append)")
-        val n = a.fieldNames.head
-        require(!cols.contains(n), s"column '$n' already exists")
-        cols :+= n
+        GraftTable.AddCol(a.fieldNames.head, a.dataType,
+          Option(a.defaultValue()).map(_.getSql))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1, "nested columns not supported")
-        val o = r.fieldNames.head
-        require(cols.contains(o), s"column '$o' does not exist")
-        require(!cols.contains(r.newName),
-          s"column '${r.newName}' already exists")
-        cols = cols.map(c => if (c == o) r.newName else c)
+        if (r.fieldNames.head == newKey) newKey = r.newName
+        GraftTable.RenameCol(r.fieldNames.head, r.newName)
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1, "nested columns not supported")
-        val n = d.fieldNames.head
-        require(cols.contains(n), s"column '$n' does not exist")
-        require(n != key, s"cannot drop the key column '$n'")
-        cols = cols.filterNot(_ == n)
+        GraftTable.DropCol(d.fieldNames.head)
       case other => throw new UnsupportedOperationException(
         s"graft ALTER supports column add/rename/drop; for $other use " +
           "the GRAFT SQL verbs (CONSTRAINT, INDEX, AUTOCOMPACT, ...)")
-    }
-    val t = GraftTable.open(spark, loc, key)
-    changes.foreach {
-      case r: TableChange.RenameColumn =>
-        t.renameColumn(r.fieldNames.head, r.newName)
-      case d: TableChange.DeleteColumn =>
-        t.dropColumn(d.fieldNames.head)
-      case a: TableChange.AddColumn =>
-        t.addColumn(a.fieldNames.head, a.dataType,
-          Option(a.defaultValue()).map(_.getSql))
-      case _ => ()
+    }.toSeq
+    GraftTable.open(spark, loc, key).alterColumns(colChanges)
+    if (newKey != key) {
+      // the key column's LOGICAL name changed: re-point the conf so
+      // later loads open under the name the schema now speaks
+      val (f, p) = fs(confPath(root))
+      val out = f.create(p, true)
+      try out.write(s"$newKey\n$loc\n${declared.json}".getBytes("UTF-8"))
+      finally out.close()
     }
     loadTable(ident)
   }

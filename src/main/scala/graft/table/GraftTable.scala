@@ -715,33 +715,38 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * files read through the new name immediately; time travel below
     * this commit still serves the old one. Renaming back to the
     * column's own physical name drops the row (identity restored). */
-  def renameColumn(oldName: String, newName: String): Long = {
+  def renameColumn(oldName: String, newName: String): Long =
+    commitLoop() (base =>
+      Some((applyRenameColumn(base, oldName, newName), Seq.empty)))
+
+  /** the rename applied to a manifest row set — every guard included,
+    * so [[alterColumns]] composes it atomically with other changes */
+  private def applyRenameColumn(base: Seq[FileRef], oldName: String,
+                                newName: String): Seq[FileRef] = {
     require(oldName.matches(GraftTable.ColIdent) &&
             newName.matches(GraftTable.ColIdent),
       s"column names are identifiers ([A-Za-z_][A-Za-z0-9_]*): " +
         s"'$oldName' -> '$newName'")
-    commitLoop() { base =>
-      val lcols = logicalCols(base)
-      require(lcols.contains(oldName),
-        s"column '$oldName' does not exist " +
-          s"(columns: ${lcols.mkString(", ")})")
-      require(oldName == newName || !lcols.contains(newName),
-        s"column '$newName' already exists")
-      val p = physicalOf(base)(oldName)
-      require(newName == p || !colRows(base).exists(_._2 == newName),
-        s"'$newName' is a retired physical name on this table")
-      val kept = base.filterNot(r => r.kind == "col" &&
-        GraftTable.parseColRows(Seq(r)).exists(_._2 == p))
-      val added =
-        if (newName == p) Seq.empty
-        else Seq(GraftTable.colRow(newName, p))
-      // an identity-restoring rename adds no mapping row — don't
-      // stamp a reader requirement the snapshot doesn't exercise
-      // (any pre-existing flag rides `kept` untouched)
-      val stamped =
-        if (added.isEmpty) kept else withFeature(kept, "colmap")
-      Some((stamped ++ added, Seq.empty))
-    }
+    val lcols = logicalCols(base)
+    require(lcols.contains(oldName),
+      s"column '$oldName' does not exist " +
+        s"(columns: ${lcols.mkString(", ")})")
+    require(oldName == newName || !lcols.contains(newName),
+      s"column '$newName' already exists")
+    val p = physicalOf(base)(oldName)
+    require(newName == p || !colRows(base).exists(_._2 == newName),
+      s"'$newName' is a retired physical name on this table")
+    val kept = base.filterNot(r => r.kind == "col" &&
+      GraftTable.parseColRows(Seq(r)).exists(_._2 == p))
+    val added =
+      if (newName == p) Seq.empty
+      else Seq(GraftTable.colRow(newName, p))
+    // an identity-restoring rename adds no mapping row — don't
+    // stamp a reader requirement the snapshot doesn't exercise
+    // (any pre-existing flag rides `kept` untouched)
+    val stamped =
+      if (added.isEmpty) kept else withFeature(kept, "colmap")
+    stamped ++ added
   }
 
   /** DECLARE every column of `schema` in ONE metadata commit — the
@@ -775,21 +780,23 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * untouched, the column simply stops projecting; time travel below
     * this commit still reads it. New writes must not reuse the retired
     * physical name. The key column cannot drop. */
-  def dropColumn(name: String): Long = {
+  def dropColumn(name: String): Long =
+    commitLoop() (base => Some((applyDropColumn(base, name), Seq.empty)))
+
+  /** the drop applied to a manifest row set (see [[alterColumns]]) */
+  private def applyDropColumn(base: Seq[FileRef],
+                              name: String): Seq[FileRef] = {
     require(name.matches(GraftTable.ColIdent),
       s"column names are identifiers: '$name'")
-    commitLoop() { base =>
-      val lcols = logicalCols(base)
-      require(lcols.contains(name),
-        s"column '$name' does not exist (columns: ${lcols.mkString(", ")})")
-      val p = physicalOf(base)(name)
-      require(p != physKeyOf(base),
-        s"cannot drop '$name': it is the table's key column")
-      val kept = base.filterNot(r => r.kind == "col" &&
-        GraftTable.parseColRows(Seq(r)).exists(_._2 == p))
-      Some((withFeature(kept, "colmap") :+ GraftTable.colRow("", p),
-        Seq.empty))
-    }
+    val lcols = logicalCols(base)
+    require(lcols.contains(name),
+      s"column '$name' does not exist (columns: ${lcols.mkString(", ")})")
+    val p = physicalOf(base)(name)
+    require(p != physKeyOf(base),
+      s"cannot drop '$name': it is the table's key column")
+    val kept = base.filterNot(r => r.kind == "col" &&
+      GraftTable.parseColRows(Seq(r)).exists(_._2 == p))
+    withFeature(kept, "colmap") :+ GraftTable.colRow("", p)
   }
 
   /** ADD a column (Delta's `ALTER TABLE ... ADD COLUMN`, completing
@@ -810,54 +817,92 @@ final class GraftTable private (spark: SparkSession, val root: String,
   def addColumn(name: String,
                 dataType: org.apache.spark.sql.types.DataType,
                 defaultSql: Option[String] = None): Long = {
-    require(name.matches(GraftTable.ColIdent),
-      s"column names are identifiers ([A-Za-z_][A-Za-z0-9_]*): '$name'")
-    defaultSql.foreach { d =>
-      require(!d.contains("\n") && d.nonEmpty,
-        "default must be one non-empty line")
-      // fail loudly NOW, not mid-ingest: the default must parse, be
-      // CONSTANT (no column references), and cast to the declared type
-      val parsed = spark.sessionState.sqlParser.parseExpression(d)
-      val attrs = parsed.collect {
-        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          u.sql
-      }
-      require(attrs.isEmpty,
-        s"default for '$name' must be a constant expression; it " +
-          s"references: ${attrs.mkString(", ")}")
-      // a scalar subquery hides its column references inside a nested
-      // plan the expression walk above cannot see — and re-evaluates
-      // per fill, which is exactly not a constant
-      require(!parsed.exists(_.isInstanceOf[
-        org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
-        s"default for '$name' must be a constant expression, not a " +
-          "subquery")
-      spark.range(1).select(expr(d).cast(dataType)).collect()
-    }
-    val v = commitLoop() { base =>
-      val lcols = logicalCols(base)
-      require(!lcols.contains(name), s"column '$name' already exists " +
-        s"(columns: ${lcols.mkString(", ")})")
-      require(!colRows(base).exists(_._2 == name),
-        s"'$name' is a retired physical name on this table (the " +
-          "storage name behind a rename or drop) — pick a fresh one")
-      require(!GraftTable.parseAddColRows(base).exists(_.name == name),
-        s"column '$name' is already declared")
-      val data = base.filter(_.kind == "data")
-      require(data.forall(_.schemaJson.nonEmpty),
-        "addColumn requires manifest-recorded per-file schemas; this " +
-          "table has pre-schema-manifest files — compact() once to " +
-          "rewrite them under the recorded schema")
-      val ord = base.iterator.filter(_.kind == "addcol")
-        .map(_.lo).foldLeft(-1L)(math.max) + 1
-      Some((withFeature(base, "addcol") :+ GraftTable.addColRow(
-        GraftTable.AddedCol(name, dataType, defaultSql), ord), Seq.empty))
-    }
+    validateDefault(name, dataType, defaultSql)
+    val v = commitLoop() (base =>
+      Some((applyAddColumn(base, name, dataType, defaultSql), Seq.empty)))
     // an enforce-mode table's recorded schema must gain the column, or
     // every post-add write would be rejected as drift; re-capturing
     // from the head snapshot (which now includes the declaration) also
     // re-stamps the property fingerprint
     if (schemaMode() == "enforce") setSchemaMode("enforce")
+    v
+  }
+
+  /** eager default validation — fail loudly at declare time, not
+    * mid-ingest: the default must parse, be CONSTANT (no column
+    * references, no subquery — a nested plan hides references the
+    * expression walk cannot see and re-evaluates per fill), and cast
+    * to the declared type */
+  private def validateDefault(name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      defaultSql: Option[String]): Unit = defaultSql.foreach { d =>
+    require(!d.contains("\n") && d.nonEmpty,
+      "default must be one non-empty line")
+    val parsed = spark.sessionState.sqlParser.parseExpression(d)
+    val attrs = parsed.collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        u.sql
+    }
+    require(attrs.isEmpty,
+      s"default for '$name' must be a constant expression; it " +
+        s"references: ${attrs.mkString(", ")}")
+    require(!parsed.exists(_.isInstanceOf[
+      org.apache.spark.sql.catalyst.expressions.SubqueryExpression]),
+      s"default for '$name' must be a constant expression, not a " +
+        "subquery")
+    spark.range(1).select(expr(d).cast(dataType)).collect()
+    ()
+  }
+
+  /** the declaration applied to a manifest row set (see
+    * [[alterColumns]]); callers run [[validateDefault]] first */
+  private def applyAddColumn(base: Seq[FileRef], name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      defaultSql: Option[String]): Seq[FileRef] = {
+    require(name.matches(GraftTable.ColIdent),
+      s"column names are identifiers ([A-Za-z_][A-Za-z0-9_]*): '$name'")
+    val lcols = logicalCols(base)
+    require(!lcols.contains(name), s"column '$name' already exists " +
+      s"(columns: ${lcols.mkString(", ")})")
+    require(!colRows(base).exists(_._2 == name),
+      s"'$name' is a retired physical name on this table (the " +
+        "storage name behind a rename or drop) — pick a fresh one")
+    require(!GraftTable.parseAddColRows(base).exists(_.name == name),
+      s"column '$name' is already declared")
+    val data = base.filter(_.kind == "data")
+    require(data.forall(_.schemaJson.nonEmpty),
+      "addColumn requires manifest-recorded per-file schemas; this " +
+        "table has pre-schema-manifest files — compact() once to " +
+        "rewrite them under the recorded schema")
+    val ord = base.iterator.filter(_.kind == "addcol")
+      .map(_.lo).foldLeft(-1L)(math.max) + 1
+    withFeature(base, "addcol") :+ GraftTable.addColRow(
+      GraftTable.AddedCol(name, dataType, defaultSql), ord)
+  }
+
+  /** apply SEVERAL column changes in ONE atomic commit — the ANSI
+    * `ALTER TABLE` statement contract the catalog needs (a
+    * per-change commit sequence could half-apply on a mid-statement
+    * guard failure or a lost race): every change folds over the same
+    * base inside one CAS loop with the full per-verb guard set, so
+    * the batch commits entirely or not at all, racing writers retry
+    * the WHOLE fold, and sequential semantics hold (a rename's new
+    * name is visible to the next change). Returns the new version. */
+  def alterColumns(changes: Seq[GraftTable.ColChange]): Long = {
+    require(changes.nonEmpty, "no changes")
+    changes.foreach {
+      case GraftTable.AddCol(n, t, d) => validateDefault(n, t, d)
+      case _ => ()
+    }
+    val v = commitLoop() { base =>
+      Some((changes.foldLeft(base) {
+        case (b, GraftTable.RenameCol(o, n)) => applyRenameColumn(b, o, n)
+        case (b, GraftTable.DropCol(n))      => applyDropColumn(b, n)
+        case (b, GraftTable.AddCol(n, t, d)) => applyAddColumn(b, n, t, d)
+      }, Seq.empty))
+    }
+    if (changes.exists(_.isInstanceOf[GraftTable.AddCol]) &&
+        schemaMode() == "enforce") setSchemaMode("enforce")
     v
   }
 
@@ -3082,8 +3127,18 @@ object GraftTable {
     }
 
   /** rename/drop work on identifier-shaped names only (the `col:` row
-    * encoding and the projection both depend on it) */
-  private[table] val ColIdent = "[A-Za-z_][A-Za-z0-9_]*"
+    * encoding and the projection both depend on it); shared with the
+    * catalog's CREATE-time validation so the checks cannot drift */
+  private[graft] val ColIdent = "[A-Za-z_][A-Za-z0-9_]*"
+
+  /** one column change of an atomic [[GraftTable.alterColumns]] batch */
+  sealed trait ColChange
+  final case class RenameCol(oldName: String, newName: String)
+      extends ColChange
+  final case class DropCol(name: String) extends ColChange
+  final case class AddCol(name: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      defaultSql: Option[String] = None) extends ColChange
 
   /** DV positions above which `scan` stops broadcasting the deletion
     * vector and applies it file-locally (≈16 MB of (file, pos) rows —

@@ -138,6 +138,32 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"a 2-row catalog table must broadcast, got:\n$plan")
   }
 
+  test("a multi-change ALTER is one atomic commit; failures apply nothing") {
+    spark.sql("DROP TABLE IF EXISTS gcat.am")
+    spark.sql("CREATE TABLE gcat.am (k BIGINT, a STRING, b STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val t = GraftTable.open(spark, locationOf("am"), "k")
+    val h = t.head
+    // three changes, ONE commit, sequential semantics (b renames to
+    // the name a just vacated... no — a fresh name; the add sees both)
+    spark.sql("ALTER TABLE gcat.am ADD COLUMNS (x BIGINT, y STRING)")
+    assert(t.head == h + 1, "the batch must be one commit")
+    assert(spark.table("gcat.am").columns.toSeq ==
+      Seq("k", "a", "b", "x", "y"))
+    // a failing batch (second add collides) applies NOTHING
+    val h2 = t.head
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.am ADD COLUMNS (z BIGINT, a STRING)")
+    }
+    assert(t.head == h2, "a failed batch must not half-apply")
+    assert(!spark.table("gcat.am").columns.contains("z"))
+    // renaming the KEY column re-points the catalog's key
+    spark.sql("ALTER TABLE gcat.am RENAME COLUMN k TO id")
+    assert(spark.table("gcat.am").columns.head == "id")
+    spark.sql("INSERT INTO gcat.am VALUES (1, 'a', 'b', 2, 'y')")
+    assert(spark.sql("SELECT id FROM gcat.am WHERE id = 1").count() == 1)
+  }
+
   test("CTAS creates and loads in one statement; TRUNCATE empties in one commit") {
     spark.sql("DROP TABLE IF EXISTS gcat.ctas")
     spark.sql("CREATE TABLE gcat.ctas TBLPROPERTIES ('key' = 'k') AS " +
