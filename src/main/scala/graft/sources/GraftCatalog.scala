@@ -78,9 +78,32 @@ class GraftCatalog extends TableCatalog {
       TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   private def spark = SparkSession.active
+
+  /** identifier → pointer directory, normalized CASE-INSENSITIVELY
+    * unless `spark.sql.caseSensitive` is on — Spark resolves
+    * identifiers that way, so `graft_cat.Events` must find the table
+    * created as `events` and `CREATE TABLE EVENTS` must collide with
+    * it (byte-exact paths let both coexist, unlike any metastore) */
+  private def norm(part: String): String =
+    if (spark.sessionState.conf.caseSensitiveAnalysis) part
+    else part.toLowerCase(java.util.Locale.ROOT)
   private def rootOf(ident: Identifier): String =
-    (warehouse +: (ident.namespace() :+ ident.name()).toSeq).mkString("/")
+    (warehouse +: (ident.namespace() :+ ident.name()).toSeq.map(norm))
+      .mkString("/")
   private def confPath(root: String) = s"$root/catalog.conf"
+
+  /** open a handle resolving the pointer's stored key name to the
+    * table's CURRENT logical key: the pointer persists the key's
+    * PHYSICAL storage name (immutable), so a key rename is complete
+    * the instant its alterColumns commit publishes — no pointer
+    * rewrite, no crash window (the round-15 advisor's non-atomic
+    * re-point). Pointers that predate this scheme stored the logical
+    * name; `logicalKeyName` resolves those to themselves. */
+  private def openHandle(loc: String, storedKey: String): GraftTable = {
+    val t0 = GraftTable.open(spark, loc, storedKey)
+    val lk = t0.logicalKeyName
+    if (lk == storedKey) t0 else GraftTable.open(spark, loc, lk)
+  }
 
   private def fs(path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -128,7 +151,7 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val (key, loc, _) = readConf(rootOf(ident))
       .getOrElse(throw new NoSuchTableException(ident))
-    val t = GraftTable.open(spark, loc, key)
+    val t = openHandle(loc, key)
     loadVersioned(ident, t.versionAt(timestampMicros / 1000L))
   }
 
@@ -164,26 +187,34 @@ class GraftCatalog extends TableCatalog {
     val root = rootOf(ident)
     // storage indirection: manifests/DV sidecars hold absolute paths,
     // so the data location is immutable — renames move the pointer
-    val loc = s"$warehouse/.store/${ident.name()}-${
+    val loc = s"$warehouse/.store/${norm(ident.name())}-${
       java.util.UUID.randomUUID().toString.take(8)}"
     val (f, p) = fs(confPath(root))
+    // ORDER: bootstrap the STORAGE first (the declared-schema commit —
+    // reads serve a typed empty frame, ALTER verbs resolve against the
+    // declarations), and write the pointer LAST as the commit point. A
+    // crash between the two leaves an orphaned .store directory —
+    // never a registered-but-bootstrapless table that blocks every
+    // retry with TableAlreadyExists until a manual DROP (the round-15
+    // advisor's crash window; the old order had exactly that). The
+    // pointer write is create-if-absent, so a lost CREATE race cleans
+    // up its own orphan and reports the conflict.
     f.mkdirs(new org.apache.hadoop.fs.Path(loc, "commits"))
-    val out = f.create(p, false)
-    try out.write(s"$key\n$loc\n${schema.json}".getBytes("UTF-8"))
-    finally out.close()
-    // bootstrap the declared schema INTO the table (one metadata
-    // commit): reads serve a typed empty frame and ALTER TABLE verbs
-    // resolve against the declarations before any data lands. If it
-    // fails anyway, unregister the half-created table.
-    try GraftTable.open(spark, loc, key).declareColumns(schema)
-    catch { case scala.util.control.NonFatal(e) =>
-      try {
-        f.delete(p, false)
-        f.delete(new org.apache.hadoop.fs.Path(loc), true)
-      } catch {
+    def dropOrphan(e: Throwable): Unit =
+      try { f.delete(new org.apache.hadoop.fs.Path(loc), true); () }
+      catch {
         case scala.util.control.NonFatal(c) => e.addSuppressed(c)
       }
-      throw e
+    try GraftTable.open(spark, loc, key).declareColumns(schema)
+    catch { case scala.util.control.NonFatal(e) => dropOrphan(e); throw e }
+    try {
+      val out = f.create(p, false)
+      try out.write(s"$key\n$loc\n${schema.json}".getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        dropOrphan(e); throw new TableAlreadyExistsException(ident)
+      case scala.util.control.NonFatal(e) => dropOrphan(e); throw e
     }
     loadTable(ident)
   }
@@ -194,13 +225,13 @@ class GraftCatalog extends TableCatalog {
     * a mid-statement guard failure or a lost commit race can never
     * half-apply. NOT NULL and positioned adds reject (readers
     * NULL-fill pre-add rows; columns append); renaming the KEY column
-    * re-points the catalog's persisted key name after the commit.
-    * Anything else names its GRAFT verb. */
+    * needs no pointer update — the pointer holds the key's immutable
+    * PHYSICAL name and loads resolve the logical name from the
+    * manifest's mapping rows. Anything else names its GRAFT verb. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
-    val (key, loc, declared) = readConf(root)
+    val (key, loc, _) = readConf(root)
       .getOrElse(throw new NoSuchTableException(ident))
-    var newKey = key
     val colChanges: Seq[graft.table.GraftTable.ColChange] = changes.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested columns not supported")
@@ -213,7 +244,6 @@ class GraftCatalog extends TableCatalog {
           Option(a.defaultValue()).map(_.getSql))
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1, "nested columns not supported")
-        if (r.fieldNames.head == newKey) newKey = r.newName
         GraftTable.RenameCol(r.fieldNames.head, r.newName)
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1, "nested columns not supported")
@@ -222,15 +252,7 @@ class GraftCatalog extends TableCatalog {
         s"graft ALTER supports column add/rename/drop; for $other use " +
           "the GRAFT SQL verbs (CONSTRAINT, INDEX, AUTOCOMPACT, ...)")
     }.toSeq
-    GraftTable.open(spark, loc, key).alterColumns(colChanges)
-    if (newKey != key) {
-      // the key column's LOGICAL name changed: re-point the conf so
-      // later loads open under the name the schema now speaks
-      val (f, p) = fs(confPath(root))
-      val out = f.create(p, true)
-      try out.write(s"$newKey\n$loc\n${declared.json}".getBytes("UTF-8"))
-      finally out.close()
-    }
+    openHandle(loc, key).alterColumns(colChanges)
     loadTable(ident)
   }
 
@@ -294,8 +316,14 @@ private[sources] class GraftSqlTable(ident: String, root: String,
   private def spark = SparkSession.active
   /** ONE handle per loaded table: Spark calls schema()/stats many
     * times during analysis, and a fresh handle per call would re-fold
-    * the manifest each time */
-  private lazy val table = GraftTable.open(spark, root, keyCol)
+    * the manifest each time. The pointer's `keyCol` is the key's
+    * PHYSICAL storage name; the handle speaks the current LOGICAL
+    * name, resolved once from the manifest's mapping rows. */
+  private lazy val (table: GraftTable, logicalKey: String) = {
+    val t0 = GraftTable.open(spark, root, keyCol)
+    val lk = t0.logicalKeyName
+    (if (lk == keyCol) t0 else GraftTable.open(spark, root, lk), lk)
+  }
 
   /** the version READS serve, resolved ONCE at load time: a query's
     * analysis and its (lazy) execution must see the same snapshot
@@ -311,10 +339,34 @@ private[sources] class GraftSqlTable(ident: String, root: String,
 
   /** declared schema until the first commit; the snapshot's schema
     * (column mapping + declarations applied) afterwards — resolved
-    * once per loaded table */
-  private lazy val resolvedSchema: StructType =
-    if (pinnedVersion == 0) declared
-    else table.read(pinnedVersion).schema
+    * once per loaded table. Declared write-time defaults re-attach as
+    * `CURRENT_DEFAULT` field metadata so Spark's own default
+    * resolution pads an explicit `INSERT INTO t (k, v)` column list
+    * with the DECLARED default — without the metadata Spark pads
+    * NULL, the column arrives present-but-null in the incoming frame,
+    * and the write-time fill (which only covers ABSENT columns)
+    * correctly leaves the NULL: the declared default silently never
+    * applied on that path (round-15 advisor). `EXISTS_DEFAULT` is
+    * NULL by the engine's non-retroactive ADD COLUMN semantics
+    * (pre-add rows read NULL; x56). */
+  private lazy val resolvedSchema: StructType = {
+    val base =
+      if (pinnedVersion == 0) declared
+      else table.read(pinnedVersion).schema
+    val defaults = table.declaredDefaults()
+    if (defaults.isEmpty) base
+    else StructType(base.fields.map { f =>
+      defaults.get(f.name) match {
+        case Some(sql) =>
+          f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("CURRENT_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", "NULL")
+            .build())
+        case None => f
+      }
+    })
+  }
 
   override def schema(): StructType = resolvedSchema
 
@@ -353,7 +405,7 @@ private[sources] class GraftSqlTable(ident: String, root: String,
             checkpointLocation: String): org.apache.spark.sql.connector
               .read.streaming.MicroBatchStream =
           new GraftCdfMicroBatchStream(
-            root = root, keyCol = keyCol, startingVersion = 0L,
+            root = root, keyCol = logicalKey, startingVersion = 0L,
             maxVersionsPerBatch =
               Option(options.get("maxVersionsPerBatch"))
                 .map(_.toLong).getOrElse(Long.MaxValue),

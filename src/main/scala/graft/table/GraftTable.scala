@@ -752,20 +752,72 @@ final class GraftTable private (spark: SparkSession, val root: String,
   /** DECLARE every column of `schema` in ONE metadata commit — the
     * catalog's CREATE TABLE bootstrap (x58): an empty table gains a
     * real schema (reads serve a typed empty frame, evolution verbs
-    * resolve against it) before any data lands. No defaults; only
-    * valid as the very first commit. */
-  def declareColumns(schema: org.apache.spark.sql.types.StructType): Long =
+    * resolve against it) before any data lands. A field carrying
+    * Spark's `CURRENT_DEFAULT` metadata (what the parser attaches for
+    * `CREATE TABLE (c STRING DEFAULT 'x')`) declares that default —
+    * validated here exactly like [[addColumn]]'s, and materialized by
+    * the same write-time fill — so a CREATE-time default and an
+    * ADD-COLUMN-time default behave identically (the round-15 advisor
+    * hole: accepted-then-silently-dropped). Only valid as the very
+    * first commit. */
+  def declareColumns(schema: org.apache.spark.sql.types.StructType): Long = {
+    val cols = schema.fields.toSeq.map { f =>
+      val d =
+        if (f.metadata.contains("CURRENT_DEFAULT"))
+          Some(f.metadata.getString("CURRENT_DEFAULT"))
+        else None
+      validateDefault(f.name, f.dataType, d)
+      GraftTable.AddedCol(f.name, f.dataType, d)
+    }
     commitLoop() { base =>
       require(base.isEmpty,
         "declareColumns bootstraps an EMPTY table; declare more " +
           "columns one at a time with addColumn")
       schema.fieldNames.foreach(n => require(n.matches(GraftTable.ColIdent),
         s"column names are identifiers: '$n'"))
-      Some((withFeature(schema.fields.toSeq.zipWithIndex.map {
-        case (f, i) => GraftTable.addColRow(GraftTable.AddedCol(
-          f.name, f.dataType, None), ordinal = i.toLong)
+      Some((withFeature(cols.zipWithIndex.map {
+        case (c, i) => GraftTable.addColRow(c, ordinal = i.toLong)
       }, "addcol"), Seq.empty))
     }
+  }
+
+  /** every declared column's write-time default, by CURRENT LOGICAL
+    * name — what the SQL catalog re-attaches to `schema()` as
+    * `CURRENT_DEFAULT` metadata so Spark's own default resolution pads
+    * an `INSERT INTO t (k, v)` column list with the declared default
+    * instead of NULL (the fill in [[fillDefaults]] only covers frames
+    * that OMIT the column; Spark's NULL padding makes it present). */
+  private[graft] def declaredDefaults(): Map[String, String] = {
+    val refs = headRefs
+    val byPhys = colRows(refs).map { case (l, p) => p -> l }.toMap
+    GraftTable.parseAddColRows(refs).flatMap { a =>
+      val logical = byPhys.get(a.name) match {
+        case Some("") => None // dropped since: no default to expose
+        case Some(l)  => Some(l)
+        case None     => Some(a.name)
+      }
+      for { l <- logical; d <- a.defaultSql } yield l -> d
+    }.toMap
+  }
+
+  /** the CURRENT LOGICAL name of this handle's key column, treating
+    * the handle's `keyCol` as the key's immutable PHYSICAL storage
+    * name — the catalog's load-time resolution (it persists the
+    * physical name, which never changes, so a key rename needs no
+    * pointer rewrite and there is no crash window between the rename
+    * commit and a pointer update). A `keyCol` that is not a physical
+    * name under the mapping (a pre-existing pointer that stored the
+    * logical name, or a table with no renames) resolves to itself. */
+  private[graft] def logicalKeyName: String = {
+    val byPhys = colRows(headRefs).map { case (l, p) => p -> l }.toMap
+    byPhys.get(keyCol) match {
+      case Some("") => throw new IllegalStateException(
+        s"key column (physical '$keyCol') is marked dropped — the " +
+          "manifest is corrupt (dropping the key is refused)")
+      case Some(l) => l
+      case None    => keyCol
+    }
+  }
 
   /** `rows` plus the feature flag (idempotent) — every verb that makes
     * the table depend on a reader capability stamps it (see
@@ -2479,17 +2531,31 @@ final class GraftTable private (spark: SparkSession, val root: String,
   /** post-ingest hook: ONE manifest scan (zero FileSystem RPCs on
     * post-counter tables) decides; a no-op without the policy or
     * below threshold. Never recursive — compact() has no hook. */
-  private def maybeAutoCompact(): Unit = autoCompact() match {
-    case Some((minSmall, smallBytes, target)) =>
-      val small = headRefs.count(r => r.kind == "data" &&
-        (if (r.bytes >= 0) r.bytes else io.length(r.file)) < smallBytes)
-      // `small > target` too: compact() always commits a version
-      // (mutator contract), and a fold that cannot shrink anything
-      // would be pure version churn re-armed on every append
-      if (small >= minSmall && small > target) {
-        compact(target, smallBytes); ()
-      }
-    case None => ()
+  private def maybeAutoCompact(): Unit = try {
+    autoCompact() match {
+      case Some((minSmall, smallBytes, target)) =>
+        val small = headRefs.count(r => r.kind == "data" &&
+          (if (r.bytes >= 0) r.bytes else io.length(r.file)) < smallBytes)
+        // `small > target` too: compact() always commits a version
+        // (mutator contract), and a fold that cannot shrink anything
+        // would be pure version churn re-armed on every append
+        if (small >= minSmall && small > target) {
+          compact(target, smallBytes); ()
+        }
+      case None => ()
+    }
+  } catch {
+    // BEST-EFFORT by contract: this runs AFTER the ingest commit has
+    // published, so a failure here (transient FS error, a lost-race
+    // loop giving up) must not surface as an ingest failure — the
+    // caller's data is durably committed, and a foreachBatch driver
+    // that saw an exception would retry/abort a batch that is already
+    // in the table (the round-15 advisor race; streamAppend's txn
+    // guard saves the replay, plain append has no such guard). The
+    // next qualifying ingest re-arms the trigger.
+    case scala.util.control.NonFatal(e) =>
+      GraftTable.log.warn(
+        s"post-commit auto-compaction failed (ingest unaffected): $e")
   }
 
   /** Z-ORDER the table (Delta's `OPTIMIZE ... ZORDER BY`): rewrite the

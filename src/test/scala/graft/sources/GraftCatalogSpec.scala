@@ -245,13 +245,104 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.m2")
     assert(!spark.sql("SHOW TABLES IN gcat").collect()
       .map(_.getString(1)).contains("m2"))
-    // guards: a keyless CREATE and a partitioned one fail loudly
+    // guards: a keyless CREATE fails loudly
     intercept[Exception] {
       spark.sql("CREATE TABLE gcat.bad1 (k BIGINT)")
     }
+  }
+
+  test("CREATE-time DEFAULT survives into INSERT column-list padding") {
+    spark.sql("DROP TABLE IF EXISTS gcat.d1")
+    spark.sql("CREATE TABLE gcat.d1 (k BIGINT, v STRING, " +
+      "tier STRING DEFAULT 'std') TBLPROPERTIES ('key' = 'k')")
+    // the advisor's exact hole: an explicit column list omitting the
+    // defaulted column — Spark pads it, and the pad must be the
+    // DECLARED default (CURRENT_DEFAULT metadata on schema()), not the
+    // NULL the write-time fill can no longer correct (column present)
+    spark.sql("INSERT INTO gcat.d1 (k, v) VALUES (1, 'a')")
+    // a frame that OMITS the column entirely: write-time fill path
+    spark.sql("INSERT INTO gcat.d1 (k, v, tier) VALUES (2, 'b', 'gold')")
+    // an EXPLICIT NULL stays NULL (explicit values always win)
+    spark.sql("INSERT INTO gcat.d1 VALUES (3, 'c', NULL)")
+    val byK = spark.table("gcat.d1").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byK == Map(1L -> "std", 2L -> "gold", 3L -> null))
+  }
+
+  test("identifiers resolve case-insensitively, like any metastore") {
+    spark.sql("DROP TABLE IF EXISTS gcat.ci1")
+    spark.sql("CREATE TABLE gcat.ci1 (k BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("INSERT INTO gcat.Ci1 VALUES (7)")
+    assert(spark.sql("SELECT * FROM gcat.CI1").count() == 1,
+      "a differently-cased reference must find the same table")
+    // a differently-cased CREATE collides instead of forking a twin
     intercept[Exception] {
-      spark.sql("CREATE TABLE gcat.bad2 (k BIGINT, d STRING) " +
-        "PARTITIONED BY (d) TBLPROPERTIES ('key'='k')")
+      spark.sql("CREATE TABLE gcat.CI1 (k BIGINT) TBLPROPERTIES ('key'='k')")
     }
+    spark.sql("DROP TABLE gcat.cI1")
+    assert(!spark.catalog.tableExists("gcat.ci1"))
+  }
+
+  test("key rename is complete at its commit: no pointer rewrite, no window") {
+    spark.sql("DROP TABLE IF EXISTS gcat.kr1")
+    spark.sql("CREATE TABLE gcat.kr1 (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'id')")
+    spark.sql("INSERT INTO gcat.kr1 VALUES (1, 'a')")
+    val wh = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    val confPath = java.nio.file.Paths.get(s"$wh/kr1/catalog.conf")
+    val confBefore = java.nio.file.Files.readString(confPath)
+    spark.sql("ALTER TABLE gcat.kr1 RENAME COLUMN id TO ident")
+    // a second rename — the case the old re-point scheme could strand
+    // (pointer holding a stale intermediate logical name)
+    spark.sql("ALTER TABLE gcat.kr1 RENAME COLUMN ident TO rid")
+    assert(java.nio.file.Files.readString(confPath) == confBefore,
+      "the pointer persists the key's PHYSICAL name — a logical " +
+        "rename must not touch it (the old in-place overwrite was " +
+        "the crash window)")
+    // loads resolve the logical name from the manifest and every verb
+    // speaks it: insert, filter, and a stats-pruned DELETE by key
+    spark.sql("INSERT INTO gcat.kr1 VALUES (2, 'b')")
+    assert(spark.sql("SELECT v FROM gcat.kr1 WHERE rid = 2")
+      .head.getString(0) == "b")
+    spark.sql("DELETE FROM gcat.kr1 WHERE rid = 1")
+    assert(spark.table("gcat.kr1").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("a failed CREATE leaves nothing registered; the retry succeeds") {
+    spark.sql("DROP TABLE IF EXISTS gcat.fc1")
+    // passes Spark's checks but fails graft's default validation
+    // (one-line constant contract) INSIDE the storage bootstrap — with
+    // pointer-first ordering this used to strand a registered,
+    // bootstrap-less table that blocked every retry
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.fc1 (k BIGINT, c STRING " +
+        "DEFAULT 'a\nb') TBLPROPERTIES ('key' = 'k')")
+    }
+    assert(!spark.catalog.tableExists("gcat.fc1"),
+      "a failed CREATE must not register a pointer")
+    spark.sql("CREATE TABLE gcat.fc1 (k BIGINT, c STRING " +
+      "DEFAULT 'ab') TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.fc1 (k) VALUES (1)")
+    assert(spark.table("gcat.fc1").head.getString(1) == "ab")
+  }
+
+  test("a post-commit auto-compact failure never fails the ingest") {
+    val root = graft.util.Scratch.dir("graft-cat-ac")
+    val t = GraftTable.create(spark, root, "k",
+      spark.range(4).selectExpr("id AS k", "id AS v").coalesce(1))
+    t.setAutoCompact(minSmallFiles = 2, smallFileBytes = 1L << 20,
+      targetFiles = 1)
+    // corrupt the trigger config AFTER arming it: the post-commit
+    // compaction attempt now throws while parsing — the append's own
+    // commit must still report success (the data is durable; a
+    // foreachBatch driver seeing an exception would retry a batch
+    // that is already in the table)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/autocompact.conf"), "not-a-number")
+    val v = t.append(
+      spark.range(4, 8).selectExpr("id AS k", "id AS v").coalesce(1))
+    assert(v >= 2 && t.read().count() == 8,
+      "ingest succeeds even though the best-effort compaction failed")
   }
 }
