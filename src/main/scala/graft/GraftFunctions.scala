@@ -74,5 +74,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // else delegates to Spark's parser verbatim
     e.injectParser((session, delegate) =>
       new graft.plans.GraftSqlParser(session, delegate))
+    // ANSI UPDATE / MERGE INTO on catalog tables (x59): resolved
+    // row-level statements over a graft table compile onto the
+    // handle's stats-pruned mutation verbs (Delta's analysis-rule
+    // route; see plans.GraftRowLevelRule)
+    e.injectResolutionRule(session =>
+      graft.plans.GraftRowLevelRule(session))
   }
 }

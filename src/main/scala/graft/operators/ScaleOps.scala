@@ -2771,6 +2771,193 @@ object ScaleOps {
       |FROM base""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x59 — ANSI MERGE INTO + UPDATE through the catalog (round 16; the
+  //       most-typed warehouse verbs, previously GRAFT-verb/handle
+  //       only): an injected resolution rule compiles the RESOLVED
+  //       Spark statements onto the handle's stats-pruned mutators —
+  //       MERGE is the pruned matched-target read (readMatchingKeys =
+  //       Delta's findTouchedFiles) + first-match clause CASEs over a
+  //       left-outer join + ONE atomic applyChanges commit; UPDATE is
+  //       x54's matched-file COW. GraftRowLevelSqlSpec pins the
+  //       read-set (file-hiding), the group-based rewrite (unmatched
+  //       files carry by reference), the SQL:2003 cardinality
+  //       violation, and the refusal surface. The gated lifecycle:
+  //       CREATE + INSERT, one MERGE carrying conditional DELETE /
+  //       UPDATE (old-row + source RHS) / INSERT clauses, one UPDATE,
+  //       then the final-state aggregate. Rule injection is
+  //       session-build-time (Spark's extensions contract), so the
+  //       query derives the extensions session on the caller's
+  //       context via util.ExtSession.
+  // ---------------------------------------------------------------------
+  private def x59(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = graft.util.ExtSession(spark0)
+    spark.conf.set("spark.sql.catalog.graft_x59",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.graft_x59.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_x59.warehouse",
+        graft.util.Scratch.dir("graft-x59-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_x59.ord")
+    spark.sql("CREATE TABLE graft_x59.ord (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_price DECIMAL(18,2)) " +
+      "TBLPROPERTIES ('key' = 'o_orderkey')")
+    Tables.orders(spark, dir).createOrReplaceTempView("x59_src")
+    spark.sql("INSERT INTO graft_x59.ord " +
+      "SELECT o_orderkey, o_orderstatus, " +
+      "CAST(o_totalprice AS DECIMAL(18,2)) FROM x59_src")          // v2
+    // the delta: disjoint delete/update slices of existing keys plus
+    // strictly-new insert keys (shifted past MAX), as one source view
+    spark.sql("""CREATE OR REPLACE TEMP VIEW x59_delta AS
+      WITH m AS (SELECT MAX(o_orderkey) AS mx FROM x59_src)
+      SELECT o_orderkey AS dk, 'D' AS op, o_orderstatus AS st,
+             CAST(0 AS DECIMAL(18,2)) AS amt
+        FROM x59_src WHERE o_orderkey % 43 = 0
+      UNION ALL
+      SELECT o_orderkey, 'U', 'M', CAST(o_totalprice AS DECIMAL(18,2))
+        FROM x59_src WHERE o_orderkey % 31 = 0 AND o_orderkey % 43 <> 0
+      UNION ALL
+      SELECT o_orderkey + m.mx + 1, 'I', 'N',
+             CAST(o_totalprice AS DECIMAL(18,2))
+        FROM x59_src, m WHERE o_orderkey % 53 = 0""")
+    spark.sql("""MERGE INTO graft_x59.ord t USING x59_delta d
+      ON t.o_orderkey = d.dk
+      WHEN MATCHED AND d.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE
+        SET o_orderstatus = d.st, o_price = t.o_price + d.amt
+      WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_price)
+        VALUES (d.dk, d.st, d.amt)""")                             // v3
+    spark.sql("UPDATE graft_x59.ord SET o_orderstatus = 'Z' " +
+      "WHERE o_orderkey % 61 = 0")                                 // v4
+    spark.sql(
+      "SELECT o_orderstatus AS status, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_price) AS DOUBLE) AS sum_price " +
+        "FROM graft_x59.ord GROUP BY 1")
+  }
+
+  private val x59Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS amt FROM orders),
+      |afterdel AS (SELECT * FROM base WHERE k % 43 <> 0),
+      |merged AS (
+      |  SELECT k,
+      |    CASE WHEN k % 31 = 0 THEN 'M' ELSE st END AS st,
+      |    CAST(CASE WHEN k % 31 = 0 THEN amt + amt ELSE amt END
+      |      AS DECIMAL(18,2)) AS amt
+      |  FROM afterdel),
+      |inserted AS (
+      |  SELECT b.k + m.mx + 1 AS k, 'N' AS st, b.amt
+      |  FROM base b, m WHERE b.k % 53 = 0),
+      |allr AS (SELECT * FROM merged UNION ALL SELECT * FROM inserted),
+      |final AS (
+      |  SELECT k, CASE WHEN k % 61 = 0 THEN 'Z' ELSE st END AS st, amt
+      |  FROM allr)
+      |SELECT st AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(amt) AS DOUBLE) AS sum_price
+      |FROM final GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x60 — PARTITIONED BY → STANDING CLUSTERING (round 16; Delta's
+  //       partitioning→liquid-clustering migration): standard
+  //       warehouse DDL `CREATE TABLE ... PARTITIONED BY (c)` maps
+  //       identity transforms onto the engine's ingest-time key-range
+  //       clustering — every INSERT range-partitions + sorts on the
+  //       partition columns before staging, so per-file manifest
+  //       stats go tight on them and a partition-predicate read
+  //       prunes files FROM THE FIRST COMMIT, with no OPTIMIZE pass
+  //       and no hive directory fan-out (whose small-file explosion
+  //       is what clustering replaces). GraftCatalogSpec pins the
+  //       pruning with the x17 file-hiding proof through catalog DDL;
+  //       the gated query creates, ingests, and aggregates a
+  //       partition-predicate slice through pure SQL.
+  // ---------------------------------------------------------------------
+  private def x60(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_x60",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.graft_x60.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_x60.warehouse",
+        graft.util.Scratch.dir("graft-x60-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_x60.ordp")
+    spark.sql("CREATE TABLE graft_x60.ordp (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_price DECIMAL(18,2)) " +
+      "PARTITIONED BY (o_custkey) TBLPROPERTIES ('key' = 'o_orderkey')")
+    Tables.orders(spark, dir).createOrReplaceTempView("x60_src")
+    spark.sql("INSERT INTO graft_x60.ordp " +
+      "SELECT o_orderkey, o_custkey, " +
+      "CAST(o_totalprice AS DECIMAL(18,2)) FROM x60_src")
+    spark.sql(
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_price) AS DOUBLE) AS sum_price, " +
+        "CAST(MIN(o_orderkey) AS BIGINT) AS min_key " +
+        "FROM graft_x60.ordp WHERE o_custkey BETWEEN 100 AND 300")
+  }
+
+  private val x60Sql =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key
+      |FROM orders WHERE o_custkey BETWEEN 100 AND 300""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x61 — ATOMIC CTAS / REPLACE TABLE via StagingTableCatalog (round
+  //       16): `CREATE TABLE ... AS SELECT` registers the pointer
+  //       only AFTER schema + data landed (a crash leaves an orphan
+  //       store, never an empty registered table), and `CREATE OR
+  //       REPLACE ... AS SELECT` is ONE replaceTable commit on the
+  //       SAME storage — new schema and data, old versions still
+  //       time-travelable, readers see old-or-new and never the
+  //       missing-table window drop-then-create exposes.
+  //       GraftCatalogSpec pins the atomicity (pinned pre-replace
+  //       reader, history, failed-CTAS cleanup); the gated lifecycle
+  //       CTASes half the orders, REPLACES with a per-customer
+  //       aggregate under a NEW key/schema, and reads head + the
+  //       pre-replace version.
+  // ---------------------------------------------------------------------
+  private def x61(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_x61",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.graft_x61.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_x61.warehouse",
+        graft.util.Scratch.dir("graft-x61-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_x61.cust")
+    Tables.orders(spark, dir).createOrReplaceTempView("x61_src")
+    spark.sql("CREATE TABLE graft_x61.cust " +
+      "TBLPROPERTIES ('key' = 'o_orderkey') AS " +
+      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS o_price " +
+      "FROM x61_src WHERE o_orderkey % 2 = 0")   // v1 declare + v2 data
+    spark.sql("CREATE OR REPLACE TABLE graft_x61.cust " +
+      "TBLPROPERTIES ('key' = 'ck') AS " +
+      "SELECT o_custkey AS ck, CAST(COUNT(*) AS BIGINT) AS n_orders, " +
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) " +
+      "AS tot FROM x61_src GROUP BY o_custkey")  // v3: one commit
+    val head = spark.sql(
+      "SELECT 'head' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(tot) AS DOUBLE) AS sum_val FROM graft_x61.cust")
+    val old = spark.sql(
+      "SELECT '__v2__' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_price) AS DOUBLE) AS sum_val " +
+        "FROM graft_x61.cust VERSION AS OF 2")
+    head.unionByName(old)
+  }
+
+  private val x61Sql =
+    """SELECT 'head' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(tot) AS DOUBLE) AS sum_val
+      |FROM (SELECT o_custkey,
+      |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      |          AS DECIMAL(18,2)) AS tot
+      |      FROM orders GROUP BY o_custkey)
+      |UNION ALL
+      |SELECT '__v2__', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -3417,5 +3604,8 @@ object ScaleOps {
     QuerySpec("x55_overwrite_where", x55, Some(x55Sql)),
     QuerySpec("x56_add_column", x56, Some(x56Sql)),
     QuerySpec("x57_auto_compact", x57, Some(x57Sql)),
-    QuerySpec("x58_sql_catalog", x58, Some(x58Sql)))
+    QuerySpec("x58_sql_catalog", x58, Some(x58Sql)),
+    QuerySpec("x59_sql_merge_update", x59, Some(x59Sql)),
+    QuerySpec("x60_partitioned_by_clustering", x60, Some(x60Sql)),
+    QuerySpec("x61_atomic_ctas_replace", x61, Some(x61Sql)))
 }

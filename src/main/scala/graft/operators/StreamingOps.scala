@@ -1179,6 +1179,46 @@ object StreamingOps {
            sum(col("o_price")).cast(DoubleType).as("sum_price"))
   }
 
+  /** w22's declarative streaming sink through the CATALOG front door
+    * (round 16, closing the contract `readStream.table` half-opened:
+    * a catalog whose tables stream OUT must stream IN):
+    * `df.writeStream.format("graft").toTable("gcat.t")` — no path,
+    * no keyCol, no handle (Spark's V1-fallback route requires the
+    * format to name the table's provider; location and key resolve
+    * from the catalog). Spark routes the V2 table through its V1 fallback
+    * (GraftSqlTable.v1Table, the Delta integration shape) onto the
+    * registered `graft` sink, so every micro-batch is the SAME
+    * exactly-once `streamAppend` txn commit w18/w19/w22 gate — batch
+    * id as idempotency token, replay detected inside the commit CAS
+    * loop — and the key column resolves from the storage root's
+    * `key.conf` (no option needed). Oracle: the plain batch
+    * aggregate — however the stream was sliced, the committed table
+    * IS the input; the batch read goes through the same catalog. */
+  private def w26(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_w26",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.graft_w26.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_w26.warehouse",
+        graft.util.Scratch.dir("graft-w26-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_w26.ord")
+    spark.sql("CREATE TABLE graft_w26.ord (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_price DECIMAL(18,2)) " +
+      "TBLPROPERTIES ('key' = 'o_orderkey')")
+    val input = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
+    val query = stagedStream(spark, input, files = 3)
+      .writeStream.format("graft")
+      .option("checkpointLocation", graft.util.Scratch.dir("graft-w26-ckpt"))
+      .toTable("graft_w26.ord")
+    try query.processAllAvailable() finally query.stop()
+    spark.table("graft_w26.ord")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+           sum(col("o_price")).cast(DoubleType).as("sum_price"))
+  }
+
   /** per-status signed-delta fold: ValueState (n, cents, seq) — `n`
     * and `cents` are the standing COUNT/SUM the feed maintains
     * (+1/+cents for insert/update_postimage rows, −1/−cents for
@@ -1553,5 +1593,6 @@ object StreamingOps {
     QuerySpec("w22_format_stream_sink", w22, Some(w18Sql)),
     QuerySpec("w23_stream_incremental_aggregate", w23, Some(ScaleOps.x34Sql)),
     QuerySpec("w24_stream_heavy_hitters", w24, Some(w24Sql)),
-    QuerySpec("w25_stream_quantile_sketch", w25, Some(w25Sql)))
+    QuerySpec("w25_stream_quantile_sketch", w25, Some(w25Sql)),
+    QuerySpec("w26_catalog_stream_sink", w26, Some(w18Sql)))
 }

@@ -1,0 +1,394 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, ExprId, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{col, expr, lit, when}
+import org.apache.spark.sql.graftglue.ColumnBridge
+import org.apache.spark.storage.StorageLevel
+
+import graft.sources.GraftSqlTable
+
+/** ANSI `UPDATE` and `MERGE INTO` on catalog tables — the pure-SQL
+  * front door for the row-level verbs the engine already executes
+  * (x54's stats-pruned UPDATE, x23/x31's stats-pruned group-based
+  * merge, applyChanges' atomic CDC apply):
+  *
+  * {{{
+  * UPDATE gcat.t SET v = v * 2, flag = 'U' WHERE k % 37 = 0;
+  * MERGE INTO gcat.t USING src s ON t.k = s.k
+  *   WHEN MATCHED AND s.op = 'D' THEN DELETE
+  *   WHEN MATCHED THEN UPDATE SET v = t.v + s.v
+  *   WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v);
+  * }}}
+  *
+  * Spark parses these into [[UpdateTable]]/[[MergeIntoTable]] and,
+  * for tables without row-level-operation support, fails them in
+  * checkAnalysis. This injected resolution rule intercepts the
+  * RESOLVED statements whose target is a [[GraftSqlTable]] and
+  * replaces them with lazily-run commands over the transactional
+  * handle — the analysis-rule route Delta ships in production
+  * (DeltaAnalysis → Merge/Update/DeleteCommand). The alternative,
+  * DSv2 `SupportsRowLevelOperations`, hands Spark the rewrite: its
+  * group-based `ReplaceData` plan requires a V2 `BatchWrite` whose
+  * executor-side writers mint data files and manifest stats — a
+  * second, parallel implementation of the engine's entire staged
+  * write path. The handle already IS a group-based rewrite (only
+  * matched files rewrite, spec-pinned), so the rule route gets the
+  * identical read/write set with one write path to keep correct.
+  *
+  * MERGE compiles in two phases, Delta's own shape:
+  *  1. findTouchedFiles — [[graft.table.GraftTable.readMatchingKeys]]
+  *     reads the matched target rows through the manifest-stats/bloom
+  *     pruned plan (delta-scale keys open range-overlapping files,
+  *     never the table);
+  *  2. the source LEFT OUTER JOINs those rows, every WHEN clause
+  *     becomes a first-match CASE over the join, and the resulting
+  *     net change feed applies in ONE atomic commit via
+  *     `applyChanges` (upserts + deletes; untouched files carry by
+  *     reference).
+  *
+  * Key-addressed semantics (documented deltas from vanilla SQL MERGE,
+  * both inherent to an upsert table): the ON condition must contain
+  * `t.<key> = <source expr>` (extra conjuncts compose freely); a
+  * WHEN NOT MATCHED INSERT of a key that exists but failed the extra
+  * conjuncts is an upsert of that key, not a duplicate row; a source
+  * whose rows collapse onto one key raises the SQL:2003 cardinality
+  * violation. `WHEN NOT MATCHED BY SOURCE` is refused — it addresses
+  * rows OUTSIDE the source's key range (a table-scale read); UPDATE/
+  * DELETE with the complement predicate is the pruned equivalent.
+  *
+  * Sessions get the rule via `spark.sql.extensions=graft.GraftExtensions`
+  * (or `Builder.withExtensions`); [[graft.util.ExtSession]] derives
+  * such a session on a live SparkContext. */
+case class GraftRowLevelRule(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  private def graftTarget(plan: LogicalPlan)
+      : Option[(GraftSqlTable, Seq[Attribute])] = plan match {
+    case SubqueryAlias(_, child) => graftTarget(child)
+    case r: DataSourceV2Relation => r.table match {
+      case t: GraftSqlTable => Some((t, r.output))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case u @ UpdateTable(target, assignments, condition) if u.resolved =>
+        graftTarget(target) match {
+          case Some((t, _)) =>
+            GraftSqlUpdateCommand(t,
+              assignments.map(a => (a.key, a.value)), condition)
+          case None => u
+        }
+      case m: MergeIntoTable if m.resolved =>
+        graftTarget(m.targetTable) match {
+          case Some((t, tout)) =>
+            GraftSqlMergeCommand(t, tout, m.sourceTable,
+              m.mergeCondition, m.matchedActions, m.notMatchedActions,
+              m.notMatchedBySourceActions, m.withSchemaEvolution)
+          case None => m
+        }
+    }
+}
+
+private[plans] object GraftRowLevelSql {
+  /** a clause expression → a Column that re-resolves BY NAME against
+    * the frame it is applied to: every attribute reference collapses
+    * to its bare name (the single-relation UPDATE case — MERGE uses
+    * the exprId-keyed rewrite instead, names collide across sides) */
+  def byName(e: Expression, ctx: String): Column = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"$ctx: subqueries are not supported here — stage the subquery " +
+        "into a source table and MERGE from it")
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+  }
+}
+
+/** `UPDATE <graft table> SET ... [WHERE ...]` → the handle's
+  * stats-pruned copy-on-write [[graft.table.GraftTable.update]] (x54):
+  * old-row right-hand sides, ANSI casts to each column's type, only
+  * files holding qualifying rows rewrite. Returns the new version. */
+case class GraftSqlUpdateCommand(
+    table: GraftSqlTable,
+    assignments: Seq[(Expression, Expression)],
+    condition: Option[Expression]) extends GraftVersionCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val ident = table.identName
+    require(!table.isTimeTravel,
+      s"cannot UPDATE time-travel table $ident")
+    val set = assignments.map { case (k, v) =>
+      val name = k match {
+        case a: AttributeReference => a.name
+        case other => throw new UnsupportedOperationException(
+          s"UPDATE $ident: only top-level columns can be assigned " +
+            s"(got ${other.sql})")
+      }
+      name -> GraftRowLevelSql.byName(v, s"UPDATE $ident")
+    }.toMap
+    val pred = condition
+      .map(GraftRowLevelSql.byName(_, s"UPDATE $ident"))
+      .getOrElse(lit(true))
+    Seq(Row(table.graftHandle.update(pred, set)))
+  }
+}
+
+/** `MERGE INTO <graft table> USING <source> ON ... WHEN ...` →
+  * pruned matched-target read + clause compilation + ONE atomic
+  * [[graft.table.GraftTable.applyChanges]] commit (see
+  * [[GraftRowLevelRule]] for the full contract). Returns the new
+  * version. */
+case class GraftSqlMergeCommand(
+    table: GraftSqlTable,
+    targetOutput: Seq[Attribute],
+    source: LogicalPlan,
+    mergeCondition: Expression,
+    matchedActions: Seq[MergeAction],
+    notMatchedActions: Seq[MergeAction],
+    notMatchedBySourceActions: Seq[MergeAction],
+    withSchemaEvolution: Boolean) extends GraftVersionCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val ident = table.identName
+    require(!table.isTimeTravel,
+      s"cannot MERGE INTO time-travel table $ident")
+    require(notMatchedBySourceActions.isEmpty,
+      s"MERGE INTO $ident: WHEN NOT MATCHED BY SOURCE is not " +
+        "supported — it addresses rows OUTSIDE the source's key range " +
+        "(a table-scale read); UPDATE/DELETE with the complement " +
+        "predicate is the stats-pruned equivalent")
+    require(!withSchemaEvolution,
+      s"MERGE INTO $ident: WITH SCHEMA EVOLUTION is not supported — " +
+        "run ALTER TABLE ... ADD COLUMN first (O(metadata))")
+    require(matchedActions.nonEmpty || notMatchedActions.nonEmpty,
+      s"MERGE INTO $ident needs at least one WHEN clause")
+
+    val t = table.graftHandle
+    val key = table.graftKey
+    val resolver = session.sessionState.conf.resolver
+
+    // ---- positional aliases: collision-proof names for both sides,
+    // rewritten by exprId (MERGE clauses legally reference same-named
+    // columns of either relation)
+    val tNames = targetOutput.indices.map(i => s"__t$i")
+    val sOut = source.output
+    val sNames = sOut.indices.map(i => s"__s$i")
+    val byId: Map[ExprId, String] =
+      (targetOutput.zip(tNames) ++ sOut.zip(sNames))
+        .map { case (a, n) => a.exprId -> n }.toMap
+    val targetIds = targetOutput.map(_.exprId).toSet
+    val sourceIds = sOut.map(_.exprId).toSet
+    def rewrite(e: Expression): Column = {
+      require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+        s"MERGE INTO $ident: subqueries in clauses are not supported " +
+          "— stage them into the source")
+      ColumnBridge.column(e.transform {
+        case a: AttributeReference =>
+          UnresolvedAttribute.quoted(byId.getOrElse(a.exprId,
+            throw new IllegalStateException(s"MERGE INTO $ident: " +
+              s"reference '${a.name}' is neither target nor source")))
+      })
+    }
+
+    // ---- ON condition: the key equality addresses the rows (what the
+    // stats-pruned read needs); every other conjunct — further key
+    // equalities included — joins as a residual condition
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val keyIdx = targetOutput.indexWhere(a => resolver(a.name, key))
+    require(keyIdx >= 0,
+      s"MERGE INTO $ident: key column '$key' not in target output")
+    val keyId = targetOutput(keyIdx).exprId
+    def isTargetKey(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.exprId == keyId
+      case _ => false
+    }
+    def sourceOnly(e: Expression): Boolean =
+      e.references.forall(a => sourceIds.contains(a.exprId)) &&
+        !e.references.isEmpty
+    val (keyEqs, residual) = conjuncts(mergeCondition).partition {
+      case EqualTo(l, r) =>
+        (isTargetKey(l) && sourceOnly(r)) ||
+        (isTargetKey(r) && sourceOnly(l))
+      case _ => false
+    }
+    require(keyEqs.nonEmpty,
+      s"MERGE INTO $ident: the ON condition must contain an equality " +
+        s"between the table's key column '$key' and a source " +
+        "expression — graft tables are key-addressed (extra AND " +
+        "conjuncts compose freely)")
+    val srcKeyExpr = keyEqs.head match {
+      case EqualTo(l, r) => if (isTargetKey(l)) r else l
+      case _ => throw new IllegalStateException("unreachable")
+    }
+    val extras = keyEqs.tail ++ residual
+
+    // ---- frames: the source, and the PRUNED matched-target read
+    // (findTouchedFiles — manifest stats + bloom open only
+    // range-overlapping files; spec-pinned by file-hiding)
+    val srcDf = ColumnBridge.ofRows(session, source).toDF(sNames: _*)
+    val types = targetOutput.map(_.dataType)
+    val srcKey = rewrite(srcKeyExpr).cast(types(keyIdx))
+    val tgtDf = t.readMatchingKeys(srcDf.select(srcKey.as(key)))
+      .select(targetOutput.map(a => col(a.name)): _*)
+      .toDF(tNames: _*)
+    val joinCond = extras.map(rewrite)
+      .foldLeft(col(s"__t$keyIdx") === srcKey)(_ && _)
+    val joined = srcDf.join(tgtDf, joinCond, "left_outer")
+    val tKey = col(s"__t$keyIdx")
+
+    // ---- clause compilation: first-true-condition CASE per side
+    def condOf(a: MergeAction): Column = (a match {
+      case x: UpdateAction     => x.condition
+      case x: UpdateStarAction => x.condition
+      case x: DeleteAction     => x.condition
+      case x: InsertAction     => x.condition
+      case x: InsertStarAction => x.condition
+      case other => throw new UnsupportedOperationException(
+        s"MERGE INTO $ident: unsupported clause $other")
+    }).map(rewrite).getOrElse(lit(true))
+    def firstAction(actions: Seq[MergeAction]): Column =
+      actions.zipWithIndex.foldRight(lit(null).cast("int")) {
+        case ((a, i), rest) => when(condOf(a), lit(i)).otherwise(rest)
+      }
+    /** `SET *` / `INSERT *`: target column ← the same-named source
+      * column. For UPDATE the key is skipped (matched rows keep the
+      * matched key — the ON equality already pins it; re-keying rows
+      * belongs to DELETE + INSERT). */
+    def starAssigns(insert: Boolean): Map[Int, Column] =
+      targetOutput.zipWithIndex.flatMap { case (a, j) =>
+        if (!insert && j == keyIdx) None
+        else {
+          val si = sOut.indexWhere(s => resolver(s.name, a.name))
+          require(si >= 0, s"MERGE INTO $ident: `*` needs a source " +
+            s"column named '${a.name}'")
+          Some(j -> col(sNames(si)))
+        }
+      }.toMap
+    def assignMap(assigns: Seq[Assignment],
+                  insert: Boolean): Map[Int, Column] =
+      assigns.flatMap { asg =>
+        val j = asg.key match {
+          case a: AttributeReference if targetIds.contains(a.exprId) =>
+            targetOutput.indexWhere(_.exprId == a.exprId)
+          case a: AttributeReference =>
+            targetOutput.indexWhere(x => resolver(x.name, a.name))
+          case other => throw new UnsupportedOperationException(
+            s"MERGE INTO $ident: only top-level columns can be " +
+              s"assigned (got ${other.sql})")
+        }
+        require(j >= 0, s"MERGE INTO $ident: assignment targets an " +
+          s"unknown column (${asg.key.sql})")
+        if (!insert && j == keyIdx) {
+          // a matched-row key assignment is legal ONLY when it is the
+          // ON clause's own key expression (what the analyzer's
+          // `SET *` expansion emits) — the matched row already HAS
+          // that key, so the assignment drops as a no-op; anything
+          // else would move the row between keys mid-update
+          require(asg.value.semanticEquals(srcKeyExpr),
+            s"MERGE INTO $ident: cannot UPDATE the key column '$key' " +
+              "to a new value — DELETE + INSERT moves a row between " +
+              "keys")
+          None
+        } else Some(j -> rewrite(asg.value))
+      }.toMap
+
+    // matched side: (isDelete, assignments); unassigned columns keep
+    // the OLD row's value (SQL UPDATE semantics), every RHS casts to
+    // the column's existing type (x54's ANSI-cast discipline)
+    val mCompiled: Seq[(Boolean, Map[Int, Column])] = matchedActions.map {
+      case u: UpdateAction          => (false, assignMap(u.assignments, false))
+      case _: UpdateStarAction      => (false, starAssigns(false))
+      case _: DeleteAction          => (true, Map.empty[Int, Column])
+      case other => throw new UnsupportedOperationException(
+        s"MERGE INTO $ident: WHEN MATCHED supports UPDATE/DELETE " +
+          s"(got $other)")
+    }
+    // insert side: unassigned columns take the DECLARED default (the
+    // same write-time fill INSERT INTO gets) or NULL; the key must be
+    // assigned explicitly
+    val defaults = t.declaredDefaults()
+    def insertFallback(j: Int): Column =
+      defaults.get(targetOutput(j).name)
+        .map(d => expr(d).cast(types(j)))
+        .getOrElse(lit(null).cast(types(j)))
+    val nmCompiled: Seq[Map[Int, Column]] = notMatchedActions.map {
+      case ia: InsertAction =>
+        val m = assignMap(ia.assignments, insert = true)
+        require(m.contains(keyIdx),
+          s"MERGE INTO $ident: WHEN NOT MATCHED INSERT must assign " +
+            s"the key column '$key'")
+        m
+      case _: InsertStarAction => starAssigns(insert = true)
+      case other => throw new UnsupportedOperationException(
+        s"MERGE INTO $ident: WHEN NOT MATCHED supports INSERT " +
+          s"(got $other)")
+    }
+
+    // ---- the net change feed (applyChanges' contract: the table's
+    // columns + change_type; a key appears at most once)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[
+      org.apache.spark.sql.DataFrame]
+    if (matchedActions.nonEmpty) {
+      val mIdx = firstAction(matchedActions)
+      val mChange = mCompiled.zipWithIndex.foldRight(lit("update")) {
+        case (((isDel, _), i), rest) =>
+          when(mIdx === i, lit(if (isDel) "delete" else "update"))
+            .otherwise(rest)
+      }
+      parts += joined.where(tKey.isNotNull && mIdx.isNotNull)
+        .select(targetOutput.zipWithIndex.map { case (a, j) =>
+          val old = col(tNames(j))
+          mCompiled.zipWithIndex.foldRight(old) {
+            case (((isDel, assigns), i), rest) =>
+              // delete rows carry the OLD row verbatim: applyChanges
+              // removes them BY KEY (the key must survive into the
+              // feed); their non-key values are ignored
+              val v =
+                if (isDel) old
+                else assigns.get(j).map(_.cast(types(j))).getOrElse(old)
+              when(mIdx === i, v).otherwise(rest)
+          }.as(a.name)
+        } :+ mChange.as("change_type"): _*)
+    }
+    if (notMatchedActions.nonEmpty) {
+      val nmIdx = firstAction(notMatchedActions)
+      parts += joined.where(tKey.isNull && nmIdx.isNotNull)
+        .select(targetOutput.zipWithIndex.map { case (a, j) =>
+          nmCompiled.zipWithIndex.foldRight(insertFallback(j)) {
+            case ((assigns, i), rest) =>
+              when(nmIdx === i,
+                assigns.get(j).map(_.cast(types(j)))
+                  .getOrElse(insertFallback(j))).otherwise(rest)
+          }.as(a.name)
+        } :+ lit("insert").as("change_type"): _*)
+    }
+    // persisted: the feed re-executes inside applyChanges' planning +
+    // staging (and once for the cardinality check below) — one
+    // evaluation of the user's source, Delta's source-materialization
+    // discipline, at delta scale
+    val feed = parts.reduce(_.unionByName(_))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(feed.where(col(key).isNull).limit(1).collect().isEmpty,
+        s"MERGE INTO $ident: an INSERT clause produced a NULL key")
+      val dup = feed.groupBy(col(key)).count()
+        .where(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"MERGE INTO $ident: multiple source rows address key " +
+          s"'${dup.headOption.map(_.get(0)).orNull}' — the SQL:2003 " +
+          "MERGE cardinality violation (deduplicate the source)")
+      Seq(Row(t.applyChanges(feed)))
+    } finally { feed.unpersist(); () }
+  }
+}

@@ -57,7 +57,7 @@ import graft.table.GraftTable
   * blind catalog write cannot express. Time-travel tables are
   * read-only (no write capabilities), exactly like Delta's `@v`
   * reads. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -162,12 +162,36 @@ class GraftCatalog extends TableCatalog {
       declared, version)
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-                           partitions: Array[Transform],
-                           properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft manages its own layout (key-range clustering; GRAFT " +
-        "CLUSTER to reorganize) — PARTITIONED BY is not supported")
+  /** PARTITIONED BY (c) / CLUSTER BY (c, ...) map onto the engine's
+    * STANDING key-range clustering (x60 — Delta's own
+    * partitioning→liquid-clustering migration): identity transforms
+    * become ingest-time cluster columns, so every INSERT lays files
+    * out range-partitioned on them and manifest stats prune
+    * partition-predicate reads from the first commit — hive-style
+    * directory fan-out (its small-file explosion included) is
+    * exactly what the clustering replaces. Non-identity transforms
+    * (bucket/days/hours) keep the honest refusal. */
+  private def clusterColsOf(partitions: Array[Transform]): Seq[String] =
+    partitions.toSeq.flatMap {
+      case t if t.name == "identity" || t.name == "cluster_by" =>
+        t.references.toSeq.map { r =>
+          require(r.fieldNames.length == 1,
+            "nested partition/clustering columns are not supported")
+          r.fieldNames.head
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft maps PARTITIONED BY onto key-range clustering; only " +
+          s"identity transforms and CLUSTER BY are supported — got " +
+          s"$other")
+    }
+
+  /** validate BEFORE any state lands: a failure after catalog.conf
+    * exists would register a bootstrap-less table that blocks retries
+    * with TableAlreadyExists until a manual DROP (a CTAS of an
+    * unaliased aggregate — column "count(1)" — hits exactly this) */
+  private def validatedKey(schema: StructType,
+                           properties: util.Map[String, String],
+                           clusterCols: Seq[String]): String = {
     val key = Option(properties.get("key")).getOrElse(
       throw new IllegalArgumentException(
         "graft tables need a key column: CREATE TABLE ... " +
@@ -175,48 +199,174 @@ class GraftCatalog extends TableCatalog {
     require(schema.fieldNames.contains(key),
       s"key column '$key' is not in the schema " +
         s"(${schema.fieldNames.mkString(", ")})")
-    // validate BEFORE any state lands: a failure after catalog.conf
-    // exists would register a bootstrap-less table that blocks retries
-    // with TableAlreadyExists until a manual DROP (a CTAS of an
-    // unaliased aggregate — column "count(1)" — hits exactly this)
     schema.fieldNames.foreach(n =>
       require(n.matches(graft.table.GraftTable.ColIdent),
         s"column names must be identifiers: '$n' — alias the column " +
           "in the query"))
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val root = rootOf(ident)
+    clusterCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition/cluster column '$c' is not in the schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
+    key
+  }
+
+  /** bootstrap a FRESH storage directory: the declared-schema commit,
+    * the standing clustering, the key record (w26's sink reads it),
+    * and — for an atomic CTAS — the initial data, all BEFORE the
+    * table is registered. A failure deletes the orphan and rethrows;
+    * nothing is ever registered half-built. */
+  private def bootstrapStorage(ident: Identifier, schema: StructType,
+                               key: String, clusterCols: Seq[String],
+                               data: Option[DataFrame]): String = {
     // storage indirection: manifests/DV sidecars hold absolute paths,
     // so the data location is immutable — renames move the pointer
     val loc = s"$warehouse/.store/${norm(ident.name())}-${
       java.util.UUID.randomUUID().toString.take(8)}"
-    val (f, p) = fs(confPath(root))
-    // ORDER: bootstrap the STORAGE first (the declared-schema commit —
-    // reads serve a typed empty frame, ALTER verbs resolve against the
-    // declarations), and write the pointer LAST as the commit point. A
-    // crash between the two leaves an orphaned .store directory —
-    // never a registered-but-bootstrapless table that blocks every
-    // retry with TableAlreadyExists until a manual DROP (the round-15
-    // advisor's crash window; the old order had exactly that). The
-    // pointer write is create-if-absent, so a lost CREATE race cleans
-    // up its own orphan and reports the conflict.
+    val (f, _) = fs(confPath(rootOf(ident)))
     f.mkdirs(new org.apache.hadoop.fs.Path(loc, "commits"))
-    def dropOrphan(e: Throwable): Unit =
-      try { f.delete(new org.apache.hadoop.fs.Path(loc), true); () }
-      catch {
-        case scala.util.control.NonFatal(c) => e.addSuppressed(c)
-      }
-    try GraftTable.open(spark, loc, key).declareColumns(schema)
-    catch { case scala.util.control.NonFatal(e) => dropOrphan(e); throw e }
+    try {
+      val t = GraftTable.open(spark, loc, key)
+      t.declareColumns(schema)
+      if (clusterCols.nonEmpty) t.setClusterBy(clusterCols)
+      // the storage root's own key record (the key's immutable
+      // PHYSICAL name): `writeStream.toTable` rides the V1 fallback,
+      // which hands the sink ONLY the location — the sink resolves
+      // the key from here (w26)
+      val out = f.create(new org.apache.hadoop.fs.Path(loc, "key.conf"),
+        true)
+      try out.write(key.getBytes("UTF-8")) finally out.close()
+      data.foreach { df => t.append(df); () }
+      loc
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try { f.delete(new org.apache.hadoop.fs.Path(loc), true); () }
+        catch {
+          case scala.util.control.NonFatal(c) => e.addSuppressed(c)
+        }
+        throw e
+    }
+  }
+
+  /** the registration COMMIT POINT: create-if-absent pointer write,
+    * LAST — a crash before this leaves an orphaned .store directory,
+    * never a registered-but-bootstrapless table (the round-15
+    * advisor's crash window; the old pointer-first order had exactly
+    * that). A lost CREATE race deletes its own orphan and reports the
+    * conflict. */
+  private def registerPointer(ident: Identifier, key: String,
+                              loc: String, schema: StructType): Unit = {
+    val (f, p) = fs(confPath(rootOf(ident)))
     try {
       val out = f.create(p, false)
       try out.write(s"$key\n$loc\n${schema.json}".getBytes("UTF-8"))
       finally out.close()
     } catch {
-      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        dropOrphan(e); throw new TableAlreadyExistsException(ident)
-      case scala.util.control.NonFatal(e) => dropOrphan(e); throw e
+      case e: Throwable =>
+        try { f.delete(new org.apache.hadoop.fs.Path(loc), true); () }
+        catch {
+          case scala.util.control.NonFatal(c) => e.addSuppressed(c)
+        }
+        e match {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+            throw new TableAlreadyExistsException(ident)
+          case _ => throw e
+        }
     }
+  }
+
+  /** ATOMIC pointer overwrite (temp + rename-over) — the REPLACE
+    * path's re-registration; readers see the old pointer or the new
+    * one, never a truncated file */
+  private def overwritePointer(ident: Identifier, key: String,
+                               loc: String, schema: StructType): Unit = {
+    val root = rootOf(ident)
+    val (f, p) = fs(confPath(root))
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      s".conf-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = f.create(tmp, true)
+    try out.write(s"$key\n$loc\n${schema.json}".getBytes("UTF-8"))
+    finally out.close()
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      p.toUri, spark.sessionState.newHadoopConf())
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val clusterCols = clusterColsOf(partitions)
+    val key = validatedKey(schema, properties, clusterCols)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val loc = bootstrapStorage(ident, schema, key, clusterCols, None)
+    registerPointer(ident, key, loc, schema)
     loadTable(ident)
+  }
+
+  // ---- ATOMIC CTAS / REPLACE TABLE / CREATE OR REPLACE (x61) -------
+  // Spark plans these through a StagingTableCatalog so no reader can
+  // observe a half-state: the staged table buffers the query, and
+  // commitStagedChanges() lands everything in the right order —
+  // CREATE bootstraps storage + data first and registers the pointer
+  // LAST (a crash leaves an orphan, never a half-table; the
+  // non-staging CTAS would register an EMPTY table before its data
+  // landed), REPLACE is ONE replaceTable commit on the SAME storage
+  // (history survives; a reader mid-replace sees old-or-new, never
+  // the missing-table window drop-then-create exposes).
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): StagedTable =
+    new GraftStagedTable(this, ident, schema, clusterColsOf(partitions),
+      properties, orCreate = true, orReplace = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+                            partitions: Array[Transform],
+                            properties: util.Map[String, String]): StagedTable =
+    new GraftStagedTable(this, ident, schema, clusterColsOf(partitions),
+      properties, orCreate = false, orReplace = true)
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+                                    partitions: Array[Transform],
+                                    properties: util.Map[String, String])
+      : StagedTable =
+    new GraftStagedTable(this, ident, schema, clusterColsOf(partitions),
+      properties, orCreate = true, orReplace = true)
+
+  /** the staged commit (see the section comment above). REPLACE
+    * resets advisory side-configs FIRST (old-schema constraints
+    * cannot validate new-schema files), then lands the one-commit
+    * replace, then re-registers the pointer atomically (temp +
+    * rename-over) — the pointer changes only when the key or declared
+    * schema did, and a crash before that leaves a fully-functional
+    * table whose next load self-heals mutations by re-running the
+    * REPLACE (reads are version-pinned and unaffected). */
+  private[sources] def commitStaged(ident: Identifier, schema: StructType,
+                                    clusterCols: Seq[String],
+                                    properties: util.Map[String, String],
+                                    data: Option[DataFrame],
+                                    orCreate: Boolean,
+                                    orReplace: Boolean): Unit = {
+    val key = validatedKey(schema, properties, clusterCols)
+    readConf(rootOf(ident)) match {
+      case None =>
+        if (!orCreate) throw new NoSuchTableException(ident)
+        val loc = bootstrapStorage(ident, schema, key, clusterCols, data)
+        registerPointer(ident, key, loc, schema)
+      case Some((_, loc, _)) =>
+        if (!orReplace) throw new TableAlreadyExistsException(ident)
+        val (f, _) = fs(loc)
+        Seq("checks.conf", "schema.conf", "bloom.conf",
+            "autocompact.conf").foreach { c =>
+          f.delete(new org.apache.hadoop.fs.Path(loc, c), false)
+        }
+        val t = GraftTable.open(spark, loc, key)
+        val df = data.getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema))
+        t.replaceTable(df, schema, clusterCols)
+        val out = f.create(
+          new org.apache.hadoop.fs.Path(loc, "key.conf"), true)
+        try out.write(key.getBytes("UTF-8")) finally out.close()
+        overwritePointer(ident, key, loc, schema)
+    }
   }
 
   /** ANSI ALTER TABLE column verbs → ONE atomic
@@ -287,11 +437,51 @@ class GraftCatalog extends TableCatalog {
   * stats-pruned copy-on-write `delete` commit (untranslatable ones
   * refuse via canDeleteWhere — a blind full-scan delete is exactly
   * what the GRAFT verb surface exists to avoid) */
-private[sources] class GraftSqlTable(ident: String, root: String,
-                                     keyCol: String, declared: StructType,
-                                     version: Long)
+private[graft] class GraftSqlTable(ident: String, root: String,
+                                   keyCol: String, declared: StructType,
+                                   version: Long)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.graftglue.V1FallbackBridge {
+
+  /** STREAMING writes into the catalog —
+    * `df.writeStream.toTable("gcat.t")` (w26): Spark routes V2 tables
+    * without STREAMING_WRITE through this V1 fallback (the route
+    * Delta's own DataStreamWriter integration uses), handing the
+    * table's provider + storage location to the registered `graft`
+    * streaming sink — i.e. the EXISTING exactly-once `streamAppend`
+    * txn protocol (w22's sink; batch id = idempotency token, replay
+    * detection inside the commit CAS loop). The fallback carries only
+    * the location, so the sink resolves the key column from the
+    * storage root's `key.conf` (written at CREATE; the key's
+    * immutable PHYSICAL name). A true V2 StreamingWrite would need
+    * executor-side writers minting data files + manifest stats — a
+    * second write path for zero additional semantics. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog._
+    require(version < 0, s"cannot stream into time-travel table $ident")
+    // streaming relation resolution constructs the fallback node
+    // EAGERLY (even for reads that then use the V2 micro-batch path)
+    // and asserts a database-qualified identifier
+    val parts = ident.split('.')
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        parts.last,
+        Some(if (parts.length > 1) parts(parts.length - 2) else "default")),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(root).toUri)),
+      schema = schema(),
+      provider = Some("graft"))
+  }
+
+  /** the transactional handle + resolved logical key, for the injected
+    * row-level SQL rules (MERGE INTO / UPDATE, x59) — they compile the
+    * statement onto the handle's stats-pruned mutation verbs */
+  private[graft] def graftHandle: GraftTable = table
+  private[graft] def graftKey: String = logicalKey
+  private[graft] def isTimeTravel: Boolean = version >= 0
+  private[graft] def identName: String = ident
 
   override def truncateTable(): Boolean = {
     require(version < 0, "cannot truncate a time-travel table")
@@ -352,7 +542,11 @@ private[sources] class GraftSqlTable(ident: String, root: String,
   private lazy val resolvedSchema: StructType = {
     val base =
       if (pinnedVersion == 0) declared
-      else table.read(pinnedVersion).schema
+      // manifest-only resolution (O(manifest), zero file opens — a
+      // 100 TB table must not existence-check every path to answer
+      // analysis); read(v).schema only for pre-schema-manifest tables
+      else table.schemaAt(pinnedVersion)
+        .getOrElse(table.read(pinnedVersion).schema)
     val defaults = table.declaredDefaults()
     if (defaults.isEmpty) base
     else StructType(base.fields.map { f =>
@@ -400,12 +594,20 @@ private[sources] class GraftSqlTable(ident: String, root: String,
           * versions, the first window is the current snapshot, later
           * windows are its appends, and an update/delete in a window
           * fails loudly (insertsOnly). Column pruning carries: the
-          * stream conforms each window to this scan's readSchema. */
+          * stream conforms each window to this scan's readSchema.
+          * `.option("startingVersion", v)` (Delta's option) starts the
+          * catch-up consumer AT version v — its first window is the
+          * appends AFTER v, no snapshot bootstrap; the checkpoint's
+          * own offset always wins on restart (offsets are versions,
+          * so an explicit start and a restart agree by construction). */
         override def toMicroBatchStream(
             checkpointLocation: String): org.apache.spark.sql.connector
               .read.streaming.MicroBatchStream =
           new GraftCdfMicroBatchStream(
-            root = root, keyCol = logicalKey, startingVersion = 0L,
+            root = root, keyCol = logicalKey,
+            startingVersion =
+              Option(options.get("startingVersion"))
+                .map(_.toLong).getOrElse(0L),
             maxVersionsPerBatch =
               Option(options.get("maxVersionsPerBatch"))
                 .map(_.toLong).getOrElse(Long.MaxValue),
@@ -464,4 +666,45 @@ private[sources] class GraftSqlTable(ident: String, root: String,
           }
       }
     }
+}
+
+/** a table staged by [[GraftCatalog.stageCreate]]/`stageReplace`/
+  * `stageCreateOrReplace`: BUFFERS the CTAS/RTAS query (the V1 insert
+  * hands over the DataFrame — a plan, nothing executed yet) and lands
+  * everything inside `commitStagedChanges()` in crash-safe order.
+  * `abortStagedChanges` is a true no-op: nothing durable exists
+  * before commit. */
+private[sources] class GraftStagedTable(
+    cat: GraftCatalog, ident: Identifier, stagedSchema: StructType,
+    clusterCols: Seq[String], properties: util.Map[String, String],
+    orCreate: Boolean, orReplace: Boolean)
+    extends StagedTable with SupportsWrite {
+
+  private var data: Option[DataFrame] = None
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = stagedSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this // RTAS truncates: moot
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(df: DataFrame,
+                                legacyOverwrite: Boolean): Unit = {
+              data = Some(df)
+            }
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit =
+    cat.commitStaged(ident, stagedSchema, clusterCols, properties,
+      data, orCreate, orReplace)
+
+  override def abortStagedChanges(): Unit = ()
 }

@@ -58,7 +58,9 @@ import graft.table.GraftTable
   * Append output mode only: Update/Complete would require keyed
   * rewrites per batch, which belong to the merge API. */
 class GraftTableSourceProvider extends RelationProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider
+    with StreamSourceProvider
+    with DataSourceRegister {
   override def shortName(): String = "graft"
 
   // V1 passes options case-insensitively lowercased on some paths;
@@ -69,6 +71,56 @@ class GraftTableSourceProvider extends RelationProvider
   private def required(parameters: Map[String, String], k: String): String =
     opt(parameters, k).getOrElse(
       throw new IllegalArgumentException(s"graft requires option '$k'"))
+
+  /** keyCol option, or the storage root's `key.conf` record (written
+    * at catalog CREATE — its immutable PHYSICAL name) resolved to the
+    * current logical name */
+  private def resolveKey(sqlContext: SQLContext,
+                         parameters: Map[String, String],
+                         root: String): String =
+    opt(parameters, "keyCol").getOrElse {
+      val spark = sqlContext.sparkSession
+      val kp = new org.apache.hadoop.fs.Path(root, "key.conf")
+      val fs = kp.getFileSystem(spark.sessionState.newHadoopConf())
+      require(fs.exists(kp), "graft needs option 'keyCol' (or a " +
+        "catalog-created table, whose storage root records its key)")
+      val len = fs.getFileStatus(kp).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = fs.open(kp)
+      try in.readFully(0L, bytes) finally in.close()
+      val stored = new String(bytes, "UTF-8").trim
+      GraftTable.open(spark, root, stored).logicalKeyName
+    }
+
+  /** V1 streaming-source SCHEMA only: Spark's streaming relation
+    * resolution eagerly materializes a catalog table's V1 fallback —
+    * including its source schema — even when the V2 micro-batch path
+    * (graft-cdf, `readStream.table`) is the one that runs. Answered
+    * from the manifest (O(manifest), zero file opens). */
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = schema match {
+    case Some(s) => (shortName(), s)
+    case None =>
+      val root = required(parameters, "path")
+      val t = GraftTable.open(sqlContext.sparkSession, root,
+        resolveKey(sqlContext, parameters, root))
+      (shortName(), t.schemaAt().getOrElse(t.read().schema))
+  }
+
+  /** never reached while the catalog table advertises
+    * MICRO_BATCH_READ (Spark prefers the V2 stream); reached only if
+    * an operator force-disables the V2 reader */
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    throw new UnsupportedOperationException(
+      "graft tables stream through the V2 micro-batch source — " +
+        "spark.readStream.table(...) or format(\"graft-cdf\") — not " +
+        "the V1 format route")
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
@@ -109,8 +161,14 @@ class GraftTableSourceProvider extends RelationProvider
     require(partitionColumns.isEmpty,
       "graft manages its own file layout (key-range clustering); " +
         "partitionBy is not supported")
-    new GraftStreamSink(sqlContext, required(parameters, "path"),
-      required(parameters, "keyCol"))
+    val root = required(parameters, "path")
+    // `writeStream.toTable("gcat.t")` arrives here through Spark's V1
+    // fallback with ONLY the storage location: the key resolves from
+    // the root's `key.conf` (its immutable PHYSICAL name, written at
+    // CREATE) to the current LOGICAL name. An explicit keyCol option
+    // (the format route) always wins.
+    new GraftStreamSink(sqlContext, root,
+      resolveKey(sqlContext, parameters, root))
   }
 }
 

@@ -443,6 +443,42 @@ final class GraftTable private (spark: SparkSession, val root: String,
     Some(StructType(fields.values.toSeq))
   }
 
+  /** the version's user-visible LOGICAL schema, resolved from the
+    * MANIFEST ALONE — [[schemaOf]]'s widened physical union (or the
+    * declarations, for a data-less snapshot) under the column
+    * mapping's rename/drop projection. O(manifest), ZERO file opens:
+    * what a catalog must answer `schema()` from, because deriving it
+    * by analyzing a full-snapshot read existence-checks every data
+    * file path at 100 TB scale (and breaks the file-hiding pruning
+    * specs for free). None when any ref predates recorded per-file
+    * schemas — callers fall back to `read(v).schema` (the legacy
+    * footer sweep). */
+  def schemaAt(version: Long = -1L)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val v = if (version < 0) head else version
+    if (v == 0) return None
+    val refs = manifestOf(v)
+    val data = refs.filter(_.kind == "data")
+    val phys: Option[StructType] =
+      if (data.isEmpty) {
+        val declared = GraftTable.parseAddColRows(refs)
+        if (declared.isEmpty) None
+        else Some(StructType(declared.map(a =>
+          StructField(a.name, a.dataType, nullable = true))))
+      } else schemaOf(refs)
+    phys.map { st =>
+      val byPhys = colRows(refs).map { case (l, p) => p -> l }.toMap
+      StructType(st.fields.toSeq.flatMap { f =>
+        byPhys.get(f.name) match {
+          case Some("") => None // dropped
+          case Some(l)  => Some(f.copy(name = l))
+          case None     => Some(f)
+        }
+      })
+    }
+  }
+
   /** rows of `files` under the manifest-resolved snapshot schema —
     * ZERO footer reads on a current-format table; `mergeSchema` only
     * as the pre-schema-manifest legacy fallback */
@@ -2019,7 +2055,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
     while (true) {
       val hr = headRefs
       val stamp = metaStamp(hr)
-      val st = stage(toPhysical(hr, fillDefaults(hr, df)))
+      val st = stage(toPhysical(hr, layoutFor(hr, fillDefaults(hr, df))))
       var stale = false
       var done = false
       val v = commitLoop(txn) { base =>
@@ -2103,6 +2139,28 @@ final class GraftTable private (spark: SparkSession, val root: String,
       if (txn >= 0 && committedTxns().contains(txn)) None
       else composeApply(base, delta, dkeys, nKeys)
     }
+  }
+
+  /** the HEAD rows whose key appears in `keys` (a one-column frame
+    * named like the key), read through the SAME two-phase pruned plan
+    * every keyed mutation uses: manifest stats prune candidate files
+    * (broadcast range join), bloom sidecars refine them, and only the
+    * candidates open — against a 100 TB table a delta-scale key set
+    * reads the overlapping files, never the table. This is the
+    * matched-target read SQL `MERGE INTO` compiles through to evaluate
+    * WHEN MATCHED clauses that reference target columns (x59) —
+    * Delta's findTouchedFiles phase, exposed as a read. */
+  def readMatchingKeys(keys: DataFrame): DataFrame = {
+    val base = headRefs
+    val data = base.filter(_.kind == "data")
+    val dkeys = keys.select(col(keyCol))
+    val nKeys = dkeys.count() // sizes the key-side joins, once
+    val pk = physKeyOf(base)
+    val cand = bloomRefineKeys(base, data,
+      pruneByKeys(data, dkeys, pk), dkeys, nKeys, pk)
+    if (cand.isEmpty) return read(head).limit(0)
+    toLogical(base, scan(base, cand)).drop("__file", "__pos")
+      .join(keySide(dkeys.distinct(), nKeys), Seq(keyCol), "left_semi")
   }
 
   /** APPLY a CDC feed in one atomic commit — the consumption dual of
@@ -2436,6 +2494,66 @@ final class GraftTable private (spark: SparkSession, val root: String,
       base.filter(r => GraftTable.CarriedKinds(r.kind)) ++ staged
     }
 
+  /** REPLACE the table — data AND schema — in ONE atomic commit
+    * (`REPLACE TABLE` / `CREATE OR REPLACE ... AS SELECT`, x61): the
+    * new snapshot is the staged replacement under FRESH declarations;
+    * the old schema's column-mapping, declaration, and property rows
+    * drop (a replace RESETS evolution state and table configuration —
+    * Delta's REPLACE semantics), txn replay guards carry (the commit
+    * loop appends the canonical set to every manifest), and every
+    * prior version stays time-travelable until `expire`. Readers see
+    * old-or-new, never absent and never a schema/data mix — unlike
+    * drop-then-create, which exposes a missing-table window and
+    * forgets history.
+    *
+    * `clusterBy` (optional) becomes the standing ingest clustering
+    * and lays the replacement out immediately; the caller must reset
+    * advisory side-configs (checks/schema-mode/bloom/auto-compact)
+    * BEFORE calling — old-schema constraints cannot validate
+    * new-schema files (the SQL catalog's REPLACE does this). The
+    * handle's key column is the NEW schema's key. */
+  def replaceTable(df: DataFrame, declared: org.apache.spark.sql.types.StructType,
+                   clusterBy: Seq[String] = Seq.empty): Long = {
+    require(declared.fieldNames.contains(keyCol),
+      s"key column '$keyCol' is not in the replacement schema " +
+        s"(${declared.fieldNames.mkString(", ")})")
+    val cols = declared.fields.toSeq.map { f =>
+      require(f.name.matches(GraftTable.ColIdent),
+        s"column names are identifiers: '${f.name}'")
+      val d =
+        if (f.metadata.contains("CURRENT_DEFAULT"))
+          Some(f.metadata.getString("CURRENT_DEFAULT"))
+        else None
+      validateDefault(f.name, f.dataType, d)
+      GraftTable.AddedCol(f.name, f.dataType, d)
+    }
+    val addRows = cols.zipWithIndex.map {
+      case (c, i) => GraftTable.addColRow(c, ordinal = i.toLong) }
+    if (clusterBy.nonEmpty) {
+      clusterBy.foreach(c => require(declared.fieldNames.contains(c),
+        s"cluster column '$c' is not in the replacement schema"))
+      io.writeUtf8(clusterConfPath, clusterBy.mkString(" "))
+    } else io.delete(clusterConfPath)
+    // shape the replacement to the declared schema (CTAS queries may
+    // order/alias differently); names are fresh-physical by
+    // construction, so no mapping applies
+    val shaped = df.select(declared.fields.toSeq.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)): _*)
+    val laidOut =
+      if (clusterBy.isEmpty) shaped
+      else shaped.repartitionByRange(clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val st = stage(laidOut)
+    val v = commitLoop() { _ =>
+      // the replacement ignores the base snapshot entirely: fresh
+      // declarations + staged files ARE the table (txn rows are
+      // re-attached canonically by the loop)
+      Some((withFeature(addRows, "addcol") ++ st.refs, Seq.empty))
+    }
+    st.markers.foreach(io.delete)
+    v
+  }
+
   /** small-file compaction (OPTIMIZE): bin-packs only files under
     * `smallFileBytes` into ~`targetFiles` right-sized files — files
     * already at target size carry between versions BY REFERENCE (x19's
@@ -2520,6 +2638,60 @@ final class GraftTable private (spark: SparkSession, val root: String,
   }
 
   def clearAutoCompact(): Unit = io.delete(autoCompactConfPath)
+
+  private def clusterConfPath = s"$root/cluster.conf"
+
+  /** declare a STANDING ingest-time clustering (Delta liquid's
+    * `CLUSTER BY` declaration; what the catalog maps `PARTITIONED BY`
+    * onto, x60): every subsequent insert-shaped commit (`append`,
+    * `streamAppend`, `overwriteAll`) range-partitions and sorts the
+    * incoming frame on these columns BEFORE staging, so each new
+    * file covers a narrow range and its manifest stats prune reads
+    * and mutations on the clustered columns from the first insert —
+    * no OPTIMIZE pass required (the `cluster()` verb remains the
+    * reorganization for data already written). Column names are
+    * stored PHYSICAL (immutable across renames) and resolve to the
+    * current logical names at apply time; columns later dropped, or
+    * absent from a given frame, simply stop participating.
+    *
+    * Cost model: one range-shuffle of each ingest batch — exactly
+    * what a partitioned write costs anywhere — with the file count
+    * set by `spark.sql.shuffle.partitions` (AQE coalescing applies);
+    * auto-compaction folds stragglers. Advisory like the auto-compact
+    * policy: layout, never correctness. */
+  def setClusterBy(cols: Seq[String]): Unit = {
+    require(cols.nonEmpty && cols.size <= 4,
+      s"1..4 clustering columns (got ${cols.size})")
+    cols.foreach(c => require(c.matches(GraftTable.ColIdent),
+      s"column names are identifiers: '$c'"))
+    val phys = physicalOf(headRefs)
+    io.writeUtf8(clusterConfPath, cols.map(phys).mkString(" "))
+  }
+
+  def clearClusterBy(): Unit = io.delete(clusterConfPath)
+
+  /** the standing clustering, by PHYSICAL column name */
+  def clusterBy(): Seq[String] =
+    io.readUtf8(clusterConfPath)
+      .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
+  /** apply the standing clustering to an insert-shaped LOGICAL frame */
+  private def layoutFor(refs: Seq[FileRef], df: DataFrame): DataFrame = {
+    val phys = clusterBy()
+    if (phys.isEmpty) return df
+    val byPhys = colRows(refs).map { case (l, p) => p -> l }.toMap
+    val cols = phys.flatMap { p =>
+      byPhys.get(p) match {
+        case Some("") => None // dropped since: stops participating
+        case Some(l)  => Some(l)
+        case None     => Some(p)
+      }
+    }.filter(c => df.columns.exists(_.equalsIgnoreCase(c)))
+    if (cols.isEmpty) df
+    else df.repartitionByRange(cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+  }
 
   /** the policy, if set: (minSmallFiles, smallFileBytes, targetFiles) */
   def autoCompact(): Option[(Int, Long, Int)] =

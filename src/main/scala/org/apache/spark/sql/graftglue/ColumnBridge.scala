@@ -11,6 +11,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * sql/core columnNodeSupport.scala); third-party engines that inject
   * native expressions re-export them from an sql subpackage — the same
   * access route SparkSessionExtensions-based libraries use. */
+/** Re-export of Spark's `private[sql]`
+  * [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]]
+  * so a library catalog table (outside the sql package) can opt into
+  * the V1 streaming-sink fallback `DataStreamWriter.toTable` consults
+  * — the integration route Delta's own DeltaTableV2 uses. */
+trait V1FallbackBridge
+    extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)

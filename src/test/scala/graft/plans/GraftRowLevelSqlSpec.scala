@@ -1,0 +1,193 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestSession
+import graft.table.GraftTable
+
+/** ANSI UPDATE / MERGE INTO on catalog tables (x59): the injected
+  * resolution rule compiles resolved row-level statements onto the
+  * handle's stats-pruned verbs. Pins: end-to-end semantics for every
+  * clause shape, the PRUNED matched-target read (file-hiding), the
+  * group-based rewrite (unmatched files carry by reference), the
+  * cardinality violation, and the refusal surface. */
+class GraftRowLevelSqlSpec extends AnyFunSuite {
+
+  /** the extensions-bearing session on the shared test context */
+  private lazy val spark = {
+    val s = graft.util.ExtSession(SparkTestSession.spark)
+    s.conf.set("spark.sql.catalog.rl",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.rl.warehouse",
+      graft.util.Scratch.dir("graft-rowlevel-wh"))
+    s
+  }
+
+  private def locationOf(name: String): String = {
+    val wh = spark.conf.get("spark.sql.catalog.rl.warehouse")
+    val lines = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$wh/$name/catalog.conf")).linesIterator
+    lines.next(); lines.next().trim
+  }
+
+  /** fresh keyed table `rl.<name>` holding (k, v, w) for k in 1..n,
+    * ingested as `files` range-partitioned files */
+  private def fixture(name: String, n: Int = 100, files: Int = 8): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS rl.$name")
+    spark.sql(s"CREATE TABLE rl.$name (k BIGINT, v BIGINT, w STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.range(1, n + 1)
+      .selectExpr("id AS k", "id * 10 AS v", "'o' AS w")
+      .repartitionByRange(files, col("k")).sortWithinPartitions("k")
+      .createOrReplaceTempView(s"${name}_src")
+    spark.sql(s"INSERT INTO rl.$name SELECT * FROM ${name}_src")
+  }
+
+  private def rows(name: String): Map[Long, (Long, String)] =
+    spark.table(s"rl.$name").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+
+  test("UPDATE ... SET ... WHERE runs through pure SQL with old-row RHS") {
+    fixture("u1", n = 10, files = 2)
+    // swap-shape RHS: both assignments read the OLD row
+    spark.sql("UPDATE rl.u1 SET v = v + 1, w = CASE WHEN v >= 50 " +
+      "THEN 'hi' ELSE 'lo' END WHERE k % 2 = 0")
+    val got = rows("u1")
+    assert(got(2L) == (21L, "lo") && got(4L) == (41L, "lo") &&
+      got(6L) == (61L, "hi") && got(10L) == (101L, "hi"))
+    assert(got(3L) == (30L, "o"), "non-matching rows carry verbatim")
+    // no WHERE: every row
+    spark.sql("UPDATE rl.u1 SET w = 'all'")
+    assert(spark.table("rl.u1").where(col("w") =!= "all").count() == 0)
+  }
+
+  test("MERGE INTO: conditional UPDATE / DELETE / INSERT, both-sides RHS") {
+    fixture("m1", n = 20, files = 2)
+    // op D → delete; op U → update off BOTH rows; fresh keys → insert
+    spark.sql("""CREATE OR REPLACE TEMP VIEW m1_delta AS
+      SELECT * FROM VALUES
+        (2L,  'D', 0L),
+        (4L,  'U', 7L),
+        (5L,  'U', 100L),
+        (21L, 'I', 1L),
+        (22L, 'I', 2L)
+      AS d(dk, op, amt)""")
+    spark.sql("""MERGE INTO rl.m1 t USING m1_delta d ON t.k = d.dk
+      WHEN MATCHED AND d.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = t.v + d.amt, w = d.op
+      WHEN NOT MATCHED THEN INSERT (k, v, w) VALUES (d.dk, d.amt, 'n')""")
+    val got = rows("m1")
+    assert(!got.contains(2L), "matched D row deleted")
+    assert(got(4L) == (47L, "U") && got(5L) == (150L, "U"),
+      "matched U rows updated with target+source RHS")
+    assert(got(21L) == (1L, "n") && got(22L) == (2L, "n"),
+      "unmatched source rows inserted")
+    assert(got(3L) == (30L, "o") && got.size == 21,
+      "untouched rows carry; 20 - 1 + 2 = 21")
+  }
+
+  test("MERGE reads ONLY key-range-overlapping files and carries the rest") {
+    fixture("m2", n = 100, files = 8)
+    val t = GraftTable.open(spark, locationOf("m2"), "k")
+    val before = t.filesOf(t.head).filter(_.contains("/data/"))
+    assert(before.size >= 8)
+    // which files hold the delta's keys (1..5): read each alone
+    val lowKeys = (1L to 5L).toSet
+    val (cand, rest) = before.partition(f =>
+      spark.read.parquet(f).select(col("k")).collect()
+        .exists(r => lowKeys.contains(r.getLong(0))))
+    assert(cand.nonEmpty && rest.size >= 6,
+      s"fixture must localize the delta: ${cand.size}/${before.size}")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW m2_delta AS
+      SELECT * FROM VALUES (1L, 11L), (5L, 55L), (101L, 1L)
+      AS d(dk, amt)""")
+    // hide every non-candidate file: MERGE succeeding proves the
+    // matched-target read and the rewrite OPEN none of them
+    rest.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f), java.nio.file.Paths.get(f + ".hidden")))
+    try spark.sql("""MERGE INTO rl.m2 t USING m2_delta d ON t.k = d.dk
+      WHEN MATCHED THEN UPDATE SET v = d.amt
+      WHEN NOT MATCHED THEN INSERT (k, v, w) VALUES (d.dk, d.amt, 'n')""")
+    finally rest.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f + ".hidden"), java.nio.file.Paths.get(f)))
+    val got = rows("m2")
+    assert(got(1L)._1 == 11L && got(5L)._1 == 55L && got(101L)._1 == 1L)
+    assert(got.size == 101)
+    // group-based rewrite: every hidden (non-matched) file carries BY
+    // REFERENCE into the new version
+    val after = t.filesOf(t.head).toSet
+    assert(rest.toSet.subsetOf(after),
+      "unmatched files must carry by reference, never rewrite")
+  }
+
+  test("SET * and INSERT * expand by name; SQL:2003 cardinality violates") {
+    fixture("m3", n = 10, files = 1)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW m3_delta AS
+      SELECT * FROM VALUES (3L, 333L, 's'), (11L, 111L, 's')
+      AS d(k, v, w)""")
+    spark.sql("MERGE INTO rl.m3 t USING m3_delta d ON t.k = d.k " +
+      "WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val got = rows("m3")
+    assert(got(3L) == (333L, "s") && got(11L) == (111L, "s"))
+    // two source rows onto one key → the cardinality violation
+    spark.sql("""CREATE OR REPLACE TEMP VIEW m3_dup AS
+      SELECT * FROM VALUES (3L, 1L, 'a'), (3L, 2L, 'b') AS d(k, v, w)""")
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO rl.m3 t USING m3_dup d ON t.k = d.k " +
+        "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(e.getMessage.contains("cardinality"),
+      s"wanted the cardinality violation, got: ${e.getMessage}")
+  }
+
+  test("the refusal surface names its alternatives") {
+    fixture("m4", n = 5, files = 1)
+    spark.sql("CREATE OR REPLACE TEMP VIEW m4_delta AS " +
+      "SELECT * FROM VALUES (1L, 2L) AS d(dk, amt)")
+    // no key equality in ON
+    val e1 = intercept[Exception] {
+      spark.sql("MERGE INTO rl.m4 t USING m4_delta d ON t.v = d.amt " +
+        "WHEN MATCHED THEN DELETE")
+    }
+    assert(e1.getMessage.contains("key column"))
+    // NOT MATCHED BY SOURCE
+    val e2 = intercept[Exception] {
+      spark.sql("MERGE INTO rl.m4 t USING m4_delta d ON t.k = d.dk " +
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+    }
+    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"))
+    // assigning the key in WHEN MATCHED
+    val e3 = intercept[Exception] {
+      spark.sql("MERGE INTO rl.m4 t USING m4_delta d ON t.k = d.dk " +
+        "WHEN MATCHED THEN UPDATE SET k = d.dk + 100")
+    }
+    assert(e3.getMessage.contains("key column"))
+    // UPDATE of the key through the UPDATE statement (engine refusal)
+    val e4 = intercept[Exception] {
+      spark.sql("UPDATE rl.m4 SET k = k + 1 WHERE k = 1")
+    }
+    assert(e4.getMessage.contains("key column") ||
+      e4.getMessage.contains("merge"))
+    // extra ON conjuncts compose; a matched-but-filtered row does not
+    // delete (residual conditions reach the join)
+    spark.sql("MERGE INTO rl.m4 t USING m4_delta d " +
+      "ON t.k = d.dk AND t.v > 1000 WHEN MATCHED THEN DELETE")
+    assert(rows("m4").contains(1L),
+      "the residual conjunct must filter the match")
+  }
+
+  test("statements build lazily: EXPLAIN runs no commit") {
+    fixture("m5", n = 4, files = 1)
+    val t = GraftTable.open(spark, locationOf("m5"), "k")
+    val head0 = t.head
+    spark.sql("EXPLAIN UPDATE rl.m5 SET v = 0 WHERE k = 1").collect()
+    spark.sql("CREATE OR REPLACE TEMP VIEW m5_delta AS " +
+      "SELECT * FROM VALUES (1L) AS d(dk)")
+    spark.sql("EXPLAIN MERGE INTO rl.m5 t USING m5_delta d " +
+      "ON t.k = d.dk WHEN MATCHED THEN DELETE").collect()
+    assert(t.head == head0, "EXPLAIN must not execute the mutation")
+    assert(rows("m5").size == 4)
+  }
+}

@@ -232,6 +232,144 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"want the appends-only failure, got: ${msgs(e).mkString(" | ")}")
   }
 
+  test("readStream.table startingVersion: catch-up from a version, no snapshot") {
+    spark.sql("DROP TABLE IF EXISTS gcat.sv")
+    spark.sql("CREATE TABLE gcat.sv (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")                        // v1 (declare)
+    spark.sql("INSERT INTO gcat.sv VALUES (1, 'a')")        // v2
+    spark.sql("INSERT INTO gcat.sv VALUES (2, 'b')")        // v3
+    spark.sql("INSERT INTO gcat.sv VALUES (3, 'c')")        // v4
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val ckpt = graft.util.Scratch.dir("graft-cat-sv-ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream
+        .option("startingVersion", "3")
+        .table("gcat.sv")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            b.select(col("k")).collect().foreach(r => seen.add(r.getLong(0)))
+            ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // from v3: ONLY v4's append — no snapshot bootstrap
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted == Seq(3L),
+      s"startingVersion=3 must stream only the post-v3 appends, " +
+        s"got ${seen.asScala.toSeq.sorted}")
+    // restart on the same checkpoint: the checkpointed offset (a
+    // version) wins over the option — the windows agree by construction
+    spark.sql("INSERT INTO gcat.sv VALUES (4, 'd')")        // v5
+    drain()
+    assert(seen.asScala.toSeq.sorted == Seq(3L, 4L),
+      "a restart resumes at the checkpointed version")
+  }
+
+  test("PARTITIONED BY maps onto standing clustering; partition reads prune") {
+    spark.sql("DROP TABLE IF EXISTS gcat.pb")
+    spark.sql("CREATE TABLE gcat.pb (k BIGINT, c BIGINT, v STRING) " +
+      "PARTITIONED BY (c) TBLPROPERTIES ('key' = 'k')")
+    // 400 rows over 8 partition values, arriving as FOUR ingest
+    // batches (the real cadence): each INSERT lays its files out
+    // range-clustered on c — AQE sizes partitions by bytes, so a
+    // KB-scale batch is one right-sized file with tight c stats
+    spark.range(400).selectExpr("id AS k", "id DIV 50 AS c", "'x' AS v")
+      .createOrReplaceTempView("pb_src")
+    for (b <- 0 until 4)
+      spark.sql(s"INSERT INTO gcat.pb SELECT * FROM pb_src " +
+        s"WHERE c DIV 2 = $b")
+    val t = GraftTable.open(spark, locationOf("pb"), "k")
+    val files = t.filesOf(t.head).filter(_.contains("/data/"))
+    assert(files.size >= 2, s"fixture needs several files, got ${files.size}")
+    // the x17 manifest-pruning proof through catalog DDL: hide every
+    // file that holds NO c=0 row; the partition-predicate read
+    // succeeding proves the manifest stats pruned them
+    val (cand, rest) = files.partition(f =>
+      spark.read.parquet(f).where(col("c") === 0).limit(1)
+        .collect().nonEmpty)
+    assert(cand.nonEmpty && rest.nonEmpty,
+      s"ingest-time clustering must localize c=0: ${cand.size}/${files.size}")
+    rest.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f), java.nio.file.Paths.get(f + ".hidden")))
+    try assert(spark.sql(
+        "SELECT CAST(COUNT(*) AS BIGINT) FROM gcat.pb WHERE c = 0")
+      .head.getLong(0) == 50)
+    finally rest.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f + ".hidden"), java.nio.file.Paths.get(f)))
+    // CLUSTER BY lands on the same machinery
+    spark.sql("DROP TABLE IF EXISTS gcat.cb")
+    spark.sql("CREATE TABLE gcat.cb (k BIGINT, c BIGINT) " +
+      "CLUSTER BY (c) TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.cb SELECT k, c FROM pb_src")
+    assert(spark.table("gcat.cb").count() == 400)
+    // non-identity transforms keep the honest refusal
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.pbb (k BIGINT, c BIGINT) " +
+        "PARTITIONED BY (bucket(4, c)) TBLPROPERTIES ('key' = 'k')")
+    }
+  }
+
+  test("REPLACE TABLE is atomic: old-or-new, history survives") {
+    spark.sql("DROP TABLE IF EXISTS gcat.rp")
+    spark.sql("CREATE TABLE gcat.rp (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.rp VALUES (1, 'a'), (2, 'b')") // v2
+    val loc = locationOf("rp")
+    val preReplace = spark.table("gcat.rp") // pinned at v2
+    // CREATE OR REPLACE ... AS SELECT: new schema, new data, ONE commit
+    spark.sql("CREATE OR REPLACE TABLE gcat.rp " +
+      "TBLPROPERTIES ('key' = 'id') AS " +
+      "SELECT id, id * 2 AS twice FROM RANGE(5)")             // v3
+    assert(spark.table("gcat.rp").columns.toSeq == Seq("id", "twice"))
+    assert(spark.table("gcat.rp").count() == 5)
+    // the pre-replace reader still evaluates ITS snapshot (old files
+    // retained — never absent)
+    assert(preReplace.count() == 2,
+      "a reader loaded before the replace sees the OLD table")
+    // history survives on the SAME storage: time travel below the
+    // replace serves the old schema and data
+    val old = spark.sql("SELECT * FROM gcat.rp VERSION AS OF 2")
+    assert(old.columns.toSeq == Seq("k", "v") && old.count() == 2)
+    assert(locationOf("rp") == loc,
+      "REPLACE keeps the storage location — that is what keeps history")
+    // REPLACE TABLE (no AS SELECT): declared-only replacement
+    spark.sql("REPLACE TABLE gcat.rp (x BIGINT, y STRING) " +
+      "TBLPROPERTIES ('key' = 'x')")                          // v4
+    assert(spark.table("gcat.rp").columns.toSeq == Seq("x", "y"))
+    assert(spark.table("gcat.rp").count() == 0)
+    // ...and the replaced table ingests/mutates under its new key
+    spark.sql("INSERT INTO gcat.rp VALUES (10, 'z'), (11, 'w')")
+    spark.sql("DELETE FROM gcat.rp WHERE x = 10")
+    assert(spark.table("gcat.rp").collect().map(_.getLong(0)).toSeq ==
+      Seq(11L))
+    // REPLACE of a missing table refuses; CREATE OR REPLACE creates
+    intercept[Exception] {
+      spark.sql("REPLACE TABLE gcat.rp_missing (k BIGINT) " +
+        "TBLPROPERTIES ('key' = 'k')")
+    }
+    spark.sql("DROP TABLE IF EXISTS gcat.rp2")
+    spark.sql("CREATE OR REPLACE TABLE gcat.rp2 " +
+      "TBLPROPERTIES ('key' = 'id') AS SELECT id FROM RANGE(3)")
+    assert(spark.table("gcat.rp2").count() == 3)
+  }
+
+  test("atomic CTAS: the pointer registers only after the data landed") {
+    spark.sql("DROP TABLE IF EXISTS gcat.ctas1")
+    spark.sql("CREATE TABLE gcat.ctas1 TBLPROPERTIES ('key' = 'id') " +
+      "AS SELECT id, id * 10 AS v FROM RANGE(7)")
+    assert(spark.table("gcat.ctas1").count() == 7)
+    val t = GraftTable.open(spark, locationOf("ctas1"), "id")
+    assert(t.head == 2, "declare + data = two commits, both pre-registration")
+    // a failing CTAS (unaliased aggregate column) registers NOTHING
+    intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.ctas_bad TBLPROPERTIES ('key'='id') " +
+        "AS SELECT id, COUNT(*) FROM RANGE(5) GROUP BY id")
+    }
+    assert(!spark.catalog.tableExists("gcat.ctas_bad"))
+  }
+
   test("table management: exists, list, drop, rename") {
     spark.sql("DROP TABLE IF EXISTS gcat.m1")
     spark.sql("DROP TABLE IF EXISTS gcat.m2")

@@ -71,6 +71,52 @@ class GraftStreamSinkSpec extends AnyFunSuite {
     assert(t.read().count() == 8, "the NEXT id commits normally")
   }
 
+  test("writeStream.toTable streams into a catalog table exactly once (w26)") {
+    spark.conf.set("spark.sql.catalog.gsink",
+      classOf[GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.gsink.warehouse").isEmpty)
+      spark.conf.set("spark.sql.catalog.gsink.warehouse",
+        graft.util.Scratch.dir("graft-sinkcat-wh"))
+    spark.sql("DROP TABLE IF EXISTS gsink.t")
+    spark.sql("CREATE TABLE gsink.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val staged = graft.util.Scratch.dir("graft-tosink-staged")
+    val ckpt = graft.util.Scratch.dir("graft-tosink-ckpt")
+    rows(1 to 30).repartition(3).write.mode("append").parquet(staged)
+    def drainToTable(): Unit = {
+      // NO path, NO keyCol: the catalog identifier is the whole
+      // configuration (location from the pointer, key from the
+      // storage root's key.conf, through the V1 fallback). format
+      // must name the provider — Spark's writeToV1Table refuses a
+      // writer whose source differs from the table's provider.
+      val q = spark.readStream.schema(rows(1 to 1).schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .toTable("gsink.t")
+      try q.processAllAvailable() finally q.stop()
+    }
+    drainToTable()
+    assert(spark.table("gsink.t").select("k").as[Long]
+      .collect().sorted.toSeq == (1L to 30L),
+      "drained table ≡ batch input")
+    val wh = spark.conf.get("spark.sql.catalog.gsink.warehouse")
+    val loc = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$wh/t/catalog.conf")).linesIterator.drop(1).next().trim
+    val t = GraftTable.open(spark, loc, "k")
+    val head0 = t.head
+    // replayed restart on the same checkpoint: nothing re-commits
+    drainToTable()
+    assert(t.head == head0, "an empty restart must not commit")
+    // resumed ingest appends only the new window, through the catalog
+    rows(31 to 40).coalesce(1).write.mode("append").parquet(staged)
+    drainToTable()
+    assert(spark.table("gsink.t").select("k").as[Long]
+      .collect().sorted.toSeq == (1L to 40L))
+    // ...and the streamed-into table still streams OUT
+    assert(spark.sql("SELECT COUNT(*) FROM gsink.t").head.getLong(0) == 40)
+  }
+
   test("append-only surface: Update/Complete and partitionBy rejected") {
     val p = new GraftTableSourceProvider
     val opts = Map("path" -> graft.util.Scratch.dir("graft-sink-opts"),
