@@ -2958,6 +2958,95 @@ object ScaleOps {
       |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x62 — COMPOUND BUSINESS KEYS (round 16): `TBLPROPERTIES
+  //       ('key' = 'a,b')` — the common warehouse case a surrogate
+  //       key used to force. The engine stays single-key: the catalog
+  //       synthesizes a hidden order-preserving `__gkey` storage
+  //       column (fixed-width nonnegative integers + raw strings +
+  //        separator), fills it on every catalog write path
+  //       (INSERT, MERGE feeds, streaming toTable, CTAS/REPLACE), and
+  //       hides it from schema(). Single-column predicates prune via
+  //       the manifest's per-column stats; compound-key MERGE prunes
+  //       via __gkey's string bounds, tight because compound tables
+  //       default their standing clustering to the key parts
+  //       (CompoundKeySpec pins the read set by file-hiding).
+  //       The gated lifecycle runs the x59 shape on the two-column
+  //       business key (o_custkey, o_orderkey): MERGE with
+  //       conditional DELETE/UPDATE/INSERT on a two-part ON, then a
+  //       single-column-predicate UPDATE, then the final aggregate.
+  // ---------------------------------------------------------------------
+  private def x62(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = graft.util.ExtSession(spark0)
+    spark.conf.set("spark.sql.catalog.graft_x62",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.graft_x62.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_x62.warehouse",
+        graft.util.Scratch.dir("graft-x62-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_x62.ordck")
+    spark.sql("CREATE TABLE graft_x62.ordck (o_custkey BIGINT, " +
+      "o_orderkey BIGINT, o_price DECIMAL(18,2)) " +
+      "TBLPROPERTIES ('key' = 'o_custkey,o_orderkey')")
+    Tables.orders(spark, dir).createOrReplaceTempView("x62_src")
+    spark.sql("INSERT INTO graft_x62.ordck " +
+      "SELECT o_custkey, o_orderkey, " +
+      "CAST(o_totalprice AS DECIMAL(18,2)) FROM x62_src")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW x62_delta AS
+      WITH m AS (SELECT MAX(o_orderkey) AS mx FROM x62_src)
+      SELECT o_custkey AS ck, o_orderkey AS ok, 'D' AS op,
+             CAST(0 AS DECIMAL(18,2)) AS amt
+        FROM x62_src WHERE o_orderkey % 43 = 0
+      UNION ALL
+      SELECT o_custkey, o_orderkey, 'U',
+             CAST(o_totalprice AS DECIMAL(18,2))
+        FROM x62_src WHERE o_orderkey % 31 = 0 AND o_orderkey % 43 <> 0
+      UNION ALL
+      SELECT o_custkey, o_orderkey + m.mx + 1, 'I',
+             CAST(o_totalprice AS DECIMAL(18,2))
+        FROM x62_src, m WHERE o_orderkey % 53 = 0""")
+    spark.sql("""MERGE INTO graft_x62.ordck t USING x62_delta d
+      ON t.o_custkey = d.ck AND t.o_orderkey = d.ok
+      WHEN MATCHED AND d.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE
+        SET o_price = CAST(t.o_price + d.amt AS DECIMAL(18,2))
+      WHEN NOT MATCHED THEN INSERT (o_custkey, o_orderkey, o_price)
+        VALUES (d.ck, d.ok, d.amt)""")
+    spark.sql("UPDATE graft_x62.ordck " +
+      "SET o_price = CAST(o_price * 2 AS DECIMAL(18,2)) " +
+      "WHERE o_custkey % 97 = 0")
+    spark.sql(
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_price) AS DOUBLE) AS sum_price, " +
+        "CAST(SUM(o_custkey) AS BIGINT) AS sum_ck " +
+        "FROM graft_x62.ordck")
+  }
+
+  private val x62Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_custkey AS ck, o_orderkey AS ok,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS amt FROM orders),
+      |afterdel AS (SELECT * FROM base WHERE ok % 43 <> 0),
+      |merged AS (
+      |  SELECT ck, ok,
+      |    CAST(CASE WHEN ok % 31 = 0 THEN amt + amt ELSE amt END
+      |      AS DECIMAL(18,2)) AS amt
+      |  FROM afterdel),
+      |inserted AS (
+      |  SELECT b.ck, b.ok + m.mx + 1 AS ok, b.amt
+      |  FROM base b, m WHERE b.ok % 53 = 0),
+      |allr AS (SELECT * FROM merged UNION ALL SELECT * FROM inserted),
+      |final AS (
+      |  SELECT ck, ok,
+      |    CAST(CASE WHEN ck % 97 = 0 THEN amt * 2 ELSE amt END
+      |      AS DECIMAL(18,2)) AS amt
+      |  FROM allr)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(amt) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(ck) AS BIGINT) AS sum_ck
+      |FROM final""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -3607,5 +3696,6 @@ object ScaleOps {
     QuerySpec("x58_sql_catalog", x58, Some(x58Sql)),
     QuerySpec("x59_sql_merge_update", x59, Some(x59Sql)),
     QuerySpec("x60_partitioned_by_clustering", x60, Some(x60Sql)),
-    QuerySpec("x61_atomic_ctas_replace", x61, Some(x61Sql)))
+    QuerySpec("x61_atomic_ctas_replace", x61, Some(x61Sql)),
+    QuerySpec("x62_compound_business_key", x62, Some(x62Sql)))
 }

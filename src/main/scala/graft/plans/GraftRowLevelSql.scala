@@ -125,6 +125,7 @@ case class GraftSqlUpdateCommand(
     val ident = table.identName
     require(!table.isTimeTravel,
       s"cannot UPDATE time-travel table $ident")
+    val resolver = session.sessionState.conf.resolver
     val set = assignments.map { case (k, v) =>
       val name = k match {
         case a: AttributeReference => a.name
@@ -132,6 +133,13 @@ case class GraftSqlUpdateCommand(
           s"UPDATE $ident: only top-level columns can be assigned " +
             s"(got ${other.sql})")
       }
+      // a compound key's parts are key columns: updating one without
+      // re-synthesizing the storage key would strand the row under a
+      // stale key — refuse like the engine refuses its key column
+      table.graftKeyParts.foreach(parts =>
+        require(!parts.exists(p => resolver(p, name)),
+          s"UPDATE $ident: cannot UPDATE key column '$name' — " +
+            "MERGE (DELETE + INSERT) moves rows between keys"))
       name -> GraftRowLevelSql.byName(v, s"UPDATE $ident")
     }.toMap
     val pred = condition
@@ -198,53 +206,77 @@ case class GraftSqlMergeCommand(
       })
     }
 
-    // ---- ON condition: the key equality addresses the rows (what the
-    // stats-pruned read needs); every other conjunct — further key
-    // equalities included — joins as a residual condition
+    // ---- ON condition: an equality PER KEY COMPONENT addresses the
+    // rows (what the stats-pruned read needs — a compound business
+    // key 'a,b' needs one per part); every other conjunct — duplicate
+    // key equalities included — joins as a residual condition
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x => Seq(x)
     }
-    val keyIdx = targetOutput.indexWhere(a => resolver(a.name, key))
-    require(keyIdx >= 0,
-      s"MERGE INTO $ident: key column '$key' not in target output")
-    val keyId = targetOutput(keyIdx).exprId
-    def isTargetKey(e: Expression): Boolean = e match {
-      case a: AttributeReference => a.exprId == keyId
-      case _ => false
+    val partNames: Seq[String] =
+      table.graftKeyParts.getOrElse(Seq(key))
+    val compound = table.graftKeyParts.isDefined
+    val partIdxs: Seq[Int] = partNames.map { p =>
+      val i = targetOutput.indexWhere(a => resolver(a.name, p))
+      require(i >= 0,
+        s"MERGE INTO $ident: key column '$p' not in target output")
+      i
+    }
+    val partIdSet = partIdxs.map(targetOutput(_).exprId).toSet
+    def partIdxOf(e: Expression): Option[Int] = e match {
+      case a: AttributeReference if partIdSet.contains(a.exprId) =>
+        Some(partIdxs.find(targetOutput(_).exprId == a.exprId).get)
+      case _ => None
     }
     def sourceOnly(e: Expression): Boolean =
       e.references.forall(a => sourceIds.contains(a.exprId)) &&
         !e.references.isEmpty
-    val (keyEqs, residual) = conjuncts(mergeCondition).partition {
+    // first equality per part wins; everything else is residual
+    val srcPartExpr =
+      scala.collection.mutable.Map.empty[Int, Expression]
+    val residual = conjuncts(mergeCondition).filterNot {
       case EqualTo(l, r) =>
-        (isTargetKey(l) && sourceOnly(r)) ||
-        (isTargetKey(r) && sourceOnly(l))
+        val hit = partIdxOf(l).filter(_ => sourceOnly(r)).map((_, r))
+          .orElse(partIdxOf(r).filter(_ => sourceOnly(l)).map((_, l)))
+        hit match {
+          case Some((j, s)) if !srcPartExpr.contains(j) =>
+            srcPartExpr(j) = s; true
+          case _ => false
+        }
       case _ => false
     }
-    require(keyEqs.nonEmpty,
+    require(partIdxs.forall(srcPartExpr.contains),
       s"MERGE INTO $ident: the ON condition must contain an equality " +
-        s"between the table's key column '$key' and a source " +
-        "expression — graft tables are key-addressed (extra AND " +
-        "conjuncts compose freely)")
-    val srcKeyExpr = keyEqs.head match {
-      case EqualTo(l, r) => if (isTargetKey(l)) r else l
-      case _ => throw new IllegalStateException("unreachable")
-    }
-    val extras = keyEqs.tail ++ residual
+        s"between EACH key column (${partNames.mkString(", ")}) and a " +
+        "source expression — graft tables are key-addressed (extra " +
+        "AND conjuncts compose freely)")
 
     // ---- frames: the source, and the PRUNED matched-target read
     // (findTouchedFiles — manifest stats + bloom open only
     // range-overlapping files; spec-pinned by file-hiding)
     val srcDf = ColumnBridge.ofRows(session, source).toDF(sNames: _*)
     val types = targetOutput.map(_.dataType)
-    val srcKey = rewrite(srcKeyExpr).cast(types(keyIdx))
-    val tgtDf = t.readMatchingKeys(srcDf.select(srcKey.as(key)))
+    val srcPartCols: Seq[(Int, Column)] = partIdxs.map(j =>
+      j -> rewrite(srcPartExpr(j)).cast(types(j)))
+    // the handle's key frame: the column itself, or the compound
+    // encoding of the source part expressions
+    val srcKeys =
+      if (!compound)
+        srcDf.select(srcPartCols.head._2.as(key))
+      else srcDf.select(org.apache.spark.sql.functions.concat_ws(
+        graft.sources.CompoundKey.Sep,
+        srcPartCols.map { case (j, c) =>
+          graft.sources.CompoundKey.encode(c, types(j),
+            targetOutput(j).name) }: _*).as(table.graftKey))
+    val tgtDf = t.readMatchingKeys(srcKeys)
       .select(targetOutput.map(a => col(a.name)): _*)
       .toDF(tNames: _*)
-    val joinCond = extras.map(rewrite)
-      .foldLeft(col(s"__t$keyIdx") === srcKey)(_ && _)
+    val joinCond = residual.map(rewrite)
+      .foldLeft(srcPartCols.map { case (j, c) =>
+        col(s"__t$j") === c }.reduce(_ && _))(_ && _)
     val joined = srcDf.join(tgtDf, joinCond, "left_outer")
+    val keyIdx = partIdxs.head
     val tKey = col(s"__t$keyIdx")
 
     // ---- clause compilation: first-true-condition CASE per side
@@ -262,12 +294,12 @@ case class GraftSqlMergeCommand(
         case ((a, i), rest) => when(condOf(a), lit(i)).otherwise(rest)
       }
     /** `SET *` / `INSERT *`: target column ← the same-named source
-      * column. For UPDATE the key is skipped (matched rows keep the
-      * matched key — the ON equality already pins it; re-keying rows
-      * belongs to DELETE + INSERT). */
+      * column. For UPDATE the key columns are skipped (matched rows
+      * keep the matched key — the ON equalities already pin it;
+      * re-keying rows belongs to DELETE + INSERT). */
     def starAssigns(insert: Boolean): Map[Int, Column] =
       targetOutput.zipWithIndex.flatMap { case (a, j) =>
-        if (!insert && j == keyIdx) None
+        if (!insert && partIdxs.contains(j)) None
         else {
           val si = sOut.indexWhere(s => resolver(s.name, a.name))
           require(si >= 0, s"MERGE INTO $ident: `*` needs a source " +
@@ -289,16 +321,16 @@ case class GraftSqlMergeCommand(
         }
         require(j >= 0, s"MERGE INTO $ident: assignment targets an " +
           s"unknown column (${asg.key.sql})")
-        if (!insert && j == keyIdx) {
+        if (!insert && partIdxs.contains(j)) {
           // a matched-row key assignment is legal ONLY when it is the
           // ON clause's own key expression (what the analyzer's
           // `SET *` expansion emits) — the matched row already HAS
           // that key, so the assignment drops as a no-op; anything
           // else would move the row between keys mid-update
-          require(asg.value.semanticEquals(srcKeyExpr),
-            s"MERGE INTO $ident: cannot UPDATE the key column '$key' " +
-              "to a new value — DELETE + INSERT moves a row between " +
-              "keys")
+          require(asg.value.semanticEquals(srcPartExpr(j)),
+            s"MERGE INTO $ident: cannot UPDATE key column " +
+              s"'${targetOutput(j).name}' to a new value — DELETE + " +
+              "INSERT moves a row between keys")
           None
         } else Some(j -> rewrite(asg.value))
       }.toMap
@@ -325,9 +357,9 @@ case class GraftSqlMergeCommand(
     val nmCompiled: Seq[Map[Int, Column]] = notMatchedActions.map {
       case ia: InsertAction =>
         val m = assignMap(ia.assignments, insert = true)
-        require(m.contains(keyIdx),
+        require(partIdxs.forall(m.contains),
           s"MERGE INTO $ident: WHEN NOT MATCHED INSERT must assign " +
-            s"the key column '$key'")
+            s"every key column (${partNames.mkString(", ")})")
         m
       case _: InsertStarAction => starAssigns(insert = true)
       case other => throw new UnsupportedOperationException(
@@ -373,16 +405,24 @@ case class GraftSqlMergeCommand(
           }.as(a.name)
         } :+ lit("insert").as("change_type"): _*)
     }
+    // a compound table's feed carries the synthesized storage key,
+    // recomputed from the feed's own part values (deterministic
+    // encoding — matched rows reproduce their stored key exactly)
+    val feed0 = parts.reduce(_.unionByName(_))
+    val keyed =
+      if (compound)
+        graft.sources.CompoundKey.withKey(feed0, partNames.toSeq)
+      else feed0
+    val checkKey = if (compound) table.graftKey else key
     // persisted: the feed re-executes inside applyChanges' planning +
     // staging (and once for the cardinality check below) — one
     // evaluation of the user's source, Delta's source-materialization
     // discipline, at delta scale
-    val feed = parts.reduce(_.unionByName(_))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val feed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      require(feed.where(col(key).isNull).limit(1).collect().isEmpty,
+      require(feed.where(col(checkKey).isNull).limit(1).collect().isEmpty,
         s"MERGE INTO $ident: an INSERT clause produced a NULL key")
-      val dup = feed.groupBy(col(key)).count()
+      val dup = feed.groupBy(col(checkKey)).count()
         .where(col("count") > 1).limit(1).collect()
       require(dup.isEmpty,
         s"MERGE INTO $ident: multiple source rows address key " +

@@ -100,6 +100,10 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * re-point). Pointers that predate this scheme stored the logical
     * name; `logicalKeyName` resolves those to themselves. */
   private def openHandle(loc: String, storedKey: String): GraftTable = {
+    // compound keys ('a,b') always key the handle on the synthesized
+    // __gkey storage column (never renamed — ALTER refuses)
+    if (CompoundKey.partsOf(storedKey).isDefined)
+      return GraftTable.open(spark, loc, CompoundKey.KeyName)
     val t0 = GraftTable.open(spark, loc, storedKey)
     val lk = t0.logicalKeyName
     if (lk == storedKey) t0 else GraftTable.open(spark, loc, lk)
@@ -195,10 +199,30 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val key = Option(properties.get("key")).getOrElse(
       throw new IllegalArgumentException(
         "graft tables need a key column: CREATE TABLE ... " +
-          "TBLPROPERTIES ('key' = '<column>')"))
-    require(schema.fieldNames.contains(key),
-      s"key column '$key' is not in the schema " +
-        s"(${schema.fieldNames.mkString(", ")})")
+          "TBLPROPERTIES ('key' = '<column>' or 'a,b' for a " +
+          "compound business key)"))
+    CompoundKey.partsOf(key) match {
+      case Some(parts) =>
+        require(parts.distinct.size == parts.size,
+          s"compound key repeats a column: '$key'")
+        parts.foreach { p =>
+          val f = schema.fields.find(_.name == p).getOrElse(
+            throw new IllegalArgumentException(
+              s"compound key part '$p' is not in the schema " +
+                s"(${schema.fieldNames.mkString(", ")})"))
+          require(CompoundKey.supportedType(f.dataType),
+            s"compound key part '$p' has type " +
+              s"${f.dataType.simpleString} — integral and string " +
+              "parts only (the order-preserving encoding)")
+        }
+      case None =>
+        require(schema.fieldNames.contains(key),
+          s"key column '$key' is not in the schema " +
+            s"(${schema.fieldNames.mkString(", ")})")
+    }
+    require(!schema.fieldNames.contains(CompoundKey.KeyName),
+      s"column name '${CompoundKey.KeyName}' is reserved (the " +
+        "compound-key storage column)")
     schema.fieldNames.foreach(n =>
       require(n.matches(graft.table.GraftTable.ColIdent),
         s"column names must be identifiers: '$n' — alias the column " +
@@ -208,6 +232,20 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         s"(${schema.fieldNames.mkString(", ")})"))
     key
   }
+
+  /** the handle's key + the storage-side schema + the write wrap for
+    * a declared key: identity for single keys; compound keys key the
+    * handle on the synthesized `__gkey` column and wrap every
+    * insert-shaped frame with its encoding */
+  private[sources] def storageKeyOf(key: String): String =
+    if (CompoundKey.partsOf(key).isDefined) CompoundKey.KeyName else key
+  private[sources] def storageSchemaOf(key: String,
+                                       schema: StructType): StructType =
+    if (CompoundKey.partsOf(key).isDefined)
+      StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
+        CompoundKey.KeyName, org.apache.spark.sql.types.StringType,
+        nullable = true))
+    else schema
 
   /** bootstrap a FRESH storage directory: the declared-schema commit,
     * the standing clustering, the key record (w26's sink reads it),
@@ -224,17 +262,26 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val (f, _) = fs(confPath(rootOf(ident)))
     f.mkdirs(new org.apache.hadoop.fs.Path(loc, "commits"))
     try {
-      val t = GraftTable.open(spark, loc, key)
-      t.declareColumns(schema)
-      if (clusterCols.nonEmpty) t.setClusterBy(clusterCols)
+      val parts = CompoundKey.partsOf(key)
+      val t = GraftTable.open(spark, loc, storageKeyOf(key))
+      t.declareColumns(storageSchemaOf(key, schema))
+      // compound tables default their standing clustering to the key
+      // parts — what makes __gkey's per-file string bounds tight from
+      // the first insert (the merge-pruning story)
+      val cluster =
+        if (clusterCols.nonEmpty) clusterCols
+        else parts.getOrElse(Seq.empty)
+      if (cluster.nonEmpty) t.setClusterBy(cluster)
       // the storage root's own key record (the key's immutable
-      // PHYSICAL name): `writeStream.toTable` rides the V1 fallback,
-      // which hands the sink ONLY the location — the sink resolves
-      // the key from here (w26)
+      // PHYSICAL name — or the compound part list): toTable rides the
+      // V1 fallback, which hands the sink ONLY the location — the
+      // sink resolves the key from here (w26)
       val out = f.create(new org.apache.hadoop.fs.Path(loc, "key.conf"),
         true)
       try out.write(key.getBytes("UTF-8")) finally out.close()
-      data.foreach { df => t.append(df); () }
+      data.foreach { df =>
+        t.append(parts.fold(df)(p => CompoundKey.withKey(df, p))); ()
+      }
       loc
     } catch {
       case scala.util.control.NonFatal(e) =>
@@ -358,10 +405,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
             "autocompact.conf").foreach { c =>
           f.delete(new org.apache.hadoop.fs.Path(loc, c), false)
         }
-        val t = GraftTable.open(spark, loc, key)
-        val df = data.getOrElse(spark.createDataFrame(
+        val parts = CompoundKey.partsOf(key)
+        val t = GraftTable.open(spark, loc, storageKeyOf(key))
+        val df0 = data.getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row], schema))
-        t.replaceTable(df, schema, clusterCols)
+        val cluster =
+          if (clusterCols.nonEmpty) clusterCols
+          else parts.getOrElse(Seq.empty)
+        t.replaceTable(parts.fold(df0)(p => CompoundKey.withKey(df0, p)),
+          storageSchemaOf(key, schema), cluster)
         val out = f.create(
           new org.apache.hadoop.fs.Path(loc, "key.conf"), true)
         try out.write(key.getBytes("UTF-8")) finally out.close()
@@ -402,7 +454,24 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         s"graft ALTER supports column add/rename/drop; for $other use " +
           "the GRAFT SQL verbs (CONSTRAINT, INDEX, AUTOCOMPACT, ...)")
     }.toSeq
-    openHandle(loc, key).alterColumns(colChanges)
+    val t = openHandle(loc, key)
+    // compound keys: the synthesized __gkey column and the encodings
+    // inside it are invariants — a part may RENAME (the pointer holds
+    // physical names) but never DROP, and __gkey itself never alters
+    CompoundKey.partsOf(key).foreach { parts =>
+      val logical = parts.map(t.logicalNameOf).toSet + CompoundKey.KeyName
+      colChanges.foreach {
+        case GraftTable.DropCol(n) => require(!logical(n),
+          s"cannot drop '$n': it is a compound-key component")
+        case GraftTable.RenameCol(o, n) =>
+          require(o != CompoundKey.KeyName && n != CompoundKey.KeyName,
+            s"'${CompoundKey.KeyName}' is the synthesized key column")
+        case GraftTable.AddCol(n, _, _) =>
+          require(n != CompoundKey.KeyName,
+            s"'${CompoundKey.KeyName}' is reserved")
+      }
+    }
+    t.alterColumns(colChanges)
     loadTable(ident)
   }
 
@@ -482,11 +551,18 @@ private[graft] class GraftSqlTable(ident: String, root: String,
   private[graft] def graftKey: String = logicalKey
   private[graft] def isTimeTravel: Boolean = version >= 0
   private[graft] def identName: String = ident
+  /** compound-key part names (CURRENT logical), when 'key'='a,b' */
+  private[graft] lazy val graftKeyParts: Option[Seq[String]] =
+    CompoundKey.partsOf(keyCol).map(_.map(table.logicalNameOf))
+  /** wrap an insert-shaped frame with the synthesized key (identity
+    * for single-key tables) */
+  private[graft] def withStorageKey(df: DataFrame): DataFrame =
+    graftKeyParts.fold(df)(p => CompoundKey.withKey(df, p))
 
   override def truncateTable(): Boolean = {
     require(version < 0, "cannot truncate a time-travel table")
-    table.overwriteAll(spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row], schema()))
+    table.overwriteAll(withStorageKey(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema())))
     true
   }
 
@@ -510,9 +586,15 @@ private[graft] class GraftSqlTable(ident: String, root: String,
     * PHYSICAL storage name; the handle speaks the current LOGICAL
     * name, resolved once from the manifest's mapping rows. */
   private lazy val (table: GraftTable, logicalKey: String) = {
-    val t0 = GraftTable.open(spark, root, keyCol)
-    val lk = t0.logicalKeyName
-    (if (lk == keyCol) t0 else GraftTable.open(spark, root, lk), lk)
+    if (CompoundKey.partsOf(keyCol).isDefined) {
+      // compound: the handle keys on the synthesized storage column
+      (GraftTable.open(spark, root, CompoundKey.KeyName),
+        CompoundKey.KeyName)
+    } else {
+      val t0 = GraftTable.open(spark, root, keyCol)
+      val lk = t0.logicalKeyName
+      (if (lk == keyCol) t0 else GraftTable.open(spark, root, lk), lk)
+    }
   }
 
   /** the version READS serve, resolved ONCE at load time: a query's
@@ -540,13 +622,20 @@ private[graft] class GraftSqlTable(ident: String, root: String,
     * NULL by the engine's non-retroactive ADD COLUMN semantics
     * (pre-add rows read NULL; x56). */
   private lazy val resolvedSchema: StructType = {
-    val base =
+    val base0 =
       if (pinnedVersion == 0) declared
       // manifest-only resolution (O(manifest), zero file opens — a
       // 100 TB table must not existence-check every path to answer
       // analysis); read(v).schema only for pre-schema-manifest tables
       else table.schemaAt(pinnedVersion)
         .getOrElse(table.read(pinnedVersion).schema)
+    // the compound-key storage column is an implementation detail:
+    // SQL never sees it (writes re-synthesize it; reads project over
+    // the user columns)
+    val base =
+      if (graftKeyParts.isDefined)
+        StructType(base0.fields.filterNot(_.name == CompoundKey.KeyName))
+      else base0
     val defaults = table.declaredDefaults()
     if (defaults.isEmpty) base
     else StructType(base.fields.map { f =>
@@ -659,8 +748,9 @@ private[graft] class GraftSqlTable(ident: String, root: String,
           new InsertableRelation {
             override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
               val t = table
-              if (overwrite || legacyOverwrite) t.overwriteAll(data)
-              else t.append(data)
+              val df = withStorageKey(data)
+              if (overwrite || legacyOverwrite) t.overwriteAll(df)
+              else t.append(df)
               ()
             }
           }
@@ -707,4 +797,76 @@ private[sources] class GraftStagedTable(
       data, orCreate, orReplace)
 
   override def abortStagedChanges(): Unit = ()
+}
+
+/** COMPOUND business keys (x62): `TBLPROPERTIES ('key' = 'a,b')`.
+  *
+  * The engine stays single-key — the catalog SYNTHESIZES a hidden
+  * storage column `__gkey` holding an ORDER-PRESERVING encoding of
+  * the parts (fixed-width nonnegative integers, raw strings, 
+  * separator: lexicographic order on the encoding == (a, b) tuple
+  * order), filled on every catalog write path and hidden from
+  * `schema()`. Everything then composes from existing machinery:
+  *  - single-column predicates (DELETE/UPDATE WHERE a = ...) prune
+  *    through the manifest's PER-COLUMN stats/sstats, which every
+  *    stats-covered column already has;
+  *  - compound-key MERGE prunes through `__gkey`'s string bounds
+  *    (x40's lexicographic range join) — tight because compound
+  *    tables default their standing clustering to the key parts, and
+  *    the fixed-width integer encoding makes part order and encoded
+  *    order agree;
+  *  - exactly-once streaming, CDC, time travel, replace: unchanged
+  *    (they key on `__gkey` like any key).
+  * The encoding refuses NULL parts, negative integer parts, and
+  * strings containing the separator — loudly, at write time. */
+private[graft] object CompoundKey {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+
+  val KeyName = "__gkey"
+  val Sep = ""
+
+  /** Some(parts) when `key` declares a compound key */
+  def partsOf(key: String): Option[Seq[String]] = {
+    val ps = key.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (ps.length >= 2) Some(ps) else None
+  }
+
+  def supportedType(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** one part's order-preserving encoding, with loud write-time
+    * refusals for values the encoding cannot order */
+  def encode(c: Column, t: DataType, name: String): Column = {
+    def err(m: String) = raise_error(lit(m))
+    t match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        when(c.isNull, err(s"compound key part '$name' is NULL — " +
+            "key parts must be non-null"))
+          .when(c < 0, err(s"compound key part '$name' is negative — " +
+            "the order-preserving encoding covers nonnegative integers"))
+          .otherwise(format_string("%019d", c.cast(LongType)))
+      case StringType =>
+        when(c.isNull, err(s"compound key part '$name' is NULL — " +
+            "key parts must be non-null"))
+          .when(c.contains(Sep), err(s"compound key part '$name' " +
+            "contains the reserved separator \\u0001"))
+          .otherwise(c)
+      case other => throw new IllegalArgumentException(
+        s"compound key part '$name' has unsupported type " +
+          s"${other.simpleString} (integral and string parts only)")
+    }
+  }
+
+  /** add `__gkey` to an insert-shaped frame (parts by LOGICAL name) */
+  def withKey(df: DataFrame, parts: Seq[String]): DataFrame = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    parts.foreach(p => require(types.contains(p),
+      s"compound key part '$p' missing from the frame " +
+        s"(${df.columns.mkString(", ")})"))
+    df.withColumn(KeyName,
+      concat_ws(Sep, parts.map(p => encode(col(p), types(p), p)): _*))
+  }
 }

@@ -73,23 +73,32 @@ class GraftTableSourceProvider extends RelationProvider
       throw new IllegalArgumentException(s"graft requires option '$k'"))
 
   /** keyCol option, or the storage root's `key.conf` record (written
-    * at catalog CREATE — its immutable PHYSICAL name) resolved to the
-    * current logical name */
+    * at catalog CREATE — its immutable PHYSICAL name, or the
+    * compound part list), resolved to (handle key, optional wrap
+    * parts by current logical name) */
   private def resolveKey(sqlContext: SQLContext,
                          parameters: Map[String, String],
-                         root: String): String =
-    opt(parameters, "keyCol").getOrElse {
-      val spark = sqlContext.sparkSession
-      val kp = new org.apache.hadoop.fs.Path(root, "key.conf")
-      val fs = kp.getFileSystem(spark.sessionState.newHadoopConf())
-      require(fs.exists(kp), "graft needs option 'keyCol' (or a " +
-        "catalog-created table, whose storage root records its key)")
-      val len = fs.getFileStatus(kp).getLen.toInt
-      val bytes = new Array[Byte](len)
-      val in = fs.open(kp)
-      try in.readFully(0L, bytes) finally in.close()
-      val stored = new String(bytes, "UTF-8").trim
-      GraftTable.open(spark, root, stored).logicalKeyName
+                         root: String): (String, Option[Seq[String]]) =
+    opt(parameters, "keyCol") match {
+      case Some(k) => (k, None)
+      case None =>
+        val spark = sqlContext.sparkSession
+        val kp = new org.apache.hadoop.fs.Path(root, "key.conf")
+        val fs = kp.getFileSystem(spark.sessionState.newHadoopConf())
+        require(fs.exists(kp), "graft needs option 'keyCol' (or a " +
+          "catalog-created table, whose storage root records its key)")
+        val len = fs.getFileStatus(kp).getLen.toInt
+        val bytes = new Array[Byte](len)
+        val in = fs.open(kp)
+        try in.readFully(0L, bytes) finally in.close()
+        val stored = new String(bytes, "UTF-8").trim
+        CompoundKey.partsOf(stored) match {
+          case Some(parts) =>
+            val t = GraftTable.open(spark, root, CompoundKey.KeyName)
+            (CompoundKey.KeyName, Some(parts.map(t.logicalNameOf)))
+          case None =>
+            (GraftTable.open(spark, root, stored).logicalKeyName, None)
+        }
     }
 
   /** V1 streaming-source SCHEMA only: Spark's streaming relation
@@ -105,9 +114,14 @@ class GraftTableSourceProvider extends RelationProvider
     case Some(s) => (shortName(), s)
     case None =>
       val root = required(parameters, "path")
-      val t = GraftTable.open(sqlContext.sparkSession, root,
-        resolveKey(sqlContext, parameters, root))
-      (shortName(), t.schemaAt().getOrElse(t.read().schema))
+      val (key, parts) = resolveKey(sqlContext, parameters, root)
+      val t = GraftTable.open(sqlContext.sparkSession, root, key)
+      val full = t.schemaAt().getOrElse(t.read().schema)
+      // the compound-key storage column stays hidden, like schema()
+      (shortName(),
+        if (parts.isDefined)
+          StructType(full.fields.filterNot(_.name == CompoundKey.KeyName))
+        else full)
   }
 
   /** never reached while the catalog table advertises
@@ -164,18 +178,19 @@ class GraftTableSourceProvider extends RelationProvider
     val root = required(parameters, "path")
     // `writeStream.toTable("gcat.t")` arrives here through Spark's V1
     // fallback with ONLY the storage location: the key resolves from
-    // the root's `key.conf` (its immutable PHYSICAL name, written at
-    // CREATE) to the current LOGICAL name. An explicit keyCol option
-    // (the format route) always wins.
-    new GraftStreamSink(sqlContext, root,
-      resolveKey(sqlContext, parameters, root))
+    // the root's `key.conf` (its immutable PHYSICAL name — or the
+    // compound part list, whose synthesized key the sink fills per
+    // batch). An explicit keyCol option (the format route) wins.
+    val (key, wrapParts) = resolveKey(sqlContext, parameters, root)
+    new GraftStreamSink(sqlContext, root, key, wrapParts)
   }
 }
 
 /** the V1 streaming sink: one `streamAppend` commit per micro-batch,
   * idempotent by batch id (see provider doc) */
 private[sources] class GraftStreamSink(sqlContext: SQLContext,
-    root: String, keyCol: String) extends Sink {
+    root: String, keyCol: String,
+    wrapParts: Option[Seq[String]] = None) extends Sink {
   // one handle for the query's lifetime: reuses its memoized
   // metadata (DV target sets) across batches
   private val table =
@@ -185,7 +200,8 @@ private[sources] class GraftStreamSink(sqlContext: SQLContext,
     // the incoming frame is the incremental plan (isStreaming leaves);
     // re-batch it Delta-style before handing it to the table's writer
     val batch = org.apache.spark.sql.graftglue.ColumnBridge.rebatch(data)
-    table.streamAppend(batch, batchId)
+    table.streamAppend(
+      wrapParts.fold(batch)(p => CompoundKey.withKey(batch, p)), batchId)
     ()
   }
 

@@ -844,14 +844,19 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * commit and a pointer update). A `keyCol` that is not a physical
     * name under the mapping (a pre-existing pointer that stored the
     * logical name, or a table with no renames) resolves to itself. */
-  private[graft] def logicalKeyName: String = {
+  private[graft] def logicalKeyName: String = logicalNameOf(keyCol)
+
+  /** the CURRENT LOGICAL name behind a PHYSICAL column name (identity
+    * when unmapped — including names that are already logical); used
+    * for the key and for compound-key parts, both persisted physical */
+  private[graft] def logicalNameOf(physical: String): String = {
     val byPhys = colRows(headRefs).map { case (l, p) => p -> l }.toMap
-    byPhys.get(keyCol) match {
+    byPhys.get(physical) match {
       case Some("") => throw new IllegalStateException(
-        s"key column (physical '$keyCol') is marked dropped — the " +
-          "manifest is corrupt (dropping the key is refused)")
+        s"column (physical '$physical') is marked dropped but is " +
+          "still referenced as a key component")
       case Some(l) => l
-      case None    => keyCol
+      case None    => physical
     }
   }
 
