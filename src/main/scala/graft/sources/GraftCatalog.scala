@@ -401,9 +401,23 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       case Some((_, loc, _)) =>
         if (!orReplace) throw new TableAlreadyExistsException(ident)
         val (f, _) = fs(loc)
-        Seq("checks.conf", "schema.conf", "bloom.conf",
-            "autocompact.conf").foreach { c =>
-          f.delete(new org.apache.hadoop.fs.Path(loc, c), false)
+        // advisory side-configs reset BEFORE the commit (old-schema
+        // constraints cannot validate new-schema files at stage
+        // time) — but a FAILED replace must leave the surviving old
+        // table configured, so they restore on any failure; only a
+        // crash in this window loses them (documented, advisory-only)
+        val saved = Seq("checks.conf", "schema.conf", "bloom.conf",
+            "autocompact.conf", "cluster.conf").flatMap { c =>
+          val p = new org.apache.hadoop.fs.Path(loc, c)
+          if (!f.exists(p)) None
+          else {
+            val len = f.getFileStatus(p).getLen.toInt
+            val bytes = new Array[Byte](len)
+            val in = f.open(p)
+            try in.readFully(0L, bytes) finally in.close()
+            f.delete(p, false)
+            Some(p -> bytes)
+          }
         }
         val parts = CompoundKey.partsOf(key)
         val t = GraftTable.open(spark, loc, storageKeyOf(key))
@@ -412,8 +426,18 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         val cluster =
           if (clusterCols.nonEmpty) clusterCols
           else parts.getOrElse(Seq.empty)
-        t.replaceTable(parts.fold(df0)(p => CompoundKey.withKey(df0, p)),
+        try t.replaceTable(
+          parts.fold(df0)(p => CompoundKey.withKey(df0, p)),
           storageSchemaOf(key, schema), cluster)
+        catch { case scala.util.control.NonFatal(e) =>
+          try saved.foreach { case (p, bytes) =>
+            val out = f.create(p, true)
+            try out.write(bytes) finally out.close()
+          } catch {
+            case scala.util.control.NonFatal(c) => e.addSuppressed(c)
+          }
+          throw e
+        }
         val out = f.create(
           new org.apache.hadoop.fs.Path(loc, "key.conf"), true)
         try out.write(key.getBytes("UTF-8")) finally out.close()

@@ -355,6 +355,32 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("gcat.rp2").count() == 3)
   }
 
+  test("a FAILED replace leaves the old table intact AND configured") {
+    spark.sql("DROP TABLE IF EXISTS gcat.rf")
+    spark.sql("CREATE TABLE gcat.rf (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.rf VALUES (1, 10), (2, 20)")
+    val t = GraftTable.open(spark, locationOf("rf"), "k")
+    t.addCheck("v_pos", "v > 0")
+    // the replacement query fails AT EXECUTION (ANSI divide-by-zero):
+    // the old table must survive with its constraint still armed —
+    // the configs reset needed for a schema-changing replace restores
+    // on failure instead of stripping the survivor
+    intercept[Exception] {
+      spark.sql("CREATE OR REPLACE TABLE gcat.rf " +
+        "TBLPROPERTIES ('key' = 'id') AS " +
+        "SELECT id, CAST(1 AS BIGINT) / 0 AS boom FROM RANGE(3)")
+    }
+    assert(spark.table("gcat.rf").count() == 2,
+      "the failed replace must not touch the data")
+    assert(t.checks().contains("v_pos"),
+      "the failed replace must not strip the survivor's constraints")
+    // ...and the constraint still enforces
+    intercept[Exception] {
+      spark.sql("INSERT INTO gcat.rf VALUES (3, -1)")
+    }
+  }
+
   test("atomic CTAS: the pointer registers only after the data landed") {
     spark.sql("DROP TABLE IF EXISTS gcat.ctas1")
     spark.sql("CREATE TABLE gcat.ctas1 TBLPROPERTIES ('key' = 'id') " +
