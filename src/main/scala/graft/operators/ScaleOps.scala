@@ -3047,6 +3047,63 @@ object ScaleOps {
       |FROM final""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x63 — MERGE `WHEN NOT MATCHED BY SOURCE` (round 16, completing
+  //       the MERGE clause surface; Delta's third clause family —
+  //       the sync-to-source shape: rows the source no longer
+  //       carries get retired or flagged in the SAME atomic commit
+  //       that updates the matched ones): the clauses reference the
+  //       target only, so they compile on the table side — a
+  //       readWhere over the OR of the clause conditions
+  //       (stats-pruned when they prune; a condition-less clause
+  //       reads the table, Delta's cost too) anti-joined against the
+  //       source's keys, folded into the same applyChanges feed as
+  //       the matched/not-matched clauses. GraftRowLevelSqlSpec pins
+  //       the combined pruned read set by file-hiding and the
+  //       target-only/no-key-assignment guards. The gated lifecycle
+  //       syncs orders against an "active" key set: matched rows
+  //       flag 'A', unmatched open orders DELETE, the rest flag 'X'.
+  // ---------------------------------------------------------------------
+  private def x63(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = graft.util.ExtSession(spark0)
+    spark.conf.set("spark.sql.catalog.graft_x63",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.graft_x63.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_x63.warehouse",
+        graft.util.Scratch.dir("graft-x63-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_x63.ord")
+    spark.sql("CREATE TABLE graft_x63.ord (o_orderkey BIGINT, " +
+      "o_orderstatus STRING, o_price DECIMAL(18,2)) " +
+      "TBLPROPERTIES ('key' = 'o_orderkey')")
+    Tables.orders(spark, dir).createOrReplaceTempView("x63_src")
+    spark.sql("INSERT INTO graft_x63.ord " +
+      "SELECT o_orderkey, o_orderstatus, " +
+      "CAST(o_totalprice AS DECIMAL(18,2)) FROM x63_src")
+    spark.sql("CREATE OR REPLACE TEMP VIEW x63_active AS " +
+      "SELECT o_orderkey AS ak FROM x63_src WHERE o_orderkey % 7 = 0")
+    spark.sql("""MERGE INTO graft_x63.ord t USING x63_active a
+      ON t.o_orderkey = a.ak
+      WHEN MATCHED THEN UPDATE SET o_orderstatus = 'A'
+      WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'O' THEN DELETE
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'X'""")
+    spark.sql(
+      "SELECT o_orderstatus AS status, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_price) AS DOUBLE) AS sum_price " +
+        "FROM graft_x63.ord GROUP BY 1")
+  }
+
+  private val x63Sql =
+    """WITH f AS (
+      |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'A' ELSE 'X' END AS st,
+      |         CAST(o_totalprice AS DECIMAL(18,2)) AS amt
+      |  FROM orders
+      |  WHERE o_orderkey % 7 = 0 OR o_orderstatus <> 'O')
+      |SELECT st AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(amt) AS DOUBLE) AS sum_price
+      |FROM f GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -3697,5 +3754,6 @@ object ScaleOps {
     QuerySpec("x59_sql_merge_update", x59, Some(x59Sql)),
     QuerySpec("x60_partitioned_by_clustering", x60, Some(x60Sql)),
     QuerySpec("x61_atomic_ctas_replace", x61, Some(x61Sql)),
-    QuerySpec("x62_compound_business_key", x62, Some(x62Sql)))
+    QuerySpec("x62_compound_business_key", x62, Some(x62Sql)),
+    QuerySpec("x63_merge_by_source", x63, Some(x63Sql)))
 }

@@ -53,13 +53,15 @@ import graft.sources.GraftSqlTable
   *
   * Key-addressed semantics (documented deltas from vanilla SQL MERGE,
   * both inherent to an upsert table): the ON condition must contain
-  * `t.<key> = <source expr>` (extra conjuncts compose freely); a
-  * WHEN NOT MATCHED INSERT of a key that exists but failed the extra
-  * conjuncts is an upsert of that key, not a duplicate row; a source
-  * whose rows collapse onto one key raises the SQL:2003 cardinality
-  * violation. `WHEN NOT MATCHED BY SOURCE` is refused — it addresses
-  * rows OUTSIDE the source's key range (a table-scale read); UPDATE/
-  * DELETE with the complement predicate is the pruned equivalent.
+  * `t.<key> = <source expr>` per key component (extra conjuncts
+  * compose freely); a WHEN NOT MATCHED INSERT of a key that exists
+  * but failed the extra conjuncts is an upsert of that key, not a
+  * duplicate row; a source whose rows collapse onto one key raises
+  * the SQL:2003 cardinality violation. `WHEN NOT MATCHED BY SOURCE`
+  * compiles on the table side: a `readWhere` over the OR of the
+  * clause conditions (stats-pruned when they prune; a condition-less
+  * clause reads the table — the honest cost everywhere, Delta
+  * included) anti-joined against the source's keys.
   *
   * Sessions get the rule via `spark.sql.extensions=graft.GraftExtensions`
   * (or `Builder.withExtensions`); [[graft.util.ExtSession]] derives
@@ -168,15 +170,11 @@ case class GraftSqlMergeCommand(
     val ident = table.identName
     require(!table.isTimeTravel,
       s"cannot MERGE INTO time-travel table $ident")
-    require(notMatchedBySourceActions.isEmpty,
-      s"MERGE INTO $ident: WHEN NOT MATCHED BY SOURCE is not " +
-        "supported — it addresses rows OUTSIDE the source's key range " +
-        "(a table-scale read); UPDATE/DELETE with the complement " +
-        "predicate is the stats-pruned equivalent")
     require(!withSchemaEvolution,
       s"MERGE INTO $ident: WITH SCHEMA EVOLUTION is not supported — " +
         "run ALTER TABLE ... ADD COLUMN first (O(metadata))")
-    require(matchedActions.nonEmpty || notMatchedActions.nonEmpty,
+    require(matchedActions.nonEmpty || notMatchedActions.nonEmpty ||
+        notMatchedBySourceActions.nonEmpty,
       s"MERGE INTO $ident needs at least one WHEN clause")
 
     val t = table.graftHandle
@@ -404,6 +402,75 @@ case class GraftSqlMergeCommand(
                   .getOrElse(insertFallback(j))).otherwise(rest)
           }.as(a.name)
         } :+ lit("insert").as("change_type"): _*)
+    }
+    if (notMatchedBySourceActions.nonEmpty) {
+      // WHEN NOT MATCHED BY SOURCE (Delta's third clause family):
+      // target rows with NO source key match. The clauses reference
+      // the TARGET only, so they compile on the table-shaped frame —
+      // the read is `readWhere` over the OR of the clause conditions
+      // (stats-pruned when the conditions prune; a condition-less
+      // clause reads the table, the honest cost everywhere, Delta
+      // included), anti-joined against the source's key set.
+      def byNameChecked(e: Expression, what: String): Column = {
+        require(e.references.forall(a => targetIds.contains(a.exprId)),
+          s"MERGE INTO $ident: $what in WHEN NOT MATCHED BY SOURCE " +
+            "can only reference the target table")
+        GraftRowLevelSql.byName(e, s"MERGE INTO $ident")
+      }
+      val bCompiled: Seq[(Boolean, Column, Map[Int, Column])] =
+        notMatchedBySourceActions.map {
+          case u: UpdateAction =>
+            val assigns = u.assignments.map { asg =>
+              val j = asg.key match {
+                case a: AttributeReference
+                    if targetIds.contains(a.exprId) =>
+                  targetOutput.indexWhere(_.exprId == a.exprId)
+                case a: AttributeReference =>
+                  targetOutput.indexWhere(x => resolver(x.name, a.name))
+                case other => throw new UnsupportedOperationException(
+                  s"MERGE INTO $ident: only top-level columns can be " +
+                    s"assigned (got ${other.sql})")
+              }
+              require(j >= 0 && !partIdxs.contains(j),
+                s"MERGE INTO $ident: WHEN NOT MATCHED BY SOURCE " +
+                  s"cannot assign a key column (${asg.key.sql})")
+              j -> byNameChecked(asg.value, "an assignment")
+            }.toMap
+            (false,
+              u.condition.map(byNameChecked(_, "a condition"))
+                .getOrElse(lit(true)), assigns)
+          case d: DeleteAction =>
+            (true,
+              d.condition.map(byNameChecked(_, "a condition"))
+                .getOrElse(lit(true)), Map.empty[Int, Column])
+          case other => throw new UnsupportedOperationException(
+            s"MERGE INTO $ident: WHEN NOT MATCHED BY SOURCE supports " +
+              s"UPDATE/DELETE (got $other)")
+        }
+      val orPred = bCompiled.map(_._2).reduce(_ || _)
+      val anchorKey = if (compound) table.graftKey else key
+      val affected = t.readWhere(orPred)
+        .join(srcKeys.distinct(), Seq(anchorKey), "left_anti")
+      val bIdx = bCompiled.zipWithIndex
+        .foldRight(lit(null).cast("int")) {
+          case (((_, c, _), i), rest) => when(c, lit(i)).otherwise(rest)
+        }
+      val bChange = bCompiled.zipWithIndex.foldRight(lit("update")) {
+        case (((isDel, _, _), i), rest) =>
+          when(bIdx === i, lit(if (isDel) "delete" else "update"))
+            .otherwise(rest)
+      }
+      parts += affected.where(bIdx.isNotNull)
+        .select(targetOutput.zipWithIndex.map { case (a, j) =>
+          val old = col(a.name)
+          bCompiled.zipWithIndex.foldRight(old) {
+            case (((isDel, _, assigns), i), rest) =>
+              val v =
+                if (isDel) old
+                else assigns.get(j).map(_.cast(types(j))).getOrElse(old)
+              when(bIdx === i, v).otherwise(rest)
+          }.as(a.name)
+        } :+ bChange.as("change_type"): _*)
     }
     // a compound table's feed carries the synthesized storage key,
     // recomputed from the feed's own part values (deterministic

@@ -146,11 +146,19 @@ object PredicateTree {
       try walkCatalyst(org.apache.spark.sql.SparkSession.active
         .sessionState.sqlParser.parseExpression(s.expression))
       catch { case scala.util.control.NonFatal(_) => Unknown }
+    // a Column wrapping a CATALYST expression directly
+    // (ColumnBridge.column — the route the ANSI UPDATE/MERGE
+    // commands' rewritten clause predicates arrive on, x59/x63):
+    // without this case they parsed as Unknown and the mutation read
+    // every file the row filter would have re-checked anyway —
+    // correct, but unpruned
+    case e: org.apache.spark.sql.classic.ExpressionColumnNode =>
+      walkCatalyst(e.expression)
     case _ => Unknown
   }
 
-  /** the catalyst-side walk (UNRESOLVED expressions, straight from the
-    * parser — same shape discipline as the ColumnNode walk: anything
+  /** the catalyst-side walk (parser output or analyzer-resolved
+    * trees — same shape discipline as the ColumnNode walk: anything
     * unrecognized folds to Unknown) */
   private def walkCatalyst(
       e: org.apache.spark.sql.catalyst.expressions.Expression): Node = {
@@ -158,16 +166,29 @@ object PredicateTree {
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute => UA}
     def cn(x: ce.Expression): Option[String] = x match {
       case u: UA => u.nameParts.lastOption
+      case a: ce.AttributeReference => Some(a.name)
       case _ => None
     }
-    def ll(x: ce.Expression): Option[Long] = x match {
+    // literals may arrive wrapped in the analyzer's type-coercion
+    // CAST (resolved trees: `k > 90` over a long column carries
+    // cast(90 as bigint)) — fold the foldable literal cast so the
+    // comparison still prunes
+    def unlit(x: ce.Expression): Option[ce.Literal] = x match {
+      case l: ce.Literal => Some(l)
+      case c: ce.Cast if c.child.isInstanceOf[ce.Literal] &&
+          c.resolved && c.foldable =>
+        try Some(ce.Literal.create(c.eval(null), c.dataType))
+        catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+    def ll(x: ce.Expression): Option[Long] = unlit(x).flatMap {
       case ce.Literal(v: Byte, _)  => Some(v.toLong)
       case ce.Literal(v: Short, _) => Some(v.toLong)
       case ce.Literal(v: Int, _)   => Some(v.toLong)
       case ce.Literal(v: Long, _)  => Some(v)
       case _ => None
     }
-    def ls(x: ce.Expression): Option[String] = x match {
+    def ls(x: ce.Expression): Option[String] = unlit(x).flatMap {
       case ce.Literal(v: org.apache.spark.unsafe.types.UTF8String, _) =>
         Some(v.toString)
       case ce.Literal(v: String, _) => Some(v)

@@ -152,12 +152,15 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
         "WHEN MATCHED THEN DELETE")
     }
     assert(e1.getMessage.contains("key column"))
-    // NOT MATCHED BY SOURCE
+    // a NOT MATCHED BY SOURCE clause may only see the target —
+    // Spark's own resolution scope enforces it (our command keeps a
+    // belt-and-braces check for programmatic plans)
     val e2 = intercept[Exception] {
       spark.sql("MERGE INTO rl.m4 t USING m4_delta d ON t.k = d.dk " +
-        "WHEN NOT MATCHED BY SOURCE THEN DELETE")
+        "WHEN NOT MATCHED BY SOURCE AND d.amt > 0 THEN DELETE")
     }
-    assert(e2.getMessage.contains("NOT MATCHED BY SOURCE"))
+    assert(e2.getMessage.contains("cannot be resolved") ||
+      e2.getMessage.contains("target"))
     // assigning the key in WHEN MATCHED
     val e3 = intercept[Exception] {
       spark.sql("MERGE INTO rl.m4 t USING m4_delta d ON t.k = d.dk " +
@@ -176,6 +179,48 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
       "ON t.k = d.dk AND t.v > 1000 WHEN MATCHED THEN DELETE")
     assert(rows("m4").contains(1L),
       "the residual conjunct must filter the match")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE compiles on the table side, pruned") {
+    fixture("m7", n = 100, files = 8)
+    spark.sql("CREATE OR REPLACE TEMP VIEW m7_active AS " +
+      "SELECT * FROM VALUES (1L), (2L), (3L), (4L), (5L) AS d(ak)")
+    val t = GraftTable.open(spark, locationOf("m7"), "k")
+    val files = t.filesOf(t.head).filter(_.contains("/data/"))
+    // the statement's read set = the matched keys (1..5) plus rows
+    // satisfying the OR of the BY SOURCE conditions (k > 80): hide
+    // every file holding NEITHER — the merge succeeding pins both
+    // pruned reads at once
+    val (cand, rest) = files.partition { f =>
+      val ks = spark.read.parquet(f).select(col("k"))
+        .collect().map(_.getLong(0))
+      ks.exists(_ <= 5) || ks.exists(_ > 80)
+    }
+    assert(cand.nonEmpty && rest.nonEmpty,
+      s"fixture must leave hideable files: ${cand.size}/${files.size}")
+    rest.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f), java.nio.file.Paths.get(f + ".hidden")))
+    try spark.sql("""MERGE INTO rl.m7 t USING m7_active a ON t.k = a.ak
+      WHEN MATCHED THEN UPDATE SET v = 0
+      WHEN NOT MATCHED BY SOURCE AND t.k > 90 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE AND t.k > 80 THEN UPDATE SET w = 'x'""")
+    finally rest.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f + ".hidden"), java.nio.file.Paths.get(f)))
+    val got = rows("m7")
+    assert((1L to 5L).forall(k => got(k)._1 == 0L),
+      "matched rows update")
+    assert((91L to 100L).forall(k => !got.contains(k)),
+      "unmatched rows satisfying the first BY SOURCE clause delete")
+    assert((81L to 90L).forall(k => got(k) == (k * 10, "x")),
+      "the second BY SOURCE clause catches the rest of its range")
+    assert(got(50L) == (500L, "o") && got.size == 90,
+      "rows matching no clause carry untouched")
+    // ...and a key assignment in a BY SOURCE update refuses
+    val e = intercept[Exception] {
+      spark.sql("MERGE INTO rl.m7 t USING m7_active a ON t.k = a.ak " +
+        "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET k = k + 1000")
+    }
+    assert(e.getMessage.contains("key column"))
   }
 
   test("statements build lazily: EXPLAIN runs no commit") {
