@@ -677,6 +677,16 @@ private[graft] class GraftSqlTable(ident: String, root: String,
 
   override def schema(): StructType = resolvedSchema
 
+  /** the standing clustering, reported as identity transforms (what
+    * CREATE accepted) — DESCRIBE shows it, and Spark's static
+    * PARTITION clause resolution (`INSERT INTO t PARTITION (c = 5)`)
+    * works against it; resolved once per loaded table */
+  private lazy val reportedPartitioning: Array[Transform] =
+    table.clusterBy().map(p =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(
+        table.logicalNameOf(p))).toArray
+  override def partitioning(): Array[Transform] = reportedPartitioning
+
   override def capabilities(): util.Set[TableCapability] =
     if (version >= 0) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
@@ -718,9 +728,15 @@ private[graft] class GraftSqlTable(ident: String, root: String,
               .read.streaming.MicroBatchStream =
           new GraftCdfMicroBatchStream(
             root = root, keyCol = logicalKey,
+            // startingVersion wins when both given (it IS a version,
+            // no resolution step); startingTimestamp (epoch millis,
+            // the format route's convention) resolves through the
+            // in-commit stamps
             startingVersion =
-              Option(options.get("startingVersion"))
-                .map(_.toLong).getOrElse(0L),
+              Option(options.get("startingVersion")).map(_.toLong)
+                .orElse(Option(options.get("startingTimestamp"))
+                  .map(ms => table.versionAt(ms.toLong)))
+                .getOrElse(0L),
             maxVersionsPerBatch =
               Option(options.get("maxVersionsPerBatch"))
                 .map(_.toLong).getOrElse(Long.MaxValue),

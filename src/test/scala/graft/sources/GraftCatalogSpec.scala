@@ -265,6 +265,25 @@ class GraftCatalogSpec extends AnyFunSuite {
     drain()
     assert(seen.asScala.toSeq.sorted == Seq(3L, 4L),
       "a restart resumes at the checkpointed version")
+    // startingTimestamp resolves to the version current at the
+    // instant (epoch millis, the format route's convention)
+    val t = GraftTable.open(spark, locationOf("sv"), "k")
+    val seen2 = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q2 = spark.readStream
+      .option("startingTimestamp", t.commitTimestampOf(3).toString)
+      .table("gcat.sv")
+      .writeStream
+      .option("checkpointLocation", graft.util.Scratch.dir("graft-sv2"))
+      .foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.select(col("k")).collect().foreach(r => seen2.add(r.getLong(0)))
+          ()
+      }
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen2.asScala.toSeq.sorted == Seq(3L, 4L),
+      s"startingTimestamp at v3's stamp streams v4+v5's appends, " +
+        s"got ${seen2.asScala.toSeq.sorted}")
   }
 
   test("PARTITIONED BY maps onto standing clustering; partition reads prune") {
@@ -298,6 +317,16 @@ class GraftCatalogSpec extends AnyFunSuite {
       .head.getLong(0) == 50)
     finally rest.foreach(f => java.nio.file.Files.move(
       java.nio.file.Paths.get(f + ".hidden"), java.nio.file.Paths.get(f)))
+    // the clustering REPORTS as identity partitioning: DESCRIBE shows
+    // it and a static PARTITION clause resolves against it
+    assert(spark.sql("DESCRIBE TABLE gcat.pb").collect()
+      .exists(r => r.getString(0).contains("Part 0") ||
+        (r.getString(0) == "c" && r.getString(1).contains("bigint"))),
+      "DESCRIBE must surface the partition column")
+    spark.sql("INSERT INTO gcat.pb PARTITION (c = 99) " +
+      "SELECT 999 AS k, 'p' AS v")
+    assert(spark.sql("SELECT k FROM gcat.pb WHERE c = 99")
+      .head.getLong(0) == 999L)
     // CLUSTER BY lands on the same machinery
     spark.sql("DROP TABLE IF EXISTS gcat.cb")
     spark.sql("CREATE TABLE gcat.cb (k BIGINT, c BIGINT) " +
