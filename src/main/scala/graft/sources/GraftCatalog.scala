@@ -196,6 +196,10 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   private def validatedKey(schema: StructType,
                            properties: util.Map[String, String],
                            clusterCols: Seq[String]): String = {
+    require(!properties.containsKey(TableCatalog.PROP_LOCATION),
+      "graft tables are MANAGED — storage lives under the " +
+        "warehouse's .store indirection because manifests and DV " +
+        "sidecars hold absolute paths; LOCATION is not supported")
     val key = Option(properties.get("key")).getOrElse(
       throw new IllegalArgumentException(
         "graft tables need a key column: CREATE TABLE ... " +
@@ -458,7 +462,26 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val root = rootOf(ident)
     val (key, loc, _) = readConf(root)
       .getOrElse(throw new NoSuchTableException(ident))
-    val colChanges: Seq[graft.table.GraftTable.ColChange] = changes.map {
+    // `ALTER TABLE ... CLUSTER BY (c, ...)` — re-declare the standing
+    // ingest clustering (x60's machinery; `CLUSTER BY NONE` clears it).
+    // Advisory layout, so it composes with (and applies before) any
+    // column changes in the same statement.
+    val (clusterChanges, rest) = changes.partition(
+      _.isInstanceOf[TableChange.ClusterBy])
+    if (clusterChanges.nonEmpty) {
+      val t = openHandle(loc, key)
+      clusterChanges.foreach { c =>
+        val cols = c.asInstanceOf[TableChange.ClusterBy]
+          .clusteringColumns.toSeq.map { r =>
+            require(r.fieldNames.length == 1,
+              "nested clustering columns are not supported")
+            r.fieldNames.head
+          }
+        if (cols.isEmpty) t.clearClusterBy() else t.setClusterBy(cols)
+      }
+      if (rest.isEmpty) return loadTable(ident)
+    }
+    val colChanges: Seq[graft.table.GraftTable.ColChange] = rest.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1, "nested columns not supported")
         require(a.isNullable,
@@ -686,6 +709,17 @@ private[graft] class GraftSqlTable(ident: String, root: String,
       org.apache.spark.sql.connector.expressions.Expressions.identity(
         table.logicalNameOf(p))).toArray
   override def partitioning(): Array[Transform] = reportedPartitioning
+
+  /** what SHOW CREATE TABLE needs to reconstruct the DDL: the key
+    * declaration (single or compound), the provider, and the storage
+    * location */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("key", keyCol)
+    m.put(TableCatalog.PROP_PROVIDER, "graft")
+    m.put(TableCatalog.PROP_LOCATION, root)
+    m
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     if (version >= 0) util.EnumSet.of(TableCapability.BATCH_READ)

@@ -2669,7 +2669,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
       s"1..4 clustering columns (got ${cols.size})")
     cols.foreach(c => require(c.matches(GraftTable.ColIdent),
       s"column names are identifiers: '$c'"))
-    val phys = physicalOf(headRefs)
+    val hr = headRefs
+    val lcols = logicalCols(hr)
+    if (lcols.nonEmpty)
+      cols.foreach(c => require(lcols.contains(c),
+        s"clustering column '$c' does not exist " +
+          s"(columns: ${lcols.mkString(", ")})"))
+    val phys = physicalOf(hr)
     io.writeUtf8(clusterConfPath, cols.map(phys).mkString(" "))
   }
 

@@ -178,6 +178,34 @@ class CompoundKeySpec extends AnyFunSuite {
       .head.getString(0) == "v3")
   }
 
+  test("readStream.table on a compound table hides the storage key") {
+    spark.sql("DROP TABLE IF EXISTS ck.t6")
+    spark.sql("CREATE TABLE ck.t6 (a BIGINT, b BIGINT) " +
+      "TBLPROPERTIES ('key' = 'a,b')")
+    spark.sql("INSERT INTO ck.t6 VALUES (1, 1), (1, 2)")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val ckpt = graft.util.Scratch.dir("graft-ck-rs-ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.table("ck.t6")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            assert(!b.columns.contains("__gkey"),
+              "the storage key must not leak into the stream")
+            b.collect().foreach(r => seen.add((r.getLong(0), r.getLong(1))))
+            ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // snapshot bootstrap
+    assert(seen.asScala.toSeq.sorted == Seq((1L, 1L), (1L, 2L)))
+    spark.sql("INSERT INTO ck.t6 VALUES (2, 1)")
+    drain() // append window
+    assert(seen.asScala.toSeq.sorted ==
+      Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
   test("compound-key CTAS and REPLACE ride the staged path") {
     spark.sql("DROP TABLE IF EXISTS ck.t5")
     spark.sql("CREATE TABLE ck.t5 TBLPROPERTIES ('key' = 'g,i') AS " +

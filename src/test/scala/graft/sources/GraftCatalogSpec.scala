@@ -338,6 +338,27 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("CREATE TABLE gcat.pbb (k BIGINT, c BIGINT) " +
         "PARTITIONED BY (bucket(4, c)) TBLPROPERTIES ('key' = 'k')")
     }
+    // ALTER TABLE ... CLUSTER BY re-declares the standing clustering;
+    // CLUSTER BY NONE clears it; a typo'd column refuses
+    spark.sql("ALTER TABLE gcat.cb CLUSTER BY (k)")
+    assert(GraftTable.open(spark, locationOf("cb"), "k")
+      .clusterBy() == Seq("k"))
+    spark.sql("ALTER TABLE gcat.cb CLUSTER BY NONE")
+    assert(GraftTable.open(spark, locationOf("cb"), "k")
+      .clusterBy().isEmpty)
+    intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.cb CLUSTER BY (nope)")
+    }
+    // SHOW CREATE TABLE reconstructs the key declaration
+    val ddl = spark.sql("SHOW CREATE TABLE gcat.pb").head.getString(0)
+    assert(ddl.contains("'key' = 'k'") && ddl.contains("graft"),
+      s"SHOW CREATE must carry the key property, got: $ddl")
+    // explicit LOCATION refuses loudly (managed storage indirection)
+    val eLoc = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.locd (k BIGINT) " +
+        "TBLPROPERTIES ('key'='k') LOCATION '/tmp/elsewhere'")
+    }
+    assert(eLoc.getMessage.contains("MANAGED"))
   }
 
   test("REPLACE TABLE is atomic: old-or-new, history survives") {
