@@ -191,4 +191,27 @@ class ConflictRebaseSpec extends AnyFunSuite {
     val got = kv(t.read())
     assert(got(12L) == "U12" && Seq(901L, 902L, 903L).forall(got.contains))
   }
+
+  test("REPLACE racing an append serializes: replacement wins the head") {
+    val (t, other) = fixture("graft-race-replace")
+    armRace(t) { other.append(rows(Seq(500L), "a")) }
+    val declared = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    val v = t.replaceTable(rows(Seq(7L, 8L), "R"), declared)
+    t.beforePublishHook = () => ()
+    assert(v == 3, "create=v1, interleaved append=v2, replace=v3")
+    // REPLACE is serialized LAST: the head is the replacement ALONE —
+    // the racing append's rows are gone from the head (replace
+    // semantics), but its version remains time-travelable
+    assert(kv(t.read()) == Map(7L -> "R7", 8L -> "R8"))
+    assert(kv(t.read(2)).contains(500L),
+      "the interleaved append's version stays readable")
+    // the replaced table keeps mutating normally
+    t.merge(rows(Seq(8L, 9L), "M"))
+    assert(kv(t.read()) == Map(7L -> "R7", 8L -> "M8", 9L -> "M9"))
+    assertNoOrphans(t)
+  }
 }
