@@ -3081,8 +3081,11 @@ object ScaleOps {
       "CAST(o_totalprice AS DECIMAL(18,2)) FROM x63_src")
     spark.sql("CREATE OR REPLACE TEMP VIEW x63_active AS " +
       "SELECT o_orderkey AS ak FROM x63_src WHERE o_orderkey % 7 = 0")
+    // the residual ON conjunct (t.o_orderstatus <> 'F') exercises the
+    // SQL:2003/Delta matching semantics: a key-matched row failing it
+    // is NOT matched by source and takes the BY SOURCE clauses
     spark.sql("""MERGE INTO graft_x63.ord t USING x63_active a
-      ON t.o_orderkey = a.ak
+      ON t.o_orderkey = a.ak AND t.o_orderstatus <> 'F'
       WHEN MATCHED THEN UPDATE SET o_orderstatus = 'A'
       WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'O' THEN DELETE
       WHEN NOT MATCHED BY SOURCE THEN UPDATE SET o_orderstatus = 'X'""")
@@ -3095,13 +3098,91 @@ object ScaleOps {
 
   private val x63Sql =
     """WITH f AS (
-      |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'A' ELSE 'X' END AS st,
+      |  SELECT CASE WHEN o_orderkey % 7 = 0 AND o_orderstatus <> 'F'
+      |              THEN 'A' ELSE 'X' END AS st,
       |         CAST(o_totalprice AS DECIMAL(18,2)) AS amt
       |  FROM orders
-      |  WHERE o_orderkey % 7 = 0 OR o_orderstatus <> 'O')
+      |  WHERE (o_orderkey % 7 = 0 AND o_orderstatus <> 'F')
+      |     OR o_orderstatus <> 'O')
       |SELECT st AS status, CAST(COUNT(*) AS BIGINT) AS n_rows,
       |  CAST(SUM(amt) AS DOUBLE) AS sum_price
       |FROM f GROUP BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // x64 — MERGE `WITH SCHEMA EVOLUTION` (round 17; Delta's autoMerge,
+  //       the most common evolving-ingest shape): the table declares
+  //       AUTOMATIC_SCHEMA_EVOLUTION, so Spark's own
+  //       ResolveMergeIntoSchemaEvolution computes the width change
+  //       from the source schema and lands it through the catalog's
+  //       alterTable — ONE atomic O(metadata) alterColumns commit,
+  //       ZERO data files rewritten (x56's non-retroactive ADD
+  //       COLUMN; pre-evolution rows read NULL) — then re-resolves
+  //       the statement so `UPDATE SET *` / `INSERT *` expansion
+  //       covers the new column. GraftRowLevelSqlSpec pins the
+  //       two-commit shape, the zero-rewrite width change, and the
+  //       UNCHANGED pruned read set (file-hiding through the evolved
+  //       merge). The gated lifecycle merges a source carrying a new
+  //       `o_tier` column into a two-column table and aggregates by
+  //       the evolved column.
+  // ---------------------------------------------------------------------
+  private def x64(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = graft.util.ExtSession(spark0)
+    spark.conf.set("spark.sql.catalog.graft_x64",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.graft_x64.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_x64.warehouse",
+        graft.util.Scratch.dir("graft-x64-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_x64.ord")
+    spark.sql("CREATE TABLE graft_x64.ord (o_orderkey BIGINT, " +
+      "o_price DECIMAL(18,2)) TBLPROPERTIES ('key' = 'o_orderkey')")
+    Tables.orders(spark, dir).createOrReplaceTempView("x64_src")
+    spark.sql("INSERT INTO graft_x64.ord " +
+      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) " +
+      "FROM x64_src")
+    // the delta carries a column the target LACKS (o_tier): doubled
+    // prices on one slice of existing keys, fresh keys on another
+    spark.sql("""CREATE OR REPLACE TEMP VIEW x64_delta AS
+      WITH m AS (SELECT MAX(o_orderkey) AS mx FROM x64_src)
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2
+               AS DECIMAL(18,2)) AS o_price,
+             'hot' AS o_tier
+        FROM x64_src WHERE o_orderkey % 31 = 0
+      UNION ALL
+      SELECT o_orderkey + m.mx + 1,
+             CAST(o_totalprice AS DECIMAL(18,2)), 'new'
+        FROM x64_src, m WHERE o_orderkey % 53 = 0""")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_x64.ord t
+      USING x64_delta d ON t.o_orderkey = d.o_orderkey
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    spark.sql(
+      "SELECT COALESCE(o_tier, 'none') AS tier, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_price) AS DOUBLE) AS sum_price " +
+        "FROM graft_x64.ord GROUP BY 1")
+  }
+
+  private val x64Sql =
+    """WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+      |base AS (
+      |  SELECT o_orderkey AS k,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      |merged AS (
+      |  SELECT k,
+      |    CAST(CASE WHEN k % 31 = 0 THEN p * 2 ELSE p END
+      |      AS DECIMAL(18,2)) AS p,
+      |    CASE WHEN k % 31 = 0 THEN 'hot' ELSE 'none' END AS tier
+      |  FROM base),
+      |inserted AS (
+      |  SELECT b.k + m.mx + 1 AS k, CAST(b.p AS DECIMAL(18,2)) AS p,
+      |    'new' AS tier
+      |  FROM base b, m WHERE b.k % 53 = 0),
+      |allr AS (SELECT * FROM merged UNION ALL SELECT * FROM inserted)
+      |SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price
+      |FROM allr GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
@@ -3755,5 +3836,6 @@ object ScaleOps {
     QuerySpec("x60_partitioned_by_clustering", x60, Some(x60Sql)),
     QuerySpec("x61_atomic_ctas_replace", x61, Some(x61Sql)),
     QuerySpec("x62_compound_business_key", x62, Some(x62Sql)),
-    QuerySpec("x63_merge_by_source", x63, Some(x63Sql)))
+    QuerySpec("x63_merge_by_source", x63, Some(x63Sql)),
+    QuerySpec("x64_merge_schema_evolution", x64, Some(x64Sql)))
 }

@@ -61,7 +61,22 @@ import graft.sources.GraftSqlTable
   * compiles on the table side: a `readWhere` over the OR of the
   * clause conditions (stats-pruned when they prune; a condition-less
   * clause reads the table — the honest cost everywhere, Delta
-  * included) anti-joined against the source's keys.
+  * included) anti-joined against the source under the FULL ON
+  * condition (key equality and residual conjuncts — SQL:2003/Delta
+  * matching, so a key-matched row failing a residual conjunct DOES
+  * receive the BY SOURCE clauses). One key-addressed consequence: a
+  * key addressed by BOTH an INSERT clause and a BY SOURCE clause in
+  * the same statement (possible only with residual conjuncts) raises
+  * the cardinality violation — two rows cannot land under one key.
+  *
+  * `WITH SCHEMA EVOLUTION` (x64, Delta's autoMerge): the table
+  * declares [[TableCapability.AUTOMATIC_SCHEMA_EVOLUTION]], so
+  * Spark's own ResolveMergeIntoSchemaEvolution computes the width
+  * change from the source schema and lands it through the catalog's
+  * `alterTable` — ONE atomic O(metadata) alterColumns commit, zero
+  * data files rewritten, old rows read NULL (x56's ADD COLUMN) —
+  * then re-resolves the statement against the widened schema before
+  * this rule compiles it.
   *
   * Sessions get the rule via `spark.sql.extensions=graft.GraftExtensions`
   * (or `Builder.withExtensions`); [[graft.util.ExtSession]] derives
@@ -88,7 +103,16 @@ case class GraftRowLevelRule(session: SparkSession)
               assignments.map(a => (a.key, a.value)), condition)
           case None => u
         }
-      case m: MergeIntoTable if m.resolved =>
+      // `WITH SCHEMA EVOLUTION` (x64): resolution must NOT short-
+      // circuit while Spark's own ResolveMergeIntoSchemaEvolution has
+      // pending work — that rule (gated on the table's
+      // AUTOMATIC_SCHEMA_EVOLUTION capability) widens the target
+      // through the catalog's alterTable (ONE atomic O(metadata)
+      // alterColumns commit, zero data files touched) and re-resolves
+      // the statement, so star expansion and the clause CASEs below
+      // see the widened schema; this rule shares its fixed-point
+      // batch, hence the guard
+      case m: MergeIntoTable if m.resolved && !m.needSchemaEvolution =>
         graftTarget(m.targetTable) match {
           case Some((t, tout)) =>
             GraftSqlMergeCommand(t, tout, m.sourceTable,
@@ -170,9 +194,10 @@ case class GraftSqlMergeCommand(
     val ident = table.identName
     require(!table.isTimeTravel,
       s"cannot MERGE INTO time-travel table $ident")
-    require(!withSchemaEvolution,
-      s"MERGE INTO $ident: WITH SCHEMA EVOLUTION is not supported — " +
-        "run ALTER TABLE ... ADD COLUMN first (O(metadata))")
+    // withSchemaEvolution: by the time this command exists, Spark's
+    // ResolveMergeIntoSchemaEvolution already landed the width change
+    // through the catalog (see GraftRowLevelRule's guard) — the
+    // targetOutput here IS the widened schema; nothing left to do
     require(matchedActions.nonEmpty || notMatchedActions.nonEmpty ||
         notMatchedBySourceActions.nonEmpty,
       s"MERGE INTO $ident needs at least one WHEN clause")
@@ -250,252 +275,290 @@ case class GraftSqlMergeCommand(
         "source expression — graft tables are key-addressed (extra " +
         "AND conjuncts compose freely)")
 
-    // ---- frames: the source, and the PRUNED matched-target read
-    // (findTouchedFiles — manifest stats + bloom open only
-    // range-overlapping files; spec-pinned by file-hiding)
+    // ---- frames: the source — MATERIALIZED once (Delta's merge-
+    // source discipline): it feeds the key-prune read, the outer
+    // join, and the by-source anti-join, and a non-deterministic
+    // source (rand(), a sampled view) re-executed across those could
+    // apply a DIFFERENT matched set than the feed it produced — and
+    // the PRUNED matched-target read (findTouchedFiles — manifest
+    // stats + bloom open only range-overlapping files; spec-pinned
+    // by file-hiding)
     val srcDf = ColumnBridge.ofRows(session, source).toDF(sNames: _*)
-    val types = targetOutput.map(_.dataType)
-    val srcPartCols: Seq[(Int, Column)] = partIdxs.map(j =>
-      j -> rewrite(srcPartExpr(j)).cast(types(j)))
-    // the handle's key frame: the column itself, or the compound
-    // encoding of the source part expressions
-    val srcKeys =
-      if (!compound)
-        srcDf.select(srcPartCols.head._2.as(key))
-      else srcDf.select(org.apache.spark.sql.functions.concat_ws(
-        graft.sources.CompoundKey.Sep,
-        srcPartCols.map { case (j, c) =>
-          graft.sources.CompoundKey.encode(c, types(j),
-            targetOutput(j).name) }: _*).as(table.graftKey))
-    val tgtDf = t.readMatchingKeys(srcKeys)
-      .select(targetOutput.map(a => col(a.name)): _*)
-      .toDF(tNames: _*)
-    val joinCond = residual.map(rewrite)
-      .foldLeft(srcPartCols.map { case (j, c) =>
-        col(s"__t$j") === c }.reduce(_ && _))(_ && _)
-    val joined = srcDf.join(tgtDf, joinCond, "left_outer")
-    val keyIdx = partIdxs.head
-    val tKey = col(s"__t$keyIdx")
-
-    // ---- clause compilation: first-true-condition CASE per side
-    def condOf(a: MergeAction): Column = (a match {
-      case x: UpdateAction     => x.condition
-      case x: UpdateStarAction => x.condition
-      case x: DeleteAction     => x.condition
-      case x: InsertAction     => x.condition
-      case x: InsertStarAction => x.condition
-      case other => throw new UnsupportedOperationException(
-        s"MERGE INTO $ident: unsupported clause $other")
-    }).map(rewrite).getOrElse(lit(true))
-    def firstAction(actions: Seq[MergeAction]): Column =
-      actions.zipWithIndex.foldRight(lit(null).cast("int")) {
-        case ((a, i), rest) => when(condOf(a), lit(i)).otherwise(rest)
-      }
-    /** `SET *` / `INSERT *`: target column ← the same-named source
-      * column. For UPDATE the key columns are skipped (matched rows
-      * keep the matched key — the ON equalities already pin it;
-      * re-keying rows belongs to DELETE + INSERT). */
-    def starAssigns(insert: Boolean): Map[Int, Column] =
-      targetOutput.zipWithIndex.flatMap { case (a, j) =>
-        if (!insert && partIdxs.contains(j)) None
-        else {
-          val si = sOut.indexWhere(s => resolver(s.name, a.name))
-          require(si >= 0, s"MERGE INTO $ident: `*` needs a source " +
-            s"column named '${a.name}'")
-          Some(j -> col(sNames(si)))
-        }
-      }.toMap
-    def assignMap(assigns: Seq[Assignment],
-                  insert: Boolean): Map[Int, Column] =
-      assigns.flatMap { asg =>
-        val j = asg.key match {
-          case a: AttributeReference if targetIds.contains(a.exprId) =>
-            targetOutput.indexWhere(_.exprId == a.exprId)
-          case a: AttributeReference =>
-            targetOutput.indexWhere(x => resolver(x.name, a.name))
-          case other => throw new UnsupportedOperationException(
-            s"MERGE INTO $ident: only top-level columns can be " +
-              s"assigned (got ${other.sql})")
-        }
-        require(j >= 0, s"MERGE INTO $ident: assignment targets an " +
-          s"unknown column (${asg.key.sql})")
-        if (!insert && partIdxs.contains(j)) {
-          // a matched-row key assignment is legal ONLY when it is the
-          // ON clause's own key expression (what the analyzer's
-          // `SET *` expansion emits) — the matched row already HAS
-          // that key, so the assignment drops as a no-op; anything
-          // else would move the row between keys mid-update
-          require(asg.value.semanticEquals(srcPartExpr(j)),
-            s"MERGE INTO $ident: cannot UPDATE key column " +
-              s"'${targetOutput(j).name}' to a new value — DELETE + " +
-              "INSERT moves a row between keys")
-          None
-        } else Some(j -> rewrite(asg.value))
-      }.toMap
-
-    // matched side: (isDelete, assignments); unassigned columns keep
-    // the OLD row's value (SQL UPDATE semantics), every RHS casts to
-    // the column's existing type (x54's ANSI-cast discipline)
-    val mCompiled: Seq[(Boolean, Map[Int, Column])] = matchedActions.map {
-      case u: UpdateAction          => (false, assignMap(u.assignments, false))
-      case _: UpdateStarAction      => (false, starAssigns(false))
-      case _: DeleteAction          => (true, Map.empty[Int, Column])
-      case other => throw new UnsupportedOperationException(
-        s"MERGE INTO $ident: WHEN MATCHED supports UPDATE/DELETE " +
-          s"(got $other)")
-    }
-    // insert side: unassigned columns take the DECLARED default (the
-    // same write-time fill INSERT INTO gets) or NULL; the key must be
-    // assigned explicitly
-    val defaults = t.declaredDefaults()
-    def insertFallback(j: Int): Column =
-      defaults.get(targetOutput(j).name)
-        .map(d => expr(d).cast(types(j)))
-        .getOrElse(lit(null).cast(types(j)))
-    val nmCompiled: Seq[Map[Int, Column]] = notMatchedActions.map {
-      case ia: InsertAction =>
-        val m = assignMap(ia.assignments, insert = true)
-        require(partIdxs.forall(m.contains),
-          s"MERGE INTO $ident: WHEN NOT MATCHED INSERT must assign " +
-            s"every key column (${partNames.mkString(", ")})")
-        m
-      case _: InsertStarAction => starAssigns(insert = true)
-      case other => throw new UnsupportedOperationException(
-        s"MERGE INTO $ident: WHEN NOT MATCHED supports INSERT " +
-          s"(got $other)")
-    }
-
-    // ---- the net change feed (applyChanges' contract: the table's
-    // columns + change_type; a key appears at most once)
-    val parts = scala.collection.mutable.ArrayBuffer.empty[
-      org.apache.spark.sql.DataFrame]
-    if (matchedActions.nonEmpty) {
-      val mIdx = firstAction(matchedActions)
-      val mChange = mCompiled.zipWithIndex.foldRight(lit("update")) {
-        case (((isDel, _), i), rest) =>
-          when(mIdx === i, lit(if (isDel) "delete" else "update"))
-            .otherwise(rest)
-      }
-      parts += joined.where(tKey.isNotNull && mIdx.isNotNull)
-        .select(targetOutput.zipWithIndex.map { case (a, j) =>
-          val old = col(tNames(j))
-          mCompiled.zipWithIndex.foldRight(old) {
-            case (((isDel, assigns), i), rest) =>
-              // delete rows carry the OLD row verbatim: applyChanges
-              // removes them BY KEY (the key must survive into the
-              // feed); their non-key values are ignored
-              val v =
-                if (isDel) old
-                else assigns.get(j).map(_.cast(types(j))).getOrElse(old)
-              when(mIdx === i, v).otherwise(rest)
-          }.as(a.name)
-        } :+ mChange.as("change_type"): _*)
-    }
-    if (notMatchedActions.nonEmpty) {
-      val nmIdx = firstAction(notMatchedActions)
-      parts += joined.where(tKey.isNull && nmIdx.isNotNull)
-        .select(targetOutput.zipWithIndex.map { case (a, j) =>
-          nmCompiled.zipWithIndex.foldRight(insertFallback(j)) {
-            case ((assigns, i), rest) =>
-              when(nmIdx === i,
-                assigns.get(j).map(_.cast(types(j)))
-                  .getOrElse(insertFallback(j))).otherwise(rest)
-          }.as(a.name)
-        } :+ lit("insert").as("change_type"): _*)
-    }
-    if (notMatchedBySourceActions.nonEmpty) {
-      // WHEN NOT MATCHED BY SOURCE (Delta's third clause family):
-      // target rows with NO source key match. The clauses reference
-      // the TARGET only, so they compile on the table-shaped frame —
-      // the read is `readWhere` over the OR of the clause conditions
-      // (stats-pruned when the conditions prune; a condition-less
-      // clause reads the table, the honest cost everywhere, Delta
-      // included), anti-joined against the source's key set.
-      def byNameChecked(e: Expression, what: String): Column = {
-        require(e.references.forall(a => targetIds.contains(a.exprId)),
-          s"MERGE INTO $ident: $what in WHEN NOT MATCHED BY SOURCE " +
-            "can only reference the target table")
-        GraftRowLevelSql.byName(e, s"MERGE INTO $ident")
-      }
-      val bCompiled: Seq[(Boolean, Column, Map[Int, Column])] =
-        notMatchedBySourceActions.map {
-          case u: UpdateAction =>
-            val assigns = u.assignments.map { asg =>
-              val j = asg.key match {
-                case a: AttributeReference
-                    if targetIds.contains(a.exprId) =>
-                  targetOutput.indexWhere(_.exprId == a.exprId)
-                case a: AttributeReference =>
-                  targetOutput.indexWhere(x => resolver(x.name, a.name))
-                case other => throw new UnsupportedOperationException(
-                  s"MERGE INTO $ident: only top-level columns can be " +
-                    s"assigned (got ${other.sql})")
-              }
-              require(j >= 0 && !partIdxs.contains(j),
-                s"MERGE INTO $ident: WHEN NOT MATCHED BY SOURCE " +
-                  s"cannot assign a key column (${asg.key.sql})")
-              j -> byNameChecked(asg.value, "an assignment")
-            }.toMap
-            (false,
-              u.condition.map(byNameChecked(_, "a condition"))
-                .getOrElse(lit(true)), assigns)
-          case d: DeleteAction =>
-            (true,
-              d.condition.map(byNameChecked(_, "a condition"))
-                .getOrElse(lit(true)), Map.empty[Int, Column])
-          case other => throw new UnsupportedOperationException(
-            s"MERGE INTO $ident: WHEN NOT MATCHED BY SOURCE supports " +
-              s"UPDATE/DELETE (got $other)")
-        }
-      val orPred = bCompiled.map(_._2).reduce(_ || _)
-      val anchorKey = if (compound) table.graftKey else key
-      val affected = t.readWhere(orPred)
-        .join(srcKeys.distinct(), Seq(anchorKey), "left_anti")
-      val bIdx = bCompiled.zipWithIndex
-        .foldRight(lit(null).cast("int")) {
-          case (((_, c, _), i), rest) => when(c, lit(i)).otherwise(rest)
-        }
-      val bChange = bCompiled.zipWithIndex.foldRight(lit("update")) {
-        case (((isDel, _, _), i), rest) =>
-          when(bIdx === i, lit(if (isDel) "delete" else "update"))
-            .otherwise(rest)
-      }
-      parts += affected.where(bIdx.isNotNull)
-        .select(targetOutput.zipWithIndex.map { case (a, j) =>
-          val old = col(a.name)
-          bCompiled.zipWithIndex.foldRight(old) {
-            case (((isDel, _, assigns), i), rest) =>
-              val v =
-                if (isDel) old
-                else assigns.get(j).map(_.cast(types(j))).getOrElse(old)
-              when(bIdx === i, v).otherwise(rest)
-          }.as(a.name)
-        } :+ bChange.as("change_type"): _*)
-    }
-    // a compound table's feed carries the synthesized storage key,
-    // recomputed from the feed's own part values (deterministic
-    // encoding — matched rows reproduce their stored key exactly)
-    val feed0 = parts.reduce(_.unionByName(_))
-    val keyed =
-      if (compound)
-        graft.sources.CompoundKey.withKey(feed0, partNames.toSeq)
-      else feed0
-    val checkKey = if (compound) table.graftKey else key
-    // persisted: the feed re-executes inside applyChanges' planning +
-    // staging (and once for the cardinality check below) — one
-    // evaluation of the user's source, Delta's source-materialization
-    // discipline, at delta scale
-    val feed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      require(feed.where(col(checkKey).isNull).limit(1).collect().isEmpty,
-        s"MERGE INTO $ident: an INSERT clause produced a NULL key")
-      val dup = feed.groupBy(col(checkKey)).count()
-        .where(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"MERGE INTO $ident: multiple source rows address key " +
-          s"'${dup.headOption.map(_.get(0)).orNull}' — the SQL:2003 " +
-          "MERGE cardinality violation (deduplicate the source)")
-      Seq(Row(t.applyChanges(feed)))
-    } finally { feed.unpersist(); () }
+      val types = targetOutput.map(_.dataType)
+      val srcPartCols: Seq[(Int, Column)] = partIdxs.map(j =>
+        j -> rewrite(srcPartExpr(j)).cast(types(j)))
+      // the handle's key frame: the column itself, or the compound
+      // encoding of the source part expressions
+      val srcKeys =
+        if (!compound)
+          srcDf.select(srcPartCols.head._2.as(key))
+        else srcDf.select(org.apache.spark.sql.functions.concat_ws(
+          graft.sources.CompoundKey.Sep,
+          srcPartCols.map { case (j, c) =>
+            graft.sources.CompoundKey.encode(c, types(j),
+              targetOutput(j).name) }: _*).as(table.graftKey))
+      val tgtDf = t.readMatchingKeys(srcKeys)
+        .select(targetOutput.map(a => col(a.name)): _*)
+        .toDF(tNames: _*)
+      val joinCond = residual.map(rewrite)
+        .foldLeft(srcPartCols.map { case (j, c) =>
+          col(s"__t$j") === c }.reduce(_ && _))(_ && _)
+      val joined = srcDf.join(tgtDf, joinCond, "left_outer")
+      val keyIdx = partIdxs.head
+      val tKey = col(s"__t$keyIdx")
+
+      // ---- clause compilation: first-true-condition CASE per side
+      def condOf(a: MergeAction): Column = (a match {
+        case x: UpdateAction     => x.condition
+        case x: UpdateStarAction => x.condition
+        case x: DeleteAction     => x.condition
+        case x: InsertAction     => x.condition
+        case x: InsertStarAction => x.condition
+        case other => throw new UnsupportedOperationException(
+          s"MERGE INTO $ident: unsupported clause $other")
+      }).map(rewrite).getOrElse(lit(true))
+      def firstAction(actions: Seq[MergeAction]): Column =
+        actions.zipWithIndex.foldRight(lit(null).cast("int")) {
+          case ((a, i), rest) => when(condOf(a), lit(i)).otherwise(rest)
+        }
+      /** `SET *` / `INSERT *`: target column ← the same-named source
+        * column. For UPDATE the key columns are skipped (matched rows
+        * keep the matched key — the ON equalities already pin it;
+        * re-keying rows belongs to DELETE + INSERT). */
+      def starAssigns(insert: Boolean): Map[Int, Column] =
+        targetOutput.zipWithIndex.flatMap { case (a, j) =>
+          if (!insert && partIdxs.contains(j)) None
+          else {
+            val si = sOut.indexWhere(s => resolver(s.name, a.name))
+            require(si >= 0, s"MERGE INTO $ident: `*` needs a source " +
+              s"column named '${a.name}'")
+            Some(j -> col(sNames(si)))
+          }
+        }.toMap
+      def assignMap(assigns: Seq[Assignment],
+                    insert: Boolean): Map[Int, Column] =
+        assigns.flatMap { asg =>
+          val j = asg.key match {
+            case a: AttributeReference if targetIds.contains(a.exprId) =>
+              targetOutput.indexWhere(_.exprId == a.exprId)
+            case a: AttributeReference =>
+              targetOutput.indexWhere(x => resolver(x.name, a.name))
+            case other => throw new UnsupportedOperationException(
+              s"MERGE INTO $ident: only top-level columns can be " +
+                s"assigned (got ${other.sql})")
+          }
+          require(j >= 0, s"MERGE INTO $ident: assignment targets an " +
+            s"unknown column (${asg.key.sql})")
+          if (!insert && partIdxs.contains(j)) {
+            // a matched-row key assignment is legal ONLY when it is the
+            // ON clause's own key expression (what the analyzer's
+            // `SET *` expansion emits) — the matched row already HAS
+            // that key, so the assignment drops as a no-op; anything
+            // else would move the row between keys mid-update
+            require(asg.value.semanticEquals(srcPartExpr(j)),
+              s"MERGE INTO $ident: cannot UPDATE key column " +
+                s"'${targetOutput(j).name}' to a new value — DELETE + " +
+                "INSERT moves a row between keys")
+            None
+          } else Some(j -> rewrite(asg.value))
+        }.toMap
+
+      // matched side: (isDelete, assignments); unassigned columns keep
+      // the OLD row's value (SQL UPDATE semantics), every RHS casts to
+      // the column's existing type (x54's ANSI-cast discipline)
+      val mCompiled: Seq[(Boolean, Map[Int, Column])] = matchedActions.map {
+        case u: UpdateAction          => (false, assignMap(u.assignments, false))
+        case _: UpdateStarAction      => (false, starAssigns(false))
+        case _: DeleteAction          => (true, Map.empty[Int, Column])
+        case other => throw new UnsupportedOperationException(
+          s"MERGE INTO $ident: WHEN MATCHED supports UPDATE/DELETE " +
+            s"(got $other)")
+      }
+      // insert side: unassigned columns take the DECLARED default (the
+      // same write-time fill INSERT INTO gets) or NULL; the key must be
+      // assigned explicitly
+      val defaults = t.declaredDefaults()
+      def insertFallback(j: Int): Column =
+        defaults.get(targetOutput(j).name)
+          .map(d => expr(d).cast(types(j)))
+          .getOrElse(lit(null).cast(types(j)))
+      val nmCompiled: Seq[Map[Int, Column]] = notMatchedActions.map {
+        case ia: InsertAction =>
+          val m = assignMap(ia.assignments, insert = true)
+          require(partIdxs.forall(m.contains),
+            s"MERGE INTO $ident: WHEN NOT MATCHED INSERT must assign " +
+              s"every key column (${partNames.mkString(", ")})")
+          m
+        case _: InsertStarAction => starAssigns(insert = true)
+        case other => throw new UnsupportedOperationException(
+          s"MERGE INTO $ident: WHEN NOT MATCHED supports INSERT " +
+            s"(got $other)")
+      }
+
+      // ---- the net change feed (applyChanges' contract: the table's
+      // columns + change_type; a key appears at most once)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.DataFrame]
+      if (matchedActions.nonEmpty) {
+        val mIdx = firstAction(matchedActions)
+        val mChange = mCompiled.zipWithIndex.foldRight(lit("update")) {
+          case (((isDel, _), i), rest) =>
+            when(mIdx === i, lit(if (isDel) "delete" else "update"))
+              .otherwise(rest)
+        }
+        parts += joined.where(tKey.isNotNull && mIdx.isNotNull)
+          .select(targetOutput.zipWithIndex.map { case (a, j) =>
+            val old = col(tNames(j))
+            mCompiled.zipWithIndex.foldRight(old) {
+              case (((isDel, assigns), i), rest) =>
+                // delete rows carry the OLD row verbatim: applyChanges
+                // removes them BY KEY (the key must survive into the
+                // feed); their non-key values are ignored
+                val v =
+                  if (isDel) old
+                  else assigns.get(j).map(_.cast(types(j))).getOrElse(old)
+                when(mIdx === i, v).otherwise(rest)
+            }.as(a.name)
+          } :+ mChange.as("change_type"): _*)
+      }
+      if (notMatchedActions.nonEmpty) {
+        val nmIdx = firstAction(notMatchedActions)
+        parts += joined.where(tKey.isNull && nmIdx.isNotNull)
+          .select(targetOutput.zipWithIndex.map { case (a, j) =>
+            nmCompiled.zipWithIndex.foldRight(insertFallback(j)) {
+              case ((assigns, i), rest) =>
+                when(nmIdx === i,
+                  assigns.get(j).map(_.cast(types(j)))
+                    .getOrElse(insertFallback(j))).otherwise(rest)
+            }.as(a.name)
+          } :+ lit("insert").as("change_type"): _*)
+      }
+      if (notMatchedBySourceActions.nonEmpty) {
+        // WHEN NOT MATCHED BY SOURCE (Delta's third clause family):
+        // target rows with NO source row satisfying the FULL ON
+        // condition. The clauses reference the TARGET only, so they
+        // compile on the table-shaped frame — the read is `readWhere`
+        // over the OR of the clause conditions (stats-pruned when the
+        // conditions prune; a condition-less clause reads the table,
+        // the honest cost everywhere, Delta included), anti-joined
+        // against the source under the ON condition.
+        def byNameChecked(e: Expression, what: String): Column = {
+          require(e.references.forall(a => targetIds.contains(a.exprId)),
+            s"MERGE INTO $ident: $what in WHEN NOT MATCHED BY SOURCE " +
+              "can only reference the target table")
+          GraftRowLevelSql.byName(e, s"MERGE INTO $ident")
+        }
+        val bCompiled: Seq[(Boolean, Column, Map[Int, Column])] =
+          notMatchedBySourceActions.map {
+            case u: UpdateAction =>
+              val assigns = u.assignments.map { asg =>
+                val j = asg.key match {
+                  case a: AttributeReference
+                      if targetIds.contains(a.exprId) =>
+                    targetOutput.indexWhere(_.exprId == a.exprId)
+                  case a: AttributeReference =>
+                    targetOutput.indexWhere(x => resolver(x.name, a.name))
+                  case other => throw new UnsupportedOperationException(
+                    s"MERGE INTO $ident: only top-level columns can be " +
+                      s"assigned (got ${other.sql})")
+                }
+                require(j >= 0 && !partIdxs.contains(j),
+                  s"MERGE INTO $ident: WHEN NOT MATCHED BY SOURCE " +
+                    s"cannot assign a key column (${asg.key.sql})")
+                j -> byNameChecked(asg.value, "an assignment")
+              }.toMap
+              (false,
+                u.condition.map(byNameChecked(_, "a condition"))
+                  .getOrElse(lit(true)), assigns)
+            case d: DeleteAction =>
+              (true,
+                d.condition.map(byNameChecked(_, "a condition"))
+                  .getOrElse(lit(true)), Map.empty[Int, Column])
+            case other => throw new UnsupportedOperationException(
+              s"MERGE INTO $ident: WHEN NOT MATCHED BY SOURCE supports " +
+                s"UPDATE/DELETE (got $other)")
+          }
+        val orPred = bCompiled.map(_._2).reduce(_ || _)
+        // "matched by source" = ∃ a source row satisfying the FULL ON
+        // condition (key equality AND residual conjuncts) — SQL:2003 /
+        // Delta semantics: a target row whose key appears in the source
+        // but fails a residual conjunct is NOT matched and lands here
+        // (pinned by GraftRowLevelSqlSpec's residual-conjunct fixture).
+        // With no residual the anti-join keys on the (distinct) key
+        // set; with residuals they compose into the join condition —
+        // still a key-equality join with a residual filter, the same
+        // shuffle shape, never a cartesian.
+        val read = t.readWhere(orPred)
+        val affected =
+          if (residual.isEmpty) {
+            val anchorKey = if (compound) table.graftKey else key
+            read.join(srcKeys.distinct(), Seq(anchorKey), "left_anti")
+          } else {
+            // target refs by their REAL column names (the table-shaped
+            // frame), source refs by the __sN aliases (srcDf)
+            def mixed(e: Expression): Column =
+              ColumnBridge.column(e.transform {
+                case a: AttributeReference if targetIds.contains(a.exprId) =>
+                  UnresolvedAttribute.quoted(a.name)
+                case a: AttributeReference =>
+                  UnresolvedAttribute.quoted(byId.getOrElse(a.exprId,
+                    throw new IllegalStateException(s"MERGE INTO $ident:" +
+                      s" reference '${a.name}' is neither target nor " +
+                      "source")))
+              })
+            val cond = residual.map(mixed)
+              .foldLeft(srcPartCols.map { case (j, c) =>
+                col(targetOutput(j).name) === c }.reduce(_ && _))(_ && _)
+            read.join(srcDf, cond, "left_anti")
+          }
+        val bIdx = bCompiled.zipWithIndex
+          .foldRight(lit(null).cast("int")) {
+            case (((_, c, _), i), rest) => when(c, lit(i)).otherwise(rest)
+          }
+        val bChange = bCompiled.zipWithIndex.foldRight(lit("update")) {
+          case (((isDel, _, _), i), rest) =>
+            when(bIdx === i, lit(if (isDel) "delete" else "update"))
+              .otherwise(rest)
+        }
+        parts += affected.where(bIdx.isNotNull)
+          .select(targetOutput.zipWithIndex.map { case (a, j) =>
+            val old = col(a.name)
+            bCompiled.zipWithIndex.foldRight(old) {
+              case (((isDel, _, assigns), i), rest) =>
+                val v =
+                  if (isDel) old
+                  else assigns.get(j).map(_.cast(types(j))).getOrElse(old)
+                when(bIdx === i, v).otherwise(rest)
+            }.as(a.name)
+          } :+ bChange.as("change_type"): _*)
+      }
+      // a compound table's feed carries the synthesized storage key,
+      // recomputed from the feed's own part values (deterministic
+      // encoding — matched rows reproduce their stored key exactly)
+      val feed0 = parts.reduce(_.unionByName(_))
+      val keyed =
+        if (compound)
+          graft.sources.CompoundKey.withKey(feed0, partNames.toSeq)
+        else feed0
+      val checkKey = if (compound) table.graftKey else key
+      // persisted: the feed re-executes inside applyChanges' planning +
+      // staging (and once for the cardinality check below) — one
+      // evaluation of the user's source, Delta's source-materialization
+      // discipline, at delta scale
+      val feed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        require(feed.where(col(checkKey).isNull).limit(1).collect().isEmpty,
+          s"MERGE INTO $ident: an INSERT clause produced a NULL key")
+        val dup = feed.groupBy(col(checkKey)).count()
+          .where(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"MERGE INTO $ident: multiple source rows address key " +
+            s"'${dup.headOption.map(_.get(0)).orNull}' — the SQL:2003 " +
+            "MERGE cardinality violation (deduplicate the source)")
+        Seq(Row(t.applyChanges(feed)))
+      } finally { feed.unpersist(); () }
+    } finally { srcDf.unpersist(); () }
   }
 }

@@ -721,11 +721,20 @@ private[graft] class GraftSqlTable(ident: String, root: String,
     m
   }
 
+  /** AUTOMATIC_SCHEMA_EVOLUTION enables `MERGE INTO ... WITH SCHEMA
+    * EVOLUTION` (x64, Delta's autoMerge): Spark's own
+    * ResolveMergeIntoSchemaEvolution computes the width change from
+    * the source schema and lands it through this catalog's
+    * alterTable — ONE atomic O(metadata) alterColumns commit, zero
+    * data files rewritten (x56's non-retroactive ADD COLUMN; old
+    * rows read NULL). The capability gates nothing else in Spark
+    * 4.1 (MergeIntoTable is its only consumer). */
   override def capabilities(): util.Set[TableCapability] =
     if (version >= 0) util.EnumSet.of(TableCapability.BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownFilters

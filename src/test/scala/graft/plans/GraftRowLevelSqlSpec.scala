@@ -223,6 +223,85 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("key column"))
   }
 
+  test("BY SOURCE matches on the FULL ON condition (residual conjuncts)") {
+    fixture("m9", n = 10, files = 1)
+    // source carries keys 1..4; the residual conjunct t.v >= 30
+    // fails for keys 1,2 (v = 10, 20) — SQL:2003/Delta matching says
+    // those rows are NOT matched by source and receive the BY SOURCE
+    // clause, even though their keys appear in the source
+    spark.sql("CREATE OR REPLACE TEMP VIEW m9_active AS " +
+      "SELECT * FROM VALUES (1L), (2L), (3L), (4L) AS d(ak)")
+    spark.sql("""MERGE INTO rl.m9 t USING m9_active a
+      ON t.k = a.ak AND t.v >= 30
+      WHEN MATCHED THEN UPDATE SET w = 'A'
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET w = 'X'""")
+    val got = rows("m9")
+    assert(got(3L)._2 == "A" && got(4L)._2 == "A",
+      "rows satisfying key equality AND the residual are matched")
+    assert(got(1L)._2 == "X" && got(2L)._2 == "X",
+      "key-matched rows FAILING the residual conjunct take BY SOURCE")
+    assert((5L to 10L).forall(k => got(k)._2 == "X"),
+      "rows with no source key take BY SOURCE")
+    // a key addressed by BOTH an INSERT (its source row key-matched
+    // but residual-failed) and a BY SOURCE clause raises the
+    // cardinality violation — two rows cannot land under one key
+    val e = intercept[Exception] {
+      spark.sql("""MERGE INTO rl.m9 t USING m9_active a
+        ON t.k = a.ak AND t.v >= 99999
+        WHEN NOT MATCHED THEN INSERT (k, v, w) VALUES (a.ak, 0L, 'i')
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET w = 'y'""")
+    }
+    assert(e.getMessage.contains("cardinality"),
+      s"wanted the cardinality violation, got: ${e.getMessage}")
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION: O(metadata) widening, pruned read") {
+    fixture("m8", n = 100, files = 8)
+    val t = GraftTable.open(spark, locationOf("m8"), "k")
+    val headBefore = t.head
+    val filesBefore = t.filesOf(headBefore).filter(_.contains("/data/"))
+    // source carries an extra column `lang` the target lacks
+    spark.sql("""CREATE OR REPLACE TEMP VIEW m8_delta AS
+      SELECT * FROM VALUES
+        (1L,   111L, 'u', 'fr'),
+        (101L, 1L,   'n', 'de')
+      AS d(k, v, w, lang)""")
+    // hide every file not holding the matched key (1): the evolved
+    // merge's read set must be UNCHANGED by the width change
+    val (cand, rest) = filesBefore.partition(f =>
+      spark.read.parquet(f).select(col("k")).collect()
+        .exists(_.getLong(0) == 1L))
+    assert(cand.nonEmpty && rest.size >= 6,
+      s"fixture must localize the delta: ${cand.size}/${filesBefore.size}")
+    rest.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f), java.nio.file.Paths.get(f + ".hidden")))
+    try spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO rl.m8 t
+      USING m8_delta d ON t.k = d.k
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    finally rest.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f + ".hidden"), java.nio.file.Paths.get(f)))
+    // the widened schema landed as its OWN commit between the old
+    // head and the merge commit, with ZERO data-file rewrites
+    assert(t.head == headBefore + 2,
+      "evolution = one O(metadata) commit, merge = one data commit")
+    assert(t.filesOf(headBefore + 1).filter(_.contains("/data/"))
+        .toSet == filesBefore.toSet,
+      "the width change must rewrite NO data files")
+    val got = spark.table("rl.m8").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert(got(1L) == ((111L, "u", "fr")),
+      "SET * covers the evolved column on the matched row")
+    assert(got(101L) == ((1L, "n", "de")),
+      "INSERT * carries the evolved column")
+    assert(got(50L) == ((500L, "o", null)) && got.size == 101,
+      "pre-evolution rows read NULL in the new column")
+    // unmatched files carry by reference through the evolved merge
+    assert(rest.toSet.subsetOf(t.filesOf(t.head).toSet),
+      "unmatched files must carry by reference, never rewrite")
+  }
+
   test("statements build lazily: EXPLAIN runs no commit") {
     fixture("m5", n = 4, files = 1)
     val t = GraftTable.open(spark, locationOf("m5"), "k")
