@@ -3185,6 +3185,66 @@ object ScaleOps {
       |FROM allr GROUP BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x65 — READ-ONLY EXTERNAL REGISTRATION (round 17; the CLONE/share
+  //       shape — Delta's external-location read, Unity's foreign
+  //       table): `CREATE TABLE ... LOCATION '<existing graft root>'`
+  //       registers storage owned ELSEWHERE behind a pointer whose
+  //       reads, time travel, and readStream serve through the
+  //       root's own manifests; every mutation refuses with the
+  //       managed-storage message, and DROP removes only the
+  //       pointer (GraftCatalogSpec pins all three). The key
+  //       resolves from the root's key.conf. The gated lifecycle
+  //       creates an owner table, registers it externally, and
+  //       reads head + an old version through the registration.
+  // ---------------------------------------------------------------------
+  private def x65(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft_x65",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.graft_x65.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_x65.warehouse",
+        graft.util.Scratch.dir("graft-x65-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_x65.own")
+    spark.sql("DROP TABLE IF EXISTS graft_x65.ext")
+    spark.sql("CREATE TABLE graft_x65.own (o_orderkey BIGINT, " +
+      "o_price DECIMAL(18,2)) TBLPROPERTIES ('key' = 'o_orderkey')")
+    Tables.orders(spark, dir).createOrReplaceTempView("x65_src")
+    spark.sql("INSERT INTO graft_x65.own " +
+      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) " +
+      "FROM x65_src WHERE o_orderkey % 2 = 0")                    // v2
+    spark.sql("INSERT INTO graft_x65.own " +
+      "SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) " +
+      "FROM x65_src WHERE o_orderkey % 2 <> 0")                   // v3
+    // the owner's storage location, from its pointer conf (what a
+    // sharing user would be handed)
+    val wh = spark.conf.get("spark.sql.catalog.graft_x65.warehouse")
+    val loc = {
+      val it = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$wh/own/catalog.conf")).linesIterator
+      it.next(); it.next().trim
+    }
+    spark.sql(s"CREATE TABLE graft_x65.ext LOCATION '$loc'")
+    val head = spark.sql(
+      "SELECT 'head' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_price) AS DOUBLE) AS sum_price FROM graft_x65.ext")
+    val old = spark.sql(
+      "SELECT '__v2__' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_price) AS DOUBLE) AS sum_price " +
+        "FROM graft_x65.ext VERSION AS OF 2")
+    head.unionByName(old)
+  }
+
+  private val x65Sql =
+    """SELECT 'head' AS phase, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_price
+      |FROM orders
+      |UNION ALL
+      |SELECT '__v2__', CAST(COUNT(*) AS BIGINT),
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -3837,5 +3897,6 @@ object ScaleOps {
     QuerySpec("x61_atomic_ctas_replace", x61, Some(x61Sql)),
     QuerySpec("x62_compound_business_key", x62, Some(x62Sql)),
     QuerySpec("x63_merge_by_source", x63, Some(x63Sql)),
-    QuerySpec("x64_merge_schema_evolution", x64, Some(x64Sql)))
+    QuerySpec("x64_merge_schema_evolution", x64, Some(x64Sql)),
+    QuerySpec("x65_external_registration", x65, Some(x65Sql)))
 }

@@ -151,6 +151,9 @@ case class GraftSqlUpdateCommand(
     val ident = table.identName
     require(!table.isTimeTravel,
       s"cannot UPDATE time-travel table $ident")
+    require(!table.isExternalReadOnly,
+      s"cannot UPDATE read-only external registration $ident — " +
+        "mutate the owning table")
     val resolver = session.sessionState.conf.resolver
     val set = assignments.map { case (k, v) =>
       val name = k match {
@@ -194,6 +197,9 @@ case class GraftSqlMergeCommand(
     val ident = table.identName
     require(!table.isTimeTravel,
       s"cannot MERGE INTO time-travel table $ident")
+    require(!table.isExternalReadOnly,
+      s"cannot MERGE INTO read-only external registration $ident — " +
+        "mutate the owning table")
     // withSchemaEvolution: by the time this command exists, Spark's
     // ResolveMergeIntoSchemaEvolution already landed the width change
     // through the catalog (see GraftRowLevelRule's guard) — the

@@ -92,6 +92,28 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       .mkString("/")
   private def confPath(root: String) = s"$root/catalog.conf"
 
+  /** the pointer directory serving an EXISTING table: the normalized
+    * path, falling back to the byte-exact path for tables created by
+    * pre-normalization builds under mixed-case directories (the
+    * round-16 advisor's one-way break — normalization must not
+    * strand them; note the fallback read is case-SENSITIVE, exactly
+    * what those legacy pointers were) */
+  private def lookupRoot(ident: Identifier): String = {
+    val n = rootOf(ident)
+    if (readConf(n).isDefined) return n
+    val exact = (warehouse +: (ident.namespace() :+ ident.name()).toSeq)
+      .mkString("/")
+    if (exact != n && readConf(exact).isDefined) exact else n
+  }
+
+  /** marker for a pointer registered over FOREIGN storage (x65's
+    * read-only external registration): reads/time travel/streams
+    * serve; every mutation refuses; DROP removes only the pointer */
+  private def isExternal(root: String): Boolean = {
+    val (f, p) = fs(s"$root/external.conf")
+    f.exists(p)
+  }
+
   /** open a handle resolving the pointer's stored key name to the
     * table's CURRENT logical key: the pointer persists the key's
     * PHYSICAL storage name (immutable), so a key rename is complete
@@ -139,7 +161,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    readConf(rootOf(ident)).isDefined
+    readConf(lookupRoot(ident)).isDefined
 
   override def loadTable(ident: Identifier): Table =
     loadVersioned(ident, -1L)
@@ -153,17 +175,18 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   /** `TIMESTAMP AS OF <ts>` — Spark passes MICROseconds */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val (key, loc, _) = readConf(rootOf(ident))
+    val (key, loc, _) = readConf(lookupRoot(ident))
       .getOrElse(throw new NoSuchTableException(ident))
     val t = openHandle(loc, key)
     loadVersioned(ident, t.versionAt(timestampMicros / 1000L))
   }
 
   private def loadVersioned(ident: Identifier, version: Long): Table = {
-    val (key, loc, declared) = readConf(rootOf(ident))
+    val root = lookupRoot(ident)
+    val (key, loc, declared) = readConf(root)
       .getOrElse(throw new NoSuchTableException(ident))
     new GraftSqlTable(s"$catalogName.${ident.name()}", loc, key,
-      declared, version)
+      declared, version, external = isExternal(root))
   }
 
   /** PARTITIONED BY (c) / CLUSTER BY (c, ...) map onto the engine's
@@ -199,7 +222,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     require(!properties.containsKey(TableCatalog.PROP_LOCATION),
       "graft tables are MANAGED — storage lives under the " +
         "warehouse's .store indirection because manifests and DV " +
-        "sidecars hold absolute paths; LOCATION is not supported")
+        "sidecars hold absolute paths; LOCATION on CTAS/REPLACE is " +
+        "not supported (a plain CREATE TABLE ... LOCATION registers " +
+        "an existing graft root READ-ONLY)")
     val key = Option(properties.get("key")).getOrElse(
       throw new IllegalArgumentException(
         "graft tables need a key column: CREATE TABLE ... " +
@@ -344,11 +369,81 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
+    if (properties.containsKey(TableCatalog.PROP_LOCATION))
+      return registerExternal(ident,
+        properties.get(TableCatalog.PROP_LOCATION), schema, partitions,
+        properties)
     val clusterCols = clusterColsOf(partitions)
     val key = validatedKey(schema, properties, clusterCols)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val loc = bootstrapStorage(ident, schema, key, clusterCols, None)
     registerPointer(ident, key, loc, schema)
+    loadTable(ident)
+  }
+
+  /** `CREATE TABLE ... LOCATION '<existing graft root>'` (x65):
+    * READ-ONLY registration of storage owned elsewhere — the
+    * CLONE/share shape (a second catalog, a second warehouse, a
+    * colleague's table). Reads, time travel, and `readStream.table`
+    * serve through the foreign root's own manifests; every mutation
+    * refuses with the managed-storage message, and DROP removes only
+    * the pointer. The key resolves from the root's `key.conf` (every
+    * catalog bootstrap writes it); roots created bare through the
+    * handle pass `TBLPROPERTIES ('key' = ...)` instead. A WRITABLE
+    * external table stays refused on principle: graft manifests and
+    * DV sidecars hold absolute paths under managed storage, and two
+    * catalogs mutating one root would race each other's pointers. */
+  private def registerExternal(ident: Identifier, loc0: String,
+                               schema: StructType,
+                               partitions: Array[Transform],
+                               properties: util.Map[String, String])
+      : Table = {
+    require(partitions.isEmpty,
+      "external registration takes no PARTITIONED BY/CLUSTER BY — " +
+        "layout belongs to the owning table")
+    require(schema.isEmpty,
+      "graft tables are MANAGED (manifests hold absolute paths " +
+        "under the warehouse's .store indirection) — LOCATION only " +
+        "registers an EXISTING graft root read-only, and that " +
+        "registration reads its schema from the root's own " +
+        "manifest: declare no columns")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val loc = new org.apache.hadoop.fs.Path(loc0).toString
+    val (f, kp) = fs(s"$loc/key.conf")
+    val key = Option(properties.get("key")).getOrElse {
+      require(f.exists(kp),
+        s"$loc0 carries no key.conf — register a bare graft root " +
+          "with TBLPROPERTIES ('key' = '<column>')")
+      val len = f.getFileStatus(kp).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = f.open(kp)
+      try in.readFully(0L, bytes) finally in.close()
+      new String(bytes, "UTF-8").trim
+    }
+    // prove the root opens under that key BEFORE anything registers —
+    // a typo'd location or key must not land a broken pointer
+    val handle = openHandle(loc, key)
+    val snap = handle.schemaAt(handle.head)
+      .getOrElse(handle.read().schema)
+    // marker FIRST: a pointer without it would read as MANAGED
+    // (writable; DROP would delete the foreign storage). A crash
+    // between the two writes leaves an unregistered marker —
+    // harmless, and the retried CREATE overwrites it.
+    val root = rootOf(ident)
+    val (pf, _) = fs(root)
+    pf.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val mout = pf.create(
+      new org.apache.hadoop.fs.Path(root, "external.conf"), true)
+    try mout.write("readonly".getBytes("UTF-8")) finally mout.close()
+    try {
+      val out = pf.create(new org.apache.hadoop.fs.Path(confPath(root)),
+        false)
+      try out.write(s"$key\n$loc\n${snap.json}".getBytes("UTF-8"))
+      finally out.close()
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new TableAlreadyExistsException(ident)
+    }
     loadTable(ident)
   }
 
@@ -397,13 +492,16 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
                                     orCreate: Boolean,
                                     orReplace: Boolean): Unit = {
     val key = validatedKey(schema, properties, clusterCols)
-    readConf(rootOf(ident)) match {
+    readConf(lookupRoot(ident)) match {
       case None =>
         if (!orCreate) throw new NoSuchTableException(ident)
         val loc = bootstrapStorage(ident, schema, key, clusterCols, data)
         registerPointer(ident, key, loc, schema)
       case Some((_, loc, _)) =>
         if (!orReplace) throw new TableAlreadyExistsException(ident)
+        require(!isExternal(lookupRoot(ident)),
+          s"$ident is a READ-ONLY external registration — REPLACE it " +
+            "through the owning table")
         val (f, _) = fs(loc)
         // advisory side-configs reset BEFORE the commit (old-schema
         // constraints cannot validate new-schema files at stage
@@ -411,7 +509,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         // table configured, so they restore on any failure; only a
         // crash in this window loses them (documented, advisory-only)
         val saved = Seq("checks.conf", "schema.conf", "bloom.conf",
-            "autocompact.conf", "cluster.conf").flatMap { c =>
+            "autocompact.conf", "cluster.conf", "key.conf").flatMap { c =>
           val p = new org.apache.hadoop.fs.Path(loc, c)
           if (!f.exists(p)) None
           else {
@@ -430,10 +528,22 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         val cluster =
           if (clusterCols.nonEmpty) clusterCols
           else parts.getOrElse(Seq.empty)
-        try t.replaceTable(
-          parts.fold(df0)(p => CompoundKey.withKey(df0, p)),
-          storageSchemaOf(key, schema), cluster)
-        catch { case scala.util.control.NonFatal(e) =>
+        // the NEW key record lands BEFORE the replace commit (and
+        // restores with the other side-configs on failure): a crash
+        // AFTER the commit but before the pointer rewrite then heals
+        // at load — the pointer's stale key is absent from the new
+        // schema and GraftSqlTable falls back to this record (the
+        // round-16 advisor's broken-loads window). The inverse
+        // window (key.conf new, commit never landed) keeps loads on
+        // the still-valid pointer key.
+        try {
+          val out = f.create(
+            new org.apache.hadoop.fs.Path(loc, "key.conf"), true)
+          try out.write(key.getBytes("UTF-8")) finally out.close()
+          t.replaceTable(
+            parts.fold(df0)(p => CompoundKey.withKey(df0, p)),
+            storageSchemaOf(key, schema), cluster)
+        } catch { case scala.util.control.NonFatal(e) =>
           try saved.foreach { case (p, bytes) =>
             val out = f.create(p, true)
             try out.write(bytes) finally out.close()
@@ -442,9 +552,6 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           }
           throw e
         }
-        val out = f.create(
-          new org.apache.hadoop.fs.Path(loc, "key.conf"), true)
-        try out.write(key.getBytes("UTF-8")) finally out.close()
         overwritePointer(ident, key, loc, schema)
     }
   }
@@ -459,9 +566,12 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * PHYSICAL name and loads resolve the logical name from the
     * manifest's mapping rows. Anything else names its GRAFT verb. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val root = rootOf(ident)
+    val root = lookupRoot(ident)
     val (key, loc, _) = readConf(root)
       .getOrElse(throw new NoSuchTableException(ident))
+    require(!isExternal(root),
+      s"$ident is a READ-ONLY external registration — ALTER it " +
+        "through the owning table")
     // `ALTER TABLE ... CLUSTER BY (c, ...)` — re-declare the standing
     // ingest clustering (x60's machinery; `CLUSTER BY NONE` clears it).
     // Advisory layout, so it composes with (and applies before) any
@@ -523,11 +633,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    readConf(rootOf(ident)) match {
+    val root = lookupRoot(ident)
+    readConf(root) match {
       case None => false
       case Some((_, loc, _)) =>
-        val (f, p) = fs(rootOf(ident))
-        f.delete(new org.apache.hadoop.fs.Path(loc), true)
+        val (f, p) = fs(root)
+        // an external registration NEVER owns its storage: dropping
+        // it removes only the pointer (the owning table is untouched)
+        if (!isExternal(root))
+          f.delete(new org.apache.hadoop.fs.Path(loc), true)
         f.delete(p, true)
     }
   }
@@ -537,7 +651,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     // the pointer directory moves; the storage location (absolute
     // paths in manifests and DV sidecars) never does
-    val (f, op) = fs(rootOf(oldIdent))
+    val (f, op) = fs(lookupRoot(oldIdent))
     val np = new org.apache.hadoop.fs.Path(rootOf(newIdent))
     if (np.getParent != null) f.mkdirs(np.getParent)
     require(f.rename(op, np),
@@ -555,7 +669,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   * what the GRAFT verb surface exists to avoid) */
 private[graft] class GraftSqlTable(ident: String, root: String,
                                    keyCol: String, declared: StructType,
-                                   version: Long)
+                                   version: Long,
+                                   external: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.graftglue.V1FallbackBridge {
@@ -576,6 +691,8 @@ private[graft] class GraftSqlTable(ident: String, root: String,
   override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
     import org.apache.spark.sql.catalyst.catalog._
     require(version < 0, s"cannot stream into time-travel table $ident")
+    require(!external, s"cannot stream into READ-ONLY external " +
+      s"registration $ident — write through the owning table")
     // streaming relation resolution constructs the fallback node
     // EAGERLY (even for reads that then use the V2 micro-batch path)
     // and asserts a database-qualified identifier
@@ -597,10 +714,11 @@ private[graft] class GraftSqlTable(ident: String, root: String,
   private[graft] def graftHandle: GraftTable = table
   private[graft] def graftKey: String = logicalKey
   private[graft] def isTimeTravel: Boolean = version >= 0
+  private[graft] def isExternalReadOnly: Boolean = external
   private[graft] def identName: String = ident
   /** compound-key part names (CURRENT logical), when 'key'='a,b' */
   private[graft] lazy val graftKeyParts: Option[Seq[String]] =
-    CompoundKey.partsOf(keyCol).map(_.map(table.logicalNameOf))
+    CompoundKey.partsOf(effKey).map(_.map(table.logicalNameOf))
   /** wrap an insert-shaped frame with the synthesized key (identity
     * for single-key tables) */
   private[graft] def withStorageKey(df: DataFrame): DataFrame =
@@ -608,17 +726,21 @@ private[graft] class GraftSqlTable(ident: String, root: String,
 
   override def truncateTable(): Boolean = {
     require(version < 0, "cannot truncate a time-travel table")
+    require(!external,
+      s"cannot truncate READ-ONLY external registration $ident")
     table.overwriteAll(withStorageKey(spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], schema())))
     true
   }
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    version < 0 &&
+    version < 0 && !external &&
       filters.forall(f => GraftFilterBridge.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     require(version < 0, "cannot delete from a time-travel table")
+    require(!external,
+      s"cannot delete from READ-ONLY external registration $ident")
     val pred = filters.flatMap(GraftFilterBridge.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
@@ -632,15 +754,55 @@ private[graft] class GraftSqlTable(ident: String, root: String,
     * the manifest each time. The pointer's `keyCol` is the key's
     * PHYSICAL storage name; the handle speaks the current LOGICAL
     * name, resolved once from the manifest's mapping rows. */
-  private lazy val (table: GraftTable, logicalKey: String) = {
-    if (CompoundKey.partsOf(keyCol).isDefined) {
-      // compound: the handle keys on the synthesized storage column
-      (GraftTable.open(spark, root, CompoundKey.KeyName),
-        CompoundKey.KeyName)
-    } else {
-      val t0 = GraftTable.open(spark, root, keyCol)
-      val lk = t0.logicalKeyName
-      (if (lk == keyCol) t0 else GraftTable.open(spark, root, lk), lk)
+  private lazy val (table: GraftTable, logicalKey: String,
+      effKey: String) = {
+    def open(k: String): (GraftTable, String) =
+      if (CompoundKey.partsOf(k).isDefined)
+        // compound: the handle keys on the synthesized storage column
+        (GraftTable.open(spark, root, CompoundKey.KeyName),
+          CompoundKey.KeyName)
+      else {
+        val t0 = GraftTable.open(spark, root, k)
+        val lk = t0.logicalKeyName
+        (if (lk == k) t0 else GraftTable.open(spark, root, lk), lk)
+      }
+    // manifest-only presence check (the head fold is needed below
+    // anyway): is the key's logical name in the head schema?
+    def present(t: GraftTable, lk: String): Boolean = {
+      val h = t.head
+      h == 0 || t.schemaAt(h).forall(_.fieldNames.contains(lk))
+    }
+    val (t, lk) = open(keyCol)
+    if (present(t, lk)) (t, lk, keyCol)
+    else keyConfKey().filter(_ != keyCol) match {
+      // the one REPLACE crash window the pointer cannot cover: a
+      // key-changing REPLACE writes key.conf, commits on the
+      // storage, then rewrites the pointer — a crash between the
+      // last two leaves the pointer naming a key the new schema no
+      // longer carries. key.conf (written BEFORE the commit) names
+      // the current key; loads heal onto it, and the next REPLACE
+      // re-run repairs the pointer. (If the old key column happens
+      // to SURVIVE into the new schema the stale pointer key is
+      // undetectable until then — documented residual.)
+      case Some(k2) =>
+        val (t2, lk2) = open(k2)
+        if (present(t2, lk2)) (t2, lk2, k2) else (t, lk, keyCol)
+      case None => (t, lk, keyCol)
+    }
+  }
+
+  /** the storage root's own key record (written at CREATE and before
+    * every REPLACE commit; the w26 streaming sink reads the same) */
+  private def keyConfKey(): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(root, "key.conf")
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(p)) None
+    else {
+      val len = f.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
+      val in = f.open(p)
+      try in.readFully(0L, bytes) finally in.close()
+      Some(new String(bytes, "UTF-8").trim)
     }
   }
 
@@ -715,9 +877,10 @@ private[graft] class GraftSqlTable(ident: String, root: String,
     * location */
   override def properties(): util.Map[String, String] = {
     val m = new util.HashMap[String, String]()
-    m.put("key", keyCol)
+    m.put("key", effKey)
     m.put(TableCatalog.PROP_PROVIDER, "graft")
     m.put(TableCatalog.PROP_LOCATION, root)
+    if (external) m.put("external", "readonly")
     m
   }
 
@@ -731,6 +894,8 @@ private[graft] class GraftSqlTable(ident: String, root: String,
     * 4.1 (MergeIntoTable is its only consumer). */
   override def capabilities(): util.Set[TableCapability] =
     if (version >= 0) util.EnumSet.of(TableCapability.BATCH_READ)
+    else if (external) util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
@@ -921,21 +1086,39 @@ private[graft] object CompoundKey {
   }
 
   /** one part's order-preserving encoding, with loud write-time
-    * refusals for values the encoding cannot order */
+    * refusals for values the encoding cannot order.
+    *
+    * Integers: nonnegative values keep the fixed-width decimal
+    * (`%019d`); negative values (round-17, lifting the round-16
+    * refusal) prefix `-` and bias by −Long.MinValue into the same
+    * nonnegative width (`v = -1` → `-9223372036854775807`). `-`
+    * (0x2D) sorts before every digit (0x30-0x39), and the bias is
+    * monotone over [Long.MinValue, -1], so lexicographic order on
+    * the encoding still equals numeric order — and every encoding a
+    * pre-round-17 table wrote is byte-identical (the negative branch
+    * previously refused, so no stored key carries it).
+    *
+    * Strings: raw, refusing the separator (U+0001) and U+0000 (the
+    * one code point below the separator — a string carrying it would
+    * make encoded order disagree with tuple order across parts,
+    * degrading the __gkey range pruning's tightness). */
   def encode(c: Column, t: DataType, name: String): Column = {
     def err(m: String) = raise_error(lit(m))
     t match {
       case ByteType | ShortType | IntegerType | LongType =>
         when(c.isNull, err(s"compound key part '$name' is NULL — " +
             "key parts must be non-null"))
-          .when(c < 0, err(s"compound key part '$name' is negative — " +
-            "the order-preserving encoding covers nonnegative integers"))
+          .when(c < 0, concat(lit("-"), format_string("%019d",
+            c.cast(LongType) - Long.MinValue)))
           .otherwise(format_string("%019d", c.cast(LongType)))
       case StringType =>
         when(c.isNull, err(s"compound key part '$name' is NULL — " +
             "key parts must be non-null"))
           .when(c.contains(Sep), err(s"compound key part '$name' " +
             "contains the reserved separator \\u0001"))
+          .when(c.contains("\u0000"), err(s"compound key part " +
+            s"'$name' contains \\u0000 — it sorts below the " +
+            "separator and breaks the encoding's tuple ordering"))
           .otherwise(c)
       case other => throw new IllegalArgumentException(
         s"compound key part '$name' has unsupported type " +

@@ -160,11 +160,11 @@ class CompoundKeySpec extends AnyFunSuite {
       spark.sql("INSERT INTO ck.t4 VALUES (2, NULL, 'v')")
     }
     assert(e4.getMessage.contains("NULL"))
-    // negative integral parts refuse (the order-preserving encoding)
-    val e5 = intercept[Exception] {
-      spark.sql("INSERT INTO ck.t4 VALUES (-2, 'y', 'v')")
-    }
-    assert(e5.getMessage.contains("negative"))
+    // negative integral parts encode order-preservingly (round 17
+    // lifted the old refusal: '-' + the −Long.MinValue bias)
+    spark.sql("INSERT INTO ck.t4 VALUES (-2, 'y', 'vneg')")
+    assert(spark.sql("SELECT v FROM ck.t4 WHERE a = -2 AND b = 'y'")
+      .head.getString(0) == "vneg")
     // the reserved storage name refuses at CREATE
     val e6 = intercept[Exception] {
       spark.sql("CREATE TABLE ck.bad (__gkey BIGINT, b BIGINT) " +
@@ -204,6 +204,52 @@ class CompoundKeySpec extends AnyFunSuite {
     drain() // append window
     assert(seen.asScala.toSeq.sorted ==
       Seq((1L, 1L), (1L, 2L), (2L, 1L)))
+  }
+
+  test("negative integer key parts order, merge, and prune") {
+    spark.sql("DROP TABLE IF EXISTS ck.t7")
+    spark.sql("CREATE TABLE ck.t7 (a BIGINT, b BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'a,b')")
+    // `a` spans the sign boundary; four ingest batches over disjoint
+    // ranges (default standing clustering = the key parts)
+    spark.range(200).selectExpr("id - 100 AS a", "id % 5 AS b",
+      "id AS v").createOrReplaceTempView("ck_src7")
+    for (g <- 0 until 4)
+      spark.sql(s"INSERT INTO ck.t7 SELECT * FROM ck_src7 " +
+        s"WHERE (a + 100) DIV 50 = $g")
+    // the biased encoding orders ACROSS the sign boundary:
+    // lexicographic __gkey order must equal numeric tuple order
+    val t = GraftTable.open(spark, locationOf("t7"), "__gkey")
+    val ordered = t.read().orderBy(col("__gkey")).select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ordered == ordered.sorted,
+      "lexicographic __gkey order must equal numeric (a, b) order")
+    // a merge touching only negative keys reads only the files
+    // holding them — proven by hiding every other file
+    val files = t.filesOf(t.head).filter(_.contains("/data/"))
+    val (cand, rest) = files.partition(f =>
+      spark.read.parquet(f)
+        .where(col("a") === -100 || col("a") === -99)
+        .limit(1).collect().nonEmpty)
+    assert(cand.nonEmpty && rest.nonEmpty,
+      s"clustering must localize the delta: ${cand.size}/${files.size}")
+    spark.sql("""CREATE OR REPLACE TEMP VIEW ck_d7 AS SELECT * FROM
+      VALUES (-100L, 0L, 777L), (-99L, 1L, 888L), (-500L, 1L, 999L)
+      AS d(da, db, amt)""")
+    rest.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f), java.nio.file.Paths.get(f + ".hidden")))
+    try spark.sql("""MERGE INTO ck.t7 t USING ck_d7 d
+      ON t.a = d.da AND t.b = d.db
+      WHEN MATCHED THEN UPDATE SET v = d.amt
+      WHEN NOT MATCHED THEN INSERT (a, b, v) VALUES (d.da, d.db, d.amt)""")
+    finally rest.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f + ".hidden"), java.nio.file.Paths.get(f)))
+    val got = spark.table("ck.t7").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((-100L, 0L)) == 777L && got((-99L, 1L)) == 888L &&
+      got((-500L, 1L)) == 999L && got.size == 201)
+    assert(rest.toSet.subsetOf(t.filesOf(t.head).toSet),
+      "unmatched files carry by reference")
   }
 
   test("compound-key CTAS and REPLACE ride the staged path") {

@@ -541,6 +541,89 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("gcat.fc1").head.getString(1) == "ab")
   }
 
+  test("LOCATION registers an existing graft root READ-ONLY") {
+    spark.sql("DROP TABLE IF EXISTS gcat.xsrc")
+    spark.sql("DROP TABLE IF EXISTS gcat.xro")
+    spark.sql("CREATE TABLE gcat.xsrc (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.xsrc VALUES (1, 'a'), (2, 'b')") // v2
+    spark.sql("INSERT INTO gcat.xsrc VALUES (3, 'c')")           // v3
+    val loc = locationOf("xsrc")
+    spark.sql(s"CREATE TABLE gcat.xro LOCATION '$loc'")
+    // reads and time travel agree with the owning table's handle
+    val t = GraftTable.open(spark, loc, "k")
+    assert(spark.table("gcat.xro").count() == t.read().count())
+    assert(spark.sql("SELECT * FROM gcat.xro VERSION AS OF 2")
+      .count() == t.read(2).count())
+    assert(spark.sql("SELECT v FROM gcat.xro WHERE k = 2")
+      .head.getString(0) == "b")
+    // ...and follows the owner's NEW commits (one storage, one truth)
+    spark.sql("INSERT INTO gcat.xsrc VALUES (4, 'd')")
+    assert(spark.table("gcat.xro").count() == 4)
+    // every mutation refuses
+    val e1 = intercept[Exception] {
+      spark.sql("INSERT INTO gcat.xro VALUES (9, 'z')")
+    }
+    assert(e1.getMessage.toLowerCase.contains("does not support") ||
+      e1.getMessage.contains("read-only") ||
+      e1.getMessage.contains("READ-ONLY"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.xro ADD COLUMN extra STRING")
+    }
+    assert(e2.getMessage.contains("READ-ONLY"), e2.getMessage)
+    // DROP removes only the pointer; the owning table is untouched
+    spark.sql("DROP TABLE gcat.xro")
+    assert(spark.table("gcat.xsrc").count() == 4,
+      "dropping the registration must not touch the owner's storage")
+    assert(GraftTable.open(spark, loc, "k").read().count() == 4)
+  }
+
+  test("a key-changing REPLACE crash before the pointer rewrite heals") {
+    spark.sql("DROP TABLE IF EXISTS gcat.kw1")
+    spark.sql("CREATE TABLE gcat.kw1 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.kw1 VALUES (1, 10), (2, 20)")
+    val wh = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    val confP = java.nio.file.Paths.get(s"$wh/kw1/catalog.conf")
+    val oldConf = java.nio.file.Files.readAllBytes(confP)
+    // the replace changes the KEY (k → ck) and drops the old key
+    // column entirely
+    spark.sql("CREATE OR REPLACE TABLE gcat.kw1 " +
+      "TBLPROPERTIES ('key' = 'ck') AS " +
+      "SELECT v AS ck, v * 2 AS n FROM VALUES (10L), (20L) AS s(v)")
+    // simulate the crash window: the replace committed on the
+    // storage (and key.conf, written before it, names ck) but the
+    // pointer rewrite never happened (the local fs keeps a checksum
+    // sidecar — drop it, as a real torn pointer write would)
+    java.nio.file.Files.write(confP, oldConf)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$wh/kw1/.catalog.conf.crc"))
+    // loads heal onto key.conf: reads serve the new schema...
+    assert(spark.table("gcat.kw1").columns.toSeq == Seq("ck", "n"))
+    assert(spark.table("gcat.kw1").count() == 2)
+    // ...and writes + keyed mutations run on the healed key
+    spark.sql("INSERT INTO gcat.kw1 VALUES (30, 60)")
+    assert(spark.table("gcat.kw1").count() == 3)
+    spark.sql("DELETE FROM gcat.kw1 WHERE ck = 30")
+    assert(spark.table("gcat.kw1").count() == 2)
+  }
+
+  test("legacy mixed-case pointers resolve through the exact-path fallback") {
+    spark.sql("DROP TABLE IF EXISTS gcat.lcold")
+    spark.sql("CREATE TABLE gcat.lcold (k BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.lcold VALUES (1), (2)")
+    // simulate a pre-normalization build: the pointer directory sits
+    // under the MIXED-CASE name the user typed back then
+    val wh = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$wh/lcold"),
+      java.nio.file.Paths.get(s"$wh/LcOld"))
+    assert(spark.sql("SELECT * FROM gcat.LcOld").count() == 2,
+      "the byte-exact identifier must keep resolving")
+    spark.sql("DROP TABLE gcat.LcOld")
+  }
+
   test("a post-commit auto-compact failure never fails the ingest") {
     val root = graft.util.Scratch.dir("graft-cat-ac")
     val t = GraftTable.create(spark, root, "k",
