@@ -892,8 +892,9 @@ object Dedup {
   //        materializes ~L× the corpus in the exchange — the production
   //        knob is content-defined sampling (keep grams with
   //        hash(gram) ≡ 0 mod s, alignment-free, detects spans ≥ ~L+s·s
-  //        w.h.p. — the winnowing trick); the gated query runs stride-1
-  //        so the oracle is exact. All built-in expressions: the
+  //        w.h.p. — the winnowing trick), GATED as d12 with this exact
+  //        query as its recall oracle; the gated d09 runs stride-1 so
+  //        the oracle is exact. All built-in expressions: the
   //        shingling is transform(sequence(...), substring), codegen'd.
   // ---------------------------------------------------------------------
   private val SUB_L = 20
@@ -917,6 +918,67 @@ object Dedup {
       .withColumn("dup_frac",
         col("n_dup_grams").cast(DoubleType) / col("n_grams"))
   }
+
+  // ---------------------------------------------------------------------
+  // d12 — SAMPLED substring duplication (round 17; d09's production
+  //        operating point): content-defined gram sampling — keep a
+  //        char SUB_L-gram iff a deterministic hash of its CONTENT
+  //        falls in a 1/SUB_S bucket (here: the first hex digit of
+  //        md5, portable to the oracle verbatim). Because the
+  //        decision is a property of the gram CLASS, a kept gram is
+  //        kept in EVERY document, so document frequency over the
+  //        kept rows equals the exact df — sampled dup evidence is a
+  //        strict SUBSET of d09's (never a false positive), and a
+  //        verbatim span of length ≥ SUB_L + k·SUB_S survives
+  //        undetected with probability ≈ (1 - 1/SUB_S)^k (the
+  //        winnowing-style guarantee: long copies are caught w.h.p.,
+  //        the single-gram tail is the accepted miss).
+  //
+  //        100 TB shape: the exchange materializes 1/SUB_S of d09's
+  //        gram rows (the stride-1 exchange is ~L× the corpus — THE
+  //        bottleneck at scale), with the sampling predicate applied
+  //        map-side before any shuffle. DedupKernelSpec pins the
+  //        subset direction exactly and the recall floor on
+  //        strong-duplicate documents against d09 as the oracle.
+  // ---------------------------------------------------------------------
+  private val SUB_S = 4 // sampling rate 1/4: md5 hex digit in 0..3
+
+  private def d12(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(spark, dir)
+      .where(length(col("text")) >= SUB_L)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, length(text) - ${SUB_L - 1})," +
+          s" i -> substring(text, i, $SUB_L))"))).as("g"))
+      // content-defined sampling, map-side, BEFORE the exchange
+      .where(substring(md5(col("g")), 1, 1)
+        .isin("0", "1", "2", "3"))
+    grams
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        col("n_dup_grams").cast(DoubleType) / col("n_grams"))
+  }
+
+  private val d12Sql =
+    s"""WITH g0 AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    generate_series(1, length(text) - ${SUB_L - 1}),
+       |    i -> substr(text, i, $SUB_L)))) AS g
+       |  FROM documents WHERE length(text) >= $SUB_L),
+       |g AS (
+       |  SELECT doc_id, g FROM g0
+       |  WHERE substr(md5(g), 1, 1) IN ('0', '1', '2', '3')),
+       |df AS (SELECT g, COUNT(*) AS nd FROM g GROUP BY 1)
+       |SELECT doc_id, COUNT(*) AS n_grams,
+       |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_grams,
+       |  CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / COUNT(*) AS dup_frac
+       |FROM g JOIN df USING (g)
+       |GROUP BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // d10 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup
@@ -1053,5 +1115,6 @@ object Dedup {
     QuerySpec("d08_decontaminate", d08, Some(d08Sql)),
     QuerySpec("d09_substring_dedup", d09, Some(d09Sql)),
     QuerySpec("d10_semdedup", d10, Some(d10Sql)),
-    QuerySpec("d11_incremental_ingest", d11, Some(d11Sql)))
+    QuerySpec("d11_incremental_ingest", d11, Some(d11Sql)),
+    QuerySpec("d12_substring_dedup_sampled", d12, Some(d12Sql)))
 }

@@ -86,6 +86,41 @@ class DedupKernelSpec extends AnyFunSuite {
       s"d10 flagged non-duplicates: ${(flagged -- exact).toSeq.sorted}")
   }
 
+  test("d12 sampled dup evidence ⊆ d09 exact; strong-dup recall holds") {
+    // content-defined sampling keeps a gram CLASS in every document
+    // alike, so a kept gram's df equals its exact df: every sampled
+    // dup gram IS an exact dup gram (the subset direction is exact,
+    // per document), and a document with many exact dup grams (a
+    // copied span) is caught w.h.p. — a strong-dup doc with ≥ 20 dup
+    // grams is missed with probability ≈ (3/4)^20 < 0.4%.
+    val spark = graft.SparkTestSession.spark
+    val dir = graft.SparkTestSession.sfDir
+    def byDoc(name: String): Map[Long, (Long, Long)] =
+      graft.SparkEntry.queries(name)(spark, dir)
+        .select("doc_id", "n_grams", "n_dup_grams").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = byDoc("d09_substring_dedup")
+    val sampled = byDoc("d12_substring_dedup_sampled")
+    assert(sampled.nonEmpty && sampled.values.exists(_._2 > 0),
+      "the sampled variant must find SOME duplicate evidence")
+    // subset, per document: sampled counts never exceed exact counts,
+    // and a sampled-flagged doc is exact-flagged
+    sampled.foreach { case (id, (ng, nd)) =>
+      val (eng, end) = exact(id)
+      assert(ng <= eng && nd <= end,
+        s"doc $id: sampled ($ng, $nd) exceeds exact ($eng, $end)")
+      assert(nd == 0L || end > 0L)
+    }
+    // recall floor on the docs the method targets: strong duplicates
+    // (≥ 20 exact dup grams — a copied span, not a single collision)
+    val strong = exact.collect { case (id, (_, nd)) if nd >= 20 => id }
+    val caught = strong.count(id =>
+      sampled.get(id).exists(_._2 > 0))
+    assert(strong.nonEmpty, "fixture must contain strong duplicates")
+    assert(caught.toDouble / strong.size >= 0.9,
+      s"strong-dup recall too low: $caught/${strong.size}")
+  }
+
   test("d11's standing Bloom index prunes most batch band keys map-side") {
     // the whole point of the ingest shape: almost all batch keys die at
     // the (broadcast) membership probe, before ANY join — only genuine
