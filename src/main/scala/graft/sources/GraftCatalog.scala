@@ -185,8 +185,12 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val root = lookupRoot(ident)
     val (key, loc, declared) = readConf(root)
       .getOrElse(throw new NoSuchTableException(ident))
-    new GraftSqlTable(s"$catalogName.${ident.name()}", loc, key,
-      declared, version, external = isExternal(root))
+    val name = s"$catalogName.${ident.name()}"
+    if (isExternal(root))
+      // no V1 streaming-write fallback: see GraftSqlManagedTable
+      new GraftSqlTable(name, loc, key, declared, version,
+        external = true)
+    else new GraftSqlManagedTable(name, loc, key, declared, version)
   }
 
   /** PARTITIONED BY (c) / CLUSTER BY (c, ...) map onto the engine's
@@ -659,6 +663,52 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   }
 }
 
+/** a MANAGED catalog table: the base plus the V1 streaming-sink
+  * fallback. STREAMING writes into the catalog —
+  * `df.writeStream.toTable("gcat.t")` (w26): Spark routes V2 tables
+  * without STREAMING_WRITE through this V1 fallback (the route
+  * Delta's own DataStreamWriter integration uses), handing the
+  * table's provider + storage location to the registered `graft`
+  * streaming sink — i.e. the EXISTING exactly-once `streamAppend`
+  * txn protocol (w22's sink; batch id = idempotency token, replay
+  * detection inside the commit CAS loop). The fallback carries only
+  * the location, so the sink resolves the key column from the
+  * storage root's `key.conf` (written at CREATE; the key's
+  * immutable PHYSICAL name). A true V2 StreamingWrite would need
+  * executor-side writers minting data files + manifest stats — a
+  * second write path for zero additional semantics.
+  *
+  * The fallback lives on the MANAGED subclass only: streaming
+  * relation resolution constructs the fallback node EAGERLY even for
+  * READS (which then use the V2 micro-batch path), so a read-only
+  * external registration must simply not carry the trait — its
+  * `readStream.table` then rides the V2 path and a
+  * `writeStream.toTable` refuses with Spark's own does-not-support
+  * message instead of silently writing into foreign storage. */
+private[graft] class GraftSqlManagedTable(ident: String, root: String,
+                                          keyCol: String,
+                                          declared: StructType,
+                                          version: Long)
+    extends GraftSqlTable(ident, root, keyCol, declared, version)
+    with org.apache.spark.sql.graftglue.V1FallbackBridge {
+
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog._
+    require(version < 0, s"cannot stream into time-travel table $ident")
+    // the fallback node asserts a database-qualified identifier
+    val parts = ident.split('.')
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        parts.last,
+        Some(if (parts.length > 1) parts(parts.length - 2) else "default")),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(root).toUri)),
+      schema = schema(),
+      provider = Some("graft"))
+  }
+}
+
 /** a catalog table: reads through the V1 snapshot plan (V1Scan shim),
   * writes through the transactional handle (V1Write); TRUNCATE is one
   * `overwriteAll` commit of the empty typed frame — history stays
@@ -672,41 +722,7 @@ private[graft] class GraftSqlTable(ident: String, root: String,
                                    version: Long,
                                    external: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.graftglue.V1FallbackBridge {
-
-  /** STREAMING writes into the catalog —
-    * `df.writeStream.toTable("gcat.t")` (w26): Spark routes V2 tables
-    * without STREAMING_WRITE through this V1 fallback (the route
-    * Delta's own DataStreamWriter integration uses), handing the
-    * table's provider + storage location to the registered `graft`
-    * streaming sink — i.e. the EXISTING exactly-once `streamAppend`
-    * txn protocol (w22's sink; batch id = idempotency token, replay
-    * detection inside the commit CAS loop). The fallback carries only
-    * the location, so the sink resolves the key column from the
-    * storage root's `key.conf` (written at CREATE; the key's
-    * immutable PHYSICAL name). A true V2 StreamingWrite would need
-    * executor-side writers minting data files + manifest stats — a
-    * second write path for zero additional semantics. */
-  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
-    import org.apache.spark.sql.catalyst.catalog._
-    require(version < 0, s"cannot stream into time-travel table $ident")
-    require(!external, s"cannot stream into READ-ONLY external " +
-      s"registration $ident — write through the owning table")
-    // streaming relation resolution constructs the fallback node
-    // EAGERLY (even for reads that then use the V2 micro-batch path)
-    // and asserts a database-qualified identifier
-    val parts = ident.split('.')
-    CatalogTable(
-      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
-        parts.last,
-        Some(if (parts.length > 1) parts(parts.length - 2) else "default")),
-      tableType = CatalogTableType.EXTERNAL,
-      storage = CatalogStorageFormat.empty.copy(
-        locationUri = Some(new org.apache.hadoop.fs.Path(root).toUri)),
-      schema = schema(),
-      provider = Some("graft"))
-  }
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   /** the transactional handle + resolved logical key, for the injected
     * row-level SQL rules (MERGE INTO / UPDATE, x59) — they compile the

@@ -578,6 +578,43 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(GraftTable.open(spark, loc, "k").read().count() == 4)
   }
 
+  test("external registration covers bare roots and streaming reads") {
+    // a BARE root created through the handle (no catalog, no
+    // key.conf) registers with an explicit TBLPROPERTIES key
+    spark.sql("DROP TABLE IF EXISTS gcat.xbare")
+    val root = graft.util.Scratch.dir("graft-ext-bare")
+    val t = GraftTable.create(spark, root, "k",
+      spark.range(1, 6).selectExpr("id AS k", "id * 2 AS v"))
+    // without the key it refuses, naming the escape hatch
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE gcat.xbare LOCATION '$root'")
+    }
+    assert(e.getMessage.contains("key"), e.getMessage)
+    spark.sql(s"CREATE TABLE gcat.xbare TBLPROPERTIES ('key' = 'k') " +
+      s"LOCATION '$root'")
+    assert(spark.table("gcat.xbare").count() == 5)
+    // readStream.table through the registration follows the OWNER's
+    // commits (snapshot bootstrap, then the owner's append window)
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val ckpt = graft.util.Scratch.dir("graft-ext-rs-ckpt")
+    def drain(): Unit = {
+      val q = spark.readStream.table("gcat.xbare")
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.addAndGet(b.count()); ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(seen.get() == 5, "snapshot bootstrap through the pointer")
+    t.append(spark.range(6, 9).selectExpr("id AS k", "id * 2 AS v"))
+    drain()
+    assert(seen.get() == 8, "the owner's append flows through")
+    spark.sql("DROP TABLE gcat.xbare")
+    assert(t.read().count() == 8, "DROP leaves the bare root intact")
+  }
+
   test("a key-changing REPLACE crash before the pointer rewrite heals") {
     spark.sql("DROP TABLE IF EXISTS gcat.kw1")
     spark.sql("CREATE TABLE gcat.kw1 (k BIGINT, v BIGINT) " +
