@@ -278,9 +278,17 @@ private[sources] class GraftCdfMicroBatchStream(
     if (e <= s) return Array.empty
     // DIRECT path for the steady-state window (see the class doc): one
     // version, change volume provably small — serve the feed's rows
-    // inline, zero shuttle files
-    if (e - s == 1 && s >= 1) {
-      val vol = table.changeVolumeBytes(s, e)
+    // inline, zero shuttle files. The (0, 1] SNAPSHOT-BOOTSTRAP
+    // window qualifies under the SAME byte budget (round 17 — it was
+    // the dominant term in w23's floor): its volume is the v1
+    // manifest's recorded on-disk bytes (zero data reads, like
+    // changeVolumeBytes), the replay-safety argument is identical
+    // (read(1) is a pure function of the immutable v1 manifest), and
+    // a snapshot past the budget — any real table — still takes the
+    // shuttle, which remains the honest bootstrap cost at 100 TB.
+    if (e - s == 1) {
+      val vol =
+        if (s == 0) table.bytesOf(e) else table.changeVolumeBytes(s, e)
       if (vol >= 0 &&
           vol <= GraftCdfMicroBatchStream.DirectWindowBytes) {
         val sch = schema

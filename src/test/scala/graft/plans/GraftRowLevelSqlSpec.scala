@@ -300,6 +300,23 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
     // unmatched files carry by reference through the evolved merge
     assert(rest.toSet.subsetOf(t.filesOf(t.head).toSet),
       "unmatched files must carry by reference, never rewrite")
+    // EXPLICIT assignments to the not-yet-existing column also
+    // resolve (Spark defers them until its evolution rule widens the
+    // target): a second evolving merge adds `score` via UPDATE SET
+    spark.sql("""CREATE OR REPLACE TEMP VIEW m8_delta2 AS
+      SELECT * FROM VALUES (2L, 0.5D), (102L, 0.9D) AS d(k, score)""")
+    spark.sql("""MERGE WITH SCHEMA EVOLUTION INTO rl.m8 t
+      USING m8_delta2 d ON t.k = d.k
+      WHEN MATCHED THEN UPDATE SET score = d.score
+      WHEN NOT MATCHED THEN INSERT (k, score) VALUES (d.k, d.score)""")
+    val withScore = spark.table("rl.m8")
+      .where(col("k").isin(1L, 2L, 102L))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) null else r.getDouble(4))).toMap
+    assert(withScore(2L) == 0.5 && withScore(102L) == 0.9,
+      "explicit assignments must cover the evolved column")
+    assert(withScore(1L) == null,
+      "rows the second merge did not touch read NULL in it")
   }
 
   test("statements build lazily: EXPLAIN runs no commit") {
