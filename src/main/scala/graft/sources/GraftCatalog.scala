@@ -98,12 +98,25 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * round-16 advisor's one-way break — normalization must not
     * strand them; note the fallback read is case-SENSITIVE, exactly
     * what those legacy pointers were) */
-  private def lookupRoot(ident: Identifier): String = {
+  private def lookupRoot(ident: Identifier): String =
+    resolveConf(ident)._1
+
+  /** one conf read per lookup: the resolved pointer directory plus
+    * its parsed conf (None = no such table) — callers previously
+    * re-read the conf after lookupRoot's own existence probe, 2-4
+    * filesystem round-trips per analysis-time table load */
+  private def resolveConf(ident: Identifier)
+      : (String, Option[(String, String, StructType)]) = {
     val n = rootOf(ident)
-    if (readConf(n).isDefined) return n
+    val c = readConf(n)
+    if (c.isDefined) return (n, c)
     val exact = (warehouse +: (ident.namespace() :+ ident.name()).toSeq)
       .mkString("/")
-    if (exact != n && readConf(exact).isDefined) exact else n
+    if (exact != n) {
+      val ce = readConf(exact)
+      if (ce.isDefined) return (exact, ce)
+    }
+    (n, None)
   }
 
   /** marker for a pointer registered over FOREIGN storage (x65's
@@ -137,19 +150,13 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   }
 
   /** (keyCol, storage location, declared schema) persisted at CREATE */
-  private def readConf(root: String): Option[(String, String, StructType)] = {
-    val (f, p) = fs(confPath(root))
-    if (!f.exists(p)) return None
-    val len = f.getFileStatus(p).getLen.toInt
-    val bytes = new Array[Byte](len)
-    val in = f.open(p)
-    try in.readFully(0L, bytes) finally in.close()
-    val s = new String(bytes, "UTF-8")
-    val lines = s.linesIterator.toSeq
-    Some((lines.head.trim, lines(1).trim,
-      DataType.fromJson(lines.drop(2).mkString("\n"))
-        .asInstanceOf[StructType]))
-  }
+  private def readConf(root: String): Option[(String, String, StructType)] =
+    ConfIO.readSmallFile(fs(confPath(root))).map { s =>
+      val lines = s.linesIterator.toSeq
+      (lines.head.trim, lines(1).trim,
+        DataType.fromJson(lines.drop(2).mkString("\n"))
+          .asInstanceOf[StructType])
+    }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = (warehouse +: namespace.toSeq).mkString("/")
@@ -161,7 +168,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    readConf(lookupRoot(ident)).isDefined
+    resolveConf(ident)._2.isDefined
 
   override def loadTable(ident: Identifier): Table =
     loadVersioned(ident, -1L)
@@ -175,15 +182,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   /** `TIMESTAMP AS OF <ts>` — Spark passes MICROseconds */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val (key, loc, _) = readConf(lookupRoot(ident))
+    val (key, loc, _) = resolveConf(ident)._2
       .getOrElse(throw new NoSuchTableException(ident))
     val t = openHandle(loc, key)
     loadVersioned(ident, t.versionAt(timestampMicros / 1000L))
   }
 
   private def loadVersioned(ident: Identifier, version: Long): Table = {
-    val root = lookupRoot(ident)
-    val (key, loc, declared) = readConf(root)
+    val (root, conf) = resolveConf(ident)
+    val (key, loc, declared) = conf
       .getOrElse(throw new NoSuchTableException(ident))
     val name = s"$catalogName.${ident.name()}"
     if (isExternal(root))
@@ -334,7 +341,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * conflict. */
   private def registerPointer(ident: Identifier, key: String,
                               loc: String, schema: StructType): Unit = {
-    val (f, p) = fs(confPath(rootOf(ident)))
+    val root = rootOf(ident)
+    val (f, p) = fs(confPath(root))
+    // a stale external marker (a crashed or raced external
+    // registration that never wrote its conf) must not poison this
+    // MANAGED registration — it would load read-only and DROP would
+    // leak the .store location (round-17 review finding)
+    f.delete(new org.apache.hadoop.fs.Path(root, "external.conf"),
+      false)
     try {
       val out = f.create(p, false)
       try out.write(s"$key\n$loc\n${schema.json}".getBytes("UTF-8"))
@@ -413,16 +427,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         "manifest: declare no columns")
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val loc = new org.apache.hadoop.fs.Path(loc0).toString
-    val (f, kp) = fs(s"$loc/key.conf")
     val key = Option(properties.get("key")).getOrElse {
-      require(f.exists(kp),
-        s"$loc0 carries no key.conf — register a bare graft root " +
-          "with TBLPROPERTIES ('key' = '<column>')")
-      val len = f.getFileStatus(kp).getLen.toInt
-      val bytes = new Array[Byte](len)
-      val in = f.open(kp)
-      try in.readFully(0L, bytes) finally in.close()
-      new String(bytes, "UTF-8").trim
+      ConfIO.readSmallFile(fs(s"$loc/key.conf")).map(_.trim).getOrElse(
+        throw new IllegalArgumentException(
+          s"$loc0 carries no key.conf — register a bare graft root " +
+            "with TBLPROPERTIES ('key' = '<column>')"))
     }
     // prove the root opens under that key BEFORE anything registers —
     // a typo'd location or key must not land a broken pointer
@@ -496,14 +505,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
                                     orCreate: Boolean,
                                     orReplace: Boolean): Unit = {
     val key = validatedKey(schema, properties, clusterCols)
-    readConf(lookupRoot(ident)) match {
+    val (proot, pconf) = resolveConf(ident)
+    pconf match {
       case None =>
         if (!orCreate) throw new NoSuchTableException(ident)
         val loc = bootstrapStorage(ident, schema, key, clusterCols, data)
         registerPointer(ident, key, loc, schema)
       case Some((_, loc, _)) =>
         if (!orReplace) throw new TableAlreadyExistsException(ident)
-        require(!isExternal(lookupRoot(ident)),
+        require(!isExternal(proot),
           s"$ident is a READ-ONLY external registration — REPLACE it " +
             "through the owning table")
         val (f, _) = fs(loc)
@@ -548,9 +558,21 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
             parts.fold(df0)(p => CompoundKey.withKey(df0, p)),
             storageSchemaOf(key, schema), cluster)
         } catch { case scala.util.control.NonFatal(e) =>
-          try saved.foreach { case (p, bytes) =>
-            val out = f.create(p, true)
-            try out.write(bytes) finally out.close()
+          try {
+            saved.foreach { case (p, bytes) =>
+              val out = f.create(p, true)
+              try out.write(bytes) finally out.close()
+            }
+            // key.conf was WRITTEN above (not merely deleted): on a
+            // legacy table that never had one, restoring 'what was
+            // saved' would leave the NEW key's record behind — and
+            // the streaming sink resolves its key from that file
+            // (round-17 review finding)
+            if (!saved.exists(_._1.getName == "key.conf")) {
+              f.delete(new org.apache.hadoop.fs.Path(loc, "key.conf"),
+                false)
+              ()
+            }
           } catch {
             case scala.util.control.NonFatal(c) => e.addSuppressed(c)
           }
@@ -570,8 +592,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * PHYSICAL name and loads resolve the logical name from the
     * manifest's mapping rows. Anything else names its GRAFT verb. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
-    val root = lookupRoot(ident)
-    val (key, loc, _) = readConf(root)
+    val (root, conf) = resolveConf(ident)
+    val (key, loc, _) = conf
       .getOrElse(throw new NoSuchTableException(ident))
     require(!isExternal(root),
       s"$ident is a READ-ONLY external registration — ALTER it " +
@@ -637,8 +659,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
   }
 
   override def dropTable(ident: Identifier): Boolean = {
-    val root = lookupRoot(ident)
-    readConf(root) match {
+    val (root, conf) = resolveConf(ident)
+    conf match {
       case None => false
       case Some((_, loc, _)) =>
         val (f, p) = fs(root)
@@ -706,6 +728,24 @@ private[graft] class GraftSqlManagedTable(ident: String, root: String,
         locationUri = Some(new org.apache.hadoop.fs.Path(root).toUri)),
       schema = schema(),
       provider = Some("graft"))
+  }
+}
+
+/** one reader for the catalog's tiny conf files (pointer conf,
+  * key.conf, markers): existence probe + full read + UTF-8 decode —
+  * previously hand-rolled at three sites that must provably read
+  * the same bytes the same way (round-17 review finding) */
+private[sources] object ConfIO {
+  def readSmallFile(
+      fp: (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path))
+      : Option[String] = {
+    val (f, p) = fp
+    if (!f.exists(p)) return None
+    val len = f.getFileStatus(p).getLen.toInt
+    val bytes = new Array[Byte](len)
+    val in = f.open(p)
+    try in.readFully(0L, bytes) finally in.close()
+    Some(new String(bytes, "UTF-8"))
   }
 }
 
@@ -783,13 +823,25 @@ private[graft] class GraftSqlTable(ident: String, root: String,
         (if (lk == k) t0 else GraftTable.open(spark, root, lk), lk)
       }
     // manifest-only presence check (the head fold is needed below
-    // anyway): is the key's logical name in the head schema?
-    def present(t: GraftTable, lk: String): Boolean = {
+    // anyway): is the key's logical name in the head schema? A
+    // COMPOUND pointer checks every PART (the synthesized __gkey
+    // survives any compound REPLACE, so checking it alone would make
+    // a stale compound pointer undetectable — round-17 review
+    // finding); a reordered same-part-set compound key remains the
+    // documented undetectable residual.
+    def present(t: GraftTable, lk: String, k: String): Boolean = {
       val h = t.head
-      h == 0 || t.schemaAt(h).forall(_.fieldNames.contains(lk))
+      h == 0 || t.schemaAt(h).forall { sch =>
+        CompoundKey.partsOf(k) match {
+          case Some(parts) =>
+            (parts.map(t.logicalNameOf) :+ CompoundKey.KeyName)
+              .forall(sch.fieldNames.contains)
+          case None => sch.fieldNames.contains(lk)
+        }
+      }
     }
     val (t, lk) = open(keyCol)
-    if (present(t, lk)) (t, lk, keyCol)
+    if (present(t, lk, keyCol)) (t, lk, keyCol)
     else keyConfKey().filter(_ != keyCol) match {
       // the one REPLACE crash window the pointer cannot cover: a
       // key-changing REPLACE writes key.conf, commits on the
@@ -802,7 +854,7 @@ private[graft] class GraftSqlTable(ident: String, root: String,
       // undetectable until then — documented residual.)
       case Some(k2) =>
         val (t2, lk2) = open(k2)
-        if (present(t2, lk2)) (t2, lk2, k2) else (t, lk, keyCol)
+        if (present(t2, lk2, k2)) (t2, lk2, k2) else (t, lk, keyCol)
       case None => (t, lk, keyCol)
     }
   }
@@ -811,15 +863,9 @@ private[graft] class GraftSqlTable(ident: String, root: String,
     * every REPLACE commit; the w26 streaming sink reads the same) */
   private def keyConfKey(): Option[String] = {
     val p = new org.apache.hadoop.fs.Path(root, "key.conf")
-    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!f.exists(p)) None
-    else {
-      val len = f.getFileStatus(p).getLen.toInt
-      val bytes = new Array[Byte](len)
-      val in = f.open(p)
-      try in.readFully(0L, bytes) finally in.close()
-      Some(new String(bytes, "UTF-8").trim)
-    }
+    ConfIO.readSmallFile(
+      (p.getFileSystem(spark.sessionState.newHadoopConf()), p))
+      .map(_.trim)
   }
 
   /** the version READS serve, resolved ONCE at load time: a query's

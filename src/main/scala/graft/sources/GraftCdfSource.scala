@@ -279,16 +279,19 @@ private[sources] class GraftCdfMicroBatchStream(
     // DIRECT path for the steady-state window (see the class doc): one
     // version, change volume provably small — serve the feed's rows
     // inline, zero shuttle files. The (0, 1] SNAPSHOT-BOOTSTRAP
-    // window qualifies under the SAME byte budget (round 17 — it was
-    // the dominant term in w23's floor): its volume is the v1
-    // manifest's recorded on-disk bytes (zero data reads, like
-    // changeVolumeBytes), the replay-safety argument is identical
-    // (read(1) is a pure function of the immutable v1 manifest), and
-    // a snapshot past the budget — any real table — still takes the
-    // shuttle, which remains the honest bootstrap cost at 100 TB.
-    if (e - s == 1) {
-      val vol =
-        if (s == 0) table.bytesOf(e) else table.changeVolumeBytes(s, e)
+    // window deliberately NEVER takes it (`s >= 1`): the byte budget
+    // gates on manifest-recorded ON-DISK bytes, and an initial
+    // snapshot is exactly the high-compression case (clustered,
+    // dictionary-friendly) where 32 MB of parquet can decode to
+    // hundreds of MB of UnsafeRows in the plan-time collect — a
+    // driver OOM the executor-side shuttle never risks. A round-17
+    // experiment lifted the guard and measured it perf-NEUTRAL at
+    // sf0.1 (the bootstrap's cost is feed compute + one stateful
+    // micro-batch, not shuttle I/O), so the conservative guard
+    // stays; steady-state deltas keep the direct path — their
+    // volume is scattered change data, the low-amplification shape.
+    if (e - s == 1 && s >= 1) {
+      val vol = table.changeVolumeBytes(s, e)
       if (vol >= 0 &&
           vol <= GraftCdfMicroBatchStream.DirectWindowBytes) {
         val sch = schema

@@ -319,6 +319,25 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
       "rows the second merge did not touch read NULL in it")
   }
 
+  test("INSERT onto a residual-failed EXISTING key upserts (documented)") {
+    // the documented key-addressed delta (class scaladoc): a WHEN NOT
+    // MATCHED INSERT whose key exists but failed the residual ON
+    // conjuncts REPLACES the stored row under that key — an upsert
+    // table cannot hold the duplicate row SQL:2003 would produce.
+    // Pinned here so the deviation is loud, next to the
+    // insert+by-source collision that DOES raise the violation.
+    fixture("m10", n = 5, files = 1)
+    spark.sql("CREATE OR REPLACE TEMP VIEW m10_d AS " +
+      "SELECT * FROM VALUES (2L) AS d(dk)")
+    spark.sql("MERGE INTO rl.m10 t USING m10_d d " +
+      "ON t.k = d.dk AND t.v > 999 " +
+      "WHEN NOT MATCHED THEN INSERT (k, v, w) VALUES (d.dk, 0L, 'i')")
+    val got = rows("m10")
+    assert(got(2L) == ((0L, "i")),
+      "the key-addressed upsert replaces the stored row")
+    assert(got.size == 5, "no duplicate row lands under the key")
+  }
+
   test("statements build lazily: EXPLAIN runs no commit") {
     fixture("m5", n = 4, files = 1)
     val t = GraftTable.open(spark, locationOf("m5"), "k")

@@ -252,6 +252,32 @@ class CompoundKeySpec extends AnyFunSuite {
       "unmatched files carry by reference")
   }
 
+  test("a key-changing compound REPLACE crash heals at load") {
+    // the REPLACE crash window (storage committed, pointer rewrite
+    // lost): a compound pointer must detect its staleness by PART
+    // presence — the synthesized __gkey survives every compound
+    // replace, so checking it alone would keep the stale key
+    spark.sql("DROP TABLE IF EXISTS ck.kw")
+    spark.sql("CREATE TABLE ck.kw (a BIGINT, b BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'a,b')")
+    spark.sql("INSERT INTO ck.kw VALUES (1, 1, 10), (2, 2, 20)")
+    val wh = spark.conf.get("spark.sql.catalog.ck.warehouse")
+    val confP = java.nio.file.Paths.get(s"$wh/kw/catalog.conf")
+    val oldConf = java.nio.file.Files.readAllBytes(confP)
+    spark.sql("CREATE OR REPLACE TABLE ck.kw " +
+      "TBLPROPERTIES ('key' = 'c,d') AS " +
+      "SELECT * FROM VALUES (5L, 5L, 1L), (6L, 6L, 2L) AS s(c, d, n)")
+    java.nio.file.Files.write(confP, oldConf)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$wh/kw/.catalog.conf.crc"))
+    // loads heal onto key.conf's 'c,d': new schema serves, keyed
+    // mutation works on the healed parts
+    assert(spark.table("ck.kw").columns.toSeq == Seq("c", "d", "n"))
+    assert(spark.table("ck.kw").count() == 2)
+    spark.sql("DELETE FROM ck.kw WHERE c = 5 AND d = 5")
+    assert(spark.table("ck.kw").count() == 1)
+  }
+
   test("compound-key CTAS and REPLACE ride the staged path") {
     spark.sql("DROP TABLE IF EXISTS ck.t5")
     spark.sql("CREATE TABLE ck.t5 TBLPROPERTIES ('key' = 'g,i') AS " +

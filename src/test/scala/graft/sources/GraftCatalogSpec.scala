@@ -661,6 +661,54 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.LcOld")
   }
 
+  test("a stale external marker cannot poison a managed CREATE") {
+    // a crashed/raced external registration leaves external.conf with
+    // no catalog.conf beside it; the next MANAGED create at the same
+    // identifier must clear it — or the new table would load
+    // read-only and DROP would leak its storage
+    spark.sql("DROP TABLE IF EXISTS gcat.stale")
+    val wh = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$wh/stale"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$wh/stale/external.conf"), "readonly")
+    spark.sql("CREATE TABLE gcat.stale (k BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.stale VALUES (1)") // writable: managed
+    assert(spark.table("gcat.stale").count() == 1)
+    val loc = locationOf("stale")
+    spark.sql("DROP TABLE gcat.stale")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(loc)),
+      "a managed drop must delete its own storage")
+  }
+
+  test("a FAILED replace on a key.conf-less legacy table leaves none") {
+    // key.conf is written BEFORE the replace commit; on failure the
+    // restore must DELETE it when the table never had one — the
+    // streaming sink resolves its key from that file, and a stale
+    // new-key record against the surviving old schema would key
+    // batches on a column the table doesn't have
+    spark.sql("DROP TABLE IF EXISTS gcat.lg")
+    spark.sql("CREATE TABLE gcat.lg (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.lg VALUES (1, 10)")
+    val loc = locationOf("lg")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$loc/key.conf"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$loc/.key.conf.crc"))
+    intercept[Exception] {
+      spark.sql("CREATE OR REPLACE TABLE gcat.lg " +
+        "TBLPROPERTIES ('key' = 'id') AS " +
+        "SELECT id, CAST(1 AS BIGINT) / 0 AS boom FROM RANGE(3)")
+    }
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$loc/key.conf")),
+      "the failed replace must not leave the NEW key's record behind")
+    assert(spark.table("gcat.lg").count() == 1,
+      "the legacy table survives under its old key")
+  }
+
   test("a post-commit auto-compact failure never fails the ingest") {
     val root = graft.util.Scratch.dir("graft-cat-ac")
     val t = GraftTable.create(spark, root, "k",
