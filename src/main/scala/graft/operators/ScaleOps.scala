@@ -3245,6 +3245,67 @@ object ScaleOps {
       |FROM orders WHERE o_orderkey % 2 = 0""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x66 — ANSI DELETE, FULL CONDITION SURFACE (round 17): the
+  //       SupportsDelete route only speaks the V1 Filter language
+  //       (equality/range), so `DELETE WHERE k % 43 = 0` or the GDPR
+  //       erasure-list shape `WHERE ck IN (SELECT ...)` refused. The
+  //       injected rule now compiles BOTH on the extensions session:
+  //       arbitrary expressions route verbatim to the handle's
+  //       stats-pruned COW delete; subquery conditions plan as a
+  //       filtered snapshot read (pushed conjuncts still prune
+  //       through the V1 scan — file-hiding-pinned) feeding ONE
+  //       atomic applyChanges delete. GraftRowLevelSqlSpec pins the
+  //       one-commit shape, the pruned read set, and EXPLAIN
+  //       laziness. The gated lifecycle runs an expression delete,
+  //       then an erasure-list delete off a grouped subquery, then
+  //       aggregates the survivors.
+  // ---------------------------------------------------------------------
+  private def x66(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = graft.util.ExtSession(spark0)
+    spark.conf.set("spark.sql.catalog.graft_x66",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.graft_x66.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_x66.warehouse",
+        graft.util.Scratch.dir("graft-x66-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_x66.ord")
+    spark.sql("CREATE TABLE graft_x66.ord (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_price DECIMAL(18,2)) " +
+      "TBLPROPERTIES ('key' = 'o_orderkey')")
+    Tables.orders(spark, dir).createOrReplaceTempView("x66_src")
+    spark.sql("INSERT INTO graft_x66.ord " +
+      "SELECT o_orderkey, o_custkey, " +
+      "CAST(o_totalprice AS DECIMAL(18,2)) FROM x66_src")
+    // beyond the V1 Filter language: modulo
+    spark.sql("DELETE FROM graft_x66.ord WHERE o_orderkey % 43 = 0")
+    // the erasure-list shape: every order of a heavy customer
+    spark.sql("DELETE FROM graft_x66.ord WHERE o_custkey IN " +
+      "(SELECT o_custkey FROM x66_src GROUP BY o_custkey " +
+      "HAVING COUNT(*) > 12) OR o_price > 400000")
+    spark.sql(
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_price) AS DOUBLE) AS sum_price, " +
+        "CAST(SUM(o_custkey) AS BIGINT) AS sum_ck " +
+        "FROM graft_x66.ord")
+  }
+
+  private val x66Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_custkey AS ck,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      |d1 AS (SELECT * FROM base WHERE k % 43 <> 0),
+      |subj AS (
+      |  SELECT o_custkey AS ck FROM orders GROUP BY o_custkey
+      |  HAVING COUNT(*) > 12),
+      |final AS (
+      |  SELECT * FROM d1
+      |  WHERE ck NOT IN (SELECT ck FROM subj) AND p <= 400000)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(ck) AS BIGINT) AS sum_ck
+      |FROM final""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -3898,5 +3959,6 @@ object ScaleOps {
     QuerySpec("x62_compound_business_key", x62, Some(x62Sql)),
     QuerySpec("x63_merge_by_source", x63, Some(x63Sql)),
     QuerySpec("x64_merge_schema_evolution", x64, Some(x64Sql)),
-    QuerySpec("x65_external_registration", x65, Some(x65Sql)))
+    QuerySpec("x65_external_registration", x65, Some(x65Sql)),
+    QuerySpec("x66_delete_full_surface", x66, Some(x66Sql)))
 }

@@ -12,10 +12,11 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.sources.GraftSqlTable
 
-/** ANSI `UPDATE` and `MERGE INTO` on catalog tables — the pure-SQL
-  * front door for the row-level verbs the engine already executes
-  * (x54's stats-pruned UPDATE, x23/x31's stats-pruned group-based
-  * merge, applyChanges' atomic CDC apply):
+/** ANSI `UPDATE`, `DELETE`, and `MERGE INTO` on catalog tables — the
+  * pure-SQL front door for the row-level verbs the engine already
+  * executes (x54's stats-pruned UPDATE, x25's stats-pruned COW
+  * delete, x23/x31's stats-pruned group-based merge, applyChanges'
+  * atomic CDC apply):
   *
   * {{{
   * UPDATE gcat.t SET v = v * 2, flag = 'U' WHERE k % 37 = 0;
@@ -103,6 +104,27 @@ case class GraftRowLevelRule(session: SparkSession)
               assignments.map(a => (a.key, a.value)), condition)
           case None => u
         }
+      // DELETE through the extensions session covers the FULL ANSI
+      // condition surface (x66): arbitrary expressions route to the
+      // handle's stats-pruned COW delete verbatim, and SUBQUERY
+      // conditions (the GDPR erasure-list shape — `WHERE k IN
+      // (SELECT ...)`) plan as a filtered snapshot read feeding one
+      // atomic applyChanges. The V1-filter SupportsDelete route
+      // remains for extension-less sessions (equality/range
+      // conditions only — the V1 Filter language's limit).
+      case d @ DeleteFromTable(target, condition) if d.resolved =>
+        graftTarget(target) match {
+          case Some((t, tout)) =>
+            if (!condition.exists(_.isInstanceOf[SubqueryExpression]))
+              GraftSqlDeleteCommand(t, condition)
+            else
+              // the subquery must live in a context checkAnalysis
+              // recognizes (a Filter), not as a bare expression field
+              // of a foreign command node
+              GraftSqlSubqueryDeleteCommand(t, tout,
+                Filter(condition, target))
+          case None => d
+        }
       // `WITH SCHEMA EVOLUTION` (x64): resolution must NOT short-
       // circuit while Spark's own ResolveMergeIntoSchemaEvolution has
       // pending work — that rule (gated on the table's
@@ -175,6 +197,70 @@ case class GraftSqlUpdateCommand(
       .map(GraftRowLevelSql.byName(_, s"UPDATE $ident"))
       .getOrElse(lit(true))
     Seq(Row(table.graftHandle.update(pred, set)))
+  }
+}
+
+/** `DELETE FROM <graft table> [WHERE ...]` through the extensions
+  * session — the FULL ANSI condition surface (x66):
+  *
+  *  - a subquery-free condition (any expression, `k % 43 = 0`
+  *    included — past what the V1 Filter language can say) routes to
+  *    the handle's stats-pruned copy-on-write `delete` verbatim:
+  *    PredicateTree prunes the prunable conjuncts, the row filter
+  *    re-checks everything;
+  *  - a SUBQUERY condition (`WHERE k IN (SELECT ...)`, EXISTS — the
+  *    GDPR erasure-list shape) plans as a normal filtered read over
+  *    the pinned snapshot (Spark plans the subquery; pushed
+  *    conjuncts still prune through the V1 scan) whose matched rows
+  *    feed ONE atomic `applyChanges` delete — by KEY, deduped, so a
+  *    degenerate duplicate-key table (raw appends) still deletes
+  *    every row under a matched key.
+  *
+  * Returns the new version. */
+case class GraftSqlDeleteCommand(
+    table: GraftSqlTable,
+    condition: Expression) extends GraftVersionCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val ident = table.identName
+    require(!table.isTimeTravel,
+      s"cannot DELETE from time-travel table $ident")
+    require(!table.isExternalReadOnly,
+      s"cannot DELETE from read-only external registration $ident — " +
+        "mutate the owning table")
+    Seq(Row(table.graftHandle.delete(
+      GraftRowLevelSql.byName(condition, s"DELETE FROM $ident"))))
+  }
+}
+
+/** the SUBQUERY arm of [[GraftSqlDeleteCommand]]'s contract: the
+  * condition lives pre-wrapped in a [[Filter]] over the target (the
+  * context Spark's analysis accepts subqueries in); the matched rows
+  * feed ONE atomic applyChanges delete, deduped by key so a
+  * degenerate duplicate-key table still deletes every row under a
+  * matched key. */
+case class GraftSqlSubqueryDeleteCommand(
+    table: GraftSqlTable,
+    targetOutput: Seq[Attribute],
+    filtered: LogicalPlan) extends GraftVersionCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val ident = table.identName
+    require(!table.isTimeTravel,
+      s"cannot DELETE from time-travel table $ident")
+    require(!table.isExternalReadOnly,
+      s"cannot DELETE from read-only external registration $ident — " +
+        "mutate the owning table")
+    val df = ColumnBridge.ofRows(session, filtered)
+    val feed0 = df.select(targetOutput.map(a => col(a.name)) :+
+      lit("delete").as("change_type"): _*)
+    val keyed = table.withStorageKey(feed0)
+    val checkKey =
+      if (table.graftKeyParts.isDefined)
+        graft.sources.CompoundKey.KeyName
+      else table.graftKey
+    Seq(Row(table.graftHandle.applyChanges(
+      keyed.dropDuplicates(checkKey))))
   }
 }
 

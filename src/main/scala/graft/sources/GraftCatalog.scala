@@ -754,9 +754,10 @@ private[sources] object ConfIO {
   * `overwriteAll` commit of the empty typed frame — history stays
   * time-travelable, exactly like INSERT OVERWRITE of nothing; ANSI
   * `DELETE FROM ... WHERE` routes translatable predicates to the
-  * stats-pruned copy-on-write `delete` commit (untranslatable ones
-  * refuse via canDeleteWhere — a blind full-scan delete is exactly
-  * what the GRAFT verb surface exists to avoid) */
+  * stats-pruned copy-on-write `delete` commit; on an EXTENSIONS
+  * session the injected rule covers the FULL condition surface
+  * (arbitrary expressions + subqueries, x66), while extension-less
+  * sessions keep the V1-filter refusal via canDeleteWhere */
 private[graft] class GraftSqlTable(ident: String, root: String,
                                    keyCol: String, declared: StructType,
                                    version: Long,

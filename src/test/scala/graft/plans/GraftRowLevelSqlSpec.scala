@@ -338,6 +338,53 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
     assert(got.size == 5, "no duplicate row lands under the key")
   }
 
+  test("DELETE covers arbitrary expressions and subquery conditions") {
+    fixture("m11", n = 100, files = 8)
+    // beyond the V1 Filter language (SupportsDelete's limit): modulo
+    // routes to the handle's stats-pruned COW delete
+    spark.sql("DELETE FROM rl.m11 WHERE k % 10 = 0")
+    assert(rows("m11").size == 90)
+    // a SUBQUERY condition (the erasure-list shape) is ONE atomic
+    // applyChanges commit
+    spark.sql("CREATE OR REPLACE TEMP VIEW m11_subj AS " +
+      "SELECT * FROM VALUES (1L), (2L), (3L) AS s(sk)")
+    val t = GraftTable.open(spark, locationOf("m11"), "k")
+    val h = t.head
+    spark.sql("DELETE FROM rl.m11 WHERE k IN (SELECT sk FROM m11_subj)")
+    assert(t.head == h + 1, "a subquery DELETE is one atomic commit")
+    val got = rows("m11")
+    assert(got.size == 87 && !got.contains(1L) && !got.contains(3L))
+    // EXPLAIN stays lazy
+    spark.sql("EXPLAIN DELETE FROM rl.m11 " +
+      "WHERE k IN (SELECT sk FROM m11_subj)").collect()
+    assert(t.head == h + 1, "EXPLAIN must not execute the delete")
+  }
+
+  test("a subquery DELETE's pushed conjuncts still prune the read set") {
+    fixture("m12", n = 100, files = 8)
+    val t = GraftTable.open(spark, locationOf("m12"), "k")
+    val files = t.filesOf(t.head).filter(_.contains("/data/"))
+    val (cand, rest) = files.partition(f =>
+      spark.read.parquet(f).select(col("k")).collect()
+        .exists(_.getLong(0) <= 5))
+    assert(cand.nonEmpty && rest.size >= 6,
+      s"fixture must localize the range: ${cand.size}/${files.size}")
+    spark.sql("CREATE OR REPLACE TEMP VIEW m12_subj AS " +
+      "SELECT * FROM VALUES (2L), (4L) AS s(sk)")
+    // hide every file outside k <= 5: the snapshot read's pushed
+    // conjunct and the applyChanges candidate read must open none
+    rest.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f), java.nio.file.Paths.get(f + ".hidden")))
+    try spark.sql("DELETE FROM rl.m12 " +
+      "WHERE k <= 5 AND k IN (SELECT sk FROM m12_subj)")
+    finally rest.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f + ".hidden"), java.nio.file.Paths.get(f)))
+    val got = rows("m12")
+    assert(got.size == 98 && !got.contains(2L) && !got.contains(4L))
+    assert(rest.toSet.subsetOf(t.filesOf(t.head).toSet),
+      "files outside the pushed range carry by reference")
+  }
+
   test("statements build lazily: EXPLAIN runs no commit") {
     fixture("m5", n = 4, files = 1)
     val t = GraftTable.open(spark, locationOf("m5"), "k")
