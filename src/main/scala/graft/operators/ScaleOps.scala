@@ -3306,6 +3306,63 @@ object ScaleOps {
       |FROM final""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x67 — ANSI UPDATE with SUBQUERY conditions (round 17, completing
+  //       the DML condition surface beside x66's DELETE): `UPDATE ...
+  //       WHERE k IN (SELECT ...)` compiles as a filtered snapshot
+  //       read (the subquery lives in a Filter — the context Spark's
+  //       analysis accepts; pushed conjuncts prune through the V1
+  //       scan) whose matched rows project their postimages (old-row
+  //       RHS, ANSI casts) into ONE atomic applyChanges update.
+  //       Key-column assignment refuses like the filter route.
+  //       GraftRowLevelSqlSpec pins old-row RHS, the pruned read set
+  //       (file-hiding), and the guard. The gated lifecycle doubles
+  //       prices for heavy customers selected by a grouped subquery.
+  // ---------------------------------------------------------------------
+  private def x67(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = graft.util.ExtSession(spark0)
+    spark.conf.set("spark.sql.catalog.graft_x67",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.graft_x67.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_x67.warehouse",
+        graft.util.Scratch.dir("graft-x67-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_x67.ord")
+    spark.sql("CREATE TABLE graft_x67.ord (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_price DECIMAL(18,2)) " +
+      "TBLPROPERTIES ('key' = 'o_orderkey')")
+    Tables.orders(spark, dir).createOrReplaceTempView("x67_src")
+    spark.sql("INSERT INTO graft_x67.ord " +
+      "SELECT o_orderkey, o_custkey, " +
+      "CAST(o_totalprice AS DECIMAL(18,2)) FROM x67_src")
+    spark.sql("UPDATE graft_x67.ord " +
+      "SET o_price = CAST(o_price * 2 AS DECIMAL(18,2)) " +
+      "WHERE o_custkey IN (SELECT o_custkey FROM x67_src " +
+      "GROUP BY o_custkey HAVING COUNT(*) > 12)")
+    spark.sql(
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_price) AS DOUBLE) AS sum_price, " +
+        "CAST(SUM(o_custkey) AS BIGINT) AS sum_ck " +
+        "FROM graft_x67.ord")
+  }
+
+  private val x67Sql =
+    """WITH base AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      |subj AS (
+      |  SELECT o_custkey AS ck FROM orders GROUP BY o_custkey
+      |  HAVING COUNT(*) > 12),
+      |final AS (
+      |  SELECT ck,
+      |    CAST(CASE WHEN ck IN (SELECT ck FROM subj) THEN p * 2
+      |         ELSE p END AS DECIMAL(18,2)) AS p
+      |  FROM base)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(ck) AS BIGINT) AS sum_ck
+      |FROM final""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -3960,5 +4017,6 @@ object ScaleOps {
     QuerySpec("x63_merge_by_source", x63, Some(x63Sql)),
     QuerySpec("x64_merge_schema_evolution", x64, Some(x64Sql)),
     QuerySpec("x65_external_registration", x65, Some(x65Sql)),
-    QuerySpec("x66_delete_full_surface", x66, Some(x66Sql)))
+    QuerySpec("x66_delete_full_surface", x66, Some(x66Sql)),
+    QuerySpec("x67_update_subquery", x67, Some(x67Sql)))
 }

@@ -99,9 +99,22 @@ case class GraftRowLevelRule(session: SparkSession)
     plan.resolveOperatorsUp {
       case u @ UpdateTable(target, assignments, condition) if u.resolved =>
         graftTarget(target) match {
-          case Some((t, _)) =>
-            GraftSqlUpdateCommand(t,
-              assignments.map(a => (a.key, a.value)), condition)
+          case Some((t, tout)) =>
+            // a SUBQUERY condition (x67: `UPDATE ... WHERE k IN
+            // (SELECT ...)`) stays wrapped in a Filter over the
+            // target — the context checkAnalysis accepts subqueries
+            // in; assignment VALUES keep the subquery refusal (stage
+            // a scalar subquery into a MERGE source instead)
+            condition match {
+              case Some(c)
+                  if c.exists(_.isInstanceOf[SubqueryExpression]) =>
+                GraftSqlSubqueryUpdateCommand(t, tout,
+                  Filter(c, target),
+                  assignments.map(a => (a.key, a.value)))
+              case _ =>
+                GraftSqlUpdateCommand(t,
+                  assignments.map(a => (a.key, a.value)), condition)
+            }
           case None => u
         }
       // DELETE through the extensions session covers the FULL ANSI
@@ -230,6 +243,53 @@ case class GraftSqlDeleteCommand(
         "mutate the owning table")
     Seq(Row(table.graftHandle.delete(
       GraftRowLevelSql.byName(condition, s"DELETE FROM $ident"))))
+  }
+}
+
+/** the SUBQUERY arm of [[GraftSqlUpdateCommand]]'s contract (x67):
+  * the condition lives pre-wrapped in a [[Filter]] over the target;
+  * the matched rows project their postimages (old-row right-hand
+  * sides, ANSI casts to each column's type — x54's discipline) and
+  * feed ONE atomic `applyChanges` update. Pushed conjuncts beside
+  * the subquery still prune through the V1 scan. Key columns refuse
+  * assignment exactly like the filter route. */
+case class GraftSqlSubqueryUpdateCommand(
+    table: GraftSqlTable,
+    targetOutput: Seq[Attribute],
+    filtered: LogicalPlan,
+    assignments: Seq[(Expression, Expression)])
+    extends GraftVersionCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val ident = table.identName
+    require(!table.isTimeTravel,
+      s"cannot UPDATE time-travel table $ident")
+    require(!table.isExternalReadOnly,
+      s"cannot UPDATE read-only external registration $ident — " +
+        "mutate the owning table")
+    val resolver = session.sessionState.conf.resolver
+    val keyNames: Seq[String] =
+      table.graftKeyParts.getOrElse(Seq(table.graftKey))
+    val set: Map[String, Column] = assignments.map { case (k, v) =>
+      val name = k match {
+        case a: AttributeReference => a.name
+        case other => throw new UnsupportedOperationException(
+          s"UPDATE $ident: only top-level columns can be assigned " +
+            s"(got ${other.sql})")
+      }
+      require(!keyNames.exists(p => resolver(p, name)),
+        s"UPDATE $ident: cannot UPDATE key column '$name' — " +
+          "MERGE (DELETE + INSERT) moves rows between keys")
+      name -> GraftRowLevelSql.byName(v, s"UPDATE $ident")
+    }.toMap
+    val df = ColumnBridge.ofRows(session, filtered)
+    val post = df.select(targetOutput.map { a =>
+      set.get(a.name).orElse(
+          set.collectFirst { case (n, c) if resolver(n, a.name) => c })
+        .map(_.cast(a.dataType)).getOrElse(col(a.name)).as(a.name)
+    } :+ lit("update").as("change_type"): _*)
+    Seq(Row(table.graftHandle.applyChanges(
+      table.withStorageKey(post))))
   }
 }
 

@@ -385,6 +385,38 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
       "files outside the pushed range carry by reference")
   }
 
+  test("UPDATE covers subquery conditions: old-row RHS, pruned, guarded") {
+    fixture("m13", n = 100, files = 8)
+    val t = GraftTable.open(spark, locationOf("m13"), "k")
+    val files = t.filesOf(t.head).filter(_.contains("/data/"))
+    val (cand, rest) = files.partition(f =>
+      spark.read.parquet(f).select(col("k")).collect()
+        .exists(_.getLong(0) <= 5))
+    assert(cand.nonEmpty && rest.size >= 6,
+      s"fixture must localize the range: ${cand.size}/${files.size}")
+    spark.sql("CREATE OR REPLACE TEMP VIEW m13_subj AS " +
+      "SELECT * FROM VALUES (2L), (4L) AS s(sk)")
+    rest.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f), java.nio.file.Paths.get(f + ".hidden")))
+    try spark.sql("UPDATE rl.m13 SET v = v + 1, w = 'sq' " +
+      "WHERE k <= 5 AND k IN (SELECT sk FROM m13_subj)")
+    finally rest.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f + ".hidden"), java.nio.file.Paths.get(f)))
+    val got = rows("m13")
+    assert(got(2L) == ((21L, "sq")) && got(4L) == ((41L, "sq")),
+      "matched rows update with old-row right-hand sides")
+    assert(got(3L) == ((30L, "o")) && got.size == 100,
+      "unmatched rows carry verbatim")
+    assert(rest.toSet.subsetOf(t.filesOf(t.head).toSet),
+      "files outside the pushed range carry by reference")
+    // the key refusal holds on the subquery route too
+    val e = intercept[Exception] {
+      spark.sql("UPDATE rl.m13 SET k = k + 1 " +
+        "WHERE k IN (SELECT sk FROM m13_subj)")
+    }
+    assert(e.getMessage.contains("key column"))
+  }
+
   test("statements build lazily: EXPLAIN runs no commit") {
     fixture("m5", n = 4, files = 1)
     val t = GraftTable.open(spark, locationOf("m5"), "k")
