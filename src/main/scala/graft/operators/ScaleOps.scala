@@ -2962,7 +2962,7 @@ object ScaleOps {
   //       ('key' = 'a,b')` — the common warehouse case a surrogate
   //       key used to force. The engine stays single-key: the catalog
   //       synthesizes a hidden order-preserving `__gkey` storage
-  //       column (fixed-width nonnegative integers + raw strings +
+  //       column (sign-bucketed fixed-width integers + raw strings +
   //        separator), fills it on every catalog write path
   //       (INSERT, MERGE feeds, streaming toTable, CTAS/REPLACE), and
   //       hides it from schema(). Single-column predicates prune via

@@ -1114,7 +1114,7 @@ private[sources] class GraftStagedTable(
   *
   * The engine stays single-key — the catalog SYNTHESIZES a hidden
   * storage column `__gkey` holding an ORDER-PRESERVING encoding of
-  * the parts (fixed-width nonnegative integers, raw strings, 
+  * the parts (sign-bucketed fixed-width integers, raw strings, 
   * separator: lexicographic order on the encoding == (a, b) tuple
   * order), filled on every catalog write path and hidden from
   * `schema()`. Everything then composes from existing machinery:
@@ -1128,8 +1128,9 @@ private[sources] class GraftStagedTable(
   *    order agree;
   *  - exactly-once streaming, CDC, time travel, replace: unchanged
   *    (they key on `__gkey` like any key).
-  * The encoding refuses NULL parts, negative integer parts, and
-  * strings containing the separator — loudly, at write time. */
+  * The encoding refuses NULL parts and strings containing the
+  * separator or U+0000 — loudly, at write time (negative integers
+  * encode since round 17; see [[CompoundKey.encode]]). */
 private[graft] object CompoundKey {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.types._

@@ -6,12 +6,14 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.SparkTestSession
 import graft.table.GraftTable
 
-/** ANSI UPDATE / MERGE INTO on catalog tables (x59): the injected
-  * resolution rule compiles resolved row-level statements onto the
-  * handle's stats-pruned verbs. Pins: end-to-end semantics for every
-  * clause shape, the PRUNED matched-target read (file-hiding), the
-  * group-based rewrite (unmatched files carry by reference), the
-  * cardinality violation, and the refusal surface. */
+/** ANSI UPDATE / DELETE / MERGE INTO on catalog tables (x59, x63,
+  * x64, x66, x67): the injected resolution rule compiles resolved
+  * row-level statements onto the handle's stats-pruned verbs. Pins:
+  * end-to-end semantics for every clause shape (subquery conditions
+  * included), the PRUNED read sets (file-hiding), the group-based
+  * rewrite (unmatched files carry by reference), schema evolution's
+  * O(metadata) widening, the cardinality violation, and the refusal
+  * surface. */
 class GraftRowLevelSqlSpec extends AnyFunSuite {
 
   /** the extensions-bearing session on the shared test context */
