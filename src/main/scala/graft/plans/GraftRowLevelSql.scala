@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, ExprId, Expression, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
@@ -171,6 +171,34 @@ private[plans] object GraftRowLevelSql {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
   }
+
+  /** the ROW-addressed carry-through for subquery DML (round 18,
+    * closing the duplicate-key row-loss edge): `applyChanges`
+    * replaces the whole row GROUP under each feed key, but ANSI
+    * UPDATE/DELETE address ROWS — on a duplicate-key table (reachable
+    * via raw-append INSERT) a condition that splits a key's rows must
+    * carry the unmatched siblings, not drop them. Returns exactly
+    * those siblings: the multiset of rows under the matched keys
+    * minus the matched multiset (`exceptAll` — full duplicates
+    * subtract by count, so two identical matched rows both update).
+    *
+    * Cost at 100 TB: `readMatchingKeys` runs the SAME two-phase
+    * stats+bloom pruned read the rewrite itself performs — delta-
+    * scale keys open only range-overlapping candidate files (the
+    * file-hiding specs pin this), so the carry adds one scan of the
+    * files being rewritten anyway, never a table scan. On a
+    * unique-key table the result is empty and the union is free. */
+  def siblingsOf(table: GraftSqlTable, matched: DataFrame,
+                 targetOutput: Seq[Attribute]): DataFrame = {
+    val storageKey =
+      if (table.graftKeyParts.isDefined)
+        graft.sources.CompoundKey.KeyName
+      else table.graftKey
+    val underKeys = table.graftHandle.readMatchingKeys(
+        table.withStorageKey(matched).select(col(storageKey)).distinct())
+      .select(targetOutput.map(a => col(a.name)): _*)
+    underKeys.exceptAll(matched)
+  }
 }
 
 /** `UPDATE <graft table> SET ... [WHERE ...]` → the handle's
@@ -225,9 +253,11 @@ case class GraftSqlUpdateCommand(
   *    GDPR erasure-list shape) plans as a normal filtered read over
   *    the pinned snapshot (Spark plans the subquery; pushed
   *    conjuncts still prune through the V1 scan) whose matched rows
-  *    feed ONE atomic `applyChanges` delete — by KEY, deduped, so a
-  *    degenerate duplicate-key table (raw appends) still deletes
-  *    every row under a matched key.
+  *    feed ONE atomic `applyChanges` delete — ROW-addressed: on a
+  *    duplicate-key table (raw appends) sibling rows sharing a
+  *    matched key but failing the condition carry through as
+  *    identity postimages ([[GraftRowLevelSql.siblingsOf]]), matching
+  *    ANSI DELETE exactly.
   *
   * Returns the new version. */
 case class GraftSqlDeleteCommand(
@@ -252,7 +282,20 @@ case class GraftSqlDeleteCommand(
   * sides, ANSI casts to each column's type — x54's discipline) and
   * feed ONE atomic `applyChanges` update. Pushed conjuncts beside
   * the subquery still prune through the V1 scan. Key columns refuse
-  * assignment exactly like the filter route. */
+  * assignment exactly like the filter route.
+  *
+  * ROW-addressed on duplicate-key tables (round 18): `applyChanges`
+  * replaces the whole row group under each feed key, so a matched
+  * row's postimage alone would silently DELETE sibling rows sharing
+  * its key but failing the condition (reachable — `INSERT INTO` a
+  * keyed table is a raw append). The feed therefore unions
+  * [[GraftRowLevelSql.siblingsOf]]: the unmatched rows under matched
+  * keys, carried as identity postimages — ANSI UPDATE semantics at
+  * the cost of one extra read over the SAME pruned candidate files
+  * the rewrite scans anyway. The matched set is persisted so a
+  * non-deterministic condition selects ONE row set across the
+  * postimage/sibling/apply traversals (the merge path's source-
+  * materialization discipline). */
 case class GraftSqlSubqueryUpdateCommand(
     table: GraftSqlTable,
     targetOutput: Seq[Attribute],
@@ -283,22 +326,35 @@ case class GraftSqlSubqueryUpdateCommand(
       name -> GraftRowLevelSql.byName(v, s"UPDATE $ident")
     }.toMap
     val df = ColumnBridge.ofRows(session, filtered)
-    val post = df.select(targetOutput.map { a =>
-      set.get(a.name).orElse(
-          set.collectFirst { case (n, c) if resolver(n, a.name) => c })
-        .map(_.cast(a.dataType)).getOrElse(col(a.name)).as(a.name)
-    } :+ lit("update").as("change_type"): _*)
-    Seq(Row(table.graftHandle.applyChanges(
-      table.withStorageKey(post))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matched = df.select(targetOutput.map(a => col(a.name)): _*)
+      val post = matched.select(targetOutput.map { a =>
+        set.get(a.name).orElse(
+            set.collectFirst { case (n, c) if resolver(n, a.name) => c })
+          .map(_.cast(a.dataType)).getOrElse(col(a.name)).as(a.name)
+      } :+ lit("update").as("change_type"): _*)
+      val carry = GraftRowLevelSql.siblingsOf(table, matched,
+          targetOutput)
+        .withColumn("change_type", lit("update"))
+      Seq(Row(table.graftHandle.applyChanges(
+        table.withStorageKey(post)
+          .unionByName(table.withStorageKey(carry)))))
+    } finally df.unpersist()
   }
 }
 
 /** the SUBQUERY arm of [[GraftSqlDeleteCommand]]'s contract: the
   * condition lives pre-wrapped in a [[Filter]] over the target (the
   * context Spark's analysis accepts subqueries in); the matched rows
-  * feed ONE atomic applyChanges delete, deduped by key so a
-  * degenerate duplicate-key table still deletes every row under a
-  * matched key. */
+  * feed ONE atomic applyChanges delete — ROW-addressed (round 18):
+  * one delete marker per matched key removes the key's whole row
+  * group, and [[GraftRowLevelSql.siblingsOf]] carries the unmatched
+  * rows sharing a matched key back as identity postimages, so a
+  * duplicate-key table (raw appends) deletes exactly the rows the
+  * condition selects — ANSI DELETE semantics. The matched set is
+  * persisted so a non-deterministic condition selects ONE row set
+  * across the marker/sibling/apply traversals. */
 case class GraftSqlSubqueryDeleteCommand(
     table: GraftSqlTable,
     targetOutput: Seq[Attribute],
@@ -312,15 +368,24 @@ case class GraftSqlSubqueryDeleteCommand(
       s"cannot DELETE from read-only external registration $ident — " +
         "mutate the owning table")
     val df = ColumnBridge.ofRows(session, filtered)
-    val feed0 = df.select(targetOutput.map(a => col(a.name)) :+
-      lit("delete").as("change_type"): _*)
-    val keyed = table.withStorageKey(feed0)
-    val checkKey =
-      if (table.graftKeyParts.isDefined)
-        graft.sources.CompoundKey.KeyName
-      else table.graftKey
-    Seq(Row(table.graftHandle.applyChanges(
-      keyed.dropDuplicates(checkKey))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matched = df.select(targetOutput.map(a => col(a.name)): _*)
+      val checkKey =
+        if (table.graftKeyParts.isDefined)
+          graft.sources.CompoundKey.KeyName
+        else table.graftKey
+      // one marker per matched key (brings the key into the feed's
+      // key set); siblings return as postimages in the SAME commit
+      val markers = table.withStorageKey(
+          matched.withColumn("change_type", lit("delete")))
+        .dropDuplicates(checkKey)
+      val carry = table.withStorageKey(
+        GraftRowLevelSql.siblingsOf(table, matched, targetOutput)
+          .withColumn("change_type", lit("update")))
+      Seq(Row(table.graftHandle.applyChanges(
+        markers.unionByName(carry))))
+    } finally df.unpersist()
   }
 }
 

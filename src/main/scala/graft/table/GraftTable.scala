@@ -2190,8 +2190,15 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * inside the CAS loop: with `changes(v-1, v)` as the feed and `v`
     * as the txn, a streaming replication loop (w21) is exactly-once —
     * a re-delivered version cannot double-apply. Requires feed keys
-    * unique and non-null (what `changes` of an upsert table
-    * produces). */
+    * non-null. The CDC/upsert usage requires them UNIQUE (what
+    * `changes` of an upsert table produces — one postimage per key);
+    * a MULTI-row-per-key feed is also well-defined and deterministic:
+    * ALL existing rows under each feed key leave and the feed's
+    * non-delete postimage multiset lands — whole-KEY-GROUP
+    * replacement. The subquery DML path (GraftRowLevelSql) uses this
+    * deliberately to express ROW-addressed UPDATE/DELETE on
+    * duplicate-key tables: matched postimages plus carried sibling
+    * identity rows under the same key. */
   def applyChanges(feed: DataFrame, txn: Long = -1L): Long = {
     if (txn >= 0 && committedTxns().contains(txn)) return head
     val post = feed.where(col("change_type") =!= "delete")

@@ -419,6 +419,46 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("key column"))
   }
 
+  test("subquery UPDATE/DELETE are ROW-addressed on duplicate-key tables") {
+    // reachable state: INSERT INTO a keyed table is a raw APPEND, so
+    // a key can hold several rows; ANSI DML addresses ROWS, and a
+    // condition that splits a key's rows must never drop the
+    // unmatched siblings (the round-17 verdict's row-loss edge)
+    fixture("m14", n = 20, files = 2)
+    spark.sql("INSERT INTO rl.m14 SELECT k, v + 1, 'dup' " +
+      "FROM rl.m14 WHERE k IN (2, 4)")
+    assert(spark.table("rl.m14").count() == 22)
+    spark.sql("CREATE OR REPLACE TEMP VIEW m14_subj AS " +
+      "SELECT * FROM VALUES (2L), (4L) AS s(sk)")
+    def all(): Seq[(Long, Long, String)] =
+      spark.table("rl.m14").collect().toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // residual-splitting UPDATE: matches only the 'o' row under each
+    // duplicated key — the 'dup' sibling must CARRY, not vanish
+    spark.sql("UPDATE rl.m14 SET v = v + 100 " +
+      "WHERE k IN (SELECT sk FROM m14_subj) AND w = 'o'")
+    val u = all()
+    assert(u.size == 22, "no row may be lost by a split update")
+    assert(u.contains((2L, 120L, "o")) && u.contains((2L, 21L, "dup")))
+    assert(u.contains((4L, 140L, "o")) && u.contains((4L, 41L, "dup")))
+    // residual-splitting DELETE: removes only the 'dup' siblings
+    spark.sql("DELETE FROM rl.m14 " +
+      "WHERE k IN (SELECT sk FROM m14_subj) AND w = 'dup'")
+    val d = all()
+    assert(d.size == 20 && d.contains((2L, 120L, "o")) &&
+      d.contains((4L, 140L, "o")) && !d.exists(_._3 == "dup"))
+    // FULL duplicates subtract by COUNT (exceptAll): two identical
+    // rows under one key both match and both update
+    spark.sql("INSERT INTO rl.m14 SELECT k, v, w FROM rl.m14 WHERE k = 6")
+    spark.sql("UPDATE rl.m14 SET w = 'twin' " +
+      "WHERE k IN (SELECT sk + 2 FROM m14_subj WHERE sk = 4)")
+    assert(all().count(_ == ((6L, 60L, "twin"))) == 2)
+    // the pure-key GDPR erasure shape still removes the whole group
+    spark.sql("DELETE FROM rl.m14 " +
+      "WHERE k IN (SELECT sk + 2 FROM m14_subj WHERE sk = 4)")
+    assert(all().size == 19 && !all().exists(_._1 == 6L))
+  }
+
   test("statements build lazily: EXPLAIN runs no commit") {
     fixture("m5", n = 4, files = 1)
     val t = GraftTable.open(spark, locationOf("m5"), "k")
