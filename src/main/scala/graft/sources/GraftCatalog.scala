@@ -91,6 +91,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     (warehouse +: (ident.namespace() :+ ident.name()).toSeq.map(norm))
       .mkString("/")
   private def confPath(root: String) = s"$root/catalog.conf"
+  /** pointer mode lines (round 18): written as the conf's 4th line */
+  private val ManagedLine = "managed"
+  private val ExternalLine = "external"
 
   /** the pointer directory serving an EXISTING table: the normalized
     * path, falling back to the byte-exact path for tables created by
@@ -106,7 +109,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * re-read the conf after lookupRoot's own existence probe, 2-4
     * filesystem round-trips per analysis-time table load */
   private def resolveConf(ident: Identifier)
-      : (String, Option[(String, String, StructType)]) = {
+      : (String, Option[(String, String, StructType, Option[Boolean])]) = {
     val n = rootOf(ident)
     val c = readConf(n)
     if (c.isDefined) return (n, c)
@@ -119,13 +122,20 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     (n, None)
   }
 
-  /** marker for a pointer registered over FOREIGN storage (x65's
-    * read-only external registration): reads/time travel/streams
-    * serve; every mutation refuses; DROP removes only the pointer */
-  private def isExternal(root: String): Boolean = {
-    val (f, p) = fs(s"$root/external.conf")
-    f.exists(p)
-  }
+  /** is this pointer an EXTERNAL (read-only, x65) registration?
+    * AUTHORITATIVE source: the pointer's own 4th line
+    * (managed/external), written atomically WITH the pointer since
+    * round 18 — ownership rides the one exclusively-created file, so
+    * no marker-file interleaving can flip a table's mode (the
+    * round-17 advisor's registerPointer/registerExternal race).
+    * LEGACY pointers (3 lines) fall back to the external.conf marker
+    * beside them. Reads/time travel/streams serve on external tables;
+    * every mutation refuses; DROP removes only the pointer. */
+  private def isExternal(root: String, flag: Option[Boolean]): Boolean =
+    flag.getOrElse {
+      val (f, p) = fs(s"$root/external.conf")
+      f.exists(p)
+    }
 
   /** open a handle resolving the pointer's stored key name to the
     * table's CURRENT logical key: the pointer persists the key's
@@ -149,13 +159,26 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** (keyCol, storage location, declared schema) persisted at CREATE */
-  private def readConf(root: String): Option[(String, String, StructType)] =
+  /** (keyCol, storage location, declared schema, mode flag) persisted
+    * at CREATE. The optional trailing line is the round-18 ownership
+    * flag: `managed` / `external` (Some(false)/Some(true)); legacy
+    * 3-line pointers return None and resolve mode from the
+    * external.conf marker (see [[isExternal]]). The schema JSON is a
+    * brace-delimited object, never a bare keyword, so the trailing
+    * line is unambiguous. */
+  private def readConf(root: String)
+      : Option[(String, String, StructType, Option[Boolean])] =
     ConfIO.readSmallFile(fs(confPath(root))).map { s =>
-      val lines = s.linesIterator.toSeq
+      val all = s.linesIterator.toSeq
+      val flag = all.last.trim match {
+        case ExternalLine => Some(true)
+        case ManagedLine  => Some(false)
+        case _            => None
+      }
+      val lines = if (flag.isDefined) all.dropRight(1) else all
       (lines.head.trim, lines(1).trim,
         DataType.fromJson(lines.drop(2).mkString("\n"))
-          .asInstanceOf[StructType])
+          .asInstanceOf[StructType], flag)
     }
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
@@ -182,7 +205,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   /** `TIMESTAMP AS OF <ts>` — Spark passes MICROseconds */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
-    val (key, loc, _) = resolveConf(ident)._2
+    val (key, loc, _, _) = resolveConf(ident)._2
       .getOrElse(throw new NoSuchTableException(ident))
     val t = openHandle(loc, key)
     loadVersioned(ident, t.versionAt(timestampMicros / 1000L))
@@ -190,10 +213,10 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
 
   private def loadVersioned(ident: Identifier, version: Long): Table = {
     val (root, conf) = resolveConf(ident)
-    val (key, loc, declared) = conf
+    val (key, loc, declared, flag) = conf
       .getOrElse(throw new NoSuchTableException(ident))
     val name = s"$catalogName.${ident.name()}"
-    if (isExternal(root))
+    if (isExternal(root, flag))
       // no V1 streaming-write fallback: see GraftSqlManagedTable
       new GraftSqlTable(name, loc, key, declared, version,
         external = true)
@@ -343,15 +366,10 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
                               loc: String, schema: StructType): Unit = {
     val root = rootOf(ident)
     val (f, p) = fs(confPath(root))
-    // a stale external marker (a crashed or raced external
-    // registration that never wrote its conf) must not poison this
-    // MANAGED registration — it would load read-only and DROP would
-    // leak the .store location (round-17 review finding)
-    f.delete(new org.apache.hadoop.fs.Path(root, "external.conf"),
-      false)
     try {
       val out = f.create(p, false)
-      try out.write(s"$key\n$loc\n${schema.json}".getBytes("UTF-8"))
+      try out.write(
+        s"$key\n$loc\n${schema.json}\n$ManagedLine".getBytes("UTF-8"))
       finally out.close()
     } catch {
       case e: Throwable =>
@@ -365,6 +383,21 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           case _ => throw e
         }
     }
+    // a stale LEGACY external marker (a crashed pre-round-18 external
+    // registration that never wrote its conf) must not poison this
+    // MANAGED registration — the `managed` conf line is authoritative
+    // for THIS pointer, but clear the leftover so the directory is
+    // clean. Deleted only AFTER winning the exclusive conf create:
+    // deleting first raced a concurrent external registration's
+    // marker-then-conf sequence and could strip a COMPLETED external
+    // registration of its marker (the round-17 advisor's
+    // interleaving — pre-flag pointers would then load writable and
+    // DROP would delete foreign storage). Best-effort: a failure here
+    // leaves a marker the `managed` line already overrides.
+    try f.delete(new org.apache.hadoop.fs.Path(root, "external.conf"),
+      false)
+    catch { case scala.util.control.NonFatal(_) => }
+    ()
   }
 
   /** ATOMIC pointer overwrite (temp + rename-over) — the REPLACE
@@ -377,7 +410,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val tmp = new org.apache.hadoop.fs.Path(root,
       s".conf-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = f.create(tmp, true)
-    try out.write(s"$key\n$loc\n${schema.json}".getBytes("UTF-8"))
+    try out.write(
+      s"$key\n$loc\n${schema.json}\n$ManagedLine".getBytes("UTF-8"))
     finally out.close()
     val fc = org.apache.hadoop.fs.FileContext.getFileContext(
       p.toUri, spark.sessionState.newHadoopConf())
@@ -438,20 +472,22 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val handle = openHandle(loc, key)
     val snap = handle.schemaAt(handle.head)
       .getOrElse(handle.read().schema)
-    // marker FIRST: a pointer without it would read as MANAGED
-    // (writable; DROP would delete the foreign storage). A crash
-    // between the two writes leaves an unregistered marker —
-    // harmless, and the retried CREATE overwrites it.
+    // ONE commit point (round 18): the `external` mode line rides the
+    // exclusively-created pointer itself, so the registration is
+    // atomic and self-describing — no state exists where a pointer
+    // reads as MANAGED (writable; DROP would delete the foreign
+    // storage). The previous marker-first two-write sequence raced a
+    // concurrent managed CREATE's stale-marker cleanup (round-17
+    // advisor); the external.conf marker file remains READ as the
+    // legacy fallback for pre-flag pointers but is no longer written.
     val root = rootOf(ident)
     val (pf, _) = fs(root)
     pf.mkdirs(new org.apache.hadoop.fs.Path(root))
-    val mout = pf.create(
-      new org.apache.hadoop.fs.Path(root, "external.conf"), true)
-    try mout.write("readonly".getBytes("UTF-8")) finally mout.close()
     try {
       val out = pf.create(new org.apache.hadoop.fs.Path(confPath(root)),
         false)
-      try out.write(s"$key\n$loc\n${snap.json}".getBytes("UTF-8"))
+      try out.write(
+        s"$key\n$loc\n${snap.json}\n$ExternalLine".getBytes("UTF-8"))
       finally out.close()
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
@@ -511,9 +547,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         if (!orCreate) throw new NoSuchTableException(ident)
         val loc = bootstrapStorage(ident, schema, key, clusterCols, data)
         registerPointer(ident, key, loc, schema)
-      case Some((_, loc, _)) =>
+      case Some((_, loc, _, flag)) =>
         if (!orReplace) throw new TableAlreadyExistsException(ident)
-        require(!isExternal(proot),
+        require(!isExternal(proot, flag),
           s"$ident is a READ-ONLY external registration — REPLACE it " +
             "through the owning table")
         val (f, _) = fs(loc)
@@ -593,9 +629,9 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * manifest's mapping rows. Anything else names its GRAFT verb. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val (root, conf) = resolveConf(ident)
-    val (key, loc, _) = conf
+    val (key, loc, _, flag) = conf
       .getOrElse(throw new NoSuchTableException(ident))
-    require(!isExternal(root),
+    require(!isExternal(root, flag),
       s"$ident is a READ-ONLY external registration — ALTER it " +
         "through the owning table")
     // `ALTER TABLE ... CLUSTER BY (c, ...)` — re-declare the standing
@@ -662,11 +698,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val (root, conf) = resolveConf(ident)
     conf match {
       case None => false
-      case Some((_, loc, _)) =>
+      case Some((_, loc, _, flag)) =>
         val (f, p) = fs(root)
         // an external registration NEVER owns its storage: dropping
         // it removes only the pointer (the owning table is untouched)
-        if (!isExternal(root))
+        if (!isExternal(root, flag))
           f.delete(new org.apache.hadoop.fs.Path(loc), true)
         f.delete(p, true)
     }

@@ -682,6 +682,68 @@ class GraftCatalogSpec extends AnyFunSuite {
       "a managed drop must delete its own storage")
   }
 
+  test("pointer mode rides the conf line: marker races cannot flip it") {
+    // round 18: ownership (managed/external) is the pointer's own 4th
+    // line, written inside the ONE exclusive create — external.conf
+    // is read only as the legacy fallback for pre-flag pointers
+    val wh = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    def rewrite(p: java.nio.file.Path, s: String): Unit = {
+      java.nio.file.Files.deleteIfExists(
+        p.resolveSibling("." + p.getFileName + ".crc"))
+      java.nio.file.Files.writeString(p, s)
+    }
+    // the round-17 advisor's interleaving, post-fix shape: a stray
+    // marker landing BESIDE a completed managed pointer (an external
+    // loser writing after the managed winner's cleanup) must not
+    // flip the table read-only — the `managed` line is authoritative
+    spark.sql("DROP TABLE IF EXISTS gcat.mx1")
+    spark.sql("CREATE TABLE gcat.mx1 (k BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$wh/mx1/external.conf"), "readonly")
+    spark.sql("INSERT INTO gcat.mx1 VALUES (1)") // still WRITABLE
+    assert(spark.table("gcat.mx1").count() == 1)
+    val mloc = locationOf("mx1")
+    spark.sql("DROP TABLE gcat.mx1")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(mloc)),
+      "a managed drop must still delete its own storage")
+    // a NEW external registration is ONE atomic conf create: no
+    // marker file exists to race, strip, or leave half-written —
+    // and stripping the (absent) marker cannot make it writable
+    spark.sql("DROP TABLE IF EXISTS gcat.mxs")
+    spark.sql("DROP TABLE IF EXISTS gcat.mx2")
+    spark.sql("CREATE TABLE gcat.mxs (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.mxs VALUES (1, 10)")
+    spark.sql(s"CREATE TABLE gcat.mx2 LOCATION '${locationOf("mxs")}'")
+    assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$wh/mx2/external.conf")),
+      "external registration must not need a second (marker) write")
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.mx2 ADD COLUMN extra STRING")
+    }
+    assert(e.getMessage.contains("READ-ONLY"), e.getMessage)
+    spark.sql("DROP TABLE gcat.mx2")
+    assert(spark.table("gcat.mxs").count() == 1)
+    // LEGACY pre-flag pointers (3 lines) keep resolving their mode
+    // from the marker beside them
+    spark.sql("DROP TABLE IF EXISTS gcat.mx3")
+    spark.sql(s"CREATE TABLE gcat.mx3 LOCATION '${locationOf("mxs")}'")
+    val confP = java.nio.file.Paths.get(s"$wh/mx3/catalog.conf")
+    val legacy = java.nio.file.Files.readString(confP)
+      .linesIterator.toSeq.dropRight(1).mkString("\n")
+    rewrite(confP, legacy)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$wh/mx3/external.conf"), "readonly")
+    val e2 = intercept[Exception] {
+      spark.sql("ALTER TABLE gcat.mx3 ADD COLUMN extra STRING")
+    }
+    assert(e2.getMessage.contains("READ-ONLY"), e2.getMessage)
+    spark.sql("DROP TABLE gcat.mx3")
+    assert(spark.table("gcat.mxs").count() == 1,
+      "legacy external drop must leave the owner's storage")
+  }
+
   test("a FAILED replace on a key.conf-less legacy table leaves none") {
     // key.conf is written BEFORE the replace commit; on failure the
     // restore must DELETE it when the table never had one — the
