@@ -17,8 +17,10 @@ import org.apache.spark.sql.SparkSession
   * session would. Cached per context: repeated calls return the same
   * session — the general conf snapshot is the FIRST caller's (set
   * later ones on the derived session directly, as the gated queries
-  * do), except catalog definitions, which mirror on every access
-  * (see [[mirrorCatalogs]]). The caller's
+  * do), except catalog definitions ([[mirrorCatalogs]]) and the
+  * semantics-bearing allowlist ([[mirrorSemantics]]: ANSI mode,
+  * caseSensitive, session timezone), which mirror on every
+  * access. The caller's
   * active/default session registration is restored, so the derived
   * session never leaks into unrelated `SparkSession.active` lookups
   * (the clear-then-restore does open a brief window in which a
@@ -44,11 +46,35 @@ object ExtSession {
         derived.conf.set(k, v)
     }
 
+  /** SEMANTICS-bearing runtime confs mirror base→derived on EVERY
+    * access, not just at first derivation (round-17 advisor): a
+    * caller flipping e.g. ANSI mode or the session timezone after the
+    * derived session exists would otherwise get silently divergent
+    * row-level SQL semantics through it. Unlike catalogs these
+    * OVERWRITE on divergence — the derived session's contract is "the
+    * caller's semantics plus the extensions", and nothing in the
+    * engine sets them derived-side (the query mains set them at base
+    * builder time). */
+  private val SemanticsConfs = Seq(
+    "spark.sql.ansi.enabled",
+    "spark.sql.caseSensitive",
+    "spark.sql.session.timeZone")
+
+  private def mirrorSemantics(base: SparkSession,
+                              derived: SparkSession): Unit =
+    SemanticsConfs.foreach { k =>
+      base.conf.getOption(k).foreach { v =>
+        if (!derived.conf.getOption(k).contains(v))
+          derived.conf.set(k, v)
+      }
+    }
+
   def apply(base: SparkSession): SparkSession = synchronized {
     val c = cached
     if (c != null && c.sparkContext == base.sparkContext &&
         !c.sparkContext.isStopped) {
       mirrorCatalogs(base, c)
+      mirrorSemantics(base, c)
       return c
     }
     SparkSession.clearActiveSession()
@@ -66,6 +92,7 @@ object ExtSession {
       }
       cached = b.getOrCreate()
       mirrorCatalogs(base, cached)
+      mirrorSemantics(base, cached)
       cached
     } finally {
       SparkSession.setDefaultSession(base)

@@ -48,4 +48,30 @@ class ExtSessionSpec extends AnyFunSuite {
       .conf.get("spark.sql.catalog.extsess_t.warehouse")
       == wh + "-repointed")
   }
+
+  test("semantics confs mirror on every access (round-17 advisor)") {
+    val base = SparkTestSession.spark
+    ExtSession(base) // warm the cache — post-derivation flips must land
+    val tz0 = base.conf.get("spark.sql.session.timeZone")
+    val cs0 = base.conf.get("spark.sql.caseSensitive")
+    try {
+      base.conf.set("spark.sql.session.timeZone", "America/New_York")
+      base.conf.set("spark.sql.caseSensitive", "true")
+      val derived = ExtSession(base)
+      assert(derived.conf.get("spark.sql.session.timeZone")
+        == "America/New_York",
+        "a timezone flipped on the caller after derivation must " +
+          "govern SQL run through the derived session")
+      assert(derived.conf.get("spark.sql.caseSensitive") == "true")
+      // ...and flipping BACK mirrors too (overwrite-on-divergence,
+      // unlike the catalog keys' never-overwrite)
+      base.conf.set("spark.sql.caseSensitive", "false")
+      assert(ExtSession(base).conf.get("spark.sql.caseSensitive")
+        == "false")
+    } finally {
+      base.conf.set("spark.sql.session.timeZone", tz0)
+      base.conf.set("spark.sql.caseSensitive", cs0)
+      ExtSession(base) // re-mirror the restored values
+    }
+  }
 }
