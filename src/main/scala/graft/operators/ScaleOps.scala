@@ -3363,6 +3363,82 @@ object ScaleOps {
       |FROM final""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x68 — SCALAR SUBQUERY ASSIGNMENT (round 18, completing x66/x67's
+  //       ANSI DML surface): `UPDATE ... SET col = (SELECT agg ...)`
+  //       compiles by LIFTING each uncorrelated scalar into a
+  //       plan-typed field on the command (checkAnalysis rejects bare
+  //       subquery expression fields), evaluating it ONCE per
+  //       statement (the ANSI contract; >1 row = cardinality
+  //       violation, 0 rows = NULL), and substituting the literal —
+  //       the engine now does automatically what the old refusal told
+  //       users to do by hand (stage the scalar, then MERGE).
+  //       Correlated scalars (per-row values = a join) keep the loud
+  //       stage-into-a-MERGE refusal. GraftRowLevelSqlSpec pins both
+  //       condition routes, MERGE clause VALUES, once-semantics
+  //       against the pre-update snapshot, NULL-on-empty, and the
+  //       cardinality violation.
+  //
+  //       100 TB shape: the scalar evaluates as ONE aggregate job
+  //       whose result ships as a literal into the pruned COW
+  //       update — never a per-row join; the mutation's read set
+  //       stays the stats-pruned candidate files.
+  // ---------------------------------------------------------------------
+  private def x68(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = graft.util.ExtSession(spark0)
+    spark.conf.set("spark.sql.catalog.graft_x68",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.graft_x68.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_x68.warehouse",
+        graft.util.Scratch.dir("graft-x68-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_x68.ord")
+    spark.sql("CREATE TABLE graft_x68.ord (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_price DECIMAL(18,2)) " +
+      "TBLPROPERTIES ('key' = 'o_orderkey')")
+    Tables.orders(spark, dir).createOrReplaceTempView("x68_src")
+    spark.sql("INSERT INTO graft_x68.ord " +
+      "SELECT o_orderkey, o_custkey, " +
+      "CAST(o_totalprice AS DECIMAL(18,2)) FROM x68_src")
+    // plain-condition route: cap light orders at the fleet MINIMUM
+    spark.sql("UPDATE graft_x68.ord SET o_price = " +
+      "(SELECT CAST(MIN(o_totalprice) AS DECIMAL(18,2)) FROM x68_src)" +
+      " WHERE o_price < 5000")
+    // subquery-condition + scalar-assignment in ONE statement: heavy
+    // customers' orders re-price to the fleet MAXIMUM
+    spark.sql("UPDATE graft_x68.ord SET o_price = " +
+      "(SELECT CAST(MAX(o_totalprice) AS DECIMAL(18,2)) FROM x68_src)" +
+      " WHERE o_custkey IN (SELECT o_custkey FROM x68_src " +
+      "GROUP BY o_custkey HAVING COUNT(*) > 12)")
+    spark.sql(
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_price) AS DOUBLE) AS sum_price, " +
+        "CAST(SUM(o_custkey) AS BIGINT) AS sum_ck " +
+        "FROM graft_x68.ord")
+  }
+
+  private val x68Sql =
+    """WITH base AS (
+      |  SELECT o_custkey AS ck,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      |mn AS (SELECT CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS m
+      |       FROM orders),
+      |mx AS (SELECT CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS m
+      |       FROM orders),
+      |subj AS (
+      |  SELECT o_custkey AS ck FROM orders GROUP BY o_custkey
+      |  HAVING COUNT(*) > 12),
+      |s1 AS (
+      |  SELECT ck, CASE WHEN p < 5000 THEN (SELECT m FROM mn)
+      |    ELSE p END AS p FROM base),
+      |s2 AS (
+      |  SELECT ck, CASE WHEN ck IN (SELECT ck FROM subj)
+      |    THEN (SELECT m FROM mx) ELSE p END AS p FROM s1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(ck) AS BIGINT) AS sum_ck
+      |FROM s2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -4018,5 +4094,6 @@ object ScaleOps {
     QuerySpec("x64_merge_schema_evolution", x64, Some(x64Sql)),
     QuerySpec("x65_external_registration", x65, Some(x65Sql)),
     QuerySpec("x66_delete_full_surface", x66, Some(x66Sql)),
-    QuerySpec("x67_update_subquery", x67, Some(x67Sql)))
+    QuerySpec("x67_update_subquery", x67, Some(x67Sql)),
+    QuerySpec("x68_update_scalar_assign", x68, Some(x68Sql)))
 }

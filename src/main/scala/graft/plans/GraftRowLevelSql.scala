@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, ExprId, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, ExprId, Expression, LeafExpression, Literal, ScalarSubquery, SubqueryExpression, Unevaluable}
+import org.apache.spark.sql.types.DataType
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -103,17 +104,22 @@ case class GraftRowLevelRule(session: SparkSession)
             // a SUBQUERY condition (x67: `UPDATE ... WHERE k IN
             // (SELECT ...)`) stays wrapped in a Filter over the
             // target — the context checkAnalysis accepts subqueries
-            // in; assignment VALUES keep the subquery refusal (stage
-            // a scalar subquery into a MERGE source instead)
+            // in. UNCORRELATED scalar subqueries in assignment
+            // VALUES (x68: `SET x = (SELECT max(...) ...)`) lift
+            // into plan-typed fields and evaluate once at run time;
+            // correlated scalars keep the stage-into-a-MERGE refusal.
+            val plans =
+              scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+            val cleaned = assignments.map(a =>
+              (a.key, GraftRowLevelSql.liftScalars(a.value, plans)))
             condition match {
               case Some(c)
                   if c.exists(_.isInstanceOf[SubqueryExpression]) =>
                 GraftSqlSubqueryUpdateCommand(t, tout,
-                  Filter(c, target),
-                  assignments.map(a => (a.key, a.value)))
+                  Filter(c, target), cleaned, plans.toSeq)
               case _ =>
-                GraftSqlUpdateCommand(t,
-                  assignments.map(a => (a.key, a.value)), condition)
+                GraftSqlUpdateCommand(t, cleaned, condition,
+                  plans.toSeq)
             }
           case None => u
         }
@@ -150,27 +156,93 @@ case class GraftRowLevelRule(session: SparkSession)
       case m: MergeIntoTable if m.resolved && !m.needSchemaEvolution =>
         graftTarget(m.targetTable) match {
           case Some((t, tout)) =>
+            // uncorrelated scalar subqueries in clause assignment
+            // VALUES lift like UPDATE's (x68); clause CONDITIONS
+            // keep the refusal (a per-row condition subquery is a
+            // join — stage it into the source)
+            val plans =
+              scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+            def lift(as: Seq[MergeAction]): Seq[MergeAction] =
+              as.map {
+                case ua: UpdateAction => ua.copy(
+                  assignments = ua.assignments.map(a => a.copy(
+                    value = GraftRowLevelSql.liftScalars(a.value, plans))))
+                case ia: InsertAction => ia.copy(
+                  assignments = ia.assignments.map(a => a.copy(
+                    value = GraftRowLevelSql.liftScalars(a.value, plans))))
+                case other => other
+              }
             GraftSqlMergeCommand(t, tout, m.sourceTable,
-              m.mergeCondition, m.matchedActions, m.notMatchedActions,
-              m.notMatchedBySourceActions, m.withSchemaEvolution)
+              m.mergeCondition, lift(m.matchedActions),
+              lift(m.notMatchedActions),
+              lift(m.notMatchedBySourceActions), m.withSchemaEvolution,
+              plans.toSeq)
           case None => m
         }
     }
+}
+
+/** resolved placeholder for an extracted UNCORRELATED scalar
+  * subquery in a DML assignment (x68): checkAnalysis rejects
+  * subquery expressions held as bare fields on custom command nodes,
+  * so [[GraftRowLevelRule]] lifts each subquery's plan into a
+  * plan-typed `scalarPlans` field (opaque to the context check) and
+  * leaves this slot in the expression; the command evaluates the
+  * plan ONCE per statement (the ANSI contract for an uncorrelated
+  * scalar) and substitutes the literal before compiling the
+  * assignment. Nullable because an empty scalar subquery is NULL. */
+private[plans] case class ScalarSlot(slot: Int, dataType: DataType)
+    extends LeafExpression with Unevaluable {
+  override def nullable: Boolean = true
 }
 
 private[plans] object GraftRowLevelSql {
   /** a clause expression → a Column that re-resolves BY NAME against
     * the frame it is applied to: every attribute reference collapses
     * to its bare name (the single-relation UPDATE case — MERGE uses
-    * the exprId-keyed rewrite instead, names collide across sides) */
-  def byName(e: Expression, ctx: String): Column = {
+    * the exprId-keyed rewrite instead, names collide across sides).
+    * `scalars` fills any [[ScalarSlot]] left by the rule's lifting
+    * with its once-evaluated literal. */
+  def byName(e: Expression, ctx: String,
+             scalars: Seq[Literal] = Nil): Column = {
     require(!e.exists(_.isInstanceOf[SubqueryExpression]),
       s"$ctx: subqueries are not supported here — stage the subquery " +
         "into a source table and MERGE from it")
     ColumnBridge.column(e.transform {
+      case s: ScalarSlot => scalars(s.slot)
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
   }
+
+  /** lift every UNCORRELATED scalar subquery out of an assignment
+    * value into `plans`, leaving a [[ScalarSlot]] behind. CORRELATED
+    * scalars (outer references — per-row values) stay put and keep
+    * the loud stage-into-a-MERGE refusal downstream: evaluating them
+    * needs a per-row join, which IS the merge the message names. */
+  def liftScalars(e: Expression,
+                  plans: scala.collection.mutable.ArrayBuffer[LogicalPlan])
+      : Expression =
+    e.transform {
+      case s: ScalarSubquery if s.outerAttrs.isEmpty =>
+        plans += s.plan
+        ScalarSlot(plans.size - 1, s.dataType)
+    }
+
+  /** evaluate the lifted scalar-subquery plans, ONCE per statement:
+    * zero rows is NULL, more than one row raises the SQL:2003
+    * cardinality violation (21000) exactly like Spark's own runtime
+    * scalar-subquery check. */
+  def evalScalars(session: SparkSession, plans: Seq[LogicalPlan],
+                  ctx: String): Seq[Literal] =
+    plans.map { p =>
+      val rows = ColumnBridge.ofRows(session, p).limit(2).collect()
+      require(rows.length <= 1,
+        s"$ctx: a scalar subquery in an assignment returned more " +
+          "than one row")
+      val dt = p.output.head.dataType
+      if (rows.isEmpty) Literal(null, dt)
+      else Literal.create(rows.head.get(0), dt)
+    }
 
   /** the ROW-addressed carry-through for subquery DML (round 18,
     * closing the duplicate-key row-loss edge): `applyChanges`
@@ -208,7 +280,8 @@ private[plans] object GraftRowLevelSql {
 case class GraftSqlUpdateCommand(
     table: GraftSqlTable,
     assignments: Seq[(Expression, Expression)],
-    condition: Option[Expression]) extends GraftVersionCommand {
+    condition: Option[Expression],
+    scalarPlans: Seq[LogicalPlan] = Nil) extends GraftVersionCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val ident = table.identName
@@ -217,6 +290,8 @@ case class GraftSqlUpdateCommand(
     require(!table.isExternalReadOnly,
       s"cannot UPDATE read-only external registration $ident — " +
         "mutate the owning table")
+    val scalars = GraftRowLevelSql.evalScalars(session, scalarPlans,
+      s"UPDATE $ident")
     val resolver = session.sessionState.conf.resolver
     val set = assignments.map { case (k, v) =>
       val name = k match {
@@ -232,7 +307,7 @@ case class GraftSqlUpdateCommand(
         require(!parts.exists(p => resolver(p, name)),
           s"UPDATE $ident: cannot UPDATE key column '$name' — " +
             "MERGE (DELETE + INSERT) moves rows between keys"))
-      name -> GraftRowLevelSql.byName(v, s"UPDATE $ident")
+      name -> GraftRowLevelSql.byName(v, s"UPDATE $ident", scalars)
     }.toMap
     val pred = condition
       .map(GraftRowLevelSql.byName(_, s"UPDATE $ident"))
@@ -300,7 +375,8 @@ case class GraftSqlSubqueryUpdateCommand(
     table: GraftSqlTable,
     targetOutput: Seq[Attribute],
     filtered: LogicalPlan,
-    assignments: Seq[(Expression, Expression)])
+    assignments: Seq[(Expression, Expression)],
+    scalarPlans: Seq[LogicalPlan] = Nil)
     extends GraftVersionCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
@@ -310,6 +386,8 @@ case class GraftSqlSubqueryUpdateCommand(
     require(!table.isExternalReadOnly,
       s"cannot UPDATE read-only external registration $ident — " +
         "mutate the owning table")
+    val scalars = GraftRowLevelSql.evalScalars(session, scalarPlans,
+      s"UPDATE $ident")
     val resolver = session.sessionState.conf.resolver
     val keyNames: Seq[String] =
       table.graftKeyParts.getOrElse(Seq(table.graftKey))
@@ -323,7 +401,7 @@ case class GraftSqlSubqueryUpdateCommand(
       require(!keyNames.exists(p => resolver(p, name)),
         s"UPDATE $ident: cannot UPDATE key column '$name' — " +
           "MERGE (DELETE + INSERT) moves rows between keys")
-      name -> GraftRowLevelSql.byName(v, s"UPDATE $ident")
+      name -> GraftRowLevelSql.byName(v, s"UPDATE $ident", scalars)
     }.toMap
     val df = ColumnBridge.ofRows(session, filtered)
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -402,7 +480,8 @@ case class GraftSqlMergeCommand(
     matchedActions: Seq[MergeAction],
     notMatchedActions: Seq[MergeAction],
     notMatchedBySourceActions: Seq[MergeAction],
-    withSchemaEvolution: Boolean) extends GraftVersionCommand {
+    withSchemaEvolution: Boolean,
+    scalarPlans: Seq[LogicalPlan] = Nil) extends GraftVersionCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val ident = table.identName
@@ -411,6 +490,8 @@ case class GraftSqlMergeCommand(
     require(!table.isExternalReadOnly,
       s"cannot MERGE INTO read-only external registration $ident — " +
         "mutate the owning table")
+    val scalarLits = GraftRowLevelSql.evalScalars(session, scalarPlans,
+      s"MERGE INTO $ident")
     // withSchemaEvolution: by the time this command exists, Spark's
     // ResolveMergeIntoSchemaEvolution already landed the width change
     // through the catalog (see GraftRowLevelRule's guard) — the
@@ -439,6 +520,7 @@ case class GraftSqlMergeCommand(
         s"MERGE INTO $ident: subqueries in clauses are not supported " +
           "— stage them into the source")
       ColumnBridge.column(e.transform {
+        case s: ScalarSlot => scalarLits(s.slot)
         case a: AttributeReference =>
           UnresolvedAttribute.quoted(byId.getOrElse(a.exprId,
             throw new IllegalStateException(s"MERGE INTO $ident: " +

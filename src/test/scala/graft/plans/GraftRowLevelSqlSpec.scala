@@ -459,6 +459,50 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
     assert(all().size == 19 && !all().exists(_._1 == 6L))
   }
 
+  test("uncorrelated scalar subqueries in assignments evaluate once") {
+    fixture("m15", n = 10, files = 2)
+    // plain-condition route: the scalar reads the PRE-update snapshot
+    spark.sql("UPDATE rl.m15 SET v = (SELECT MAX(v) FROM rl.m15) + 1 " +
+      "WHERE k <= 2")
+    val got = rows("m15")
+    assert(got(1L)._1 == 101L && got(2L)._1 == 101L,
+      "scalar = pre-update MAX(v) = 100, evaluated once")
+    assert(got(3L)._1 == 30L)
+    // subquery CONDITION and scalar ASSIGNMENT in one statement
+    spark.sql("CREATE OR REPLACE TEMP VIEW m15_subj AS " +
+      "SELECT * FROM VALUES (4L), (5L) AS s(sk)")
+    spark.sql("UPDATE rl.m15 SET w = 'sq', " +
+      "v = (SELECT COUNT(*) FROM m15_subj) " +
+      "WHERE k IN (SELECT sk FROM m15_subj)")
+    assert(rows("m15")(4L) == ((2L, "sq")) &&
+      rows("m15")(5L) == ((2L, "sq")))
+    // MERGE clause VALUES lift too — UPDATE and INSERT sides
+    spark.sql("CREATE OR REPLACE TEMP VIEW m15_delta AS " +
+      "SELECT * FROM VALUES (1L), (99L) AS d(dk)")
+    spark.sql("MERGE INTO rl.m15 t USING m15_delta d ON t.k = d.dk " +
+      "WHEN MATCHED THEN UPDATE SET v = (SELECT MIN(sk) FROM m15_subj) " +
+      "WHEN NOT MATCHED THEN INSERT (k, v, w) VALUES " +
+      "(d.dk, (SELECT MAX(sk) FROM m15_subj), 'ins')")
+    assert(rows("m15")(1L)._1 == 4L)
+    assert(rows("m15")(99L) == ((5L, "ins")))
+    // an EMPTY scalar is NULL (the ANSI contract)
+    spark.sql("UPDATE rl.m15 SET w = " +
+      "(SELECT w FROM rl.m15 WHERE k = 12345) WHERE k = 3")
+    assert(rows("m15")(3L)._2 == null)
+    // more than one row raises the cardinality violation
+    val e = intercept[Exception] {
+      spark.sql("UPDATE rl.m15 SET v = (SELECT sk FROM m15_subj) " +
+        "WHERE k = 3")
+    }
+    assert(e.getMessage.contains("more than one row"), e.getMessage)
+    // CORRELATED scalars (per-row values) keep a loud subquery error
+    val e2 = intercept[Exception] {
+      spark.sql("UPDATE rl.m15 SET v = " +
+        "(SELECT MAX(sk) FROM m15_subj WHERE sk = k) WHERE k = 3")
+    }
+    assert(e2.getMessage.toLowerCase.contains("subquer"), e2.getMessage)
+  }
+
   test("statements build lazily: EXPLAIN runs no commit") {
     fixture("m5", n = 4, files = 1)
     val t = GraftTable.open(spark, locationOf("m5"), "k")
