@@ -3439,6 +3439,67 @@ object ScaleOps {
       |FROM s2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x69 — DECLARED INSERT DISCIPLINE (round 18, the INSERT-INTO-keyed-
+  //       table story): TBLPROPERTIES ('insert' = 'upsert') makes
+  //       one-row-per-key a table INVARIANT — INSERT INTO routes
+  //       through the keyed merge (the same stats+bloom-pruned
+  //       composeApply every keyed mutation uses: a re-ingested slice
+  //       rewrites only the files holding its keys), and a batch
+  //       carrying duplicate keys refuses loudly instead of landing an
+  //       arbitrary winner. The default stays the documented raw
+  //       append (duplicate keys reachable; row-level DML handles
+  //       them row-addressed since round 18). The gated lifecycle
+  //       ingests orders, then re-ingests a re-priced slice — the
+  //       idempotent-reingestion shape every training-data pipeline
+  //       hits when a source partition is corrected and replayed.
+  //
+  //       100 TB shape: a corrected-partition replay against a
+  //       100 TB corpus is delta-scale — the merge reads/rewrites the
+  //       files holding replayed keys, never the table; the
+  //       duplicate guard is one map-side-combined groupBy over the
+  //       BATCH (batch-scale, not table-scale).
+  // ---------------------------------------------------------------------
+  private def x69(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = graft.util.ExtSession(spark0)
+    spark.conf.set("spark.sql.catalog.graft_x69",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.graft_x69.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_x69.warehouse",
+        graft.util.Scratch.dir("graft-x69-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_x69.ord")
+    spark.sql("CREATE TABLE graft_x69.ord (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_price DECIMAL(18,2)) " +
+      "TBLPROPERTIES ('key' = 'o_orderkey', 'insert' = 'upsert')")
+    Tables.orders(spark, dir).createOrReplaceTempView("x69_src")
+    spark.sql("INSERT INTO graft_x69.ord " +
+      "SELECT o_orderkey, o_custkey, " +
+      "CAST(o_totalprice AS DECIMAL(18,2)) FROM x69_src")
+    // the corrected-partition replay: every 7th order re-ingests at
+    // double price — the upsert REPLACES those keys
+    spark.sql("INSERT INTO graft_x69.ord " +
+      "SELECT o_orderkey, o_custkey, " +
+      "CAST(o_totalprice * 2 AS DECIMAL(18,2)) FROM x69_src " +
+      "WHERE o_orderkey % 7 = 0")
+    spark.sql(
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_price) AS DOUBLE) AS sum_price, " +
+        "CAST(SUM(o_custkey) AS BIGINT) AS sum_ck " +
+        "FROM graft_x69.ord")
+  }
+
+  private val x69Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_custkey AS ck,
+      |    CAST(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+      |         ELSE o_totalprice END AS DECIMAL(18,2)) AS p
+      |  FROM orders)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(ck) AS BIGINT) AS sum_ck
+      |FROM base""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -4095,5 +4156,6 @@ object ScaleOps {
     QuerySpec("x65_external_registration", x65, Some(x65Sql)),
     QuerySpec("x66_delete_full_surface", x66, Some(x66Sql)),
     QuerySpec("x67_update_subquery", x67, Some(x67Sql)),
-    QuerySpec("x68_update_scalar_assign", x68, Some(x68Sql)))
+    QuerySpec("x68_update_scalar_assign", x68, Some(x68Sql)),
+    QuerySpec("x69_insert_upsert", x69, Some(x69Sql)))
 }

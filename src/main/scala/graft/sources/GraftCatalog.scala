@@ -317,7 +317,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     * nothing is ever registered half-built. */
   private def bootstrapStorage(ident: Identifier, schema: StructType,
                                key: String, clusterCols: Seq[String],
-                               data: Option[DataFrame]): String = {
+                               data: Option[DataFrame],
+                               insertMode: String = "append"): String = {
     // storage indirection: manifests/DV sidecars hold absolute paths,
     // so the data location is immutable — renames move the pointer
     val loc = s"$warehouse/.store/${norm(ident.name())}-${
@@ -327,7 +328,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     try {
       val parts = CompoundKey.partsOf(key)
       val t = GraftTable.open(spark, loc, storageKeyOf(key))
-      t.declareColumns(storageSchemaOf(key, schema))
+      t.declareColumns(storageSchemaOf(key, schema),
+        keyRecord = Some(key))
       // compound tables default their standing clustering to the key
       // parts — what makes __gkey's per-file string bounds tight from
       // the first insert (the merge-pruning story)
@@ -342,8 +344,23 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       val out = f.create(new org.apache.hadoop.fs.Path(loc, "key.conf"),
         true)
       try out.write(key.getBytes("UTF-8")) finally out.close()
+      // the INSERT discipline (round 18, x69): 'insert' = 'upsert'
+      // records that INSERT INTO routes through the keyed merge —
+      // a side-config in the checks/cluster family (advisory
+      // routing, saved/restored through REPLACE like the rest)
+      if (insertMode == "upsert") {
+        val io = f.create(
+          new org.apache.hadoop.fs.Path(loc, "insert.conf"), true)
+        try io.write("upsert".getBytes("UTF-8")) finally io.close()
+      }
       data.foreach { df =>
-        t.append(parts.fold(df)(p => CompoundKey.withKey(df, p))); ()
+        val keyed = parts.fold(df)(p => CompoundKey.withKey(df, p))
+        if (insertMode == "upsert") {
+          GraftCatalog.requireUniqueKeys(keyed, storageKeyOf(key),
+            s"CTAS into an 'insert'='upsert' table")
+          t.merge(keyed)
+        } else t.append(keyed)
+        ()
       }
       loc
     } catch {
@@ -428,7 +445,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     val clusterCols = clusterColsOf(partitions)
     val key = validatedKey(schema, properties, clusterCols)
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val loc = bootstrapStorage(ident, schema, key, clusterCols, None)
+    val loc = bootstrapStorage(ident, schema, key, clusterCols, None,
+      GraftCatalog.insertModeOf(properties))
     registerPointer(ident, key, loc, schema)
     loadTable(ident)
   }
@@ -545,7 +563,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
     pconf match {
       case None =>
         if (!orCreate) throw new NoSuchTableException(ident)
-        val loc = bootstrapStorage(ident, schema, key, clusterCols, data)
+        val loc = bootstrapStorage(ident, schema, key, clusterCols,
+          data, GraftCatalog.insertModeOf(properties))
         registerPointer(ident, key, loc, schema)
       case Some((_, loc, _, flag)) =>
         if (!orReplace) throw new TableAlreadyExistsException(ident)
@@ -559,7 +578,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         // table configured, so they restore on any failure; only a
         // crash in this window loses them (documented, advisory-only)
         val saved = Seq("checks.conf", "schema.conf", "bloom.conf",
-            "autocompact.conf", "cluster.conf", "key.conf").flatMap { c =>
+            "autocompact.conf", "cluster.conf", "key.conf",
+            "insert.conf").flatMap { c =>
           val p = new org.apache.hadoop.fs.Path(loc, c)
           if (!f.exists(p)) None
           else {
@@ -586,13 +606,26 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         // round-16 advisor's broken-loads window). The inverse
         // window (key.conf new, commit never landed) keeps loads on
         // the still-valid pointer key.
+        val newMode = GraftCatalog.insertModeOf(properties)
         try {
           val out = f.create(
             new org.apache.hadoop.fs.Path(loc, "key.conf"), true)
           try out.write(key.getBytes("UTF-8")) finally out.close()
-          t.replaceTable(
-            parts.fold(df0)(p => CompoundKey.withKey(df0, p)),
-            storageSchemaOf(key, schema), cluster)
+          // the NEW insert discipline lands with the other side-
+          // configs (the saved-loop above already cleared the old
+          // one; restore-on-failure puts it back)
+          if (newMode == "upsert") {
+            val io = f.create(
+              new org.apache.hadoop.fs.Path(loc, "insert.conf"), true)
+            try io.write("upsert".getBytes("UTF-8")) finally io.close()
+          }
+          val keyed = parts.fold(df0)(p => CompoundKey.withKey(df0, p))
+          if (newMode == "upsert")
+            GraftCatalog.requireUniqueKeys(keyed, storageKeyOf(key),
+              "RTAS into an 'insert'='upsert' table")
+          t.replaceTable(keyed,
+            storageSchemaOf(key, schema), cluster,
+            keyRecord = Some(key))
         } catch { case scala.util.control.NonFatal(e) =>
           try {
             saved.foreach { case (p, bytes) =>
@@ -606,6 +639,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
             // (round-17 review finding)
             if (!saved.exists(_._1.getName == "key.conf")) {
               f.delete(new org.apache.hadoop.fs.Path(loc, "key.conf"),
+                false)
+              ()
+            }
+            // same discipline for a freshly-written insert.conf on a
+            // table that never had one
+            if (newMode == "upsert" &&
+                !saved.exists(_._1.getName == "insert.conf")) {
+              f.delete(new org.apache.hadoop.fs.Path(loc, "insert.conf"),
                 false)
               ()
             }
@@ -771,6 +812,40 @@ private[graft] class GraftSqlManagedTable(ident: String, root: String,
   * key.conf, markers): existence probe + full read + UTF-8 decode —
   * previously hand-rolled at three sites that must provably read
   * the same bytes the same way (round-17 review finding) */
+/** catalog-level helpers shared by the catalog and its tables */
+private[sources] object GraftCatalog {
+  /** the declared INSERT discipline (x69): 'append' (default — INSERT
+    * INTO is a raw append; duplicate keys are reachable and the
+    * row-level DML verbs handle them row-addressed) or 'upsert'
+    * (INSERT INTO routes through the keyed merge — one row per key is
+    * a table INVARIANT, and a batch carrying duplicate keys refuses
+    * with the cardinality message rather than landing
+    * nondeterministically). */
+  private[sources] def insertModeOf(
+      properties: util.Map[String, String]): String = {
+    val m = Option(properties.get("insert")).getOrElse("append")
+    require(m == "append" || m == "upsert",
+      s"TBLPROPERTIES 'insert' must be 'append' or 'upsert' (got '$m')")
+    m
+  }
+
+  /** the upsert-insert duplicate guard: loud refusal, never an
+    * arbitrary winner (Hudi dedupes by a precombine field; without
+    * one, picking a row silently is the nondeterminism an upsert
+    * table exists to prevent) */
+  private[sources] def requireUniqueKeys(keyed: DataFrame,
+                                         storageKey: String,
+                                         ctx: String): Unit = {
+    val dup = keyed.groupBy(col(storageKey))
+      .count().where(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"$ctx: the batch carries duplicate keys (e.g. " +
+        s"${dup.headOption.map(_.get(0)).getOrElse("")}) — an " +
+        "'insert'='upsert' table holds one row per key; dedupe the " +
+        "batch or MERGE with explicit clauses")
+  }
+}
+
 private[sources] object ConfIO {
   def readSmallFile(
       fp: (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path))
@@ -849,13 +924,21 @@ private[graft] class GraftSqlTable(ident: String, root: String,
     * name, resolved once from the manifest's mapping rows. */
   private lazy val (table: GraftTable, logicalKey: String,
       effKey: String) = {
+    // ONE probe handle serves the stamp read and (usually) the final
+    // handle — a second open would re-fold the manifest per load
+    val probeKey =
+      if (CompoundKey.partsOf(keyCol).isDefined) CompoundKey.KeyName
+      else keyCol
+    val probe = GraftTable.open(spark, root, probeKey)
     def open(k: String): (GraftTable, String) =
       if (CompoundKey.partsOf(k).isDefined)
         // compound: the handle keys on the synthesized storage column
-        (GraftTable.open(spark, root, CompoundKey.KeyName),
+        (if (probeKey == CompoundKey.KeyName) probe
+         else GraftTable.open(spark, root, CompoundKey.KeyName),
           CompoundKey.KeyName)
       else {
-        val t0 = GraftTable.open(spark, root, k)
+        val t0 =
+          if (k == probeKey) probe else GraftTable.open(spark, root, k)
         val lk = t0.logicalKeyName
         (if (lk == k) t0 else GraftTable.open(spark, root, lk), lk)
       }
@@ -877,23 +960,53 @@ private[graft] class GraftSqlTable(ident: String, root: String,
         }
       }
     }
-    val (t, lk) = open(keyCol)
-    if (present(t, lk, keyCol)) (t, lk, keyCol)
-    else keyConfKey().filter(_ != keyCol) match {
-      // the one REPLACE crash window the pointer cannot cover: a
-      // key-changing REPLACE writes key.conf, commits on the
-      // storage, then rewrites the pointer — a crash between the
-      // last two leaves the pointer naming a key the new schema no
-      // longer carries. key.conf (written BEFORE the commit) names
-      // the current key; loads heal onto it, and the next REPLACE
-      // re-run repairs the pointer. (If the old key column happens
-      // to SURVIVE into the new schema the stale pointer key is
-      // undetectable until then — documented residual.)
-      case Some(k2) =>
-        val (t2, lk2) = open(k2)
-        if (present(t2, lk2, k2)) (t2, lk2, k2) else (t, lk, keyCol)
-      case None => (t, lk, keyCol)
+    // round 18: the manifest's OWN key stamp (written by the same
+    // commit that declared/replaced the schema — GraftTable.keyRecRow)
+    // is authoritative when present: the load resolves the key from
+    // the version it serves, so a key-changing REPLACE that crashed
+    // before the pointer rewrite heals STRUCTURALLY — including the
+    // two shapes the key.conf heuristic below cannot see (the old key
+    // column surviving into the new schema; a reordered same-part-set
+    // compound key). The probe handle reads only the manifest, so its
+    // key name is immaterial.
+    val stamped: Option[String] =
+      probe.keyRecordAt(if (version >= 0) version else -1L)
+    stamped match {
+      case Some(rec) =>
+        val (t, lk) = open(rec)
+        (t, lk, rec)
+      case None =>
+        // pre-stamp (legacy) tables: the pointer key, healed through
+        // the presence check + key.conf fallback
+        val (t, lk) = open(keyCol)
+        if (present(t, lk, keyCol)) (t, lk, keyCol)
+        else keyConfKey().filter(_ != keyCol) match {
+          // the one REPLACE crash window the pointer cannot cover: a
+          // key-changing REPLACE writes key.conf, commits on the
+          // storage, then rewrites the pointer — a crash between the
+          // last two leaves the pointer naming a key the new schema no
+          // longer carries. key.conf (written BEFORE the commit) names
+          // the current key; loads heal onto it, and the next REPLACE
+          // re-run repairs the pointer. (If the old key column happens
+          // to SURVIVE into the new schema the stale pointer key is
+          // undetectable on this legacy path — closed by the stamp.)
+          case Some(k2) =>
+            val (t2, lk2) = open(k2)
+            if (present(t2, lk2, k2)) (t2, lk2, k2) else (t, lk, keyCol)
+          case None => (t, lk, keyCol)
+        }
     }
+  }
+
+  /** the declared INSERT discipline (x69): true routes INSERT INTO
+    * through the keyed merge — recorded at CREATE/REPLACE in the
+    * storage root's insert.conf (the checks/cluster side-config
+    * family), absent = the raw-append default */
+  private lazy val insertUpsert: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(root, "insert.conf")
+    ConfIO.readSmallFile(
+      (p.getFileSystem(spark.sessionState.newHadoopConf()), p))
+      .exists(_.trim == "upsert")
   }
 
   /** the storage root's own key record (written at CREATE and before
@@ -1097,7 +1210,18 @@ private[graft] class GraftSqlTable(ident: String, root: String,
               val t = table
               val df = withStorageKey(data)
               if (overwrite || legacyOverwrite) t.overwriteAll(df)
-              else t.append(df)
+              else if (insertUpsert) {
+                // x69: the declared INSERT discipline — one row per
+                // key is a table invariant, so the batch routes
+                // through the keyed merge (stats-pruned: only files
+                // holding touched keys rewrite) after the loud
+                // duplicate-batch guard
+                GraftCatalog.requireUniqueKeys(df,
+                  if (graftKeyParts.isDefined) CompoundKey.KeyName
+                  else graftKey,
+                  s"INSERT INTO $ident")
+                t.merge(df)
+              } else t.append(df)
               ()
             }
           }

@@ -796,7 +796,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * ADD-COLUMN-time default behave identically (the round-15 advisor
     * hole: accepted-then-silently-dropped). Only valid as the very
     * first commit. */
-  def declareColumns(schema: org.apache.spark.sql.types.StructType): Long = {
+  def declareColumns(schema: org.apache.spark.sql.types.StructType,
+                     keyRecord: Option[String] = None): Long = {
     val cols = schema.fields.toSeq.map { f =>
       val d =
         if (f.metadata.contains("CURRENT_DEFAULT"))
@@ -811,11 +812,22 @@ final class GraftTable private (spark: SparkSession, val root: String,
           "columns one at a time with addColumn")
       schema.fieldNames.foreach(n => require(n.matches(GraftTable.ColIdent),
         s"column names are identifiers: '$n'"))
+      // the key stamp rides the SAME declaring commit (round 18):
+      // every version of a catalog table is key-self-describing
       Some((withFeature(cols.zipWithIndex.map {
         case (c, i) => GraftTable.addColRow(c, ordinal = i.toLong)
-      }, "addcol"), Seq.empty))
+      }, "addcol") ++ keyRecord.map(GraftTable.keyRecRow),
+        Seq.empty))
     }
   }
+
+  /** the snapshot's key-record stamp ([[GraftTable.keyRecRow]]):
+    * None on pre-stamp (legacy) tables and on versions below the
+    * stamp's introduction — callers fall back to the pointer/key.conf
+    * heuristics there */
+  private[graft] def keyRecordAt(version: Long = -1L): Option[String] =
+    GraftTable.parseKeyRec(
+      manifestOf(if (version < 0) head else version))
 
   /** every declared column's write-time default, by CURRENT LOGICAL
     * name — what the SQL catalog re-attaches to `schema()` as
@@ -2525,7 +2537,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * new-schema files (the SQL catalog's REPLACE does this). The
     * handle's key column is the NEW schema's key. */
   def replaceTable(df: DataFrame, declared: org.apache.spark.sql.types.StructType,
-                   clusterBy: Seq[String] = Seq.empty): Long = {
+                   clusterBy: Seq[String] = Seq.empty,
+                   keyRecord: Option[String] = None): Long = {
     require(declared.fieldNames.contains(keyCol),
       s"key column '$keyCol' is not in the replacement schema " +
         s"(${declared.fieldNames.mkString(", ")})")
@@ -2559,8 +2572,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val v = commitLoop() { _ =>
       // the replacement ignores the base snapshot entirely: fresh
       // declarations + staged files ARE the table (txn rows are
-      // re-attached canonically by the loop)
-      Some((withFeature(addRows, "addcol") ++ st.refs, Seq.empty))
+      // re-attached canonically by the loop); the NEW key stamp rides
+      // the same commit — a stale stamp surviving a key-changing
+      // replace would be worse than none, so an unstamped replace
+      // (bare-handle callers) drops any prior stamp with the base
+      Some((withFeature(addRows, "addcol") ++ st.refs
+        ++ keyRecord.map(GraftTable.keyRecRow), Seq.empty))
     }
     st.markers.foreach(io.delete)
     v
@@ -3330,10 +3347,33 @@ object GraftTable {
 
   /** manifest row kinds that CARRY through whole-snapshot rewrites
     * (cluster's full rewrite replaces every data/DV/bloom ref, but
-    * column-mapping, declared-column, property-fingerprint, and
-    * feature-flag rows describe the TABLE, not its files) */
+    * column-mapping, declared-column, property-fingerprint,
+    * feature-flag, and key-record rows describe the TABLE, not its
+    * files) */
   private[table] val CarriedKinds: Set[String] =
-    Set("col", "addcol", "prop", "feature")
+    Set("col", "addcol", "prop", "feature", "keyrec")
+
+  /** the KEY RECORD stamp (round 18): one `kind = "keyrec"` row per
+    * snapshot naming the table's key — the key column's immutable
+    * PHYSICAL name, or the comma-joined compound part list — written
+    * by the SAME commit that declares or replaces the schema, so
+    * every version is self-describing: a catalog load resolves the
+    * key from the manifest of the version it serves, and the one
+    * crash window the pointer cannot cover (a key-changing REPLACE
+    * that commits on storage but dies before the pointer rewrite)
+    * closes structurally, including the two cases the key.conf
+    * heuristic could not detect (the old key column surviving into
+    * the new schema, and a reordered same-part-set compound key).
+    * key.conf remains the pre-stamp legacy fallback. */
+  private[table] def keyRecRow(record: String): FileRef =
+    FileRef("keyrec:" + java.util.Base64.getEncoder.encodeToString(
+      record.getBytes(java.nio.charset.StandardCharsets.UTF_8)),
+      "keyrec", -1L, -1L)
+
+  private[table] def parseKeyRec(refs: Seq[FileRef]): Option[String] =
+    refs.find(_.kind == "keyrec").map(r => new String(
+      java.util.Base64.getDecoder.decode(r.file.stripPrefix("keyrec:")),
+      java.nio.charset.StandardCharsets.UTF_8))
 
   /** READER FEATURE FLAGS (Delta's protocol/table-features,
     * Iceberg's format-version): the first commit that makes a table
@@ -3357,7 +3397,7 @@ object GraftTable {
     * the fold */
   private[table] val KnownKinds: Set[String] =
     Set("data", "dv", "bloom", "txn", "col", "addcol", "prop", "feature",
-        "delta", "rm")
+        "keyrec", "delta", "rm")
 
   private[table] def featureRow(name: String): FileRef =
     FileRef(s"feature:$name", "feature", -1L, -1L)

@@ -629,13 +629,21 @@ class GraftCatalogSpec extends AnyFunSuite {
       "TBLPROPERTIES ('key' = 'ck') AS " +
       "SELECT v AS ck, v * 2 AS n FROM VALUES (10L), (20L) AS s(v)")
     // simulate the crash window: the replace committed on the
-    // storage (and key.conf, written before it, names ck) but the
-    // pointer rewrite never happened (the local fs keeps a checksum
-    // sidecar — drop it, as a real torn pointer write would)
+    // storage but the pointer rewrite never happened (the local fs
+    // keeps a checksum sidecar — drop it, as a real torn pointer
+    // write would)
     java.nio.file.Files.write(confP, oldConf)
     java.nio.file.Files.deleteIfExists(
       java.nio.file.Paths.get(s"$wh/kw1/.catalog.conf.crc"))
-    // loads heal onto key.conf: reads serve the new schema...
+    // round 18: healing is STRUCTURAL — the replace commit stamped
+    // the key into the manifest itself, so delete key.conf outright
+    // to prove the heal does not ride the legacy heuristic
+    val loc1 = locationOf("kw1")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$loc1/key.conf"))
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$loc1/.key.conf.crc"))
+    // loads heal onto the manifest stamp: reads serve the new schema
     assert(spark.table("gcat.kw1").columns.toSeq == Seq("ck", "n"))
     assert(spark.table("gcat.kw1").count() == 2)
     // ...and writes + keyed mutations run on the healed key
@@ -643,6 +651,164 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.table("gcat.kw1").count() == 3)
     spark.sql("DELETE FROM gcat.kw1 WHERE ck = 30")
     assert(spark.table("gcat.kw1").count() == 2)
+  }
+
+  test("the manifest key stamp heals the un-heuristic-able crashes") {
+    // the two key-changing-REPLACE crash shapes key.conf could never
+    // detect (round-17 residuals a/b), closed structurally by the
+    // kind="keyrec" manifest row the declaring/replacing commit
+    // itself writes: (1) the OLD key column SURVIVES into the new
+    // schema — the stale pointer key still passes the presence
+    // check; (2) a REORDERED same-part-set compound key — every part
+    // (and __gkey) is present under either order.
+    val wh = spark.conf.get("spark.sql.catalog.gcat.warehouse")
+    def simulateCrash(name: String, oldConf: Array[Byte]): Unit = {
+      val confP = java.nio.file.Paths.get(s"$wh/$name/catalog.conf")
+      java.nio.file.Files.write(confP, oldConf)
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$wh/$name/.catalog.conf.crc"))
+      val loc = locationOf(name)
+      java.nio.file.Files.deleteIfExists(          // no legacy crutch
+        java.nio.file.Paths.get(s"$loc/key.conf"))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$loc/.key.conf.crc"))
+    }
+    val es = graft.util.ExtSession(spark) // MERGE needs the rules
+    // (1) old key column survives: key k → v, column k stays
+    spark.sql("DROP TABLE IF EXISTS gcat.ks1")
+    spark.sql("CREATE TABLE gcat.ks1 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.ks1 VALUES (1, 10), (2, 20)")
+    val conf1 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$wh/ks1/catalog.conf"))
+    spark.sql("CREATE OR REPLACE TABLE gcat.ks1 " +
+      "TBLPROPERTIES ('key' = 'v') AS " +
+      "SELECT * FROM VALUES (1L, 10L), (9L, 90L) AS s(k, v)")
+    simulateCrash("ks1", conf1)
+    // a MERGE addressed by the NEW key (v): under the stale pointer
+    // key the ON condition would refuse ('must contain an equality
+    // between EACH key column (k)') and SET k would be illegal
+    es.sql("CREATE OR REPLACE TEMP VIEW ks1_d AS " +
+      "SELECT * FROM VALUES (10L, 7L) AS d(sv, sk)")
+    es.sql("MERGE INTO gcat.ks1 t USING ks1_d d ON t.v = d.sv " +
+      "WHEN MATCHED THEN UPDATE SET k = d.sk")
+    val got1 = spark.table("gcat.ks1").collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(got1 == Map(10L -> 7L, 90L -> 9L),
+      s"the stamp must key the merge on v, not the stale pointer k " +
+        s"(got $got1)")
+    // (2) reordered compound key: (a,b) → (b,a), same columns
+    spark.sql("DROP TABLE IF EXISTS gcat.ks2")
+    spark.sql("CREATE TABLE gcat.ks2 (a STRING, b BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'a,b')")
+    spark.sql("INSERT INTO gcat.ks2 VALUES ('x', 1, 10)")
+    val conf2 = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$wh/ks2/catalog.conf"))
+    spark.sql("CREATE OR REPLACE TABLE gcat.ks2 " +
+      "TBLPROPERTIES ('key' = 'b,a') AS " +
+      "SELECT * FROM VALUES ('x', 1L, 100L), ('y', 2L, 200L) " +
+      "AS s(a, b, v)")
+    simulateCrash("ks2", conf2)
+    // the synthesized storage key encodes parts IN ORDER: a MERGE
+    // upsert under the stale (a,b) order would encode 'x|1' while
+    // the table holds '1|x' — a silent DUPLICATE row instead of a
+    // replacement
+    es.sql("CREATE OR REPLACE TEMP VIEW ks2_d AS " +
+      "SELECT * FROM VALUES ('x', 1L, 111L) AS d(da, db, dv)")
+    es.sql("MERGE INTO gcat.ks2 t USING ks2_d d " +
+      "ON t.a = d.da AND t.b = d.db " +
+      "WHEN MATCHED THEN UPDATE SET v = d.dv " +
+      "WHEN NOT MATCHED THEN INSERT (a, b, v) VALUES (d.da, d.db, d.dv)")
+    val got2 = spark.table("gcat.ks2").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(spark.table("gcat.ks2").count() == 2 &&
+      got2(("x", 1L)) == 111L,
+      s"the stamp must keep the (b,a) part order (got $got2)")
+  }
+
+  test("'insert' = 'upsert' declares a key-consistent INSERT discipline") {
+    // the INSERT-INTO-keyed-table story (round 18, x69): the DEFAULT
+    // stays a raw append (duplicate keys reachable; row-level DML
+    // handles them row-addressed), and a table declaring
+    // 'insert'='upsert' gets one-row-per-key as an INVARIANT
+    spark.sql("DROP TABLE IF EXISTS gcat.up1")
+    spark.sql("CREATE TABLE gcat.up1 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k', 'insert' = 'upsert')")
+    spark.sql("INSERT INTO gcat.up1 VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO gcat.up1 VALUES (2, 22), (3, 30)")
+    val got = spark.table("gcat.up1").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spark.table("gcat.up1").count() == 3 &&
+      got == Map(1L -> 10L, 2L -> 22L, 3L -> 30L),
+      s"a re-ingested key must REPLACE, not duplicate (got $got)")
+    // a batch carrying duplicate keys refuses loudly — an arbitrary
+    // winner would be silent nondeterminism
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO gcat.up1 VALUES (5, 1), (5, 2)")
+    }
+    assert(e.getMessage.contains("duplicate keys"), e.getMessage)
+    assert(spark.table("gcat.up1").count() == 3, "the refusal commits nothing")
+    // the default table keeps the documented raw append
+    spark.sql("DROP TABLE IF EXISTS gcat.up2")
+    spark.sql("CREATE TABLE gcat.up2 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO gcat.up2 VALUES (1, 1)")
+    spark.sql("INSERT INTO gcat.up2 VALUES (1, 2)")
+    assert(spark.table("gcat.up2").count() == 2)
+    // the property validates at the front door
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE TABLE gcat.up3 (k BIGINT) " +
+        "TBLPROPERTIES ('key' = 'k', 'insert' = 'weird')")
+    }
+    assert(e2.getMessage.contains("'insert'"), e2.getMessage)
+    // RTAS can flip the discipline off (and back on)
+    spark.sql("CREATE OR REPLACE TABLE gcat.up1 " +
+      "TBLPROPERTIES ('key' = 'k') AS SELECT 1L AS k, 1L AS v")
+    spark.sql("INSERT INTO gcat.up1 VALUES (1, 2)")
+    assert(spark.table("gcat.up1").count() == 2,
+      "a replace without the property reverts to raw append")
+    // compound keys upsert under the synthesized storage key
+    spark.sql("DROP TABLE IF EXISTS gcat.up4")
+    spark.sql("CREATE TABLE gcat.up4 (a STRING, b BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'a,b', 'insert' = 'upsert')")
+    spark.sql("INSERT INTO gcat.up4 VALUES ('x', 1, 10), ('y', 2, 20)")
+    spark.sql("INSERT INTO gcat.up4 VALUES ('x', 1, 11)")
+    val got4 = spark.table("gcat.up4").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(spark.table("gcat.up4").count() == 2 &&
+      got4(("x", 1L)) == 11L, s"compound upsert (got $got4)")
+  }
+
+  test("transaction surface: single-STATEMENT atomicity, by declaration") {
+    // SURVEY §2.3 (round 18): multi-statement transactions
+    // (BEGIN/COMMIT spanning statements or tables) are OUT OF SCOPE —
+    // the engine's contract is Delta's: every statement is ONE atomic,
+    // CAS-serialized version commit on its table, and there is no
+    // cross-table coordinator (Spark itself has no transaction
+    // manager to integrate with). Pin the refusal loudly at the
+    // parser so the question is closed on the record, not implicit.
+    val es = graft.util.ExtSession(spark) // the injected parser too
+    Seq("BEGIN", "BEGIN TRANSACTION", "COMMIT", "ROLLBACK").foreach { stmt =>
+      val e = intercept[Exception] { es.sql(stmt) }
+      assert(e.isInstanceOf[
+          org.apache.spark.sql.catalyst.parser.ParseException] ||
+        e.getMessage.toLowerCase.contains("syntax"),
+        s"'$stmt' must fail at parse, got: ${e.getMessage.take(120)}")
+    }
+    // the per-statement contract across TWO tables: two INSERTs are
+    // two commits, each independently atomic and visible — there is
+    // no state in which either table exposes a partial statement
+    spark.sql("DROP TABLE IF EXISTS gcat.tx1")
+    spark.sql("DROP TABLE IF EXISTS gcat.tx2")
+    spark.sql("CREATE TABLE gcat.tx1 (k BIGINT) TBLPROPERTIES ('key'='k')")
+    spark.sql("CREATE TABLE gcat.tx2 (k BIGINT) TBLPROPERTIES ('key'='k')")
+    val t1 = GraftTable.open(spark, locationOf("tx1"), "k")
+    val t2 = GraftTable.open(spark, locationOf("tx2"), "k")
+    val (h1, h2) = (t1.head, t2.head)
+    spark.sql("INSERT INTO gcat.tx1 VALUES (1)")
+    spark.sql("INSERT INTO gcat.tx2 VALUES (1)")
+    assert(t1.head == h1 + 1 && t2.head == h2 + 1,
+      "one statement = exactly one version commit per table")
   }
 
   test("legacy mixed-case pointers resolve through the exact-path fallback") {
