@@ -281,7 +281,10 @@ object Bench {
                  compactSpreads = true),
       extrasUltra = extrasJson(hdfsRuns, rocksRuns, skewRuns, recoveryRuns,
                  recoverySec, lat, gateRetries.size, requeueNotes.size,
-                 compactStreams = true))
+                 compactStreams = true),
+      extrasUltra2 = extrasJson(hdfsRuns, rocksRuns, skewRuns, recoveryRuns,
+                 recoverySec, lat, gateRetries.size, requeueNotes.size,
+                 ultraMinimal = true))
     // The JSON must reach the driver's parser intact. Round 1 lost it in
     // interleaved Spark shutdown noise (TaskKilled warnings from stopped
     // streaming queries), so: (1) persist it to a well-known file first,
@@ -319,7 +322,8 @@ object Bench {
                                 gateRetryCount: Int = 0,
                                 requeueCount: Int = 0,
                                 compactSpreads: Boolean = false,
-                                compactStreams: Boolean = false): String = {
+                                compactStreams: Boolean = false,
+                                ultraMinimal: Boolean = false): String = {
     // ULTRA-COMPACT form (the cascade's final per-query step, round
     // 13: 161 realistic-width queries outgrew the compact-spreads
     // step): the four throughput maxima fold into "wps":[hdfs,
@@ -327,6 +331,18 @@ object Bench {
     // "lat":[p50, p95, mean_batch_ms, backlog_batches] — ~200 chars
     // back, so the full per-query breakdown survives ~20 more
     // queries. The verbose names always ride the full artifact.
+    // ULTRA-MINIMAL form (round 18: 183 realistic-width queries put
+    // the ultra step ~6 chars past budget): the tail keeps the four
+    // throughput maxima, the latency quadruple, and the retry counts
+    // folded into "rq":[gate_retries, requeues]; spreads and
+    // rec_s ride ONLY the full artifact at this step. ~70 chars back —
+    // headroom for ~8 more queries before the family fallback.
+    if (ultraMinimal)
+      return s""""wps":[${fmt(hdfs.max, 0)},${fmt(rocks.max, 0)},""" +
+        s"""${fmt(skew.max, 0)},${fmt(recovery.max, 0)}],""" +
+        s""""lat":[${fmt(lat.p50, 0)},${fmt(lat.p95, 0)},""" +
+        s"""${fmt(lat.meanBatchMs, 0)},${lat.backlogBatches}],""" +
+        s""""rq":[$gateRetryCount,$requeueCount]"""
     if (compactStreams)
       return s""""wps":[${fmt(hdfs.max, 0)},${fmt(rocks.max, 0)},""" +
         s"""${fmt(skew.max, 0)},${fmt(recovery.max, 0)}],""" +
@@ -532,7 +548,8 @@ object Bench {
                                 fullOnlyExtras: String,
                                 sfDir: String,
                                 extrasCompact: String = "",
-                                extrasUltra: String = ""): (String, String) = {
+                                extrasUltra: String = "",
+                                extrasUltra2: String = ""): (String, String) = {
     val total = results.map(_._2).sum
     def jsonLineEx(qs: String, ex: String, extra2: String = ""): String =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","queries":$qs,""" +
@@ -583,12 +600,14 @@ object Bench {
     // breakdown ~130 chars longer than the verbose extras allow
     val exC = if (extrasCompact.isEmpty) extras else extrasCompact
     val exU = if (extrasUltra.isEmpty) exC else extrasUltra
+    val exU2 = if (extrasUltra2.isEmpty) exU else extrasUltra2
     val candidates =
       (results, 2, extras) #:: LazyList.from(
         Seq(2, 1, 0).map(d => (prefixed, d, extras)) :+
           ((shortPrefixed, 0, extras)) :+
           ((shortPrefixed, 0, exC)) :+
-          ((shortPrefixed, 0, exU)) :+ ((familySums, 1, exC)))
+          ((shortPrefixed, 0, exU)) :+
+          ((shortPrefixed, 0, exU2)) :+ ((familySums, 1, exC)))
     val last = candidates
       .map { case (rs, d, ex) =>
         jsonLineEx(rs.map { case (k, v) => "\"" + k + "\":" + fmt(v, d) }

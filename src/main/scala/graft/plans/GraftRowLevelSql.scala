@@ -157,19 +157,31 @@ case class GraftRowLevelRule(session: SparkSession)
         graftTarget(m.targetTable) match {
           case Some((t, tout)) =>
             // uncorrelated scalar subqueries in clause assignment
-            // VALUES lift like UPDATE's (x68); clause CONDITIONS
-            // keep the refusal (a per-row condition subquery is a
-            // join — stage it into the source)
+            // VALUES and clause CONDITIONS lift like UPDATE's (x68) —
+            // one aggregate job each, a literal in the clause CASE.
+            // Everything else (correlated scalars, IN/EXISTS in
+            // clauses) keeps the refusal: a per-row condition
+            // subquery is a join — stage it into the source.
             val plans =
               scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+            def liftC(c: Option[Expression]): Option[Expression] =
+              c.map(GraftRowLevelSql.liftScalars(_, plans))
             def lift(as: Seq[MergeAction]): Seq[MergeAction] =
               as.map {
                 case ua: UpdateAction => ua.copy(
+                  condition = liftC(ua.condition),
                   assignments = ua.assignments.map(a => a.copy(
                     value = GraftRowLevelSql.liftScalars(a.value, plans))))
                 case ia: InsertAction => ia.copy(
+                  condition = liftC(ia.condition),
                   assignments = ia.assignments.map(a => a.copy(
                     value = GraftRowLevelSql.liftScalars(a.value, plans))))
+                case da: DeleteAction =>
+                  da.copy(condition = liftC(da.condition))
+                case us: UpdateStarAction =>
+                  us.copy(condition = liftC(us.condition))
+                case is: InsertStarAction =>
+                  is.copy(condition = liftC(is.condition))
                 case other => other
               }
             GraftSqlMergeCommand(t, tout, m.sourceTable,

@@ -72,10 +72,14 @@ class GraftTableSourceProvider extends RelationProvider
     opt(parameters, k).getOrElse(
       throw new IllegalArgumentException(s"graft requires option '$k'"))
 
-  /** keyCol option, or the storage root's `key.conf` record (written
-    * at catalog CREATE — its immutable PHYSICAL name, or the
-    * compound part list), resolved to (handle key, optional wrap
-    * parts by current logical name) */
+  /** keyCol option, or the MANIFEST's key stamp (round 18 — the same
+    * `kind = "keyrec"` row catalog loads resolve from, so the sink and
+    * the catalog can never disagree about a table's key; this also
+    * closes the residual-(b) window where a sink started between a
+    * key-changing REPLACE's key.conf write and its commit would have
+    * keyed batches one key ahead), falling back to the storage root's
+    * `key.conf` record for pre-stamp tables. Resolved to (handle key,
+    * optional wrap parts by current logical name). */
   private def resolveKey(sqlContext: SQLContext,
                          parameters: Map[String, String],
                          root: String): (String, Option[Seq[String]]) =
@@ -83,15 +87,19 @@ class GraftTableSourceProvider extends RelationProvider
       case Some(k) => (k, None)
       case None =>
         val spark = sqlContext.sparkSession
-        val kp = new org.apache.hadoop.fs.Path(root, "key.conf")
-        val fs = kp.getFileSystem(spark.sessionState.newHadoopConf())
-        require(fs.exists(kp), "graft needs option 'keyCol' (or a " +
-          "catalog-created table, whose storage root records its key)")
-        val len = fs.getFileStatus(kp).getLen.toInt
-        val bytes = new Array[Byte](len)
-        val in = fs.open(kp)
-        try in.readFully(0L, bytes) finally in.close()
-        val stored = new String(bytes, "UTF-8").trim
+        val stamped = GraftTable.open(spark, root, CompoundKey.KeyName)
+          .keyRecordAt(-1L)
+        val stored = stamped.getOrElse {
+          val kp = new org.apache.hadoop.fs.Path(root, "key.conf")
+          val fs = kp.getFileSystem(spark.sessionState.newHadoopConf())
+          require(fs.exists(kp), "graft needs option 'keyCol' (or a " +
+            "catalog-created table, whose storage root records its key)")
+          val len = fs.getFileStatus(kp).getLen.toInt
+          val bytes = new Array[Byte](len)
+          val in = fs.open(kp)
+          try in.readFully(0L, bytes) finally in.close()
+          new String(bytes, "UTF-8").trim
+        }
         CompoundKey.partsOf(stored) match {
           case Some(parts) =>
             val t = GraftTable.open(spark, root, CompoundKey.KeyName)

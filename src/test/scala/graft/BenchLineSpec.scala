@@ -48,6 +48,13 @@ class BenchLineSpec extends AnyFunSuite {
     lat = Bench.LatencyStats(p50 = 1509.0, p95 = 1223.0,
       meanBatchMs = 1234.0, backlogBatches = 123L),
     gateRetryCount = 133, requeueCount = 4, compactStreams = true)
+  private val extrasU2 = Bench.extrasJson(
+    hdfs = rs(13606060d), rocks = rs(11008300d),
+    skew = rs(13606060d), recovery = rs(11008300d),
+    recoverySec = 12.34,
+    lat = Bench.LatencyStats(p50 = 1509.0, p95 = 1223.0,
+      meanBatchMs = 1234.0, backlogBatches = 123L),
+    gateRetryCount = 133, requeueCount = 4, ultraMinimal = true)
   private val fullExtras = Bench.runsJson(Seq(
     "stream_words_per_sec" -> rs(13606060d),
     "stream_words_per_sec_rocksdb" -> rs(11008300d),
@@ -92,6 +99,8 @@ class BenchLineSpec extends AnyFunSuite {
     // (both readings + both loadavg snapshots) on the full line's tail
     for (ex <- Seq(extras, extrasC, extrasU))
       assert(mapper.readTree(s"{$ex}").get("requeues").asInt() === 4, ex)
+    // the ultra-minimal step folds the counts into "rq":[gate, requeue]
+    assert(mapper.readTree(s"{$extrasU2}").get("rq").get(1).asInt() === 4)
     val fullOnly = fullExtras +
       s""","requeue_threshold":4.0,"requeue_notes":{"hdfs":""" +
       """"spread 1.00 max 2750000 at loadavg 7.91: backed off 45s to """ +
@@ -161,7 +170,8 @@ class BenchLineSpec extends AnyFunSuite {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 13.57912)
     val (_, last) =
       Bench.buildLines(results, extras, fullExtras, "/root/testdata/sf0.1",
-        extrasCompact = extrasC, extrasUltra = extrasU)
+        extrasCompact = extrasC, extrasUltra = extrasU,
+        extrasUltra2 = extrasU2)
     assert(last.length <= 1800, s"compact line ${last.length} chars")
     val node = mapper.readTree(last)
     assert(node.get("queries").size() === results.size,
@@ -175,7 +185,10 @@ class BenchLineSpec extends AnyFunSuite {
       assert(node.get("wps").size() === 4)
       assert(node.get("wps").get(1).asLong() === 11008300L)
       assert(node.get("lat").size() === 4)
-      assert(node.get("spreads").size() === 4)
+      // spreads ride until the ULTRA-MINIMAL step, which folds the
+      // retry counts into "rq" instead (round 18: 183 queries) — one
+      // of the two diagnostics forms must be on the line
+      assert(node.has("spreads") || node.get("rq").size() === 2)
     }
   }
 
@@ -188,7 +201,8 @@ class BenchLineSpec extends AnyFunSuite {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(_ -> 1234.56789)
     val (full, last) =
       Bench.buildLines(results, extras, fullExtras, "/root/testdata/sf0.1",
-        extrasCompact = extrasC, extrasUltra = extrasU)
+        extrasCompact = extrasC, extrasUltra = extrasU,
+        extrasUltra2 = extrasU2)
     assert(last.length <= 1800, s"compact line ${last.length} chars")
     val node = mapper.readTree(last)
     assert(node.get("metric").asText() === "total")

@@ -485,6 +485,14 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
       "(d.dk, (SELECT MAX(sk) FROM m15_subj), 'ins')")
     assert(rows("m15")(1L)._1 == 4L)
     assert(rows("m15")(99L) == ((5L, "ins")))
+    // ...and in MERGE clause CONDITIONS (WHEN MATCHED AND <scalar>)
+    spark.sql("MERGE INTO rl.m15 t USING m15_delta d ON t.k = d.dk " +
+      "WHEN MATCHED AND t.v < (SELECT MAX(sk) FROM m15_subj) " +
+      "THEN UPDATE SET w = 'cond'")
+    assert(rows("m15")(1L) == ((4L, "cond")),
+      "v=4 < max(sk)=5: the lifted condition scalar must gate the clause")
+    assert(rows("m15")(99L) == ((5L, "ins")),
+      "v=5 is not < 5: the clause must not fire")
     // an EMPTY scalar is NULL (the ANSI contract)
     spark.sql("UPDATE rl.m15 SET w = " +
       "(SELECT w FROM rl.m15 WHERE k = 12345) WHERE k = 3")

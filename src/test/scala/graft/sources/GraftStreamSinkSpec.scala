@@ -117,6 +117,43 @@ class GraftStreamSinkSpec extends AnyFunSuite {
     assert(spark.sql("SELECT COUNT(*) FROM gsink.t").head.getLong(0) == 40)
   }
 
+  test("the sink resolves its key from the manifest stamp (round 18)") {
+    // residual (b), closed: a sink started between a key-changing
+    // REPLACE's key.conf write and its commit used to key batches one
+    // key ahead — the sink now reads the SAME kind="keyrec" stamp the
+    // catalog loads resolve, so sink and catalog cannot disagree.
+    // Prove it by making key.conf actively WRONG and deleting it.
+    spark.sql("DROP TABLE IF EXISTS gsink.ks")
+    spark.sql("CREATE TABLE gsink.ks (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    val wh = spark.conf.get("spark.sql.catalog.gsink.warehouse")
+    val loc = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      s"$wh/ks/catalog.conf")).linesIterator.drop(1).next().trim
+    // the residual-(b) shape: key.conf one key AHEAD of the manifest
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$loc/.key.conf.crc"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$loc/key.conf"), "v")
+    val staged = graft.util.Scratch.dir("graft-kstamp-staged")
+    val ckpt = graft.util.Scratch.dir("graft-kstamp-ckpt")
+    rows(1 to 5).coalesce(1).write.mode("append").parquet(staged)
+    def drain(): Unit = {
+      val q = spark.readStream.schema(rows(1 to 1).schema)
+        .parquet(staged)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .toTable("gsink.ks")
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    assert(spark.table("gsink.ks").count() == 5,
+      "the sink must key on the stamp, not the stale key.conf")
+    // a keyed read through the handle works under the STAMPED key
+    val t = GraftTable.open(spark, loc, "k")
+    assert(t.readMatchingKeys(
+      spark.range(2, 3).selectExpr("id AS k")).count() == 1)
+  }
+
   test("append-only surface: Update/Complete and partitionBy rejected") {
     val p = new GraftTableSourceProvider
     val opts = Map("path" -> graft.util.Scratch.dir("graft-sink-opts"),
