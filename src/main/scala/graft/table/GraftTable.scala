@@ -440,6 +440,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
               return None
           }
       }
+    // VISIBLE ORDER: first-recorded order (creation order), declared
+    // columns appended as they land — stable across keyed rewrites
+    // because every mutation frame now restores the snapshot's column
+    // order before staging (the round-18 using-join fix below); a
+    // declared-ordinal reorder here would be wrong for HANDLE tables,
+    // whose base columns have no declarations and whose ADD COLUMNs
+    // must append, not lead.
     Some(StructType(fields.values.toSeq))
   }
 
@@ -2176,8 +2183,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val cand = bloomRefineKeys(base, data,
       pruneByKeys(data, dkeys, pk), dkeys, nKeys, pk)
     if (cand.isEmpty) return read(head).limit(0)
-    toLogical(base, scan(base, cand)).drop("__file", "__pos")
-      .join(keySide(dkeys.distinct(), nKeys), Seq(keyCol), "left_semi")
+    val rows = toLogical(base, scan(base, cand)).drop("__file", "__pos")
+    // a USING-column semi-join projects the join key FIRST in Spark's
+    // analyzer rewrite — restore the snapshot's column order (the
+    // caller-visible contract, and what downstream writes record)
+    rows.join(keySide(dkeys.distinct(), nKeys), Seq(keyCol), "left_semi")
+      .select(rows.columns.map(col).toSeq: _*)
   }
 
   /** APPLY a CDC feed in one atomic commit — the consumption dual of
@@ -2265,8 +2276,15 @@ final class GraftTable private (spark: SparkSession, val root: String,
       // delta, or vice versa) fill with NULL — whole-row replacement,
       // not column-wise patching — except declared write-time defaults
       // (x56), which materialize into the incoming side first.
+      // the USING-column anti-join projects keyCol FIRST (Spark's
+      // analyzer rewrite for semi/anti using-joins) — restore the
+      // snapshot's column order, or the staged rewrite RECORDS a
+      // key-first schema and flips the visible column order of any
+      // table whose key is not column 0 (surfaced by the round-18
+      // key-stamp fixture, whose replaced table keys on column 1)
       val kept = touched.join(keySide(allKeys, nKeys), Seq(keyCol),
         "left_anti")
+        .select(touched.columns.map(col).toSeq: _*)
       val st = stage(toPhysical(base,
         kept.unionByName(fillDefaults(base, post),
           allowMissingColumns = true)))

@@ -692,6 +692,11 @@ class GraftCatalogSpec extends AnyFunSuite {
       "SELECT * FROM VALUES (10L, 7L) AS d(sv, sk)")
     es.sql("MERGE INTO gcat.ks1 t USING ks1_d d ON t.v = d.sv " +
       "WHEN MATCHED THEN UPDATE SET k = d.sk")
+    // the visible column order must SURVIVE the keyed rewrite: the
+    // key (v) is column 1, and the pre-round-18 key-first anti-join
+    // used to flip the rewritten file's recorded order to (v, k)
+    assert(spark.table("gcat.ks1").columns.toSeq == Seq("k", "v"),
+      "a keyed mutation must not reorder the visible schema")
     val got1 = spark.table("gcat.ks1").collect()
       .map(r => r.getLong(1) -> r.getLong(0)).toMap
     assert(got1 == Map(10L -> 7L, 90L -> 9L),
