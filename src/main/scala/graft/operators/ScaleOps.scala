@@ -3500,6 +3500,98 @@ object ScaleOps {
       |FROM base""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x70 — CORRELATED SUBQUERY ASSIGNMENT (round 18, lifting the last
+  //       DML refusal): `UPDATE ... SET col = (SELECT agg FROM s
+  //       WHERE s.ck = t.ck)` is a PER-ROW value — a join. The rule
+  //       compiles the whole statement into ONE dual old/new
+  //       projection over the filtered target; Spark's own
+  //       RewriteCorrelatedScalarSubquery plans the correlation as a
+  //       left-outer join + aggregate (exactly the MERGE the old
+  //       refusal told users to stage by hand, built automatically),
+  //       and the postimages feed ONE atomic row-addressed
+  //       applyChanges (x67's shape). The gated lifecycle stamps each
+  //       even order with its customer's fleet-wide order COUNT, then
+  //       re-prices heavy customers' orders off a second correlated
+  //       aggregate beside an old-row RHS and a subquery condition in
+  //       the same statement.
+  //
+  //       100 TB shape: the correlated scalar never evaluates
+  //       row-at-a-time — it plans as one aggregate joined to the
+  //       matched read (the same shuffle a staged MERGE carries), and
+  //       the write set stays the stats-pruned candidate files.
+  // ---------------------------------------------------------------------
+  private def x70(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = graft.util.ExtSession(spark0)
+    spark.conf.set("spark.sql.catalog.graft_x70",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.graft_x70.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_x70.warehouse",
+        graft.util.Scratch.dir("graft-x70-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_x70.ord")
+    spark.sql("CREATE TABLE graft_x70.ord (o_orderkey BIGINT, " +
+      "o_custkey BIGINT, o_price DECIMAL(18,2), o_nord BIGINT) " +
+      "TBLPROPERTIES ('key' = 'o_orderkey')")
+    val ords = Tables.orders(spark, dir)
+    ords.createOrReplaceTempView("x70_src")
+    spark.sql("INSERT INTO graft_x70.ord " +
+      "SELECT o_orderkey, o_custkey, " +
+      "CAST(o_totalprice AS DECIMAL(18,2)), 0L FROM x70_src")
+    // per-row correlated aggregate over a stats-prunable key range:
+    // each EVEN order in the first key quarter learns its customer's
+    // fleet-wide order count (the range conjunct keeps the rewrite
+    // delta-scale — only range-overlapping files open)
+    val q1 = ords.agg(max(col("o_orderkey"))).head.getLong(0) / 4
+    spark.sql("UPDATE graft_x70.ord SET o_nord = " +
+      "(SELECT COUNT(*) FROM (SELECT o_custkey AS ck FROM x70_src) " +
+      s"WHERE ck = o_custkey) WHERE o_orderkey % 2 = 0 " +
+      s"AND o_orderkey <= $q1")
+    // old-row RHS + a second correlated aggregate + a subquery
+    // condition in ONE statement: heavy customers' orders double and
+    // stamp their customer's max orderkey on top
+    spark.sql("UPDATE graft_x70.ord SET " +
+      "o_price = CAST(o_price * 2 AS DECIMAL(18,2)), " +
+      "o_nord = o_nord + (SELECT MAX(o_orderkey) FROM " +
+      "(SELECT o_custkey AS ck, o_orderkey FROM x70_src) " +
+      "WHERE ck = o_custkey) " +
+      "WHERE o_custkey IN (SELECT o_custkey FROM x70_src " +
+      "GROUP BY o_custkey HAVING COUNT(*) > 12)")
+    spark.sql(
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(o_price) AS DOUBLE) AS sum_price, " +
+        "CAST(SUM(o_nord) AS BIGINT) AS sum_nord " +
+        "FROM graft_x70.ord")
+  }
+
+  private val x70Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_custkey AS ck,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      |agg AS (
+      |  SELECT o_custkey AS ck, COUNT(*) AS c, MAX(o_orderkey) AS mo
+      |  FROM orders GROUP BY o_custkey),
+      |q1 AS (SELECT MAX(o_orderkey) // 4 AS q FROM orders),
+      |s1 AS (
+      |  SELECT k, b.ck, p,
+      |    CASE WHEN k % 2 = 0 AND k <= (SELECT q FROM q1)
+      |      THEN a.c ELSE 0 END AS nr
+      |  FROM base b JOIN agg a ON a.ck = b.ck),
+      |subj AS (
+      |  SELECT o_custkey AS ck FROM orders GROUP BY o_custkey
+      |  HAVING COUNT(*) > 12),
+      |s2 AS (
+      |  SELECT k, s1.ck,
+      |    CASE WHEN s1.ck IN (SELECT ck FROM subj)
+      |      THEN CAST(p * 2 AS DECIMAL(18,2)) ELSE p END AS p,
+      |    CASE WHEN s1.ck IN (SELECT ck FROM subj)
+      |      THEN nr + a.mo ELSE nr END AS nr
+      |  FROM s1 JOIN agg a ON a.ck = s1.ck)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(nr) AS BIGINT) AS sum_nord
+      |FROM s2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -4157,5 +4249,6 @@ object ScaleOps {
     QuerySpec("x66_delete_full_surface", x66, Some(x66Sql)),
     QuerySpec("x67_update_subquery", x67, Some(x67Sql)),
     QuerySpec("x68_update_scalar_assign", x68, Some(x68Sql)),
-    QuerySpec("x69_insert_upsert", x69, Some(x69Sql)))
+    QuerySpec("x69_insert_upsert", x69, Some(x69Sql)),
+    QuerySpec("x70_update_correlated_assign", x70, Some(x70Sql)))
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, AttributeReference, EqualTo, ExprId, Expression, LeafExpression, Literal, ScalarSubquery, SubqueryExpression, Unevaluable}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, EqualTo, ExprId, Expression, LeafExpression, Literal, ScalarSubquery, SubqueryExpression, Unevaluable}
 import org.apache.spark.sql.types.DataType
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -106,20 +106,40 @@ case class GraftRowLevelRule(session: SparkSession)
             // target — the context checkAnalysis accepts subqueries
             // in. UNCORRELATED scalar subqueries in assignment
             // VALUES (x68: `SET x = (SELECT max(...) ...)`) lift
-            // into plan-typed fields and evaluate once at run time;
-            // correlated scalars keep the stage-into-a-MERGE refusal.
-            val plans =
-              scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
-            val cleaned = assignments.map(a =>
-              (a.key, GraftRowLevelSql.liftScalars(a.value, plans)))
-            condition match {
-              case Some(c)
-                  if c.exists(_.isInstanceOf[SubqueryExpression]) =>
-                GraftSqlSubqueryUpdateCommand(t, tout,
-                  Filter(c, target), cleaned, plans.toSeq)
-              case _ =>
-                GraftSqlUpdateCommand(t, cleaned, condition,
-                  plans.toSeq)
+            // into plan-typed fields and evaluate once at run time.
+            // CORRELATED subqueries in assignment VALUES (x70:
+            // `SET x = (SELECT max(y) FROM s WHERE s.k = t.k)` — a
+            // per-row value, i.e. a join) compile as a dual old/new
+            // projection PLAN over the filtered target: Spark's own
+            // RewriteCorrelatedScalarSubquery turns the correlation
+            // into the left-outer join + aggregate the old refusal
+            // told users to stage by hand, and the command applies
+            // the postimages row-addressed like x67.
+            if (assignments.exists(_.value.exists {
+                  case s: ScalarSubquery => s.outerAttrs.nonEmpty
+                  case _: SubqueryExpression => true
+                  case _ => false
+                }) &&
+                assignments.forall(_.key.isInstanceOf[AttributeReference]))
+              GraftSqlJoinUpdateCommand(t, tout,
+                GraftRowLevelSql.dualUpdatePlan(target, tout,
+                  assignments, condition),
+                assignments.map(
+                  _.key.asInstanceOf[AttributeReference].name))
+            else {
+              val plans =
+                scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
+              val cleaned = assignments.map(a =>
+                (a.key, GraftRowLevelSql.liftScalars(a.value, plans)))
+              condition match {
+                case Some(c)
+                    if c.exists(_.isInstanceOf[SubqueryExpression]) =>
+                  GraftSqlSubqueryUpdateCommand(t, tout,
+                    Filter(c, target), cleaned, plans.toSeq)
+                case _ =>
+                  GraftSqlUpdateCommand(t, cleaned, condition,
+                    plans.toSeq)
+              }
             }
           case None => u
         }
@@ -283,6 +303,33 @@ private[plans] object GraftRowLevelSql {
       .select(targetOutput.map(a => col(a.name)): _*)
     underKeys.exceptAll(matched)
   }
+
+  /** the dual old/new projection for a subquery-valued UPDATE (x70):
+    * one pass over the filtered target emitting each matched row's
+    * OLD image (`__o<i>` — what `siblingsOf` subtracts against) and
+    * its POSTIMAGE (`__n<i>` — assigned columns compute their RHS,
+    * ANSI-cast to the column's type; the rest carry). Built at RULE
+    * time from the resolved statement, so the assignment subqueries
+    * sit in a Project — a context Spark's analysis accepts and its
+    * optimizer compiles (a correlated scalar becomes the left-outer
+    * join + aggregate of RewriteCorrelatedScalarSubquery; the plan
+    * evaluates ONCE, persisted by the command). */
+  def dualUpdatePlan(target: LogicalPlan, targetOutput: Seq[Attribute],
+                     assignments: Seq[Assignment],
+                     condition: Option[Expression]): LogicalPlan = {
+    val byKey: Map[ExprId, Expression] = assignments.map(a =>
+      a.key.asInstanceOf[AttributeReference].exprId -> a.value).toMap
+    val old = targetOutput.zipWithIndex.map { case (a, i) =>
+      Alias(a, s"__o$i")()
+    }
+    val neu = targetOutput.zipWithIndex.map { case (a, i) =>
+      val v = byKey.get(a.exprId).map { e =>
+        if (e.dataType == a.dataType) e else Cast(e, a.dataType)
+      }.getOrElse(a)
+      Alias(v, s"__n$i")()
+    }
+    Project(old ++ neu, condition.map(Filter(_, target)).getOrElse(target))
+  }
 }
 
 /** `UPDATE <graft table> SET ... [WHERE ...]` → the handle's
@@ -424,6 +471,62 @@ case class GraftSqlSubqueryUpdateCommand(
             set.collectFirst { case (n, c) if resolver(n, a.name) => c })
           .map(_.cast(a.dataType)).getOrElse(col(a.name)).as(a.name)
       } :+ lit("update").as("change_type"): _*)
+      val carry = GraftRowLevelSql.siblingsOf(table, matched,
+          targetOutput)
+        .withColumn("change_type", lit("update"))
+      Seq(Row(table.graftHandle.applyChanges(
+        table.withStorageKey(post)
+          .unionByName(table.withStorageKey(carry)))))
+    } finally df.unpersist()
+  }
+}
+
+/** the JOIN arm of [[GraftSqlUpdateCommand]]'s contract (x70):
+  * assignment VALUES containing CORRELATED subqueries — per-row
+  * values, i.e. joins (`SET v = (SELECT max(y) FROM s WHERE
+  * s.k = t.k)`), the shape the engine refused through round 17 with
+  * "stage the subquery into a MERGE". The rule compiles the whole
+  * statement into [[GraftRowLevelSql.dualUpdatePlan]]'s single
+  * old/new projection over the filtered target; Spark's optimizer
+  * plans the correlation (RewriteCorrelatedScalarSubquery's
+  * left-outer join + aggregate — exactly the staged MERGE, built
+  * automatically), and the matched rows' postimages feed ONE atomic
+  * `applyChanges` — ROW-addressed like x67: unmatched siblings under
+  * a matched key carry as identity postimages, and the dual frame is
+  * persisted so the matched set is selected ONCE across the
+  * postimage/sibling/apply traversals. Uncorrelated scalars in the
+  * same statement ride the plan (Spark evaluates them once); the
+  * SQL:2003 cardinality violation on a multi-row scalar surfaces
+  * from Spark's own runtime check. Key columns refuse assignment
+  * exactly like the other routes. */
+case class GraftSqlJoinUpdateCommand(
+    table: GraftSqlTable,
+    targetOutput: Seq[Attribute],
+    dual: LogicalPlan,
+    assignedCols: Seq[String]) extends GraftVersionCommand {
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val ident = table.identName
+    require(!table.isTimeTravel,
+      s"cannot UPDATE time-travel table $ident")
+    require(!table.isExternalReadOnly,
+      s"cannot UPDATE read-only external registration $ident — " +
+        "mutate the owning table")
+    val resolver = session.sessionState.conf.resolver
+    val keyNames: Seq[String] =
+      table.graftKeyParts.getOrElse(Seq(table.graftKey))
+    assignedCols.foreach(name =>
+      require(!keyNames.exists(p => resolver(p, name)),
+        s"UPDATE $ident: cannot UPDATE key column '$name' — " +
+          "MERGE (DELETE + INSERT) moves rows between keys"))
+    val df = ColumnBridge.ofRows(session, dual)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matched = df.select(targetOutput.zipWithIndex.map {
+        case (a, i) => col(s"__o$i").as(a.name) }: _*)
+      val post = df.select(targetOutput.zipWithIndex.map {
+        case (a, i) => col(s"__n$i").as(a.name) }: _*)
+        .withColumn("change_type", lit("update"))
       val carry = GraftRowLevelSql.siblingsOf(table, matched,
           targetOutput)
         .withColumn("change_type", lit("update"))

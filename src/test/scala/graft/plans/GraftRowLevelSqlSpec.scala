@@ -503,12 +503,59 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
         "WHERE k = 3")
     }
     assert(e.getMessage.contains("more than one row"), e.getMessage)
-    // CORRELATED scalars (per-row values) keep a loud subquery error
-    val e2 = intercept[Exception] {
-      spark.sql("UPDATE rl.m15 SET v = " +
-        "(SELECT MAX(sk) FROM m15_subj WHERE sk = k) WHERE k = 3")
+    // CORRELATED scalars in assignments compile since round 18
+    // (x70, the dedicated test below): k=3 has no m15_subj row, so
+    // the per-row scalar is NULL — the ANSI empty-scalar contract
+    spark.sql("UPDATE rl.m15 SET v = " +
+      "(SELECT MAX(sk) FROM m15_subj WHERE sk = k) WHERE k = 3")
+    assert(spark.table("rl.m15").where("k = 3 AND v IS NULL")
+      .count() == 1)
+  }
+
+  test("correlated subquery assignments compute per-row values") {
+    fixture("m16", n = 10, files = 2)
+    spark.sql("CREATE OR REPLACE TEMP VIEW m16_sums AS " +
+      "SELECT * FROM VALUES (1L, 5L), (1L, 7L), (2L, 11L), (4L, 1L) " +
+      "AS s(sk, amt)")
+    // null-safe reader: k=3 legitimately holds a NULL v below
+    def m16: Map[Long, (Option[Long], String)] =
+      spark.table("rl.m16").collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          r.getString(2))).toMap
+    // per-row aggregate: each matched row's own delta sum; a matched
+    // row with NO source rows (k=3) gets NULL — ANSI scalar semantics
+    spark.sql("UPDATE rl.m16 SET v = " +
+      "(SELECT SUM(amt) FROM m16_sums WHERE sk = k) WHERE k <= 4")
+    val got = m16
+    assert(got(1L)._1 == Some(12L) && got(2L)._1 == Some(11L) &&
+      got(4L)._1 == Some(1L))
+    assert(got(3L)._1.isEmpty, "no source rows for k=3: NULL lands")
+    assert(got(5L) == ((Some(50L), "o")), "rows outside WHERE carry")
+    // old-row RHS composes with the correlated scalar, beside a
+    // subquery CONDITION in the same statement
+    spark.sql("UPDATE rl.m16 SET v = v + " +
+      "(SELECT MAX(amt) FROM m16_sums WHERE sk = k), w = 'c' " +
+      "WHERE k IN (SELECT sk FROM m16_sums)")
+    val g2 = m16
+    assert(g2(1L) == ((Some(19L), "c")) && g2(2L) == ((Some(22L), "c")) &&
+      g2(4L) == ((Some(2L), "c")))
+    // ROW-addressed on duplicate-key tables: the sibling under a
+    // matched key failing the residual carries verbatim
+    spark.sql("INSERT INTO rl.m16 SELECT 4L, 999L, 'dup'")
+    spark.sql("UPDATE rl.m16 SET v = " +
+      "(SELECT SUM(amt) FROM m16_sums WHERE sk = k) " +
+      "WHERE k = 4 AND w = 'c'")
+    val four = spark.table("rl.m16").where("k = 4").collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(four == Set((1L, "c"), (999L, "dup")),
+      "the residual-failing sibling must carry, the matched row update")
+    // key columns refuse assignment on this route too
+    val e = intercept[Exception] {
+      spark.sql("UPDATE rl.m16 SET k = " +
+        "(SELECT MAX(sk) FROM m16_sums WHERE sk = k)")
     }
-    assert(e2.getMessage.toLowerCase.contains("subquer"), e2.getMessage)
+    assert(e.getMessage.contains("cannot UPDATE key column"),
+      e.getMessage)
   }
 
   test("statements build lazily: EXPLAIN runs no commit") {
