@@ -558,6 +558,25 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("correlated EXISTS / NOT EXISTS conditions address rows") {
+    fixture("m17", n = 10, files = 2)
+    spark.sql("CREATE OR REPLACE TEMP VIEW m17_subj AS " +
+      "SELECT * FROM VALUES (2L), (5L) AS s(sk)")
+    // the x67 filtered-read route plans the correlated EXISTS as a
+    // semi join (RewritePredicateSubquery) — the doc'd GDPR shape
+    spark.sql("UPDATE rl.m17 SET w = 'e' WHERE EXISTS " +
+      "(SELECT 1 FROM m17_subj WHERE sk = k)")
+    val u = rows("m17")
+    assert(u(2L)._2 == "e" && u(5L)._2 == "e")
+    assert(u(3L)._2 == "o", "non-existing keys carry")
+    // NOT EXISTS beside a pushable conjunct (anti-join shape)
+    spark.sql("DELETE FROM rl.m17 WHERE NOT EXISTS " +
+      "(SELECT 1 FROM m17_subj WHERE sk = k) AND k > 8")
+    val left = rows("m17")
+    assert(left.size == 8 && !left.contains(9L) && !left.contains(10L),
+      "only subj-less keys above 8 delete")
+  }
+
   test("statements build lazily: EXPLAIN runs no commit") {
     fixture("m5", n = 4, files = 1)
     val t = GraftTable.open(spark, locationOf("m5"), "k")
