@@ -577,6 +577,26 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
       "only subj-less keys above 8 delete")
   }
 
+  test("SET col = DEFAULT resolves the declared default in UPDATE and MERGE") {
+    spark.sql("DROP TABLE IF EXISTS rl.m18")
+    spark.sql("CREATE TABLE rl.m18 (k BIGINT, v BIGINT DEFAULT 7, " +
+      "w STRING) TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO rl.m18 SELECT id, id * 10, 'o' " +
+      "FROM range(1, 6)")
+    // Spark resolves DEFAULT against the catalog schema's
+    // CURRENT_DEFAULT metadata before the row-level rule fires — the
+    // declared default must land, not NULL
+    spark.sql("UPDATE rl.m18 SET v = DEFAULT WHERE k = 2")
+    assert(rows("m18")(2L) == ((7L, "o")))
+    spark.sql("CREATE OR REPLACE TEMP VIEW m18_d AS " +
+      "SELECT * FROM VALUES (3L), (9L) AS x(dk)")
+    spark.sql("MERGE INTO rl.m18 t USING m18_d d ON t.k = d.dk " +
+      "WHEN MATCHED THEN UPDATE SET v = DEFAULT " +
+      "WHEN NOT MATCHED THEN INSERT (k, v, w) VALUES (d.dk, DEFAULT, 'i')")
+    assert(rows("m18")(3L) == ((7L, "o")) && rows("m18")(9L) == ((7L, "i")))
+    assert(rows("m18")(4L) == ((40L, "o")), "unmatched rows carry")
+  }
+
   test("statements build lazily: EXPLAIN runs no commit") {
     fixture("m5", n = 4, files = 1)
     val t = GraftTable.open(spark, locationOf("m5"), "k")
