@@ -3592,6 +3592,78 @@ object ScaleOps {
       |FROM s2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // x71 — STRUCT-FIELD ASSIGNMENT (round 18, beside x70): `UPDATE ...
+  //       SET s.x = ...` patches ONE field of a struct column — the
+  //       typed-metadata shape every multimodal/LLM corpus carries
+  //       (m01's media struct, nested doc metadata). The rule routes
+  //       nested assignment targets through the same dual-projection
+  //       plan as x70: UpdateFields patches the assigned fields
+  //       (folded to one CreateNamedStruct by the optimizer),
+  //       unassigned fields and columns carry from the old row, and
+  //       the postimages feed one atomic row-addressed applyChanges.
+  //       Assigning a column AND its fields in one statement refuses.
+  //       The gated lifecycle doubles the price field of every fifth
+  //       order and re-flags heavy metadata rows off the nested field
+  //       itself.
+  //
+  //       100 TB shape: the patch is a projection, not a join — the
+  //       write set stays the stats-pruned candidate files, and the
+  //       nested-condition read is the honest full scan struct stats
+  //       don't yet prune (documented).
+  // ---------------------------------------------------------------------
+  private def x71(spark0: SparkSession, dir: String): DataFrame = {
+    val spark = graft.util.ExtSession(spark0)
+    spark.conf.set("spark.sql.catalog.graft_x71",
+      classOf[graft.sources.GraftCatalog].getName)
+    if (spark.conf.getOption("spark.sql.catalog.graft_x71.warehouse")
+          .isEmpty)
+      spark.conf.set("spark.sql.catalog.graft_x71.warehouse",
+        graft.util.Scratch.dir("graft-x71-wh"))
+    spark.sql("DROP TABLE IF EXISTS graft_x71.ord")
+    spark.sql("CREATE TABLE graft_x71.ord (o_orderkey BIGINT, " +
+      "meta STRUCT<status: STRING, price: DECIMAL(18,2)>, " +
+      "touched BIGINT) TBLPROPERTIES ('key' = 'o_orderkey')")
+    Tables.orders(spark, dir).createOrReplaceTempView("x71_src")
+    spark.sql("INSERT INTO graft_x71.ord " +
+      "SELECT o_orderkey, named_struct('status', o_orderstatus, " +
+      "'price', CAST(o_totalprice AS DECIMAL(18,2))), 0L FROM x71_src")
+    // nested + top-level in one statement, old-row RHS off the field
+    spark.sql("UPDATE graft_x71.ord SET " +
+      "meta.price = CAST(meta.price * 2 AS DECIMAL(18,2)), " +
+      "touched = 1 WHERE o_orderkey % 5 = 0")
+    // condition on the nested field, patching its sibling
+    spark.sql("UPDATE graft_x71.ord SET meta.status = 'X' " +
+      "WHERE meta.price > 400000")
+    spark.sql(
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, " +
+        "CAST(SUM(meta.price) AS DOUBLE) AS sum_price, " +
+        "CAST(SUM(touched) AS BIGINT) AS n_touched, " +
+        "CAST(SUM(CASE WHEN meta.status = 'X' THEN 1 ELSE 0 END) " +
+        "AS BIGINT) AS n_x " +
+        "FROM graft_x71.ord")
+  }
+
+  private val x71Sql =
+    """WITH base AS (
+      |  SELECT o_orderkey AS k, o_orderstatus AS st,
+      |    CAST(o_totalprice AS DECIMAL(18,2)) AS p FROM orders),
+      |s1 AS (
+      |  SELECT k, st,
+      |    CASE WHEN k % 5 = 0 THEN CAST(p * 2 AS DECIMAL(18,2))
+      |      ELSE p END AS p,
+      |    CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS t
+      |  FROM base),
+      |s2 AS (
+      |  SELECT k, CASE WHEN p > 400000 THEN 'X' ELSE st END AS st,
+      |    p, t FROM s1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(p) AS DOUBLE) AS sum_price,
+      |  CAST(SUM(t) AS BIGINT) AS n_touched,
+      |  CAST(SUM(CASE WHEN st = 'X' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_x
+      |FROM s2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // x49 — NULL-COUNT PRUNED CLEANING DELETE (Iceberg's
   //       null_value_counts): stage() lifts every tracked column's
   //       exact per-file NULL COUNT from the parquet footers into the
@@ -4250,5 +4322,6 @@ object ScaleOps {
     QuerySpec("x67_update_subquery", x67, Some(x67Sql)),
     QuerySpec("x68_update_scalar_assign", x68, Some(x68Sql)),
     QuerySpec("x69_insert_upsert", x69, Some(x69Sql)),
-    QuerySpec("x70_update_correlated_assign", x70, Some(x70Sql)))
+    QuerySpec("x70_update_correlated_assign", x70, Some(x70Sql)),
+    QuerySpec("x71_struct_field_update", x71, Some(x71Sql)))
 }

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, EqualTo, ExprId, Expression, LeafExpression, Literal, ScalarSubquery, SubqueryExpression, Unevaluable}
-import org.apache.spark.sql.types.DataType
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, EqualTo, ExprId, Expression, GetStructField, LeafExpression, Literal, ScalarSubquery, SubqueryExpression, Unevaluable, UpdateFields}
+import org.apache.spark.sql.types.{DataType, StructType}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -109,23 +109,27 @@ case class GraftRowLevelRule(session: SparkSession)
             // into plan-typed fields and evaluate once at run time.
             // CORRELATED subqueries in assignment VALUES (x70:
             // `SET x = (SELECT max(y) FROM s WHERE s.k = t.k)` — a
-            // per-row value, i.e. a join) compile as a dual old/new
-            // projection PLAN over the filtered target: Spark's own
-            // RewriteCorrelatedScalarSubquery turns the correlation
-            // into the left-outer join + aggregate the old refusal
-            // told users to stage by hand, and the command applies
-            // the postimages row-addressed like x67.
-            if (assignments.exists(_.value.exists {
-                  case s: ScalarSubquery => s.outerAttrs.nonEmpty
-                  case _: SubqueryExpression => true
-                  case _ => false
-                }) &&
-                assignments.forall(_.key.isInstanceOf[AttributeReference]))
+            // per-row value, i.e. a join) and STRUCT-FIELD assignment
+            // targets (x71: `SET s.x = ...`) compile as a dual
+            // old/new projection PLAN over the filtered target:
+            // Spark's own RewriteCorrelatedScalarSubquery turns the
+            // correlation into the left-outer join + aggregate the
+            // old refusal told users to stage by hand, UpdateFields
+            // patches the assigned struct fields, and the command
+            // applies the postimages row-addressed like x67.
+            val rooted = assignments.map(a =>
+              GraftRowLevelSql.rootOf(a.key))
+            val hasSubq = assignments.exists(_.value.exists {
+              case s: ScalarSubquery => s.outerAttrs.nonEmpty
+              case _: SubqueryExpression => true
+              case _ => false
+            })
+            val nested = rooted.exists(_.exists(_._2.nonEmpty))
+            if ((hasSubq || nested) && rooted.forall(_.isDefined))
               GraftSqlJoinUpdateCommand(t, tout,
                 GraftRowLevelSql.dualUpdatePlan(target, tout,
                   assignments, condition),
-                assignments.map(
-                  _.key.asInstanceOf[AttributeReference].name))
+                rooted.map(_.get._1.name))
             else {
               val plans =
                 scala.collection.mutable.ArrayBuffer.empty[LogicalPlan]
@@ -304,28 +308,76 @@ private[plans] object GraftRowLevelSql {
     underKeys.exceptAll(matched)
   }
 
-  /** the dual old/new projection for a subquery-valued UPDATE (x70):
-    * one pass over the filtered target emitting each matched row's
-    * OLD image (`__o<i>` — what `siblingsOf` subtracts against) and
-    * its POSTIMAGE (`__n<i>` — assigned columns compute their RHS,
-    * ANSI-cast to the column's type; the rest carry). Built at RULE
-    * time from the resolved statement, so the assignment subqueries
-    * sit in a Project — a context Spark's analysis accepts and its
-    * optimizer compiles (a correlated scalar becomes the left-outer
-    * join + aggregate of RewriteCorrelatedScalarSubquery; the plan
-    * evaluates ONCE, persisted by the command). */
+  /** the resolved assignment-key shapes the engine compiles: a
+    * top-level column, or a struct-field path rooted at one (x71 —
+    * `SET s.x = ...`, any depth). Map/array element targets return
+    * None and keep the loud refusal downstream. */
+  def rootOf(e: Expression): Option[(AttributeReference, List[String])] =
+    e match {
+      case a: AttributeReference => Some((a, Nil))
+      case g: GetStructField =>
+        rootOf(g.child).map { case (a, p) =>
+          (a, p :+ g.name.getOrElse(
+            g.child.dataType.asInstanceOf[StructType](g.ordinal).name))
+        }
+      case _ => None
+    }
+
+  /** the dual old/new projection for a subquery-valued or
+    * struct-field UPDATE (x70/x71): one pass over the filtered
+    * target emitting each matched row's OLD image (`__o<i>` — what
+    * `siblingsOf` subtracts against) and its POSTIMAGE (`__n<i>` —
+    * assigned columns compute their RHS, ANSI-cast to the column's
+    * — or, for a struct-field path, the field's — type; the rest
+    * carry). Built at RULE time from the resolved statement, so the
+    * assignment subqueries sit in a Project — a context Spark's
+    * analysis accepts and its optimizer compiles (a correlated
+    * scalar becomes the left-outer join + aggregate of
+    * RewriteCorrelatedScalarSubquery; UpdateFields folds to one
+    * CreateNamedStruct; the plan evaluates ONCE, persisted by the
+    * command). */
   def dualUpdatePlan(target: LogicalPlan, targetOutput: Seq[Attribute],
                      assignments: Seq[Assignment],
                      condition: Option[Expression]): LogicalPlan = {
-    val byKey: Map[ExprId, Expression] = assignments.map(a =>
-      a.key.asInstanceOf[AttributeReference].exprId -> a.value).toMap
+    val byRoot: Map[ExprId, Seq[(List[String], Expression)]] =
+      assignments.map { a =>
+        val (root, path) = rootOf(a.key).get
+        root.exprId -> (path -> a.value)
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def cast(e: Expression, dt: DataType): Expression =
+      if (e.dataType == dt) e else Cast(e, dt)
+    // patch one field path into the (possibly already-patched)
+    // struct: disjoint paths compose; RHS values reference the OLD
+    // row's attributes, never the patched struct, so fold order
+    // cannot leak a new value into another assignment's RHS
+    def setPath(cur: Expression, path: List[String],
+                value: Expression): Expression = path match {
+      case f :: Nil =>
+        val st = cur.dataType.asInstanceOf[StructType]
+        UpdateFields(cur, f, cast(value, st(st.fieldIndex(f)).dataType))
+      case f :: rest =>
+        val st = cur.dataType.asInstanceOf[StructType]
+        UpdateFields(cur, f,
+          setPath(GetStructField(cur, st.fieldIndex(f), Some(f)),
+            rest, value))
+      case Nil => cast(value, cur.dataType)
+    }
     val old = targetOutput.zipWithIndex.map { case (a, i) =>
       Alias(a, s"__o$i")()
     }
     val neu = targetOutput.zipWithIndex.map { case (a, i) =>
-      val v = byKey.get(a.exprId).map { e =>
-        if (e.dataType == a.dataType) e else Cast(e, a.dataType)
-      }.getOrElse(a)
+      val v: Expression = byRoot.get(a.exprId) match {
+        case None => a
+        case Some(as) if as.forall(_._1.isEmpty) =>
+          cast(as.last._2, a.dataType)
+        case Some(as) =>
+          require(as.forall(_._1.nonEmpty),
+            s"UPDATE: cannot assign both column '${a.name}' and its " +
+              "fields in one statement")
+          as.foldLeft(a: Expression) { case (cur, (path, value)) =>
+            setPath(cur, path, value)
+          }
+      }
       Alias(v, s"__n$i")()
     }
     Project(old ++ neu, condition.map(Filter(_, target)).getOrElse(target))

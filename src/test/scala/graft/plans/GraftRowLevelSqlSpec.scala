@@ -577,6 +577,38 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
       "only subj-less keys above 8 delete")
   }
 
+  test("struct-field assignments patch fields through UPDATE") {
+    spark.sql("DROP TABLE IF EXISTS rl.m19")
+    spark.sql("CREATE TABLE rl.m19 (k BIGINT, " +
+      "s STRUCT<x: BIGINT, y: STRING>, w STRING) " +
+      "TBLPROPERTIES ('key' = 'k')")
+    spark.sql("INSERT INTO rl.m19 SELECT id, " +
+      "named_struct('x', id * 2, 'y', 'a'), 'o' FROM range(1, 6)")
+    // nested + top-level in one statement, old-row RHS
+    spark.sql("UPDATE rl.m19 SET s.x = s.x + 100, w = 'n' WHERE k <= 2")
+    val r = spark.sql("SELECT k, s.x, s.y, w FROM rl.m19 ORDER BY k")
+      .collect()
+    assert(r(0).getLong(1) == 102L && r(0).getString(3) == "n")
+    assert(r(1).getLong(1) == 104L && r(1).getString(2) == "a",
+      "unassigned fields carry")
+    assert(r(2).getLong(1) == 6L && r(2).getString(3) == "o",
+      "unmatched rows carry")
+    // two fields of one struct, one fed by a correlated scalar
+    spark.sql("CREATE OR REPLACE TEMP VIEW m19_s AS " +
+      "SELECT * FROM VALUES (4L, 9L) AS t(sk, amt)")
+    spark.sql("UPDATE rl.m19 SET s.y = 'z', " +
+      "s.x = (SELECT MAX(amt) FROM m19_s WHERE sk = k) WHERE k = 4")
+    val r4 = spark.sql("SELECT s.x, s.y FROM rl.m19 WHERE k = 4")
+      .collect().head
+    assert(r4.getLong(0) == 9L && r4.getString(1) == "z")
+    // assigning a column AND its fields in one statement refuses
+    val e = intercept[Exception] {
+      spark.sql("UPDATE rl.m19 SET s = named_struct('x', 1L, 'y', 'q')" +
+        ", s.x = 2 WHERE k = 1")
+    }
+    assert(e.getMessage.toLowerCase.contains("assign"), e.getMessage)
+  }
+
   test("SET col = DEFAULT resolves the declared default in UPDATE and MERGE") {
     spark.sql("DROP TABLE IF EXISTS rl.m18")
     spark.sql("CREATE TABLE rl.m18 (k BIGINT, v BIGINT DEFAULT 7, " +
