@@ -323,6 +323,34 @@ private[plans] object GraftRowLevelSql {
       case _ => None
     }
 
+  /** the struct field type at `path` under `dt` (path comes from a
+    * resolved GetStructField chain, so the names are exact) */
+  def fieldTypeAt(dt: DataType, path: List[String]): DataType =
+    path.foldLeft(dt) { (cur, f) =>
+      val st = cur.asInstanceOf[StructType]
+      st(st.fieldIndex(f)).dataType
+    }
+
+  /** dot-path for Column.withField, each segment backtick-quoted so
+    * a field name containing a dot stays one segment */
+  def quotePath(path: List[String]): String =
+    path.map(f => "`" + f + "`").mkString(".")
+
+  /** compose per-column assignment entries — (column ordinal,
+    * isWholeColumn, old value → final value): struct-field patches on
+    * one column chain in statement order; a whole-column assignment
+    * excludes any other entry for that column (the x71 conflict
+    * refusal, MERGE's clause shape). */
+  def composeAssigns(ident: String, nameOf: Int => String,
+      entries: Seq[(Int, Boolean, Column => Column)])
+      : Map[Int, Column => Column] =
+    entries.groupBy(_._1).map { case (j, es) =>
+      require(es.size == 1 || es.forall(!_._2),
+        s"$ident: cannot assign both column '${nameOf(j)}' and its " +
+          "fields in one clause")
+      j -> es.map(_._3).reduce((f, g) => (old: Column) => g(f(old)))
+    }
+
   /** the dual old/new projection for a subquery-valued or
     * struct-field UPDATE (x70/x71): one pass over the filtered
     * target emitting each matched row's OLD image (`__o<i>` — what
@@ -793,51 +821,74 @@ case class GraftSqlMergeCommand(
         * column. For UPDATE the key columns are skipped (matched rows
         * keep the matched key — the ON equalities already pin it;
         * re-keying rows belongs to DELETE + INSERT). */
-      def starAssigns(insert: Boolean): Map[Int, Column] =
+      def starAssigns(insert: Boolean): Map[Int, Column => Column] =
         targetOutput.zipWithIndex.flatMap { case (a, j) =>
           if (!insert && partIdxs.contains(j)) None
           else {
             val si = sOut.indexWhere(s => resolver(s.name, a.name))
             require(si >= 0, s"MERGE INTO $ident: `*` needs a source " +
               s"column named '${a.name}'")
-            Some(j -> col(sNames(si)))
+            Some(j -> ((_: Column) => col(sNames(si)).cast(types(j))))
           }
         }.toMap
+      // assignment targets: whole columns, or struct-field paths
+      // (x71's MERGE half — `SET s.x = ...` patches the field via
+      // Column.withField on the OLD value; INSERT assigns whole
+      // columns only, the ANSI shape)
       def assignMap(assigns: Seq[Assignment],
-                    insert: Boolean): Map[Int, Column] =
-        assigns.flatMap { asg =>
-          val j = asg.key match {
-            case a: AttributeReference if targetIds.contains(a.exprId) =>
-              targetOutput.indexWhere(_.exprId == a.exprId)
-            case a: AttributeReference =>
-              targetOutput.indexWhere(x => resolver(x.name, a.name))
-            case other => throw new UnsupportedOperationException(
-              s"MERGE INTO $ident: only top-level columns can be " +
-                s"assigned (got ${other.sql})")
+                    insert: Boolean): Map[Int, Column => Column] = {
+        val entries: Seq[(Int, Boolean, Column => Column)] =
+          assigns.flatMap { asg =>
+            val (root, path) = GraftRowLevelSql.rootOf(asg.key)
+              .getOrElse(throw new UnsupportedOperationException(
+                s"MERGE INTO $ident: only columns and struct-field " +
+                  s"paths can be assigned (got ${asg.key.sql})"))
+            val j =
+              if (targetIds.contains(root.exprId))
+                targetOutput.indexWhere(_.exprId == root.exprId)
+              else targetOutput.indexWhere(x => resolver(x.name, root.name))
+            require(j >= 0, s"MERGE INTO $ident: assignment targets an " +
+              s"unknown column (${asg.key.sql})")
+            if (path.isEmpty) {
+              if (!insert && partIdxs.contains(j)) {
+                // a matched-row key assignment is legal ONLY when it is
+                // the ON clause's own key expression (what the
+                // analyzer's `SET *` expansion emits) — the matched row
+                // already HAS that key, so the assignment drops as a
+                // no-op; anything else would move the row between keys
+                // mid-update
+                require(asg.value.semanticEquals(srcPartExpr(j)),
+                  s"MERGE INTO $ident: cannot UPDATE key column " +
+                    s"'${targetOutput(j).name}' to a new value — DELETE " +
+                    "+ INSERT moves a row between keys")
+                None
+              } else Some((j, true,
+                (_: Column) => rewrite(asg.value).cast(types(j))))
+            } else {
+              require(!partIdxs.contains(j),
+                s"MERGE INTO $ident: cannot assign into key column " +
+                  s"'${targetOutput(j).name}'")
+              require(!insert,
+                s"MERGE INTO $ident: INSERT assigns whole columns " +
+                  s"(got ${asg.key.sql})")
+              val ft = GraftRowLevelSql.fieldTypeAt(types(j), path)
+              Some((j, false, (old: Column) =>
+                old.withField(GraftRowLevelSql.quotePath(path),
+                  rewrite(asg.value).cast(ft))))
+            }
           }
-          require(j >= 0, s"MERGE INTO $ident: assignment targets an " +
-            s"unknown column (${asg.key.sql})")
-          if (!insert && partIdxs.contains(j)) {
-            // a matched-row key assignment is legal ONLY when it is the
-            // ON clause's own key expression (what the analyzer's
-            // `SET *` expansion emits) — the matched row already HAS
-            // that key, so the assignment drops as a no-op; anything
-            // else would move the row between keys mid-update
-            require(asg.value.semanticEquals(srcPartExpr(j)),
-              s"MERGE INTO $ident: cannot UPDATE key column " +
-                s"'${targetOutput(j).name}' to a new value — DELETE + " +
-                "INSERT moves a row between keys")
-            None
-          } else Some(j -> rewrite(asg.value))
-        }.toMap
+        GraftRowLevelSql.composeAssigns(s"MERGE INTO $ident",
+          j => targetOutput(j).name, entries)
+      }
 
       // matched side: (isDelete, assignments); unassigned columns keep
       // the OLD row's value (SQL UPDATE semantics), every RHS casts to
       // the column's existing type (x54's ANSI-cast discipline)
-      val mCompiled: Seq[(Boolean, Map[Int, Column])] = matchedActions.map {
+      val mCompiled: Seq[(Boolean, Map[Int, Column => Column])] = matchedActions.map {
         case u: UpdateAction          => (false, assignMap(u.assignments, false))
         case _: UpdateStarAction      => (false, starAssigns(false))
-        case _: DeleteAction          => (true, Map.empty[Int, Column])
+        case _: DeleteAction          =>
+          (true, Map.empty[Int, Column => Column])
         case other => throw new UnsupportedOperationException(
           s"MERGE INTO $ident: WHEN MATCHED supports UPDATE/DELETE " +
             s"(got $other)")
@@ -850,7 +901,7 @@ case class GraftSqlMergeCommand(
         defaults.get(targetOutput(j).name)
           .map(d => expr(d).cast(types(j)))
           .getOrElse(lit(null).cast(types(j)))
-      val nmCompiled: Seq[Map[Int, Column]] = notMatchedActions.map {
+      val nmCompiled: Seq[Map[Int, Column => Column]] = notMatchedActions.map {
         case ia: InsertAction =>
           val m = assignMap(ia.assignments, insert = true)
           require(partIdxs.forall(m.contains),
@@ -884,7 +935,7 @@ case class GraftSqlMergeCommand(
                 // feed); their non-key values are ignored
                 val v =
                   if (isDel) old
-                  else assigns.get(j).map(_.cast(types(j))).getOrElse(old)
+                  else assigns.get(j).map(f => f(old)).getOrElse(old)
                 when(mIdx === i, v).otherwise(rest)
             }.as(a.name)
           } :+ mChange.as("change_type"): _*)
@@ -896,7 +947,7 @@ case class GraftSqlMergeCommand(
             nmCompiled.zipWithIndex.foldRight(insertFallback(j)) {
               case ((assigns, i), rest) =>
                 when(nmIdx === i,
-                  assigns.get(j).map(_.cast(types(j)))
+                  assigns.get(j).map(f => f(insertFallback(j)))
                     .getOrElse(insertFallback(j))).otherwise(rest)
             }.as(a.name)
           } :+ lit("insert").as("change_type"): _*)
@@ -916,32 +967,47 @@ case class GraftSqlMergeCommand(
               "can only reference the target table")
           GraftRowLevelSql.byName(e, s"MERGE INTO $ident")
         }
-        val bCompiled: Seq[(Boolean, Column, Map[Int, Column])] =
+        val bCompiled: Seq[(Boolean, Column, Map[Int, Column => Column])] =
           notMatchedBySourceActions.map {
             case u: UpdateAction =>
-              val assigns = u.assignments.map { asg =>
-                val j = asg.key match {
-                  case a: AttributeReference
-                      if targetIds.contains(a.exprId) =>
-                    targetOutput.indexWhere(_.exprId == a.exprId)
-                  case a: AttributeReference =>
-                    targetOutput.indexWhere(x => resolver(x.name, a.name))
-                  case other => throw new UnsupportedOperationException(
-                    s"MERGE INTO $ident: only top-level columns can be " +
-                      s"assigned (got ${other.sql})")
+              // whole columns or struct-field paths, like the matched
+              // side — target-only references enforced either way
+              val entries: Seq[(Int, Boolean, Column => Column)] =
+                u.assignments.map { asg =>
+                  val (root, path) = GraftRowLevelSql.rootOf(asg.key)
+                    .getOrElse(throw new UnsupportedOperationException(
+                      s"MERGE INTO $ident: only columns and " +
+                        s"struct-field paths can be assigned " +
+                        s"(got ${asg.key.sql})"))
+                  val j =
+                    if (targetIds.contains(root.exprId))
+                      targetOutput.indexWhere(_.exprId == root.exprId)
+                    else targetOutput.indexWhere(x =>
+                      resolver(x.name, root.name))
+                  require(j >= 0 && !partIdxs.contains(j),
+                    s"MERGE INTO $ident: WHEN NOT MATCHED BY SOURCE " +
+                      s"cannot assign a key column (${asg.key.sql})")
+                  if (path.isEmpty)
+                    (j, true, (_: Column) =>
+                      byNameChecked(asg.value, "an assignment")
+                        .cast(types(j)))
+                  else {
+                    val ft = GraftRowLevelSql.fieldTypeAt(types(j), path)
+                    (j, false, (old: Column) =>
+                      old.withField(GraftRowLevelSql.quotePath(path),
+                        byNameChecked(asg.value, "an assignment")
+                          .cast(ft)))
+                  }
                 }
-                require(j >= 0 && !partIdxs.contains(j),
-                  s"MERGE INTO $ident: WHEN NOT MATCHED BY SOURCE " +
-                    s"cannot assign a key column (${asg.key.sql})")
-                j -> byNameChecked(asg.value, "an assignment")
-              }.toMap
               (false,
                 u.condition.map(byNameChecked(_, "a condition"))
-                  .getOrElse(lit(true)), assigns)
+                  .getOrElse(lit(true)),
+                GraftRowLevelSql.composeAssigns(s"MERGE INTO $ident",
+                  j => targetOutput(j).name, entries))
             case d: DeleteAction =>
               (true,
                 d.condition.map(byNameChecked(_, "a condition"))
-                  .getOrElse(lit(true)), Map.empty[Int, Column])
+                  .getOrElse(lit(true)), Map.empty[Int, Column => Column])
             case other => throw new UnsupportedOperationException(
               s"MERGE INTO $ident: WHEN NOT MATCHED BY SOURCE supports " +
                 s"UPDATE/DELETE (got $other)")
@@ -995,7 +1061,7 @@ case class GraftSqlMergeCommand(
               case (((isDel, _, assigns), i), rest) =>
                 val v =
                   if (isDel) old
-                  else assigns.get(j).map(_.cast(types(j))).getOrElse(old)
+                  else assigns.get(j).map(f => f(old)).getOrElse(old)
                 when(bIdx === i, v).otherwise(rest)
             }.as(a.name)
           } :+ bChange.as("change_type"): _*)

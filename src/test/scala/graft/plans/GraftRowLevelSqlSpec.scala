@@ -607,6 +607,28 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
         ", s.x = 2 WHERE k = 1")
     }
     assert(e.getMessage.toLowerCase.contains("assign"), e.getMessage)
+    // MERGE clauses patch fields too: matched, by-source, and the
+    // INSERT whole-column discipline
+    spark.sql("CREATE OR REPLACE TEMP VIEW m19_d AS " +
+      "SELECT * FROM VALUES (2L, 50L), (9L, 90L) AS t(dk, amt)")
+    spark.sql("MERGE INTO rl.m19 t USING m19_d d ON t.k = d.dk " +
+      "WHEN MATCHED THEN UPDATE SET s.x = d.amt, w = 'm' " +
+      "WHEN NOT MATCHED THEN INSERT (k, s, w) VALUES " +
+      "(d.dk, named_struct('x', d.amt, 'y', 'i'), 'i') " +
+      "WHEN NOT MATCHED BY SOURCE AND k = 1 THEN UPDATE SET s.y = 'b'")
+    val m = spark.sql("SELECT k, s.x, s.y, w FROM rl.m19")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(m(2L) == ((50L, "a", "m")), "matched patch carries y")
+    assert(m(9L) == ((90L, "i", "i")), "insert lands the whole struct")
+    assert(m(1L)._2 == "b", "by-source patch lands")
+    val e2 = intercept[Exception] {
+      spark.sql("MERGE INTO rl.m19 t USING m19_d d ON t.k = d.dk " +
+        "WHEN NOT MATCHED THEN INSERT (k, s.x, w) VALUES " +
+        "(d.dk, d.amt, 'i')")
+    }
+    assert(e2.getMessage.contains("INSERT assigns whole columns"),
+      e2.getMessage)
   }
 
   test("SET col = DEFAULT resolves the declared default in UPDATE and MERGE") {
