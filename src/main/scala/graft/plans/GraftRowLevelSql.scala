@@ -965,7 +965,9 @@ case class GraftSqlMergeCommand(
           require(e.references.forall(a => targetIds.contains(a.exprId)),
             s"MERGE INTO $ident: $what in WHEN NOT MATCHED BY SOURCE " +
               "can only reference the target table")
-          GraftRowLevelSql.byName(e, s"MERGE INTO $ident")
+          // scalarLits fills the ScalarSlots the rule's lift left in
+          // THIS clause family too — omitting it indexed into Nil
+          GraftRowLevelSql.byName(e, s"MERGE INTO $ident", scalarLits)
         }
         val bCompiled: Seq[(Boolean, Column, Map[Int, Column => Column])] =
           notMatchedBySourceActions.map {

@@ -355,11 +355,10 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       }
       data.foreach { df =>
         val keyed = parts.fold(df)(p => CompoundKey.withKey(df, p))
-        if (insertMode == "upsert") {
-          GraftCatalog.requireUniqueKeys(keyed, storageKeyOf(key),
-            s"CTAS into an 'insert'='upsert' table")
-          t.merge(keyed)
-        } else t.append(keyed)
+        if (insertMode == "upsert")
+          GraftCatalog.withUniqueKeys(keyed, storageKeyOf(key),
+            s"CTAS into an 'insert'='upsert' table")(t.merge(_))
+        else t.append(keyed)
         ()
       }
       loc
@@ -621,9 +620,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           }
           val keyed = parts.fold(df0)(p => CompoundKey.withKey(df0, p))
           if (newMode == "upsert")
-            GraftCatalog.requireUniqueKeys(keyed, storageKeyOf(key),
-              "RTAS into an 'insert'='upsert' table")
-          t.replaceTable(keyed,
+            GraftCatalog.withUniqueKeys(keyed, storageKeyOf(key),
+              "RTAS into an 'insert'='upsert' table")(b =>
+              t.replaceTable(b, storageSchemaOf(key, schema), cluster,
+                keyRecord = Some(key)))
+          else t.replaceTable(keyed,
             storageSchemaOf(key, schema), cluster,
             keyRecord = Some(key))
         } catch { case scala.util.control.NonFatal(e) =>
@@ -833,16 +834,25 @@ private[sources] object GraftCatalog {
     * arbitrary winner (Hudi dedupes by a precombine field; without
     * one, picking a row silently is the nondeterminism an upsert
     * table exists to prevent) */
-  private[sources] def requireUniqueKeys(keyed: DataFrame,
-                                         storageKey: String,
-                                         ctx: String): Unit = {
-    val dup = keyed.groupBy(col(storageKey))
-      .count().where(col("count") > 1).limit(1).collect()
-    require(dup.isEmpty,
-      s"$ctx: the batch carries duplicate keys (e.g. " +
-        s"${dup.headOption.map(_.get(0)).getOrElse("")}) — an " +
-        "'insert'='upsert' table holds one row per key; dedupe the " +
-        "batch or MERGE with explicit clauses")
+  /** guard + run for x69's one-row-per-key invariant: PERSISTS the
+    * batch (one evaluation — a non-deterministic query must not pass
+    * the duplicate check on one row set and then land another; the
+    * MERGE command's source-materialization discipline), checks
+    * one-row-per-key, runs `f` on the pinned frame, unpersists. */
+  private[sources] def withUniqueKeys[A](keyed: DataFrame,
+      storageKey: String, ctx: String)(f: DataFrame => A): A = {
+    val pinned = keyed.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dup = pinned.groupBy(col(storageKey))
+        .count().where(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"$ctx: the batch carries duplicate keys (e.g. " +
+          s"${dup.headOption.map(_.get(0)).getOrElse("")}) — an " +
+          "'insert'='upsert' table holds one row per key; dedupe the " +
+          "batch or MERGE with explicit clauses")
+      f(pinned)
+    } finally { pinned.unpersist(); () }
   }
 }
 
@@ -1209,18 +1219,25 @@ private[graft] class GraftSqlTable(ident: String, root: String,
             override def insert(data: DataFrame, legacyOverwrite: Boolean): Unit = {
               val t = table
               val df = withStorageKey(data)
-              if (overwrite || legacyOverwrite) t.overwriteAll(df)
-              else if (insertUpsert) {
+              val storageKey =
+                if (graftKeyParts.isDefined) CompoundKey.KeyName
+                else graftKey
+              if (overwrite || legacyOverwrite) {
+                // the invariant covers INSERT OVERWRITE too: the
+                // replacement corpus itself must hold one row per key
+                if (insertUpsert)
+                  GraftCatalog.withUniqueKeys(df, storageKey,
+                    s"INSERT OVERWRITE $ident")(t.overwriteAll(_))
+                else t.overwriteAll(df)
+              } else if (insertUpsert) {
                 // x69: the declared INSERT discipline — one row per
                 // key is a table invariant, so the batch routes
                 // through the keyed merge (stats-pruned: only files
                 // holding touched keys rewrite) after the loud
-                // duplicate-batch guard
-                GraftCatalog.requireUniqueKeys(df,
-                  if (graftKeyParts.isDefined) CompoundKey.KeyName
-                  else graftKey,
-                  s"INSERT INTO $ident")
-                t.merge(df)
+                // duplicate-batch guard, both on ONE pinned
+                // evaluation of the batch
+                GraftCatalog.withUniqueKeys(df, storageKey,
+                  s"INSERT INTO $ident")(t.merge(_))
               } else t.append(df)
               ()
             }

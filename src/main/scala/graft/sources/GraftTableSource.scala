@@ -87,11 +87,20 @@ class GraftTableSourceProvider extends RelationProvider
       case Some(k) => (k, None)
       case None =>
         val spark = sqlContext.sparkSession
-        val stamped = GraftTable.open(spark, root, CompoundKey.KeyName)
-          .keyRecordAt(-1L)
+        val hconf = spark.sessionState.newHadoopConf()
+        // probe the stamp only when the root HAS a commit log:
+        // `open` creates <root>/commits as a side effect, and a
+        // fresh (or mistyped) root must fall to the friendly keyCol
+        // refusal below without leaving directories behind
+        val commits = new org.apache.hadoop.fs.Path(root, "commits")
+        val probe =
+          if (commits.getFileSystem(hconf).exists(commits))
+            Some(GraftTable.open(spark, root, CompoundKey.KeyName))
+          else None
+        val stamped = probe.flatMap(_.keyRecordAt(-1L))
         val stored = stamped.getOrElse {
           val kp = new org.apache.hadoop.fs.Path(root, "key.conf")
-          val fs = kp.getFileSystem(spark.sessionState.newHadoopConf())
+          val fs = kp.getFileSystem(hconf)
           require(fs.exists(kp), "graft needs option 'keyCol' (or a " +
             "catalog-created table, whose storage root records its key)")
           val len = fs.getFileStatus(kp).getLen.toInt
@@ -100,12 +109,16 @@ class GraftTableSourceProvider extends RelationProvider
           try in.readFully(0L, bytes) finally in.close()
           new String(bytes, "UTF-8").trim
         }
+        // logicalNameOf only needs A handle on this root — reuse the
+        // probe instead of re-opening (each open re-folds the
+        // manifest)
+        def handle: GraftTable = probe.getOrElse(
+          GraftTable.open(spark, root, CompoundKey.KeyName))
         CompoundKey.partsOf(stored) match {
           case Some(parts) =>
-            val t = GraftTable.open(spark, root, CompoundKey.KeyName)
-            (CompoundKey.KeyName, Some(parts.map(t.logicalNameOf)))
+            (CompoundKey.KeyName, Some(parts.map(handle.logicalNameOf)))
           case None =>
-            (GraftTable.open(spark, root, stored).logicalKeyName, None)
+            (handle.logicalNameOf(stored), None)
         }
     }
 
@@ -189,6 +202,17 @@ class GraftTableSourceProvider extends RelationProvider
     // the root's `key.conf` (its immutable PHYSICAL name — or the
     // compound part list, whose synthesized key the sink fills per
     // batch). An explicit keyCol option (the format route) wins.
+    // An 'insert'='upsert' table (x69) holds one row per key as an
+    // INVARIANT — a streaming APPEND cannot keep it (batches repeat
+    // keys, replays re-land them), so it refuses loudly here instead
+    // of silently breaking the declared discipline.
+    val ip = new org.apache.hadoop.fs.Path(root, "insert.conf")
+    require(!ConfIO.readSmallFile(
+        (ip.getFileSystem(sqlContext.sparkSession.sessionState
+          .newHadoopConf()), ip)).exists(_.trim == "upsert"),
+      "streaming append would break an 'insert'='upsert' table's " +
+        "one-row-per-key invariant — stream into a staging table and " +
+        "MERGE, or foreachBatch + merge(batch, txn = batchId)")
     val (key, wrapParts) = resolveKey(sqlContext, parameters, root)
     new GraftStreamSink(sqlContext, root, key, wrapParts)
   }

@@ -832,9 +832,13 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * None on pre-stamp (legacy) tables and on versions below the
     * stamp's introduction — callers fall back to the pointer/key.conf
     * heuristics there */
-  private[graft] def keyRecordAt(version: Long = -1L): Option[String] =
-    GraftTable.parseKeyRec(
-      manifestOf(if (version < 0) head else version))
+  private[graft] def keyRecordAt(version: Long = -1L): Option[String] = {
+    val v = if (version < 0) head else version
+    // head 0 = no commit yet: there is no manifest to read a stamp
+    // from (manifestOf(0) would fail on the missing slot) — callers
+    // fall to their pre-stamp heuristics
+    if (v == 0L) None else GraftTable.parseKeyRec(manifestOf(v))
+  }
 
   /** every declared column's write-time default, by CURRENT LOGICAL
     * name — what the SQL catalog re-attaches to `schema()` as

@@ -510,6 +510,19 @@ class GraftRowLevelSqlSpec extends AnyFunSuite {
       "(SELECT MAX(sk) FROM m15_subj WHERE sk = k) WHERE k = 3")
     assert(spark.table("rl.m15").where("k = 3 AND v IS NULL")
       .count() == 1)
+    // ...and in NOT MATCHED BY SOURCE conditions AND assignment
+    // values (round-18 self-review: the scalar-slot fill must reach
+    // this clause family too — it used to index into Nil and crash)
+    spark.sql("MERGE INTO rl.m15 t USING m15_delta d ON t.k = d.dk " +
+      "WHEN NOT MATCHED BY SOURCE AND v < (SELECT MIN(sk) FROM " +
+      "m15_subj) THEN UPDATE SET w = " +
+      "(SELECT CONCAT('b', MAX(sk)) FROM m15_subj)")
+    val nm = spark.table("rl.m15").where("k IN (4, 5)").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(nm == Map(4L -> "b5", 5L -> "b5"),
+      "v=2 < min(sk)=4: the lifted NMBS scalars must fire")
+    assert(spark.table("rl.m15").where("k = 1 AND w = 'cond'")
+      .count() == 1, "source-matched rows carry")
   }
 
   test("correlated subquery assignments compute per-row values") {

@@ -784,6 +784,42 @@ class GraftCatalogSpec extends AnyFunSuite {
       got4(("x", 1L)) == 11L, s"compound upsert (got $got4)")
   }
 
+  test("the upsert invariant covers INSERT OVERWRITE and streaming") {
+    // round-18 self-review: every write path that can land a batch
+    // must hold x69's one-row-per-key invariant, not just the plain
+    // INSERT INTO branch
+    spark.sql("DROP TABLE IF EXISTS gcat.up5")
+    spark.sql("CREATE TABLE gcat.up5 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('key' = 'k', 'insert' = 'upsert')")
+    spark.sql("INSERT INTO gcat.up5 VALUES (1, 10)")
+    // a clean replacement corpus lands
+    spark.sql("INSERT OVERWRITE gcat.up5 VALUES (7, 70), (8, 80)")
+    assert(spark.table("gcat.up5").count() == 2)
+    // a duplicate-key replacement refuses and commits nothing
+    val e = intercept[Exception] {
+      spark.sql("INSERT OVERWRITE gcat.up5 VALUES (9, 1), (9, 2)")
+    }
+    assert(e.getMessage.contains("duplicate keys"), e.getMessage)
+    val got = spark.table("gcat.up5").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(7L -> 70L, 8L -> 80L), s"refusal kept v2 (got $got)")
+    // a streaming APPEND cannot hold the invariant — it refuses at
+    // sink construction, pointing at the merge patterns
+    val loc = locationOf("up5")
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val e2 = intercept[Exception] {
+      src.toDF().toDF("k", "v").writeStream
+        .format("graft").option("path", loc)
+        .option("checkpointLocation",
+          graft.util.Scratch.dir("graft-up5-ckpt"))
+        .start()
+    }
+    assert(e2.getMessage.contains("one-row-per-key"), e2.getMessage)
+  }
+
   test("transaction surface: single-STATEMENT atomicity, by declaration") {
     // SURVEY §2.3 (round 18): multi-statement transactions
     // (BEGIN/COMMIT spanning statements or tables) are OUT OF SCOPE —

@@ -168,4 +168,19 @@ class GraftTableSourceSpec extends AnyFunSuite {
              t.read().where(pred).collect().map(_.toSeq).toSet, s"$pred")
     }
   }
+
+  test("a keyless load of a fresh root refuses cleanly, creating nothing") {
+    // round-18 self-review: the key-stamp probe must not crash on a
+    // root with no commit log (manifestOf on a missing slot), and
+    // must not leave directories behind on a mistyped path — the
+    // friendly keyCol refusal is the contract
+    val spark = SparkTestSession.spark
+    val root = graft.util.Scratch.dir("graft-fresh-root") + "/nothere"
+    val e = intercept[Exception] {
+      spark.read.format("graft").option("path", root).load()
+    }
+    assert(e.getMessage.contains("keyCol"), e.getMessage)
+    assert(!new java.io.File(root, "commits").exists(),
+      "a failed keyless resolve must not create the commit log")
+  }
 }
