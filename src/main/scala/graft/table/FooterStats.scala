@@ -69,11 +69,12 @@ object FooterStats {
       var nulls = Map.empty[String, Long]
       var nullsUnknown = Set.empty[String]
       for (b <- blocks; c <- b.getColumns.asScala) {
-        // top-level columns only: path depth 1 (nested stats are out
-        // of planning scope, same as the manifest's stats map)
+        // top-level columns AND struct-nested leaves (round 18): the
+        // footer's column path IS the dotted struct path — the caller
+        // names the leaves it wants (arrays/maps are never named)
         val path = c.getPath.toArray
-        if (path.length == 1 && (intCols(path(0)) || strCols(path(0)))) {
-          val name = path(0)
+        val name = path.mkString(".")
+        if (intCols(name) || strCols(name)) {
           val st = c.getStatistics
           // exact per-column NULL COUNTS (Iceberg's null_value_counts):
           // valid only when every row group recorded one

@@ -639,7 +639,17 @@ final class GraftTable private (spark: SparkSession, val root: String,
   private def physicalOf(refs: Seq[FileRef]): String => String = {
     val m = colRows(refs).collect {
       case (l, p) if l.nonEmpty => (l, p) }.toMap
-    if (m.isEmpty) identity[String] _ else (n => m.getOrElse(n, n))
+    if (m.isEmpty) identity[String] _
+    else n => m.get(n) match {
+      case Some(p) => p
+      // a struct-field stats path maps its ROOT (fields don't rename;
+      // an exact whole-name hit above wins for literal dotted names)
+      case None if n.contains('.') =>
+        val parts = n.split("\\.")
+        (m.getOrElse(parts.head, parts.head) +: parts.tail.toSeq)
+          .mkString(".")
+      case None => n
+    }
   }
 
   /** the key column's PHYSICAL (storage) name — what manifest `lo`/`hi`
@@ -1179,9 +1189,30 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * non-NULL rows bounds exactly the rows a comparison can select. */
   private[table] def pruneByPredicate(data: Seq[FileRef],
                                       predicate: Column): Seq[String] = {
-    val tree = PredicateTree.parse(predicate)
+    val tree = statsTree(PredicateTree.parse(predicate), data)
     data.filter(r => mayMatch(tree, r)).map(_.file).sorted
   }
+
+  /** a parsed predicate skeleton, resolved for evaluation against
+    * `refs`' per-file stats: multi-part names disambiguate against
+    * the snapshot's top-level columns — `meta.price` (struct path,
+    * the round-18 nested stats key) vs `t.k` (relation qualifier,
+    * dropped) — then LOGICAL maps to PHYSICAL (x53; a dotted path
+    * maps its root). Legacy manifests with no recorded schema keep
+    * the old leaf-name collapse. */
+  private def statsTree(n: PredicateTree.Node,
+                        refs: Seq[FileRef]): PredicateTree.Node =
+    schemaOf(refs) match {
+      case Some(st) =>
+        val byPhys = colRows(refs).map { case (l, p) => p -> l }.toMap
+        val topLogical = st.fieldNames
+          .map(p => byPhys.getOrElse(p, p)).filter(_.nonEmpty).toSet
+        PredicateTree.mapColumns(
+          PredicateTree.resolvePaths(n, topLogical), physicalOf(refs))
+      case None =>
+        PredicateTree.mapColumns(
+          PredicateTree.lastPartNames(n), physicalOf(refs))
+    }
 
   /** the per-file stats+bloom evaluator — a serializable value (see
     * [[StatsEval]]) so bloom refinement can evaluate it NEXT TO the
@@ -1231,14 +1262,28 @@ final class GraftTable private (spark: SparkSession, val root: String,
       .sortBy(_._1)
     val files = listed.map(_._1)
     val sizes = listed.toMap
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
-    val intCols = df.schema.fields.collect {
-      case f if Seq(ByteType, ShortType, IntegerType, LongType)
-                  .contains(f.dataType) => f.name
-    }.toSet
-    val strCols = df.schema.fields.collect {
-      case f if f.dataType == StringType => f.name
-    }.toSet
+    // stats leaves: every top-level integral/string column PLUS every
+    // such leaf reachable through STRUCT nesting (round 18 — dotted
+    // paths, e.g. `meta.price`; parquet footers carry these bounds for
+    // free). Array/map subtrees stay out: repeated values make
+    // per-file min/max a different, not-yet-planned pruning story.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructType}
+    val intB = Set.newBuilder[String]
+    val strB = Set.newBuilder[String]
+    def leafWalk(prefix: String, st: StructType): Unit =
+      st.fields.foreach { f =>
+        val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        f.dataType match {
+          case s: StructType => leafWalk(name, s)
+          case ByteType | ShortType | IntegerType | LongType =>
+            intB += name
+          case StringType => strB += name
+          case _ => ()
+        }
+      }
+    leafWalk("", df.schema)
+    val intCols = intB.result()
+    val strCols = strB.result()
     // CHECK constraints gate the commit HERE: a violation discards the
     // staged files (vacuum-safe — marker cleared after the delete) and
     // throws before any manifest exists
@@ -1767,9 +1812,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
     val refs = manifestOf(v)
     val data = refs.filter(_.kind == "data")
     // the predicate arrives over LOGICAL names; stats/sstats/bloom
-    // rows are keyed physically — map the skeleton across (x53)
-    val tree = PredicateTree.mapColumns(
-      PredicateTree.parse(predicate), physicalOf(refs))
+    // rows are keyed physically — resolve struct paths, then map the
+    // skeleton across (x53)
+    val tree = statsTree(PredicateTree.parse(predicate), refs)
     val cand0 = data.filter(r => eval.mayMatch(tree, r)).map(_.file).sorted
     val cand = bloomRefine(refs, data, cand0, tree)
     if (cand.isEmpty) read(v).limit(0).where(predicate)
@@ -2375,7 +2420,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
       // the predicate speaks LOGICAL names: its skeleton maps to
       // physical for stats/bloom pruning, and row evaluation happens
       // on the logically-projected scan (x53)
-      val tree = PredicateTree.mapColumns(tree0, physicalOf(base))
+      val tree = statsTree(tree0, base)
       // foreign-add conflict = a winner's file whose stats may satisfy
       // the predicate (our delete, serialized LAST, would have to cover
       // its rows); the stats evaluator is the same one candidate
@@ -2433,7 +2478,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
     require(set.nonEmpty, "UPDATE needs at least one SET assignment")
     val tree0 = PredicateTree.parse(predicate)
     commitLoopMutate() { base =>
-      val tree = PredicateTree.mapColumns(tree0, physicalOf(base))
+      val tree = statsTree(tree0, base)
       val addConflicts = (wAdded: Seq[FileRef]) =>
         wAdded.exists(r => eval.mayMatch(tree, r))
       val data = base.filter(_.kind == "data")
@@ -2497,7 +2542,7 @@ final class GraftTable private (spark: SparkSession, val root: String,
       s"overwriteWhere: $violating replacement row(s) do not satisfy " +
         "the predicate — a backfill must stay inside its own window")
     commitLoopMutate() { base =>
-      val tree = PredicateTree.mapColumns(tree0, physicalOf(base))
+      val tree = statsTree(tree0, base)
       val addConflicts = (wAdded: Seq[FileRef]) =>
         wAdded.exists(r => eval.mayMatch(tree, r))
       val data = base.filter(_.kind == "data")
