@@ -830,15 +830,14 @@ private[sources] object GraftCatalog {
     m
   }
 
-  /** the upsert-insert duplicate guard: loud refusal, never an
-    * arbitrary winner (Hudi dedupes by a precombine field; without
-    * one, picking a row silently is the nondeterminism an upsert
-    * table exists to prevent) */
   /** guard + run for x69's one-row-per-key invariant: PERSISTS the
     * batch (one evaluation — a non-deterministic query must not pass
     * the duplicate check on one row set and then land another; the
     * MERGE command's source-materialization discipline), checks
-    * one-row-per-key, runs `f` on the pinned frame, unpersists. */
+    * one-row-per-key with a LOUD refusal — never an arbitrary winner
+    * (Hudi dedupes by a precombine field; without one, picking a row
+    * silently is the nondeterminism an upsert table exists to
+    * prevent) — then runs `f` on the pinned frame, unpersists. */
   private[sources] def withUniqueKeys[A](keyed: DataFrame,
       storageKey: String, ctx: String)(f: DataFrame => A): A = {
     val pinned = keyed.persist(

@@ -1194,24 +1194,67 @@ final class GraftTable private (spark: SparkSession, val root: String,
   }
 
   /** a parsed predicate skeleton, resolved for evaluation against
-    * `refs`' per-file stats: multi-part names disambiguate against
-    * the snapshot's top-level columns — `meta.price` (struct path,
-    * the round-18 nested stats key) vs `t.k` (relation qualifier,
-    * dropped) — then LOGICAL maps to PHYSICAL (x53; a dotted path
-    * maps its root). Legacy manifests with no recorded schema keep
-    * the old leaf-name collapse. */
+    * `refs`' per-file stats. [[PredicateTree]] emits FULL dotted
+    * paths because, pre-resolution, `t.k` (qualifier + column) and
+    * `meta.price` (column + struct field — the round-18 nested stats
+    * key) are indistinguishable; this is where the schema is known:
+    * the first part matching a top-level column (under the SESSION
+    * resolver — case-insensitive by default, exactly like the row
+    * filter the scan re-applies) anchors the path, leading non-column
+    * parts drop as relation qualifiers, and the tail canonicalizes
+    * through the struct fields so a case-mismatched reference still
+    * finds its recorded bounds. An unresolvable name stays as-is —
+    * its lookups miss and the file stays a candidate. Then LOGICAL
+    * maps to PHYSICAL (x53; a dotted path maps its root). Legacy
+    * manifests with no recorded schema resolve NOTHING: they carry no
+    * nested stats, and collapsing a dotted name to its leaf (the
+    * pre-round-18 behavior) could alias a same-named top-level
+    * column's bounds — the wrong-prune class this round closed. */
   private def statsTree(n: PredicateTree.Node,
                         refs: Seq[FileRef]): PredicateTree.Node =
     schemaOf(refs) match {
       case Some(st) =>
+        import org.apache.spark.sql.types.{DataType, StructField, StructType}
+        val resolver = spark.sessionState.conf.resolver
         val byPhys = colRows(refs).map { case (l, p) => p -> l }.toMap
-        val topLogical = st.fieldNames
-          .map(p => byPhys.getOrElse(p, p)).filter(_.nonEmpty).toSet
-        PredicateTree.mapColumns(
-          PredicateTree.resolvePaths(n, topLogical), physicalOf(refs))
+        val tops: Seq[(String, StructField)] = st.fields.toSeq
+          .map(f => (byPhys.getOrElse(f.name, f.name), f))
+          .filter(_._1.nonEmpty)
+        def canon(c: String): String =
+          if (!c.contains('.')) c
+          else tops.find(t => resolver(t._1, c)) match {
+            // a literal dotted top-level name wins over path-splitting
+            case Some((l, _)) => l
+            case None =>
+              val parts = c.split("\\.").toSeq
+              val i = parts.indexWhere(p =>
+                tops.exists(t => resolver(t._1, p)))
+              if (i < 0) c
+              else {
+                val (headLogical, headField) =
+                  tops.find(t => resolver(t._1, parts(i))).get
+                val out =
+                  scala.collection.mutable.ArrayBuffer(headLogical)
+                var cur: DataType = headField.dataType
+                var ok = true
+                val tail = parts.drop(i + 1).iterator
+                while (ok && tail.hasNext) {
+                  val p = tail.next()
+                  cur match {
+                    case s: StructType =>
+                      s.fields.find(f => resolver(f.name, p)) match {
+                        case Some(f) => out += f.name; cur = f.dataType
+                        case None => ok = false
+                      }
+                    case _ => ok = false
+                  }
+                }
+                if (ok) out.mkString(".") else c
+              }
+          }
+        PredicateTree.mapColumns(n, c => physicalOf(refs)(canon(c)))
       case None =>
-        PredicateTree.mapColumns(
-          PredicateTree.lastPartNames(n), physicalOf(refs))
+        PredicateTree.mapColumns(n, physicalOf(refs))
     }
 
   /** the per-file stats+bloom evaluator — a serializable value (see
@@ -1267,23 +1310,31 @@ final class GraftTable private (spark: SparkSession, val root: String,
     // paths, e.g. `meta.price`; parquet footers carry these bounds for
     // free). Array/map subtrees stay out: repeated values make
     // per-file min/max a different, not-yet-planned pruning story.
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType, StructType}
-    val intB = Set.newBuilder[String]
-    val strB = Set.newBuilder[String]
+    // COLLIDING names record no stats at all: a top-level column
+    // literally named "a.b" and a struct leaf a.b share one footer
+    // key — their bounds would union (sound) but their null counts
+    // would SUM, and an IS NOT NULL delete planned off the inflated
+    // count could prune live files.
+    import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType, StructType}
+    val typedLeaves =
+      scala.collection.mutable.ArrayBuffer.empty[(String, DataType)]
     def leafWalk(prefix: String, st: StructType): Unit =
       st.fields.foreach { f =>
         val name = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
         f.dataType match {
           case s: StructType => leafWalk(name, s)
-          case ByteType | ShortType | IntegerType | LongType =>
-            intB += name
-          case StringType => strB += name
-          case _ => ()
+          case dt => typedLeaves += name -> dt
         }
       }
     leafWalk("", df.schema)
-    val intCols = intB.result()
-    val strCols = strB.result()
+    val leafCount = typedLeaves.groupBy(_._1).view.mapValues(_.size)
+    val intCols = typedLeaves.collect {
+      case (n, ByteType | ShortType | IntegerType | LongType)
+          if leafCount(n) == 1 => n
+    }.toSet
+    val strCols = typedLeaves.collect {
+      case (n, StringType) if leafCount(n) == 1 => n
+    }.toSet
     // CHECK constraints gate the commit HERE: a violation discards the
     // staged files (vacuum-safe — marker cleared after the delete) and
     // throws before any manifest exists
@@ -2669,9 +2720,10 @@ final class GraftTable private (spark: SparkSession, val root: String,
       // no matching rows is harmless (rows are unchanged either way).
       val scoped = where match {
         case Some(p) =>
-          // logical predicate vs physical-name-keyed stats (x53)
-          val tree = PredicateTree.mapColumns(
-            PredicateTree.parse(p), physicalOf(base))
+          // logical predicate vs physical-name-keyed stats (x53),
+          // struct paths and qualifiers resolved like every other
+          // predicate consumer
+          val tree = statsTree(PredicateTree.parse(p), base)
           data.filter(r => eval.mayMatch(tree, r))
         case None => data
       }

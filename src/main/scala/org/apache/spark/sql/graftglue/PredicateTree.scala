@@ -74,36 +74,13 @@ object PredicateTree {
     case _             => Set.empty
   }
 
-  /** resolve each multi-part column name against the TABLE's
-    * top-level columns (round 18, nested struct-field stats): the
-    * parse emits FULL dotted paths because, pre-resolution, `t.k`
-    * (qualifier + column) and `meta.price` (column + struct field)
-    * are indistinguishable — the owner of the per-file stats knows
-    * the schema and disambiguates here. A head part that IS a
-    * top-level column keeps the dotted struct path (its stats key);
-    * leading non-column parts are relation qualifiers and drop.
-    * Unresolvable names stay as-is — their stats lookups miss and the
-    * file stays a candidate (pruning only ever weakens). */
-  def resolvePaths(n: Node, topLevel: Set[String]): Node =
-    mapColumns(n, c => {
-      if (topLevel.contains(c) || !c.contains('.')) c
-      else {
-        val parts = c.split("\\.").toSeq
-        val i = parts.indexWhere(topLevel.contains)
-        if (i < 0) c else parts.drop(i).mkString(".")
-      }
-    })
-
-  /** the pre-round-18 name resolution (qualifiers stripped, nested
-    * paths collapsed to their leaf) — the fallback for legacy
-    * manifests that carry no recorded schema to resolve against */
-  def lastPartNames(n: Node): Node =
-    mapColumns(n, c => c.split("\\.").last)
-
   private def colName(n: ColumnNode): Option[String] = n match {
-    // the FULL dotted path: `meta.price` must not collapse to
-    // `price`, which could alias a DIFFERENT top-level column's
-    // stats and prune wrongly — see resolvePaths
+    // the FULL dotted path (round 18, nested struct-field stats):
+    // `meta.price` must not collapse to `price`, which could alias a
+    // DIFFERENT top-level column's stats and prune wrongly. The owner
+    // of the per-file stats disambiguates qualifier vs struct path
+    // against its schema (GraftTable.statsTree) — pre-resolution the
+    // two are indistinguishable here.
     case a: UnresolvedAttribute if a.nameParts.nonEmpty =>
       Some(a.nameParts.mkString("."))
     case _ => None

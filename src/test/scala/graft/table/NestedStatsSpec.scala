@@ -65,6 +65,38 @@ class NestedStatsSpec extends AnyFunSuite {
     assert(t.read().where(col("meta.score") >= 910).count() == 0)
   }
 
+  test("case-mismatched struct references resolve like the row filter") {
+    // the SESSION resolver (case-insensitive by default) anchors and
+    // canonicalizes the path — a case-mismatched head must not be
+    // misread as a qualifier (which would drop it and prune against
+    // the wrong column), and the tail must still find the bounds
+    val t = fixture("graft-nested-case")
+    val data = t.manifestOf(1).filter(_.kind == "data")
+    assert(t.pruneByPredicate(data, col("META.Score") > 900).size == 1)
+    assert(t.readWhere(col("META.Score") > 900).count() == 10)
+  }
+
+  test("colliding footer keys record no stats, never a summed null count") {
+    // a top-level column literally named "a.b" and struct leaf a.b
+    // share one parquet footer key: bounds would union (sound) but
+    // null counts would SUM — an IS NOT NULL delete planned off the
+    // inflated count would prune files whose rows are live. Both
+    // leaves are excluded from stats instead.
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-nested-collide"), "k",
+      spark.range(1, 21).toDF("k")
+        .withColumn("a.b",
+          when(col("k") <= 10, lit(null)).otherwise(col("k")))
+        .withColumn("a", struct(
+          when(col("k") > 10, lit(null)).otherwise(col("k")).as("b"))))
+    val data = t.manifestOf(1).filter(_.kind == "data")
+    assert(data.forall(r =>
+        !r.stats.contains("a.b") && !r.nstats.contains("a.b")),
+      "the shared footer key must record nothing")
+    // both columns hold live rows — nothing may prune
+    assert(t.readWhere(col("`a.b`").isNotNull).count() == 10)
+  }
+
   test("a struct path never aliases a same-named top-level column") {
     // BOTH a top-level `score` (1..40) and `meta.score` (+1000): the
     // pre-round-18 leaf-name collapse would evaluate meta.score
