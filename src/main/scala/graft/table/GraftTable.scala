@@ -190,61 +190,12 @@ final class GraftTable private (spark: SparkSession, val root: String,
   }
 
   private def readSlot(v: Long): (Seq[FileRef], Long, Long) = {
-    val df = spark.read.parquet(s"$commitsDir/v$v")
-    val names = df.schema.fieldNames.toSet
-    val hasStats = names("stats")
-    val hasSStats = names("sstats")
-    val hasCounts = names("rows") && names("bytes")
-    val hasTs = names("ts")
-    val hasNStats = names("nstats")
-    val hasZgen = names("zgen")
-    val hasSchema = names("schema_json")
-    val hasTxn = names("txn")
-    val cols = Seq(col("file"), col("kind"), col("lo"), col("hi")) ++
-      (if (hasTxn) Seq(col("txn")) else Nil) ++
-      (if (hasStats) Seq(col("stats")) else Nil) ++
-      (if (hasSStats) Seq(col("sstats")) else Nil) ++
-      (if (hasCounts) Seq(col("rows"), col("bytes")) else Nil) ++
-      (if (hasTs) Seq(col("ts")) else Nil) ++
-      (if (hasNStats) Seq(col("nstats")) else Nil) ++
-      (if (hasZgen) Seq(col("zgen")) else Nil) ++
-      (if (hasSchema) Seq(col("schema_json")) else Nil)
-    // intern the per-file schema strings: a snapshot has a handful of
-    // DISTINCT schemas (one per evolution step) across up to 10⁵-10⁶
-    // refs — the driver must hold one copy each, not one per row
-    val interned = scala.collection.mutable.HashMap.empty[String, String]
-    val collected = df.select(cols: _*).collect()
-    val refs = collected.map { r =>
-        val stats =
-          if (!hasStats) Map.empty[String, (Long, Long)]
-          else r.getAs[Map[String, org.apache.spark.sql.Row]]("stats")
-            .map { case (c, s) => c -> (s.getLong(0), s.getLong(1)) }
-        val sstats =
-          if (!hasSStats) Map.empty[String, (String, String)]
-          else r.getAs[Map[String, org.apache.spark.sql.Row]]("sstats")
-            .map { case (c, s) => c -> (s.getString(0), s.getString(1)) }
-        FileRef(r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
-          stats, sstats,
-          rows = if (hasCounts) r.getAs[Long]("rows") else -1L,
-          bytes = if (hasCounts) r.getAs[Long]("bytes") else -1L,
-          ts = if (hasTs) r.getAs[Long]("ts") else -1L,
-          nstats =
-            if (!hasNStats || r.isNullAt(r.fieldIndex("nstats"))) Map.empty
-            else r.getAs[Map[String, Long]]("nstats"),
-          zgen = if (hasZgen) r.getAs[Long]("zgen") else -1L,
-          schemaJson =
-            if (!hasSchema || r.isNullAt(r.fieldIndex("schema_json"))) ""
-            else {
-              val s = r.getAs[String]("schema_json")
-              interned.getOrElseUpdate(s, s)
-            })
-      }
-      .toSeq.sortBy(r => (r.kind, r.file))
-    val commitTxn =
-      if (!hasTxn || collected.isEmpty) -1L
-      else collected.iterator.map(_.getAs[Long]("txn")).max
-    val commitTs = refs.foldLeft(-1L)((m, r) => math.max(m, r.ts))
-    (refs, commitTxn, commitTs)
+    // DRIVER-LOCAL decode (round-18, guide §1: a slot is KB-MB of
+    // metadata — the old spark.read+collect paid a whole Spark job of
+    // driver latency per slot touch; see [[SlotIO]])
+    val (rows, commitTxn, commitTs) =
+      SlotIO.read(s"$commitsDir/v$v", spark.sessionState.newHadoopConf())
+    (rows.sortBy(r => (r.kind, r.file)), commitTxn, commitTs)
   }
 
   /** the folded snapshot a version denotes, plus its delta-chain depth
@@ -1903,12 +1854,11 @@ final class GraftTable private (spark: SparkSession, val root: String,
                         txn: Long, ts: Long,
                         base: GraftTable.Snap): Boolean = {
     val tmp = s"$commitsDir/.tmp-${java.util.UUID.randomUUID()}"
-    encodeSlot(expected, refs, base)
-      .map(r => (r.file, r.kind, r.lo, r.hi, txn, r.stats, r.sstats,
-        r.rows, r.bytes, ts, r.nstats, r.zgen, r.schemaJson))
-      .toDF("file", "kind", "lo", "hi", "txn", "stats", "sstats",
-        "rows", "bytes", "ts", "nstats", "zgen", "schema_json")
-      .coalesce(1).write.parquet(tmp)
+    // DRIVER-LOCAL encode (round-18, guide §1: the old toDF+coalesce(1)
+    // +write paid a whole Spark job per commit for KB of metadata; the
+    // on-disk format is unchanged — see [[SlotIO]])
+    SlotIO.write(tmp, encodeSlot(expected, refs, base), txn, ts,
+      spark.sessionState.newHadoopConf())
     arbiter.publish(tmp, s"$commitsDir/v${expected + 1}")
   }
 
@@ -2257,12 +2207,23 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * the safe pattern). */
   def merge(delta: DataFrame, txn: Long = -1L): Long = {
     if (txn >= 0 && committedTxns().contains(txn)) return head
-    val dkeys = delta.select(col(keyCol))
-    val nKeys = dkeys.count() // sizes the key-side joins, once
-    commitLoopMutate(txn = txn) { base =>
-      if (txn >= 0 && committedTxns().contains(txn)) None
-      else composeApply(base, delta, dkeys, nKeys)
-    }
+    // materialize the delta ONCE (round-18, guide §1/§5): the key
+    // count, the stats prune, the matched-file join and the staged
+    // rewrite each act on it — an unpersisted delta (often a join or
+    // subquery output) re-executed its whole plan per action, 4× the
+    // compute for zero benefit; delta frames are change-scale, the
+    // same budget GraftSqlMergeCommand's source materialization
+    // already assumes
+    val mat = delta.persist(org.apache.spark.storage.StorageLevel
+      .MEMORY_AND_DISK)
+    try {
+      val dkeys = mat.select(col(keyCol))
+      val nKeys = dkeys.count() // sizes the key-side joins, once
+      commitLoopMutate(txn = txn) { base =>
+        if (txn >= 0 && committedTxns().contains(txn)) None
+        else composeApply(base, mat, dkeys, nKeys)
+      }
+    } finally mat.unpersist()
   }
 
   /** the HEAD rows whose key appears in `keys` (a one-column frame
@@ -2324,14 +2285,24 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * identity rows under the same key. */
   def applyChanges(feed: DataFrame, txn: Long = -1L): Long = {
     if (txn >= 0 && committedTxns().contains(txn)) return head
-    val post = feed.where(col("change_type") =!= "delete")
-      .drop("change_type")
-    val fkeys = feed.select(col(keyCol))
-    val nKeys = fkeys.count() // sizes the key-side joins, once
-    commitLoopMutate(txn = txn) { base =>
-      if (txn >= 0 && committedTxns().contains(txn)) None
-      else composeApply(base, post, fkeys, nKeys)
-    }
+    // materialize the feed ONCE (round-18, guide §1/§5): the subquery
+    // DML commands build feeds whose plans embed a pruned sibling
+    // scan + exceptAll — re-executing that per action (key count,
+    // prune, matched files, staged rewrite) multiplied the mutation's
+    // read cost ~4×; feeds are change-scale by contract, the same
+    // budget the MERGE source materialization assumes
+    val mat = feed.persist(org.apache.spark.storage.StorageLevel
+      .MEMORY_AND_DISK)
+    try {
+      val post = mat.where(col("change_type") =!= "delete")
+        .drop("change_type")
+      val fkeys = mat.select(col(keyCol))
+      val nKeys = fkeys.count() // sizes the key-side joins, once
+      commitLoopMutate(txn = txn) { base =>
+        if (txn >= 0 && committedTxns().contains(txn)) None
+        else composeApply(base, post, fkeys, nKeys)
+      }
+    } finally mat.unpersist()
   }
 
   /** the delta-key side of composeApply's two joins, sized ADAPTIVELY
