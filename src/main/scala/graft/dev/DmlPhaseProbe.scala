@@ -26,10 +26,45 @@ object DmlPhaseProbe {
       graft.util.Scratch.dir("graft-probe-wh"))
     graft.SparkEntry.queries("q01_pricing_summary")(spark0, sfDir).count()
     graft.Tables.orders(spark, sfDir).createOrReplaceTempView("probe_src")
+    // per-job breakdown inside each phase (same listener shape as
+    // JobProfileProbe), so a slow statement decomposes into its jobs
+    final case class Job(id: Int, desc: String, start: Long,
+                         var end: Long = -1L)
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, Job]()
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    spark0.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val d = Option(e.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .orElse(Option(e.properties)
+              .flatMap(p => Option(p.getProperty("callSite.short"))))
+            .getOrElse("")
+          jobs.put(e.jobId, Job(e.jobId, d, e.time))
+          order.add(e.jobId)
+        }
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val j = jobs.get(e.jobId); if (j != null) j.end = e.time
+        }
+      })
     def t(tag: String)(body: => Any): Unit = {
+      jobs.clear(); order.clear()
       val t0 = System.nanoTime()
       body
-      println(f"PHASE $tag%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300) // listener bus drain
+      println(f"PHASE $tag%-12s $wall%6.2f s")
+      import scala.jdk.CollectionConverters._
+      var lastEnd = t0 / 1000000L
+      order.asScala.toSeq.flatMap(id => Option(jobs.get(id))).foreach { j =>
+        val dur = (if (j.end > 0) j.end else System.currentTimeMillis()) - j.start
+        val gap = math.max(0, j.start - lastEnd)
+        lastEnd = math.max(lastEnd, if (j.end > 0) j.end else j.start)
+        val desc = if (j.desc.length > 60) j.desc.take(60) else j.desc
+        println(f"    job ${j.id}%4d ${dur / 1000.0}%6.2f s  gap ${gap / 1000.0}%5.2f s  $desc")
+      }
     }
     (1 to 2).foreach { round =>
       println(s"== round $round ==")

@@ -26,6 +26,10 @@ object JobProfileProbe {
     spark.sparkContext.setLogLevel("ERROR")
     // warmup: classloading/codegen paid outside the profiled window
     graft.SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    // "warm" arg: run the SAME query once untimed first, so the
+    // profiled run shows the marginal (gate-loop-like) shape
+    if (args.contains("warm"))
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
 
     final case class Job(id: Int, var desc: String, start: Long,
                          var end: Long = -1L, var taskMs: Long = 0L)

@@ -280,33 +280,13 @@ private[plans] object GraftRowLevelSql {
       else Literal.create(rows.head.get(0), dt)
     }
 
-  /** the ROW-addressed carry-through for subquery DML (round 18,
-    * closing the duplicate-key row-loss edge): `applyChanges`
-    * replaces the whole row GROUP under each feed key, but ANSI
-    * UPDATE/DELETE address ROWS — on a duplicate-key table (reachable
-    * via raw-append INSERT) a condition that splits a key's rows must
-    * carry the unmatched siblings, not drop them. Returns exactly
-    * those siblings: the multiset of rows under the matched keys
-    * minus the matched multiset (`exceptAll` — full duplicates
-    * subtract by count, so two identical matched rows both update).
-    *
-    * Cost at 100 TB: `readMatchingKeys` runs the SAME two-phase
-    * stats+bloom pruned read the rewrite itself performs — delta-
-    * scale keys open only range-overlapping candidate files (the
-    * file-hiding specs pin this), so the carry adds one scan of the
-    * files being rewritten anyway, never a table scan. On a
-    * unique-key table the result is empty and the union is free. */
-  def siblingsOf(table: GraftSqlTable, matched: DataFrame,
-                 targetOutput: Seq[Attribute]): DataFrame = {
-    val storageKey =
-      if (table.graftKeyParts.isDefined)
-        graft.sources.CompoundKey.KeyName
-      else table.graftKey
-    val underKeys = table.graftHandle.readMatchingKeys(
-        table.withStorageKey(matched).select(col(storageKey)).distinct())
-      .select(targetOutput.map(a => col(a.name)): _*)
-    underKeys.exceptAll(matched)
-  }
+  // The ROW-addressed sibling carry for subquery DML (round 18,
+  // closing the duplicate-key row-loss edge) lives in
+  // [[graft.table.GraftTable.applyChangesRowAddressed]]: the handle
+  // subtracts the matched old images from its OWN touched scan, so
+  // the carry costs zero extra pruned reads (this file's commands
+  // previously built it via a second readMatchingKeys pass —
+  // round-18 optimization removed that).
 
   /** the resolved assignment-key shapes the engine compiles: a
     * top-level column, or a struct-field path rooted at one (x71 —
@@ -354,7 +334,8 @@ private[plans] object GraftRowLevelSql {
   /** the dual old/new projection for a subquery-valued or
     * struct-field UPDATE (x70/x71): one pass over the filtered
     * target emitting each matched row's OLD image (`__o<i>` — what
-    * `siblingsOf` subtracts against) and its POSTIMAGE (`__n<i>` —
+    * the row-addressed apply subtracts against) and its POSTIMAGE
+    * (`__n<i>` —
     * assigned columns compute their RHS, ANSI-cast to the column's
     * — or, for a struct-field path, the field's — type; the rest
     * carry). Built at RULE time from the resolved statement, so the
@@ -467,10 +448,10 @@ case class GraftSqlUpdateCommand(
   *    GDPR erasure-list shape) plans as a normal filtered read over
   *    the pinned snapshot (Spark plans the subquery; pushed
   *    conjuncts still prune through the V1 scan) whose matched rows
-  *    feed ONE atomic `applyChanges` delete — ROW-addressed: on a
-  *    duplicate-key table (raw appends) sibling rows sharing a
-  *    matched key but failing the condition carry through as
-  *    identity postimages ([[GraftRowLevelSql.siblingsOf]]), matching
+  *    feed ONE atomic row-addressed apply — on a duplicate-key table
+  *    (raw appends) sibling rows sharing a matched key but failing
+  *    the condition carry through as identity postimages
+  *    ([[graft.table.GraftTable.applyChangesRowAddressed]]), matching
   *    ANSI DELETE exactly.
   *
   * Returns the new version. */
@@ -498,17 +479,18 @@ case class GraftSqlDeleteCommand(
   * the subquery still prune through the V1 scan. Key columns refuse
   * assignment exactly like the filter route.
   *
-  * ROW-addressed on duplicate-key tables (round 18): `applyChanges`
-  * replaces the whole row group under each feed key, so a matched
-  * row's postimage alone would silently DELETE sibling rows sharing
-  * its key but failing the condition (reachable — `INSERT INTO` a
-  * keyed table is a raw append). The feed therefore unions
-  * [[GraftRowLevelSql.siblingsOf]]: the unmatched rows under matched
-  * keys, carried as identity postimages — ANSI UPDATE semantics at
-  * the cost of one extra read over the SAME pruned candidate files
-  * the rewrite scans anyway. The matched set is persisted so a
-  * non-deterministic condition selects ONE row set across the
-  * postimage/sibling/apply traversals (the merge path's source-
+  * ROW-addressed on duplicate-key tables (round 18): a key-addressed
+  * apply replaces the whole row group under each feed key, so a
+  * matched row's postimage alone would silently DELETE sibling rows
+  * sharing its key but failing the condition (reachable — `INSERT
+  * INTO` a keyed table is a raw append). The command therefore
+  * routes through
+  * [[graft.table.GraftTable.applyChangesRowAddressed]], which
+  * subtracts the matched OLD images from its own touched scan and
+  * carries the unmatched siblings as identity postimages — ANSI
+  * UPDATE semantics at zero extra pruned reads. The matched set is
+  * persisted so a non-deterministic condition selects ONE row set
+  * across the postimage/apply traversals (the merge path's source-
   * materialization discipline). */
 case class GraftSqlSubqueryUpdateCommand(
     table: GraftSqlTable,
@@ -550,13 +532,12 @@ case class GraftSqlSubqueryUpdateCommand(
         set.get(a.name).orElse(
             set.collectFirst { case (n, c) if resolver(n, a.name) => c })
           .map(_.cast(a.dataType)).getOrElse(col(a.name)).as(a.name)
-      } :+ lit("update").as("change_type"): _*)
-      val carry = GraftRowLevelSql.siblingsOf(table, matched,
-          targetOutput)
-        .withColumn("change_type", lit("update"))
-      Seq(Row(table.graftHandle.applyChanges(
-        table.withStorageKey(post)
-          .unionByName(table.withStorageKey(carry)))))
+      }: _*)
+      // row-addressed apply: the handle carries unmatched siblings
+      // under matched keys off its own touched scan (round 18 optim —
+      // one pruned read per statement instead of two)
+      Seq(Row(table.graftHandle.applyChangesRowAddressed(
+        table.withStorageKey(post), table.withStorageKey(matched))))
     } finally df.unpersist()
   }
 }
@@ -606,13 +587,11 @@ case class GraftSqlJoinUpdateCommand(
         case (a, i) => col(s"__o$i").as(a.name) }: _*)
       val post = df.select(targetOutput.zipWithIndex.map {
         case (a, i) => col(s"__n$i").as(a.name) }: _*)
-        .withColumn("change_type", lit("update"))
-      val carry = GraftRowLevelSql.siblingsOf(table, matched,
-          targetOutput)
-        .withColumn("change_type", lit("update"))
-      Seq(Row(table.graftHandle.applyChanges(
-        table.withStorageKey(post)
-          .unionByName(table.withStorageKey(carry)))))
+      // row-addressed apply: the handle carries unmatched siblings
+      // under matched keys off its own touched scan (round 18 optim —
+      // one pruned read per statement instead of two)
+      Seq(Row(table.graftHandle.applyChangesRowAddressed(
+        table.withStorageKey(post), table.withStorageKey(matched))))
     } finally df.unpersist()
   }
 }
@@ -620,14 +599,15 @@ case class GraftSqlJoinUpdateCommand(
 /** the SUBQUERY arm of [[GraftSqlDeleteCommand]]'s contract: the
   * condition lives pre-wrapped in a [[Filter]] over the target (the
   * context Spark's analysis accepts subqueries in); the matched rows
-  * feed ONE atomic applyChanges delete — ROW-addressed (round 18):
-  * one delete marker per matched key removes the key's whole row
-  * group, and [[GraftRowLevelSql.siblingsOf]] carries the unmatched
-  * rows sharing a matched key back as identity postimages, so a
-  * duplicate-key table (raw appends) deletes exactly the rows the
-  * condition selects — ANSI DELETE semantics. The matched set is
-  * persisted so a non-deterministic condition selects ONE row set
-  * across the marker/sibling/apply traversals. */
+  * feed ONE atomic row-addressed apply (round 18) with an EMPTY
+  * postimage set:
+  * [[graft.table.GraftTable.applyChangesRowAddressed]] removes
+  * exactly the matched old images and carries unmatched rows sharing
+  * a matched key back off its own touched scan, so a duplicate-key
+  * table (raw appends) deletes exactly the rows the condition
+  * selects — ANSI DELETE semantics. The matched set is persisted so
+  * a non-deterministic condition selects ONE row set across the
+  * old-image/apply traversals. */
 case class GraftSqlSubqueryDeleteCommand(
     table: GraftSqlTable,
     targetOutput: Seq[Attribute],
@@ -644,20 +624,13 @@ case class GraftSqlSubqueryDeleteCommand(
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val matched = df.select(targetOutput.map(a => col(a.name)): _*)
-      val checkKey =
-        if (table.graftKeyParts.isDefined)
-          graft.sources.CompoundKey.KeyName
-        else table.graftKey
-      // one marker per matched key (brings the key into the feed's
-      // key set); siblings return as postimages in the SAME commit
-      val markers = table.withStorageKey(
-          matched.withColumn("change_type", lit("delete")))
-        .dropDuplicates(checkKey)
-      val carry = table.withStorageKey(
-        GraftRowLevelSql.siblingsOf(table, matched, targetOutput)
-          .withColumn("change_type", lit("update")))
-      Seq(Row(table.graftHandle.applyChanges(
-        markers.unionByName(carry))))
+      // row-addressed apply with an EMPTY postimage set: every matched
+      // row leaves; the handle carries unmatched siblings under
+      // matched keys off its own touched scan (round 18 optim — one
+      // pruned read per statement instead of two)
+      Seq(Row(table.graftHandle.applyChangesRowAddressed(
+        table.withStorageKey(matched.limit(0)),
+        table.withStorageKey(matched))))
     } finally df.unpersist()
   }
 }
@@ -1083,15 +1056,29 @@ case class GraftSqlMergeCommand(
       // discipline, at delta scale
       val feed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        require(feed.where(col(checkKey).isNull).limit(1).collect().isEmpty,
+        // ONE aggregate answers all three pre-apply questions (round-18
+        // optim — was three actions: a null-key probe, a duplicate-key
+        // probe, and applyChanges' own key count): total rows, NULL
+        // keys, distinct keys. Violations re-run the targeted probe
+        // for the offending value — the rare path only.
+        val st = feed.agg(
+          org.apache.spark.sql.functions.count(lit(1)),
+          org.apache.spark.sql.functions.count(col(checkKey)),
+          org.apache.spark.sql.functions.countDistinct(col(checkKey)))
+          .head
+        val (n, nonNull, distinct) =
+          (st.getLong(0), st.getLong(1), st.getLong(2))
+        require(n == nonNull,
           s"MERGE INTO $ident: an INSERT clause produced a NULL key")
-        val dup = feed.groupBy(col(checkKey)).count()
-          .where(col("count") > 1).limit(1).collect()
-        require(dup.isEmpty,
-          s"MERGE INTO $ident: multiple source rows address key " +
-            s"'${dup.headOption.map(_.get(0)).orNull}' — the SQL:2003 " +
-            "MERGE cardinality violation (deduplicate the source)")
-        Seq(Row(t.applyChanges(feed)))
+        if (distinct != n) {
+          val dup = feed.groupBy(col(checkKey)).count()
+            .where(col("count") > 1).limit(1).collect()
+          require(dup.isEmpty,
+            s"MERGE INTO $ident: multiple source rows address key " +
+              s"'${dup.headOption.map(_.get(0)).orNull}' — the SQL:2003 " +
+              "MERGE cardinality violation (deduplicate the source)")
+        }
+        Seq(Row(t.applyChanges(feed, preCountedKeys = n)))
       } finally { feed.unpersist(); () }
     } finally { srcDf.unpersist(); () }
   }

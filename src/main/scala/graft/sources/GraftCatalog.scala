@@ -357,7 +357,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         val keyed = parts.fold(df)(p => CompoundKey.withKey(df, p))
         if (insertMode == "upsert")
           GraftCatalog.withUniqueKeys(keyed, storageKeyOf(key),
-            s"CTAS into an 'insert'='upsert' table")(t.merge(_))
+            s"CTAS into an 'insert'='upsert' table")(
+            (b, n) => t.merge(b, preCountedKeys = n))
         else t.append(keyed)
         ()
       }
@@ -621,7 +622,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
           val keyed = parts.fold(df0)(p => CompoundKey.withKey(df0, p))
           if (newMode == "upsert")
             GraftCatalog.withUniqueKeys(keyed, storageKeyOf(key),
-              "RTAS into an 'insert'='upsert' table")(b =>
+              "RTAS into an 'insert'='upsert' table")((b, _) =>
               t.replaceTable(b, storageSchemaOf(key, schema), cluster,
                 keyRecord = Some(key)))
           else t.replaceTable(keyed,
@@ -839,18 +840,30 @@ private[sources] object GraftCatalog {
     * silently is the nondeterminism an upsert table exists to
     * prevent) — then runs `f` on the pinned frame, unpersists. */
   private[sources] def withUniqueKeys[A](keyed: DataFrame,
-      storageKey: String, ctx: String)(f: DataFrame => A): A = {
+      storageKey: String, ctx: String)(f: (DataFrame, Long) => A): A = {
     val pinned = keyed.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val dup = pinned.groupBy(col(storageKey))
-        .count().where(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty,
-        s"$ctx: the batch carries duplicate keys (e.g. " +
-          s"${dup.headOption.map(_.get(0)).getOrElse("")}) — an " +
-          "'insert'='upsert' table holds one row per key; dedupe the " +
-          "batch or MERGE with explicit clauses")
-      f(pinned)
+      // ONE aggregate answers the guard AND the downstream merge's
+      // key count (round-18 optim — was a groupBy probe plus the
+      // merge's own count); a violation re-runs the targeted probe
+      // for the offending key — the rare path only
+      val st = pinned.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.countDistinct(col(storageKey)))
+        .head
+      val (n, distinct) = (st.getLong(0), st.getLong(1))
+      if (distinct != n) {
+        val dup = pinned.groupBy(col(storageKey))
+          .count().where(col("count") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"$ctx: the batch carries duplicate keys (e.g. " +
+            s"${dup.headOption.map(_.get(0)).getOrElse("")}) — an " +
+            "'insert'='upsert' table holds one row per key; dedupe the " +
+            "batch or MERGE with explicit clauses")
+      }
+      f(pinned, n)
     } finally { pinned.unpersist(); () }
   }
 }
@@ -1226,7 +1239,7 @@ private[graft] class GraftSqlTable(ident: String, root: String,
                 // replacement corpus itself must hold one row per key
                 if (insertUpsert)
                   GraftCatalog.withUniqueKeys(df, storageKey,
-                    s"INSERT OVERWRITE $ident")(t.overwriteAll(_))
+                    s"INSERT OVERWRITE $ident")((b, _) => t.overwriteAll(b))
                 else t.overwriteAll(df)
               } else if (insertUpsert) {
                 // x69: the declared INSERT discipline — one row per
@@ -1236,7 +1249,8 @@ private[graft] class GraftSqlTable(ident: String, root: String,
                 // duplicate-batch guard, both on ONE pinned
                 // evaluation of the batch
                 GraftCatalog.withUniqueKeys(df, storageKey,
-                  s"INSERT INTO $ident")(t.merge(_))
+                  s"INSERT INTO $ident")(
+                  (b, n) => t.merge(b, preCountedKeys = n))
               } else t.append(df)
               ()
             }

@@ -2205,7 +2205,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * must not double-apply its upserts (plain Delta MERGE in
     * foreachBatch is NOT replay-safe without a txn guard; w20 gates
     * the safe pattern). */
-  def merge(delta: DataFrame, txn: Long = -1L): Long = {
+  def merge(delta: DataFrame, txn: Long = -1L,
+            preCountedKeys: Long = -1L): Long = {
     if (txn >= 0 && committedTxns().contains(txn)) return head
     // materialize the delta ONCE (round-18, guide §1/§5): the key
     // count, the stats prune, the matched-file join and the staged
@@ -2218,7 +2219,10 @@ final class GraftTable private (spark: SparkSession, val root: String,
       .MEMORY_AND_DISK)
     try {
       val dkeys = mat.select(col(keyCol))
-      val nKeys = dkeys.count() // sizes the key-side joins, once
+      // sizes the key-side joins, once — callers that already counted
+      // the delta (x69's one-aggregate duplicate guard) pass it in
+      val nKeys =
+        if (preCountedKeys >= 0) preCountedKeys else dkeys.count()
       commitLoopMutate(txn = txn) { base =>
         if (txn >= 0 && committedTxns().contains(txn)) None
         else composeApply(base, mat, dkeys, nKeys)
@@ -2283,7 +2287,8 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * deliberately to express ROW-addressed UPDATE/DELETE on
     * duplicate-key tables: matched postimages plus carried sibling
     * identity rows under the same key. */
-  def applyChanges(feed: DataFrame, txn: Long = -1L): Long = {
+  def applyChanges(feed: DataFrame, txn: Long = -1L,
+                   preCountedKeys: Long = -1L): Long = {
     if (txn >= 0 && committedTxns().contains(txn)) return head
     // materialize the feed ONCE (round-18, guide §1/§5): the subquery
     // DML commands build feeds whose plans embed a pruned sibling
@@ -2297,12 +2302,47 @@ final class GraftTable private (spark: SparkSession, val root: String,
       val post = mat.where(col("change_type") =!= "delete")
         .drop("change_type")
       val fkeys = mat.select(col(keyCol))
-      val nKeys = fkeys.count() // sizes the key-side joins, once
+      // sizes the key-side joins, once — a caller that already
+      // counted the feed (the SQL MERGE's one-aggregate precheck)
+      // passes the count in and saves the action
+      val nKeys =
+        if (preCountedKeys >= 0) preCountedKeys else fkeys.count()
       commitLoopMutate(txn = txn) { base =>
         if (txn >= 0 && committedTxns().contains(txn)) None
         else composeApply(base, post, fkeys, nKeys)
       }
     } finally mat.unpersist()
+  }
+
+  /** ROW-addressed variant of [[applyChanges]] for the subquery DML
+    * commands (ANSI UPDATE/DELETE semantics on duplicate-key tables,
+    * round 18 — optimized single-scan shape): `post` carries the
+    * matched rows' postimages (UPDATE; empty for DELETE) and
+    * `oldImages` their pre-mutation images, both in the table's
+    * LOGICAL columns. Rows in matched files that share a key with a
+    * matched row but are NOT themselves matched — the siblings ANSI
+    * row addressing must carry — are computed HERE from the same
+    * `touched` scan the rewrite performs anyway (multiset subtraction
+    * of the old images), instead of the commands running a SECOND
+    * stats+bloom pruned read (`readMatchingKeys` + key count + bloom
+    * key collect + candidate scan) to build a carry feed. Same
+    * result, one pruned read and two driver actions fewer per
+    * statement; the sibling subtraction stays delta-scale (it
+    * operates on the rows under matched keys, never the whole
+    * touched set — the anti/semi joins keep the old broadcast shape).
+    *
+    * CALLER CONTRACT: `post` and `oldImages` must derive from ONE
+    * materialized (persisted) frame, so a non-deterministic condition
+    * selects a single row set across the key-count / matched-file /
+    * staged-rewrite traversals — the commands persist their dual
+    * old/new projection and pass projections of it. */
+  def applyChangesRowAddressed(post: DataFrame,
+                               oldImages: DataFrame): Long = {
+    val fkeys = oldImages.select(col(keyCol))
+    val nKeys = fkeys.count() // sizes the key-side joins, once
+    commitLoopMutate() { base =>
+      composeApply(base, post, fkeys, nKeys, oldImages = Some(oldImages))
+    }
   }
 
   /** the delta-key side of composeApply's two joins, sized ADAPTIVELY
@@ -2326,7 +2366,9 @@ final class GraftTable private (spark: SparkSession, val root: String,
     * loop. */
   private def composeApply(base: Seq[FileRef], post: DataFrame,
                            allKeys: DataFrame,
-                           nKeys: Long): Option[GraftTable.Mutation] = {
+                           nKeys: Long,
+                           oldImages: Option[DataFrame] = None)
+      : Option[GraftTable.Mutation] = {
       val data = base.filter(_.kind == "data")
       val pk = physKeyOf(base)
       val cand = bloomRefineKeys(base, data,
@@ -2356,9 +2398,26 @@ final class GraftTable private (spark: SparkSession, val root: String,
       val kept = touched.join(keySide(allKeys, nKeys), Seq(keyCol),
         "left_anti")
         .select(touched.columns.map(col).toSeq: _*)
+      // ROW-addressed carry (applyChangesRowAddressed): the rows under
+      // matched keys minus the matched old images — the unmatched
+      // siblings ANSI UPDATE/DELETE must keep. Computed off the SAME
+      // touched scan (semi-join keeps the broadcast key-side shape;
+      // exceptAll subtracts full duplicates by count, delta-scale
+      // input by construction). Key-addressed callers (merge, CDC
+      // apply) pass None and keep whole-key-group replacement.
+      val carried = oldImages match {
+        case None => None
+        case Some(old) =>
+          val under = touched.join(keySide(allKeys, nKeys), Seq(keyCol),
+            "left_semi")
+            .select(touched.columns.map(col).toSeq: _*)
+          Some(under.exceptAll(old.select(
+            touched.columns.map(col).toSeq: _*)))
+      }
       val st = stage(toPhysical(base,
-        kept.unionByName(fillDefaults(base, post),
-          allowMissingColumns = true)))
+        carried.foldLeft(kept)(_ unionByName _)
+          .unionByName(fillDefaults(base, post),
+            allowMissingColumns = true)))
       val ms = matched.toSet
       // footprint for the lost-race rebase check: content dependency =
       // the matched files (their unmatched rows ride our rewrite);

@@ -369,6 +369,35 @@ class GraftTableSpec extends AnyFunSuite {
       "files holding no feed key must carry")
   }
 
+  test("applyChangesRowAddressed: siblings carry, old images leave by count") {
+    // duplicate-key table (raw-append shape): key 5 holds two rows
+    val t = GraftTable.create(spark,
+      graft.util.Scratch.dir("graft-tbl-rowaddr"), "k", rows(1, 2, 3, 4, 5))
+    t.append(Seq((5L, "dup")).toDF("k", "v"))
+    // UPDATE shape: the matched old image (5,"s5") is replaced by its
+    // postimage; the unmatched sibling (5,"dup") must CARRY
+    t.applyChangesRowAddressed(
+      post = Seq((5L, "S5!")).toDF("k", "v"),
+      oldImages = Seq((5L, "s5")).toDF("k", "v"))
+    assert(t.read().where(col("k") === 5).collect().map(_.getString(1))
+      .sorted.toSeq == Seq("S5!", "dup"))
+    assert(keys(t.read()) == Seq(1L, 2L, 3L, 4L, 5L, 5L))
+    // DELETE shape (empty postimages): exactly the old image leaves
+    val post0 = Seq.empty[(Long, String)].toDF("k", "v")
+    t.applyChangesRowAddressed(post0, Seq((5L, "dup")).toDF("k", "v"))
+    assert(t.read().where(col("k") === 5).collect().map(_.getString(1))
+      .toSeq == Seq("S5!"))
+    // FULL duplicates subtract by COUNT: two identical rows under one
+    // key, ONE old image → one survivor
+    t.append(Seq((3L, "s3")).toDF("k", "v")) // second identical (3,"s3")
+    assert(t.read().where(col("k") === 3).count() == 2)
+    t.applyChangesRowAddressed(post0, Seq((3L, "s3")).toDF("k", "v"))
+    assert(t.read().where(col("k") === 3).collect().map(_.getString(1))
+      .toSeq == Seq("s3"), "one identical duplicate must survive")
+    // unmatched keys' rows never rewrite; untouched files carry
+    assert(keys(t.read()) == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("applyChanges replicates a table through its own change feed") {
     val src = rangeTable("graft-tbl-cdc-src", n = 30L, files = 3)
     src.merge(Seq((5L, "U5"), (40L, "NEW")).toDF("k", "v")) // v2
