@@ -535,6 +535,8 @@ object Pipeline {
         t.streamAppend(b, batchId)
         ()
       }
+      .option("checkpointLocation",
+        graft.util.Scratch.shmDir("graft-p07-ckpt"))
       .start()
     try query.processAllAvailable() finally query.stop()
     val nTok = expr("size(filter(split(text, '\\\\s+'), s -> s != ''))")

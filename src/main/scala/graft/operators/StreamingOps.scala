@@ -45,7 +45,7 @@ object StreamingOps {
     * per micro-batch */
   private[operators] def stagedStream(spark: SparkSession, df: DataFrame,
                            files: Int): DataFrame = {
-    val staged = graft.util.Scratch.dir("graft-stage")
+    val staged = graft.util.Scratch.shmDir("graft-stage")
     df.repartition(files).write.mode("overwrite").parquet(staged)
     spark.readStream.schema(df.schema)
       .option("maxFilesPerTrigger", 1).parquet(staged)
@@ -72,7 +72,14 @@ object StreamingOps {
       math.min(8, saved.toInt).toString)
     try {
       val query = agg.writeStream
-        .outputMode(mode).format("memory").queryName(qname).start()
+        .outputMode(mode).format("memory").queryName(qname)
+        // tmpfs checkpoint (round-18 optim): the drained-and-discarded
+        // gate checkpoint otherwise lands in java.io.tmpdir (ext4) and
+        // every micro-batch pays offset-WAL/commit/state-delta fsyncs
+        // against the host's disk — see Scratch.shmDir
+        .option("checkpointLocation",
+          graft.util.Scratch.shmDir("graft-w-ckpt"))
+        .start()
       try query.processAllAvailable() finally query.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", saved)
     spark.table(qname)
@@ -161,6 +168,8 @@ object StreamingOps {
     val query = profile.writeStream
       .outputMode("complete").format("memory").queryName(qname)
       .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+      .option("checkpointLocation",
+        graft.util.Scratch.shmDir("graft-w04-ckpt"))
       .start()
     query.awaitTermination()
     spark.table(qname)
@@ -183,7 +192,7 @@ object StreamingOps {
     * must come out. */
   private def w05(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("text"))
-    val staged = graft.util.Scratch.dir("graft-stage")
+    val staged = graft.util.Scratch.shmDir("graft-stage")
     docs.repartition(2).write.mode("overwrite").parquet(staged)
     // replayed duplicates: append half the corpus as an extra file —
     // its fingerprints are already in the state store when it arrives
@@ -301,7 +310,7 @@ object StreamingOps {
   private def w09(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("event_id"))
-    val staged = graft.util.Scratch.dir("graft-stage")
+    val staged = graft.util.Scratch.shmDir("graft-stage")
     ev.where(pmod(col("event_id"), lit(4)) =!= 0)
       .coalesce(1).write.mode("overwrite").parquet(staged)
     stampBatch(staged, 1) // mtime order = batch order (no sleeps)
@@ -382,8 +391,8 @@ object StreamingOps {
       (3, "2024-01-01 00:30:00", 1L, 130L), // LATE (< wm(1)=9:50) → dropped
       (3, "2024-01-01 10:05:00", 5L, 150L), // late vs wm(2), ON TIME vs wm(1) → emitted
       (3, "2024-01-01 20:05:00", 2L, 230L)) // admitted; matches p200 state
-    val pDir = graft.util.Scratch.dir("graft-w10-p")
-    val eDir = graft.util.Scratch.dir("graft-w10-e")
+    val pDir = graft.util.Scratch.shmDir("graft-w10-p")
+    val eDir = graft.util.Scratch.shmDir("graft-w10-e")
     (1 to 3).foreach { b =>
       pRows.filter(_._1 == b).map { case (_, s, u, i) => (t(s), u, i) }
         .toDF("p_ts", "p_user", "p_id")
@@ -485,7 +494,7 @@ object StreamingOps {
       (3, "2024-01-01 00:30:00", "D"), // late: 00:30 < wm(1)=00:50 → dropped
       (3, "2024-01-01 02:00:00", "E"), // emitted
       (3, "2024-01-01 02:10:00", "K3")) // clock
-    val dir11 = graft.util.Scratch.dir("graft-w11")
+    val dir11 = graft.util.Scratch.shmDir("graft-w11")
     (1 to 3).foreach { b =>
       rows.filter(_._1 == b).map { case (_, s, fp) => (t(s), fp) }
         .toDF("ts", "fp")
@@ -647,8 +656,8 @@ object StreamingOps {
       (3, "2024-01-01 10:05:00", 5L, 150L), // late vs wm(2), on time vs wm(1) → matches p105
       (3, "2024-01-01 20:05:00", 2L, 230L), // matches p200 state
       (3, "2024-01-01 23:00:00", 96L, 960L)) // clock → wm(3) = 22:50
-    val pDir = graft.util.Scratch.dir("graft-w13-p")
-    val eDir = graft.util.Scratch.dir("graft-w13-e")
+    val pDir = graft.util.Scratch.shmDir("graft-w13-p")
+    val eDir = graft.util.Scratch.shmDir("graft-w13-e")
     (1 to 3).foreach { b =>
       pRows.filter(_._1 == b).map { case (_, s, u, i) => (t(s), u, i) }
         .toDF("p_ts", "p_user", "p_id")
@@ -937,6 +946,8 @@ object StreamingOps {
           .write.mode("append").parquet(out)
         ()
       }
+      .option("checkpointLocation",
+        graft.util.Scratch.shmDir("graft-w17-ckpt"))
       .start()
     try query.processAllAvailable() finally query.stop()
     purchases.unpersist()
@@ -1000,6 +1011,8 @@ object StreamingOps {
         w18Commit(root, b, batchId)
         ()
       }
+      .option("checkpointLocation",
+        graft.util.Scratch.shmDir("graft-w18-ckpt"))
       .start()
     try query.processAllAvailable() finally query.stop()
     val mf = spark.read.parquet(s"$root/manifest")
@@ -1041,6 +1054,8 @@ object StreamingOps {
         t.streamAppend(b, batchId)
         ()
       }
+      .option("checkpointLocation",
+        graft.util.Scratch.shmDir("graft-w19-ckpt"))
       .start()
     try query.processAllAvailable() finally query.stop()
     t.read()
@@ -1081,6 +1096,8 @@ object StreamingOps {
         t.merge(b, txn = batchId)
         ()
       }
+      .option("checkpointLocation",
+        graft.util.Scratch.shmDir("graft-w20-ckpt"))
       .start()
     try query.processAllAvailable() finally query.stop()
     t.read()
@@ -1138,7 +1155,7 @@ object StreamingOps {
       .option("startingVersion", "1")
       .load()
     val query = stream.writeStream
-      .option("checkpointLocation", graft.util.Scratch.dir("graft-w21-ckpt"))
+      .option("checkpointLocation", graft.util.Scratch.shmDir("graft-w21-ckpt"))
       .foreachBatch { (b: DataFrame, batchId: Long) =>
         mirror.applyChanges(b, txn = batchId)
         ()
@@ -1169,7 +1186,7 @@ object StreamingOps {
     val query = stagedStream(spark, input, files = 3)
       .writeStream.format("graft")
       .option("path", root).option("keyCol", "o_orderkey")
-      .option("checkpointLocation", graft.util.Scratch.dir("graft-w22-ckpt"))
+      .option("checkpointLocation", graft.util.Scratch.shmDir("graft-w22-ckpt"))
       .start()
     try query.processAllAvailable() finally query.stop()
     spark.read.format("graft")
@@ -1210,7 +1227,7 @@ object StreamingOps {
               col("o_totalprice").cast(DecimalType(18, 2)).as("o_price"))
     val query = stagedStream(spark, input, files = 3)
       .writeStream.format("graft")
-      .option("checkpointLocation", graft.util.Scratch.dir("graft-w26-ckpt"))
+      .option("checkpointLocation", graft.util.Scratch.shmDir("graft-w26-ckpt"))
       .toTable("graft_w26.ord")
     try query.processAllAvailable() finally query.stop()
     spark.table("graft_w26.ord")

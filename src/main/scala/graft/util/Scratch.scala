@@ -21,6 +21,23 @@ object Scratch {
   def dirUnder(base: Path, prefix: String): String =
     register(Files.createTempDirectory(base, prefix))
 
+  /** tmpfs-backed scratch for EPHEMERAL streaming scaffolding —
+    * micro-batch checkpoints (offset WAL / commit log / state deltas,
+    * fsynced per batch) and staged stream inputs of the gated
+    * queries. These are drained and discarded within one query; on
+    * the bench box java.io.tmpdir is ext4, so every per-batch fsync
+    * rides the host's disk — measured 4-8× wall-time swings on the
+    * stream-stream joins under host disk contention (round-18 optim;
+    * the latency metric already checkpointed to /dev/shm for the same
+    * reason). Table data, sink outputs, and the throughput/recovery
+    * bench checkpoints stay on real disk — their I/O is the thing
+    * being measured. Falls back to the default tmpdir when no
+    * writable /dev/shm exists. */
+  def shmDir(prefix: String): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isWritable(shm)) dirUnder(shm, prefix) else dir(prefix)
+  }
+
   /** best-effort immediate recursive delete (also what the exit hook
     * runs per registered dir) */
   def deleteTree(d: Path): Unit =
