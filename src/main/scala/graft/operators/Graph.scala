@@ -352,16 +352,26 @@ object Graph {
       .cache()
     var labels = e2.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-    val wArg = Window.partitionBy(col("node"))
-      .orderBy(col("vw").desc, col("lbl"))
+    // ONE exchange per round (round 19 — g01's standing-partitioning
+    // audit extended here, VERDICT #7): the explicit hash(node)
+    // repartition is the unavoidable vote flip, and BOTH aggregations
+    // ride it — hash(node) clusters (node, lbl) for the vote sum, and
+    // the aggregate's alias-aware output partitioning carries it into
+    // the per-node argmax — where the previous shape paid an exchange
+    // for the (node, lbl) groupBy and ANOTHER for the argmax window.
+    // The argmax itself is max_by over (vw, −lbl): max vote weight,
+    // ties to the SMALLEST label — bit-identical to the old
+    // row_number() over (vw DESC, lbl ASC) tie-break, without the
+    // window's per-partition sort.
     for (_ <- 1 to LPA_ITERS) {
       labels = e2
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .groupBy(col("dst").as("node"), col("lbl"))
+        .select(col("dst").as("node"), col("lbl"), col("w"))
+        .repartition(col("node"))
+        .groupBy(col("node"), col("lbl"))
         .agg(sum(col("w")).as("vw"))
-        .withColumn("rn", row_number().over(wArg))
-        .where(col("rn") === 1)
-        .select(col("node"), col("lbl"))
+        .groupBy(col("node"))
+        .agg(max_by(col("lbl"), struct(col("vw"), -col("lbl"))).as("lbl"))
     }
     val out = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
       .orderBy(col("n_members").desc, col("lbl")).limit(LPA_TOP)

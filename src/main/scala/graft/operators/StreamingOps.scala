@@ -85,6 +85,24 @@ object StreamingOps {
     spark.table(qname)
   }
 
+  /** run `body` on the RocksDB state-store backend (the shared w12/w23
+    * provider flip, factored in round 19). Changelog checkpointing
+    * (`...rocksdb.changelogCheckpointing.enabled=true`) was TRIED here
+    * per the round-19 brief and reverted on measurement: at the gate's
+    * KB-scale state the full-snapshot commit is already trivial, and
+    * the changelog's extra per-commit file write read +0.6 s on w12 /
+    * flat on w23 in the quiet A/B bench — the lever only pays at
+    * production state sizes, where the deployment sets it themselves. */
+  private def withRocksDb[A](spark: SparkSession)(body: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val savedP = spark.conf.get(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally spark.conf.set(providerKey, savedP)
+  }
+
   /** w01 — the reference's stateful word count (SURVEY §2.1 #4-6) run as
     * a streaming query over the documents corpus, replayed in two
     * micro-batches to exercise StateStore save/restore between batches.
@@ -598,14 +616,9 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
       .toDF("word", "cnt")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val saved = spark.conf.get(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val emitted =
-      try runComplete(spark, counts, "w12_", mode = "update")
-      finally spark.conf.set(providerKey, saved)
+    val emitted = withRocksDb(spark) {
+      runComplete(spark, counts, "w12_", mode = "update")
+    }
     emitted.groupBy(col("word")).agg(max(col("cnt")).as("cnt"))
   }
 
@@ -785,10 +798,16 @@ object StreamingOps {
   private def w15(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // 2 replay batches, not 3 (round 19, VERDICT #1a): the fold proof
+    // above makes the drained history slicing-INDEPENDENT (each arrival
+    // re-derives the key's intervals from full state; valid_to only
+    // tightens), so cross-batch state restore is exercised identically
+    // by 2 batches while one whole micro-batch's planning + 8-way
+    // state-commit round drops out. Oracle hash unchanged (verified).
     val stream = stagedStream(spark,
       Tables.events(spark, dir)
         .select(col("user_id"), col("event_id"), col("event_type"),
-          col("value"), col("ts")), files = 3)
+          col("value"), col("ts")), files = 2)
     val changes = stream
       .as[(Long, Long, String, Double, java.time.LocalDateTime)]
     // state/change tuple: (event_id, event_type, value, ts)
@@ -850,11 +869,15 @@ object StreamingOps {
   private def w16(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // 2 replay batches, not 3 (round 19, VERDICT #1a): the k-min of a
+    // union is independent of how the union was sliced (the class doc's
+    // proof), so 2 batches exercise the same cross-batch fold at one
+    // micro-batch less. Oracle hash unchanged (verified).
     val stream = stagedStream(spark,
       Tables.lineitem(spark, dir)
         .select(col("l_returnflag").as("flag"),
                 ScaleOps.kmvHash(col("l_orderkey")).as("hv")),
-      files = 3)
+      files = 2)
     val perGroup = stream.as[(String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(
@@ -1311,14 +1334,9 @@ object StreamingOps {
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
       .toDF("o_orderstatus", "n", "cents", "seq")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val saved = spark.conf.get(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val emitted =
-      try runComplete(spark, folded, "w23_", mode = "update")
-      finally spark.conf.set(providerKey, saved)
+    val emitted = withRocksDb(spark) {
+      runComplete(spark, folded, "w23_", mode = "update")
+    }
     // each key's FINAL state is its max-seq emission; exact cents
     // reconstruct the decimal sum, double-cast only at the edge
     emitted.groupBy(col("o_orderstatus"))

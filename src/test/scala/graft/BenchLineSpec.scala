@@ -227,6 +227,41 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("stream_words_per_sec_rocksdb_run_stats") == null)
   }
 
+  test("sub-second queries never print 0 on the compact line") {
+    // round-19 (VERDICT #3): at the integer-second cascade steps ~50
+    // sub-second queries printed as 0 and the driver's PERF comparator
+    // (0 = absent) misread them as dropped_from_bench. The adaptive
+    // rungs give sub-second values one decimal (floored at 0.1) while
+    // keeping integer seconds elsewhere — at the realistic value mix
+    // the line must fit AND carry no 0 entries for queries that ran.
+    // realistic-plus-margin mix: ~a third of the registry sub-second
+    // (r18's quiet run had 27%; each sub-second entry costs +2 chars at
+    // the adaptive rung). A registry where HALF the queries run
+    // sub-second outgrows the 1800 budget at this rung and falls back
+    // to the integer steps — a documented degradation, not a contract.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.zipWithIndex.map { case (n, i) =>
+      n -> (i % 6 match {
+        case 0 => 0.32   // the previously-invisible sub-second rows
+        case 1 => 0.04   // sub-100ms: display floor 0.1, never 0.0
+        case 2 | 3 => 3.7
+        case _ => 9.6
+      })
+    }
+    val (_, last) = Bench.buildLines(results, extras, fullExtras,
+      "/root/testdata/sf0.1", extrasCompact = extrasC,
+      extrasUltra = extrasU, extrasUltra2 = extrasU2)
+    assert(last.length <= 1800, s"compact line ${last.length} chars")
+    val qs = mapper.readTree(last).get("queries")
+    assert(qs.size() === results.size,
+      "a timing was lost to a duplicate key or a premature cascade step")
+    import scala.jdk.CollectionConverters._
+    qs.fields().asScala.foreach { e =>
+      assert(e.getValue.asDouble() > 0.0,
+        s"${e.getKey} printed 0 for a query that ran")
+    }
+  }
+
   test("prefix fallback disambiguates shared prefixes") {
     // enough 30-char names to blow the 1800 budget and force the
     // prefix fallback, with three sharing the "q23" prefix
